@@ -1,0 +1,245 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Event-time operators (SURVEY §2.9 generalized): the reference's whole
+  * pipeline is "bucket events into hours, densify, report"
+  * (`data_processing.py:238-362`); these re-express that shape over the
+  * `events` table plus the temporal operators a real event pipeline needs
+  * (tumbling windows, sessionization, as-of attribution, JSON props).
+  *
+  * Scale notes:
+  *   - The dense scaffold is built from `sequence()` + explode of ONE row
+  *     (min/max), then broadcast-joined against the aggregated counts — the
+  *     big table is touched once, aggregated map-side, and the join input is
+  *     already tiny (one row per hour), mirroring the reference's
+  *     `spark.range(0,24)` left-join but unbounded in time span.
+  *   - Sessionization and as-of join are single-shuffle window constructions
+  *     (partition by user), NOT range self-joins — a range join would be
+  *     O(n·m) per user at 100 TB; the union+last() trick is O(n log n).
+  */
+object Temporal {
+
+  // ---------------------------------------------------------------------------
+  // q20 — dense hourly report (reference J1/S6 generalized): hourly click and
+  // view counts on a zero-filled scaffold spanning min..max event time.
+  // ---------------------------------------------------------------------------
+  def q20HourlyDense(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val hourly = ev
+      .filter(col("event_type").isin("click", "view"))
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("hour"))
+      .pivot("event_type", Seq("click", "view"))
+      .sum("n")
+    val scaffold = ev
+      .agg(date_trunc("hour", min(col("ts"))).as("h0"), date_trunc("hour", max(col("ts"))).as("h1"))
+      .select(explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("hour"))
+    scaffold
+      .join(hourly, Seq("hour"), "left")
+      .na
+      .fill(0, Seq("click", "view"))
+      .select(
+        date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("click").as("click_count"),
+        col("view").as("view_count")
+      )
+      .orderBy(col("hour"))
+  }
+
+  val q20Oracle: String =
+    """WITH bounds AS (
+      |  SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1 FROM events),
+      |scaffold AS (
+      |  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM bounds),
+      |hourly AS (
+      |  SELECT date_trunc('hour', ts) AS hour,
+      |         count(*) FILTER (event_type = 'click') AS click_count,
+      |         count(*) FILTER (event_type = 'view') AS view_count
+      |  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1)
+      |SELECT strftime(s.hour, '%Y-%m-%d %H:%M:%S') AS hour,
+      |       coalesce(h.click_count, 0) AS click_count,
+      |       coalesce(h.view_count, 0) AS view_count
+      |FROM scaffold s LEFT JOIN hourly h ON s.hour = h.hour
+      |ORDER BY hour""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q21 — tumbling event-time window via window() (SURVEY §2.9 T4): daily
+  // windows per event type with count + value sum. Same expression works
+  // unchanged under Structured Streaming with a watermark.
+  // ---------------------------------------------------------------------------
+  def q21TumblingDaily(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(spark, dir)
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd").as("day"),
+        col("event_type"),
+        col("n_events"),
+        col("total_value")
+      )
+      .orderBy(col("day"), col("event_type"))
+
+  val q21Oracle: String =
+    """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+      |       event_type,
+      |       count(*) AS n_events,
+      |       round(sum(value), 2) AS total_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY day, event_type""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q22 — gap-based sessionization (30-min inactivity): lag + cumulative flag
+  // sum per user. One shuffle on user_id; state never leaves the partition.
+  // (user_id, ts) is unique in the data; event_id tiebreak keeps it total.
+  // ---------------------------------------------------------------------------
+  def q22Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val flagged = Tables
+      .events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn(
+        "new_session",
+        when(col("prev_ts").isNull || col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1)
+          .otherwise(0)
+      )
+      .withColumn("session_idx", sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    flagged
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("session_value")
+      )
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
+  val q22Oracle: String =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, value,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+      |              THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sessions AS (
+      |  SELECT user_id, ts, value,
+      |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      |  FROM flagged)
+      |SELECT user_id, session_idx,
+      |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+      |       count(*) AS n_events,
+      |       round(sum(value), 2) AS session_value
+      |FROM sessions
+      |GROUP BY user_id, session_idx
+      |ORDER BY user_id, session_idx""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q23 — as-of join (last-touch attribution): each purchase matched to the
+  // user's most recent click at-or-before it. Implemented as tag + union +
+  // last(_, ignoreNulls) over one user-partitioned window — the scalable
+  // as-of pattern (no range self-join; single shuffle; O(n log n) sort).
+  // Clicks sort before purchases at equal ts so a same-instant click counts.
+  // ---------------------------------------------------------------------------
+  def q23AsofAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"), lit(0).as("tag"), col("ts").as("click_ts"))
+    val purchases = ev
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), lit(1).as("tag"), lit(null).cast("timestamp").as("click_ts"))
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("tag"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks
+      .unionAll(purchases)
+      .withColumn("last_click_ts", last(col("click_ts"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(
+        col("user_id"),
+        col("event_id").as("purchase_event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+        date_format(col("last_click_ts"), "yyyy-MM-dd HH:mm:ss").as("attributed_click_ts"),
+        (col("ts").cast("long") - col("last_click_ts").cast("long")).as("seconds_since_click")
+      )
+      .orderBy(col("user_id"), col("purchase_event_id"))
+  }
+
+  val q23Oracle: String =
+    """WITH tagged AS (
+      |  SELECT user_id, ts, event_id, 0 AS tag, ts AS click_ts
+      |  FROM events WHERE event_type = 'click'
+      |  UNION ALL
+      |  SELECT user_id, ts, event_id, 1 AS tag, NULL AS click_ts
+      |  FROM events WHERE event_type = 'purchase'),
+      |attributed AS (
+      |  SELECT user_id, ts, event_id, tag,
+      |         last_value(click_ts IGNORE NULLS) OVER
+      |           (PARTITION BY user_id ORDER BY ts, tag, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_ts
+      |  FROM tagged)
+      |SELECT user_id,
+      |       event_id AS purchase_event_id,
+      |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+      |       strftime(last_click_ts, '%Y-%m-%d %H:%M:%S') AS attributed_click_ts,
+      |       floor(epoch(ts))::BIGINT - floor(epoch(last_click_ts))::BIGINT AS seconds_since_click
+      |FROM attributed
+      |WHERE tag = 1
+      |ORDER BY user_id, purchase_event_id""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q24 — JSON property extraction (SURVEY §2.12: JSON functions absent in the
+  // reference, added ★): parse props JSON, aggregate the extracted key.
+  // get_json_object is codegen'd — no UDF.
+  // ---------------------------------------------------------------------------
+  def q24JsonProps(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        round(avg(col("k")), 4).as("avg_k")
+      )
+      .orderBy(col("event_type"))
+
+  val q24Oracle: String =
+    """SELECT event_type,
+      |       count(*) AS n,
+      |       CAST(min(json_extract(props, '$.k')::INT) AS INT) AS min_k,
+      |       CAST(max(json_extract(props, '$.k')::INT) AS INT) AS max_k,
+      |       round(avg(json_extract(props, '$.k')::INT), 4) AS avg_k
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_hourly_dense" -> (q20HourlyDense _),
+    "q21_tumbling_daily" -> (q21TumblingDaily _),
+    "q22_sessionize" -> (q22Sessionize _),
+    "q23_asof_attribution" -> (q23AsofAttribution _),
+    "q24_json_props" -> (q24JsonProps _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q20_hourly_dense" -> q20Oracle,
+    "q21_tumbling_daily" -> q21Oracle,
+    "q22_sessionize" -> q22Oracle,
+    "q23_asof_attribution" -> q23Oracle,
+    "q24_json_props" -> q24Oracle
+  )
+}

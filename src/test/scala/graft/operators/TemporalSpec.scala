@@ -1,0 +1,40 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Structural invariants for the event-time inventory at sf0.001. */
+class TemporalSpec extends SparkSpec {
+
+  test("q20 dense hourly scaffold: contiguous hours, zero-filled, no nulls") {
+    val rows = Temporal.q20HourlyDense(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+    val hours = rows.map(r => java.time.LocalDateTime.parse(r.getString(0), fmt))
+    hours.zip(hours.tail).foreach { case (a, b) => assert(java.time.Duration.between(a, b).toHours == 1) }
+    rows.foreach { r =>
+      assert(!r.isNullAt(1) && !r.isNullAt(2))
+      assert(r.getLong(1) >= 0 && r.getLong(2) >= 0)
+    }
+  }
+
+  test("q22 sessions: indexes dense from 1, start <= end, events partition exactly") {
+    val rows = Temporal.q22Sessionize(spark, sfDir).collect()
+    rows.groupBy(_.getLong(0)).values.foreach { rs =>
+      val idx = rs.map(_.getLong(1)).sorted
+      assert(idx.sameElements(1L to rs.length))
+      rs.foreach(r => assert(r.getString(2) <= r.getString(3)))
+    }
+    val totalEvents = rows.map(_.getAs[Long]("n_events")).sum
+    assert(totalEvents === graft.core.Tables.events(spark, sfDir).count())
+  }
+
+  test("q23 as-of: attribution never in the future, one row per purchase") {
+    val rows = Temporal.q23AsofAttribution(spark, sfDir).collect()
+    val purchases = graft.core.Tables
+      .events(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
+      .count()
+    assert(rows.length === purchases)
+    rows.filter(!_.isNullAt(4)).foreach(r => assert(r.getLong(4) >= 0))
+  }
+}
