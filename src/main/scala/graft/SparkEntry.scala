@@ -20,7 +20,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++
       operators.Analytic.queries ++
-      operators.Temporal.queries
+      operators.Temporal.queries ++
+      operators.TextOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -28,5 +29,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++
       operators.Analytic.oracles ++
-      operators.Temporal.oracles
+      operators.Temporal.oracles ++
+      operators.TextOps.oracles
 }

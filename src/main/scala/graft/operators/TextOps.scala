@@ -1,0 +1,185 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Text-analysis operators over the `documents` table — the training-data-
+  * pipeline surface (language ID, quality scoring, token counting,
+  * fingerprinting). The reference has no text ops (its only string work is a
+  * filename regex, `data_processing.py:240`); these are the ★-additions the
+  * engine needs to be useful on web-scale corpora.
+  *
+  * Everything here is built-in codegen'd expressions (regexp_extract_all,
+  * split, md5, transform/filter/aggregate higher-order functions) — no UDFs,
+  * so whole-stage codegen spans the full pipeline and the operators scale
+  * embarrassingly (per-row, no shuffle except the final order/agg).
+  */
+object TextOps {
+
+  /** Count of whole-word matches for any of `words` (case-insensitive). */
+  private def wordHits(c: Column, words: Seq[String]): Column =
+    size(regexp_extract_all(lower(c), lit("\\b(" + words.mkString("|") + ")\\b"), lit(0)))
+
+  private val enStop = Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
+  private val deStop = Seq("der", "die", "das", "und", "ist", "ein", "eine", "nicht", "mit", "von")
+  private val esStop = Seq("el", "la", "los", "las", "de", "que", "y", "es", "en", "un")
+  private val frStop = Seq("le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que")
+
+  // ---------------------------------------------------------------------------
+  // q25 — language ID via stopword-hit ratios (n-gram heuristic class). Scores
+  // for each candidate language; argmax with a fixed priority for ties.
+  // ---------------------------------------------------------------------------
+  def q25LangId(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .withColumn("en_hits", wordHits(col("text"), enStop))
+      .withColumn("de_hits", wordHits(col("text"), deStop))
+      .withColumn("es_hits", wordHits(col("text"), esStop))
+      .withColumn("fr_hits", wordHits(col("text"), frStop))
+      .withColumn(
+        "predicted_lang",
+        when(col("en_hits") >= greatest(col("de_hits"), col("es_hits"), col("fr_hits")), "en")
+          .when(col("de_hits") >= greatest(col("es_hits"), col("fr_hits")), "de")
+          .when(col("es_hits") >= col("fr_hits"), "es")
+          .otherwise("fr")
+      )
+      .select(col("doc_id"), col("lang"), col("en_hits"), col("de_hits"), col("es_hits"), col("fr_hits"), col("predicted_lang"))
+      .orderBy(col("doc_id"))
+
+  private def sqlHits(words: Seq[String]): String =
+    s"len(regexp_extract_all(lower(text), '\\b(${words.mkString("|")})\\b'))"
+
+  val q25Oracle: String =
+    s"""SELECT doc_id, lang,
+       |  CAST(${sqlHits(enStop)} AS INT) AS en_hits,
+       |  CAST(${sqlHits(deStop)} AS INT) AS de_hits,
+       |  CAST(${sqlHits(esStop)} AS INT) AS es_hits,
+       |  CAST(${sqlHits(frStop)} AS INT) AS fr_hits,
+       |  CASE WHEN ${sqlHits(enStop)} >= greatest(${sqlHits(deStop)}, ${sqlHits(esStop)}, ${sqlHits(frStop)}) THEN 'en'
+       |       WHEN ${sqlHits(deStop)} >= greatest(${sqlHits(esStop)}, ${sqlHits(frStop)}) THEN 'de'
+       |       WHEN ${sqlHits(esStop)} >= ${sqlHits(frStop)} THEN 'es'
+       |       ELSE 'fr' END AS predicted_lang
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q26 — quality scoring: token stats + punctuation/stopword ratios folded
+  // into a 0-100 score and a keep/review/drop bucket (the CCNet/Gopher-rule
+  // shape of corpus filtering, reduced to pure SQL-safe arithmetic).
+  // ---------------------------------------------------------------------------
+  def q26QualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = size(split(trim(col("text")), "\\s+"))
+    val punct = size(regexp_extract_all(col("text"), lit("[.,!?;:]"), lit(0)))
+    val stops = wordHits(col("text"), enStop)
+    Tables
+      .documents(spark, dir)
+      .withColumn("n_tokens", toks)
+      .withColumn("punct_ratio", round(punct.cast("double") / greatest(col("n_chars"), lit(1)), 6))
+      .withColumn("stopword_ratio", round(stops.cast("double") / greatest(toks, lit(1)).cast("double"), 6))
+      .withColumn(
+        "quality_score",
+        round(
+          least(lit(40), col("n_tokens").cast("double") / 2)
+            + least(lit(30), col("stopword_ratio") * 100)
+            + lit(30) * when(col("n_chars").between(100, 500), 1.0).otherwise(0.5),
+          4
+        )
+      )
+      .withColumn(
+        "bucket",
+        when(col("quality_score") >= 70, "keep").when(col("quality_score") >= 45, "review").otherwise("drop")
+      )
+      .select(col("doc_id"), col("n_chars"), col("n_tokens"), col("punct_ratio"), col("stopword_ratio"), col("quality_score"), col("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q26Oracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, n_chars,
+       |    len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+       |    round(len(regexp_extract_all(text, '[.,!?;:]'))::DOUBLE / greatest(n_chars, 1), 6) AS punct_ratio,
+       |    round(${sqlHits(enStop)}::DOUBLE
+       |          / greatest(len(string_split_regex(trim(text), '\\s+')), 1), 6) AS stopword_ratio
+       |  FROM documents)
+       |SELECT doc_id, n_chars, CAST(n_tokens AS INT) AS n_tokens, punct_ratio, stopword_ratio,
+       |  round(least(40, n_tokens::DOUBLE / 2)
+       |        + least(30, stopword_ratio * 100)
+       |        + 30 * (CASE WHEN n_chars BETWEEN 100 AND 500 THEN 1.0 ELSE 0.5 END), 4) AS quality_score,
+       |  CASE WHEN least(40, n_tokens::DOUBLE / 2) + least(30, stopword_ratio * 100)
+       |            + 30 * (CASE WHEN n_chars BETWEEN 100 AND 500 THEN 1.0 ELSE 0.5 END) >= 70 THEN 'keep'
+       |       WHEN least(40, n_tokens::DOUBLE / 2) + least(30, stopword_ratio * 100)
+       |            + 30 * (CASE WHEN n_chars BETWEEN 100 AND 500 THEN 1.0 ELSE 0.5 END) >= 45 THEN 'review'
+       |       ELSE 'drop' END AS bucket
+       |FROM t
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q27 — token counting, two tokenizers: whitespace and a BPE-ish regex
+  // (letter runs / digit runs / single other non-space), aggregated per
+  // source so the reduction side is exercised too.
+  // ---------------------------------------------------------------------------
+  def q27TokenCounts(spark: SparkSession, dir: String): DataFrame = {
+    val wsToks = size(split(trim(col("text")), "\\s+"))
+    val bpeToks = size(regexp_extract_all(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
+    Tables
+      .documents(spark, dir)
+      .withColumn("ws_tokens", wsToks)
+      .withColumn("bpe_tokens", bpeToks)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ws_tokens")).as("total_ws_tokens"),
+        sum(col("bpe_tokens")).as("total_bpe_tokens"),
+        round(avg(col("ws_tokens")), 4).as("avg_ws_tokens")
+      )
+      .orderBy(col("source"))
+  }
+
+  val q27Oracle: String =
+    """SELECT source, count(*) AS n_docs,
+      |  sum(len(string_split_regex(trim(text), '\s+'))) AS total_ws_tokens,
+      |  sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS total_bpe_tokens,
+      |  round(avg(len(string_split_regex(trim(text), '\s+'))), 4) AS avg_ws_tokens
+      |FROM documents
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q28 — document fingerprinting: md5 over whitespace-normalized lowercase
+  // text (the exact-dedup key), with a per-fingerprint cardinality so
+  // duplicate groups are visible in one pass.
+  // ---------------------------------------------------------------------------
+  def q28Fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val normalized = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    val docs = Tables.documents(spark, dir).withColumn("fingerprint", md5(normalized))
+    val groups = docs.groupBy(col("fingerprint")).agg(count(lit(1)).as("n_copies"))
+    docs
+      .join(groups, Seq("fingerprint"))
+      .select(col("doc_id"), col("fingerprint"), col("n_copies"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q28Oracle: String =
+    """WITH f AS (
+      |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+      |  FROM documents)
+      |SELECT doc_id, fingerprint, count(*) OVER (PARTITION BY fingerprint) AS n_copies
+      |FROM f
+      |ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q25_lang_id" -> (q25LangId _),
+    "q26_quality_score" -> (q26QualityScore _),
+    "q27_token_counts" -> (q27TokenCounts _),
+    "q28_fingerprint" -> (q28Fingerprint _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q25_lang_id" -> q25Oracle,
+    "q26_quality_score" -> q26Oracle,
+    "q27_token_counts" -> q27Oracle,
+    "q28_fingerprint" -> q28Oracle
+  )
+}

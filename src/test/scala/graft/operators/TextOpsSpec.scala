@@ -1,0 +1,47 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Structural invariants for text analysis at sf0.001. */
+class TextOpsSpec extends SparkSpec {
+
+  test("q25 lang id: one row per doc, prediction from the candidate set") {
+    val rows = TextOps.q25LangId(spark, sfDir).collect()
+    val nDocs = graft.core.Tables.documents(spark, sfDir).count()
+    assert(rows.length === nDocs)
+    assert(rows.forall(r => Set("en", "de", "es", "fr").contains(r.getAs[String]("predicted_lang"))))
+  }
+
+  test("q26 quality: scores in [0,100], buckets consistent with thresholds") {
+    val rows = TextOps.q26QualityScore(spark, sfDir).collect()
+    rows.foreach { r =>
+      val s = r.getAs[Double]("quality_score")
+      assert(s >= 0 && s <= 100)
+      val b = r.getAs[String]("bucket")
+      if (s >= 70) assert(b == "keep") else if (s >= 45) assert(b == "review") else assert(b == "drop")
+    }
+  }
+
+  test("q27 token counts: bpe >= ws tokens (bpe splits punctuation off)") {
+    val rows = TextOps.q27TokenCounts(spark, sfDir).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("total_bpe_tokens") >= r.getAs[Long]("total_ws_tokens"))
+      assert(r.getAs[Long]("n_docs") > 0)
+    }
+  }
+
+  test("q28 fingerprints: stable across runs and whitespace-insensitive") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val a = TextOps.q28Fingerprint(spark, sfDir).collect()
+    val b = TextOps.q28Fingerprint(spark, sfDir).collect()
+    assert(a.sameElements(b))
+    // same normalized content → same md5, regardless of spacing/case
+    val df = Seq(("Hello  World", 1), ("hello world", 2)).toDF("text", "doc_id")
+    val fp = df
+      .withColumn("f", md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
+      .select("f")
+      .collect()
+    assert(fp(0).getString(0) === fp(1).getString(0))
+  }
+}
