@@ -21,7 +21,8 @@ object SparkEntry {
     operators.Relational.queries ++
       operators.Analytic.queries ++
       operators.Temporal.queries ++
-      operators.TextOps.queries
+      operators.TextOps.queries ++
+      operators.Dedup.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -30,5 +31,6 @@ object SparkEntry {
     operators.Relational.oracles ++
       operators.Analytic.oracles ++
       operators.Temporal.oracles ++
-      operators.TextOps.oracles
+      operators.TextOps.oracles ++
+      operators.Dedup.oracles
 }
