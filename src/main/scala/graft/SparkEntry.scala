@@ -22,7 +22,8 @@ object SparkEntry {
       operators.Analytic.queries ++
       operators.Temporal.queries ++
       operators.TextOps.queries ++
-      operators.Dedup.queries
+      operators.Dedup.queries ++
+      operators.Similarity.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -32,5 +33,6 @@ object SparkEntry {
       operators.Analytic.oracles ++
       operators.Temporal.oracles ++
       operators.TextOps.oracles ++
-      operators.Dedup.oracles
+      operators.Dedup.oracles ++
+      operators.Similarity.oracles
 }

@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** ANN invariants at sf0.001. The synthetic vectors are near-uniform (max
+  * pairwise cos ≈ 0.5), so sub-linear recall necessarily tracks scanned
+  * fraction — specs pin exactness of the plumbing (ranks, cosine values,
+  * candidate pruning) and only loose recall floors.
+  */
+class SimilaritySpec extends SparkSpec {
+
+  private def byQuery(rows: Array[org.apache.spark.sql.Row]) =
+    rows.groupBy(_.getLong(0))
+
+  test("q34 brute force: dense ranks, non-increasing cosine, k rows per query") {
+    val rows = Similarity.q34BruteForceTopK(spark, sfDir).collect()
+    assert(byQuery(rows).size === 5)
+    byQuery(rows).values.foreach { rs =>
+      assert(rs.length === 10)
+      assert(rs.map(_.getInt(1)).sorted.sameElements(1 to 10))
+      val cos = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      cos.zip(cos.tail).foreach { case (a, b) => assert(b <= a + 1e-9) }
+    }
+  }
+
+  test("q35 LSH: results are a correctly-ranked subset of the true ranking") {
+    val brute = Similarity.q34BruteForceTopK(spark, sfDir).collect()
+    val lsh = Similarity.q35LshTopK(spark, sfDir).collect()
+    // every LSH cosine must equal the brute-force cosine for that pair
+    val trueCos = brute.map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    lsh.foreach { r =>
+      trueCos.get((r.getLong(0), r.getLong(2))).foreach(c => assert(math.abs(c - r.getDouble(3)) < 1e-9))
+    }
+    // per-query ordering respected
+    byQuery(lsh).values.foreach { rs =>
+      val cos = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      cos.zip(cos.tail).foreach { case (a, b) => assert(b <= a + 1e-9) }
+    }
+  }
+
+  test("q36 IVF: k results per query, correct cosines, some true-top-10 recall") {
+    val brute = Similarity.q34BruteForceTopK(spark, sfDir).collect()
+    val ivf = Similarity.q36IvfTopK(spark, sfDir).collect()
+    byQuery(ivf).values.foreach(rs => assert(rs.length === 10))
+    val trueTop = byQuery(brute).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val hits = ivf.count(r => trueTop(r.getLong(0)).contains(r.getLong(2)))
+    assert(hits >= 5, s"IVF recall too low: $hits/50 true-top-10 hits")
+  }
+
+  test("q36 centroids: C centroids of corpus dimension, finite values") {
+    val cents = Similarity.trainCentroids(spark, sfDir)
+    assert(cents.length === 16)
+    cents.foreach { c =>
+      assert(c.length === 64)
+      assert(c.forall(x => !x.isNaN && !x.isInfinite))
+    }
+  }
+}
