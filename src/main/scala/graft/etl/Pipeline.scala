@@ -1,0 +1,110 @@
+package graft.etl
+
+import java.nio.file.Paths
+
+import scala.util.{Failure, Success, Try}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+
+/** End-to-end orchestration (SURVEY §2.11 L3-L5, §3.1-3.2): route files →
+  * per-date rollup (error-isolated) → single-file CSVs → consume-delete →
+  * validate → quarantine → warehouse load → verification summary.
+  *
+  * Failure-mode parity (SURVEY §7.4.5): CSV write → input delete → warehouse
+  * load, in that order. A crash after delete loses that file's contribution
+  * (at-most-once), a crash before it reprocesses (at-least-once) — the
+  * reference's exact semantics, preserved rather than silently "fixed"
+  * (the streaming module offers the checkpointed alternative).
+  */
+object Pipeline {
+
+  final case class DateResult(date: String, csvPath: String, rows: Long)
+  final case class RunResult(
+      processedDates: Seq[DateResult],
+      failedDates: Seq[(String, String)],
+      filesDeleted: Int,
+      loaded: Seq[(String, Long)],
+      quarantinedRows: Long,
+      warehouseSummary: Map[String, Any]
+  ) {
+    def success: Boolean = processedDates.nonEmpty || failedDates.isEmpty
+  }
+
+  val csvSchema: StructType = StructType(
+    Seq(
+      StructField("date", StringType),
+      StructField("hour", IntegerType),
+      StructField("impression_count", LongType),
+      StructField("click_count", LongType)
+    )
+  )
+
+  def run(
+      spark: SparkSession,
+      inputDir: String,
+      outputDir: String,
+      warehouseDir: String,
+      userAgent: String,
+      deleteInputs: Boolean = true
+  ): RunResult = {
+    val routed = FileRouter.route(FileRouter.listParquet(inputDir))
+
+    // Task 1: per-date rollup with error isolation (reference L3: continue on
+    // failure, succeed iff >= 1 date processed).
+    val results = routed.dates.map { date =>
+      date -> Try {
+        val df = HourlyRollup.forDate(
+          spark,
+          date,
+          routed.impressionsByDate.getOrElse(date, Seq.empty),
+          routed.clicksByDate.getOrElse(date, Seq.empty),
+          userAgent
+        )
+        val out = Paths.get(outputDir, CsvWriter.taskOutputName(date)).toString
+        CsvWriter.writeSingleFile(df, out)
+        DateResult(date, out, 24L)
+      }
+    }
+    val ok = results.collect { case (_, Success(r)) => r }
+    val failed = results.collect { case (d, Failure(e)) => (d, e.toString) }
+
+    // consume-once deletion AFTER output write (T2 ordering)
+    val deleted = if (deleteInputs && ok.nonEmpty) FileRouter.deleteFiles(routed.allFiles) else 0
+
+    // Task 2: load each CSV into the warehouse with validation + quarantine.
+    val wh = new ParquetWarehouse(spark, warehouseDir)
+    var quarantined = 0L
+    val loaded = ok.map { r =>
+      val raw = spark.read.option("header", "true").schema(csvSchema).csv(r.csvPath)
+      val v = QualityRules.validate(raw, Paths.get(r.csvPath).getFileName.toString)
+      val invalid = wh.prepareInvalid(v.quarantined)
+      quarantined += invalid.count()
+      wh.storeInvalid(invalid)
+      val report = wh.load(wh.prepare(v.cleaned))
+      r.csvPath -> report.rowsLoaded
+    }
+
+    RunResult(ok, failed, deleted, loaded, quarantined, wh.verify())
+  }
+
+  implicit private class InvalidPrep(private val wh: ParquetWarehouse) {
+    /** Quarantine rows carry the report's (date,hour); key them like the
+      * report for the upsert. try_to_timestamp: quarantined rows can hold
+      * invalid hours (that's why they're quarantined) → null key, not error.
+      */
+    def prepareInvalid(q: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      q.withColumn(
+        "datetime",
+        org.apache.spark.sql.functions.try_to_timestamp(
+          org.apache.spark.sql.functions.concat(
+            col("date"),
+            org.apache.spark.sql.functions.lit(" "),
+            org.apache.spark.sql.functions.lpad(col("hour").cast("string"), 2, "0")
+          ),
+          org.apache.spark.sql.functions.lit("yyyy-MM-dd HH")
+        )
+      )
+  }
+}
