@@ -1,0 +1,118 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.etl.Fixtures
+
+/** Streaming behavior: file-source rollup with AvailableNow + checkpoint
+  * resume, and stateful sessionization with event-time timeouts.
+  */
+class StreamingSpec extends SparkSpec {
+
+  test("streaming rollup over fixture files matches the batch result") {
+    val in = Files.createTempDirectory("s_in")
+    val ckpt = Files.createTempDirectory("s_ckpt").toString
+    Fixtures.goldenScenario(spark, in)
+    val schema = spark.read.parquet(in.toString).schema
+
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(String, Int, String, Long)]
+    val counts = StreamingRollup.hourlyCountsStream(spark, in.toString, schema, Fixtures.UA)
+    StreamingRollup.runAvailableNow(
+      counts,
+      ckpt,
+      (df: DataFrame, _: Long) =>
+        df.collect().foreach(r => collected += ((r.getString(0), r.getInt(1), r.getString(2), r.getLong(3))))
+    )
+
+    val byKey = collected.groupBy(t => (t._2, t._3)).view.mapValues(_.map(_._4).sum).toMap
+    assert(byKey((11, "click")) === 10L)
+    assert(byKey((12, "click")) === 20L)
+    assert(byKey((12, "impression")) === 10L)
+    assert(collected.forall(_._1 == "2022-05-27"))
+
+    // checkpoint resume: re-running with no new files emits nothing new
+    val before = collected.size
+    StreamingRollup.runAvailableNow(
+      StreamingRollup.hourlyCountsStream(spark, in.toString, schema, Fixtures.UA),
+      ckpt,
+      (df: DataFrame, _: Long) => collected ++= df.collect().map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    )
+    assert(collected.size === before, "checkpoint prevents reprocessing consumed files")
+  }
+
+  test("stateful sessionization: gap closes a session, timeout emits it") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val input = MemoryStream[StreamingSessionize.Event]
+    val sessions = StreamingSessionize.sessions(
+      input.toDS().withWatermark("ts", "0 seconds").as[StreamingSessionize.Event]
+    )
+    val q = sessions.writeStream
+      .format("memory")
+      .queryName("sessions_out")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // user 1: two events 5 min apart (one session), then a 40-min gap event
+    input.addData(
+      StreamingSessionize.Event(1, ts(0), 1.0),
+      StreamingSessionize.Event(1, ts(5), 2.0)
+    )
+    q.processAllAvailable()
+    input.addData(StreamingSessionize.Event(1, ts(45), 4.0)) // gap > 30 min
+    q.processAllAvailable()
+    // advance watermark far past everything so the open session times out
+    input.addData(StreamingSessionize.Event(99, Timestamp.valueOf("2024-01-01 23:00:00"), 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("sessions_out").as[StreamingSessionize.Session].collect()
+    val u1 = out.filter(_.user_id == 1).sortBy(_.session_start.getTime)
+    assert(u1.length === 2, s"expected both user-1 sessions, got: ${out.mkString(", ")}")
+    assert(u1(0).n_events === 2 && u1(0).session_value === 3.0)
+    assert(u1(0).session_start === ts(0) && u1(0).session_end === ts(5))
+    assert(u1(1).n_events === 1 && u1(1).session_value === 4.0)
+  }
+
+  test("updateState unit: in-batch gap split without the streaming harness") {
+    def ev(m: Int, v: Double) =
+      StreamingSessionize.Event(7, Timestamp.valueOf(f"2024-01-01 08:$m%02d:00"), v)
+    val state = new TestGroupState[StreamingSessionize.SessionState]
+    val out = StreamingSessionize
+      .updateState(7, Iterator(ev(0, 1.0), ev(10, 1.0), ev(55, 5.0)), state)
+      .toList
+    assert(out.length === 1, "first session closed by the in-batch gap")
+    assert(out.head.n_events === 2)
+    assert(state.getOption.exists(_.n == 1), "second session stays open in state")
+  }
+}
+
+/** Minimal GroupState fake for direct unit-testing of the update function. */
+class TestGroupState[S] extends org.apache.spark.sql.streaming.GroupState[S] {
+  private var value: Option[S] = None
+  private var removed = false
+  override def exists: Boolean = value.isDefined
+  override def get: S = value.get
+  override def getOption: Option[S] = value
+  override def update(s: S): Unit = { value = Some(s); removed = false }
+  override def remove(): Unit = { value = None; removed = true }
+  override def hasTimedOut: Boolean = false
+  override def setTimeoutDuration(d: Long): Unit = ()
+  override def setTimeoutDuration(d: String): Unit = ()
+  override def setTimeoutTimestamp(t: Long): Unit = ()
+  override def setTimeoutTimestamp(t: Long, additional: String): Unit = ()
+  override def setTimeoutTimestamp(t: java.sql.Date): Unit = ()
+  override def setTimeoutTimestamp(t: java.sql.Date, additional: String): Unit = ()
+  override def getCurrentWatermarkMs(): Long = 0L
+  override def getCurrentProcessingTimeMs(): Long = 0L
+}
