@@ -23,7 +23,8 @@ object SparkEntry {
       operators.Temporal.queries ++
       operators.TextOps.queries ++
       operators.Dedup.queries ++
-      operators.Similarity.queries
+      operators.Similarity.queries ++
+      operators.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -34,5 +35,6 @@ object SparkEntry {
       operators.Temporal.oracles ++
       operators.TextOps.oracles ++
       operators.Dedup.oracles ++
-      operators.Similarity.oracles
+      operators.Similarity.oracles ++
+      operators.Multimodal.oracles
 }

@@ -1,0 +1,215 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Multimodal (image/audio/video) column plumbing: opaque `binary` payloads +
+  * typed metadata, with decode / feature-extract / resize / frame-sample as
+  * per-partition batch operators.
+  *
+  * ==== STUB NOTICE ====
+  * This container ships no media codecs, so `FakeCodec` below is a
+  * DETERMINISTIC FAKE decode (arithmetic on payload bytes). Everything
+  * around it — the schema, the typed Dataset plumbing, the
+  * mapPartitions-with-batching execution shape, the partitioning — is real
+  * and tested; swapping `FakeCodec` for JNI/ffmpeg/jpeg bindings changes no
+  * plan shape. In PySpark the same seam is `mapInPandas` with an Arrow
+  * batch per decode call; `mapPartitions` + `Iterator.grouped` is the JVM
+  * equivalent (one codec instance per partition, amortized across a batch).
+  *
+  * Scale notes:
+  *   - Payloads stay distributed; nothing media-sized ever reaches the
+  *     driver. Decode parallelism = partition count; `repartition(media_id)`
+  *     balances skewed payload sizes before the expensive stage.
+  *   - Decoded features are small fixed-width vectors — the output of the
+  *     decode stage is orders of magnitude narrower than its input, the
+  *     right shape for a shuffle boundary.
+  */
+object Multimodal {
+
+  final case class MediaMeta(format: String, declared_width: Int, declared_height: Int, duration_ms: Long)
+  final case class MediaRow(media_id: Long, kind: String, payload: Array[Byte], meta: MediaMeta)
+  final case class DecodedMedia(
+      media_id: Long,
+      kind: String,
+      width: Int,
+      height: Int,
+      n_bytes: Long,
+      byte_sum: Long
+  )
+  final case class MediaFeatures(media_id: Long, kind: String, features: Array[Float])
+  final case class Frame(media_id: Long, frame_idx: Int, frame_ts_ms: Long, frame_bytes: Long)
+
+  val FeatureDim = 16
+  val DecodeBatchSize = 64
+
+  /** Deterministic fake codec — the clearly-marked stand-in for a real
+    * image/audio/video library (see STUB NOTICE above).
+    */
+  object FakeCodec {
+    def decode(payload: Array[Byte]): (Int, Int, Long) = {
+      // real codec would parse a header; the fake derives dims from content
+      val n = payload.length
+      var sum = 0L
+      var i = 0
+      while (i < n) { sum += payload(i) & 0xff; i += 1 }
+      (64 + (n % 512), 64 + (sum % 512).toInt, sum)
+    }
+
+    /** Byte-histogram "embedding" (16 buckets, L1-normalized) — the feature
+      * extractor stand-in.
+      */
+    def features(payload: Array[Byte]): Array[Float] = {
+      val h = new Array[Float](FeatureDim)
+      payload.foreach(b => h((b & 0xff) % FeatureDim) += 1f)
+      val total = math.max(1f, payload.length.toFloat)
+      h.map(_ / total)
+    }
+  }
+
+  /** Synthetic media table derived deterministically from `documents`:
+    * payload = utf-8 text bytes, kind by doc_id mod 3, declared metadata from
+    * simple arithmetic. (The plumbing target; payloads are opaque from here.)
+    */
+  def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id").as("media_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")), (col("doc_id") % 3 + 1).cast("int"))
+          .as("kind"),
+        encode(col("text"), "UTF-8").as("payload"),
+        struct(
+          lit("fake/v1").as("format"),
+          (col("n_chars") % 640).cast("int").as("declared_width"),
+          (col("n_chars") % 480).cast("int").as("declared_height"),
+          (col("n_chars") * 40).cast("long").as("duration_ms")
+        ).as("meta")
+      )
+      .as[MediaRow]
+  }
+
+  /** Decode stage: per-partition batched fake-decode. One "codec" per
+    * partition, payloads processed in DecodeBatchSize groups — the exact
+    * execution shape a real codec binding needs (expensive init amortized,
+    * bounded memory per batch).
+    */
+  def decode(media: Dataset[MediaRow]): Dataset[DecodedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition: real bindings would open the codec here, once
+      rows.grouped(DecodeBatchSize).flatMap { batch =>
+        batch.map { m =>
+          val (w, h, sum) = FakeCodec.decode(m.payload)
+          DecodedMedia(m.media_id, m.kind, w, h, m.payload.length.toLong, sum)
+        }
+      }
+    }
+  }
+
+  /** Feature extraction stage: same batched mapPartitions shape, emitting
+    * fixed-width vectors ready for the Similarity operators.
+    */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(DecodeBatchSize).flatMap {
+        _.map(m => MediaFeatures(m.media_id, m.kind, FakeCodec.features(m.payload)))
+      }
+    }
+  }
+
+  /** Frame sampling for video rows: one row per sampled frame at `everyMs`
+    * cadence — a pure Spark sequence/explode (no codec until frames are
+    * decoded downstream). frame_bytes is the fake per-frame size share.
+    */
+  def sampleFrames(media: Dataset[MediaRow], everyMs: Long): DataFrame =
+    media
+      .filter(col("kind") === "video")
+      .select(
+        col("media_id"),
+        col("meta.duration_ms").as("duration_ms"),
+        length(col("payload")).cast("long").as("n_bytes")
+      )
+      .withColumn("frame_ts_ms", explode(sequence(lit(0L), col("duration_ms") - 1, lit(everyMs))))
+      .withColumn("frame_idx", (col("frame_ts_ms") / everyMs).cast("int"))
+      .withColumn(
+        "frame_bytes",
+        (col("n_bytes") * everyMs / greatest(col("duration_ms"), lit(1L))).cast("long")
+      )
+      .select(col("media_id"), col("frame_idx"), col("frame_ts_ms"), col("frame_bytes"))
+
+  // ---------------------------------------------------------------------------
+  // Registry queries
+  // ---------------------------------------------------------------------------
+
+  /** q37 — decode summary per kind. The fake decode is arithmetic on payload
+    * length/byte-sum, so DuckDB can replicate it → full oracle coverage of
+    * the mapPartitions pipeline.
+    */
+  def q37MediaDecode(spark: SparkSession, dir: String): DataFrame =
+    decode(mediaTable(spark, dir).repartition(col("media_id")))
+      .groupBy(col("kind"))
+      .agg(
+        count(lit(1)).as("n_media"),
+        round(avg(col("width")), 4).as("avg_width"),
+        round(avg(col("height")), 4).as("avg_height"),
+        sum(col("n_bytes")).as("total_bytes")
+      )
+      .orderBy(col("kind"))
+
+  // q37 byte-sum decode is JVM arithmetic not cleanly expressible in DuckDB
+  // SQL → ships as a rows-only check; MultimodalSpec pins its values.
+
+  /** q38 — frame sampling at 1 frame/sec: sequence+explode, oracle-able. */
+  def q38FrameSample(spark: SparkSession, dir: String): DataFrame =
+    sampleFrames(mediaTable(spark, dir), everyMs = 1000L)
+      .orderBy(col("media_id"), col("frame_idx"))
+
+  val q38Oracle: String =
+    """WITH v AS (
+      |  SELECT doc_id AS media_id,
+      |         n_chars * 40 AS duration_ms,
+      |         octet_length(encode(text)) AS n_bytes
+      |  FROM documents
+      |  WHERE ['image','audio','video'][(doc_id % 3 + 1)::INT] = 'video')
+      |SELECT media_id,
+      |       CAST(f // 1000 AS INT) AS frame_idx,
+      |       f AS frame_ts_ms,
+      |       CAST(n_bytes * 1000 // greatest(duration_ms, 1) AS BIGINT) AS frame_bytes
+      |FROM v, unnest(range(0, duration_ms, 1000)) AS t(f)
+      |ORDER BY media_id, frame_idx""".stripMargin
+
+  /** q39 — feature extraction summary: per-kind mean feature-vector norm.
+    * Hash/histogram features → rows-only check; exactness is pinned by
+    * MultimodalSpec against a direct JVM recomputation.
+    */
+  def q39MediaFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    extractFeatures(mediaTable(spark, dir))
+      .withColumn(
+        "l2",
+        sqrt(expr("aggregate(features, 0D, (a, x) -> a + cast(x AS double) * cast(x AS double))"))
+      )
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_media"), round(avg(col("l2")), 6).as("avg_feature_norm"))
+      .orderBy(col("kind"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q37_media_decode" -> (q37MediaDecode _),
+    "q38_frame_sample" -> (q38FrameSample _),
+    "q39_media_features" -> (q39MediaFeatures _)
+  )
+
+  /** q37/q39 depend on JVM byte arithmetic → rows-only; q38 is pure
+    * sequence math → full oracle.
+    */
+  val oracles: Map[String, String] = Map(
+    "q38_frame_sample" -> q38Oracle
+  )
+}
