@@ -32,15 +32,14 @@ object Dedup {
   /** Whitespace-normalized lowercase text — the canonical dedup form. */
   private val normText: Column = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
 
-  /** 3-word shingle hash array (distinct), as one codegen'd expression:
-    * split → slide a 3-window via transform over an index sequence →
-    * xxhash64 each shingle → distinct.
+  private val tokenHashes: Column = expr("transform(split(norm_text, ' '), t -> xxhash64(t))")
+
+  /** 3-word shingle hashes as the native one-pass `shingle_hashes`
+    * (graft.functions): sorted distinct triple-hashes, no per-shingle string
+    * building, no nested-lambda re-evaluation. Sorted output feeds
+    * sorted_intersect_count and minhash_sigs16 directly.
     */
-  private val shingleHashes: Column = expr(
-    """array_distinct(transform(
-      |  sequence(0, greatest(size(split(norm_text, ' ')) - 3, 0)),
-      |  i -> xxhash64(array_join(slice(split(norm_text, ' '), i + 1, 3), ' '))))""".stripMargin
-  )
+  private val shingleHashes: Column = expr("shingle_hashes(th)")
 
   // ---------------------------------------------------------------------------
   // q29 — exact deduplication (hash-groupBy): one survivor (min doc_id) per
@@ -65,29 +64,26 @@ object Dedup {
       |ORDER BY survivor_doc_id""".stripMargin
 
   // ---------------------------------------------------------------------------
-  // q30 — MinHash + LSH near-duplicate pairs. k=16 permutations (affine maps
-  // over one xxhash64 base), 8 bands × 2 rows → candidates → exact shingle
-  // Jaccard verify >= 0.5. Not SQL-expressible → rows-only driver check;
-  // DedupSpec cross-checks against brute-force pairs at sf0.001.
+  // q30 — MinHash + LSH near-duplicate pairs. k=16 permutations (one-pass
+  // native minhash_sigs16), 8 bands × 2 rows → candidates → exact shingle
+  // Jaccard verify >= 0.5 (sorted two-pointer merge). Not SQL-expressible →
+  // rows-only driver check; DedupSpec cross-checks against brute-force
+  // pairs at sf0.001.
   // ---------------------------------------------------------------------------
   private val K = 16
   private val BANDS = 8
   private val ROWS_PER_BAND = K / BANDS
 
-  /** doc_id, shingles(array<long>), sig(array<long> of K minhashes). The K
-    * "permutations" are xxhash64(h, i) — overflow-free under ANSI mode and
-    * as uniform as affine maps.
-    */
+  /** doc_id, shingles (sorted distinct array<long>), sig (K minhashes). */
   private def signatures(spark: SparkSession, dir: String): DataFrame = {
-    val sigCols = (0 until K).map { i =>
-      expr(s"array_min(transform(shingles, h -> xxhash64(h, $i)))")
-    }
+    graft.functions.VecFunctions.install(spark)
     Tables
       .documents(spark, dir)
       .withColumn("norm_text", normText)
+      .withColumn("th", tokenHashes)
       .withColumn("shingles", shingleHashes)
       .filter(size(col("shingles")) > 0)
-      .withColumn("sig", array(sigCols: _*))
+      .withColumn("sig", expr("minhash_sigs16(shingles)"))
       .select(col("doc_id"), col("shingles"), col("sig"))
   }
 
@@ -109,17 +105,12 @@ object Dedup {
       .distinct()
     val sa = sigs.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
     val sb = sigs.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+    // shingle arrays are sorted-distinct → zero-allocation merge intersect
+    val inter = expr("sorted_intersect_count(sh_a, sh_b)").cast("double")
     candidates
       .join(sa, "doc_a")
       .join(sb, "doc_b")
-      .withColumn(
-        "jaccard",
-        round(
-          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-            size(array_union(col("sh_a"), col("sh_b"))).cast("double"),
-          6
-        )
-      )
+      .withColumn("jaccard", round(inter / (size(col("sh_a")) + size(col("sh_b")) - inter), 6))
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -130,29 +121,23 @@ object Dedup {
   // hashes (frequency-weighted by construction), candidates from any shared
   // 16-bit chunk (4 tables), verified with bit_count hamming <= 6.
   // ---------------------------------------------------------------------------
-  private def simhashed(spark: SparkSession, dir: String): DataFrame =
+  private def simhashed(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VecFunctions.install(spark)
     Tables
       .documents(spark, dir)
       .withColumn("norm_text", normText)
-      .withColumn("th", expr("transform(split(norm_text, ' '), t -> xxhash64(t))"))
+      .withColumn("th", tokenHashes)
       .filter(size(col("th")) > 0)
-      // bit b of the signature = sign of sum over tokens of (+1/-1 at bit b)
-      .withColumn(
-        "simhash",
-        expr(
-          """aggregate(
-            |  sequence(0, 63),
-            |  0L,
-            |  (acc, b) -> acc + if(
-            |    aggregate(th, 0L, (s, h) -> s + if(((h >> b) & 1) = 1, 1L, -1L)) > 0L,
-            |    shiftleft(1L, b), 0L))""".stripMargin
-        )
-      )
+      // bit b of the signature = sign of sum over tokens of (+1/-1 at bit b);
+      // one codegen'd pass (graft.functions.SimHash64) instead of a 64-way
+      // nested interpreted aggregate.
+      .withColumn("simhash", expr("simhash64(th)"))
       .withColumn(
         "chunks",
         expr("transform(sequence(0, 3), c -> named_struct('c', c, 'v', (simhash >> (c * 16)) & 65535))")
       )
       .select(col("doc_id"), col("simhash"), col("chunks"))
+  }
 
   def q31SimhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val sh = simhashed(spark, dir).cache()
@@ -182,24 +167,42 @@ object Dedup {
   // bounds the pair space; the real prune at scale is q30/q31's LSH.
   // ---------------------------------------------------------------------------
   def q32TokenJaccard(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VecFunctions.install(spark)
+    // Token sets as SORTED xxhash64 arrays: sorting is paid once per
+    // document; each pair is then one zero-allocation two-pointer merge via
+    // the codegen'd sorted_intersect_count (graft.functions) instead of
+    // array_intersect's per-pair hash-set build.
     val docs = Tables
       .documents(spark, dir)
-      .withColumn("toks", array_distinct(split(normText, " ")))
-      .select(col("lang"), col("doc_id"), col("toks"))
+      .withColumn("toks", expr("array_sort(array_distinct(transform(split(" +
+        "regexp_replace(lower(trim(text)), '\\\\s+', ' '), ' '), t -> xxhash64(t))))"))
+      .withColumn("sz", size(col("toks")))
+      .select(col("lang"), col("doc_id"), col("toks"), col("sz"))
+    // ALL predicates live in the join condition, cheap-first: generated code
+    // evaluates conjuncts left-to-right, so the integer size-ratio prune
+    // (jaccard <= min(sz)/max(sz), hence jaccard >= 0.8 ⇒ sizes within
+    // 0.8×) rejects most pairs before the merge runs. A separate .filter
+    // would be pushed by Catalyst and PREPENDED to the join condition —
+    // putting the expensive work first for every pair (measured 105 s vs
+    // 44 s at sf0.1 even with array_intersect; ~7 s with the merge).
+    val inter = expr("sorted_intersect_count(l.toks, r.toks)").cast("double")
+    val jaccard = inter / (col("l.sz") + col("r.sz") - inter)
     docs
       .as("l")
-      .join(docs.as("r"), Seq("lang"))
-      .filter(col("l.doc_id") < col("r.doc_id"))
-      .withColumn(
-        "jaccard",
-        round(
-          size(array_intersect(col("l.toks"), col("r.toks"))).cast("double") /
-            size(array_union(col("l.toks"), col("r.toks"))).cast("double"),
-          6
-        )
+      .join(
+        docs.as("r"),
+        col("l.lang") === col("r.lang") &&
+          col("l.doc_id") < col("r.doc_id") &&
+          col("l.sz") * 0.8 <= col("r.sz") &&
+          col("r.sz") * 0.8 <= col("l.sz") &&
+          jaccard >= 0.8
       )
-      .filter(col("jaccard") >= 0.8)
-      .select(col("lang"), col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"), col("jaccard"))
+      .select(
+        col("l.lang").as("lang"),
+        col("l.doc_id").as("doc_a"),
+        col("r.doc_id").as("doc_b"),
+        round(jaccard, 6).as("jaccard")
+      )
       .orderBy(col("lang"), col("doc_a"), col("doc_b"))
   }
 
@@ -215,40 +218,46 @@ object Dedup {
       |WHERE len(list_intersect(l.toks, r.toks))::DOUBLE
       |      / len(list_distinct(list_concat(l.toks, r.toks))) >= 0.8
       |ORDER BY lang, doc_a, doc_b""".stripMargin
+  // (the size-ratio prune is an optimization, not a semantics change: any
+  // pair it removes has jaccard <= min(sz)/max(sz) < 0.8, so the oracle —
+  // which applies only the jaccard threshold — returns the identical set)
 
   // ---------------------------------------------------------------------------
   // q33 — embedding-cosine near-duplicate pairs (threshold calibrated to the
   // synthetic vectors; see scale note in the object doc). Dot product and
   // norms via zip_with/aggregate in double — no UDF.
   // ---------------------------------------------------------------------------
-  private val cosExpr: String =
-    """aggregate(zip_with(va, vb, (x, y) -> cast(x AS double) * cast(y AS double)), 0D, (a, e) -> a + e)
-      | / (sqrt(aggregate(va, 0D, (a, e) -> a + cast(e AS double) * cast(e AS double)))
-      |    * sqrt(aggregate(vb, 0D, (a, e) -> a + cast(e AS double) * cast(e AS double))))""".stripMargin
-
   def q33EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-    val l = emb.select(col("vec_id").as("vec_a"), col("embedding").as("va"))
-    val r = emb.select(col("vec_id").as("vec_b"), col("embedding").as("vb"))
-    l.join(r, col("vec_a") < col("vec_b"))
-      .withColumn("cosine", expr(cosExpr))
-      .filter(col("cosine") >= 0.45)
-      .select(col("vec_a"), col("vec_b"), round(col("cosine"), 6).as("cosine"))
+    // Normalize each vector ONCE (O(n·d)) so the O(n²) pair stage is a single
+    // dot product — and that dot is the codegen'd native expression
+    // `vec_dot` (graft.functions.VecFunctions), not an interpreted
+    // higher-order lambda: measured 132 s → ~8 s at sf0.1 combined.
+    // cosine(a,b) ≡ dot(a/|a|, b/|b|); the oracle normalizes identically.
+    graft.functions.VecFunctions.install(spark)
+    val emb = Tables
+      .embeddings(spark, dir)
+      .withColumn(
+        "nrm",
+        expr("sqrt(aggregate(embedding, 0D, (a, e) -> a + cast(e AS double) * cast(e AS double)))")
+      )
+      .withColumn("unit", expr("transform(embedding, x -> cast(x AS double) / nrm)"))
+    val l = emb.select(col("vec_id").as("vec_a"), col("unit").as("ua"))
+    val r = emb.select(col("vec_id").as("vec_b"), col("unit").as("ub"))
+    l.join(r, col("vec_a") < col("vec_b") && expr("vec_dot(ua, ub)") >= 0.45)
+      .select(col("vec_a"), col("vec_b"), round(expr("vec_dot(ua, ub)"), 6).as("cosine"))
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
   val q33Oracle: String =
-    """WITH t AS (SELECT vec_id, embedding FROM embeddings)
+    """WITH t AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding,
+      |           x -> x::DOUBLE / sqrt(list_sum(list_transform(embedding, e -> e::DOUBLE * e::DOUBLE)))) AS unit
+      |  FROM embeddings)
       |SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
-      |       round(list_sum(list_transform(list_zip(l.embedding, r.embedding),
-      |                                     z -> z[1]::DOUBLE * z[2]::DOUBLE))
-      |             / (sqrt(list_sum(list_transform(l.embedding, x -> x::DOUBLE * x::DOUBLE)))
-      |                * sqrt(list_sum(list_transform(r.embedding, x -> x::DOUBLE * x::DOUBLE)))), 6) AS cosine
+      |       round(list_sum(list_transform(list_zip(l.unit, r.unit), z -> z[1] * z[2])), 6) AS cosine
       |FROM t l JOIN t r ON l.vec_id < r.vec_id
-      |WHERE list_sum(list_transform(list_zip(l.embedding, r.embedding),
-      |                              z -> z[1]::DOUBLE * z[2]::DOUBLE))
-      |      / (sqrt(list_sum(list_transform(l.embedding, x -> x::DOUBLE * x::DOUBLE)))
-      |         * sqrt(list_sum(list_transform(r.embedding, x -> x::DOUBLE * x::DOUBLE)))) >= 0.45
+      |WHERE list_sum(list_transform(list_zip(l.unit, r.unit), z -> z[1] * z[2])) >= 0.45
       |ORDER BY vec_a, vec_b""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -32,15 +32,20 @@ object Similarity {
   private val K = 10
   private val N_QUERIES = 5
 
-  /** cosine(va, vb) in double, sequential left-fold — deterministic. */
-  private val cosExpr: String =
-    """aggregate(zip_with(va, vb, (x, y) -> cast(x AS double) * cast(y AS double)), 0D, (a, e) -> a + e)
-      | / (sqrt(aggregate(va, 0D, (a, e) -> a + cast(e AS double) * cast(e AS double)))
-      |    * sqrt(aggregate(vb, 0D, (a, e) -> a + cast(e AS double) * cast(e AS double))))""".stripMargin
+  /** Attach a unit-normalized double copy of `vecCol` as `outCol`: cosine
+    * then reduces to the codegen'd `vec_dot` (normalize once per row, O(d);
+    * pair stage pays one primitive loop).
+    */
+  private def withUnit(df: DataFrame, vecCol: String, outCol: String): DataFrame =
+    df.withColumn(
+      "__nrm",
+      expr(s"sqrt(aggregate($vecCol, 0D, (a, e) -> a + cast(e AS double) * cast(e AS double)))")
+    ).withColumn(outCol, expr(s"transform($vecCol, x -> cast(x AS double) / __nrm)"))
+      .drop("__nrm")
 
   private def queriesDf(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir).filter(col("vec_id") < N_QUERIES)
-      .select(col("vec_id").as("query_id"), col("embedding").as("va"))
+    withUnit(Tables.embeddings(spark, dir).filter(col("vec_id") < N_QUERIES), "embedding", "va")
+      .select(col("vec_id").as("query_id"), col("embedding").as("qraw"), col("va"))
 
   // ---------------------------------------------------------------------------
   // q34 — brute-force cosine top-k: broadcast queries × one corpus scan →
@@ -48,12 +53,13 @@ object Similarity {
   // variant is measured against.
   // ---------------------------------------------------------------------------
   def q34BruteForceTopK(spark: SparkSession, dir: String): DataFrame = {
-    val corpus = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding").as("vb"))
+    graft.functions.VecFunctions.install(spark)
+    val corpus = withUnit(Tables.embeddings(spark, dir), "embedding", "vb")
+      .select(col("vec_id"), col("vb"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
-    broadcast(queriesDf(spark, dir))
+    broadcast(queriesDf(spark, dir).select(col("query_id"), col("va")))
       .join(corpus, col("query_id") =!= col("vec_id"))
-      .withColumn("cosine", expr(cosExpr))
+      .withColumn("cosine", expr("vec_dot(va, vb)"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= K)
       .select(col("query_id"), col("rank"), col("vec_id"), round(col("cosine"), 6).as("cosine"))
@@ -61,14 +67,16 @@ object Similarity {
   }
 
   val q34Oracle: String =
-    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS va FROM embeddings WHERE vec_id < $N_QUERIES),
+    s"""WITH u AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding,
+       |           x -> x::DOUBLE / sqrt(list_sum(list_transform(embedding, e -> e::DOUBLE * e::DOUBLE)))) AS unit
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, unit AS va FROM u WHERE vec_id < $N_QUERIES),
        |scored AS (
        |  SELECT q.query_id, e.vec_id,
-       |         list_sum(list_transform(list_zip(q.va, e.embedding),
-       |                                 z -> z[1]::DOUBLE * z[2]::DOUBLE))
-       |         / (sqrt(list_sum(list_transform(q.va, x -> x::DOUBLE * x::DOUBLE)))
-       |            * sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))) AS cosine
-       |  FROM q JOIN embeddings e ON e.vec_id <> q.query_id),
+       |         list_sum(list_transform(list_zip(q.va, e.unit), z -> z[1] * z[2])) AS cosine
+       |  FROM q JOIN u e ON e.vec_id <> q.query_id),
        |ranked AS (
        |  SELECT query_id, vec_id, cosine,
        |         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
@@ -108,9 +116,13 @@ object Similarity {
   }
 
   def q35LshTopK(spark: SparkSession, dir: String): DataFrame = {
-    val corpus = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding").as("vb"))
-    val corpusBuckets = withBuckets(corpus, "vb")
-    val queryBuckets = withBuckets(queriesDf(spark, dir), "va")
+    graft.functions.VecFunctions.install(spark)
+    // buckets hash the RAW vectors (sign bits are scale-invariant anyway);
+    // the exact re-rank uses the unit vectors + codegen'd vec_dot.
+    val corpus = withUnit(Tables.embeddings(spark, dir), "embedding", "vb")
+      .select(col("vec_id"), col("embedding").as("raw"), col("vb"))
+    val corpusBuckets = withBuckets(corpus, "raw").drop("raw")
+    val queryBuckets = withBuckets(queriesDf(spark, dir), "qraw").drop("qraw")
     val candidates = broadcast(queryBuckets)
       .join(corpusBuckets, Seq("t", "b"))
       .filter(col("query_id") =!= col("vec_id"))
@@ -118,7 +130,7 @@ object Similarity {
       .dropDuplicates("query_id", "vec_id")
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
     candidates
-      .withColumn("cosine", expr(cosExpr))
+      .withColumn("cosine", expr("vec_dot(va, vb)"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= K)
       .select(col("query_id"), col("rank"), col("vec_id"), round(col("cosine"), 6).as("cosine"))
@@ -178,12 +190,14 @@ object Similarity {
   }
 
   def q36IvfTopK(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VecFunctions.install(spark)
     val cents = trainCentroids(spark, dir)
-    val corpus = Tables.embeddings(spark, dir)
+    // cluster assignment + probe distances in RAW space (matching the
+    // trained centroids); exact re-rank on unit vectors via vec_dot.
+    val corpus = withUnit(Tables.embeddings(spark, dir), "embedding", "vb")
       .withColumn("cents", expr(centroidArraySql(cents)))
       .withColumn("cluster", expr(assignExpr("embedding", cents)))
-      .select(col("vec_id"), col("embedding").as("vb"), col("cluster"))
-    // nprobe nearest cells per query
+      .select(col("vec_id"), col("vb"), col("cluster"))
     val probes = queriesDf(spark, dir)
       .withColumn("cents", expr(centroidArraySql(cents)))
       .withColumn(
@@ -191,7 +205,7 @@ object Similarity {
         expr(
           s"""slice(
              |  array_sort(
-             |    transform(sequence(0, ${C - 1}), ci -> named_struct('d', ${l2Expr("va", "cents[ci]")}, 'ci', ci)),
+             |    transform(sequence(0, ${C - 1}), ci -> named_struct('d', ${l2Expr("qraw", "cents[ci]")}, 'ci', ci)),
              |    (l, r) -> case when l.d < r.d then -1 when l.d > r.d then 1 else 0 end),
              |  1, $NPROBE)""".stripMargin
         )
@@ -202,7 +216,7 @@ object Similarity {
     broadcast(probes)
       .join(corpus, Seq("cluster"))
       .filter(col("query_id") =!= col("vec_id"))
-      .withColumn("cosine", expr(cosExpr))
+      .withColumn("cosine", expr("vec_dot(va, vb)"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= K)
       .select(col("query_id"), col("rank"), col("vec_id"), round(col("cosine"), 6).as("cosine"))

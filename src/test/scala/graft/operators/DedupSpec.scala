@@ -24,27 +24,19 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1)))
       .toSet
 
-    // brute force: all-pairs 3-shingle Jaccard on the same normalization
+    // brute force: all-pairs 3-shingle Jaccard with the same construction
+    graft.functions.VecFunctions.install(spark)
     val docs = graft.core.Tables
       .documents(spark, sfDir)
       .withColumn("norm_text", regexp_replace(lower(trim(col("text"))), "\\s+", " "))
-      .withColumn(
-        "sh",
-        expr(
-          """array_distinct(transform(
-            |  sequence(0, greatest(size(split(norm_text, ' ')) - 3, 0)),
-            |  i -> xxhash64(array_join(slice(split(norm_text, ' '), i + 1, 3), ' '))))""".stripMargin
-        )
-      )
+      .withColumn("th", expr("transform(split(norm_text, ' '), t -> xxhash64(t))"))
+      .withColumn("sh", expr("shingle_hashes(th)"))
       .select(col("doc_id"), col("sh"))
+    val inter = expr("sorted_intersect_count(l.sh, r.sh)").cast("double")
     val brute = docs
       .as("l")
       .join(docs.as("r"), col("l.doc_id") < col("r.doc_id"))
-      .withColumn(
-        "j",
-        size(array_intersect(col("l.sh"), col("r.sh"))).cast("double") /
-          size(array_union(col("l.sh"), col("r.sh"))).cast("double")
-      )
+      .withColumn("j", inter / (size(col("l.sh")) + size(col("r.sh")) - inter))
       .filter(col("j") >= 0.5)
       .select(col("l.doc_id"), col("r.doc_id"))
       .collect()
