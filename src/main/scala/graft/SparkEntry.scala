@@ -24,7 +24,9 @@ object SparkEntry {
       operators.TextOps.queries ++
       operators.Dedup.queries ++
       operators.Similarity.queries ++
-      operators.Multimodal.queries
+      operators.Multimodal.queries ++
+      operators.SqlFrontend.queries ++
+      operators.Skew.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -36,5 +38,7 @@ object SparkEntry {
       operators.TextOps.oracles ++
       operators.Dedup.oracles ++
       operators.Similarity.oracles ++
-      operators.Multimodal.oracles
+      operators.Multimodal.oracles ++
+      operators.SqlFrontend.oracles ++
+      operators.Skew.oracles
 }

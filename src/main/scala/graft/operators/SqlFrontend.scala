@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** SQL front-end + advanced relational shapes (SURVEY §2.12 remainder):
+  * `spark.sql` over registered temp views (the reference runs `spark.sql`
+  * only as a smoke test, `verify_setup.py:287-289` — here it's a first-class
+  * entry path), correlated scalar subqueries, and approximate distinct
+  * counting. Same Catalyst plans as the DataFrame API — predicate pushdown,
+  * broadcast selection and AQE apply identically.
+  */
+object SqlFrontend {
+
+  /** Register every testdata table as a temp view (idempotent). */
+  def registerViews(spark: SparkSession, dir: String): Unit = {
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem", "documents", "embeddings")
+      .foreach(t => Tables.load(spark, dir, t).createOrReplaceTempView(t))
+    Tables.events(spark, dir).createOrReplaceTempView("events")
+  }
+
+  // ---------------------------------------------------------------------------
+  // q40 — the SQL front-end proper: a multi-join aggregation submitted as SQL
+  // text over temp views. Plan-identical to the DataFrame form (verified by
+  // the oracle): SQL is an entry path, not a separate engine.
+  // ---------------------------------------------------------------------------
+  def q40SqlFrontend(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(
+      """SELECT n_name,
+        |       count(DISTINCT o_custkey) AS n_customers,
+        |       count(*) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin
+    )
+  }
+
+  val q40Oracle: String =
+    """SELECT n_name,
+      |       count(DISTINCT o_custkey) AS n_customers,
+      |       count(*) AS n_orders,
+      |       round(sum(o_totalprice), 2) AS revenue
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q41 — correlated scalar subquery (TPC-H Q17 shape): lineitems below 40%
+  // of their part's average quantity. Catalyst decorrelates into an
+  // aggregate + join — one extra pass over lineitem, not a per-row probe.
+  // ---------------------------------------------------------------------------
+  def q41CorrelatedSubquery(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(
+      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM lineitem
+        |WHERE l_quantity < (
+        |  SELECT 0.4 * avg(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey)""".stripMargin
+    )
+  }
+
+  val q41Oracle: String =
+    """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+      |FROM lineitem l1
+      |WHERE l_quantity < (
+      |  SELECT 0.4 * avg(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q42 — approximate distinct counting (HyperLogLog++): the sketch path for
+  // count-distinct at 100 TB (mergeable, fixed memory, no dedup shuffle of
+  // raw keys). Sketch values are implementation-specific → rows-only driver
+  // check; SqlFrontendSpec pins the error envelope against the exact count.
+  // ---------------------------------------------------------------------------
+  def q42ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
+        count(lit(1)).as("n_events")
+      )
+      .orderBy(col("event_type"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_sql_frontend" -> (q40SqlFrontend _),
+    "q41_correlated_subquery" -> (q41CorrelatedSubquery _),
+    "q42_approx_distinct" -> (q42ApproxDistinct _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q40_sql_frontend" -> q40Oracle,
+    "q41_correlated_subquery" -> q41Oracle
+  )
+}
