@@ -160,7 +160,9 @@ object Similarity {
        |  array_min(transform(cents, c -> ${l2Expr(vcol, "c")}))) - 1""".stripMargin
 
   def trainCentroids(spark: SparkSession, dir: String): Array[Array[Double]] = {
-    val corpus = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    // cached across the 3 Lloyd iterations (each re-scans for assignment +
+    // per-dimension means); unpersisted before returning
+    val corpus = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")).cache()
     var cents: Array[Array[Double]] = corpus
       .filter(col("vec_id") < C)
       .orderBy(col("vec_id"))
@@ -186,6 +188,7 @@ object Similarity {
       }
       cents = next
     }
+    corpus.unpersist()
     cents
   }
 
