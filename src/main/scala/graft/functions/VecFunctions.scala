@@ -180,8 +180,10 @@ object VecFunctions {
     override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
   }
 
-  /** splitmix64 finalizer — the shared mixer for shingle/minhash functions. */
-  @inline private[functions] def mix64(v: Long): Long = {
+  /** splitmix64 finalizer — the shared mixer for shingle/minhash functions
+    * and deterministic hyperplane generation.
+    */
+  @inline private[graft] def mix64(v: Long): Long = {
     var x = v
     x ^= x >>> 30; x *= 0xBF58476D1CE4E5B9L
     x ^= x >>> 27; x *= 0x94D049BB133111EBL

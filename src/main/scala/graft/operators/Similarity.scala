@@ -94,18 +94,26 @@ object Similarity {
   private val TABLES = 6
   private val PLANES = 6
 
-  /** Packed sign-bit bucket of `vcol` for table t: P bits, plane weights in
-    * [-1,1] from xxhash64(seed, d).
+  /** Deterministic hyperplane weights in [-1,1] (splitmix64-derived),
+    * embedded as literal arrays so each sign bit is ONE codegen'd vec_dot
+    * instead of an interpreted zip_with fold per plane.
     */
-  private def bucketExpr(vcol: String, t: Int): String = {
-    val bits = (0 until PLANES).map { p =>
-      val seed = t * 100003 + p * 1009
-      s"""if(aggregate(zip_with($vcol,
-         |     transform(sequence(0, ${DIM - 1}), d -> cast(xxhash64($seed, d) AS double) / 9.223372036854776e18),
-         |     (x, w) -> cast(x AS double) * w), 0D, (a, e) -> a + e) > 0D, ${1 << p}, 0)""".stripMargin
-    }
-    bits.mkString("(", " + ", ")")
+  private def planeWeights(t: Int, p: Int): Array[Double] = {
+    val seed = t.toLong * 100003 + p.toLong * 1009
+    Array.tabulate(DIM)(d => graft.functions.VecFunctions.mix64(seed * 8191 + d).toDouble / 9.223372036854776e18)
   }
+
+  private def planeLit(t: Int, p: Int): String =
+    planeWeights(t, p).mkString("array(", "D, ", "D)")
+
+  /** Packed sign-bit bucket of unit-vector column `vcol` for table t (sign
+    * bits are scale-invariant, so hashing the unit vector equals hashing the
+    * raw vector).
+    */
+  private def bucketExpr(vcol: String, t: Int): String =
+    (0 until PLANES)
+      .map(p => s"if(vec_dot($vcol, ${planeLit(t, p)}) > 0D, ${1 << p}, 0)")
+      .mkString("(", " + ", ")")
 
   private def withBuckets(df: DataFrame, vcol: String): DataFrame = {
     val buckets = (0 until TABLES).map(t => expr(s"named_struct('t', $t, 'b', ${bucketExpr(vcol, t)})"))
@@ -117,12 +125,10 @@ object Similarity {
 
   def q35LshTopK(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VecFunctions.install(spark)
-    // buckets hash the RAW vectors (sign bits are scale-invariant anyway);
-    // the exact re-rank uses the unit vectors + codegen'd vec_dot.
     val corpus = withUnit(Tables.embeddings(spark, dir), "embedding", "vb")
-      .select(col("vec_id"), col("embedding").as("raw"), col("vb"))
-    val corpusBuckets = withBuckets(corpus, "raw").drop("raw")
-    val queryBuckets = withBuckets(queriesDf(spark, dir), "qraw").drop("qraw")
+      .select(col("vec_id"), col("vb"))
+    val corpusBuckets = withBuckets(corpus, "vb")
+    val queryBuckets = withBuckets(queriesDf(spark, dir).select(col("query_id"), col("va")), "va")
     val candidates = broadcast(queryBuckets)
       .join(corpusBuckets, Seq("t", "b"))
       .filter(col("query_id") =!= col("vec_id"))
