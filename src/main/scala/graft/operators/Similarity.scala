@@ -152,23 +152,41 @@ object Similarity {
   private val C = 16
   private val NPROBE = 3
 
-  /** L2² distance between vcol and a literal centroid array column. */
-  private def l2Expr(vcol: String, centroid: String): String =
-    s"aggregate(zip_with($vcol, $centroid, (x, c) -> (cast(x AS double) - c) * (cast(x AS double) - c)), 0D, (a, e) -> a + e)"
+  /** argmin_c |x-c|² = argmin_c (|c|² − 2·x·c): per centroid one literal
+    * |c|² plus one codegen'd vec_dot over `vcolD` (a double-array column) —
+    * no interpreted lambdas in the assignment loop. Ties break to the lower
+    * centroid index (struct ordering on ('d','ci')).
+    */
+  private def assignExpr(vcolD: String, cs: Array[Array[Double]]): String = {
+    val terms = cs.zipWithIndex.map { case (c, i) =>
+      val normSq = c.map(x => x * x).sum
+      val lit = c.mkString("array(", "D, ", "D)")
+      s"named_struct('d', ${normSq}D - 2D * vec_dot($vcolD, $lit), 'ci', $i)"
+    }
+    s"array_min(array(${terms.mkString(", ")})).ci"
+  }
 
-  private def centroidArraySql(cs: Array[Array[Double]]): String =
-    cs.map(_.mkString("array(", ", ", ")")).mkString("array(", ", ", ")")
+  /** nprobe nearest centroid indexes for `vcolD`, by the same score. */
+  private def probeExpr(vcolD: String, cs: Array[Array[Double]]): String = {
+    val terms = cs.zipWithIndex.map { case (c, i) =>
+      val normSq = c.map(x => x * x).sum
+      val lit = c.mkString("array(", "D, ", "D)")
+      s"named_struct('d', ${normSq}D - 2D * vec_dot($vcolD, $lit), 'ci', $i)"
+    }
+    s"slice(array_sort(array(${terms.mkString(", ")})), 1, $NPROBE)"
+  }
 
-  /** Assign each row's vcol to nearest centroid index from a literal table. */
-  private def assignExpr(vcol: String, cs: Array[Array[Double]]): String =
-    s"""array_position(
-       |  transform(cents, c -> ${l2Expr(vcol, "c")}),
-       |  array_min(transform(cents, c -> ${l2Expr(vcol, "c")}))) - 1""".stripMargin
+  private val toDouble: String => String = v => s"transform($v, x -> cast(x AS double))"
 
   def trainCentroids(spark: SparkSession, dir: String): Array[Array[Double]] = {
+    graft.functions.VecFunctions.install(spark)
     // cached across the 3 Lloyd iterations (each re-scans for assignment +
     // per-dimension means); unpersisted before returning
-    val corpus = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")).cache()
+    val corpus = Tables
+      .embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("emb_d", expr(toDouble("embedding")))
+      .cache()
     var cents: Array[Array[Double]] = corpus
       .filter(col("vec_id") < C)
       .orderBy(col("vec_id"))
@@ -176,8 +194,7 @@ object Similarity {
       .map(_.getSeq[Float](1).map(_.toDouble).toArray)
     for (_ <- 1 to 3) {
       val assigned = corpus
-        .withColumn("cents", expr(centroidArraySql(cents)))
-        .withColumn("cluster", expr(assignExpr("embedding", cents)))
+        .withColumn("cluster", expr(assignExpr("emb_d", cents)))
       // mean per (cluster, dim): posexplode + two-level agg, all distributed
       val means = assigned
         .select(col("cluster"), posexplode(col("embedding")).as(Seq("d", "x")))
@@ -188,7 +205,7 @@ object Similarity {
         .collect()
       val next = cents.clone()
       means.foreach { r =>
-        val cl = r.getLong(0).toInt
+        val cl = r.getAs[Number](0).intValue
         val dims = r.getMap[Int, Double](1)
         next(cl) = (0 until DIM).map(dims(_)).toArray
       }
@@ -204,21 +221,12 @@ object Similarity {
     // cluster assignment + probe distances in RAW space (matching the
     // trained centroids); exact re-rank on unit vectors via vec_dot.
     val corpus = withUnit(Tables.embeddings(spark, dir), "embedding", "vb")
-      .withColumn("cents", expr(centroidArraySql(cents)))
-      .withColumn("cluster", expr(assignExpr("embedding", cents)))
+      .withColumn("emb_d", expr(toDouble("embedding")))
+      .withColumn("cluster", expr(assignExpr("emb_d", cents)))
       .select(col("vec_id"), col("vb"), col("cluster"))
     val probes = queriesDf(spark, dir)
-      .withColumn("cents", expr(centroidArraySql(cents)))
-      .withColumn(
-        "probe_clusters",
-        expr(
-          s"""slice(
-             |  array_sort(
-             |    transform(sequence(0, ${C - 1}), ci -> named_struct('d', ${l2Expr("qraw", "cents[ci]")}, 'ci', ci)),
-             |    (l, r) -> case when l.d < r.d then -1 when l.d > r.d then 1 else 0 end),
-             |  1, $NPROBE)""".stripMargin
-        )
-      )
+      .withColumn("qraw_d", expr(toDouble("qraw")))
+      .withColumn("probe_clusters", expr(probeExpr("qraw_d", cents)))
       .withColumn("cluster", explode(expr("transform(probe_clusters, p -> p.ci)")))
       .select(col("query_id"), col("va"), col("cluster"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
