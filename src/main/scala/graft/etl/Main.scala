@@ -38,7 +38,9 @@ object Main {
     val args = parse(argv)
     val spark: SparkSession = Sessions.local("graft-etl")
     try {
+      val t0 = System.nanoTime()
       val result = Pipeline.run(spark, args.input, args.output, args.warehouse, args.userAgent, args.deleteInputs)
+      println(f"pipeline wall: ${(System.nanoTime() - t0) / 1e9}%.2f s (excl. session startup)")
       println(s"processed dates: ${result.processedDates.map(_.date).mkString(", ")}")
       result.failedDates.foreach { case (d, e) => System.err.println(s"date $d failed: $e") }
       println(s"files deleted: ${result.filesDeleted}; quarantined rows: ${result.quarantinedRows}")

@@ -227,6 +227,24 @@ class EtlSpec extends SparkSpec {
     assert(result.quarantinedRows >= 1)
   }
 
+  test("pipeline multi-date: per-date CSVs, range-scoped warehouse loads") {
+    val in = Files.createTempDirectory("m_in")
+    val out = Files.createTempDirectory("m_out")
+    val wh = Files.createTempDirectory("m_wh")
+    Fixtures.goldenScenario(spark, in) // 2022-05-27
+    Fixtures.writeEventFile(spark, in, "impressions", "20220526", 20, n = 5)
+    Fixtures.writeEventFile(spark, in, "clicks", "20220526", 20, n = 7)
+
+    val result = Pipeline.run(spark, in.toString, out.toString, wh.toString, Fixtures.UA)
+    assert(result.processedDates.map(_.date) === Seq("2022-05-26", "2022-05-27"))
+    assert(Files.exists(out.resolve("task1_output_2022-05-26.csv")))
+    assert(Files.exists(out.resolve("task1_output_2022-05-27.csv")))
+    val summary = result.warehouseSummary
+    assert(summary("row_count") === 48L, "24 dense hours per date")
+    assert(summary("total_impressions") === 15L)
+    assert(summary("total_clicks") === 37L)
+  }
+
   test("pipeline with no input files is a clean no-op") {
     val in = Files.createTempDirectory("e_in")
     val result = Pipeline.run(

@@ -50,6 +50,37 @@ class VecFunctionsSpec extends SparkSpec {
     assert(rows.map(_.getInt(2)).toSeq === Seq(2, 0, 0, 1))
   }
 
+  test("property: minhash signature agreement estimates Jaccard (k=16 envelope)") {
+    VecFunctions.install(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // token universes with controlled overlap → known true Jaccard
+    val cases = Seq(0.2, 0.5, 0.8, 0.95).map { target =>
+      val shared = (1 to (target * 200).toInt).map(i => rnd.nextLong()).toArray
+      val extra = ((target * 200).toInt until 200).map(_ => rnd.nextLong()).toArray
+      val extrb = ((target * 200).toInt until 200).map(_ => rnd.nextLong()).toArray
+      val a = (shared ++ extra).sorted
+      val b = (shared ++ extrb).sorted
+      val trueJ = shared.length.toDouble / (a.length + b.length - shared.length)
+      (a, b, trueJ)
+    }
+    val df = cases.map { case (a, b, j) => (a, b, j) }.toDF("a", "b", "true_j")
+    val rows = df
+      .selectExpr(
+        "true_j",
+        "minhash_sigs16(a) AS sa",
+        "minhash_sigs16(b) AS sb"
+      )
+      .selectExpr("true_j", "size(zip_with(sa, sb, (x, y) -> x = y)) AS k",
+        "aggregate(zip_with(sa, sb, (x, y) -> if(x = y, 1, 0)), 0, (acc, e) -> acc + e) AS matches")
+      .collect()
+    rows.foreach { r =>
+      val est = r.getInt(2).toDouble / r.getInt(1)
+      val trueJ = r.getDouble(0)
+      assert(math.abs(est - trueJ) <= 0.35, s"minhash estimate $est too far from $trueJ")
+    }
+  }
+
   test("expressions survive both codegen and interpreted evaluation") {
     VecFunctions.install(spark)
     import spark.implicits._
