@@ -26,7 +26,8 @@ object SparkEntry {
       operators.Similarity.queries ++
       operators.Multimodal.queries ++
       operators.SqlFrontend.queries ++
-      operators.Skew.queries
+      operators.Skew.queries ++
+      operators.RangeOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -40,5 +41,6 @@ object SparkEntry {
       operators.Similarity.oracles ++
       operators.Multimodal.oracles ++
       operators.SqlFrontend.oracles ++
-      operators.Skew.oracles
+      operators.Skew.oracles ++
+      operators.RangeOps.oracles
 }

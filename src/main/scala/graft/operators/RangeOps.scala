@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Range joins and reshaping operators (SURVEY §2.12: no theta/range joins in
+  * the reference — added ★; plus UNPIVOT, the inverse of q20's pivot).
+  */
+object RangeOps {
+
+  // ---------------------------------------------------------------------------
+  // q44 — equi + range join: for each purchase, how many clicks the same user
+  // made in the preceding hour. The equi key (user_id) carries the join —
+  // one hash shuffle per side — and the time-range predicate filters within
+  // matched pairs; never a cross join. (For range-only joins the scalable
+  // form adds a coarse time-bucket equi key; the user key plays that role
+  // here.)
+  // ---------------------------------------------------------------------------
+  def q44RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_event_id"), col("ts").as("p_ts"))
+    val clicks = ev
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"))
+    purchases
+      .join(
+        clicks,
+        purchases("user_id") === clicks("user_id") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") < col("p_ts"),
+        "left"
+      )
+      .groupBy(purchases("user_id").as("user_id"), col("purchase_event_id"))
+      .agg(count(col("c_ts")).as("clicks_prev_hour"))
+      .orderBy(col("user_id"), col("purchase_event_id"))
+  }
+
+  val q44Oracle: String =
+    """SELECT p.user_id, p.event_id AS purchase_event_id,
+      |       count(c.ts) AS clicks_prev_hour
+      |FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p
+      |LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id
+      | AND c.ts >= p.ts - INTERVAL 1 HOUR
+      | AND c.ts < p.ts
+      |GROUP BY p.user_id, p.event_id
+      |ORDER BY p.user_id, purchase_event_id""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q45 — UNPIVOT (stack): wide per-status order counts back to long form.
+  // Map-side reshape — no shuffle beyond the producing aggregate.
+  // ---------------------------------------------------------------------------
+  def q45Unpivot(spark: SparkSession, dir: String): DataFrame = {
+    val wide = Tables
+      .orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .count()
+      .na
+      .fill(0, Seq("F", "O", "P"))
+    wide
+      .select(
+        col("o_orderpriority"),
+        expr("stack(3, 'F', F, 'O', O, 'P', P) AS (o_orderstatus, n_orders)")
+      )
+      .filter(col("n_orders") > 0)
+      .orderBy(col("o_orderpriority"), col("o_orderstatus"))
+  }
+
+  val q45Oracle: String =
+    """SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders
+      |FROM orders
+      |GROUP BY 1, 2
+      |ORDER BY o_orderpriority, o_orderstatus""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q44_range_join" -> (q44RangeJoin _),
+    "q45_unpivot" -> (q45Unpivot _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q44_range_join" -> q44Oracle,
+    "q45_unpivot" -> q45Oracle
+  )
+}
