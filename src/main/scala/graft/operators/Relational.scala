@@ -361,6 +361,59 @@ object Relational {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q46 — promo revenue ratio (TPC-H Q14 shape): conditional aggregate over a
+  // broadcast dimension join; one scan, one broadcast, no shuffle of the fact
+  // beyond the final single-row agg.
+  // ---------------------------------------------------------------------------
+  def q46PromoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables
+      .lineitem(spark, dir)
+      .filter(col("l_shipdate") >= ts("1996-06-01") && col("l_shipdate") < ts("1996-09-01"))
+    val part = Tables.part(spark, dir)
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .agg(
+        round(
+          sum(when(col("p_type") === "PROMO", col("l_extendedprice") * (lit(1.0) - col("l_discount"))).otherwise(0.0))
+            * 100.0 / sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))),
+          4
+        ).as("promo_revenue_pct")
+      )
+  }
+
+  val q46Oracle: String =
+    """SELECT round(
+      |  100.0 * sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+      |  / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-06-01' AND l_shipdate < TIMESTAMP '1996-09-01'""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q47 — customer order-count distribution (TPC-H Q13 shape): left join +
+  // double aggregation. First agg shrinks to one row per customer; the
+  // histogram agg runs over that tiny intermediate.
+  // ---------------------------------------------------------------------------
+  def q47OrderCountHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).select(col("c_custkey"))
+    val ord = Tables.orders(spark, dir).select(col("o_custkey"), col("o_orderkey"))
+    cust
+      .join(ord, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val q47Oracle: String =
+    """SELECT c_count, count(*) AS custdist
+      |FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY c_custkey)
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
   /** Registry fragment contributed by this module. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -374,7 +427,9 @@ object Relational {
     "q09_top_customers" -> (q09TopCustomers _),
     "q10_set_ops" -> (q10SetOps _),
     "q11_conditional_agg" -> (q11ConditionalAgg _),
-    "q12_stats" -> (q12Stats _)
+    "q12_stats" -> (q12Stats _),
+    "q46_promo_revenue" -> (q46PromoRevenue _),
+    "q47_order_count_histogram" -> (q47OrderCountHistogram _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -389,6 +444,8 @@ object Relational {
     "q09_top_customers" -> q09Oracle,
     "q10_set_ops" -> q10Oracle,
     "q11_conditional_agg" -> q11Oracle,
-    "q12_stats" -> q12Oracle
+    "q12_stats" -> q12Oracle,
+    "q46_promo_revenue" -> q46Oracle,
+    "q47_order_count_histogram" -> q47Oracle
   )
 }
