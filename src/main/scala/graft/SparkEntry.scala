@@ -27,7 +27,8 @@ object SparkEntry {
       operators.Multimodal.queries ++
       operators.SqlFrontend.queries ++
       operators.Skew.queries ++
-      operators.RangeOps.queries
+      operators.RangeOps.queries ++
+      operators.Sampling.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -42,5 +43,6 @@ object SparkEntry {
       operators.Multimodal.oracles ++
       operators.SqlFrontend.oracles ++
       operators.Skew.oracles ++
-      operators.RangeOps.oracles
+      operators.RangeOps.oracles ++
+      operators.Sampling.oracles
 }

@@ -1,0 +1,35 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Sampling invariants at sf0.001. */
+class SamplingSpec extends SparkSpec {
+
+  test("q48 stratified sample: proportions within a loose binomial envelope, reproducible") {
+    val a = Sampling.q48StratifiedSample(spark, sfDir).collect()
+    val b = Sampling.q48StratifiedSample(spark, sfDir).collect()
+    assert(a.sameElements(b), "fixed seed must reproduce the sample")
+    val totals = graft.core.Tables
+      .events(spark, sfDir)
+      .groupBy("event_type")
+      .count()
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    val want = Map("click" -> 0.5, "view" -> 0.5, "purchase" -> 0.1, "signup" -> 0.1, "error" -> 0.1)
+    a.foreach { r =>
+      val t = r.getString(0)
+      val frac = r.getLong(1).toDouble / totals(t)
+      assert(math.abs(frac - want(t)) < 0.15, s"$t sampled at $frac, wanted ~${want(t)}")
+    }
+  }
+
+  test("q49 hash split: partitions the corpus, deterministic, ~80/10/10") {
+    val rows = Sampling.q49HashSplit(spark, sfDir).collect()
+    val n = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(n === graft.core.Tables.documents(spark, sfDir).count())
+    val bySplit = rows.map(r => r.getString(0) -> r.getAs[Long]("n_docs")).toMap
+    assert(bySplit.keySet === Set("train", "validation", "test"))
+    assert(bySplit("train").toDouble / n > 0.7, "train should dominate")
+  }
+}
