@@ -92,10 +92,34 @@ object SqlFrontend {
       )
       .orderBy(col("event_type"))
 
+  // ---------------------------------------------------------------------------
+  // q50 — approximate quantiles (Greenwald-Khanna sketch): the mergeable
+  // fixed-memory alternative to q12's exact percentile at 100 TB. Sketch
+  // output is implementation-specific → rows-only; SqlFrontendSpec pins the
+  // values against exact percentiles with the sketch's error bound.
+  // ---------------------------------------------------------------------------
+  def q50ApproxQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 1000)").as("approx_q"),
+        expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("exact_q"),
+        count(lit(1)).as("n")
+      )
+      .select(
+        col("l_returnflag"),
+        round(element_at(col("approx_q"), 2), 2).as("approx_median"),
+        round(element_at(col("exact_q"), 2), 2).as("exact_median"),
+        col("n")
+      )
+      .orderBy(col("l_returnflag"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_sql_frontend" -> (q40SqlFrontend _),
     "q41_correlated_subquery" -> (q41CorrelatedSubquery _),
-    "q42_approx_distinct" -> (q42ApproxDistinct _)
+    "q42_approx_distinct" -> (q42ApproxDistinct _),
+    "q50_approx_quantiles" -> (q50ApproxQuantiles _)
   )
 
   val oracles: Map[String, String] = Map(

@@ -81,6 +81,29 @@ class VecFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("GraftExtensions injects functions into a fresh session (withExtensions hook)") {
+    // `spark.sql.extensions` is a STATIC conf read from the SparkContext at
+    // session build — it can't be flipped on an already-running context, so
+    // exercise the same hook object through builder.withExtensions.
+    import org.apache.spark.sql.SparkSession
+    val original = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val ext = SparkSession
+        .builder()
+        .master("local[2]")
+        .appName("graft-ext-test")
+        .withExtensions(new GraftExtensions())
+        .getOrCreate()
+      val v = ext.sql("SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS v").collect().head.getDouble(0)
+      assert(v === 11.0)
+    } finally {
+      SparkSession.setDefaultSession(original)
+      SparkSession.setActiveSession(original)
+    }
+  }
+
   test("expressions survive both codegen and interpreted evaluation") {
     VecFunctions.install(spark)
     import spark.implicits._

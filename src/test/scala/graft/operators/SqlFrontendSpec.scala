@@ -40,6 +40,16 @@ class SqlFrontendSpec extends SparkSpec {
     }
   }
 
+  test("q50 approx quantiles within 2% of exact medians") {
+    val rows = SqlFrontend.q50ApproxQuantiles(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val approx = r.getDouble(1)
+      val exact = r.getDouble(2)
+      assert(math.abs(approx - exact) / exact <= 0.02, s"approx=$approx exact=$exact")
+    }
+  }
+
   test("q43 salted aggregation equals the direct groupBy") {
     import org.apache.spark.sql.functions._
     val salted = Skew.q43SaltedAgg(spark, sfDir).collect()
