@@ -34,4 +34,19 @@ object Tables {
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** Spread rows across all cores before a compute-heavy per-row stage.
+    *
+    * Parquet scans parallelize at row-group granularity; the corpus tables
+    * here ship as single-row-group files, so regex/signature/vector stages
+    * would otherwise run in ONE task. The explicit repartition costs a
+    * shuffle of the (small) raw rows and buys full-core parallelism for the
+    * expensive projection — the right trade whenever compute-per-row (ms)
+    * dwarfs shuffle-cost-per-row (µs). At 100 TB the same call is a no-op
+    * decision: inputs with thousands of row groups already parallelize, and
+    * this helper should then be dropped at the call site (it is used only
+    * where compute dominates; measured 10× on the sf0.1 text pipelines).
+    */
+  def balanced(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 }

@@ -48,7 +48,7 @@ object Dedup {
   // ---------------------------------------------------------------------------
   def q29ExactDedup(spark: SparkSession, dir: String): DataFrame =
     Tables
-      .documents(spark, dir)
+      .balanced(Tables.documents(spark, dir))
       .withColumn("fingerprint", md5(normText))
       .groupBy(col("fingerprint"))
       .agg(min(col("doc_id")).as("survivor_doc_id"), count(lit(1)).as("n_copies"))
@@ -78,7 +78,7 @@ object Dedup {
   private def signatures(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VecFunctions.install(spark)
     Tables
-      .documents(spark, dir)
+      .balanced(Tables.documents(spark, dir))
       .withColumn("norm_text", normText)
       .withColumn("th", tokenHashes)
       .withColumn("shingles", shingleHashes)
@@ -124,7 +124,7 @@ object Dedup {
   private def simhashed(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VecFunctions.install(spark)
     Tables
-      .documents(spark, dir)
+      .balanced(Tables.documents(spark, dir))
       .withColumn("norm_text", normText)
       .withColumn("th", tokenHashes)
       .filter(size(col("th")) > 0)
@@ -173,7 +173,7 @@ object Dedup {
     // the codegen'd sorted_intersect_count (graft.functions) instead of
     // array_intersect's per-pair hash-set build.
     val docs = Tables
-      .documents(spark, dir)
+      .balanced(Tables.documents(spark, dir))
       .withColumn("toks", expr("array_sort(array_distinct(transform(split(" +
         "regexp_replace(lower(trim(text)), '\\\\s+', ' '), ' '), t -> xxhash64(t))))"))
       .withColumn("sz", size(col("toks")))
@@ -235,7 +235,7 @@ object Dedup {
     // cosine(a,b) ≡ dot(a/|a|, b/|b|); the oracle normalizes identically.
     graft.functions.VecFunctions.install(spark)
     val emb = Tables
-      .embeddings(spark, dir)
+      .balanced(Tables.embeddings(spark, dir))
       .withColumn(
         "nrm",
         expr("sqrt(aggregate(embedding, 0D, (a, e) -> a + cast(e AS double) * cast(e AS double)))")

@@ -54,7 +54,7 @@ object Similarity {
   // ---------------------------------------------------------------------------
   def q34BruteForceTopK(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VecFunctions.install(spark)
-    val corpus = withUnit(Tables.embeddings(spark, dir), "embedding", "vb")
+    val corpus = withUnit(Tables.balanced(Tables.embeddings(spark, dir)), "embedding", "vb")
       .select(col("vec_id"), col("vb"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
     broadcast(queriesDf(spark, dir).select(col("query_id"), col("va")))
@@ -125,7 +125,7 @@ object Similarity {
 
   def q35LshTopK(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VecFunctions.install(spark)
-    val corpus = withUnit(Tables.embeddings(spark, dir), "embedding", "vb")
+    val corpus = withUnit(Tables.balanced(Tables.embeddings(spark, dir)), "embedding", "vb")
       .select(col("vec_id"), col("vb"))
     val corpusBuckets = withBuckets(corpus, "vb")
     val queryBuckets = withBuckets(queriesDf(spark, dir).select(col("query_id"), col("va")), "va")
@@ -152,29 +152,64 @@ object Similarity {
   private val C = 16
   private val NPROBE = 3
 
-  /** argmin_c |x-c|² = argmin_c (|c|² − 2·x·c): per centroid one literal
-    * |c|² plus one codegen'd vec_dot over `vcolD` (a double-array column) —
-    * no interpreted lambdas in the assignment loop. Ties break to the lower
-    * centroid index (struct ordering on ('d','ci')).
+  /** Centroid indexes of `child` sorted by L2 distance, with the centroid
+    * table held as a REFERENCE OBJECT: inlining 16×64 literal doubles into
+    * the SQL expression made Janino compile ~10 s of generated code on
+    * first use (dominating any single run); this expression generates a
+    * one-line callback instead. Assignment = ranks[0]; probing = first
+    * nprobe entries.
     */
-  private def assignExpr(vcolD: String, cs: Array[Array[Double]]): String = {
-    val terms = cs.zipWithIndex.map { case (c, i) =>
-      val normSq = c.map(x => x * x).sum
-      val lit = c.mkString("array(", "D, ", "D)")
-      s"named_struct('d', ${normSq}D - 2D * vec_dot($vcolD, $lit), 'ci', $i)"
+  private[operators] case class CentroidRanks(
+      child: org.apache.spark.sql.catalyst.expressions.Expression,
+      cents: Array[Array[Double]]
+  ) extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types._
+
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+    private def ranks(x: ArrayData): Array[Int] = {
+      val n = math.min(x.numElements(), DIM)
+      val scored = cents.indices.map { ci =>
+        val c = cents(ci)
+        var d = 0.0
+        var i = 0
+        while (i < n) { val diff = x.getDouble(i) - c(i); d += diff * diff; i += 1 }
+        (d, ci)
+      }
+      scored.sorted.map(_._2).toArray
     }
-    s"array_min(array(${terms.mkString(", ")})).ci"
+
+    override protected def nullSafeEval(a: Any): Any =
+      ArrayData.toArrayData(ranks(a.asInstanceOf[ArrayData]))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("centroidRanks", this, classOf[CentroidRanks].getName)
+      nullSafeCodeGen(
+        ctx,
+        ev,
+        a => s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($a);"
+      )
+    }
+
+    override protected def withNewChildInternal(
+        c: org.apache.spark.sql.catalyst.expressions.Expression
+    ): CentroidRanks = copy(child = c)
   }
 
-  /** nprobe nearest centroid indexes for `vcolD`, by the same score. */
-  private def probeExpr(vcolD: String, cs: Array[Array[Double]]): String = {
-    val terms = cs.zipWithIndex.map { case (c, i) =>
-      val normSq = c.map(x => x * x).sum
-      val lit = c.mkString("array(", "D, ", "D)")
-      s"named_struct('d', ${normSq}D - 2D * vec_dot($vcolD, $lit), 'ci', $i)"
-    }
-    s"slice(array_sort(array(${terms.mkString(", ")})), 1, $NPROBE)"
-  }
+  /** Register `centroid_ranks` bound to this centroid table (session-scoped;
+    * re-registration replaces the binding).
+    */
+  private def installCentroidRanks(spark: SparkSession, cs: Array[Array[Double]]): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("centroid_ranks"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[CentroidRanks].getName,
+        "centroid_ranks"
+      ),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => CentroidRanks(args.head, cs)
+    )
 
   private val toDouble: String => String = v => s"transform($v, x -> cast(x AS double))"
 
@@ -183,7 +218,7 @@ object Similarity {
     // cached across the 3 Lloyd iterations (each re-scans for assignment +
     // per-dimension means); unpersisted before returning
     val corpus = Tables
-      .embeddings(spark, dir)
+      .balanced(Tables.embeddings(spark, dir))
       .select(col("vec_id"), col("embedding"))
       .withColumn("emb_d", expr(toDouble("embedding")))
       .cache()
@@ -193,8 +228,9 @@ object Similarity {
       .collect()
       .map(_.getSeq[Float](1).map(_.toDouble).toArray)
     for (_ <- 1 to 3) {
+      installCentroidRanks(spark, cents)
       val assigned = corpus
-        .withColumn("cluster", expr(assignExpr("emb_d", cents)))
+        .withColumn("cluster", expr("element_at(centroid_ranks(emb_d), 1)"))
       // mean per (cluster, dim): posexplode + two-level agg, all distributed
       val means = assigned
         .select(col("cluster"), posexplode(col("embedding")).as(Seq("d", "x")))
@@ -220,14 +256,14 @@ object Similarity {
     val cents = trainCentroids(spark, dir)
     // cluster assignment + probe distances in RAW space (matching the
     // trained centroids); exact re-rank on unit vectors via vec_dot.
-    val corpus = withUnit(Tables.embeddings(spark, dir), "embedding", "vb")
+    installCentroidRanks(spark, cents)
+    val corpus = withUnit(Tables.balanced(Tables.embeddings(spark, dir)), "embedding", "vb")
       .withColumn("emb_d", expr(toDouble("embedding")))
-      .withColumn("cluster", expr(assignExpr("emb_d", cents)))
+      .withColumn("cluster", expr("element_at(centroid_ranks(emb_d), 1)"))
       .select(col("vec_id"), col("vb"), col("cluster"))
     val probes = queriesDf(spark, dir)
       .withColumn("qraw_d", expr(toDouble("qraw")))
-      .withColumn("probe_clusters", expr(probeExpr("qraw_d", cents)))
-      .withColumn("cluster", explode(expr("transform(probe_clusters, p -> p.ci)")))
+      .withColumn("cluster", explode(expr(s"slice(centroid_ranks(qraw_d), 1, $NPROBE)")))
       .select(col("query_id"), col("va"), col("cluster"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
     broadcast(probes)

@@ -33,7 +33,7 @@ object TextOps {
   // ---------------------------------------------------------------------------
   def q25LangId(spark: SparkSession, dir: String): DataFrame =
     Tables
-      .documents(spark, dir)
+      .balanced(Tables.documents(spark, dir))
       .withColumn("en_hits", wordHits(col("text"), enStop))
       .withColumn("de_hits", wordHits(col("text"), deStop))
       .withColumn("es_hits", wordHits(col("text"), esStop))
@@ -74,7 +74,7 @@ object TextOps {
     val punct = size(regexp_extract_all(col("text"), lit("[.,!?;:]"), lit(0)))
     val stops = wordHits(col("text"), enStop)
     Tables
-      .documents(spark, dir)
+      .balanced(Tables.documents(spark, dir))
       .withColumn("n_tokens", toks)
       .withColumn("punct_ratio", round(punct.cast("double") / greatest(col("n_chars"), lit(1)), 6))
       .withColumn("stopword_ratio", round(stops.cast("double") / greatest(toks, lit(1)).cast("double"), 6))
@@ -124,7 +124,7 @@ object TextOps {
     val wsToks = size(split(trim(col("text")), "\\s+"))
     val bpeToks = size(regexp_extract_all(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
     Tables
-      .documents(spark, dir)
+      .balanced(Tables.documents(spark, dir))
       .withColumn("ws_tokens", wsToks)
       .withColumn("bpe_tokens", bpeToks)
       .groupBy(col("source"))
@@ -153,7 +153,7 @@ object TextOps {
   // ---------------------------------------------------------------------------
   def q28Fingerprint(spark: SparkSession, dir: String): DataFrame = {
     val normalized = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
-    val docs = Tables.documents(spark, dir).withColumn("fingerprint", md5(normalized))
+    val docs = Tables.balanced(Tables.documents(spark, dir)).withColumn("fingerprint", md5(normalized))
     val groups = docs.groupBy(col("fingerprint")).agg(count(lit(1)).as("n_copies"))
     docs
       .join(groups, Seq("fingerprint"))
