@@ -72,13 +72,51 @@ object Sampling {
       |GROUP BY 1
       |ORDER BY split""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q51 — deterministic per-group sample via a typed custom Aggregator
+  // (graft.functions.BottomKSketch): the k docs with smallest md5 per lang.
+  // Content-addressed → reproducible anywhere md5 exists (fully
+  // oracle-checked); O(k) state per group regardless of group size.
+  // ---------------------------------------------------------------------------
+  final case class LangDoc(lang: String, sortKey: String, id: Long)
+
+  def q51BottomKSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sketch = graft.functions.BottomKSketch
+      .aggregator[LangDoc](5)(_.sortKey, _.id)
+      .toColumn
+    Tables
+      .documents(spark, dir)
+      .select(
+        col("lang"),
+        md5(col("doc_id").cast("string")).as("sortKey"),
+        col("doc_id").as("id")
+      )
+      .as[LangDoc]
+      .groupByKey(_.lang)
+      .agg(sketch.name("sample"))
+      .toDF("lang", "sample")
+      .select(col("lang"), explode(col("sample")).as("doc_id"))
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
+  val q51Oracle: String =
+    """SELECT lang, doc_id FROM (
+      |  SELECT lang, doc_id,
+      |         row_number() OVER (PARTITION BY lang ORDER BY md5(doc_id::VARCHAR)) AS rn
+      |  FROM documents)
+      |WHERE rn <= 5
+      |ORDER BY lang, doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q48_stratified_sample" -> (q48StratifiedSample _),
-    "q49_hash_split" -> (q49HashSplit _)
+    "q49_hash_split" -> (q49HashSplit _),
+    "q51_bottomk_sample" -> (q51BottomKSample _)
   )
 
-  /** q48 is RNG-based → rows-only; q49 is deterministic → oracle. */
+  /** q48 is RNG-based → rows-only; q49/q51 are deterministic → oracle. */
   val oracles: Map[String, String] = Map(
-    "q49_hash_split" -> q49Oracle
+    "q49_hash_split" -> q49Oracle,
+    "q51_bottomk_sample" -> q51Oracle
   )
 }

@@ -24,6 +24,29 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("q51 bottom-k sketch: k per group, partition-invariant, content-addressed") {
+    val a = Sampling.q51BottomKSample(spark, sfDir).collect()
+    // repartitioning the input must not change a content-addressed sample
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val sketch = graft.functions.BottomKSketch
+      .aggregator[Sampling.LangDoc](5)(_.sortKey, _.id)
+      .toColumn
+    val b = graft.core.Tables
+      .documents(spark, sfDir)
+      .repartition(13)
+      .select(col("lang"), md5(col("doc_id").cast("string")).as("sortKey"), col("doc_id").as("id"))
+      .as[Sampling.LangDoc]
+      .groupByKey(_.lang)
+      .agg(sketch.name("sample"))
+      .toDF("lang", "sample")
+      .select(col("lang"), explode(col("sample")).as("doc_id"))
+      .orderBy(col("lang"), col("doc_id"))
+      .collect()
+    assert(a.sameElements(b))
+    a.groupBy(_.getString(0)).values.foreach(rs => assert(rs.length <= 5))
+  }
+
   test("q49 hash split: partitions the corpus, deterministic, ~80/10/10") {
     val rows = Sampling.q49HashSplit(spark, sfDir).collect()
     val n = rows.map(_.getAs[Long]("n_docs")).sum

@@ -121,6 +121,39 @@ class StreamingSpec extends SparkSpec {
     assert(u1(1).n_events === 1 && u1(1).session_value === 4.0)
   }
 
+  test("stream-stream interval join: purchases match preceding-window clicks only") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    final case class Click(user_id: Long, click_ts: Timestamp)
+    final case class Purchase(user_id: Long, purchase_id: Long, purchase_ts: Timestamp)
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Long, Timestamp)]
+
+    val joined = StreamStreamJoin.attributedPurchases(
+      clicks.toDF().toDF("user_id", "click_ts").withWatermark("click_ts", "1 minute"),
+      purchases.toDF().toDF("user_id", "purchase_id", "purchase_ts").withWatermark("purchase_ts", "1 minute"),
+      windowMinutes = 30
+    )
+    val q = joined.writeStream
+      .format("memory")
+      .queryName("ss_join_out")
+      .outputMode("append")
+      .start()
+
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 12:$m%02d:00")
+    clicks.addData((1L, ts(0)), (1L, ts(10)), (2L, ts(5)))
+    purchases.addData((1L, 100L, ts(20)), (2L, 200L, ts(50)))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("ss_join_out").collect()
+    // user 1 purchase at :20 matches both clicks (:00, :10); user 2 purchase
+    // at :50 matches nothing (its only click at :05 is 45 min earlier)
+    assert(rows.count(_.getLong(1) == 100L) === 2)
+    assert(rows.count(_.getLong(1) == 200L) === 0)
+  }
+
   test("updateState unit: in-batch gap split without the streaming harness") {
     def ev(m: Int, v: Double) =
       StreamingSessionize.Event(7, Timestamp.valueOf(f"2024-01-01 08:$m%02d:00"), v)
