@@ -77,13 +77,82 @@ object RangeOps {
       |GROUP BY 1, 2
       |ORDER BY o_orderpriority, o_orderstatus""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q52 — array aggregation: per-customer sorted order-key array (collect_list
+  // + sort_array for determinism) with array-function post-processing.
+  // ---------------------------------------------------------------------------
+  def q52CollectArrays(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .orders(spark, dir)
+      .filter(col("o_custkey") < 100)
+      .groupBy(col("o_custkey"))
+      .agg(sort_array(collect_list(col("o_orderkey"))).as("order_keys"))
+      .select(
+        col("o_custkey"),
+        // serialized — array-typed result columns aren't hashable by the
+        // row-compare harness
+        array_join(col("order_keys"), ",").as("order_keys"),
+        size(col("order_keys")).as("n_orders"),
+        element_at(col("order_keys"), 1).as("first_key"),
+        element_at(col("order_keys"), -1).as("last_key")
+      )
+      .orderBy(col("o_custkey"))
+
+  val q52Oracle: String =
+    """SELECT o_custkey,
+      |       array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys,
+      |       CAST(count(*) AS INT) AS n_orders,
+      |       min(o_orderkey) AS first_key,
+      |       max(o_orderkey) AS last_key
+      |FROM orders
+      |WHERE o_custkey < 100
+      |GROUP BY o_custkey
+      |ORDER BY o_custkey""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q53 — FULL OUTER join: daily click vs purchase value totals, neither side
+  // dominating, null-safe coalesce on both key and measures.
+  // ---------------------------------------------------------------------------
+  def q53FullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def daily(t: String) = ev
+      .filter(col("event_type") === t)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(round(sum(col("value")), 2).as(s"${t}_value"))
+    daily("click")
+      .join(daily("purchase"), Seq("day"), "full_outer")
+      .select(
+        col("day"),
+        coalesce(col("click_value"), lit(0.0)).as("click_value"),
+        coalesce(col("purchase_value"), lit(0.0)).as("purchase_value")
+      )
+      .orderBy(col("day"))
+  }
+
+  val q53Oracle: String =
+    """WITH c AS (
+      |  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, round(sum(value), 2) AS click_value
+      |  FROM events WHERE event_type = 'click' GROUP BY 1),
+      |p AS (
+      |  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, round(sum(value), 2) AS purchase_value
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+      |SELECT coalesce(c.day, p.day) AS day,
+      |       coalesce(click_value, 0.0) AS click_value,
+      |       coalesce(purchase_value, 0.0) AS purchase_value
+      |FROM c FULL OUTER JOIN p ON c.day = p.day
+      |ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_range_join" -> (q44RangeJoin _),
-    "q45_unpivot" -> (q45Unpivot _)
+    "q45_unpivot" -> (q45Unpivot _),
+    "q52_collect_arrays" -> (q52CollectArrays _),
+    "q53_full_outer" -> (q53FullOuter _)
   )
 
   val oracles: Map[String, String] = Map(
     "q44_range_join" -> q44Oracle,
-    "q45_unpivot" -> q45Oracle
+    "q45_unpivot" -> q45Oracle,
+    "q52_collect_arrays" -> q52Oracle,
+    "q53_full_outer" -> q53Oracle
   )
 }
