@@ -48,16 +48,24 @@ class ParquetWarehouse(spark: SparkSession, baseDir: String) {
     if (Files.isDirectory(dir)) Some(spark.read.parquet(dir.toString)) else None
   }
 
-  /** Stage-then-swap write: the "transaction commit" of this sink. */
+  /** Stage-then-swap write: the "transaction commit" of this sink. The old
+    * version is moved aside (not deleted) before the staging move, so the
+    * window where no table directory exists is two renames wide and a crash
+    * inside it leaves both `.old` and `.staging` for manual recovery —
+    * never zero copies of the data.
+    */
   private def writeTable(df: DataFrame, name: String): Unit = {
     val staging = Paths.get(baseDir, s"$name.staging")
+    val old = Paths.get(baseDir, s"$name.old")
     val target = tableDir(name)
     // materialize BEFORE touching the target (df may read from the target)
     val snapshot = df.collectResult()
     deleteRecursively(staging)
     snapshot.write.mode(SaveMode.Overwrite).parquet(staging.toString)
-    deleteRecursively(target)
+    deleteRecursively(old)
+    if (Files.exists(target)) Files.move(target, old, StandardCopyOption.ATOMIC_MOVE)
     Files.move(staging, target, StandardCopyOption.ATOMIC_MOVE)
+    deleteRecursively(old)
   }
 
   /** Prepare a report frame for load (reference `warehouse.py:331-389`):
@@ -137,18 +145,23 @@ class ParquetWarehouse(spark: SparkSession, baseDir: String) {
       col("source_file"),
       col("audit_loaded_datetime")
     )
-    val merged = readTable(ClientReportInvalid) match {
-      case Some(existing) =>
-        val w = Window
-          .partitionBy(col("datetime"), col("source_file"))
-          .orderBy(col("audit_loaded_datetime").desc)
-        existing
-          .unionByName(incoming)
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .drop("rn")
-      case None => incoming
+    val all = readTable(ClientReportInvalid) match {
+      case Some(existing) => existing.unionByName(incoming)
+      case None           => incoming
     }
+    // Upsert on (datetime, source_file), last writer by audit ts — but ONLY
+    // for non-null keys: SQL ON CONFLICT never fires on NULLs (Postgres
+    // treats them as distinct), so null-datetime quarantine rows (e.g.
+    // unparseable hours) accumulate rather than collapsing to one.
+    val w = Window
+      .partitionBy(col("datetime"), col("source_file"))
+      .orderBy(col("audit_loaded_datetime").desc)
+    val keyed = all
+      .filter(col("datetime").isNotNull)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+    val merged = keyed.unionByName(all.filter(col("datetime").isNull))
     writeTable(merged, ClientReportInvalid)
     readTable(ClientReportInvalid).get.count()
   }

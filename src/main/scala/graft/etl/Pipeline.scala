@@ -52,7 +52,11 @@ object Pipeline {
     val routed = FileRouter.route(FileRouter.listParquet(inputDir))
 
     // Task 1: per-date rollup with error isolation (reference L3: continue on
-    // failure, succeed iff >= 1 date processed).
+    // failure, succeed iff >= 1 date processed). Consume-once deletion is
+    // PER DATE, after that date's CSV write — a failed date keeps its input
+    // files for reprocessing (reference `data_processing.py:183-185`
+    // deletes inside the per-date loop, never globally).
+    var deleted = 0
     val results = routed.dates.map { date =>
       date -> Try {
         val df = HourlyRollup.forDate(
@@ -64,29 +68,36 @@ object Pipeline {
         )
         val out = Paths.get(outputDir, CsvWriter.taskOutputName(date)).toString
         CsvWriter.writeSingleFile(df, out)
+        if (deleteInputs)
+          deleted += FileRouter.deleteFiles(
+            routed.impressionsByDate.getOrElse(date, Seq.empty) ++
+              routed.clicksByDate.getOrElse(date, Seq.empty)
+          )
         DateResult(date, out, 24L)
       }
     }
     val ok = results.collect { case (_, Success(r)) => r }
     val failed = results.collect { case (d, Failure(e)) => (d, e.toString) }
 
-    // consume-once deletion AFTER output write (T2 ordering)
-    val deleted = if (deleteInputs && ok.nonEmpty) FileRouter.deleteFiles(routed.allFiles) else 0
-
-    // Task 2: load each CSV into the warehouse with validation + quarantine.
+    // Task 2: load each CSV into the warehouse with validation + quarantine —
+    // per-file error isolation, mirroring Task 1 (one bad load must not
+    // discard the run's results).
     val wh = new ParquetWarehouse(spark, warehouseDir)
     var quarantined = 0L
-    val loaded = ok.map { r =>
-      val raw = spark.read.option("header", "true").schema(csvSchema).csv(r.csvPath)
-      val v = QualityRules.validate(raw, Paths.get(r.csvPath).getFileName.toString)
-      val invalid = wh.prepareInvalid(v.quarantined)
-      quarantined += invalid.count()
-      wh.storeInvalid(invalid)
-      val report = wh.load(wh.prepare(v.cleaned))
-      r.csvPath -> report.rowsLoaded
+    val loadResults = ok.map { r =>
+      r.csvPath -> Try {
+        val raw = spark.read.option("header", "true").schema(csvSchema).csv(r.csvPath)
+        val v = QualityRules.validate(raw, Paths.get(r.csvPath).getFileName.toString)
+        val invalid = wh.prepareInvalid(v.quarantined)
+        quarantined += invalid.count()
+        wh.storeInvalid(invalid)
+        wh.load(wh.prepare(v.cleaned)).rowsLoaded
+      }
     }
+    val loaded = loadResults.collect { case (p, Success(n)) => (p, n) }
+    val loadFailed = loadResults.collect { case (p, Failure(e)) => (p, e.toString) }
 
-    RunResult(ok, failed, deleted, loaded, quarantined, wh.verify())
+    RunResult(ok, failed ++ loadFailed, deleted, loaded, quarantined, wh.verify())
   }
 
   implicit private class InvalidPrep(private val wh: ParquetWarehouse) {

@@ -21,7 +21,8 @@ object BottomKSketch {
   /** State: sorted ascending by sortKey, at most k entries. `sortKey`/`id`
     * project the dataset's row type into the sketch.
     */
-  def aggregator[T](k: Int)(sortKey: T => String, id: T => Long): Aggregator[T, List[Entry], Array[Long]] =
+  def aggregator[T](k: Int)(sortKey: T => String, id: T => Long): Aggregator[T, List[Entry], Array[Long]] = {
+    require(k > 0, s"bottom-k sketch needs k > 0, got $k")
     new Aggregator[T, List[Entry], Array[Long]] {
       override def zero: List[Entry] = Nil
 
@@ -43,4 +44,5 @@ object BottomKSketch {
       override def outputEncoder: Encoder[Array[Long]] =
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
     }
+  }
 }

@@ -303,27 +303,27 @@ object VecFunctions {
     override protected def withNewChildInternal(c: Expression): MinHashSigs = copy(child = c)
   }
 
-  private val registrations: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "vec_dot" -> { args =>
+  private val registrations: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("vec_dot", classOf[VecDot], { args: Seq[Expression] =>
       require(args.length == 2, "vec_dot takes exactly 2 arguments")
       VecDot(args(0), args(1))
-    },
-    "sorted_intersect_count" -> { args =>
+    }),
+    ("sorted_intersect_count", classOf[SortedIntersectCount], { args: Seq[Expression] =>
       require(args.length == 2, "sorted_intersect_count takes exactly 2 arguments")
       SortedIntersectCount(args(0), args(1))
-    },
-    "simhash64" -> { args =>
+    }),
+    ("simhash64", classOf[SimHash64], { args: Seq[Expression] =>
       require(args.length == 1, "simhash64 takes exactly 1 argument")
       SimHash64(args(0))
-    },
-    "shingle_hashes" -> { args =>
+    }),
+    ("shingle_hashes", classOf[ShingleHashes], { args: Seq[Expression] =>
       require(args.length == 1, "shingle_hashes takes exactly 1 argument")
       ShingleHashes(args(0))
-    },
-    "minhash_sigs16" -> { args =>
+    }),
+    ("minhash_sigs16", classOf[MinHashSigs], { args: Seq[Expression] =>
       require(args.length == 1, "minhash_sigs16 takes exactly 1 argument")
       MinHashSigs(args(0), 16)
-    }
+    })
   )
 
   /** Register into a session's FunctionRegistry (idempotent — re-registering
@@ -331,26 +331,25 @@ object VecFunctions {
     * and SQL both resolve.
     */
   def install(spark: SparkSession): Unit =
-    registrations.foreach { case (name, builder) =>
+    registrations.foreach { case (name, cls, builder) =>
       spark.sessionState.functionRegistry.registerFunction(
         FunctionIdentifier(name),
-        new ExpressionInfo(classOf[VecDot].getName, name),
+        new ExpressionInfo(cls.getName, name),
         builder
       )
     }
+
+  private[functions] def all: Seq[(String, Class[_], Seq[Expression] => Expression)] = registrations
 }
 
-/** `SparkSessionExtensions` hook so external deployments can enable the
-  * functions with `spark.sql.extensions=graft.functions.GraftExtensions`
-  * (in-process callers can use `VecFunctions.install` directly).
+/** `SparkSessionExtensions` hook so external deployments can enable ALL the
+  * native functions with `spark.sql.extensions=graft.functions.
+  * GraftExtensions` (in-process callers can use `VecFunctions.install`
+  * directly).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction(
-      (
-        FunctionIdentifier("vec_dot"),
-        new ExpressionInfo(classOf[VecFunctions.VecDot].getName, "vec_dot"),
-        (args: Seq[Expression]) => VecFunctions.VecDot(args(0), args(1))
-      )
-    )
+    VecFunctions.all.foreach { case (name, cls, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), new ExpressionInfo(cls.getName, name), builder))
+    }
 }

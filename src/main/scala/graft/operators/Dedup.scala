@@ -88,7 +88,10 @@ object Dedup {
   }
 
   def q30MinhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = signatures(spark, dir).cache()
+    // no cache: the native-expression signature pass is cheap to recompute
+    // for the 3 uses below, while a .cache() would pin storage memory for
+    // the whole session (queries can't unpersist after returning a lazy DF)
+    val sigs = signatures(spark, dir)
     // band key = hash of the band's signature slice; explode to (band, key, doc)
     val bandCols = (0 until BANDS).map { b =>
       val slice = (0 until ROWS_PER_BAND).map(r => s"sig[${b * ROWS_PER_BAND + r}]").mkString(", ")
@@ -140,7 +143,7 @@ object Dedup {
   }
 
   def q31SimhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sh = simhashed(spark, dir).cache()
+    val sh = simhashed(spark, dir) // uncached — see q30 note
     val buckets = sh
       .select(col("doc_id"), col("simhash"), explode(col("chunks")).as("ck"))
       .select(col("doc_id"), col("simhash"), col("ck.c").as("c"), col("ck.v").as("v"))

@@ -129,6 +129,9 @@ object Multimodal {
   def sampleFrames(media: Dataset[MediaRow], everyMs: Long): DataFrame =
     media
       .filter(col("kind") === "video")
+      // zero-duration media yields zero frames (an unguarded
+      // sequence(0, -1, step) would throw under ANSI)
+      .filter(col("meta.duration_ms") > 0)
       .select(
         col("media_id"),
         col("meta.duration_ms").as("duration_ms"),

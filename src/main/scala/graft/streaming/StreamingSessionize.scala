@@ -61,8 +61,18 @@ object StreamingSessionize {
 
     sorted.foreach { e =>
       cur match {
-        case Some(s) if e.ts.getTime - s.end.getTime <= GapMs =>
-          cur = Some(SessionState(s.start, maxTs(s.end, e.ts), s.n + 1, s.total + e.value))
+        // within the gap of EITHER boundary: extend (a late event can land
+        // just before the open session's start and still belong to it)
+        case Some(s)
+            if e.ts.getTime - s.end.getTime <= GapMs &&
+              s.start.getTime - e.ts.getTime <= GapMs =>
+          cur = Some(SessionState(minTs(s.start, e.ts), maxTs(s.end, e.ts), s.n + 1, s.total + e.value))
+        // late orphan: older than (start - gap). Its own session was already
+        // timed out and emitted (the watermark passed it), so emit it as a
+        // standalone late session rather than corrupting the open one.
+        case Some(s) if e.ts.getTime < s.start.getTime - GapMs =>
+          closed ::= Session(userId, e.ts, e.ts, 1, round2(e.value))
+        // beyond the gap after the end: close current, open new
         case Some(s) =>
           closed ::= Session(userId, s.start, s.end, s.n, round2(s.total))
           cur = Some(SessionState(e.ts, e.ts, 1, e.value))
@@ -80,5 +90,6 @@ object StreamingSessionize {
   }
 
   private def maxTs(a: Timestamp, b: Timestamp): Timestamp = if (a.after(b)) a else b
+  private def minTs(a: Timestamp, b: Timestamp): Timestamp = if (a.before(b)) a else b
   private def round2(d: Double): Double = math.rint(d * 100) / 100
 }

@@ -245,6 +245,24 @@ class EtlSpec extends SparkSpec {
     assert(summary("total_clicks") === 37L)
   }
 
+  test("pipeline failure isolation: a failing date keeps its input files") {
+    val in = Files.createTempDirectory("f_in")
+    val out = Files.createTempDirectory("f_out")
+    val wh = Files.createTempDirectory("f_wh")
+    Fixtures.goldenScenario(spark, in) // healthy 2022-05-27
+    // corrupt parquet for 2022-05-26 → that date's rollup throws
+    val bad = in.resolve("impressions_processed_dk_20220526193204695_1-2_0.parquet")
+    Files.write(bad, "not a parquet file".getBytes)
+
+    val result = Pipeline.run(spark, in.toString, out.toString, wh.toString, Fixtures.UA)
+
+    assert(result.processedDates.map(_.date) === Seq("2022-05-27"))
+    assert(result.failedDates.exists(_._1 == "2022-05-26"))
+    val remaining = FileRouter.listParquet(in.toString)
+    assert(remaining.exists(_.contains("20220526")), "failed date's inputs must survive for reprocessing")
+    assert(!remaining.exists(_.contains("20220527")), "successful date's inputs are consumed")
+  }
+
   test("pipeline with no input files is a clean no-op") {
     val in = Files.createTempDirectory("e_in")
     val result = Pipeline.run(

@@ -165,6 +165,26 @@ class StreamingSpec extends SparkSpec {
     assert(out.head.n_events === 2)
     assert(state.getOption.exists(_.n == 1), "second session stays open in state")
   }
+
+  test("updateState unit: late events extend backward within gap, orphans don't corrupt") {
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    def ev(h: Int, m: Int, v: Double) = StreamingSessionize.Event(8, ts(h, m), v)
+
+    // open session [10:00, 10:10]
+    val state = new TestGroupState[StreamingSessionize.SessionState]
+    state.update(StreamingSessionize.SessionState(ts(10, 0), ts(10, 10), 2, 2.0))
+
+    // a late event 20 min BEFORE start extends the session backward...
+    val out1 = StreamingSessionize.updateState(8, Iterator(ev(9, 40, 1.0)), state).toList
+    assert(out1.isEmpty)
+    assert(state.get.start === ts(9, 40) && state.get.n === 3)
+
+    // ...but an orphan >gap before start is emitted standalone, state intact
+    val out2 = StreamingSessionize.updateState(8, Iterator(ev(8, 0, 9.0)), state).toList
+    assert(out2.length === 1)
+    assert(out2.head.n_events === 1 && out2.head.session_value === 9.0)
+    assert(state.get.start === ts(9, 40) && state.get.n === 3, "open session unchanged")
+  }
 }
 
 /** Minimal GroupState fake for direct unit-testing of the update function. */
