@@ -169,17 +169,60 @@ object TextOps {
       |FROM f
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q54 — fuzzy matching via edit distance: near-duplicate part names within
+  // levenshtein <= 2, weighted by how many parts carry each name. The
+  // DISTINCT-first structure is the scale pattern: the quadratic stage runs
+  // on unique values (64 here), never on the raw table; the raw-table mass
+  // joins back by equality afterwards.
+  // ---------------------------------------------------------------------------
+  def q54FuzzyNames(spark: SparkSession, dir: String): DataFrame = {
+    val names = Tables
+      .part(spark, dir)
+      .groupBy(col("p_name"))
+      .agg(count(lit(1)).as("n_parts"))
+    names
+      .as("l")
+      .join(
+        names.as("r"),
+        col("l.p_name") < col("r.p_name") &&
+          abs(length(col("l.p_name")) - length(col("r.p_name"))) <= 2 &&
+          levenshtein(col("l.p_name"), col("r.p_name")) <= 2
+      )
+      .select(
+        col("l.p_name").as("name_a"),
+        col("r.p_name").as("name_b"),
+        levenshtein(col("l.p_name"), col("r.p_name")).as("edit_distance"),
+        (col("l.n_parts") + col("r.n_parts")).as("parts_affected")
+      )
+      .orderBy(col("name_a"), col("name_b"))
+  }
+
+  val q54Oracle: String =
+    """WITH names AS (
+      |  SELECT p_name, count(*) AS n_parts FROM part GROUP BY p_name)
+      |SELECT l.p_name AS name_a, r.p_name AS name_b,
+      |       CAST(levenshtein(l.p_name, r.p_name) AS INT) AS edit_distance,
+      |       l.n_parts + r.n_parts AS parts_affected
+      |FROM names l JOIN names r
+      |  ON l.p_name < r.p_name
+      | AND abs(length(l.p_name) - length(r.p_name)) <= 2
+      | AND levenshtein(l.p_name, r.p_name) <= 2
+      |ORDER BY name_a, name_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_lang_id" -> (q25LangId _),
     "q26_quality_score" -> (q26QualityScore _),
     "q27_token_counts" -> (q27TokenCounts _),
-    "q28_fingerprint" -> (q28Fingerprint _)
+    "q28_fingerprint" -> (q28Fingerprint _),
+    "q54_fuzzy_names" -> (q54FuzzyNames _)
   )
 
   val oracles: Map[String, String] = Map(
     "q25_lang_id" -> q25Oracle,
     "q26_quality_score" -> q26Oracle,
     "q27_token_counts" -> q27Oracle,
-    "q28_fingerprint" -> q28Oracle
+    "q28_fingerprint" -> q28Oracle,
+    "q54_fuzzy_names" -> q54Oracle
   )
 }
