@@ -89,6 +89,27 @@ object QualityRules {
     Validation(isValid = true, errors = Seq.empty, warnings = warnings.result(), cleaned, quarantined)
   }
 
+  /** V5 (reference `warehouse.py:179-256` — `_handle_click_impression_mismatch`,
+    * defined there but never wired into the main path; provided here for full
+    * rule parity): classify click/impression relationships into an
+    * `issue_type` and optionally clamp clicks.
+    */
+  def triageClickMismatch(df: DataFrame, autoCorrect: Boolean = false): DataFrame = {
+    val triaged = df.withColumn(
+      "issue_type",
+      when(col("impression_count") === 0 && col("click_count") > 0, "clicks_without_impressions")
+        .when(col("click_count") > col("impression_count"), "clicks_exceed_impressions")
+        .when(col("impression_count") > col("click_count"), "impressions_exceed_clicks")
+        .otherwise("balanced")
+    )
+    if (autoCorrect)
+      triaged.withColumn(
+        "click_count",
+        when(clickExcessRule, col("impression_count")).otherwise(col("click_count"))
+      )
+    else triaged
+  }
+
   /** V8 shape: original columns + validation_error + source_file + audit ts. */
   private def quarantineFrame(rows: DataFrame, error: Column, sourceFile: String): DataFrame =
     rows

@@ -165,6 +165,25 @@ class EtlSpec extends SparkSpec {
     assert(v.cleaned.collect().head.getLong(3) === 5L)
   }
 
+  test("V5 triage classifies click/impression relationships; clamp only when asked") {
+    val df = reportDf(
+      Seq(
+        ("2022-01-01", 0, 0L, 5L), // clicks without impressions
+        ("2022-01-01", 1, 3L, 9L), // clicks exceed impressions
+        ("2022-01-01", 2, 9L, 3L), // impressions exceed clicks
+        ("2022-01-01", 3, 4L, 4L) // balanced
+      )
+    )
+    val t = QualityRules.triageClickMismatch(df).collect().map(r => r.getInt(1) -> r.getAs[String]("issue_type")).toMap
+    assert(t(0) === "clicks_without_impressions")
+    assert(t(1) === "clicks_exceed_impressions")
+    assert(t(2) === "impressions_exceed_clicks")
+    assert(t(3) === "balanced")
+    val clamped = QualityRules.triageClickMismatch(df, autoCorrect = true).collect()
+    assert(clamped.find(_.getInt(1) == 1).get.getLong(3) === 3L)
+    assert(clamped.find(_.getInt(1) == 0).get.getLong(3) === 0L)
+  }
+
   test("validation: missing required column is a structural failure") {
     import spark.implicits._
     val v = QualityRules.validate(Seq((1, 2)).toDF("a", "b"), "t.csv")
