@@ -332,11 +332,15 @@ object VecFunctions {
     */
   def install(spark: SparkSession): Unit =
     registrations.foreach { case (name, cls, builder) =>
-      spark.sessionState.functionRegistry.registerFunction(
-        FunctionIdentifier(name),
-        new ExpressionInfo(cls.getName, name),
-        builder
-      )
+      val id = FunctionIdentifier(name)
+      // stateless builders: registering once per session is enough (and
+      // skipping avoids a re-registration WARN per query invocation)
+      if (!spark.sessionState.functionRegistry.functionExists(id))
+        spark.sessionState.functionRegistry.registerFunction(
+          id,
+          new ExpressionInfo(cls.getName, name),
+          builder
+        )
     }
 
   private[functions] def all: Seq[(String, Class[_], Seq[Expression] => Expression)] = registrations
