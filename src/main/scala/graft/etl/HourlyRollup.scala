@@ -27,6 +27,19 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructTyp
   */
 object HourlyRollup {
 
+  /** Typed report row (SURVEY §1.4): the schema is small, fixed and
+    * test-asserted, so `Dataset[HourlyCount]` buys compile-time safety for
+    * downstream consumers.
+    */
+  final case class HourlyCount(date: String, hour: Int, impression_count: Long, click_count: Long)
+
+  /** Typed view of a report frame. */
+  def typed(report: org.apache.spark.sql.DataFrame): org.apache.spark.sql.Dataset[HourlyCount] = {
+    val spark = report.sparkSession
+    import spark.implicits._
+    report.as[HourlyCount]
+  }
+
   val OutputColumns: Seq[String] = Seq("date", "hour", "impression_count", "click_count")
 
   private val emptyCountsSchema = StructType(

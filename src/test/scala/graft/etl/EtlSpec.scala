@@ -190,6 +190,63 @@ class EtlSpec extends SparkSpec {
     assert(!v.isValid && v.errors.head.contains("missing required columns"))
   }
 
+  test("property: validate() partitions rows — kept + hard-quarantined = input") {
+    val hourGen = Gen.frequency(
+      (8, Gen.choose(0, 23).map(Integer.valueOf)),
+      (1, Gen.oneOf(Seq(-3, 24, 25, 99).map(Integer.valueOf))),
+      (1, Gen.const(null.asInstanceOf[Integer]))
+    )
+    val countGen = Gen.frequency(
+      (9, Gen.choose(0L, 100L).map(java.lang.Long.valueOf)),
+      (1, Gen.choose(-10L, -1L).map(java.lang.Long.valueOf))
+    )
+    val rowGen = for {
+      h <- hourGen; i <- countGen; c <- countGen
+    } yield ("2022-03-01", h, i, c)
+
+    (1 to 5).foreach { _ =>
+      val rows = Gen.listOfN(40, rowGen).sample.getOrElse(Nil)
+      if (rows.nonEmpty) {
+        val df = reportDf(rows)
+        val v = QualityRules.validate(df, "prop.csv")
+        val hardBad = rows.count { case (_, h, i, c) =>
+          h == null || i == null || c == null || h < 0 || h > 23 || i < 0 || c < 0
+        }
+        assert(v.cleaned.count() === rows.length - hardBad, "kept = input - hard violations")
+        // every hard-violating row appears in quarantine under some error
+        assert(
+          v.quarantined
+            .filter(org.apache.spark.sql.functions
+              .col("validation_error")
+              .isin("null_required_field", "negative_count", "hour_out_of_range"))
+            .select("date", "hour", "impression_count", "click_count")
+            .distinct()
+            .count() >= (if (hardBad > 0) 1L else 0L)
+        )
+      }
+    }
+  }
+
+  test("typed Dataset[HourlyCount] round-trips the report") {
+    val df = HourlyRollup.forDate(spark, "2022-05-27", Seq.empty, Seq.empty, Fixtures.UA)
+    val ds = HourlyRollup.typed(df)
+    val rows = ds.collect()
+    assert(rows.length === 24)
+    assert(rows.forall(r => r.date == "2022-05-27" && r.impression_count == 0 && r.click_count == 0))
+  }
+
+  test("csv writer escapes commas and quotes in cells") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("q_out")
+    val df = Seq(("a,b", "say \"hi\"", 1L)).toDF("x", "y", "n")
+    val p = CsvWriter.writeSingleFile(df, out.resolve("t.csv").toString)
+    val lines = Files.readAllLines(Paths.get(p)).asScala
+    assert(lines(1) === "\"a,b\",\"say \"\"hi\"\"\",1")
+    // RFC-4180 doubled-quote escaping: Spark's reader needs escape='"'
+    val back = spark.read.option("header", "true").option("escape", "\"").csv(p).collect().head
+    assert(back.getString(0) === "a,b" && back.getString(1) === "say \"hi\"")
+  }
+
   // --- ParquetWarehouse ------------------------------------------------------
 
   test("warehouse load: re-loading a date archives overlapped rows and overwrites") {
