@@ -115,15 +115,66 @@ object SqlFrontend {
       )
       .orderBy(col("l_returnflag"))
 
+  // ---------------------------------------------------------------------------
+  // q55 — data profiling: per-column null counts, exact distinct counts and
+  // numeric ranges in ONE scan (every metric is an aggregate over the same
+  // pass; the long shape comes from a map-side stack of the agg row). The
+  // table-health primitive every ingestion pipeline runs first.
+  // ---------------------------------------------------------------------------
+  def q55ProfileCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val numeric = Set("c_custkey", "c_nationkey", "c_acctbal")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__distinct")
+      ) ++ (if (numeric(c))
+              Seq(min(col(c)).cast("double").as(s"${c}__min"), max(col(c)).cast("double").as(s"${c}__max"))
+            else
+              Seq(lit(null).cast("double").as(s"${c}__min"), lit(null).cast("double").as(s"${c}__max")))
+    }
+    val stacks = cols
+      .map(c => s"'$c', `${c}__nulls`, `${c}__distinct`, `${c}__min`, `${c}__max`")
+      .mkString(", ")
+    Tables
+      .customer(spark, dir)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${cols.length}, $stacks) AS (column_name, n_nulls, n_distinct, min_value, max_value)"))
+      .orderBy(col("column_name"))
+  }
+
+  val q55Oracle: String =
+    """SELECT * FROM (
+      |  SELECT 'c_custkey' AS column_name,
+      |         sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+      |         count(DISTINCT c_custkey) AS n_distinct,
+      |         min(c_custkey)::DOUBLE AS min_value, max(c_custkey)::DOUBLE AS max_value
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT 'c_name', sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END),
+      |         count(DISTINCT c_name), NULL, NULL FROM customer
+      |  UNION ALL
+      |  SELECT 'c_nationkey', sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END),
+      |         count(DISTINCT c_nationkey), min(c_nationkey)::DOUBLE, max(c_nationkey)::DOUBLE FROM customer
+      |  UNION ALL
+      |  SELECT 'c_acctbal', sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END),
+      |         count(DISTINCT c_acctbal), min(c_acctbal)::DOUBLE, max(c_acctbal)::DOUBLE FROM customer
+      |  UNION ALL
+      |  SELECT 'c_mktsegment', sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END),
+      |         count(DISTINCT c_mktsegment), NULL, NULL FROM customer)
+      |ORDER BY column_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_sql_frontend" -> (q40SqlFrontend _),
     "q41_correlated_subquery" -> (q41CorrelatedSubquery _),
     "q42_approx_distinct" -> (q42ApproxDistinct _),
-    "q50_approx_quantiles" -> (q50ApproxQuantiles _)
+    "q50_approx_quantiles" -> (q50ApproxQuantiles _),
+    "q55_profile_customer" -> (q55ProfileCustomer _)
   )
 
   val oracles: Map[String, String] = Map(
     "q40_sql_frontend" -> q40Oracle,
-    "q41_correlated_subquery" -> q41Oracle
+    "q41_correlated_subquery" -> q41Oracle,
+    "q55_profile_customer" -> q55Oracle
   )
 }
