@@ -19,7 +19,11 @@ object Bench {
     // repeat each query and keep the fastest run: single-shot timings on a
     // shared box fold scheduler noise into query cost (observed up to 10x
     // outliers); min-of-N measures the query, not the neighbors.
-    val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "2").toInt.max(1)
+    val repeat = sys.env
+      .get("SPARK_GRAFT_BENCH_REPEAT")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .getOrElse(2)
+      .max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to repeat).map { _ =>
         val t0 = System.nanoTime()

@@ -95,18 +95,31 @@ object QualityRules {
     * `issue_type` and optionally clamp clicks.
     */
   def triageClickMismatch(df: DataFrame, autoCorrect: Boolean = false): DataFrame = {
+    val zeroImpressions = col("impression_count") === 0 && col("click_count") > 0
+    val excessClicks = col("click_count") > col("impression_count") && col("impression_count") > 0
+    val moreImpressions = col("impression_count") > col("click_count") && col("click_count") > 0
     val triaged = df.withColumn(
       "issue_type",
-      when(col("impression_count") === 0 && col("click_count") > 0, "clicks_without_impressions")
-        .when(col("click_count") > col("impression_count"), "clicks_exceed_impressions")
-        .when(col("impression_count") > col("click_count"), "impressions_exceed_clicks")
-        .otherwise("balanced")
+      when(zeroImpressions, "clicks_without_impressions")
+        .when(excessClicks, "clicks_exceed_impressions")
+        .when(moreImpressions, "impressions_exceed_clicks")
+        .otherwise("none") // imp == clicks, or impressions with zero clicks — unflagged
     )
     if (autoCorrect)
-      triaged.withColumn(
-        "click_count",
-        when(clickExcessRule, col("impression_count")).otherwise(col("click_count"))
-      )
+      // reference corrections (`warehouse.py:200-204`, `:222-226`): raise
+      // impressions to clicks where impressions are zero; clamp clicks to
+      // impressions where clicks exceed a POSITIVE impression count. The
+      // predicates are on the ORIGINAL values (disjoint masks), matching the
+      // reference's sequential in-place updates.
+      triaged
+        .withColumn(
+          "impression_count",
+          when(zeroImpressions, col("click_count")).otherwise(col("impression_count"))
+        )
+        .withColumn(
+          "click_count",
+          when(excessClicks, col("impression_count")).otherwise(col("click_count"))
+        )
     else triaged
   }
 

@@ -326,9 +326,11 @@ object VecFunctions {
     })
   )
 
-  /** Register into a session's FunctionRegistry (idempotent — re-registering
-    * replaces the identical builder). After this, `expr("vec_dot(a, b)")`
-    * and SQL both resolve.
+  /** Register into a session's FunctionRegistry. Registration is
+    * first-wins per session: a name that already exists (including one of
+    * ours from an earlier query) is left untouched — callers own their
+    * registry; we never silently replace a user's function of the same name.
+    * After this, `expr("vec_dot(a, b)")` and SQL both resolve.
     */
   def install(spark: SparkSession): Unit =
     registrations.foreach { case (name, cls, builder) =>

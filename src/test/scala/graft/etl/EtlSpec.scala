@@ -165,23 +165,27 @@ class EtlSpec extends SparkSpec {
     assert(v.cleaned.collect().head.getLong(3) === 5L)
   }
 
-  test("V5 triage classifies click/impression relationships; clamp only when asked") {
+  test("V5 triage matches the reference: masks, corrections, unflagged cases") {
     val df = reportDf(
       Seq(
-        ("2022-01-01", 0, 0L, 5L), // clicks without impressions
-        ("2022-01-01", 1, 3L, 9L), // clicks exceed impressions
-        ("2022-01-01", 2, 9L, 3L), // impressions exceed clicks
-        ("2022-01-01", 3, 4L, 4L) // balanced
+        ("2022-01-01", 0, 0L, 5L), // clicks without impressions → raise impressions
+        ("2022-01-01", 1, 3L, 9L), // clicks exceed positive impressions → clamp clicks
+        ("2022-01-01", 2, 9L, 3L), // impressions exceed positive clicks → flag only
+        ("2022-01-01", 3, 4L, 4L), // equal → none
+        ("2022-01-01", 4, 7L, 0L) // impressions with zero clicks → none (reference leaves unflagged)
       )
     )
     val t = QualityRules.triageClickMismatch(df).collect().map(r => r.getInt(1) -> r.getAs[String]("issue_type")).toMap
     assert(t(0) === "clicks_without_impressions")
     assert(t(1) === "clicks_exceed_impressions")
     assert(t(2) === "impressions_exceed_clicks")
-    assert(t(3) === "balanced")
-    val clamped = QualityRules.triageClickMismatch(df, autoCorrect = true).collect()
-    assert(clamped.find(_.getInt(1) == 1).get.getLong(3) === 3L)
-    assert(clamped.find(_.getInt(1) == 0).get.getLong(3) === 0L)
+    assert(t(3) === "none")
+    assert(t(4) === "none", "impressions with zero clicks are NOT an issue (warehouse.py:230-231)")
+    val corrected = QualityRules.triageClickMismatch(df, autoCorrect = true).collect()
+    def row(h: Int) = corrected.find(_.getInt(1) == h).get
+    assert(row(0).getLong(2) === 5L && row(0).getLong(3) === 5L, "zero impressions raised to clicks")
+    assert(row(1).getLong(2) === 3L && row(1).getLong(3) === 3L, "excess clicks clamped to impressions")
+    assert(row(2).getLong(2) === 9L && row(2).getLong(3) === 3L, "impressions_exceed_clicks untouched")
   }
 
   test("validation: missing required column is a structural failure") {
@@ -213,7 +217,14 @@ class EtlSpec extends SparkSpec {
           h == null || i == null || c == null || h < 0 || h > 23 || i < 0 || c < 0
         }
         assert(v.cleaned.count() === rows.length - hardBad, "kept = input - hard violations")
-        // every hard-violating row appears in quarantine under some error
+        // every distinct hard-violating row appears in quarantine under a
+        // hard-rule error label
+        val distinctHardBad = rows
+          .filter { case (_, h, i, c) =>
+            h == null || i == null || c == null || h < 0 || h > 23 || i < 0 || c < 0
+          }
+          .distinct
+          .length
         assert(
           v.quarantined
             .filter(org.apache.spark.sql.functions
@@ -221,7 +232,7 @@ class EtlSpec extends SparkSpec {
               .isin("null_required_field", "negative_count", "hour_out_of_range"))
             .select("date", "hour", "impression_count", "click_count")
             .distinct()
-            .count() >= (if (hardBad > 0) 1L else 0L)
+            .count() === distinctHardBad.toLong
         )
       }
     }

@@ -50,6 +50,26 @@ class SqlFrontendSpec extends SparkSpec {
     }
   }
 
+  test("q54 fuzzy names: symmetric-free pairs within the distance bound") {
+    val rows = TextOps.q54FuzzyNames(spark, sfDir).collect()
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1), "pairs are ordered, no mirror duplicates")
+      assert(r.getInt(2) >= 1 && r.getInt(2) <= 2)
+      assert(r.getLong(3) > 0)
+    }
+  }
+
+  test("q55 profile: one row per column, zero nulls, key column fully distinct") {
+    val rows = SqlFrontend.q55ProfileCustomer(spark, sfDir).collect()
+    assert(rows.length === 5)
+    val byCol = rows.map(r => r.getString(0) -> r).toMap
+    val nCust = graft.core.Tables.customer(spark, sfDir).count()
+    assert(rows.forall(_.getLong(1) == 0L), "testdata customer has no nulls")
+    assert(byCol("c_custkey").getLong(2) === nCust, "key column distinct == row count")
+    assert(byCol("c_name").isNullAt(3), "string columns have no numeric range")
+    assert(byCol("c_acctbal").getDouble(3) <= byCol("c_acctbal").getDouble(4))
+  }
+
   test("q43 salted aggregation equals the direct groupBy") {
     import org.apache.spark.sql.functions._
     val salted = Skew.q43SaltedAgg(spark, sfDir).collect()
