@@ -252,7 +252,88 @@ object Analytic {
       |FROM per_nation
       |ORDER BY r_name, n_name""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q56 — RANGE window frame (value-based, not row-based): each order's
+  // customer spend over the TRAILING 30 DAYS by order date. rowsBetween
+  // counts rows; rangeBetween bounds by the ordering VALUE, so ties and
+  // gaps in time are handled correctly — the frame every trailing-window
+  // business metric actually means.
+  // ---------------------------------------------------------------------------
+  def q56TrailingSpend(spark: SparkSession, dir: String): DataFrame = {
+    val secs30d = 30L * 24 * 3600
+    val w = Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_epoch"))
+      .rangeBetween(-secs30d, Window.currentRow)
+    Tables
+      .orders(spark, dir)
+      // NTZ has no direct long cast; via TIMESTAMP under the session's UTC
+      // zone the epoch matches DuckDB's epoch() on the naive value
+      .withColumn("o_epoch", col("o_orderdate").cast("timestamp").cast("long"))
+      .withColumn("trailing_30d_spend", sum(col("o_totalprice").cast(dec)).over(w))
+      .withColumn("trailing_30d_orders", count(lit(1)).over(w))
+      .select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("trailing_30d_spend").cast("double").as("trailing_30d_spend"),
+        col("trailing_30d_orders")
+      )
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val q56Oracle: String =
+    """SELECT o_custkey, o_orderkey,
+      |       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS trailing_30d_spend,
+      |       count(*) OVER w AS trailing_30d_orders
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY floor(epoch(o_orderdate))::BIGINT
+      |             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q57 — HAVING + join back onto the qualifying set (TPC-H Q18 shape):
+  // orders whose total line quantity exceeds a threshold, with customer
+  // detail. The heavy aggregate runs first and shrinks to the qualifying
+  // keys; the detail join touches only those.
+  // ---------------------------------------------------------------------------
+  def q57LargeVolumeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val qualifying = Tables
+      .lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(round(sum(col("l_quantity")), 2).as("total_qty"))
+      .filter(col("total_qty") > 300)
+    val ord = Tables.orders(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    qualifying
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(
+        col("c_custkey"),
+        col("c_name"),
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        round(col("o_totalprice"), 2).as("o_totalprice"),
+        col("total_qty")
+      )
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+  }
+
+  val q57Oracle: String =
+    """SELECT c_custkey, c_name, o_orderkey,
+      |       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+      |       round(o_totalprice, 2) AS o_totalprice,
+      |       total_qty
+      |FROM (SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+      |      FROM lineitem GROUP BY l_orderkey HAVING round(sum(l_quantity), 2) > 300) q
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY total_qty DESC, o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q56_trailing_spend" -> (q56TrailingSpend _),
+    "q57_large_volume_orders" -> (q57LargeVolumeOrders _),
     "q13_top_orders_per_customer" -> (q13TopOrdersPerCustomer _),
     "q14_order_gaps" -> (q14OrderGaps _),
     "q15_running_spend" -> (q15RunningSpend _),
@@ -263,6 +344,8 @@ object Analytic {
   )
 
   val oracles: Map[String, String] = Map(
+    "q56_trailing_spend" -> q56Oracle,
+    "q57_large_volume_orders" -> q57Oracle,
     "q13_top_orders_per_customer" -> q13Oracle,
     "q14_order_gaps" -> q14Oracle,
     "q15_running_spend" -> q15Oracle,
