@@ -59,6 +59,27 @@ class AnalyticSpec extends SparkSpec {
     assert(totals.values.toSet.size === 1) // every grouping level sums to table count
   }
 
+  test("q56 trailing spend covers at least the current order, never less") {
+    val rows = Analytic.q56TrailingSpend(spark, sfDir).collect()
+    val prices = graft.core.Tables
+      .orders(spark, sfDir)
+      .collect()
+      .map(r => r.getAs[Long]("o_orderkey") -> r.getAs[Double]("o_totalprice"))
+      .toMap
+    rows.foreach { r =>
+      val own = prices(r.getLong(1))
+      assert(r.getDouble(3) >= own - 0.01, "window includes the current row")
+      assert(r.getLong(4) >= 1)
+    }
+  }
+
+  test("q57 only returns orders above the quantity threshold") {
+    val rows = Analytic.q57LargeVolumeOrders(spark, sfDir).collect()
+    rows.foreach(r => assert(r.getAs[Double]("total_qty") > 300.0))
+    val qtys = rows.map(_.getAs[Double]("total_qty"))
+    assert(qtys.sameElements(qtys.sorted(Ordering[Double].reverse)), "sorted by total_qty desc")
+  }
+
   test("q19 revenue shares sum to ~100 within each region") {
     val rows = Analytic.q19RevenueShare(spark, sfDir).collect()
     rows.groupBy(_.getString(0)).values.foreach { rs =>
