@@ -164,7 +164,82 @@ object SqlFrontend {
       |         count(DISTINCT c_mktsegment), NULL, NULL FROM customer)
       |ORDER BY column_name""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q58 — multiset set operations: INTERSECT ALL / EXCEPT ALL preserve
+  // duplicate cardinality (bag semantics), unlike q10's distinct set ops.
+  // A user with 3 clicks and 2 purchases contributes min(3,2)=2 rows to the
+  // intersection and 3-2=1 row to the difference.
+  // ---------------------------------------------------------------------------
+  def q58MultisetOps(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(
+      """SELECT 'click_intersect_purchase' AS op, user_id, count(*) AS n FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'click'
+        |  INTERSECT ALL
+        |  SELECT user_id FROM events WHERE event_type = 'purchase')
+        |GROUP BY user_id
+        |UNION ALL
+        |SELECT 'click_except_purchase' AS op, user_id, count(*) AS n FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'click'
+        |  EXCEPT ALL
+        |  SELECT user_id FROM events WHERE event_type = 'purchase')
+        |GROUP BY user_id
+        |ORDER BY op, user_id""".stripMargin
+    )
+  }
+
+  val q58Oracle: String =
+    """SELECT 'click_intersect_purchase' AS op, user_id, count(*) AS n FROM (
+      |  SELECT user_id FROM events WHERE event_type = 'click'
+      |  INTERSECT ALL
+      |  SELECT user_id FROM events WHERE event_type = 'purchase')
+      |GROUP BY user_id
+      |UNION ALL
+      |SELECT 'click_except_purchase' AS op, user_id, count(*) AS n FROM (
+      |  SELECT user_id FROM events WHERE event_type = 'click'
+      |  EXCEPT ALL
+      |  SELECT user_id FROM events WHERE event_type = 'purchase')
+      |GROUP BY user_id
+      |ORDER BY op, user_id""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q59 — correlated LATERAL subquery: each nation's two most recent orders.
+  // Catalyst rewrites the lateral into a ranked window join — per-row probe
+  // semantics, set-based execution.
+  // ---------------------------------------------------------------------------
+  def q59LateralTopOrders(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(
+      """SELECT n.n_name, t.o_orderkey,
+        |       date_format(t.o_orderdate, 'yyyy-MM-dd') AS o_orderdate,
+        |       round(t.o_totalprice, 2) AS o_totalprice
+        |FROM nation n,
+        |LATERAL (
+        |  SELECT o.o_orderkey, o.o_orderdate, o.o_totalprice
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  WHERE c.c_nationkey = n.n_nationkey
+        |  ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+        |  LIMIT 2) t
+        |ORDER BY n.n_name, t.o_orderkey""".stripMargin
+    )
+  }
+
+  val q59Oracle: String =
+    """SELECT n.n_name, t.o_orderkey,
+      |       strftime(t.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+      |       round(t.o_totalprice, 2) AS o_totalprice
+      |FROM nation n,
+      |LATERAL (
+      |  SELECT o.o_orderkey, o.o_orderdate, o.o_totalprice
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  WHERE c.c_nationkey = n.n_nationkey
+      |  ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+      |  LIMIT 2) t
+      |ORDER BY n.n_name, t.o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q58_multiset_ops" -> (q58MultisetOps _),
+    "q59_lateral_top_orders" -> (q59LateralTopOrders _),
     "q40_sql_frontend" -> (q40SqlFrontend _),
     "q41_correlated_subquery" -> (q41CorrelatedSubquery _),
     "q42_approx_distinct" -> (q42ApproxDistinct _),
@@ -173,6 +248,8 @@ object SqlFrontend {
   )
 
   val oracles: Map[String, String] = Map(
+    "q58_multiset_ops" -> q58Oracle,
+    "q59_lateral_top_orders" -> q59Oracle,
     "q40_sql_frontend" -> q40Oracle,
     "q41_correlated_subquery" -> q41Oracle,
     "q55_profile_customer" -> q55Oracle
