@@ -44,9 +44,14 @@ object Tables {
     * expensive projection — the right trade whenever compute-per-row (ms)
     * dwarfs shuffle-cost-per-row (µs). At 100 TB the same call is a no-op
     * decision: inputs with thousands of row groups already parallelize, and
-    * this helper should then be dropped at the call site (it is used only
-    * where compute dominates; measured 10× on the sf0.1 text pipelines).
+    * this helper is a no-op: inputs that already scan with >= core-count
+    * partitions skip the repartition entirely (guard below), so the same
+    * call sites are safe to promote unchanged. (Used only where compute
+    * dominates; measured 10× on the sf0.1 text pipelines.)
     */
-  def balanced(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+  def balanced(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(target)
+  }
 }

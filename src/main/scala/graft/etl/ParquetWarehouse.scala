@@ -139,14 +139,26 @@ class ParquetWarehouse(spark: SparkSession, baseDir: String) {
     */
   def storeInvalid(invalid: DataFrame): Long = {
     if (invalid.isEmpty) return 0L
+    // Persist the offending counts alongside the error: the reference's
+    // client_report_invalid table keeps both (`warehouse.py:67-76`), so a
+    // quarantined row stays auditable — you can see WHY it was rejected.
+    // Structural-failure quarantines (V1: the column itself is missing)
+    // carry null instead.
+    def countCol(name: String) =
+      if (invalid.columns.contains(name)) col(name).cast("long").as(name)
+      else lit(null).cast("long").as(name)
     val incoming = invalid.select(
       col("datetime"),
+      countCol("impression_count"),
+      countCol("click_count"),
       col("validation_error"),
       col("source_file"),
       col("audit_loaded_datetime")
     )
     val all = readTable(ClientReportInvalid) match {
-      case Some(existing) => existing.unionByName(incoming)
+      // allowMissingColumns: tables written before the counts were carried
+      // read back with nulls in the new columns rather than failing.
+      case Some(existing) => existing.unionByName(incoming, allowMissingColumns = true)
       case None           => incoming
     }
     // Upsert on (datetime, source_file), last writer by audit ts — but ONLY

@@ -88,10 +88,13 @@ object Dedup {
   }
 
   def q30MinhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    // no cache: the native-expression signature pass is cheap to recompute
-    // for the 3 uses below, while a .cache() would pin storage memory for
-    // the whole session (queries can't unpersist after returning a lazy DF)
-    val sigs = signatures(spark, dir)
+    // localCheckpoint: the signature pipeline feeds THREE consumers below
+    // (buckets, sh_a, sh_b) — round 1 recomputed the full shingle/minhash
+    // pass for each. Eager checkpoint runs it ONCE into executor storage
+    // (MEMORY_AND_DISK) with lineage truncated; the blocks are reclaimed by
+    // the ContextCleaner when the DF becomes unreachable, so nothing pins
+    // storage for the session the way a .cache() we can't unpersist would.
+    val sigs = signatures(spark, dir).localCheckpoint()
     // band key = hash of the band's signature slice; explode to (band, key, doc)
     val bandCols = (0 until BANDS).map { b =>
       val slice = (0 until ROWS_PER_BAND).map(r => s"sig[${b * ROWS_PER_BAND + r}]").mkString(", ")
@@ -143,7 +146,7 @@ object Dedup {
   }
 
   def q31SimhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sh = simhashed(spark, dir) // uncached — see q30 note
+    val sh = simhashed(spark, dir).localCheckpoint() // one pass — see q30 note
     val buckets = sh
       .select(col("doc_id"), col("simhash"), explode(col("chunks")).as("ck"))
       .select(col("doc_id"), col("simhash"), col("ck.c").as("c"), col("ck.v").as("v"))
@@ -226,16 +229,29 @@ object Dedup {
   // which applies only the jaccard threshold — returns the identical set)
 
   // ---------------------------------------------------------------------------
-  // q33 — embedding-cosine near-duplicate pairs (threshold calibrated to the
-  // synthetic vectors; see scale note in the object doc). Dot product and
-  // norms via zip_with/aggregate in double — no UDF.
+  // q33 — embedding-cosine near-duplicate pairs, EXACT, as a grid-blocked
+  // all-pairs equi-join. The naive form (`l.join(r, vec_a < vec_b && dot >=
+  // t)`) has no equi key, so Spark plans a BroadcastNestedLoopJoin — a
+  // cartesian that requires one side to fit in a broadcast and runs the
+  // whole O(n²) on however many tasks the streamed side has. The grid form
+  // replicates each side over B block ids and joins on the (gl, gr) cell
+  // key: a ShuffledHash/SortMerge join that spreads the SAME O(n²) compute
+  // evenly over B² shuffle partitions — no broadcast of the corpus, no
+  // cartesian node, arbitrarily scalable executor-count-wise. Each unordered
+  // pair lands in exactly ONE cell: (block(a), block(b)) with the vec_a <
+  // vec_b orientation. Dot products are the codegen'd `vec_dot` (measured
+  // 132 s → ~8 s at sf0.1 vs interpreted HOF lambdas).
+  //
+  // Exactness costs O(n²) by nature — that is q33's contract (it IS the
+  // oracle-checkable ground truth). The sub-quadratic scale path over the
+  // same data is q60: LSH-bucketed candidates + exact verify, recall < 1.
   // ---------------------------------------------------------------------------
+  private val GRID_B = 8
+
   def q33EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
     // Normalize each vector ONCE (O(n·d)) so the O(n²) pair stage is a single
-    // dot product — and that dot is the codegen'd native expression
-    // `vec_dot` (graft.functions.VecFunctions), not an interpreted
-    // higher-order lambda: measured 132 s → ~8 s at sf0.1 combined.
-    // cosine(a,b) ≡ dot(a/|a|, b/|b|); the oracle normalizes identically.
+    // dot product. cosine(a,b) ≡ dot(a/|a|, b/|b|); the oracle normalizes
+    // identically.
     graft.functions.VecFunctions.install(spark)
     val emb = Tables
       .balanced(Tables.embeddings(spark, dir))
@@ -244,9 +260,19 @@ object Dedup {
         expr("sqrt(aggregate(embedding, 0D, (a, e) -> a + cast(e AS double) * cast(e AS double)))")
       )
       .withColumn("unit", expr("transform(embedding, x -> cast(x AS double) / nrm)"))
-    val l = emb.select(col("vec_id").as("vec_a"), col("unit").as("ua"))
-    val r = emb.select(col("vec_id").as("vec_b"), col("unit").as("ub"))
-    l.join(r, col("vec_a") < col("vec_b") && expr("vec_dot(ua, ub)") >= 0.45)
+      .withColumn("blk", pmod(col("vec_id"), lit(GRID_B)).cast("int"))
+    val partner = explode(expr(s"sequence(0, ${GRID_B - 1})"))
+    val l = emb.select(col("vec_id").as("vec_a"), col("unit").as("ua"), col("blk").as("gl"))
+      .withColumn("gr", partner)
+      .as("l")
+    val r = emb.select(col("vec_id").as("vec_b"), col("unit").as("ub"), col("blk").as("gr"))
+      .withColumn("gl", partner)
+      .as("r")
+    l.join(
+        r,
+        col("l.gl") === col("r.gl") && col("l.gr") === col("r.gr") &&
+          col("vec_a") < col("vec_b") && expr("vec_dot(ua, ub)") >= 0.45
+      )
       .select(col("vec_a"), col("vec_b"), round(expr("vec_dot(ua, ub)"), 6).as("cosine"))
       .orderBy(col("vec_a"), col("vec_b"))
   }
@@ -263,15 +289,43 @@ object Dedup {
       |WHERE list_sum(list_transform(list_zip(l.unit, r.unit), z -> z[1] * z[2])) >= 0.45
       |ORDER BY vec_a, vec_b""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q60 — embedding near-dup via hyperplane-LSH candidates + exact verify:
+  // the sub-quadratic scale path over the same data as q33. Candidate pairs
+  // = corpus vectors sharing any (table, bucket) in the shared LSH index
+  // (Similarity.buildLshIndex — built once per session, reused by q35);
+  // exact cosine is computed on candidates ONLY. Reported pairs are always a
+  // SUBSET of q33's exact output (precision 1); recall < 1 is the ANN trade
+  // — DedupSpec pins it against q33 at sf0.001. Plan shape: bucket
+  // equi-join, never a cartesian/BNLJ.
+  // ---------------------------------------------------------------------------
+  def q60LshNearDup(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VecFunctions.install(spark)
+    val idx = Similarity.buildLshIndex(spark, dir)
+    val l = idx.select(col("t"), col("b"), col("vec_id").as("vec_a"), col("vb").as("ua"))
+    val r = idx.select(col("t"), col("b"), col("vec_id").as("vec_b"), col("vb").as("ub"))
+    l.as("l")
+      .join(r.as("r"), col("l.t") === col("r.t") && col("l.b") === col("r.b") && col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), col("ua"), col("ub"))
+      .dropDuplicates("vec_a", "vec_b") // a pair can collide in several tables
+      .withColumn("cosine", expr("vec_dot(ua, ub)"))
+      .filter(col("cosine") >= 0.45)
+      .select(col("vec_a"), col("vec_b"), round(col("cosine"), 6).as("cosine"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_exact_dedup" -> (q29ExactDedup _),
     "q30_minhash_pairs" -> (q30MinhashPairs _),
     "q31_simhash_pairs" -> (q31SimhashPairs _),
     "q32_token_jaccard" -> (q32TokenJaccard _),
-    "q33_embedding_neardup" -> (q33EmbeddingNearDup _)
+    "q33_embedding_neardup" -> (q33EmbeddingNearDup _),
+    "q60_lsh_neardup" -> (q60LshNearDup _)
   )
 
-  /** q30/q31 are hash-based LSH — not reproducible in plain SQL → rows-only. */
+  /** q30/q31/q60 are hash-based LSH — not reproducible in plain SQL →
+    * rows-only.
+    */
   val oracles: Map[String, String] = Map(
     "q29_exact_dedup" -> q29Oracle,
     "q32_token_jaccard" -> q32Oracle,

@@ -20,21 +20,25 @@ object RangeOps {
   // ---------------------------------------------------------------------------
   def q44RangeJoin(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
+    // Both sides derive from the same scan; explicit aliases make the join
+    // keys unambiguous (no dataset-id disambiguation heuristic).
     val purchases = ev
       .filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("purchase_event_id"), col("ts").as("p_ts"))
+      .as("p")
     val clicks = ev
       .filter(col("event_type") === "click")
       .select(col("user_id"), col("ts").as("c_ts"))
+      .as("c")
     purchases
       .join(
         clicks,
-        purchases("user_id") === clicks("user_id") &&
+        col("p.user_id") === col("c.user_id") &&
           col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
           col("c_ts") < col("p_ts"),
         "left"
       )
-      .groupBy(purchases("user_id").as("user_id"), col("purchase_event_id"))
+      .groupBy(col("p.user_id").as("user_id"), col("purchase_event_id"))
       .agg(count(col("c_ts")).as("clicks_prev_hour"))
       .orderBy(col("user_id"), col("purchase_event_id"))
   }

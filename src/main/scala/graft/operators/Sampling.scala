@@ -66,7 +66,7 @@ object Sampling {
       |            WHEN bucket < 230 THEN 'validation'
       |            ELSE 'test' END AS split,
       |       count(*) AS n_docs,
-      |       sum(n_chars) AS total_chars,
+      |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
       |       min(doc_id) AS min_doc_id
       |FROM b
       |GROUP BY 1

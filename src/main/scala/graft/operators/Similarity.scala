@@ -87,47 +87,145 @@ object Similarity {
 
   // ---------------------------------------------------------------------------
   // q35 — random-hyperplane LSH ANN: T tables × P sign-bits per table.
-  // Hyperplane weights are xxhash64-derived (deterministic, no stored model).
-  // Candidates = corpus vectors sharing any table-bucket with the query;
-  // exact cosine re-rank on candidates only.
+  // Hyperplane weights are splitmix64-derived (deterministic, no stored
+  // model). Candidates = corpus vectors sharing any table-bucket with the
+  // query; exact cosine re-rank on candidates only.
+  //
+  // Index/query separation: the bucketed corpus is an INDEX — built once per
+  // (session, dir) into a localCheckpoint (executor storage, lineage
+  // truncated) and reused by every subsequent call. The round-1 version
+  // rebuilt it per run AND inlined T×P×DIM literal doubles into the SQL
+  // expressions, which made Janino compile ~seconds of generated code per
+  // run; `plane_buckets` holds the plane matrix as a reference object
+  // instead (one tiny callback in codegen, like CentroidRanks below).
   // ---------------------------------------------------------------------------
   private val TABLES = 6
   private val PLANES = 6
 
   /** Deterministic hyperplane weights in [-1,1] (splitmix64-derived),
-    * embedded as literal arrays so each sign bit is ONE codegen'd vec_dot
-    * instead of an interpreted zip_with fold per plane.
+    * indexed [t * PLANES + p][dim].
     */
-  private def planeWeights(t: Int, p: Int): Array[Double] = {
-    val seed = t.toLong * 100003 + p.toLong * 1009
-    Array.tabulate(DIM)(d => graft.functions.VecFunctions.mix64(seed * 8191 + d).toDouble / 9.223372036854776e18)
+  private[operators] def planeMatrix(): Array[Array[Double]] =
+    Array.tabulate(TABLES * PLANES) { tp =>
+      val t = tp / PLANES
+      val p = tp % PLANES
+      val seed = t.toLong * 100003 + p.toLong * 1009
+      Array.tabulate(DIM)(d => graft.functions.VecFunctions.mix64(seed * 8191 + d).toDouble / 9.223372036854776e18)
+    }
+
+  /** All T packed sign-bit buckets of a unit vector in ONE call:
+    * element t = Σ_p (dot(plane[t,p], x) > 0 ? 2^p : 0). The plane matrix
+    * rides along as a codegen reference object — constant-size generated
+    * code regardless of T×P×DIM. (Sign bits are scale-invariant, so
+    * hashing the unit vector equals hashing the raw vector.)
+    */
+  private[operators] case class PlaneBuckets(
+      child: org.apache.spark.sql.catalyst.expressions.Expression,
+      planes: Array[Array[Double]],
+      nTables: Int,
+      nPlanes: Int
+  ) extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types._
+
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+    private def buckets(x: ArrayData): Array[Int] = {
+      val n = x.numElements()
+      val out = new Array[Int](nTables)
+      var t = 0
+      while (t < nTables) {
+        var packed = 0
+        var p = 0
+        while (p < nPlanes) {
+          val w = planes(t * nPlanes + p)
+          var d = 0.0
+          var i = 0
+          val lim = math.min(n, w.length)
+          while (i < lim) { d += x.getDouble(i) * w(i); i += 1 }
+          if (d > 0) packed |= (1 << p)
+          p += 1
+        }
+        out(t) = packed
+        t += 1
+      }
+      out
+    }
+
+    override protected def nullSafeEval(a: Any): Any =
+      ArrayData.toArrayData(buckets(a.asInstanceOf[ArrayData]))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("planeBuckets", this, classOf[PlaneBuckets].getName)
+      nullSafeCodeGen(
+        ctx,
+        ev,
+        a => s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($a);"
+      )
+    }
+
+    override protected def withNewChildInternal(
+        c: org.apache.spark.sql.catalyst.expressions.Expression
+    ): PlaneBuckets = copy(child = c)
   }
 
-  private def planeLit(t: Int, p: Int): String =
-    planeWeights(t, p).mkString("array(", "D, ", "D)")
-
-  /** Packed sign-bit bucket of unit-vector column `vcol` for table t (sign
-    * bits are scale-invariant, so hashing the unit vector equals hashing the
-    * raw vector).
-    */
-  private def bucketExpr(vcol: String, t: Int): String =
-    (0 until PLANES)
-      .map(p => s"if(vec_dot($vcol, ${planeLit(t, p)}) > 0D, ${1 << p}, 0)")
-      .mkString("(", " + ", ")")
-
-  private def withBuckets(df: DataFrame, vcol: String): DataFrame = {
-    val buckets = (0 until TABLES).map(t => expr(s"named_struct('t', $t, 'b', ${bucketExpr(vcol, t)})"))
-    df.withColumn("tb", explode(array(buckets: _*)))
-      .withColumn("t", col("tb.t"))
-      .withColumn("b", col("tb.b"))
-      .drop("tb")
+  private def installPlaneBuckets(spark: SparkSession): Unit = {
+    val id = org.apache.spark.sql.catalyst.FunctionIdentifier("plane_buckets")
+    if (!spark.sessionState.functionRegistry.functionExists(id)) {
+      val planes = planeMatrix()
+      spark.sessionState.functionRegistry.registerFunction(
+        id,
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[PlaneBuckets].getName,
+          "plane_buckets"
+        ),
+        (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          PlaneBuckets(args.head, planes, TABLES, PLANES)
+      )
+    }
   }
+
+  /** (t, b) bucket rows of `vcol`: one plane_buckets call, posexploded so
+    * the table index IS the position.
+    */
+  private[operators] def withBuckets(df: DataFrame, vcol: String): DataFrame = {
+    val others = df.columns.filter(_ != vcol).map(col).toSeq
+    df.select(others :+ col(vcol) :+ posexplode(expr(s"plane_buckets($vcol)")).as(Seq("t", "b")): _*)
+  }
+
+  // -- session-scoped ANN index cache -----------------------------------------
+  // Keyed by (sessionUUID, dir): an index outlives the query that built it
+  // and is shared by every later call in the session — the "build once,
+  // query many" shape ANN exists for. localCheckpoint truncates lineage and
+  // parks the blocks in executor storage (MEMORY_AND_DISK); entries for
+  // stopped sessions are unreachable-and-tiny (handles only), reclaimed with
+  // the session's block manager.
+  private val lshIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val ivfIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (Array[Array[Double]], DataFrame)]()
+
+  /** Build (or fetch) the LSH corpus index: (t, b, vec_id, vb-unit-vector),
+    * materialized. Returns the index DataFrame; callers time this separately
+    * from the query phase.
+    */
+  def buildLshIndex(spark: SparkSession, dir: String): DataFrame =
+    lshIndexCache.computeIfAbsent(
+      ((spark, dir)),
+      _ => {
+        graft.functions.VecFunctions.install(spark)
+        installPlaneBuckets(spark)
+        val corpus = withUnit(Tables.balanced(Tables.embeddings(spark, dir)), "embedding", "vb")
+          .select(col("vec_id"), col("vb"))
+        withBuckets(corpus, "vb").localCheckpoint()
+      }
+    )
 
   def q35LshTopK(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VecFunctions.install(spark)
-    val corpus = withUnit(Tables.balanced(Tables.embeddings(spark, dir)), "embedding", "vb")
-      .select(col("vec_id"), col("vb"))
-    val corpusBuckets = withBuckets(corpus, "vb")
+    installPlaneBuckets(spark)
+    val corpusBuckets = buildLshIndex(spark, dir)
     val queryBuckets = withBuckets(queriesDf(spark, dir).select(col("query_id"), col("va")), "va")
     val candidates = broadcast(queryBuckets)
       .join(corpusBuckets, Seq("t", "b"))
@@ -251,16 +349,32 @@ object Similarity {
     cents
   }
 
+  /** Build (or fetch) the IVF index: the trained centroids + the corpus
+    * with cluster assignment and unit vectors, materialized. The quantizer
+    * is trained ONCE per (session, dir) — queries only pay the probe join.
+    */
+  def buildIvfIndex(spark: SparkSession, dir: String): (Array[Array[Double]], DataFrame) =
+    ivfIndexCache.computeIfAbsent(
+      ((spark, dir)),
+      _ => {
+        graft.functions.VecFunctions.install(spark)
+        val cents = trainCentroids(spark, dir)
+        // cluster assignment + probe distances in RAW space (matching the
+        // trained centroids); exact re-rank on unit vectors via vec_dot.
+        installCentroidRanks(spark, cents)
+        val corpus = withUnit(Tables.balanced(Tables.embeddings(spark, dir)), "embedding", "vb")
+          .withColumn("emb_d", expr(toDouble("embedding")))
+          .withColumn("cluster", expr("element_at(centroid_ranks(emb_d), 1)"))
+          .select(col("vec_id"), col("vb"), col("cluster"))
+          .localCheckpoint()
+        (cents, corpus)
+      }
+    )
+
   def q36IvfTopK(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VecFunctions.install(spark)
-    val cents = trainCentroids(spark, dir)
-    // cluster assignment + probe distances in RAW space (matching the
-    // trained centroids); exact re-rank on unit vectors via vec_dot.
+    val (cents, corpus) = buildIvfIndex(spark, dir)
     installCentroidRanks(spark, cents)
-    val corpus = withUnit(Tables.balanced(Tables.embeddings(spark, dir)), "embedding", "vb")
-      .withColumn("emb_d", expr(toDouble("embedding")))
-      .withColumn("cluster", expr("element_at(centroid_ranks(emb_d), 1)"))
-      .select(col("vec_id"), col("vb"), col("cluster"))
     val probes = queriesDf(spark, dir)
       .withColumn("qraw_d", expr(toDouble("qraw")))
       .withColumn("cluster", explode(expr(s"slice(centroid_ranks(qraw_d), 1, $NPROBE)")))

@@ -35,14 +35,17 @@ object Skew {
   // q43 — salted aggregation over a deliberately skewed key (user_id % 3
   // collapses 150 users onto 3 hot keys). The salted plan computes the same
   // result as a plain groupBy — the oracle is the plain SQL — while phase 1
-  // runs on (key × 16 salts) groups.
+  // runs on (key × 16 salts) groups. The value is accumulated in DECIMAL
+  // (lossless for the 2-dp inputs): decimal addition is associative, so the
+  // salt-partitioned merge order can never flip a rounding boundary the way
+  // a double partial-sum could.
   // ---------------------------------------------------------------------------
   def q43SaltedAgg(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir).withColumn("hot_key", (col("user_id") % 3).cast("int"))
-    saltedSumCount(ev, col("hot_key"), col("value"), salts = 16)
+    saltedSumCount(ev, col("hot_key"), col("value").cast("decimal(18,2)"), salts = 16)
       .select(
         col("key").as("hot_key"),
-        round(col("total"), 2).as("total_value"),
+        col("total").cast("double").as("total_value"),
         col("n").as("n_events")
       )
       .orderBy(col("hot_key"))

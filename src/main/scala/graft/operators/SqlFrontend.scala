@@ -146,21 +146,21 @@ object SqlFrontend {
   val q55Oracle: String =
     """SELECT * FROM (
       |  SELECT 'c_custkey' AS column_name,
-      |         sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+      |         CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
       |         count(DISTINCT c_custkey) AS n_distinct,
       |         min(c_custkey)::DOUBLE AS min_value, max(c_custkey)::DOUBLE AS max_value
       |  FROM customer
       |  UNION ALL
-      |  SELECT 'c_name', sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END),
+      |  SELECT 'c_name', CAST(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT),
       |         count(DISTINCT c_name), NULL, NULL FROM customer
       |  UNION ALL
-      |  SELECT 'c_nationkey', sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END),
+      |  SELECT 'c_nationkey', CAST(sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
       |         count(DISTINCT c_nationkey), min(c_nationkey)::DOUBLE, max(c_nationkey)::DOUBLE FROM customer
       |  UNION ALL
-      |  SELECT 'c_acctbal', sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END),
+      |  SELECT 'c_acctbal', CAST(sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT),
       |         count(DISTINCT c_acctbal), min(c_acctbal)::DOUBLE, max(c_acctbal)::DOUBLE FROM customer
       |  UNION ALL
-      |  SELECT 'c_mktsegment', sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END),
+      |  SELECT 'c_mktsegment', CAST(sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT),
       |         count(DISTINCT c_mktsegment), NULL, NULL FROM customer)
       |ORDER BY column_name""".stripMargin
 

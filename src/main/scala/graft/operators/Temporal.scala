@@ -124,7 +124,7 @@ object Temporal {
 
   val q22Oracle: String =
     """WITH flagged AS (
-      |  SELECT user_id, ts, value,
+      |  SELECT user_id, ts, event_id, value,
       |         CASE WHEN lag(ts) OVER w IS NULL
       |                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
       |              THEN 1 ELSE 0 END AS new_session
@@ -132,8 +132,9 @@ object Temporal {
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |sessions AS (
       |  SELECT user_id, ts, value,
-      |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
-      |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      |         -- CAST: DuckDB sum(INT) is HUGEINT; Spark emits BIGINT.
+      |         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
       |  FROM flagged)
       |SELECT user_id, session_idx,
       |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,

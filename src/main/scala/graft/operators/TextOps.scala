@@ -139,8 +139,8 @@ object TextOps {
 
   val q27Oracle: String =
     """SELECT source, count(*) AS n_docs,
-      |  sum(len(string_split_regex(trim(text), '\s+'))) AS total_ws_tokens,
-      |  sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS total_bpe_tokens,
+      |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_ws_tokens,
+      |  CAST(sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS BIGINT) AS total_bpe_tokens,
       |  round(avg(len(string_split_regex(trim(text), '\s+'))), 4) AS avg_ws_tokens
       |FROM documents
       |GROUP BY source

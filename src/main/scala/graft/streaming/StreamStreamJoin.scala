@@ -23,14 +23,16 @@ object StreamStreamJoin {
     * @param purchases streaming DF: (user_id, purchase_id, purchase_ts)
     */
   def attributedPurchases(clicks: DataFrame, purchases: DataFrame, windowMinutes: Int): DataFrame =
-    purchases.join(
-      clicks,
-      purchases("user_id") === clicks("user_id") &&
+    // Explicit aliases: both sides may derive from one parent DF, and alias
+    // resolution must not fall back to the dataset-id heuristic.
+    purchases.as("p").join(
+      clicks.as("c"),
+      col("p.user_id") === col("c.user_id") &&
         col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $windowMinutes MINUTES") &&
         col("click_ts") < col("purchase_ts"),
       "inner"
     ).select(
-      purchases("user_id").as("user_id"),
+      col("p.user_id").as("user_id"),
       col("purchase_id"),
       col("purchase_ts"),
       col("click_ts")

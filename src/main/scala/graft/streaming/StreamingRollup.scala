@@ -46,6 +46,12 @@ object StreamingRollup {
     withClean
       .parquet(inputDir)
       .filter(col("device_settings.user_agent") === userAgent)
+      // Only the two known file families count — a stray dk_-stamped file is
+      // skipped, matching the batch FileRouter and the reference's router.
+      .filter(
+        input_file_name().contains("impressions_processed_dk_") ||
+          input_file_name().contains("clicks_processed_dk_")
+      )
       .withColumn(
         "event_ts",
         try_to_timestamp(regexp_extract(input_file_name(), "dk_(\\d{14})", 1), lit("yyyyMMddHHmmss"))
@@ -54,8 +60,7 @@ object StreamingRollup {
       .withColumn(
         "event_type",
         when(input_file_name().contains("impressions_processed_dk_"), "impression")
-          .when(input_file_name().contains("clicks_processed_dk_"), "click")
-          .otherwise("unknown")
+          .otherwise("click")
       )
       .withWatermark("event_ts", watermark)
       .groupBy(

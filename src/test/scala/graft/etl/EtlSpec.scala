@@ -283,14 +283,25 @@ class EtlSpec extends SparkSpec {
     val whDir = Files.createTempDirectory("whq").toString
     val wh = new ParquetWarehouse(spark, whDir)
     import spark.implicits._
-    def invalid(err: String, audit: String) =
-      Seq((java.sql.Timestamp.valueOf("2022-05-01 03:00:00"), err, "f.csv", java.sql.Timestamp.valueOf(audit)))
-        .toDF("datetime", "validation_error", "source_file", "audit_loaded_datetime")
-    wh.storeInvalid(invalid("first_error", "2022-05-02 10:00:00"))
-    val n = wh.storeInvalid(invalid("second_error", "2022-05-02 11:00:00"))
+    def invalid(err: String, audit: String, impressions: Long, clicks: Long) =
+      Seq(
+        (
+          java.sql.Timestamp.valueOf("2022-05-01 03:00:00"),
+          impressions,
+          clicks,
+          err,
+          "f.csv",
+          java.sql.Timestamp.valueOf(audit)
+        )
+      ).toDF("datetime", "impression_count", "click_count", "validation_error", "source_file", "audit_loaded_datetime")
+    wh.storeInvalid(invalid("first_error", "2022-05-02 10:00:00", 5L, 9L))
+    val n = wh.storeInvalid(invalid("second_error", "2022-05-02 11:00:00", 7L, 11L))
     assert(n === 1, "same (datetime, source_file) key upserts, not duplicates")
     val row = wh.readTable(ParquetWarehouse.ClientReportInvalid).get.collect().head
     assert(row.getAs[String]("validation_error") === "second_error")
+    // the offending counts ride along (reference client_report_invalid schema)
+    assert(row.getAs[Long]("impression_count") === 7L)
+    assert(row.getAs[Long]("click_count") === 11L)
   }
 
   // --- Pipeline end-to-end ---------------------------------------------------

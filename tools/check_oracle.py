@@ -31,7 +31,13 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
+NEAR_MISS_ABS_TOL = 1e-9
+
+
 def values_equal(a, b):
+    """Exact equality for pass/fail; floats within NEAR_MISS_ABS_TOL are
+    still failures but get flagged as near-misses in the report so
+    rounding-boundary flakes are distinguishable from real bugs."""
     if a is None and b is None:
         return True
     try:
@@ -43,10 +49,17 @@ def values_equal(a, b):
         pass
     if isinstance(a, float) or isinstance(b, float):
         try:
-            return float(a) == float(b) or math.isclose(float(a), float(b), rel_tol=0, abs_tol=0)
+            return float(a) == float(b)
         except (TypeError, ValueError):
             return False
     return a == b
+
+
+def is_near_miss(a, b):
+    try:
+        return math.isclose(float(a), float(b), rel_tol=0, abs_tol=NEAR_MISS_ABS_TOL)
+    except (TypeError, ValueError):
+        return False
 
 
 def main():
@@ -84,7 +97,9 @@ def main():
                 ]
                 if bad:
                     i, g, w = bad[0]
-                    problems.append(f"col {c}: {len(bad)} diffs, first@{i}: spark={g!r} duckdb={w!r}")
+                    near = sum(1 for _, x, y in bad if is_near_miss(x, y))
+                    tag = f" ({near}/{len(bad)} near-misses, |diff|<={NEAR_MISS_ABS_TOL})" if near else ""
+                    problems.append(f"col {c}: {len(bad)} diffs{tag}, first@{i}: spark={g!r} duckdb={w!r}")
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems))
             n_fail += 1
