@@ -51,16 +51,23 @@ object VecFunctions {
       s
     }
 
+    // fresh names: with non-nullable inputs nullSafeCodeGen inlines this
+    // block unscoped, so fixed local names collide when the expression
+    // appears twice in one codegen function (Janino "Redefinition of local
+    // variable" → silent whole-stage interpreted fallback).
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(
         ctx,
         ev,
-        (a, b) => s"""
-          |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-          |double s = 0.0;
-          |for (int i = 0; i < n; i++) { s += $a.getDouble(i) * $b.getDouble(i); }
-          |${ev.value} = s;
+        (a, b) => {
+          val n = ctx.freshName("n"); val s = ctx.freshName("s"); val i = ctx.freshName("i")
+          s"""
+          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+          |double $s = 0.0;
+          |for (int $i = 0; $i < $n; $i++) { $s += $a.getDouble($i) * $b.getDouble($i); }
+          |${ev.value} = $s;
           |""".stripMargin
+        }
       )
 
     override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDot =
@@ -101,20 +108,26 @@ object VecFunctions {
       c
     }
 
+    // fresh names — see VecDot.doGenCode for why fixed names break codegen
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(
         ctx,
         ev,
-        (a, b) => s"""
-          |int i = 0, j = 0, c = 0;
-          |int n = $a.numElements(), m = $b.numElements();
-          |while (i < n && j < m) {
-          |  long xv = $a.getLong(i); long yv = $b.getLong(j);
-          |  if (xv == yv) { c++; i++; j++; }
-          |  else if (xv < yv) { i++; } else { j++; }
+        (a, b) => {
+          val i = ctx.freshName("i"); val j = ctx.freshName("j"); val c = ctx.freshName("c")
+          val n = ctx.freshName("n"); val m = ctx.freshName("m")
+          val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+          s"""
+          |int $i = 0, $j = 0, $c = 0;
+          |int $n = $a.numElements(), $m = $b.numElements();
+          |while ($i < $n && $j < $m) {
+          |  long $xv = $a.getLong($i); long $yv = $b.getLong($j);
+          |  if ($xv == $yv) { $c++; $i++; $j++; }
+          |  else if ($xv < $yv) { $i++; } else { $j++; }
           |}
-          |${ev.value} = c;
+          |${ev.value} = $c;
           |""".stripMargin
+        }
       )
 
     override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedIntersectCount =
@@ -158,23 +171,30 @@ object VecFunctions {
       sig
     }
 
+    // fresh names — see VecDot.doGenCode for why fixed names break codegen
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(
         ctx,
         ev,
-        a => s"""
-          |int[] counts = new int[64];
-          |int n = $a.numElements();
-          |for (int i = 0; i < n; i++) {
-          |  long h = $a.getLong(i);
-          |  for (int b = 0; b < 64; b++) {
-          |    if (((h >>> b) & 1L) == 1L) counts[b]++; else counts[b]--;
+        a => {
+          val counts = ctx.freshName("counts"); val n = ctx.freshName("n")
+          val i = ctx.freshName("i"); val h = ctx.freshName("h")
+          val b = ctx.freshName("b"); val b2 = ctx.freshName("b2")
+          val sig = ctx.freshName("sig")
+          s"""
+          |int[] $counts = new int[64];
+          |int $n = $a.numElements();
+          |for (int $i = 0; $i < $n; $i++) {
+          |  long $h = $a.getLong($i);
+          |  for (int $b = 0; $b < 64; $b++) {
+          |    if ((($h >>> $b) & 1L) == 1L) $counts[$b]++; else $counts[$b]--;
           |  }
           |}
-          |long sig = 0L;
-          |for (int b = 0; b < 64; b++) { if (counts[b] > 0) sig |= (1L << b); }
-          |${ev.value} = sig;
+          |long $sig = 0L;
+          |for (int $b2 = 0; $b2 < 64; $b2++) { if ($counts[$b2] > 0) $sig |= (1L << $b2); }
+          |${ev.value} = $sig;
           |""".stripMargin
+        }
       )
 
     override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)

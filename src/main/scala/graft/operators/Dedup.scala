@@ -302,12 +302,13 @@ object Dedup {
   def q60LshNearDup(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VecFunctions.install(spark)
     val idx = Similarity.buildLshIndex(spark, dir)
-    val l = idx.select(col("t"), col("b"), col("vec_id").as("vec_a"), col("vb").as("ua"))
-    val r = idx.select(col("t"), col("b"), col("vec_id").as("vec_b"), col("vb").as("ub"))
+    val l = idx.select(col("t"), col("b"), col("vec_id").as("vec_a"), col("vb").as("ua"), col("cbs").as("a_bs"))
+    val r = idx.select(col("t"), col("b"), col("vec_id").as("vec_b"), col("vb").as("ub"), col("cbs").as("b_bs"))
     l.as("l")
       .join(r.as("r"), col("l.t") === col("r.t") && col("l.b") === col("r.b") && col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"), col("ua"), col("ub"))
-      .dropDuplicates("vec_a", "vec_b") // a pair can collide in several tables
+      // a pair can collide in several tables: keep it only at the FIRST
+      // colliding table — exact dedup as a predicate, no shuffle
+      .filter(Similarity.firstCollision("a_bs", "b_bs", tCol = "l.t"))
       .withColumn("cosine", expr("vec_dot(ua, ub)"))
       .filter(col("cosine") >= 0.45)
       .select(col("vec_a"), col("vec_b"), round(col("cosine"), 6).as("cosine"))

@@ -43,6 +43,9 @@ object Similarity {
     ).withColumn(outCol, expr(s"transform($vecCol, x -> cast(x AS double) / __nrm)"))
       .drop("__nrm")
 
+  private[operators] def queriesDfForScratch(spark: SparkSession, dir: String): DataFrame =
+    queriesDf(spark, dir)
+
   private def queriesDf(spark: SparkSession, dir: String): DataFrame =
     withUnit(Tables.embeddings(spark, dir).filter(col("vec_id") < N_QUERIES), "embedding", "va")
       .select(col("vec_id").as("query_id"), col("embedding").as("qraw"), col("va"))
@@ -187,12 +190,30 @@ object Similarity {
   }
 
   /** (t, b) bucket rows of `vcol`: one plane_buckets call, posexploded so
-    * the table index IS the position.
+    * the table index IS the position. The full bucket array rides along as
+    * `bsName` — downstream joins use it to dedup multi-table collisions
+    * WITHOUT a shuffle (see firstCollision).
     */
-  private[operators] def withBuckets(df: DataFrame, vcol: String): DataFrame = {
-    val others = df.columns.filter(_ != vcol).map(col).toSeq
-    df.select(others :+ col(vcol) :+ posexplode(expr(s"plane_buckets($vcol)")).as(Seq("t", "b")): _*)
+  private[operators] def withBuckets(df: DataFrame, vcol: String, bsName: String = "bs"): DataFrame = {
+    val withBs = df.withColumn(bsName, expr(s"plane_buckets($vcol)"))
+    // posexplode_OUTER: a plain posexplode makes Catalyst push
+    // `size(plane_buckets(...)) > 0 AND isnotnull(plane_buckets(...))`
+    // guard conjuncts down into the scan filter, re-evaluating the whole
+    // bucket computation per scanned row (measured 0.48 s -> 0.06 s on the
+    // 5-query side at sf0.1). plane_buckets always returns a TABLES-length
+    // non-null array, so outer vs inner explode is semantically identical.
+    withBs.select(withBs.columns.map(col).toSeq :+ posexplode_outer(col(bsName)).as(Seq("t", "b")): _*)
   }
+
+  /** True iff table `t` (0-based posexplode position) is the FIRST table
+    * where the two bucket arrays collide. Filtering candidate pairs on this
+    * keeps exactly one copy of every colliding pair — equivalent to
+    * dropDuplicates over the pair key, but as a per-row predicate instead
+    * of a full shuffle. The arrays are TABLES ints, so the interpreted
+    * zip_with/exists lambdas touch candidates only, never the corpus.
+    */
+  private[operators] def firstCollision(aBs: String, bBs: String, tCol: String = "t"): Column =
+    !expr(s"exists(zip_with(slice($aBs, 1, $tCol), slice($bBs, 1, $tCol), (x, y) -> x = y), v -> v)")
 
   // -- session-scoped ANN index cache -----------------------------------------
   // Keyed by (sessionUUID, dir): an index outlives the query that built it
@@ -218,7 +239,7 @@ object Similarity {
         installPlaneBuckets(spark)
         val corpus = withUnit(Tables.balanced(Tables.embeddings(spark, dir)), "embedding", "vb")
           .select(col("vec_id"), col("vb"))
-        withBuckets(corpus, "vb").localCheckpoint()
+        withBuckets(corpus, "vb", bsName = "cbs").localCheckpoint()
       }
     )
 
@@ -226,12 +247,14 @@ object Similarity {
     graft.functions.VecFunctions.install(spark)
     installPlaneBuckets(spark)
     val corpusBuckets = buildLshIndex(spark, dir)
-    val queryBuckets = withBuckets(queriesDf(spark, dir).select(col("query_id"), col("va")), "va")
+    val queryBuckets =
+      withBuckets(queriesDf(spark, dir).select(col("query_id"), col("va")), "va", bsName = "qbs")
     val candidates = broadcast(queryBuckets)
       .join(corpusBuckets, Seq("t", "b"))
       .filter(col("query_id") =!= col("vec_id"))
+      // multi-table collisions dedup'd by predicate, not by a shuffle
+      .filter(firstCollision("qbs", "cbs"))
       .select(col("query_id"), col("va"), col("vec_id"), col("vb"))
-      .dropDuplicates("query_id", "vec_id")
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
     candidates
       .withColumn("cosine", expr("vec_dot(va, vb)"))

@@ -63,4 +63,31 @@ class DedupSpec extends SparkSpec {
       assert(c >= 0.45 && c <= 1.0)
     }
   }
+
+  test("q33 plan: grid-blocked equi-join, no BroadcastNestedLoopJoin/cartesian") {
+    val plan = Dedup.q33EmbeddingNearDup(spark, sfDir).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "q33 must not plan a BNLJ")
+    assert(!plan.contains("CartesianProduct"), "q33 must not plan a cartesian")
+  }
+
+  test("q60 LSH near-dup: precision-1 subset of exact q33, recall pinned") {
+    // sf0.01: enough planted near-dup pairs for a meaningful recall pin
+    val dir = "/root/testdata/sf0.01"
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Dedup.q33EmbeddingNearDup(spark, dir))
+    val approx = pairs(Dedup.q60LshNearDup(spark, dir))
+    assert(exact.nonEmpty, "test corpus should contain cosine near-dups")
+    assert(approx.subsetOf(exact), s"q60 reported non-pairs: ${approx.diff(exact)}")
+    val recall = approx.size.toDouble / exact.size
+    info(s"q60 recall vs exact q33 at sf0.01: $recall (${approx.size}/${exact.size})")
+    // The synthetic embeddings are near-uniform: every exact pair sits at
+    // cos 0.45-0.51 (θ≈62°), where per-table 6-bit collision odds are
+    // (1-θ/π)^6 ≈ 0.08 → expected recall over 6 tables ≈ 0.39. The planes
+    // are deterministic (splitmix64), so observed recall on this dataset is
+    // a constant 3/14 ≈ 0.214 — the pin sits just below it. On real
+    // clustered embeddings (dup cosine ≫ background) recall approaches 1;
+    // uniform data is LSH's worst case, and precision stays exactly 1.
+    assert(recall >= 0.15, s"q60 recall collapsed: $recall")
+  }
 }

@@ -38,6 +38,28 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("q35 LSH at sf0.1: recall@10 pinned vs brute force, cosines exact") {
+    val dir = "/root/testdata/sf0.1"
+    val brute = Similarity.q34BruteForceTopK(spark, dir).collect()
+    val lsh = Similarity.q35LshTopK(spark, dir).collect()
+    val trueTop = byQuery(brute).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val hits = lsh.count(r => trueTop(r.getLong(0)).contains(r.getLong(2)))
+    info(s"q35 recall@10 at sf0.1: $hits/${brute.length}")
+    // near-uniform synthetic vectors: expected per-pair collision odds over
+    // 6 tables x 6 planes ≈ 0.4 for true-top-10 cosines (~0.45); floor well
+    // below the binomial mean so the pin is stable, but high enough that a
+    // broken index (zero overlap) or broken dedup (duplicate ranks) fails.
+    assert(hits >= 10, s"q35 recall@10 collapsed: $hits/${brute.length}")
+    // every returned cosine must equal the true cosine for that pair
+    val trueCos = brute.map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    lsh.foreach { r =>
+      trueCos.get((r.getLong(0), r.getLong(2))).foreach(c => assert(math.abs(c - r.getDouble(3)) < 1e-9))
+    }
+    // dedup-by-predicate must not duplicate a pair across tables
+    val pairs = lsh.map(r => (r.getLong(0), r.getLong(2)))
+    assert(pairs.distinct.length === pairs.length, "duplicate (query, vec) pair in q35 output")
+  }
+
   test("q36 IVF: k results per query, correct cosines, some true-top-10 recall") {
     val brute = Similarity.q34BruteForceTopK(spark, sfDir).collect()
     val ivf = Similarity.q36IvfTopK(spark, sfDir).collect()
