@@ -71,17 +71,7 @@ class ParquetWarehouse(spark: SparkSession, baseDir: String) {
   /** Prepare a report frame for load (reference `warehouse.py:331-389`):
     * datetime key = date + hour:00:00, counts cast long, audit stamp.
     */
-  def prepare(report: DataFrame): DataFrame =
-    report
-      .withColumn(
-        "datetime",
-        to_timestamp(concat(col("date"), lit(" "), lpad(col("hour").cast("string"), 2, "0")), "yyyy-MM-dd HH")
-      )
-      .withColumn("impression_count", col("impression_count").cast("long"))
-      .withColumn("click_count", col("click_count").cast("long"))
-      .withColumn("audit_loaded_datetime", current_timestamp())
-      .select(col("datetime"), col("impression_count"), col("click_count"), col("audit_loaded_datetime"))
-      .orderBy(col("datetime"))
+  def prepare(report: DataFrame): DataFrame = ParquetWarehouse.prepare(report)
 
   final case class LoadReport(
       rowsLoaded: Long,
@@ -207,6 +197,23 @@ object ParquetWarehouse {
   val ClientReport = "client_report"
   val ClientReportArchive = "client_report_archive"
   val ClientReportInvalid = "client_report_invalid"
+
+  /** Prepare a report frame for load (reference `warehouse.py:331-389`):
+    * datetime key = date + hour:00:00, counts cast long, audit stamp.
+    * Shared by the parquet and JDBC sinks — the load plan is identical,
+    * only the writer differs.
+    */
+  def prepare(report: DataFrame): DataFrame =
+    report
+      .withColumn(
+        "datetime",
+        to_timestamp(concat(col("date"), lit(" "), lpad(col("hour").cast("string"), 2, "0")), "yyyy-MM-dd HH")
+      )
+      .withColumn("impression_count", col("impression_count").cast("long"))
+      .withColumn("click_count", col("click_count").cast("long"))
+      .withColumn("audit_loaded_datetime", current_timestamp())
+      .select(col("datetime"), col("impression_count"), col("click_count"), col("audit_loaded_datetime"))
+      .orderBy(col("datetime"))
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p))
