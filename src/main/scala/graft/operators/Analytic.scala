@@ -231,7 +231,12 @@ object Analytic {
         col("r_name"),
         col("n_name"),
         col("nation_rev").cast("double").as("nation_rev"),
-        round(col("nation_rev") / col("region_rev") * 100, 4).cast("double").as("rev_share_pct")
+        // floor-form rounding in all-double arithmetic, written identically
+        // in the oracle: every op is IEEE-exact, so both engines agree even
+        // at .xxxx5 boundaries (round(double) does not — see q12).
+        (floor(
+          col("nation_rev").cast("double") * lit(100.0) / col("region_rev").cast("double") * lit(10000.0) + lit(0.5)
+        ) / lit(10000.0)).as("rev_share_pct")
       )
       .orderBy(col("r_name"), col("n_name"))
   }
@@ -247,7 +252,8 @@ object Analytic {
       |  GROUP BY r_name, n_name)
       |SELECT r_name, n_name,
       |       CAST(nation_rev AS DOUBLE) AS nation_rev,
-      |       CAST(round(nation_rev / sum(nation_rev) OVER (PARTITION BY r_name) * 100, 4) AS DOUBLE)
+      |       floor(CAST(nation_rev AS DOUBLE) * 100.0
+      |             / CAST(sum(nation_rev) OVER (PARTITION BY r_name) AS DOUBLE) * 10000.0 + 0.5) / 10000.0
       |         AS rev_share_pct
       |FROM per_nation
       |ORDER BY r_name, n_name""".stripMargin

@@ -344,7 +344,12 @@ object Relational {
         round(max(col("l_extendedprice")), 2).as("max_price"),
         round(avg(col("l_extendedprice")), 2).as("avg_price"),
         round(stddev(col("l_extendedprice")), 2).as("std_price"),
-        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("median_price"),
+        // floor-form rounding, NOT round(): Spark rounds doubles through
+        // BigDecimal.valueOf (shortest decimal string, HALF_UP) while DuckDB
+        // rounds numerically — at an exact .xx5 boundary they disagree (seen
+        // at sf0.001: 52724.245 → .24 vs .25). floor(x*100+0.5)/100 written
+        // identically in both dialects is IEEE-exact and engine-agnostic.
+        expr("floor(percentile(l_extendedprice, 0.5) * 100.0 + 0.5) / 100.0").as("median_price"),
         count(lit(1)).as("n")
       )
       .orderBy(col("l_returnflag"))
@@ -355,7 +360,7 @@ object Relational {
       | round(max(l_extendedprice), 2) AS max_price,
       | round(avg(l_extendedprice), 2) AS avg_price,
       | round(stddev_samp(l_extendedprice), 2) AS std_price,
-      | round(quantile_cont(l_extendedprice, 0.5), 2) AS median_price,
+      | floor(quantile_cont(l_extendedprice, 0.5) * 100.0 + 0.5) / 100.0 AS median_price,
       | count(*) AS n
       |FROM lineitem
       |GROUP BY l_returnflag
