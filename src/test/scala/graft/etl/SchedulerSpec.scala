@@ -1,0 +1,105 @@
+package graft.etl
+
+import java.nio.file.Files
+import java.time.{Duration, LocalDateTime}
+
+import graft.SparkSpec
+
+/** Scheduler parity with the reference's cron layer
+  * (`docker/cron/schedules.py`, `setup-cron.sh`): environment → cadence
+  * mapping, 5-field cron evaluation, and the re-ticking loop driving the
+  * REAL pipeline + warehouse across multiple fires on a virtual clock —
+  * L1/T1 as "the loop", not one tick.
+  */
+class SchedulerSpec extends SparkSpec {
+
+  import Scheduler._
+
+  test("environment → schedule mapping matches the reference (unknown → testing)") {
+    assert(schedule("testing") === "* * * * *")
+    assert(schedule("development") === "*/5 * * * *")
+    assert(schedule("production") === "0 */6 * * *")
+    assert(schedule("staging") === "* * * * *", "get_schedule defaults to TESTING_SCHEDULE")
+  }
+
+  test("cron evaluation: the three reference cadences fire when cron would") {
+    val t0 = LocalDateTime.of(2022, 5, 27, 11, 7)
+    assert(parse("* * * * *").nextAfter(t0) === t0.plusMinutes(1))
+    assert(parse("*/5 * * * *").nextAfter(t0) === LocalDateTime.of(2022, 5, 27, 11, 10))
+    assert(parse("0 */6 * * *").nextAfter(t0) === LocalDateTime.of(2022, 5, 27, 12, 0))
+    // production fires exactly at 00/06/12/18 (reference comment)
+    val fires = Iterator
+      .iterate(LocalDateTime.of(2022, 5, 27, 0, 0))(parse("0 */6 * * *").nextAfter)
+      .drop(1)
+      .take(4)
+      .toSeq
+    assert(fires.map(_.getHour) === Seq(6, 12, 18, 0))
+    assert(fires.forall(_.getMinute == 0))
+  }
+
+  test("cron field vocabulary: lists, ranges, steps, Sunday as 0 and 7") {
+    assert(parseField("1,15,30", 0, 59) === Set(1, 15, 30))
+    assert(parseField("9-17", 0, 23) === (9 to 17).toSet)
+    assert(parseField("10-20/5", 0, 59) === Set(10, 15, 20))
+    val sundays = parse("0 0 * * 7")
+    assert(sundays.matches(LocalDateTime.of(2022, 5, 29, 0, 0)), "2022-05-29 is a Sunday")
+    assert(parse("0 0 * * 0").matches(LocalDateTime.of(2022, 5, 29, 0, 0)))
+    intercept[IllegalArgumentException](parse("61 * * * *"))
+    intercept[IllegalArgumentException](parse("* * * *"))
+  }
+
+  test("loop re-ticks the full pipeline: two fires, two warehouse loads") {
+    val in = Files.createTempDirectory("cron_in")
+    val out = Files.createTempDirectory("cron_out")
+    val wh = Files.createTempDirectory("cron_wh")
+
+    // virtual clock: sleep() advances time instead of blocking
+    var clock = LocalDateTime.of(2022, 5, 27, 11, 0, 30)
+    val sleeps = scala.collection.mutable.ArrayBuffer[Long]()
+    def now() = clock
+    def sleep(d: Duration): Unit = { sleeps += d.toMillis; clock = clock.plus(d) }
+
+    // first tick sees day 1, second tick sees day 2 (dropped mid-loop,
+    // like a new raw file landing between cron fires)
+    Fixtures.writeEventFile(spark, in, "impressions", "20220527", 12, 10)
+    Fixtures.writeEventFile(spark, in, "clicks", "20220527", 12, 20)
+
+    val processed = scala.collection.mutable.ArrayBuffer[Seq[String]]()
+    val ticks = Scheduler.loop(parse("* * * * *"), now _, sleep, maxTicks = Some(2)) { fireAt =>
+      assert(fireAt.getSecond === 0, "fires on the minute")
+      val r = Pipeline.run(spark, in.toString, out.toString, wh.toString, Fixtures.UA)
+      processed += r.processedDates.map(_.date)
+      if (processed.size == 1) {
+        Fixtures.writeEventFile(spark, in, "impressions", "20220528", 9, 7)
+      }
+      true
+    }
+
+    assert(ticks === 2)
+    assert(sleeps.head === 30000L, "first sleep lands on the next minute boundary")
+    assert(processed.toSeq === Seq(Seq("2022-05-27"), Seq("2022-05-28")))
+    // both ticks loaded the warehouse: both dates present
+    val report = new ParquetWarehouse(spark, wh.toString)
+      .readTable(ParquetWarehouse.ClientReport)
+      .get
+    val dates = report.select(org.apache.spark.sql.functions.to_date(org.apache.spark.sql.functions.col("datetime")))
+      .distinct()
+      .collect()
+      .map(_.get(0).toString)
+      .sorted
+    assert(dates === Array("2022-05-27", "2022-05-28"))
+    // consume-once across ticks: inputs were drained
+    assert(FileRouter.listParquet(in.toString).isEmpty)
+  }
+
+  test("loop stops when the tick callback returns false") {
+    var clock = LocalDateTime.of(2022, 1, 1, 0, 0)
+    val n = Scheduler.loop(
+      parse("* * * * *"),
+      () => clock,
+      d => clock = clock.plus(d),
+      maxTicks = Some(100)
+    )(_ => false)
+    assert(n === 1)
+  }
+}
