@@ -15,8 +15,76 @@ object VerifySetup {
 
   final case class Check(name: String, ok: Boolean, detail: String = "")
 
+  /** Project-structure check (reference `verify_setup.py:44-63`): the
+    * operational directories (inputs, outputs, warehouse, logs) exist or
+    * are created, and are writable. Paths come from the same env vars the
+    * CLI honors (`config.py` parity), rooted at `base` when relative.
+    */
+  def checkStructure(base: java.nio.file.Path): Check =
+    try {
+      val dirs = Seq(
+        sys.env.getOrElse("INPUT_PATH", "raw_data"),
+        sys.env.getOrElse("OUTPUT_PATH", "output"),
+        sys.env.getOrElse("WAREHOUSE_PATH", "warehouse"),
+        sys.env.getOrElse("LOG_PATH", "logs")
+      ).map { p =>
+        val path = Paths.get(p)
+        if (path.isAbsolute) path else base.resolve(p)
+      }
+      // create missing directories, as the reference does
+      dirs.foreach(Files.createDirectories(_))
+      val unwritable = dirs.filterNot(Files.isWritable)
+      Check(
+        "structure",
+        unwritable.isEmpty,
+        if (unwritable.isEmpty) dirs.mkString(",") else s"unwritable: ${unwritable.mkString(",")}"
+      )
+    } catch { case e: Exception => Check("structure", ok = false, e.toString) }
+
+  /** Runtime-environment check (reference `verify_setup.py:65-87`: Python
+    * version + core packages; here: JVM 17+, Spark 4.x on the classpath,
+    * and the scala-library version the build targets).
+    */
+  def checkEnvironment(): Check =
+    try {
+      val javaOk = Runtime.version().feature() >= 17
+      val sparkVer = org.apache.spark.SPARK_VERSION
+      val scalaOk = scala.util.Properties.versionNumberString.startsWith("2.13")
+      Check(
+        "environment",
+        javaOk && sparkVer.startsWith("4.") && scalaOk,
+        s"java=${Runtime.version().feature()} spark=$sparkVer scala=${scala.util.Properties.versionNumberString}"
+      )
+    } catch { case e: Exception => Check("environment", ok = false, e.toString) }
+
+  /** Warehouse round trip (the reference's `check_database`,
+    * `verify_setup.py:89-120`, sans Postgres: this container's warehouse is
+    * the parquet sink): ensure-schema-on-first-write → load → verify counts.
+    */
+  def checkWarehouse(spark: SparkSession): Check =
+    try {
+      import spark.implicits._
+      val dir = Files.createTempDirectory("verify_wh")
+      val wh = new ParquetWarehouse(spark, dir.toString)
+      val prepared = ParquetWarehouse.prepare(
+        Seq(("2022-01-01", 0, 1L, 2L), ("2022-01-01", 1, 3L, 4L))
+          .toDF("date", "hour", "impression_count", "click_count")
+      )
+      val report = wh.load(prepared)
+      val v = wh.verify()
+      Check(
+        "warehouse_roundtrip",
+        report.rowsLoaded == 2 && v("row_count") == 2L && v("total_impressions") == 4L,
+        s"loaded=${report.rowsLoaded} verify=$v"
+      )
+    } catch { case e: Exception => Check("warehouse_roundtrip", ok = false, e.toString) }
+
   def run(spark: SparkSession, testdataDir: String = "/root/testdata/sf0.001"): Seq[Check] = {
     val checks = Seq.newBuilder[Check]
+
+    checks += checkStructure(Files.createTempDirectory("verify_structure"))
+    checks += checkEnvironment()
+    checks += checkWarehouse(spark)
 
     // Spark smoke: createDataFrame → count (reference verify_setup.py:263-286)
     checks += (try {
