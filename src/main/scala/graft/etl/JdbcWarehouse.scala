@@ -43,7 +43,11 @@ class JdbcWarehouse(
     dialect: SqlDialect,
     schema: String = "adform_dw",
     batchSize: Int = 1000
-) extends Serializable {
+) extends WarehouseSink
+    with Serializable {
+
+  override def loadPrepared(prepared: DataFrame): Long = load(prepared).rowsLoaded
+  override def storeInvalidRows(invalid: DataFrame): Unit = storeInvalid(invalid)
 
   import JdbcWarehouse._
   import ParquetWarehouse.{ClientReport, ClientReportArchive, ClientReportInvalid}

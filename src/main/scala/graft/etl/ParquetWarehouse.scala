@@ -37,9 +37,12 @@ import org.apache.spark.sql.functions._
   * (anti-join, range filter, keyed last-writer-wins) are exactly the ones
   * those formats execute.
   */
-class ParquetWarehouse(spark: SparkSession, baseDir: String) {
+class ParquetWarehouse(spark: SparkSession, baseDir: String) extends WarehouseSink {
 
   import ParquetWarehouse._
+
+  override def loadPrepared(prepared: DataFrame): Long = load(prepared).rowsLoaded
+  override def storeInvalidRows(invalid: DataFrame): Unit = { storeInvalid(invalid); () }
 
   private def tableDir(name: String): Path = Paths.get(baseDir, name)
 

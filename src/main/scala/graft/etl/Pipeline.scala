@@ -48,6 +48,19 @@ object Pipeline {
       warehouseDir: String,
       userAgent: String,
       deleteInputs: Boolean = true
+  ): RunResult =
+    run(spark, inputDir, outputDir, new ParquetWarehouse(spark, warehouseDir), userAgent, deleteInputs)
+
+  /** Sink-generic form: the same plan loads parquet directories or a SQL
+    * warehouse ([[JdbcWarehouse]]) — the sink is constructor choice.
+    */
+  def run(
+      spark: SparkSession,
+      inputDir: String,
+      outputDir: String,
+      sink: WarehouseSink,
+      userAgent: String,
+      deleteInputs: Boolean
   ): RunResult = {
     val routed = FileRouter.route(FileRouter.listParquet(inputDir))
 
@@ -82,31 +95,29 @@ object Pipeline {
     // Task 2: load each CSV into the warehouse with validation + quarantine —
     // per-file error isolation, mirroring Task 1 (one bad load must not
     // discard the run's results).
-    val wh = new ParquetWarehouse(spark, warehouseDir)
     var quarantined = 0L
     val loadResults = ok.map { r =>
       r.csvPath -> Try {
         val raw = spark.read.option("header", "true").schema(csvSchema).csv(r.csvPath)
         val v = QualityRules.validate(raw, Paths.get(r.csvPath).getFileName.toString)
-        val invalid = wh.prepareInvalid(v.quarantined)
+        val invalid = prepareInvalid(v.quarantined)
         quarantined += invalid.count()
-        wh.storeInvalid(invalid)
-        wh.load(wh.prepare(v.cleaned)).rowsLoaded
+        sink.storeInvalidRows(invalid)
+        sink.loadPrepared(ParquetWarehouse.prepare(v.cleaned))
       }
     }
     val loaded = loadResults.collect { case (p, Success(n)) => (p, n) }
     val loadFailed = loadResults.collect { case (p, Failure(e)) => (p, e.toString) }
 
-    RunResult(ok, failed ++ loadFailed, deleted, loaded, quarantined, wh.verify())
+    RunResult(ok, failed ++ loadFailed, deleted, loaded, quarantined, sink.verify())
   }
 
-  implicit private class InvalidPrep(private val wh: ParquetWarehouse) {
-    /** Quarantine rows carry the report's (date,hour); key them like the
-      * report for the upsert. try_to_timestamp: quarantined rows can hold
-      * invalid hours (that's why they're quarantined) → null key, not error.
-      */
-    def prepareInvalid(q: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-      q.withColumn(
+  /** Quarantine rows carry the report's (date,hour); key them like the
+    * report for the upsert. try_to_timestamp: quarantined rows can hold
+    * invalid hours (that's why they're quarantined) → null key, not error.
+    */
+  private def prepareInvalid(q: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    q.withColumn(
         "datetime",
         org.apache.spark.sql.functions.try_to_timestamp(
           org.apache.spark.sql.functions.concat(
@@ -117,5 +128,4 @@ object Pipeline {
           org.apache.spark.sql.functions.lit("yyyy-MM-dd HH")
         )
       )
-  }
 }

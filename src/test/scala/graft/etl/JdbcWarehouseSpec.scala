@@ -128,6 +128,21 @@ class JdbcWarehouseSpec extends SparkSpec {
     assert(pg.count(_ == '?') === merge.count(_ == '?'))
   }
 
+  test("pipeline end-to-end into the JDBC sink: golden counts land in client_report") {
+    val in = java.nio.file.Files.createTempDirectory("jdbc_in")
+    val out = java.nio.file.Files.createTempDirectory("jdbc_out")
+    val (wh, name) = freshWh()
+    Fixtures.goldenScenario(spark, in)
+
+    val result = Pipeline.run(spark, in.toString, out.toString, wh, Fixtures.UA, deleteInputs = true)
+    assert(result.success && result.processedDates.map(_.date) === Seq("2022-05-27"))
+    assert(result.warehouseSummary("row_count") === 24L)
+    assert(result.warehouseSummary("total_impressions") === 10L)
+    assert(result.warehouseSummary("total_clicks") === 30L)
+    val t = FakeJdbc.db(name).table("client_report")
+    assert(t.allRows.size === 24, "dense 24-hour report loaded through the SQL path")
+  }
+
   test("JDBC and parquet warehouses agree on the same load sequence") {
     val (jdbc, name) = freshWh()
     val whDir = java.nio.file.Files.createTempDirectory("wh_parity").toString
