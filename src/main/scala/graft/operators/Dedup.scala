@@ -315,13 +315,94 @@ object Dedup {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  // ---------------------------------------------------------------------------
+  // q61 — duplicate CLUSTERS: connected components over the exact near-dup
+  // pair graph (q32's edges), labeling every involved doc with the minimum
+  // doc_id of its component — the canonical-representative step a dedup
+  // pipeline actually ships (pairs alone don't tell you which doc to keep).
+  //
+  // Algorithm: distributed min-label propagation to fixpoint. Each round is
+  // one edge⨝label equi-join + a min-aggregate — all shuffle-partitioned on
+  // the node key, nothing on the driver but the converged counter. Rounds =
+  // graph diameter; similarity graphs at >= 0.8 Jaccard are near-cliques
+  // (diameter 1-3), so the loop is 2-4 rounds even at corpus scale. (For
+  // adversarial long-chain graphs the same loop slots in pointer-doubling /
+  // large-star-small-star [Kiveris et al., "Connected Components in
+  // MapReduce"] for O(log n) rounds — not needed for near-dup topology.)
+  // localCheckpoint per round truncates the otherwise-exponential lineage.
+  // ---------------------------------------------------------------------------
+  def q61DupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = q32TokenJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst")
+      .localCheckpoint()
+    var labels = edges
+      .select(col("src").as("node"))
+      .distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val viaEdges = edges
+        .join(labels, edges("src") === labels("node"))
+        .select(col("dst").as("node"), col("label"))
+      val next = viaEdges
+        .union(labels)
+        .groupBy(col("node"))
+        .agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      changed = next
+        .join(labels.withColumnRenamed("label", "old_label"), "node")
+        .filter(col("label") =!= col("old_label"))
+        .count()
+      labels = next
+    }
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    labels
+      .join(sizes, "label")
+      .select(col("node").as("doc_id"), col("label").as("cluster"), col("cluster_size"))
+      .orderBy(col("cluster"), col("doc_id"))
+  }
+
+  /** Same components in DuckDB: min-label reachability via a recursive CTE
+    * (the UNION dedups (node, label) states, so the fixpoint enumerates
+    * component-mates, not paths).
+    */
+  val q61Oracle: String =
+    """WITH RECURSIVE pairs AS (
+      |  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b
+      |  FROM (SELECT lang, doc_id,
+      |               list_distinct(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS toks
+      |        FROM documents) l
+      |  JOIN (SELECT lang, doc_id,
+      |               list_distinct(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS toks
+      |        FROM documents) r
+      |    ON l.lang = r.lang AND l.doc_id < r.doc_id
+      |  WHERE len(list_intersect(l.toks, r.toks))::DOUBLE
+      |        / len(list_distinct(list_concat(l.toks, r.toks))) >= 0.8),
+      |edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  UNION ALL
+      |  SELECT doc_b, doc_a FROM pairs),
+      |walk(node, label) AS (
+      |  SELECT DISTINCT src, src FROM edges
+      |  UNION
+      |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node),
+      |labels AS (SELECT node, min(label) AS cluster FROM walk GROUP BY node),
+      |sizes AS (SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size FROM labels GROUP BY cluster)
+      |SELECT l.node AS doc_id, l.cluster AS cluster, s.cluster_size
+      |FROM labels l JOIN sizes s USING (cluster)
+      |ORDER BY cluster, doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_exact_dedup" -> (q29ExactDedup _),
     "q30_minhash_pairs" -> (q30MinhashPairs _),
     "q31_simhash_pairs" -> (q31SimhashPairs _),
     "q32_token_jaccard" -> (q32TokenJaccard _),
     "q33_embedding_neardup" -> (q33EmbeddingNearDup _),
-    "q60_lsh_neardup" -> (q60LshNearDup _)
+    "q60_lsh_neardup" -> (q60LshNearDup _),
+    "q61_dup_clusters" -> (q61DupClusters _)
   )
 
   /** q30/q31/q60 are hash-based LSH — not reproducible in plain SQL →
@@ -330,6 +411,7 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "q29_exact_dedup" -> q29Oracle,
     "q32_token_jaccard" -> q32Oracle,
-    "q33_embedding_neardup" -> q33Oracle
+    "q33_embedding_neardup" -> q33Oracle,
+    "q61_dup_clusters" -> q61Oracle
   )
 }

@@ -70,6 +70,32 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), "q33 must not plan a cartesian")
   }
 
+  test("q61 components: pairs co-clustered, labels are component minima, sizes consistent") {
+    val pairs = Dedup.q32TokenJaccard(spark, sfDir).collect().map(r => (r.getLong(1), r.getLong(2)))
+    val rows = Dedup.q61DupClusters(spark, sfDir).collect()
+    val cluster = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val size = rows.map(r => r.getLong(1) -> r.getLong(2)).toMap
+
+    assert(pairs.nonEmpty && rows.nonEmpty)
+    // exactly the docs that appear in some pair are labeled
+    assert(cluster.keySet === pairs.flatMap(p => Seq(p._1, p._2)).toSet)
+    // every edge's endpoints share a cluster
+    pairs.foreach { case (a, b) => assert(cluster(a) === cluster(b), s"edge ($a,$b) split") }
+    // the label IS the minimum member of its component, and sizes add up
+    val members = cluster.groupBy(_._2).view.mapValues(_.keys.toSeq).toMap
+    members.foreach { case (label, ms) =>
+      assert(ms.min === label, s"cluster $label labeled above its minimum ${ms.min}")
+      assert(size(label) === ms.size.toLong, s"cluster $label size mismatch")
+    }
+    // transitivity materialized: a chain a-b, b-c must co-cluster even if
+    // (a,c) is not itself a near-dup pair — verify via union-find replica
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = { val p = parent.getOrElse(x, x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    pairs.foreach { case (a, b) => parent(find(a)) = find(b) }
+    val expected = cluster.keySet.groupBy(find)
+    assert(expected.size === members.size, "component count differs from union-find ground truth")
+  }
+
   test("q60 LSH near-dup: precision-1 subset of exact q33, recall pinned") {
     // sf0.01: enough planted near-dup pairs for a meaningful recall pin
     val dir = "/root/testdata/sf0.01"
