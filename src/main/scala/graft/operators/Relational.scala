@@ -349,7 +349,11 @@ object Relational {
         // rounds numerically — at an exact .xx5 boundary they disagree (seen
         // at sf0.001: 52724.245 → .24 vs .25). floor(x*100+0.5)/100 written
         // identically in both dialects is IEEE-exact and engine-agnostic.
-        expr("floor(percentile(l_extendedprice, 0.5) * 100.0 + 0.5) / 100.0").as("median_price"),
+        // exponent literals (1e2, 5e-1): plain decimal-point literals parse
+        // as DECIMAL in Spark SQL text, silently turning the division into
+        // decimal arithmetic (decimal(27,6) output vs the oracle's DOUBLE —
+        // a driver-gate dtype mismatch); 1eN is DOUBLE in both engines.
+        expr("floor(percentile(l_extendedprice, 0.5) * 1e2 + 5e-1) / 1e2").as("median_price"),
         count(lit(1)).as("n")
       )
       .orderBy(col("l_returnflag"))
@@ -360,7 +364,7 @@ object Relational {
       | round(max(l_extendedprice), 2) AS max_price,
       | round(avg(l_extendedprice), 2) AS avg_price,
       | round(stddev_samp(l_extendedprice), 2) AS std_price,
-      | floor(quantile_cont(l_extendedprice, 0.5) * 100.0 + 0.5) / 100.0 AS median_price,
+      | floor(quantile_cont(l_extendedprice, 0.5) * 1e2 + 5e-1) / 1e2 AS median_price,
       | count(*) AS n
       |FROM lineitem
       |GROUP BY l_returnflag

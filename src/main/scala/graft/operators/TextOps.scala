@@ -210,12 +210,74 @@ object TextOps {
       | AND levenshtein(l.p_name, r.p_name) <= 2
       |ORDER BY name_a, name_b""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q62 — TF-IDF: top-3 characteristic terms per document. The classic
+  // corpus-statistics op a training-data pipeline runs for topic/keyword
+  // signals.
+  //
+  // Scale shape: explode → (doc, term) count shuffles on the pair key;
+  // document frequency is a second count over the (already distinct)
+  // (doc, term) rows shuffled on term — hot terms are harmless because both
+  // aggs partial-combine map-side; N is a broadcast single row; the final
+  // top-3 window partitions per doc. No collect anywhere.
+  //
+  // Determinism across engines: the score is ranked AFTER floor-form
+  // rounding at 6dp (see q12) with a term-asc tiebreak, so a sub-6dp ULP
+  // difference in ln() between libm implementations can neither flip the
+  // ranking nor the emitted value.
+  // ---------------------------------------------------------------------------
+  def q62TfIdf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.balanced(Tables.documents(spark, dir))
+    val terms = docs.select(
+      col("doc_id"),
+      explode(expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')")).as("term")
+    )
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn(
+        "tfidf",
+        // 1e6/5e-1 not 1000000.0/0.5: decimal-point literals are DECIMAL in
+        // Spark SQL text and would make the output decimal, not double
+        expr("floor(cast(tf AS double) * ln(cast(n_docs AS double) / cast(df AS double)) * 1e6 + 5e-1) / 1e6")
+      )
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("term"), col("tfidf"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  val q62Oracle: String =
+    """WITH terms AS (
+      |  SELECT doc_id,
+      |         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM terms GROUP BY doc_id, term),
+      |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.term,
+      |         floor(CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) * 1e6 + 5e-1) / 1e6 AS tfidf
+      |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+      |ranked AS (
+      |  SELECT doc_id, term, tfidf,
+      |         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+      |  FROM scored)
+      |SELECT doc_id, CAST(rank AS INT) AS rank, term, tfidf
+      |FROM ranked WHERE rank <= 3
+      |ORDER BY doc_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_lang_id" -> (q25LangId _),
     "q26_quality_score" -> (q26QualityScore _),
     "q27_token_counts" -> (q27TokenCounts _),
     "q28_fingerprint" -> (q28Fingerprint _),
-    "q54_fuzzy_names" -> (q54FuzzyNames _)
+    "q54_fuzzy_names" -> (q54FuzzyNames _),
+    "q62_tfidf" -> (q62TfIdf _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -223,6 +285,7 @@ object TextOps {
     "q26_quality_score" -> q26Oracle,
     "q27_token_counts" -> q27Oracle,
     "q28_fingerprint" -> q28Oracle,
-    "q54_fuzzy_names" -> q54Oracle
+    "q54_fuzzy_names" -> q54Oracle,
+    "q62_tfidf" -> q62Oracle
   )
 }

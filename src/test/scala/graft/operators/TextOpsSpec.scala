@@ -44,4 +44,23 @@ class TextOpsSpec extends SparkSpec {
       .collect()
     assert(fp(0).getString(0) === fp(1).getString(0))
   }
+
+  test("q62 tf-idf: <=3 ranked terms per doc, scores non-negative and ordered") {
+    val rows = TextOps.q62TfIdf(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byDoc = rows.groupBy(_.getLong(0))
+    byDoc.foreach { case (doc, rs) =>
+      assert(rs.length <= 3, s"doc $doc has ${rs.length} rows")
+      assert(rs.map(_.getInt(1)).sorted.sameElements(1 to rs.length), s"doc $doc ranks not dense")
+      // scores non-increasing with rank; non-negative (df <= N => ln >= 0)
+      val scores = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, s"doc $doc scores increase")
+      assert(scores.forall(_ >= 0.0))
+    }
+    // a term present in EVERY document must score 0 and so never outranks
+    // any doc-discriminating term (idf = ln(1) = 0)
+    val nDocs = graft.core.Tables.documents(spark, sfDir).count()
+    val top = rows.filter(_.getInt(1) == 1)
+    assert(top.forall(r => r.getDouble(3) > 0.0 || nDocs == 1))
+  }
 }

@@ -89,6 +89,15 @@ def main():
         elif len(got) != len(want):
             problems.append(f"rows: spark={len(got)} duckdb={len(want)}")
         else:
+            # dtype KINDS must agree: the driver's hash gate is
+            # type-sensitive (r1: DuckDB HUGEINT vs Spark BIGINT failed it;
+            # a Spark DECIMAL lands as object vs DuckDB's float64 likewise).
+            for c in got.columns:
+                gk, wk = got[c].dtype.kind, want[c].dtype.kind
+                if gk != wk:
+                    problems.append(
+                        f"col {c}: dtype kind spark={got[c].dtype}({gk}) duckdb={want[c].dtype}({wk})"
+                    )
             for c in got.columns:
                 bad = [
                     (i, got[c].iloc[i], want[c].iloc[i])
