@@ -352,19 +352,18 @@ object Similarity {
       installCentroidRanks(spark, cents)
       val assigned = corpus
         .withColumn("cluster", expr("element_at(centroid_ranks(emb_d), 1)"))
-      // mean per (cluster, dim): posexplode + two-level agg, all distributed
-      val means = assigned
-        .select(col("cluster"), posexplode(col("embedding")).as(Seq("d", "x")))
-        .groupBy(col("cluster"), col("d"))
-        .agg(avg(col("x")).as("m"))
-        .groupBy(col("cluster"))
-        .agg(map_from_arrays(collect_list(col("d")), collect_list(col("m"))).as("dims"))
-        .collect()
+      // per-cluster mean in ONE pass: 64 codegen'd sum(element_at(..)) + a
+      // count, all map-side partial-aggregated — no posexplode (which
+      // multiplied the shuffle by DIM rows) and one shuffle instead of two.
+      // Only C rows × (DIM+2) columns reach the driver.
+      val aggs = count(lit(1)).as("n") +:
+        (0 until DIM).map(d => sum(expr(s"element_at(emb_d, ${d + 1})")).as(s"s$d"))
+      val sums = assigned.groupBy(col("cluster")).agg(aggs.head, aggs.tail: _*).collect()
       val next = cents.clone()
-      means.foreach { r =>
+      sums.foreach { r =>
         val cl = r.getAs[Number](0).intValue
-        val dims = r.getMap[Int, Double](1)
-        next(cl) = (0 until DIM).map(dims(_)).toArray
+        val n = r.getLong(1).toDouble
+        next(cl) = Array.tabulate(DIM)(d => r.getDouble(d + 2) / n)
       }
       cents = next
     }
