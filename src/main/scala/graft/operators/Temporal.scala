@@ -228,12 +228,70 @@ object Temporal {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q63 — cohort retention: users grouped by first-seen date, retention =
+  // share of each cohort active again N days later. The standard
+  // product-analytics shape (cohort matrix) the reference's hourly report is
+  // a 1-day special case of.
+  //
+  // Scale shape: first-seen is ONE min-aggregate shuffled on user_id;
+  // activity days are a distinct over (user, day) — also user-keyed, so
+  // both sides of the cohort join arrive co-partitioned (no extra
+  // exchange); the final (cohort, offset) aggregate is tiny. No window
+  // over the full event stream, no self-join of raw events.
+  // ---------------------------------------------------------------------------
+  def q63CohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("user_id"), to_date(col("ts")).as("d"))
+    val firstSeen = ev.groupBy(col("user_id")).agg(min(col("d")).as("cohort_date"))
+    val activeDays = ev.distinct()
+    val cohortSizes = firstSeen.groupBy(col("cohort_date")).agg(count(lit(1)).as("cohort_size"))
+    activeDays
+      .join(firstSeen, "user_id")
+      .withColumn("day_offset", datediff(col("d"), col("cohort_date")))
+      .groupBy(col("cohort_date"), col("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(cohortSizes, "cohort_date")
+      .withColumn(
+        "retention_pct",
+        // floor-form rounding in double (see q12): engine-agnostic at boundaries
+        expr("floor(cast(n_active AS double) * 1e2 / cast(cohort_size AS double) * 1e4 + 5e-1) / 1e4")
+      )
+      // ISO string, not DATE: Spark date32 lands in pandas as object while
+      // DuckDB DATE lands as datetime64 — a driver-gate dtype mismatch
+      .select(
+        col("cohort_date").cast("string").as("cohort_date"),
+        col("day_offset"),
+        col("n_active"),
+        col("cohort_size"),
+        col("retention_pct")
+      )
+      .orderBy(col("cohort_date"), col("day_offset"))
+  }
+
+  val q63Oracle: String =
+    """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+      |first_seen AS (SELECT user_id, min(d) AS cohort_date FROM ev GROUP BY user_id),
+      |active_days AS (SELECT DISTINCT user_id, d FROM ev),
+      |cohort_sizes AS (SELECT cohort_date, CAST(count(*) AS BIGINT) AS cohort_size
+      |                 FROM first_seen GROUP BY cohort_date),
+      |activity AS (
+      |  SELECT f.cohort_date, date_diff('day', f.cohort_date, a.d) AS day_offset,
+      |         CAST(count(*) AS BIGINT) AS n_active
+      |  FROM active_days a JOIN first_seen f USING (user_id)
+      |  GROUP BY 1, 2)
+      |SELECT CAST(cohort_date AS VARCHAR) AS cohort_date, CAST(day_offset AS INT) AS day_offset, n_active, cohort_size,
+      |       floor(CAST(n_active AS DOUBLE) * 1e2 / CAST(cohort_size AS DOUBLE) * 1e4 + 5e-1) / 1e4
+      |         AS retention_pct
+      |FROM activity JOIN cohort_sizes USING (cohort_date)
+      |ORDER BY cohort_date, day_offset""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_hourly_dense" -> (q20HourlyDense _),
     "q21_tumbling_daily" -> (q21TumblingDaily _),
     "q22_sessionize" -> (q22Sessionize _),
     "q23_asof_attribution" -> (q23AsofAttribution _),
-    "q24_json_props" -> (q24JsonProps _)
+    "q24_json_props" -> (q24JsonProps _),
+    "q63_cohort_retention" -> (q63CohortRetention _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -241,6 +299,7 @@ object Temporal {
     "q21_tumbling_daily" -> q21Oracle,
     "q22_sessionize" -> q22Oracle,
     "q23_asof_attribution" -> q23Oracle,
-    "q24_json_props" -> q24Oracle
+    "q24_json_props" -> q24Oracle,
+    "q63_cohort_retention" -> q63Oracle
   )
 }

@@ -185,6 +185,41 @@ class StreamingSpec extends SparkSpec {
     assert(out2.head.n_events === 1 && out2.head.session_value === 9.0)
     assert(state.get.start === ts(9, 40) && state.get.n === 3, "open session unchanged")
   }
+
+  test("streaming dedup: one emission per fingerprint within the watermark horizon") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val input = MemoryStream[(Timestamp, String)]
+    val deduped = StreamingDedup.dedup(input.toDF().toDF("ts", "text"), "10 minutes")
+    val q = deduped.writeStream
+      .format("memory")
+      .queryName("dedup_out")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // whitespace/case variants are the SAME fingerprint (batch q29 parity)
+    input.addData((ts(0), "Hello  World"), (ts(1), "hello world"), (ts(2), "other doc"))
+    q.processAllAvailable()
+    input.addData((ts(3), "HELLO WORLD")) // dup, watermark still below its event time
+    q.processAllAvailable()
+    // advance the watermark past ts(1) + 10min so the fingerprint state is evicted...
+    input.addData((ts(35), "filler"))
+    q.processAllAvailable()
+    // ...then a very late copy re-emits: dedup guarantees are BY DESIGN
+    // bounded to the horizon (that is what keeps state finite)
+    input.addData((ts(36), "hello world"))
+    q.processAllAvailable()
+    q.stop()
+
+    val texts = spark.table("dedup_out").select("text").as[String].collect()
+    val helloCount = texts.count(_.toLowerCase.replaceAll("\\s+", " ").trim == "hello world")
+    assert(helloCount === 2, s"one in-horizon emission + one post-eviction: $texts")
+    assert(texts.count(_ == "other doc") === 1)
+    assert(texts.length === 4, s"unexpected emissions: ${texts.mkString(", ")}")
+  }
 }
 
 /** Minimal GroupState fake for direct unit-testing of the update function. */
@@ -205,4 +240,5 @@ class TestGroupState[S] extends org.apache.spark.sql.streaming.GroupState[S] {
   override def setTimeoutTimestamp(t: java.sql.Date, additional: String): Unit = ()
   override def getCurrentWatermarkMs(): Long = 0L
   override def getCurrentProcessingTimeMs(): Long = 0L
+
 }
