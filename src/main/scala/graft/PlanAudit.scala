@@ -11,7 +11,17 @@ object PlanAudit {
     val spark = core.Sessions.local("graft-plan-audit")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
-        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        val df = fn(spark, sfDir)
+        // Execute THIS QueryExecution first (toRdd.count touches every
+        // partition without collecting rows): under AQE the pre-execution
+        // plan string shows no WholeStageCodegen markers at all — they only
+        // exist in the finalized per-stage plans — so auditing the unexecuted
+        // plan silently reports zero codegen coverage. (A noop-sink write
+        // would NOT work: .write builds a fresh QueryExecution and the
+        // original would stay unexecuted.)
+        df.queryExecution.toRdd.count()
+        val plan = df.queryExecution.executedPlan.toString
+        if (sys.env.contains("PLAN_AUDIT_DEBUG")) println(plan.linesIterator.take(40).mkString("\n"))
         val scans = "ReadSchema: struct<([^>]*)".r.findAllMatchIn(plan).map(_.group(1)).toSeq
         val pushed = "PushedFilters: \\[([^\\]]*)\\]".r.findAllMatchIn(plan).map(_.group(1)).toSeq
         val joins = Seq("BroadcastHashJoin", "SortMergeJoin", "BroadcastNestedLoopJoin", "ShuffledHashJoin")
