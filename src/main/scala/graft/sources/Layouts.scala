@@ -57,4 +57,87 @@ object Layouts {
     */
   def coLocatedJoin(spark: SparkSession, tableA: String, tableB: String, key: String): DataFrame =
     spark.table(tableA).join(spark.table(tableB), key)
+
+  final case class CompactionReport(
+      filesBefore: Int,
+      bytesBefore: Long,
+      filesAfter: Int,
+      bytesAfter: Long
+  )
+
+  /** Compact a directory of small parquet files into ~`targetBytes` outputs —
+    * the small-files problem: a 100 TB table ingested in thousands of
+    * micro-batches accumulates millions of KB-sized files, and every scan
+    * then pays file-open/footer-parse/scheduling cost per file instead of
+    * per row group. Output file count = ceil(totalBytes / targetBytes),
+    * materialized with `coalesce` — a NARROW dependency (tasks concatenate
+    * input partitions, no shuffle), which is what makes compaction cheap
+    * enough to run continuously. Use `repartition` instead only when input
+    * sizes are so skewed that bin-packing by partition order misbalances
+    * outputs (that is a full shuffle of the table).
+    */
+  def compact(
+      spark: SparkSession,
+      inDir: String,
+      outDir: String,
+      targetBytes: Long = 128L << 20
+  ): CompactionReport = {
+    val (nBefore, bytesBefore) = dirStats(spark, inDir)
+    val nOut = math.max(1, math.ceil(bytesBefore.toDouble / targetBytes).toInt)
+    spark.read.parquet(inDir).coalesce(nOut).write.mode(SaveMode.Overwrite).parquet(outDir)
+    val (nAfter, bytesAfter) = dirStats(spark, outDir)
+    CompactionReport(nBefore, bytesBefore, nAfter, bytesAfter)
+  }
+
+  /** (parquet file count, total bytes) under `dir`. */
+  def dirStats(spark: SparkSession, dir: String): (Int, Long) = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(path, true)
+    var n = 0
+    var bytes = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) { n += 1; bytes += f.getLen }
+    }
+    (n, bytes)
+  }
+
+  /** Write `df` Z-ORDER-clustered on two integer-like columns: rows are
+    * range-partitioned and sorted by the bit-interleaving of the two
+    * columns' low 16 bits, so each output file covers a compact rectangle
+    * of the (a, b) plane instead of a thin slice of one dimension. Parquet
+    * footer min/max stats on BOTH columns then stay tight per file, and a
+    * 2-D box predicate skips most files — the multi-dimensional data-
+    * skipping technique single-column sorting cannot give (sorting by `a`
+    * leaves every file's `b` range spanning the whole domain).
+    *
+    * The z-value is a write-time-only expression (interpreted HOF fold is
+    * fine off the query hot path); values must be non-negative and fit in
+    * 16 bits for perfect interleaving — callers with wider domains should
+    * rank-normalize first.
+    */
+  def writeZOrdered(
+      df: DataFrame,
+      colA: String,
+      colB: String,
+      path: String,
+      files: Int
+  ): Unit = {
+    import org.apache.spark.sql.functions._
+    df.withColumn(
+        "__z",
+        expr(
+          s"aggregate(sequence(0, 15), 0L, (acc, i) -> " +
+            s"acc | shiftleft(shiftright(cast($colA AS bigint), i) & 1, 2 * i) " +
+            s"| shiftleft(shiftright(cast($colB AS bigint), i) & 1, 2 * i + 1))"
+        )
+      )
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write
+      .mode(SaveMode.Overwrite)
+      .parquet(path)
+  }
 }

@@ -62,4 +62,60 @@ class LayoutsSpec extends SparkSpec {
     assert(read.count() === expected)
     assert(expected > 0)
   }
+
+  test("compaction: many small files collapse to the target count, rows preserved") {
+    val base = Files.createTempDirectory("compaction")
+    val in = s"$base/in"
+    val out = s"$base/out"
+    // simulate a micro-batched ingest: 20 tiny files
+    spark.range(0, 2000).withColumn("v", col("id") * 2).repartition(20).write.parquet(in)
+    val (nBefore, _) = Layouts.dirStats(spark, in)
+    assert(nBefore === 20)
+
+    val report = Layouts.compact(spark, in, out, targetBytes = 1L << 30)
+    assert(report.filesBefore === 20 && report.filesAfter === 1)
+    assert(spark.read.parquet(out).count() === 2000)
+    assert(spark.read.parquet(out).agg(sum(col("v"))).collect().head.getLong(0) ===
+      spark.read.parquet(in).agg(sum(col("v"))).collect().head.getLong(0))
+  }
+
+  test("z-order clustering: per-file boxes prune a 2-D predicate better than linear sort") {
+    val base = Files.createTempDirectory("zorder")
+    import spark.implicits._
+    // uniform 64x64 grid, ids shuffled so neither layout gets it for free
+    val grid = (0 until 64).flatMap(a => (0 until 64).map(b => (a, b)))
+    val df = scala.util.Random.shuffle(grid).toDF("a", "b")
+    val nFiles = 64
+
+    Layouts.writeZOrdered(df, "a", "b", s"$base/z", nFiles)
+    df.repartitionByRange(nFiles, col("a"), col("b"))
+      .sortWithinPartitions(col("a"), col("b"))
+      .write.parquet(s"$base/linear")
+
+    // which files COULD a box predicate (both dims restricted) touch?
+    def touchedFiles(dir: String, lo: Int, hi: Int): Int = {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val files = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+        .map(_.getPath.toString).filter(_.endsWith(".parquet"))
+      files.count { f =>
+        val stats = spark.read.parquet(f)
+          .agg(min(col("a")), max(col("a")), min(col("b")), max(col("b")))
+          .collect().head
+        val (aLo, aHi, bLo, bHi) = (stats.getInt(0), stats.getInt(1), stats.getInt(2), stats.getInt(3))
+        aHi >= lo && aLo <= hi && bHi >= lo && bLo <= hi
+      }
+    }
+    // an 8x8 box = 1/64 of the plane: a z-tile (~8x8 at 64 files) confines
+    // it to a couple of files; linear slices are ~1 a-value wide x full b
+    val zTouched = touchedFiles(s"$base/z", 8, 15)
+    val linTouched = touchedFiles(s"$base/linear", 8, 15)
+    info(s"files intersecting the box: z-order=$zTouched linear=$linTouched of $nFiles")
+    // linear sort keeps every file's b-range spanning the whole domain, so
+    // the box intersects ~(a-overlapping) files; z-order confines both dims
+    assert(zTouched < linTouched, s"z-order ($zTouched) should beat linear ($linTouched)")
+    assert(zTouched <= 6, s"z-order touched $zTouched files for a 1/64 box")
+    // layout changes bytes, never rows
+    assert(spark.read.parquet(s"$base/z").count() === 4096)
+  }
 }
