@@ -342,8 +342,15 @@ object Dedup {
       .distinct()
       .withColumn("label", col("node"))
       .localCheckpoint()
-    var changed = 1L
-    while (changed > 0) {
+    // Convergence check: labels only ever DECREASE, so the exact sum of all
+    // labels strictly decreases until the fixpoint — comparing one decimal
+    // aggregate per round replaces a join-with-previous + filter + count
+    // (half the per-round jobs). Decimal, not long: at corpus scale
+    // n_nodes × max_doc_id overflows int64, and a wrapped sum could fake
+    // convergence.
+    var prevSig: Option[java.math.BigDecimal] = None
+    var converged = false
+    while (!converged) {
       val viaEdges = edges
         .join(labels, edges("src") === labels("node"))
         .select(col("dst").as("node"), col("label"))
@@ -352,10 +359,9 @@ object Dedup {
         .groupBy(col("node"))
         .agg(min(col("label")).as("label"))
         .localCheckpoint()
-      changed = next
-        .join(labels.withColumnRenamed("label", "old_label"), "node")
-        .filter(col("label") =!= col("old_label"))
-        .count()
+      val sig = next.agg(sum(col("label").cast("decimal(38,0)"))).collect().head.getDecimal(0)
+      converged = prevSig.exists(_.compareTo(sig) == 0)
+      prevSig = Some(sig)
       labels = next
     }
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
