@@ -115,4 +115,47 @@ class VecFunctionsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
     assert(df.selectExpr("vec_dot(a, b)").collect().head.getDouble(0) === 5.0)
   }
+
+  test("property: native kernels match reference semantics on random inputs") {
+    VecFunctions.install(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(42) // fixed seed: reproducible
+    (1 to 50).foreach { _ =>
+      val n = 1 + rnd.nextInt(80)
+      val a = Array.fill(n)(rnd.nextDouble() * 10 - 5)
+      val b = Array.fill(n)(rnd.nextDouble() * 10 - 5)
+      val toks = Array.fill(1 + rnd.nextInt(60))(rnd.nextLong() % 1000)
+      val setA = Array.fill(1 + rnd.nextInt(40))(rnd.nextLong() % 500).distinct.sorted
+      val setB = Array.fill(1 + rnd.nextInt(40))(rnd.nextLong() % 500).distinct.sorted
+      val df = Seq((a, b, toks, setA, setB)).toDF("a", "b", "toks", "sa", "sb")
+      val row = df.selectExpr(
+        "vec_dot(a, b)",
+        "sorted_intersect_count(sa, sb)",
+        "simhash64(toks)",
+        "shingle_hashes(toks)",
+        "minhash_sigs16(toks)"
+      ).collect().head
+
+      // vec_dot == sequential fold (identical order => identical doubles)
+      val dot = a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + x * y }
+      assert(row.getDouble(0) === dot)
+      // sorted_intersect_count == set-intersection size
+      assert(row.getInt(1) === setA.toSet.intersect(setB.toSet).size)
+      // simhash is permutation-invariant (bit votes are a multiset sum)
+      val shuffled = rnd.shuffle(toks.toList).toArray
+      val sigShuffled = Seq(Tuple1(shuffled)).toDF("t").selectExpr("simhash64(t)").collect().head.getLong(0)
+      assert(row.getLong(2) === sigShuffled, "simhash must not depend on token order")
+      // shingle_hashes: sorted, distinct, expected cardinality bound
+      val sh = row.getSeq[Long](3)
+      assert(sh === sh.sorted && sh.distinct.length === sh.length)
+      assert(sh.length <= math.max(toks.length - 2, toks.length))
+      // minhash: adding elements can only LOWER each signature slot
+      val superset = toks ++ Array.fill(5)(rnd.nextLong() % 1000)
+      val sigSub = row.getSeq[Long](4)
+      val sigSuper = Seq(Tuple1(superset)).toDF("t").selectExpr("minhash_sigs16(t)")
+        .collect().head.getSeq[Long](0)
+      assert(sigSub.zip(sigSuper).forall { case (s, sup) => sup <= s },
+        "minhash slots must be monotone under superset")
+    }
+  }
 }
