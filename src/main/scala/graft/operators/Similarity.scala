@@ -412,14 +412,65 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // ---------------------------------------------------------------------------
+  // q64 — symmetric int8 quantization of the embedding column with
+  // per-vector reconstruction-error stats: the compression step a training
+  // pipeline applies before shipping embeddings to an ANN index or feature
+  // store (4× smaller than float32, 8× than float64). Per-row expression
+  // pipeline — embarrassingly parallel, no shuffle until the final sort.
+  //
+  // Determinism: scale/quantize/error arithmetic is written with IDENTICAL
+  // double expressions in the oracle (floor-form rounding, exponent
+  // literals); the guard `greatest(..., 1e-12)` keeps a zero vector from
+  // dividing by zero in both engines.
+  // ---------------------------------------------------------------------------
+  def q64EmbeddingQuantize(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .balanced(Tables.embeddings(spark, dir))
+      .withColumn("emb_d", expr("transform(embedding, x -> cast(x AS double))"))
+      .withColumn("scale", expr("greatest(array_max(transform(emb_d, x -> abs(x))) / 127.0, 1e-12)"))
+      .withColumn(
+        "q",
+        expr("transform(emb_d, x -> least(greatest(floor(x / scale + 5e-1), -127), 127))")
+      )
+      .withColumn("err", expr("zip_with(emb_d, q, (x, v) -> abs(x - v * scale))"))
+      .select(
+        col("vec_id"),
+        expr("floor(scale * 1e9 + 5e-1) / 1e9").as("scale"),
+        expr("floor(array_max(err) * 1e9 + 5e-1) / 1e9").as("max_err"),
+        expr("floor(aggregate(err, 0D, (a, e) -> a + e) / size(err) * 1e9 + 5e-1) / 1e9").as("mean_err")
+      )
+      .orderBy(col("vec_id"))
+
+  val q64Oracle: String =
+    """WITH t AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding, x -> x::DOUBLE) AS emb_d,
+      |         greatest(list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0, 1e-12) AS scale
+      |  FROM embeddings),
+      |q AS (
+      |  SELECT vec_id, scale,
+      |         list_transform(list_zip(emb_d,
+      |           list_transform(emb_d, x -> least(greatest(floor(x / scale + 5e-1), -127), 127))),
+      |           z -> abs(z[1] - z[2] * scale)) AS err
+      |  FROM t)
+      |SELECT vec_id,
+      |       floor(scale * 1e9 + 5e-1) / 1e9 AS scale,
+      |       floor(list_max(err) * 1e9 + 5e-1) / 1e9 AS max_err,
+      |       floor(list_sum(err) / len(err) * 1e9 + 5e-1) / 1e9 AS mean_err
+      |FROM q
+      |ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_bruteforce_topk" -> (q34BruteForceTopK _),
     "q35_lsh_topk" -> (q35LshTopK _),
-    "q36_ivf_topk" -> (q36IvfTopK _)
+    "q36_ivf_topk" -> (q36IvfTopK _),
+    "q64_embedding_quantize" -> (q64EmbeddingQuantize _)
   )
 
   /** q35/q36 are hash/model-based — rows-only driver check. */
   val oracles: Map[String, String] = Map(
-    "q34_bruteforce_topk" -> q34Oracle
+    "q34_bruteforce_topk" -> q34Oracle,
+    "q64_embedding_quantize" -> q64Oracle
   )
 }

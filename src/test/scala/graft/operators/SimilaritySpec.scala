@@ -77,4 +77,18 @@ class SimilaritySpec extends SparkSpec {
       assert(c.forall(x => !x.isNaN && !x.isInfinite))
     }
   }
+
+  test("q64 quantization: error bounded by scale/2, one row per vector") {
+    val rows = Similarity.q64EmbeddingQuantize(spark, sfDir).collect()
+    val nVecs = graft.core.Tables.embeddings(spark, sfDir).count()
+    assert(rows.length === nVecs)
+    rows.foreach { r =>
+      val (scale, maxErr, meanErr) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(scale > 0)
+      // round-to-nearest int8 quantization: reconstruction error < scale/2
+      // (clamping never bites: scale is derived from the vector's own max)
+      assert(maxErr <= scale * 0.5 + 1e-9, s"maxErr=$maxErr scale=$scale")
+      assert(meanErr <= maxErr + 1e-12)
+    }
+  }
 }
