@@ -49,9 +49,21 @@ object Tables {
     * call sites are safe to promote unchanged. (Used only where compute
     * dominates; measured 10× on the sf0.1 text pipelines.)
     */
+  // scan-partition counts memoized per (session identity, canonical plan):
+  // df.rdd forces a full physical-planning pass just to read the partition
+  // count, and balanced() wraps most corpus scans — without the memo every
+  // query construction paid that planning twice. Keys are value types, so
+  // no SparkSession is retained; a (vanishingly unlikely) identity-hash
+  // collision costs only a suboptimal repartition decision, never a wrong
+  // result.
+  private val partitionCounts =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Integer]()
+
   def balanced(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df
+    val key = (System.identityHashCode(df.sparkSession), df.queryExecution.analyzed.semanticHash())
+    val n = partitionCounts.computeIfAbsent(key, _ => Integer.valueOf(df.rdd.getNumPartitions))
+    if (n >= target) df
     else df.repartition(target)
   }
 }

@@ -62,7 +62,20 @@ class JdbcWarehouse(
         Seq(ClientReport, ClientReportArchive).map { t =>
           dialect.createTableSql(schema, t, ReportCols, primaryKey = Seq("datetime"))
         } :+
-        dialect.createTableSql(schema, ClientReportInvalid, InvalidCols, primaryKey = Seq("datetime", "source_file")) :+
+        // NO primary key on the quarantine table: the pipeline legitimately
+        // produces NULL-datetime quarantine rows (unparseable date/hour —
+        // that is WHY they are quarantined), which a NOT NULL PK would
+        // reject. A unique index anchors the (datetime, source_file) upsert
+        // and lets NULL-keyed rows accumulate, matching the parquet sink.
+        // (The reference's NOT NULL DDL, warehouse.py:67-76, would fail on
+        // these rows — a latent bug this sink does not reproduce.)
+        dialect.createTableSql(schema, ClientReportInvalid, InvalidCols, primaryKey = Nil) :+
+        dialect.createUniqueIndexSql(
+          schema,
+          ClientReportInvalid,
+          "uq_client_report_invalid_key",
+          Seq("datetime", "source_file")
+        ) :+
         dialect.createIndexSql(schema, ClientReport, "idx_client_report_datetime", Seq("datetime"))
     stmts.foreach { sql =>
       val st = conn.createStatement()
@@ -137,17 +150,7 @@ class JdbcWarehouse(
     */
   def storeInvalid(invalid: DataFrame): Unit = {
     if (invalid.isEmpty) return
-    def countCol(name: String) =
-      if (invalid.columns.contains(name)) col(name).cast("long").as(name)
-      else lit(null).cast("long").as(name)
-    val shaped = invalid.select(
-      col("datetime"),
-      countCol("impression_count"),
-      countCol("click_count"),
-      col("audit_loaded_datetime"),
-      col("validation_error"),
-      col("source_file")
-    )
+    val shaped = ParquetWarehouse.shapeInvalid(invalid)
     batchExecute(shaped, dialect.upsertSql(schema, ClientReportInvalid, InvalidColNames, Seq("datetime", "source_file")))
   }
 
@@ -220,7 +223,7 @@ object JdbcWarehouse {
   private[etl] val ReportColNames: Seq[String] = ReportCols.map(_._1)
 
   private[etl] val InvalidCols: Seq[(String, String, Boolean)] = Seq(
-    ("datetime", "TIMESTAMP", true),
+    ("datetime", "TIMESTAMP", false), // nullable: unparseable-key quarantines
     ("impression_count", "BIGINT", false),
     ("click_count", "BIGINT", false),
     ("audit_loaded_datetime", "TIMESTAMP", true),

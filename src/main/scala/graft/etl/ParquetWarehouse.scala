@@ -132,22 +132,7 @@ class ParquetWarehouse(spark: SparkSession, baseDir: String) extends WarehouseSi
     */
   def storeInvalid(invalid: DataFrame): Long = {
     if (invalid.isEmpty) return 0L
-    // Persist the offending counts alongside the error: the reference's
-    // client_report_invalid table keeps both (`warehouse.py:67-76`), so a
-    // quarantined row stays auditable — you can see WHY it was rejected.
-    // Structural-failure quarantines (V1: the column itself is missing)
-    // carry null instead.
-    def countCol(name: String) =
-      if (invalid.columns.contains(name)) col(name).cast("long").as(name)
-      else lit(null).cast("long").as(name)
-    val incoming = invalid.select(
-      col("datetime"),
-      countCol("impression_count"),
-      countCol("click_count"),
-      col("validation_error"),
-      col("source_file"),
-      col("audit_loaded_datetime")
-    )
+    val incoming = ParquetWarehouse.shapeInvalid(invalid)
     val all = readTable(ClientReportInvalid) match {
       // allowMissingColumns: tables written before the counts were carried
       // read back with nulls in the new columns rather than failing.
@@ -217,6 +202,26 @@ object ParquetWarehouse {
       .withColumn("audit_loaded_datetime", current_timestamp())
       .select(col("datetime"), col("impression_count"), col("click_count"), col("audit_loaded_datetime"))
       .orderBy(col("datetime"))
+
+  /** Canonical quarantine frame, shared by both sinks (the reference's
+    * client_report_invalid shape, `warehouse.py:67-76`): the offending
+    * counts ride along so a quarantined row stays auditable — you can see
+    * WHY it was rejected. Structural-failure quarantines (V1: the column
+    * itself is missing) carry null counts instead.
+    */
+  def shapeInvalid(invalid: DataFrame): DataFrame = {
+    def countCol(name: String) =
+      if (invalid.columns.contains(name)) col(name).cast("long").as(name)
+      else lit(null).cast("long").as(name)
+    invalid.select(
+      col("datetime"),
+      countCol("impression_count"),
+      countCol("click_count"),
+      col("audit_loaded_datetime"),
+      col("validation_error"),
+      col("source_file")
+    )
+  }
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p))

@@ -105,8 +105,11 @@ object Scheduler {
       dayOfMonth = parseField(fields(2), 1, 31),
       month = parseField(fields(3), 1, 12),
       dayOfWeek = if (dow(7)) dow + 0 else dow, // 7 == Sunday == 0
-      domRestricted = fields(2) != "*",
-      dowRestricted = fields(4) != "*"
+      // Vixie-cron rule: a field counts as "restricted" (triggering the
+      // dom/dow OR-combination) only when it does NOT start with '*' —
+      // '*/2' is a step over the full range, not a restriction.
+      domRestricted = !fields(2).startsWith("*"),
+      dowRestricted = !fields(4).startsWith("*")
     )
   }
 
@@ -147,7 +150,10 @@ object CronMain {
     val (cleaned, maxTicks) = {
       val i = argv.indexOf("--ticks")
       if (i < 0) (argv, None)
-      else (argv.patch(i, Nil, 2), Some(argv(i + 1).toInt))
+      else {
+        require(i + 1 < argv.length && argv(i + 1).forall(_.isDigit), "--ticks requires a numeric value")
+        (argv.patch(i, Nil, 2), Some(argv(i + 1).toInt))
+      }
     }
     val args = Main.parse(cleaned)
     val env = sys.env.getOrElse("CRON_ENVIRONMENT", "testing")

@@ -43,6 +43,14 @@ trait SqlDialect extends Serializable {
   def createIndexSql(schema: String, table: String, indexName: String, cols: Seq[String]): String =
     s"CREATE INDEX IF NOT EXISTS ${quote(indexName)} ON ${qualify(schema, table)} (${cols.map(quote).mkString(", ")})"
 
+  /** Unique index — the upsert target for tables whose key may contain
+    * NULL: a PRIMARY KEY would reject NULLs outright, while a unique index
+    * lets NULL-keyed rows accumulate (SQL treats NULLs as distinct) and
+    * still anchors `ON CONFLICT`/`MERGE` for fully-non-null keys.
+    */
+  def createUniqueIndexSql(schema: String, table: String, indexName: String, cols: Seq[String]): String =
+    s"CREATE UNIQUE INDEX IF NOT EXISTS ${quote(indexName)} ON ${qualify(schema, table)} (${cols.map(quote).mkString(", ")})"
+
   /** Plain parameterized insert — the unit of the chunked batch append
     * (reference `prepared_df.to_sql(..., method='multi', chunksize=1000)`,
     * `warehouse.py:458-466`).

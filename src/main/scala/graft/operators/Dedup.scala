@@ -349,7 +349,10 @@ object Dedup {
     // n_nodes × max_doc_id overflows int64, and a wrapped sum could fake
     // convergence.
     var prevSig: Option[java.math.BigDecimal] = None
-    var converged = false
+    // empty pair graph → empty labels: sum(label) would be NULL and the
+    // signature compare would NPE; there is nothing to propagate, so the
+    // (correctly-schemed, empty) labels frame is already the fixpoint
+    var converged = labels.isEmpty
     while (!converged) {
       val viaEdges = edges
         .join(labels, edges("src") === labels("node"))

@@ -43,9 +43,6 @@ object Similarity {
     ).withColumn(outCol, expr(s"transform($vecCol, x -> cast(x AS double) / __nrm)"))
       .drop("__nrm")
 
-  private[operators] def queriesDfForScratch(spark: SparkSession, dir: String): DataFrame =
-    queriesDf(spark, dir)
-
   private def queriesDf(spark: SparkSession, dir: String): DataFrame =
     withUnit(Tables.embeddings(spark, dir).filter(col("vec_id") < N_QUERIES), "embedding", "va")
       .select(col("vec_id").as("query_id"), col("embedding").as("qraw"), col("va"))
@@ -219,29 +216,53 @@ object Similarity {
   // Keyed by (sessionUUID, dir): an index outlives the query that built it
   // and is shared by every later call in the session — the "build once,
   // query many" shape ANN exists for. localCheckpoint truncates lineage and
-  // parks the blocks in executor storage (MEMORY_AND_DISK); entries for
-  // stopped sessions are unreachable-and-tiny (handles only), reclaimed with
-  // the session's block manager.
+  // parks the blocks in executor storage (MEMORY_AND_DISK). The cached
+  // DataFrame strongly retains its session, so entries are swept once their
+  // session's context is stopped (checked on every index access) — a static
+  // map that never evicted would pin every historical session and its
+  // checkpoint blocks for the JVM's lifetime.
   private val lshIndexCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), (SparkSession, DataFrame)]()
   private val ivfIndexCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (Array[Array[Double]], DataFrame)]()
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), (SparkSession, (Array[Array[Double]], DataFrame))]()
+
+  private def sweepStopped(): Unit = {
+    def sweep[V](m: java.util.concurrent.ConcurrentHashMap[(Int, String), (SparkSession, V)]): Unit = {
+      val it = m.entrySet().iterator()
+      while (it.hasNext) if (it.next().getValue._1.sparkContext.isStopped) it.remove()
+    }
+    sweep(lshIndexCache)
+    sweep(ivfIndexCache)
+  }
+
+  /** Fetch-or-build with an identity check on the cached session: identity
+    * hashes can recur after GC, and a hit from a DIFFERENT session must
+    * rebuild rather than serve another session's index.
+    */
+  private def cachedIndex[V](
+      m: java.util.concurrent.ConcurrentHashMap[(Int, String), (SparkSession, V)],
+      spark: SparkSession,
+      dir: String
+  )(build: => V): V = {
+    sweepStopped()
+    m.compute(
+      (System.identityHashCode(spark), dir),
+      (_, v) => if (v != null && (v._1 eq spark)) v else (spark, build)
+    )._2
+  }
 
   /** Build (or fetch) the LSH corpus index: (t, b, vec_id, vb-unit-vector),
     * materialized. Returns the index DataFrame; callers time this separately
     * from the query phase.
     */
   def buildLshIndex(spark: SparkSession, dir: String): DataFrame =
-    lshIndexCache.computeIfAbsent(
-      ((spark, dir)),
-      _ => {
-        graft.functions.VecFunctions.install(spark)
-        installPlaneBuckets(spark)
-        val corpus = withUnit(Tables.balanced(Tables.embeddings(spark, dir)), "embedding", "vb")
-          .select(col("vec_id"), col("vb"))
-        withBuckets(corpus, "vb", bsName = "cbs").localCheckpoint()
-      }
-    )
+    cachedIndex(lshIndexCache, spark, dir) {
+      graft.functions.VecFunctions.install(spark)
+      installPlaneBuckets(spark)
+      val corpus = withUnit(Tables.balanced(Tables.embeddings(spark, dir)), "embedding", "vb")
+        .select(col("vec_id"), col("vb"))
+      withBuckets(corpus, "vb", bsName = "cbs").localCheckpoint()
+    }
 
   def q35LshTopK(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VecFunctions.install(spark)
@@ -376,22 +397,19 @@ object Similarity {
     * is trained ONCE per (session, dir) — queries only pay the probe join.
     */
   def buildIvfIndex(spark: SparkSession, dir: String): (Array[Array[Double]], DataFrame) =
-    ivfIndexCache.computeIfAbsent(
-      ((spark, dir)),
-      _ => {
-        graft.functions.VecFunctions.install(spark)
-        val cents = trainCentroids(spark, dir)
-        // cluster assignment + probe distances in RAW space (matching the
-        // trained centroids); exact re-rank on unit vectors via vec_dot.
-        installCentroidRanks(spark, cents)
-        val corpus = withUnit(Tables.balanced(Tables.embeddings(spark, dir)), "embedding", "vb")
-          .withColumn("emb_d", expr(toDouble("embedding")))
-          .withColumn("cluster", expr("element_at(centroid_ranks(emb_d), 1)"))
-          .select(col("vec_id"), col("vb"), col("cluster"))
-          .localCheckpoint()
-        (cents, corpus)
-      }
-    )
+    cachedIndex(ivfIndexCache, spark, dir) {
+      graft.functions.VecFunctions.install(spark)
+      val cents = trainCentroids(spark, dir)
+      // cluster assignment + probe distances in RAW space (matching the
+      // trained centroids); exact re-rank on unit vectors via vec_dot.
+      installCentroidRanks(spark, cents)
+      val corpus = withUnit(Tables.balanced(Tables.embeddings(spark, dir)), "embedding", "vb")
+        .withColumn("emb_d", expr(toDouble("embedding")))
+        .withColumn("cluster", expr("element_at(centroid_ranks(emb_d), 1)"))
+        .select(col("vec_id"), col("vb"), col("cluster"))
+        .localCheckpoint()
+      (cents, corpus)
+    }
 
   def q36IvfTopK(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VecFunctions.install(spark)

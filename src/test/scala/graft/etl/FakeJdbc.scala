@@ -22,21 +22,31 @@ import scala.collection.mutable
   */
 object FakeJdbc {
 
-  final class Table(val cols: Seq[String], val keys: Seq[String]) {
-    val keyIdx: Seq[Int] = keys.map(cols.indexOf)
-    // rows in table-column order; keyed rows for PK'd tables, appended rows
-    // for NULL-containing keys (SQL: NULLs are distinct, no conflict fires)
+  final class Table(val cols: Seq[String], initialKeys: Seq[String], val notNull: Seq[Boolean]) {
+    // unique-key columns: from PRIMARY KEY at create time, or assigned later
+    // by CREATE UNIQUE INDEX (the NULL-friendly upsert anchor)
+    var keys: Seq[String] = initialKeys
+    def keyIdx: Seq[Int] = keys.map(cols.indexOf)
+    // rows in table-column order; keyed rows for unique-keyed tables,
+    // appended rows for NULL-containing keys (SQL: NULLs are distinct, no
+    // conflict fires)
     val keyed: mutable.LinkedHashMap[Seq[Any], Array[Any]] = mutable.LinkedHashMap()
     val nullKeyed: mutable.ArrayBuffer[Array[Any]] = mutable.ArrayBuffer()
 
     def allRows: Seq[Array[Any]] = keyed.values.toSeq ++ nullKeyed.toSeq
 
     def put(row: Array[Any], upsert: Boolean): Unit = {
+      // enforce NOT NULL like a real engine — FakeJdbc must not be more
+      // permissive than the warehouses it stands in for
+      notNull.zipWithIndex.foreach { case (nn, i) =>
+        if (nn && row(i) == null)
+          throw new SQLException(s"null value in column ${cols(i)} violates not-null constraint")
+      }
       val key = keyIdx.map(row(_))
       if (keyIdx.nonEmpty && key.contains(null)) { nullKeyed += row; return }
       if (keyIdx.isEmpty) { nullKeyed += row; return }
       if (!upsert && keyed.contains(key))
-        throw new SQLException(s"duplicate key value violates primary key: $key")
+        throw new SQLException(s"duplicate key value violates unique constraint: $key")
       keyed(key) = row
     }
   }
@@ -65,6 +75,7 @@ object FakeJdbc {
   private def bare(name: String): String = name.substring(name.lastIndexOf('.') + 1)
 
   private val CreateTable = """CREATE TABLE IF NOT EXISTS (\S+) \((.+)\)""".r
+  private val CreateUniqueIndex = """CREATE UNIQUE INDEX IF NOT EXISTS \S+ ON (\S+) \(([^)]*)\)""".r
   private val InsertValues = """INSERT INTO (\S+) \(([^)]*)\) VALUES \(([^)]*)\)( ON CONFLICT \(([^)]*)\) DO UPDATE SET .+)?""".r
   private val MergeUpsert = """MERGE INTO (\S+) t USING \(VALUES \([^)]*\)\) AS s \(([^)]*)\) ON \((.+?)\) WHEN MATCHED .+""".r
   private val DeleteRange = """DELETE FROM (\S+) WHERE (\S+) BETWEEN \? AND \?""".r
@@ -97,14 +108,20 @@ object FakeJdbc {
   private def executeUpdate(d: Db, sql: String, params: IndexedSeq[Any]): Int = d.synchronized {
     norm(sql) match {
       case s if s.startsWith("CREATE SCHEMA") || s.startsWith("CREATE INDEX") => 0
+      case CreateUniqueIndex(name, colList) =>
+        val t = d.table(bare(name))
+        if (t.keys.isEmpty) t.keys = colList.split(",").map(_.trim).toSeq
+        0
       case CreateTable(name, body) =>
         val items = splitTopLevel(body)
         val keys = items
           .find(_.toUpperCase.startsWith("PRIMARY KEY"))
           .map(k => k.substring(k.indexOf('(') + 1, k.lastIndexOf(')')).split(",").map(_.trim).toSeq)
           .getOrElse(Nil)
-        val cols = items.filterNot(_.toUpperCase.startsWith("PRIMARY KEY")).map(_.split("\\s+")(0))
-        d.tables.getOrElseUpdate(bare(name), new Table(cols, keys))
+        val colItems = items.filterNot(_.toUpperCase.startsWith("PRIMARY KEY"))
+        val cols = colItems.map(_.split("\\s+")(0))
+        val notNull = colItems.map(i => i.toUpperCase.endsWith("NOT NULL") || keys.contains(i.split("\\s+")(0)))
+        d.tables.getOrElseUpdate(bare(name), new Table(cols, keys, notNull))
         0
       case ArchiveRange(dst, colList, src, tsCol, _) =>
         val to = d.table(bare(dst))

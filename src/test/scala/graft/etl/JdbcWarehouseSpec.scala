@@ -102,6 +102,43 @@ class JdbcWarehouseSpec extends SparkSpec {
     assert(row(t.cols.indexOf("click_count")) === 11L)
   }
 
+  test("null-datetime quarantine rows accumulate instead of violating the key") {
+    // the pipeline quarantines rows precisely BECAUSE their date/hour is
+    // unparseable → NULL datetime key; the quarantine table must accept and
+    // accumulate them (unique index, not a NOT NULL primary key)
+    val (wh, name) = freshWh()
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def invalid(err: String) =
+      Seq((err, "bad.csv")).toDF("validation_error", "source_file")
+        .withColumn("datetime", lit(null).cast("timestamp"))
+        .withColumn("impression_count", lit(5L))
+        .withColumn("click_count", lit(-1L))
+        .withColumn("audit_loaded_datetime", lit(Timestamp.valueOf("2022-05-02 10:00:00")))
+    wh.storeInvalid(invalid("bad_hour"))
+    wh.storeInvalid(invalid("bad_hour_again"))
+    val t = FakeJdbc.db(name).table("client_report_invalid")
+    assert(t.allRows.size === 2, "NULL keys never conflict: rows accumulate")
+    assert(t.allRows.forall(_(t.cols.indexOf("datetime")) == null))
+    // non-null keys still upsert through the same unique index
+    assert(t.keys === Seq("datetime", "source_file"))
+  }
+
+  test("fake driver enforces NOT NULL on the report table") {
+    val (wh, _) = freshWh()
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // one valid row so the load gets past the bounds check; the NULL-keyed
+    // second row must then trip the engine's NOT NULL constraint
+    val bad = Seq(
+      (Option(Timestamp.valueOf("2022-05-01 00:00:00")), 1L, 2L),
+      (Option.empty[Timestamp], 3L, 4L)
+    ).toDF("datetime", "impression_count", "click_count")
+      .withColumn("audit_loaded_datetime", lit(Timestamp.valueOf("2022-05-02 10:00:00")))
+    val e = intercept[org.apache.spark.SparkException](wh.load(bad))
+    assert(e.getMessage != null)
+  }
+
   test("storeInvalid through AnsiMergeDialect (MERGE) gives the same result") {
     val (wh, name) = freshWh(dialect = AnsiMergeDialect)
     import spark.implicits._

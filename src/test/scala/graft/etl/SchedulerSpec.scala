@@ -48,6 +48,18 @@ class SchedulerSpec extends SparkSpec {
     intercept[IllegalArgumentException](parse("* * * *"))
   }
 
+  test("*/n day fields are unrestricted: AND-semantics, not the dom/dow OR rule (Vixie)") {
+    // '*/2' starts with '*' → unrestricted; dow '1' restricted → plain AND:
+    // fires only on Mondays whose day-of-month is odd
+    val c = parse("0 0 */2 * 1")
+    assert(!c.matches(LocalDateTime.of(2022, 5, 3, 0, 0)), "Tue May 3 (odd dom) must not fire")
+    assert(!c.matches(LocalDateTime.of(2022, 5, 2, 0, 0)), "Mon May 2 (even dom) must not fire")
+    assert(c.matches(LocalDateTime.of(2022, 5, 9, 0, 0)), "Mon May 9 (odd dom) fires")
+    // both fields literally restricted → standard OR still applies
+    val or = c.copy(domRestricted = true)
+    assert(or.matches(LocalDateTime.of(2022, 5, 3, 0, 0)), "restricted dom OR dow fires on odd Tue")
+  }
+
   test("loop re-ticks the full pipeline: two fires, two warehouse loads") {
     val in = Files.createTempDirectory("cron_in")
     val out = Files.createTempDirectory("cron_out")
