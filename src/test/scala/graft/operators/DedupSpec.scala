@@ -70,6 +70,20 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), "q33 must not plan a cartesian")
   }
 
+  test("q61 on a corpus with no near-dups returns empty, not an error") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("nodups").toString
+    Seq(
+      (1L, "entirely unique first document about astronomy and telescopes", "en", "a", 57L),
+      (2L, "second text discussing culinary techniques for pastry", "en", "a", 52L),
+      (3L, "third entry on maritime navigation in the baltic sea", "en", "a", 51L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = Dedup.q61DupClusters(spark, dir)
+    assert(out.collect().isEmpty)
+    assert(out.columns.toSeq === Seq("doc_id", "cluster", "cluster_size"))
+  }
+
   test("q61 components: pairs co-clustered, labels are component minima, sizes consistent") {
     val pairs = Dedup.q32TokenJaccard(spark, sfDir).collect().map(r => (r.getLong(1), r.getLong(2)))
     val rows = Dedup.q61DupClusters(spark, sfDir).collect()
