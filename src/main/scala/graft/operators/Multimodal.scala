@@ -41,6 +41,16 @@ object Multimodal {
   )
   final case class MediaFeatures(media_id: Long, kind: String, features: Array[Float])
   final case class Frame(media_id: Long, frame_idx: Int, frame_ts_ms: Long, frame_bytes: Long)
+  final case class ResizedMedia(
+      media_id: Long,
+      kind: String,
+      width: Int,
+      height: Int,
+      out_width: Int,
+      out_height: Int,
+      scale: Double,
+      resized_bytes: Long
+  )
 
   val FeatureDim = 16
   val DecodeBatchSize = 64
@@ -118,6 +128,28 @@ object Multimodal {
     media.mapPartitions { rows =>
       rows.grouped(DecodeBatchSize).flatMap {
         _.map(m => MediaFeatures(m.media_id, m.kind, FakeCodec.features(m.payload)))
+      }
+    }
+  }
+
+  /** Resize stage: aspect-preserving fit into a target box — decode dims,
+    * scale = min(targetW/w, targetH/h) capped at 1.0 (never upscale),
+    * output byte estimate by area ratio. Same batched-mapPartitions shape
+    * as decode; a real binding would hand the batch to the codec's scaler
+    * here.
+    */
+  def resize(media: Dataset[MediaRow], targetW: Int, targetH: Int): Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(DecodeBatchSize).flatMap {
+        _.map { m =>
+          val (w, h, _) = FakeCodec.decode(m.payload)
+          val scale = math.min(1.0, math.min(targetW.toDouble / w, targetH.toDouble / h))
+          val ow = math.max(1, math.round(w * scale).toInt)
+          val oh = math.max(1, math.round(h * scale).toInt)
+          val bytes = math.max(1L, math.round(m.payload.length * scale * scale))
+          ResizedMedia(m.media_id, m.kind, w, h, ow, oh, scale, bytes)
+        }
       }
     }
   }
@@ -203,10 +235,28 @@ object Multimodal {
       .orderBy(col("kind"))
   }
 
+  /** q65 — resize summary per kind: media fit into a 224×224 box (the
+    * ubiquitous vision-model input), average scale factor and output byte
+    * volume. Depends on the fake decode's JVM arithmetic → rows-only;
+    * MultimodalSpec pins dims/scale/byte invariants.
+    */
+  def q65MediaResize(spark: SparkSession, dir: String): DataFrame =
+    resize(mediaTable(spark, dir).repartition(col("media_id")), targetW = 224, targetH = 224)
+      .groupBy(col("kind"))
+      .agg(
+        count(lit(1)).as("n_media"),
+        round(avg(col("scale")), 6).as("avg_scale"),
+        max(col("out_width")).as("max_out_width"),
+        max(col("out_height")).as("max_out_height"),
+        sum(col("resized_bytes")).as("total_resized_bytes")
+      )
+      .orderBy(col("kind"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_media_decode" -> (q37MediaDecode _),
     "q38_frame_sample" -> (q38FrameSample _),
-    "q39_media_features" -> (q39MediaFeatures _)
+    "q39_media_features" -> (q39MediaFeatures _),
+    "q65_media_resize" -> (q65MediaResize _)
   )
 
   /** q37/q39 depend on JVM byte arithmetic → rows-only; q38 is pure

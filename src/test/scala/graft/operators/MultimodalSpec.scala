@@ -65,4 +65,27 @@ class MultimodalSpec extends SparkSpec {
       assert(fs.map(_.getInt(1)).sorted.sameElements(0 until expected))
     }
   }
+
+  test("q65 resize: fits the 224-box, preserves aspect, never upscales, deterministic") {
+    val rows = Multimodal
+      .resize(Multimodal.mediaTable(spark, sfDir), targetW = 224, targetH = 224)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.out_width <= 224 && r.out_height <= 224, s"media ${r.media_id} exceeds the box")
+      assert(r.scale <= 1.0 && r.scale > 0.0, "downscale only")
+      // aspect preserved within 1px rounding
+      val expectW = math.max(1, math.round(r.width * r.scale).toInt)
+      val expectH = math.max(1, math.round(r.height * r.scale).toInt)
+      assert(r.out_width === expectW && r.out_height === expectH)
+      // at least one dimension touches the box unless the input already fit
+      if (r.scale < 1.0) assert(r.out_width >= 223 || r.out_height >= 223, s"loose fit: $r")
+      assert(r.resized_bytes >= 1L)
+    }
+    val summary = Multimodal.q65MediaResize(spark, sfDir).collect()
+    assert(summary.map(_.getString(0)).sorted.sameElements(Array("audio", "image", "video")))
+    // deterministic across runs
+    val again = Multimodal.q65MediaResize(spark, sfDir).collect()
+    assert(summary.map(_.toString).sameElements(again.map(_.toString)))
+  }
 }
