@@ -139,6 +139,7 @@ object Multimodal {
     * here.
     */
   def resize(media: Dataset[MediaRow], targetW: Int, targetH: Int): Dataset[ResizedMedia] = {
+    require(targetW > 0 && targetH > 0, s"resize box must be positive, got ${targetW}x$targetH")
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.grouped(DecodeBatchSize).flatMap {

@@ -74,10 +74,14 @@ class MultimodalSpec extends SparkSpec {
     rows.foreach { r =>
       assert(r.out_width <= 224 && r.out_height <= 224, s"media ${r.media_id} exceeds the box")
       assert(r.scale <= 1.0 && r.scale > 0.0, "downscale only")
-      // aspect preserved within 1px rounding
-      val expectW = math.max(1, math.round(r.width * r.scale).toInt)
-      val expectH = math.max(1, math.round(r.height * r.scale).toInt)
-      assert(r.out_width === expectW && r.out_height === expectH)
+      // aspect preserved: cross-multiplied ratios agree within the slack
+      // that per-dimension half-pixel rounding allows (|out_w*h - out_h*w|
+      // <= 0.5h + 0.5w) — an implementation-independent invariant, not a
+      // recomputation of the resize formula
+      assert(
+        math.abs(r.out_width.toLong * r.height - r.out_height.toLong * r.width) <= (r.width + r.height) / 2 + 1,
+        s"aspect drifted: $r"
+      )
       // at least one dimension touches the box unless the input already fit
       if (r.scale < 1.0) assert(r.out_width >= 223 || r.out_height >= 223, s"loose fit: $r")
       assert(r.resized_bytes >= 1L)
