@@ -39,6 +39,8 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"[bench] q35_index_build failed: ${e.getMessage}") }
     try phases("q36_index_build") = sec(operators.Similarity.buildIvfIndex(spark, sfDir))
     catch { case e: Throwable => System.err.println(s"[bench] q36_index_build failed: ${e.getMessage}") }
+    try phases("q61_pair_graph_build") = sec(operators.Dedup.buildPairGraph(spark, sfDir))
+    catch { case e: Throwable => System.err.println(s"[bench] q61_pair_graph_build failed: ${e.getMessage}") }
 
     // repeat each query and keep the fastest run: single-shot timings on a
     // shared box fold scheduler noise into query cost (observed up to 10x
@@ -58,19 +60,25 @@ object Bench {
         }
       }
       val good = times.filter(_ >= 0)
-      name -> (if (good.nonEmpty) good.min else -1.0)
+      name -> (if (good.nonEmpty) (good.min, good.max) else (-1.0, -1.0))
     }
-    val failed = results.collect { case (name, v) if v < 0 => name }
+    val failed = results.collect { case (name, (v, _)) if v < 0 => name }
     val qs = results
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .map { case (k, (v, _)) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    // per-query [min,max] across repeats: a wide spread flags scheduler /
+    // memory-pressure noise, so a regression vs the previous round is
+    // self-diagnosing instead of demanding a re-run
+    val sp = results
+      .map { case (k, (lo, hi)) => "\"" + k + "\":[" + f"$lo%.3f" + "," + f"$hi%.3f" + "]" }
       .mkString("{", ",", "}")
     val ph = phases
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val total = results.collect { case (_, (v, _)) if v >= 0 => v }.sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"phases":$ph,"failed":$fl,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$sp,"phases":$ph,"failed":$fl,"sf":"$sfDir"}"""
     )
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)

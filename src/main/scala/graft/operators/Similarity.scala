@@ -212,51 +212,19 @@ object Similarity {
   private[operators] def firstCollision(aBs: String, bBs: String, tCol: String = "t"): Column =
     !expr(s"exists(zip_with(slice($aBs, 1, $tCol), slice($bBs, 1, $tCol), (x, y) -> x = y), v -> v)")
 
-  // -- session-scoped ANN index cache -----------------------------------------
-  // Keyed by (sessionUUID, dir): an index outlives the query that built it
-  // and is shared by every later call in the session — the "build once,
-  // query many" shape ANN exists for. localCheckpoint truncates lineage and
-  // parks the blocks in executor storage (MEMORY_AND_DISK). The cached
-  // DataFrame strongly retains its session, so entries are swept once their
-  // session's context is stopped (checked on every index access) — a static
-  // map that never evicted would pin every historical session and its
-  // checkpoint blocks for the JVM's lifetime.
-  private val lshIndexCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), (SparkSession, DataFrame)]()
-  private val ivfIndexCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), (SparkSession, (Array[Array[Double]], DataFrame))]()
-
-  private def sweepStopped(): Unit = {
-    def sweep[V](m: java.util.concurrent.ConcurrentHashMap[(Int, String), (SparkSession, V)]): Unit = {
-      val it = m.entrySet().iterator()
-      while (it.hasNext) if (it.next().getValue._1.sparkContext.isStopped) it.remove()
-    }
-    sweep(lshIndexCache)
-    sweep(ivfIndexCache)
-  }
-
-  /** Fetch-or-build with an identity check on the cached session: identity
-    * hashes can recur after GC, and a hit from a DIFFERENT session must
-    * rebuild rather than serve another session's index.
-    */
-  private def cachedIndex[V](
-      m: java.util.concurrent.ConcurrentHashMap[(Int, String), (SparkSession, V)],
-      spark: SparkSession,
-      dir: String
-  )(build: => V): V = {
-    sweepStopped()
-    m.compute(
-      (System.identityHashCode(spark), dir),
-      (_, v) => if (v != null && (v._1 eq spark)) v else (spark, build)
-    )._2
-  }
+  // -- session-scoped ANN index cache (see SessionCache) -----------------------
+  // localCheckpoint truncates lineage and parks the index blocks in executor
+  // storage (MEMORY_AND_DISK); the SessionCache sweeps entries once their
+  // session stops.
+  private val lshIndexCache = new SessionCache[DataFrame]
+  private val ivfIndexCache = new SessionCache[(Array[Array[Double]], DataFrame)]
 
   /** Build (or fetch) the LSH corpus index: (t, b, vec_id, vb-unit-vector),
     * materialized. Returns the index DataFrame; callers time this separately
     * from the query phase.
     */
   def buildLshIndex(spark: SparkSession, dir: String): DataFrame =
-    cachedIndex(lshIndexCache, spark, dir) {
+    lshIndexCache.getOrBuild(spark, dir) {
       graft.functions.VecFunctions.install(spark)
       installPlaneBuckets(spark)
       val corpus = withUnit(Tables.balanced(Tables.embeddings(spark, dir)), "embedding", "vb")
@@ -397,7 +365,7 @@ object Similarity {
     * is trained ONCE per (session, dir) — queries only pay the probe join.
     */
   def buildIvfIndex(spark: SparkSession, dir: String): (Array[Array[Double]], DataFrame) =
-    cachedIndex(ivfIndexCache, spark, dir) {
+    ivfIndexCache.getOrBuild(spark, dir) {
       graft.functions.VecFunctions.install(spark)
       val cents = trainCentroids(spark, dir)
       // cluster assignment + probe distances in RAW space (matching the

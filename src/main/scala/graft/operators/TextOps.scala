@@ -217,9 +217,13 @@ object TextOps {
   //
   // Scale shape: explode → (doc, term) count shuffles on the pair key;
   // document frequency is a second count over the (already distinct)
-  // (doc, term) rows shuffled on term — hot terms are harmless because both
-  // aggs partial-combine map-side; N is a broadcast single row; the final
-  // top-3 window partitions per doc. No collect anywhere.
+  // (doc, term) rows — hot terms are harmless because both aggs
+  // partial-combine map-side. dfreq is vocab-sized (Heaps' law: sublinear
+  // in corpus size), so it is BROADCAST back onto tf — tf keeps its
+  // partitioning and the big relation is never re-shuffled on term; if a
+  // corpus outgrows the broadcast threshold, drop the hint and AQE plans
+  // the shuffle join. N is a broadcast single row; the final top-3 window
+  // partitions per doc. No collect anywhere.
   //
   // Determinism across engines: the score is ranked AFTER floor-form
   // rounding at 6dp (see q12) with a term-asc tiebreak, so a sub-6dp ULP
@@ -228,16 +232,25 @@ object TextOps {
   // ---------------------------------------------------------------------------
   def q62TfIdf(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.balanced(Tables.documents(spark, dir))
+    // project to (doc_id, text) BEFORE the balancing repartition: the
+    // shuffle moves two columns, not whole document rows
+    val docs = Tables.balanced(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
     val terms = docs.select(
       col("doc_id"),
       explode(expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')")).as("term")
     )
-    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    // tf feeds BOTH the document-frequency aggregate and the scored join:
+    // materialize it once so the token pipeline (split + explode + count)
+    // runs a single time instead of once per consumer (the explode sits
+    // above the reusable exchange, so AQE stage reuse cannot dedup it) —
+    // the same build-once shape a 100 TB pipeline gets by staging tf as a
+    // table between passes
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")).localCheckpoint()
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    // corpus size from the unbalanced scan: a count needs no repartition
+    val nDocs = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
-    tf.join(dfreq, "term")
+    tf.join(broadcast(dfreq), "term")
       .crossJoin(broadcast(nDocs))
       .withColumn(
         "tfidf",
