@@ -49,19 +49,28 @@ object Tables {
     * call sites are safe to promote unchanged. (Used only where compute
     * dominates; measured 10× on the sf0.1 text pipelines.)
     */
-  // scan-partition counts memoized per (session identity, canonical plan):
-  // df.rdd forces a full physical-planning pass just to read the partition
-  // count, and balanced() wraps most corpus scans — without the memo every
-  // query construction paid that planning twice. Keys are value types, so
-  // no SparkSession is retained; a (vanishingly unlikely) identity-hash
-  // collision costs only a suboptimal repartition decision, never a wrong
-  // result.
+  // scan-partition counts memoized per (session identity, canonical plan,
+  // file count): df.rdd forces a full physical-planning pass just to read
+  // the partition count, and balanced() wraps most corpus scans — without
+  // the memo every query construction paid that planning twice. The file
+  // count is a snapshot marker: appending to the same path (micro-batch
+  // ingest, tests rewriting a dir) changes the listing and takes a fresh
+  // entry instead of serving a stale count — it reads the FileIndex the
+  // analyzed plan already holds, not the filesystem. Keys are value types,
+  // so no SparkSession is retained; the map is cleared past a size bound
+  // (many sessions per JVM, e.g. test suites — worst case is one re-planned
+  // scan, never a wrong result, same as an identity-hash collision).
   private val partitionCounts =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Integer]()
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Integer]()
 
   def balanced(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    val key = (System.identityHashCode(df.sparkSession), df.queryExecution.analyzed.semanticHash())
+    val key = (
+      System.identityHashCode(df.sparkSession),
+      df.queryExecution.analyzed.semanticHash(),
+      df.inputFiles.length
+    )
+    if (partitionCounts.size > 4096) partitionCounts.clear()
     val n = partitionCounts.computeIfAbsent(key, _ => Integer.valueOf(df.rdd.getNumPartitions))
     if (n >= target) df
     else df.repartition(target)

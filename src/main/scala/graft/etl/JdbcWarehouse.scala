@@ -32,6 +32,10 @@ import org.apache.spark.sql.functions._
   * an engine without distributed transactions; for exactly-once visibility
   * the same writer targets a staging table swapped by rename (see
   * [[ParquetWarehouse]]'s stage-then-swap, which is that pattern on files).
+  * INTRA-job idempotence holds too: both distributed writes are keyed
+  * upserts, so a task retry / speculative duplicate of an
+  * already-committed partition rewrites identical rows instead of raising
+  * duplicate-key.
   *
   * The connection factory is shipped to executors — it must be
   * `Serializable` and open a NEW connection per call (e.g.
@@ -124,8 +128,16 @@ class JdbcWarehouse(
       n.toLong
     }
 
-    // step 4: the distributed insert
-    batchExecute(prepared.select(ReportColNames.map(col): _*), dialect.insertSql(schema, ClientReport, ReportColNames))
+    // step 4: the distributed insert — as an UPSERT keyed on the PK, not a
+    // plain INSERT: a task retry or speculative re-execution of a partition
+    // whose commit already landed would otherwise raise duplicate-key and
+    // fail every retry of that task (the whole job) on a routine transient
+    // failure. The range was deleted in step 3, so for first execution the
+    // upsert IS an insert; re-executions overwrite identical rows.
+    batchExecute(
+      prepared.select(ReportColNames.map(col): _*),
+      dialect.upsertSql(schema, ClientReport, ReportColNames, Seq("datetime"))
+    )
 
     // step 5: verify the loaded range
     val stats = withConnection(connect) { conn =>

@@ -117,9 +117,13 @@ object PostgresDialect extends SqlDialect {
   }
 }
 
-/** ANSI/standard engines (SQL Server, Oracle, DB2, Exasol, ...): `MERGE`
-  * keyed on a one-row `VALUES` source. Same parameter order as the Postgres
-  * upsert, so [[JdbcWarehouse]] binds identically against either.
+/** `MERGE` keyed on a one-row `VALUES` source, for MERGE-capable engines —
+  * validated against the in-memory fake driver only. The standalone VALUES
+  * table constructor and alias-qualified SET targets are accepted by e.g.
+  * SQL Server and DB2 but NOT by every MERGE engine (Oracle has no bare
+  * VALUES source); wiring a real driver should add a per-engine dialect
+  * object rather than reuse this one untested. Same parameter order as the
+  * Postgres upsert, so [[JdbcWarehouse]] binds identically against either.
   */
 object AnsiMergeDialect extends SqlDialect {
   override def upsertSql(schema: String, table: String, cols: Seq[String], keys: Seq[String]): String = {

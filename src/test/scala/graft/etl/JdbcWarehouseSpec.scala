@@ -77,13 +77,41 @@ class JdbcWarehouseSpec extends SparkSpec {
     assert(FakeJdbc.db(name).table("client_report").allRows.size === 24)
   }
 
-  test("plain insert into a keyed table rejects duplicates (PK is enforced)") {
-    val (wh, _) = freshWh()
-    val dup = ParquetWarehouse.prepare(
-      reportDf(Seq(("2022-05-01", 0, 1L, 1L)))
-    ).union(ParquetWarehouse.prepare(reportDf(Seq(("2022-05-01", 0, 2L, 2L)))))
-    val e = intercept[org.apache.spark.SparkException](wh.load(dup))
-    assert(e.getMessage != null)
+  test("fake driver enforces the PK on plain INSERT (duplicates rejected)") {
+    val (wh, name) = freshWh()
+    wh.load(ParquetWarehouse.prepare(reportDf(Seq(("2022-05-01", 0, 1L, 1L)))))
+    val conn = FakeJdbc.factory(name)()
+    try {
+      val ps = conn.prepareStatement(
+        PostgresDialect.insertSql("adform_dw", "client_report", JdbcWarehouse.ReportColNames)
+      )
+      ps.setTimestamp(1, Timestamp.valueOf("2022-05-01 00:00:00"))
+      ps.setObject(2, 2L)
+      ps.setObject(3, 2L)
+      ps.setTimestamp(4, Timestamp.valueOf("2022-05-02 00:00:00"))
+      val e = intercept[java.sql.SQLException](ps.executeUpdate())
+      assert(e.getMessage.contains("duplicate key"))
+    } finally conn.close()
+  }
+
+  test("report load is idempotent under task re-execution (upsert on datetime)") {
+    // a speculative / retried task re-runs its partition's upserts after the
+    // originals committed; with the PK-keyed upsert this rewrites identical
+    // rows instead of raising duplicate-key and failing the job
+    val (wh, name) = freshWh()
+    wh.load(ParquetWarehouse.prepare(reportDf(Seq(("2022-05-01", 0, 1L, 1L)))))
+    val t = FakeJdbc.db(name).table("client_report")
+    val committed = t.allRows.head.clone()
+    val conn = FakeJdbc.factory(name)()
+    try {
+      val ps = conn.prepareStatement(
+        PostgresDialect.upsertSql("adform_dw", "client_report", JdbcWarehouse.ReportColNames, Seq("datetime"))
+      )
+      committed.zipWithIndex.foreach { case (v, i) => ps.setObject(i + 1, v) }
+      ps.executeUpdate() // the duplicate partition's replay
+    } finally conn.close()
+    assert(t.allRows.size === 1)
+    assert(t.allRows.head.toSeq === committed.toSeq)
   }
 
   test("storeInvalid: ON CONFLICT upsert keyed on (datetime, source_file)") {

@@ -84,7 +84,9 @@ class LayoutsSpec extends SparkSpec {
     import spark.implicits._
     // uniform 64x64 grid, ids shuffled so neither layout gets it for free
     val grid = (0 until 64).flatMap(a => (0 until 64).map(b => (a, b)))
-    val df = scala.util.Random.shuffle(grid).toDF("a", "b")
+    // seeded: input order feeds repartitionByRange's sampling, so file
+    // boundaries (and the pruning pin below) must not vary across runs
+    val df = new scala.util.Random(42).shuffle(grid).toDF("a", "b")
     val nFiles = 64
 
     Layouts.writeZOrdered(df, "a", "b", s"$base/z", nFiles)
