@@ -31,12 +31,21 @@ object Layouts {
       key: String,
       buckets: Int,
       path: String
+  ): Unit = writeBucketed(df, table, Seq(key), buckets, path)
+
+  /** Composite-key variant (e.g. an LSH index bucketed on (table, bucket)). */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      keys: Seq[String],
+      buckets: Int,
+      path: String
   ): Unit =
     df.write
       .mode(SaveMode.Overwrite)
       .format("parquet")
-      .bucketBy(buckets, key)
-      .sortBy(key)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
       .option("path", path)
       .saveAsTable(table)
 
