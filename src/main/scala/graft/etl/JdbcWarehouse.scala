@@ -102,8 +102,24 @@ class JdbcWarehouse(
     * (datetime, impression_count, click_count, audit_loaded_datetime).
     */
   def load(prepared: DataFrame): LoadReport = {
-    val bounds = prepared.agg(min(col("datetime")), max(col("datetime"))).collect().head
+    val bounds = prepared
+      .agg(min(col("datetime")), max(col("datetime")), count(col("datetime")), count_distinct(col("datetime")))
+      .collect()
+      .head
     require(!bounds.isNullAt(0), "cannot load an empty report")
+    // The insert below is an upsert keyed on datetime (for task-retry
+    // idempotence) — which would silently collapse duplicate datetimes
+    // WITHIN one prepared frame to a partition-order last-writer. prepare()
+    // is row-wise (no aggregation), so an upstream bug CAN produce
+    // duplicates; fail loudly here instead of masking it, same signal the
+    // old plain INSERT gave via the PK. One extra column in the aggregate
+    // already being computed — no extra pass. (Non-null count vs distinct:
+    // NULL keys are a different bug, left to the engine's NOT NULL.)
+    require(
+      bounds.getLong(2) == bounds.getLong(3),
+      s"duplicate datetime keys in prepared frame (${bounds.getLong(2)} keyed rows, " +
+        s"${bounds.getLong(3)} distinct datetimes): upstream must aggregate before load"
+    )
     val (lo, hi) = (bounds.getTimestamp(0), bounds.getTimestamp(1))
 
     // steps 2+3 in one driver-side transaction, as the reference does

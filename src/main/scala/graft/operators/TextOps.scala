@@ -219,10 +219,10 @@ object TextOps {
   // document frequency is a second count over the (already distinct)
   // (doc, term) rows — hot terms are harmless because both aggs
   // partial-combine map-side. dfreq is vocab-sized (Heaps' law: sublinear
-  // in corpus size), so it is BROADCAST back onto tf — tf keeps its
-  // partitioning and the big relation is never re-shuffled on term; if a
-  // corpus outgrows the broadcast threshold, drop the hint and AQE plans
-  // the shuffle join. N is a broadcast single row; the final top-3 window
+  // in corpus size), so it is broadcast back onto tf when a measured count
+  // proves it small — tf keeps its partitioning and the big relation is
+  // never re-shuffled on term — and falls back to the shuffle join
+  // automatically otherwise. N is a broadcast single row; the final top-3 window
   // partitions per doc. No collect anywhere.
   //
   // Determinism across engines: the score is ranked AFTER floor-form
@@ -247,10 +247,16 @@ object TextOps {
     // table between passes
     val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")).localCheckpoint()
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // broadcast dfreq only when a measured count proves it small (the count
+    // is one cheap agg over the already-checkpointed tf): Heaps' law says
+    // the vocab is sublinear in corpus size, but "sublinear" can still
+    // outgrow executor memory at 100 TB — an oversized vocab falls back to
+    // the shuffle join automatically instead of requiring a code change
+    val dfSide = if (dfreq.count() <= 1000000L) broadcast(dfreq) else dfreq
     // corpus size from the unbalanced scan: a count needs no repartition
     val nDocs = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
-    tf.join(broadcast(dfreq), "term")
+    tf.join(dfSide, "term")
       .crossJoin(broadcast(nDocs))
       .withColumn(
         "tfidf",

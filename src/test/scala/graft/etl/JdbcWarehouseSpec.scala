@@ -114,6 +114,18 @@ class JdbcWarehouseSpec extends SparkSpec {
     assert(t.allRows.head.toSeq === committed.toSeq)
   }
 
+  test("load rejects duplicate datetimes within one prepared frame") {
+    // the upsert would silently last-writer-win an in-frame duplicate —
+    // a real input bug; the load must fail loudly the way the plain
+    // INSERT's PK violation used to
+    val (wh, _) = freshWh()
+    val dup = ParquetWarehouse.prepare(
+      reportDf(Seq(("2022-05-01", 0, 1L, 1L), ("2022-05-01", 0, 2L, 2L)))
+    )
+    val e = intercept[IllegalArgumentException](wh.load(dup))
+    assert(e.getMessage.contains("duplicate datetime"))
+  }
+
   test("storeInvalid: ON CONFLICT upsert keyed on (datetime, source_file)") {
     val (wh, name) = freshWh()
     import spark.implicits._
