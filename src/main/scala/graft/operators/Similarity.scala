@@ -225,17 +225,131 @@ object Similarity {
   private val lshIndexCache = new SessionCache[DataFrame]
   private val ivfIndexCache = new SessionCache[(Array[Array[Double]], DataFrame)]
 
+  // -- persisted ANN indexes ---------------------------------------------------
+  // The 100 TB shape: an index is a materialized TABLE, not a per-session
+  // computation. persistLshIndex/persistIvfIndex write the index through
+  // sources.Layouts.writeBucketed — LSH bucketed+sorted on (t, b), IVF on
+  // (cluster) — so index-side joins on those keys plan shuffle-free, and a
+  // COLD session (or a different JVM) reads the table back instead of
+  // rebuilding. Discovery is via the spark conf `graft.ann.indexDir`:
+  // when set, build*Index consults the persisted layout first (the session
+  // cache stays on top as the read-through layer). A sidecar
+  // `_graft_index.json` records the bucket spec so a fresh catalog can
+  // re-register the table over the existing files.
+  val IndexDirConf = "graft.ann.indexDir"
+  private val LSH_BUCKETS = 16
+  private val IVF_BUCKETS = 8
+
+  /** Stable cross-JVM key for a data dir (first 8 md5 hex chars). */
+  private def indexKey(dir: String): String =
+    java.security.MessageDigest
+      .getInstance("MD5")
+      .digest(dir.getBytes("UTF-8"))
+      .take(4)
+      .map(b => f"$b%02x")
+      .mkString
+
+  private def confIndexDir(spark: SparkSession): Option[String] =
+    spark.conf.getOption(IndexDirConf).filter(_.nonEmpty)
+
+  private def lshPath(indexDir: String, dir: String) = s"$indexDir/lsh_${indexKey(dir)}"
+  private def ivfPath(indexDir: String, dir: String) = s"$indexDir/ivf_${indexKey(dir)}"
+  private def ivfCentroidsPath(indexDir: String, dir: String) = s"${ivfPath(indexDir, dir)}_centroids"
+  private[operators] def lshTable(dir: String) = s"graft_lsh_${indexKey(dir)}"
+  private[operators] def ivfTable(dir: String) = s"graft_ivf_${indexKey(dir)}"
+
+  private def hadoopPath(spark: SparkSession, p: String) = {
+    val path = new org.apache.hadoop.fs.Path(p)
+    (path.getFileSystem(spark.sparkContext.hadoopConfiguration), path)
+  }
+
+  /** Sidecar marker: bucket spec + keys, written LAST so its presence means
+    * the index files are complete (a crashed persist leaves no marker and
+    * the reader falls back to building).
+    */
+  private def writeSidecar(spark: SparkSession, dataPath: String, buckets: Int, keys: Seq[String]): Unit = {
+    val (fs, p) = hadoopPath(spark, s"$dataPath/_graft_index.json")
+    val out = fs.create(p, true)
+    try out.write(
+      s"""{"buckets":$buckets,"keys":[${keys.map("\"" + _ + "\"").mkString(",")}]}""".getBytes("UTF-8")
+    )
+    finally out.close()
+  }
+
+  private def readSidecar(spark: SparkSession, dataPath: String): Option[(Int, Seq[String])] = {
+    val (fs, p) = hadoopPath(spark, s"$dataPath/_graft_index.json")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val text =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val buckets = "\"buckets\":(\\d+)".r.findFirstMatchIn(text).map(_.group(1).toInt)
+      val keys = "\"keys\":\\[([^\\]]*)\\]".r
+        .findFirstMatchIn(text)
+        .map(_.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq)
+      for (b <- buckets; k <- keys) yield (b, k)
+    }
+  }
+
+  /** Serve the persisted bucketed index as a catalog table, re-registering
+    * the metadata over the existing files when this session's catalog has
+    * never seen it (the truly-cold path: bucket spec from the sidecar,
+    * schema from the parquet footers — Spark then trusts the bucket-encoded
+    * file names and plans (t, b)/(cluster) joins shuffle-free).
+    */
+  private def readPersisted(spark: SparkSession, table: String, dataPath: String): Option[DataFrame] =
+    readSidecar(spark, dataPath).map { case (buckets, keys) =>
+      if (!spark.catalog.tableExists(table)) {
+        val schemaDdl = spark.read.parquet(dataPath).schema.toDDL
+        val keyList = keys.map(k => s"`$k`").mkString(", ")
+        spark.sql(
+          s"CREATE TABLE `$table` ($schemaDdl) USING PARQUET " +
+            s"CLUSTERED BY ($keyList) SORTED BY ($keyList) INTO $buckets BUCKETS " +
+            s"LOCATION '$dataPath'"
+        )
+      }
+      spark.table(table)
+    }
+
+  /** Materialize the LSH index as a bucketed table under
+    * `indexDir` (default: the `graft.ann.indexDir` conf) — one write, then
+    * every session (this JVM or another) reads it back via
+    * [[buildLshIndex]] instead of rebuilding.
+    */
+  def persistLshIndex(spark: SparkSession, dir: String, indexDir: String): Unit = {
+    val path = lshPath(indexDir, dir)
+    graft.sources.Layouts.writeBucketed(
+      buildLshIndex(spark, dir),
+      lshTable(dir),
+      Seq("t", "b"),
+      LSH_BUCKETS,
+      path
+    )
+    writeSidecar(spark, path, LSH_BUCKETS, Seq("t", "b"))
+  }
+
+  def persistLshIndex(spark: SparkSession, dir: String): Unit =
+    persistLshIndex(spark, dir, confIndexDir(spark).getOrElse {
+      throw new IllegalStateException(s"set $IndexDirConf or pass indexDir explicitly")
+    })
+
   /** Build (or fetch) the LSH corpus index: (t, b, vec_id, vb-unit-vector),
-    * materialized. Returns the index DataFrame; callers time this separately
-    * from the query phase.
+    * materialized. Resolution order: session cache → persisted table (when
+    * `graft.ann.indexDir` is set and holds one) → compute. Callers time
+    * this separately from the query phase.
     */
   def buildLshIndex(spark: SparkSession, dir: String): DataFrame =
     lshIndexCache.getOrBuild(spark, dir) {
       graft.functions.VecFunctions.install(spark)
       installPlaneBuckets(spark)
-      val corpus = withUnit(Tables.balanced(Tables.embeddings(spark, dir)), "embedding", "vb")
-        .select(col("vec_id"), col("vb"))
-      withBuckets(corpus, "vb", bsName = "cbs").localCheckpoint()
+      confIndexDir(spark)
+        .flatMap(ix => readPersisted(spark, lshTable(dir), lshPath(ix, dir)))
+        .getOrElse {
+          val corpus = withUnit(Tables.balanced(Tables.embeddings(spark, dir)), "embedding", "vb")
+            .select(col("vec_id"), col("vb"))
+          withBuckets(corpus, "vb", bsName = "cbs").localCheckpoint()
+        }
     }
 
   def q35LshTopK(spark: SparkSession, dir: String): DataFrame = {
@@ -384,23 +498,64 @@ object Similarity {
     cents
   }
 
+  /** Materialize the IVF index: the assigned corpus as a table bucketed on
+    * (cluster) plus the centroid table (C rows — tiny) as plain parquet.
+    * Cold sessions read both back via [[buildIvfIndex]].
+    */
+  def persistIvfIndex(spark: SparkSession, dir: String, indexDir: String): Unit = {
+    val (cents, corpus) = buildIvfIndex(spark, dir)
+    import spark.implicits._
+    cents.zipWithIndex
+      .map { case (v, i) => (i, v.toSeq) }
+      .toSeq
+      .toDF("cluster", "centroid")
+      .coalesce(1)
+      .write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(ivfCentroidsPath(indexDir, dir))
+    val path = ivfPath(indexDir, dir)
+    graft.sources.Layouts.writeBucketed(corpus, ivfTable(dir), Seq("cluster"), IVF_BUCKETS, path)
+    writeSidecar(spark, path, IVF_BUCKETS, Seq("cluster"))
+  }
+
+  def persistIvfIndex(spark: SparkSession, dir: String): Unit =
+    persistIvfIndex(spark, dir, confIndexDir(spark).getOrElse {
+      throw new IllegalStateException(s"set $IndexDirConf or pass indexDir explicitly")
+    })
+
+  private def readPersistedIvf(spark: SparkSession, dir: String): Option[(Array[Array[Double]], DataFrame)] =
+    confIndexDir(spark).flatMap { ix =>
+      readPersisted(spark, ivfTable(dir), ivfPath(ix, dir)).map { corpus =>
+        val cents = spark.read
+          .parquet(ivfCentroidsPath(ix, dir))
+          .orderBy(col("cluster"))
+          .collect()
+          .map(_.getSeq[Double](1).toArray)
+        (cents, corpus)
+      }
+    }
+
   /** Build (or fetch) the IVF index: the trained centroids + the corpus
-    * with cluster assignment and unit vectors, materialized. The quantizer
-    * is trained ONCE per (session, dir) — queries only pay the probe join.
+    * with cluster assignment and unit vectors, materialized. Resolution
+    * order: session cache → persisted table (when `graft.ann.indexDir` is
+    * set and holds one) → train + assign. The quantizer is trained ONCE per
+    * (session, dir) — queries only pay the probe join.
     */
   def buildIvfIndex(spark: SparkSession, dir: String): (Array[Array[Double]], DataFrame) =
     ivfIndexCache.getOrBuild(spark, dir) {
       graft.functions.VecFunctions.install(spark)
-      val cents = trainCentroids(spark, dir)
-      // cluster assignment + probe distances in RAW space (matching the
-      // trained centroids); exact re-rank on unit vectors via vec_dot.
-      installCentroidRanks(spark, cents)
-      val corpus = withUnit(Tables.balanced(Tables.embeddings(spark, dir)), "embedding", "vb")
-        .withColumn("emb_d", expr(toDouble("embedding")))
-        .withColumn("cluster", expr("element_at(centroid_ranks(emb_d), 1)"))
-        .select(col("vec_id"), col("vb"), col("cluster"))
-        .localCheckpoint()
-      (cents, corpus)
+      readPersistedIvf(spark, dir).getOrElse {
+        val cents = trainCentroids(spark, dir)
+        // cluster assignment + probe distances in RAW space (matching the
+        // trained centroids); exact re-rank on unit vectors via vec_dot.
+        installCentroidRanks(spark, cents)
+        val corpus = withUnit(Tables.balanced(Tables.embeddings(spark, dir)), "embedding", "vb")
+          .withColumn("emb_d", expr(toDouble("embedding")))
+          .withColumn("cluster", expr("element_at(centroid_ranks(emb_d), 1)"))
+          .select(col("vec_id"), col("vb"), col("cluster"))
+          .localCheckpoint()
+        (cents, corpus)
+      }
     }
 
   def q36IvfTopK(spark: SparkSession, dir: String): DataFrame = {
