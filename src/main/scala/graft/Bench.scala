@@ -22,8 +22,11 @@ import org.apache.spark.sql.SparkSession
   * folded in or hidden.
   *
   * `quality` reports ANN recall measured AT THE BENCH SCALE FACTOR against
-  * the exact baselines (q35/q36 top-k vs q34; q60 pair set vs q33) — an
-  * ANN speedup without its recall number is not a result.
+  * exact baselines — an ANN speedup without its recall number is not a
+  * result. Headline q35/q36/q60_recall are on the planted clustered corpus
+  * (where recall measures the algorithm); `_uniform` companions are on the
+  * raw near-uniform corpus (where recall can only track scanned fraction);
+  * recall/scan-fraction curves per knob go to bench_details.json.
   *
   * A failed query is reported in an explicit `failed` array AND exits
   * non-zero: a silently-missing query would make the bench look faster.
@@ -53,14 +56,23 @@ object Bench {
     try phases("q61_graph") = sec(operators.Dedup.buildPairGraph(spark, sfDir))
     catch { case e: Throwable => System.err.println(s"[bench] q61_graph failed: ${e.getMessage}") }
 
-    // repeat each query and keep the fastest run: single-shot timings on a
+    // repeat each query and report the MEDIAN: single-shot timings on a
     // shared box fold scheduler noise into query cost (observed up to 10x
-    // outliers); min-of-N measures the query, not the neighbors.
+    // outliers on byte-identical code), and min-of-2 could not tell a real
+    // regression from one quiet run. Median-of-3+ is the smallest design
+    // where one outlier (either direction) cannot move the reported number;
+    // min and max still go to bench_details.json so a wide spread stays
+    // self-diagnosing.
     val repeat = sys.env
       .get("SPARK_GRAFT_BENCH_REPEAT")
       .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
-      .getOrElse(2)
+      .getOrElse(3)
       .max(1)
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    // (median, min, max) per query
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to repeat).map { _ =>
         try sec(fn(spark, sfDir).write.format("noop").mode("overwrite").save())
@@ -71,31 +83,62 @@ object Bench {
         }
       }
       val good = times.filter(_ >= 0)
-      name -> (if (good.nonEmpty) (good.min, good.max) else (-1.0, -1.0))
+      name -> (if (good.nonEmpty) (median(good), good.min, good.max) else (-1.0, -1.0, -1.0))
     }
-    val failed = results.collect { case (name, (v, _)) if v < 0 => name }
+    val failed = results.collect { case (name, (v, _, _)) if v < 0 => name }
 
-    // ANN recall at THIS scale factor, on the warm indexes: q35/q36 top-k
-    // sets vs the exact q34 baseline; q60's pair set vs exact q33. Small
-    // result sets (K × N_QUERIES rows / a handful of pairs) — the collect is
-    // O(answer), never O(corpus).
+    // ANN recall at THIS scale factor, on the warm indexes. Headline
+    // q35/q36/q60_recall numbers are measured on the PLANTED clustered
+    // corpus (Similarity.plantedCorpus — deterministic clusters derived
+    // from the same table), where recall measures the algorithm: real
+    // embedding corpora cluster, and a correct ANN finds within-cluster
+    // neighbors at a small scanned fraction. The `_uniform` companions are
+    // the same measures on the raw near-uniform corpus (max pairwise
+    // cos ≈ 0.5), where ANY sub-linear method's recall tracks its scanned
+    // fraction — reported for honesty, not as a quality bar. Small result
+    // sets — every collect is O(answer), never O(corpus).
     val quality = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val curves = scala.collection.mutable.ArrayBuffer[String]()
     try {
       def topkSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
         df.select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      val exact = topkSet(operators.Similarity.q34BruteForceTopK(spark, sfDir))
-      if (exact.nonEmpty) {
-        quality("q35_recall") =
-          topkSet(operators.Similarity.q35LshTopK(spark, sfDir)).intersect(exact).size.toDouble / exact.size
-        quality("q36_recall") =
-          topkSet(operators.Similarity.q36IvfTopK(spark, sfDir)).intersect(exact).size.toDouble / exact.size
-      }
       def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
         df.select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      val exactPairs = pairSet(operators.Dedup.q33EmbeddingNearDup(spark, sfDir))
-      if (exactPairs.nonEmpty)
-        quality("q60_recall") =
-          pairSet(operators.Dedup.q60LshNearDup(spark, sfDir)).intersect(exactPairs).size.toDouble / exactPairs.size
+      def recall(got: Set[(Long, Long)], want: Set[(Long, Long)]): Double =
+        if (want.isEmpty) -1.0 else got.intersect(want).size.toDouble / want.size
+
+      val n = core.Tables.embeddings(spark, sfDir).count().toDouble
+      val exactP = topkSet(operators.Similarity.plantedBruteTopK(spark, sfDir))
+      val exactU = topkSet(operators.Similarity.q34BruteForceTopK(spark, sfDir))
+      quality("q35_recall") = recall(topkSet(operators.Similarity.plantedLshTopK(spark, sfDir)), exactP)
+      quality("q36_recall") = recall(topkSet(operators.Similarity.plantedIvfTopK(spark, sfDir)), exactP)
+      quality("q35_recall_uniform") = recall(topkSet(operators.Similarity.q35LshTopK(spark, sfDir)), exactU)
+      quality("q36_recall_uniform") = recall(topkSet(operators.Similarity.q36IvfTopK(spark, sfDir)), exactU)
+
+      val exactPairsP = pairSet(operators.Dedup.plantedExactNearDup(spark, sfDir))
+      quality("q60_recall") = recall(pairSet(operators.Dedup.plantedLshNearDup(spark, sfDir)), exactPairsP)
+      val exactPairsU = pairSet(operators.Dedup.q33EmbeddingNearDup(spark, sfDir))
+      if (exactPairsU.nonEmpty)
+        quality("q60_recall_uniform") = recall(pairSet(operators.Dedup.q60LshNearDup(spark, sfDir)), exactPairsU)
+
+      // recall / scanned-fraction curves (bench_details only): the
+      // trade-off each knob buys — LSH extra probes, IVF nprobe.
+      for (m <- Seq(0, 2, 4)) {
+        spark.conf.set(operators.Similarity.LshProbesConf, m.toString)
+        val rp = recall(topkSet(operators.Similarity.plantedLshTopK(spark, sfDir, m)), exactP)
+        val ru = recall(topkSet(operators.Similarity.q35LshTopK(spark, sfDir)), exactU)
+        val frac = operators.Similarity.plantedLshCandidateCount(spark, sfDir, m) / (5.0 * n)
+        curves += f"""{"knob":"lsh_probes","value":$m,"planted":$rp%.3f,"uniform":$ru%.3f,"cand_frac":$frac%.3f}"""
+      }
+      spark.conf.unset(operators.Similarity.LshProbesConf)
+      for (np <- Seq(1, 2, 4, 6)) {
+        spark.conf.set(operators.Similarity.IvfNprobeConf, np.toString)
+        val rp = recall(topkSet(operators.Similarity.plantedIvfTopK(spark, sfDir, np)), exactP)
+        val ru = recall(topkSet(operators.Similarity.q36IvfTopK(spark, sfDir)), exactU)
+        val frac = operators.Similarity.plantedIvfCandidateCount(spark, sfDir, np) / (5.0 * n)
+        curves += f"""{"knob":"ivf_nprobe","value":$np,"planted":$rp%.3f,"uniform":$ru%.3f,"cand_frac":$frac%.3f}"""
+      }
+      spark.conf.unset(operators.Similarity.IvfNprobeConf)
     } catch { case e: Throwable => System.err.println(s"[bench] recall failed: ${e.getMessage}") }
 
     def jNum(v: Double): String = f"$v%.3f"
@@ -105,26 +148,29 @@ object Bench {
     // Short key = the qNN prefix (unique across the suite); full names map
     // in bench_details.json and README.
     def shortKey(name: String): String = name.takeWhile(_ != '_')
-    val qs = jMap(results.map { case (k, (v, _)) => shortKey(k) -> jNum(v) })
+    val qs = jMap(results.map { case (k, (v, _, _)) => shortKey(k) -> jNum(v) })
     val ph = jMap(phases.map { case (k, v) => k -> jNum(v) })
     val qu = jMap(quality.map { case (k, v) => k -> jNum(v) })
     val fl = failed.map("\"" + shortKey(_) + "\"").mkString("[", ",", "]")
-    val total = results.collect { case (_, (v, _)) if v >= 0 => v }.sum
+    val total = results.collect { case (_, (v, _, _)) if v >= 0 => v }.sum
 
     // Verbose companion: full names, [min,max] spread (a wide spread flags
     // scheduler/memory-pressure noise so a regression is self-diagnosing),
-    // repeat count. Written to the working directory, not stdout.
+    // repeat count, recall/scan-fraction curves. Path from
+    // SPARK_GRAFT_BENCH_DETAILS so the file lands beside the bench JSON
+    // regardless of the working directory sbt forked from.
     val details =
-      s"""{"metric":"total","value":${jNum(total)},"unit":"sec","repeat":$repeat,
-         |"queries":${jMap(results.map { case (k, (v, _)) => k -> jNum(v) })},
-         |"spread":${jMap(results.map { case (k, (lo, hi)) => k -> s"[${jNum(lo)},${jNum(hi)}]" })},
+      s"""{"metric":"total","value":${jNum(total)},"unit":"sec","repeat":$repeat,"stat":"median",
+         |"queries":${jMap(results.map { case (k, (v, _, _)) => k -> jNum(v) })},
+         |"spread":${jMap(results.map { case (k, (_, lo, hi)) => k -> s"[${jNum(lo)},${jNum(hi)}]" })},
          |"phases":${jMap(phases.map { case (k, v) => k -> jNum(v) })},
          |"quality":${jMap(quality.map { case (k, v) => k -> jNum(v) })},
+         |"quality_curves":${curves.mkString("[", ",", "]")},
          |"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},
          |"sf":"$sfDir"}""".stripMargin
     try
       java.nio.file.Files.write(
-        java.nio.file.Paths.get("bench_details.json"),
+        java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAILS", "bench_details.json")),
         details.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       )
     catch { case e: Throwable => System.err.println(s"[bench] details write failed: ${e.getMessage}") }

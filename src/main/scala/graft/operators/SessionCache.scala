@@ -31,4 +31,11 @@ private[graft] final class SessionCache[V] {
       (_, v) => if (v != null && (v._1 eq spark)) v else (spark, build)
     )._2
   }
+
+  /** Drop this session's entry so the next access rebuilds — used when the
+    * backing artifact is rewritten (e.g. an index re-persisted over new
+    * data) and a cached plan would keep reading the dropped files.
+    */
+  def invalidate(spark: SparkSession, dir: String): Unit =
+    m.remove((System.identityHashCode(spark), dir))
 }

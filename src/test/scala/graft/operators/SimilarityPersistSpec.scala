@@ -1,0 +1,105 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The ANN index persistence path end-to-end: persist → truly-cold session
+  * read-back (sidecar parse + CREATE TABLE re-registration over existing
+  * files), idempotent re-persist, and stale-data detection via the sidecar
+  * fingerprint. This is the round-trip the 100 TB design depends on — an
+  * index that silently serves stale candidates or breaks on refresh is
+  * worse than no index. (Reference analog: the warehouse round-trip tests,
+  * `/root/reference/tests/test_client_report_etl.py:38-153`.)
+  */
+class SimilarityPersistSpec extends SparkSpec {
+
+  private def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+    df.collect().toSeq.map(_.toSeq)
+
+  /** A fresh session with the index-dir conf set — simulates a cold JVM as
+    * far as the session-scoped caches and function registry go (the
+    * external catalog is shared, so tests drop tables to force the
+    * truly-cold DDL path).
+    */
+  private def coldSession(indexDir: String): SparkSession = {
+    val s = spark.newSession()
+    s.conf.set(Similarity.IndexDirConf, indexDir)
+    s
+  }
+
+  test("persist + cold-session read-back serves identical q35/q36 results") {
+    val indexDir = Files.createTempDirectory("annidx").toString
+    val baselineLsh = rowsOf(Similarity.q35LshTopK(spark, sfDir))
+    val baselineIvf = rowsOf(Similarity.q36IvfTopK(spark, sfDir))
+
+    assert(Similarity.persistLshIndex(spark, sfDir, indexDir), "first LSH persist should write")
+    assert(Similarity.persistIvfIndex(spark, sfDir, indexDir), "first IVF persist should write")
+
+    // force the truly-cold path: no catalog entry, so the reader must
+    // rebuild table metadata from the sidecar + parquet footers
+    spark.sql(s"DROP TABLE IF EXISTS `${Similarity.lshTable(sfDir)}`")
+    spark.sql(s"DROP TABLE IF EXISTS `${Similarity.ivfTable(sfDir)}`")
+
+    val s2 = coldSession(indexDir)
+    val coldLsh = rowsOf(Similarity.q35LshTopK(s2, sfDir))
+    val coldIvf = rowsOf(Similarity.q36IvfTopK(s2, sfDir))
+    assert(coldLsh === baselineLsh, "cold-session LSH results differ from freshly built")
+    assert(coldIvf === baselineIvf, "cold-session IVF results differ from freshly built")
+    // proof the cold session READ the index rather than rebuilding: the
+    // resolve path re-registered the catalog tables
+    assert(s2.catalog.tableExists(Similarity.lshTable(sfDir)), "LSH table not re-registered")
+    assert(s2.catalog.tableExists(Similarity.ivfTable(sfDir)), "IVF table not re-registered")
+  }
+
+  test("re-persist over a current index is an idempotent no-op") {
+    val indexDir = Files.createTempDirectory("annidx").toString
+    assert(Similarity.persistLshIndex(spark, sfDir, indexDir))
+    assert(Similarity.persistIvfIndex(spark, sfDir, indexDir))
+
+    // a session actively READING the persisted index (the round-6 failure
+    // mode: build resolved via the table, then persist overwrote it)
+    val reader = coldSession(indexDir)
+    val before = rowsOf(Similarity.q35LshTopK(reader, sfDir))
+
+    assert(!Similarity.persistLshIndex(reader, sfDir, indexDir), "re-persist must be a no-op")
+    assert(!Similarity.persistIvfIndex(reader, sfDir, indexDir), "re-persist must be a no-op")
+    assert(rowsOf(Similarity.q35LshTopK(reader, sfDir)) === before)
+  }
+
+  test("stale persisted index is detected, rebuilt fresh, and re-persistable") {
+    val indexDir = Files.createTempDirectory("annidx").toString
+    val dataDir = Files.createTempDirectory("anndata").toString
+    val src = graft.core.Tables.embeddings(spark, sfDir)
+
+    // v1 data: 30 vectors → persist
+    src.filter(col("vec_id") < 30).write.mode("overwrite").parquet(s"$dataDir/embeddings.parquet")
+    assert(Similarity.persistLshIndex(spark, dataDir, indexDir))
+
+    val s1 = coldSession(indexDir)
+    val idx1 = Similarity.buildLshIndex(s1, dataDir)
+    assert(s1.catalog.tableExists(Similarity.lshTable(dataDir)), "v1 index should serve from table")
+    assert(idx1.select("vec_id").distinct().count() === 30L)
+
+    // data regenerated in place: 50 vectors — the sidecar fingerprint
+    // (rows + max vec_id) no longer matches
+    src.filter(col("vec_id") < 50).write.mode("overwrite").parquet(s"$dataDir/embeddings.parquet")
+
+    val s2 = coldSession(indexDir)
+    val idx2 = Similarity.buildLshIndex(s2, dataDir)
+    assert(
+      idx2.select("vec_id").distinct().count() === 50L,
+      "stale persisted index served after data regeneration"
+    )
+
+    // persist sees the mismatch, rewrites, and a later cold session reads v2
+    assert(Similarity.persistLshIndex(s2, dataDir, indexDir), "stale persist must rewrite")
+    val s3 = coldSession(indexDir)
+    val idx3 = Similarity.buildLshIndex(s3, dataDir)
+    assert(s3.catalog.tableExists(Similarity.lshTable(dataDir)))
+    assert(idx3.select("vec_id").distinct().count() === 50L)
+  }
+}
