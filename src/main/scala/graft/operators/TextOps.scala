@@ -171,29 +171,47 @@ object TextOps {
 
   // ---------------------------------------------------------------------------
   // q54 — fuzzy matching via edit distance: near-duplicate part names within
-  // levenshtein <= 2, weighted by how many parts carry each name. The
-  // DISTINCT-first structure is the scale pattern: the quadratic stage runs
-  // on unique values (64 here), never on the raw table; the raw-table mass
-  // joins back by equality afterwards.
+  // levenshtein <= 2, weighted by how many parts carry each name. Two scale
+  // patterns compose here:
+  //   1. DISTINCT-first: the pair stage runs on unique values, never on the
+  //      raw table; the raw-table mass joins back by equality afterwards.
+  //   2. LOSSLESS length blocking: levenshtein <= 2 bounds |len(a)-len(b)|
+  //      <= 2, so the left side replicates each name to its 5 admissible
+  //      partner lengths and the pair stage is an EQUI-join on exact
+  //      length — a hash/sort-merge join Catalyst can distribute, not the
+  //      BroadcastNestedLoopJoin the raw theta-join (`a < b AND lev <= 2`)
+  //      plans, which is a pruned cartesian and O(n²) at corpus scale.
+  //      Each qualifying pair lands in exactly ONE block (the right name's
+  //      own length), so no dedup pass is needed and the result is
+  //      IDENTICAL to the all-pairs form — the oracle below stays the
+  //      brute-force SQL. Within-block skew (many same-length names) would
+  //      next call for a deletion-neighborhood key (SymSpell) or q30's
+  //      shingle-LSH candidates; the verify stays exact either way.
   // ---------------------------------------------------------------------------
   def q54FuzzyNames(spark: SparkSession, dir: String): DataFrame = {
     val names = Tables
       .part(spark, dir)
       .groupBy(col("p_name"))
       .agg(count(lit(1)).as("n_parts"))
-    names
-      .as("l")
+      .withColumn("len", length(col("p_name")))
+    val l = names
+      .withColumn("blk", explode(expr("sequence(len - 2, len + 2)")))
+      .select(col("p_name").as("name_a"), col("n_parts").as("parts_a"), col("blk"))
+    val r = names
+      .select(col("p_name").as("name_b"), col("n_parts").as("parts_b"), col("len").as("blk"))
+    l.as("l")
       .join(
-        names.as("r"),
-        col("l.p_name") < col("r.p_name") &&
-          abs(length(col("l.p_name")) - length(col("r.p_name"))) <= 2 &&
-          levenshtein(col("l.p_name"), col("r.p_name")) <= 2
+        r.as("r"),
+        // equi key first; the quadratic-ish verify runs on within-block
+        // pairs only, cheap conjunct (<) ahead of levenshtein
+        col("l.blk") === col("r.blk") && col("name_a") < col("name_b") &&
+          levenshtein(col("name_a"), col("name_b")) <= 2
       )
       .select(
-        col("l.p_name").as("name_a"),
-        col("r.p_name").as("name_b"),
-        levenshtein(col("l.p_name"), col("r.p_name")).as("edit_distance"),
-        (col("l.n_parts") + col("r.n_parts")).as("parts_affected")
+        col("name_a"),
+        col("name_b"),
+        levenshtein(col("name_a"), col("name_b")).as("edit_distance"),
+        (col("parts_a") + col("parts_b")).as("parts_affected")
       )
       .orderBy(col("name_a"), col("name_b"))
   }
@@ -247,12 +265,14 @@ object TextOps {
     // table between passes
     val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")).localCheckpoint()
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    // broadcast dfreq only when a measured count proves it small (the count
-    // is one cheap agg over the already-checkpointed tf): Heaps' law says
-    // the vocab is sublinear in corpus size, but "sublinear" can still
-    // outgrow executor memory at 100 TB — an oversized vocab falls back to
-    // the shuffle join automatically instead of requiring a code change
-    val dfSide = if (dfreq.count() <= 1000000L) broadcast(dfreq) else dfreq
+    // no broadcast hint and no driver-side gate: dfreq materializes through
+    // a shuffle stage whose MEASURED size AQE already has, so the runtime
+    // re-planner converts the join to broadcast-hash exactly when the vocab
+    // is small and falls back to the shuffle join when Heaps'-law
+    // "sublinear" still outgrows executor memory at 100 TB. The previous
+    // `dfreq.count() <= threshold` gate bought the same decision with an
+    // extra blocking job per invocation.
+    val dfSide = dfreq
     // corpus size from the unbalanced scan: a count needs no repartition
     val nDocs = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))

@@ -104,6 +104,61 @@ class SchedulerSpec extends SparkSpec {
     assert(FileRouter.listParquet(in.toString).isEmpty)
   }
 
+  test("loop through the JDBC sink: late re-delivery archives, replaces, re-upserts quarantine") {
+    // reference semantics (`src/Task2/warehouse.py:422-466`): a cron tick
+    // that sees an already-loaded date must archive the overlapped rows,
+    // delete the range, and re-insert — here driven across TWO virtual-clock
+    // fires with the SQL warehouse (FakeJdbc) instead of the parquet sink.
+    val in = Files.createTempDirectory("cronj_in")
+    val out = Files.createTempDirectory("cronj_out")
+    val dbName = "cron_jdbc_db"
+    FakeJdbc.drop(dbName)
+    val wh = new JdbcWarehouse(FakeJdbc.factory(dbName), PostgresDialect)
+    wh.ensureSchema()
+
+    var clock = LocalDateTime.of(2022, 5, 27, 11, 0, 30)
+    def now() = clock
+    def sleep(d: Duration): Unit = clock = clock.plus(d)
+
+    Fixtures.goldenScenario(spark, in)
+
+    val results = scala.collection.mutable.ArrayBuffer[Pipeline.RunResult]()
+    val ticks = Scheduler.loop(parse("* * * * *"), now _, sleep, maxTicks = Some(2)) { _ =>
+      val r = Pipeline.run(spark, in.toString, out.toString, wh, Fixtures.UA, deleteInputs = true)
+      results += r
+      if (results.size == 1) {
+        // LATE DATA between fires: the same date's files re-delivered
+        // (identical names — the consume-once delete emptied the inbox)
+        Fixtures.goldenScenario(spark, in)
+      }
+      true
+    }
+
+    assert(ticks === 2)
+    assert(results.forall(_.success))
+    assert(results.map(_.processedDates.map(_.date)) === Seq(Seq("2022-05-27"), Seq("2022-05-27")))
+
+    val d = FakeJdbc.db(dbName)
+    // the second fire replaced the live rows and archived the first fire's
+    // 24 dense hours through the SQL anti-join
+    assert(d.table("client_report").allRows.size === 24)
+    assert(d.table("client_report_archive").allRows.size === 24)
+    // both fires report the same totals (same data re-delivered)
+    assert(results.map(_.warehouseSummary("total_impressions")) === Seq(10L, 10L))
+    assert(results.map(_.warehouseSummary("total_clicks")) === Seq(30L, 30L))
+
+    // quarantine flowed through the SQL upsert on BOTH ticks: the re-upsert
+    // on (datetime, source_file) last-writer-wins instead of duplicating
+    assert(results.forall(_.quarantinedRows >= 1))
+    val inv = d.table("client_report_invalid")
+    val rows = inv.allRows
+    assert(rows.nonEmpty)
+    val dtIdx = inv.cols.indexOf("datetime")
+    val sfIdx = inv.cols.indexOf("source_file")
+    val keys = rows.map(r => (r(dtIdx), r(sfIdx)))
+    assert(keys.distinct.length === keys.length, "late re-delivery duplicated quarantine rows")
+  }
+
   test("loop stops when the tick callback returns false") {
     var clock = LocalDateTime.of(2022, 1, 1, 0, 0)
     val n = Scheduler.loop(

@@ -63,4 +63,36 @@ class TextOpsSpec extends SparkSpec {
     val top = rows.filter(_.getInt(1) == 1)
     assert(top.forall(r => r.getDouble(3) > 0.0 || nDocs == 1))
   }
+
+  test("q54 length blocking is lossless vs the all-pairs theta form") {
+    import org.apache.spark.sql.functions._
+    val names = graft.core.Tables
+      .part(spark, sfDir)
+      .groupBy(col("p_name"))
+      .agg(count(lit(1)).as("n_parts"))
+    // brute-force reference: the pruned-cartesian form q54 used to run
+    val brute = names
+      .as("l")
+      .join(
+        names.as("r"),
+        col("l.p_name") < col("r.p_name") &&
+          levenshtein(col("l.p_name"), col("r.p_name")) <= 2
+      )
+      .select(col("l.p_name"), col("r.p_name"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .toSet
+    val blocked = TextOps
+      .q54FuzzyNames(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(blocked.toSet === brute, "length blocking changed the pair set")
+    assert(blocked.distinct.length === blocked.length, "blocking duplicated a pair")
+  }
+
+  test("q54 plan: length-blocked equi-join, no BroadcastNestedLoopJoin/cartesian") {
+    val plan = TextOps.q54FuzzyNames(spark, sfDir).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"q54 must not plan a BNLJ:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"q54 must not plan a cartesian:\n$plan")
+  }
 }
