@@ -28,7 +28,8 @@ object SparkEntry {
       operators.SqlFrontend.queries ++
       operators.Skew.queries ++
       operators.RangeOps.queries ++
-      operators.Sampling.queries
+      operators.Sampling.queries ++
+      operators.Curation.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -44,5 +45,6 @@ object SparkEntry {
       operators.SqlFrontend.oracles ++
       operators.Skew.oracles ++
       operators.RangeOps.oracles ++
-      operators.Sampling.oracles
+      operators.Sampling.oracles ++
+      operators.Curation.oracles
 }

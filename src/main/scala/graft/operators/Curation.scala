@@ -1,0 +1,216 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Corpus-curation operators — the steps between "filtered documents" and
+  * "training batches" that a large-scale LLM data pipeline runs after the
+  * dedup/quality stages (q25-q33): packing documents into fixed context
+  * windows, screening the train split for benchmark contamination, and
+  * scoring intra-document repetition. The reference has no analog (its text
+  * surface is a filename regex, `data_processing.py:240`); these are
+  * ★-additions in the SURVEY §2.12 sense.
+  *
+  * All three are built-in codegen'd expressions end to end — higher-order
+  * functions over token arrays, window cumsums, hash joins — no UDFs, no
+  * collect, so each op is one or two shuffles regardless of corpus size.
+  */
+object Curation {
+
+  /** Whitespace tokens of the normalized text — the corpus-wide tokenizer
+    * convention shared with q32 (lower, trim, collapse runs of whitespace).
+    */
+  private val toksExpr = "split(regexp_replace(lower(trim(text)), '\\\\s+', ' '), ' ')"
+
+  // ---------------------------------------------------------------------------
+  // q66 — context-window packing: concatenate documents in doc_id order and
+  // cut a bin boundary every CTX=512 tokens; a document belongs to the bin
+  // where it STARTS (cum_before div 512). This is the deterministic
+  // document-contiguous packing an LLM pretraining loader runs to fill
+  // fixed-length contexts; the output is the per-bin manifest (doc count,
+  // token mass) a batch scheduler consumes.
+  //
+  // Scale shape: packing is inherently sequential per stream, so the corpus
+  // is SHARDED into independent streams first — parallelism = langs x
+  // SHARDS, each stream a separate window partition. 8 shards saturate this
+  // box; at 100 TB the shard count scales with the cluster (each shard is
+  // an independent packing problem, so more shards = more parallelism with
+  // identical semantics), and the one shuffle is the window's
+  // (lang, shard)-hash exchange. No driver traffic.
+  // ---------------------------------------------------------------------------
+  private val CTX = 512
+  private val SHARDS = 8
+
+  def q66ContextPack(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables
+      .documents(spark, dir)
+      .select(
+        col("lang"),
+        col("doc_id"),
+        pmod(col("doc_id"), lit(SHARDS)).cast("int").as("shard"),
+        size(split(trim(col("text")), "\\s+")).as("n_tokens")
+      )
+    val w = Window
+      .partitionBy(col("lang"), col("shard"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("bin", floor(col("cum_before") / lit(CTX.toDouble)).cast("int"))
+      .groupBy(col("lang"), col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
+      .orderBy(col("lang"), col("shard"), col("bin"))
+  }
+
+  val q66Oracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+       |         CAST(doc_id % $SHARDS AS INT) AS shard
+       |  FROM documents),
+       |c AS (
+       |  SELECT lang, shard, doc_id, n_tokens,
+       |         COALESCE(sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |  FROM d)
+       |SELECT lang, shard, CAST(floor(cum_before / $CTX.0) AS INT) AS bin,
+       |       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+       |FROM c GROUP BY 1, 2, 3
+       |ORDER BY lang, shard, bin""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q67 — train/test contamination screen: which TRAIN-split documents share
+  // verbatim 8-gram shingles with any TEST-split document, and how much of
+  // each train doc is covered. Benchmark decontamination is a mandatory
+  // pass before pretraining (the n-gram-overlap method is the standard one);
+  // here the held-out set is the corpus's own md5 test split (q49's
+  // deterministic bucketing), which the synthetic corpus's near-duplicates
+  // make non-trivially contaminated.
+  //
+  // Scale shape: shingles explode to ~(tokens-7) rows/doc; both sides
+  // dedup with map-side partial aggregation before the equi-join on the
+  // shingle key. The TEST side is benchmark-sized (tiny vs the corpus) —
+  // AQE broadcasts it; the train side is never re-shuffled after its
+  // distinct. At 100 TB the only change is hashing the shingle string to a
+  // 64-bit key (xxhash64) so the join key is fixed-width — kept as the raw
+  // string here for oracle parity.
+  // ---------------------------------------------------------------------------
+  def q67Contamination(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables
+      .balanced(Tables.documents(spark, dir))
+      .withColumn("bucket", conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10).cast("int"))
+      .withColumn("toks", expr(toksExpr))
+      // sequence(1, n) needs n >= 1: shorter docs have no 8-grams (the
+      // oracle's range(1, len-6) is empty there for the same reason)
+      .filter(size(col("toks")) >= 8)
+    val sh = t.select(
+      col("doc_id"),
+      col("bucket"),
+      explode(expr("transform(sequence(1, size(toks) - 7), i -> array_join(slice(toks, i, 8), ' '))"))
+        .as("shingle")
+    )
+    val testSh = sh.filter(col("bucket") >= 230).select(col("shingle")).distinct()
+    val train = sh.filter(col("bucket") < 205).select(col("doc_id"), col("shingle")).distinct()
+    val perDoc = train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val hits = train
+      .join(testSh, "shingle")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+    perDoc
+      .join(hits, "doc_id")
+      .withColumn(
+        "contamination",
+        // floor-form 6dp rounding (q12/q62 convention): engine-identical
+        // for double division of the same integers
+        expr("floor(cast(n_hits AS double) * 1e6 / cast(n_shingles AS double) + 5e-1) / 1e6")
+      )
+      .select(col("doc_id"), col("n_shingles"), col("n_hits"), col("contamination"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q67Oracle: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         CAST(('0x' || substring(md5(doc_id::VARCHAR), 1, 2))::INT AS INT) AS bucket,
+      |         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, bucket,
+      |         unnest(list_transform(range(1, len(toks) - 6),
+      |                               i -> array_to_string(toks[i:i+7], ' '))) AS shingle
+      |  FROM t),
+      |test_sh AS (SELECT DISTINCT shingle FROM sh WHERE bucket >= 230),
+      |train AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE bucket < 205),
+      |n AS (SELECT doc_id, count(*) AS n_shingles FROM train GROUP BY 1),
+      |hits AS (
+      |  SELECT train.doc_id AS doc_id, count(*) AS n_hits
+      |  FROM train JOIN test_sh USING (shingle) GROUP BY 1)
+      |SELECT n.doc_id AS doc_id, CAST(n.n_shingles AS BIGINT) AS n_shingles,
+      |       CAST(hits.n_hits AS BIGINT) AS n_hits,
+      |       floor(n_hits * 1e6 / n_shingles + 5e-1) / 1e6 AS contamination
+      |FROM n JOIN hits ON n.doc_id = hits.doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q68 — intra-document repetition score: the fraction of word bigrams that
+  // are repeats (1 - distinct/total), the Gopher-family "repetitious
+  // content" quality signal that length/punctuation ratios (q26) cannot
+  // see. Pure per-row higher-order-function pipeline — zero shuffles before
+  // the presentation sort, so it composes into any scan at any scale.
+  // ---------------------------------------------------------------------------
+  private val REPETITION_FLAG_THRESHOLD = 0.2
+
+  def q68Repetition(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .balanced(Tables.documents(spark, dir))
+      .withColumn("toks", expr(toksExpr))
+      // a 1-token doc has no bigrams; drop it rather than divide by zero
+      // (the oracle's WHERE len(toks) >= 2 is the same guard)
+      .filter(size(col("toks")) >= 2)
+      .withColumn(
+        "grams",
+        expr("transform(sequence(1, size(toks) - 1), i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))")
+      )
+      .withColumn("n_grams", size(col("grams")))
+      .withColumn("n_distinct", size(array_distinct(col("grams"))))
+      .withColumn(
+        "dup_ratio",
+        expr("floor((1.0 - cast(n_distinct AS double) / cast(n_grams AS double)) * 1e6 + 5e-1) / 1e6")
+      )
+      .withColumn(
+        "verdict",
+        when(col("dup_ratio") > REPETITION_FLAG_THRESHOLD, "flag").otherwise("keep")
+      )
+      .select(col("doc_id"), col("lang"), col("n_grams"), col("n_distinct"), col("dup_ratio"), col("verdict"))
+      .orderBy(col("doc_id"))
+
+  val q68Oracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, lang,
+       |         list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS grams
+       |  FROM t WHERE len(toks) >= 2)
+       |SELECT doc_id, lang, CAST(len(grams) AS INT) AS n_grams,
+       |       CAST(len(list_distinct(grams)) AS INT) AS n_distinct,
+       |       floor((1.0 - len(list_distinct(grams))::DOUBLE / len(grams)) * 1e6 + 5e-1) / 1e6 AS dup_ratio,
+       |       CASE WHEN floor((1.0 - len(list_distinct(grams))::DOUBLE / len(grams)) * 1e6 + 5e-1) / 1e6
+       |              > $REPETITION_FLAG_THRESHOLD THEN 'flag' ELSE 'keep' END AS verdict
+       |FROM g ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q66_context_pack" -> (q66ContextPack _),
+    "q67_contamination" -> (q67Contamination _),
+    "q68_repetition" -> (q68Repetition _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q66_context_pack" -> q66Oracle,
+    "q67_contamination" -> q67Oracle,
+    "q68_repetition" -> q68Oracle
+  )
+}
