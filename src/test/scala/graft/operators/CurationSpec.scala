@@ -33,6 +33,31 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("q66 shard/ctx knobs: any shard count conserves docs and token mass") {
+    val base = Curation.q66ContextPack(spark, sfDir).collect()
+    try {
+      spark.conf.set(Curation.ShardsConf, "32")
+      spark.conf.set(Curation.CtxConf, "128")
+      val scaled = Curation.q66ContextPack(spark, sfDir).collect()
+      assert(
+        scaled.map(_.getAs[Long]("n_docs")).sum === base.map(_.getAs[Long]("n_docs")).sum,
+        "re-sharding lost or duplicated docs"
+      )
+      assert(
+        scaled.map(_.getAs[Long]("bin_tokens")).sum === base.map(_.getAs[Long]("bin_tokens")).sum,
+        "re-sharding changed total token mass"
+      )
+      assert(
+        scaled.map(r => (r.getAs[String]("lang"), r.getAs[Int]("shard"))).distinct.length >
+          base.map(r => (r.getAs[String]("lang"), r.getAs[Int]("shard"))).distinct.length,
+        "more shards must mean more independent packing streams"
+      )
+    } finally {
+      spark.conf.unset(Curation.ShardsConf)
+      spark.conf.unset(Curation.CtxConf)
+    }
+  }
+
   test("q67 contamination: only train-split docs, hits bounded by shingle count") {
     val rows = Curation.q67Contamination(spark, sfDir).collect()
     assert(rows.nonEmpty, "synthetic near-duplicates must cross the md5 split")
