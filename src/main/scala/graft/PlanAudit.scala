@@ -20,7 +20,14 @@ object PlanAudit {
         // would NOT work: .write builds a fresh QueryExecution and the
         // original would stay unexecuted.)
         df.queryExecution.toRdd.count()
-        val plan = df.queryExecution.executedPlan.toString
+        // An executed AdaptiveSparkPlan prints the FINAL plan followed by a
+        // "== Initial Plan ==" copy of the pre-AQE one: keep only the final
+        // section, or every scan/join in a single-scan query counts twice.
+        val full = df.queryExecution.executedPlan.toString
+        val plan = full.indexOf("== Initial Plan ==") match {
+          case -1 => full
+          case i  => full.substring(0, i)
+        }
         if (sys.env.contains("PLAN_AUDIT_DEBUG")) println(plan.linesIterator.take(40).mkString("\n"))
         val scans = "ReadSchema: struct<([^>]*)".r.findAllMatchIn(plan).map(_.group(1)).toSeq
         val pushed = "PushedFilters: \\[([^\\]]*)\\]".r.findAllMatchIn(plan).map(_.group(1)).toSeq
