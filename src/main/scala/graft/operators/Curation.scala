@@ -217,15 +217,142 @@ object Curation {
        |              > $REPETITION_FLAG_THRESHOLD THEN 'flag' ELSE 'keep' END AS verdict
        |FROM g ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q69 — unigram log-probability score: per document, the average negative
+  // log-probability of its tokens under the corpus unigram distribution —
+  // the LM-perplexity-proxy quality filter (CCNet-family): docs full of
+  // corpus-rare tokens score high, boilerplate scores low. Exactly q62's
+  // scale shape: per-doc term counts staged once (localCheckpoint), corpus
+  // term frequencies are vocab-sized (Heaps' law) and AQE-broadcast from
+  // their measured shuffle size, total token mass is a broadcast single
+  // row. The per-doc average is computed over token INSTANCES via
+  // sum(c * ln f)/sum(c) on the distinct-term counts — no second pass over
+  // the raw instances.
+  // ---------------------------------------------------------------------------
+  def q69UnigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables
+      .balanced(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .withColumn("toks", expr(toksExpr))
+    val tf = docs
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val freq = tf.groupBy(col("term")).agg(sum(col("c")).cast("double").as("f"))
+    val total = tf.agg(sum(col("c")).cast("double").as("t"))
+    tf.join(freq, "term")
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        (sum(col("c").cast("double") * log(col("f"))) / sum(col("c").cast("double"))).as("avg_ln_f")
+      )
+      .crossJoin(broadcast(total))
+      // 4dp, not the usual 6: avg_ln_f is a cross-row DOUBLE sum, so its
+      // last ~2 digits depend on partial-aggregation order; flooring well
+      // above the noise keeps the gate hash deterministic across engines
+      // AND across this engine's own shuffle orderings
+      .withColumn(
+        "avg_neg_logprob",
+        expr("floor((ln(t) - avg_ln_f) * 1e4 + 5e-1) / 1e4")
+      )
+      .select(col("doc_id"), col("n_tokens"), col("avg_neg_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q69Oracle: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+      |  FROM documents),
+      |inst AS (SELECT doc_id, unnest(toks) AS term FROM t),
+      |tf AS (SELECT doc_id, term, count(*) AS c FROM inst GROUP BY 1, 2),
+      |freq AS (SELECT term, CAST(sum(c) AS DOUBLE) AS f FROM tf GROUP BY 1),
+      |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS tt FROM tf),
+      |scored AS (
+      |  SELECT tf.doc_id AS doc_id, CAST(sum(tf.c) AS BIGINT) AS n_tokens,
+      |         sum(tf.c * ln(freq.f)) / sum(CAST(tf.c AS DOUBLE)) AS avg_ln_f
+      |  FROM tf JOIN freq USING (term) GROUP BY 1)
+      |SELECT doc_id, n_tokens,
+      |       floor((ln((SELECT tt FROM tot)) - avg_ln_f) * 1e4 + 5e-1) / 1e4 AS avg_neg_logprob
+      |FROM scored ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q70 — source-mixture sampling plan: given per-source target weights,
+  // the maximal downsampling plan that hits the target mixture without
+  // upsampling any source — the data-mixing step that turns "we want 2x
+  // more srcN than srcM" into per-source sample rates. The feasibility cap
+  // c = min_s(n_s / (w_s * N)) is the largest corpus multiple where every
+  // source can still supply its share; rate_s = c * w_s * N / n_s (= 1 for
+  // the binding source). Weights here derive from the source index
+  // (w ∝ idx + 1) so the plan is deterministic and non-trivial on the
+  // uniform synthetic corpus; a real pipeline passes its own weights table.
+  //
+  // Scale shape: one groupBy(source) over the corpus; everything after is
+  // per-source rows (dozens) — the cap is a broadcast single-row aggregate,
+  // never a driver collect.
+  // ---------------------------------------------------------------------------
+  def q70MixturePlan(spark: SparkSession, dir: String): DataFrame = {
+    val bySource = Tables
+      .documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      // w ∝ (index + 1), normalized over the sources present
+      .withColumn("idx", expr("cast(substring(source, 4) AS int)"))
+      // source-count rows (dozens): stage them so the three consumers
+      // (weight norm, cap, plan) don't each re-scan the corpus
+      .localCheckpoint()
+    val withW = bySource
+      .crossJoin(broadcast(bySource.agg(
+        sum(col("idx") + 1).cast("double").as("w_sum"),
+        sum(col("n_docs")).cast("double").as("n_total")
+      )))
+      .withColumn("target_w", (col("idx") + 1).cast("double") / col("w_sum"))
+    val cap = withW
+      .select(min(col("n_docs").cast("double") / (col("target_w") * col("n_total"))).as("cap"))
+    withW
+      .crossJoin(broadcast(cap))
+      .withColumn("sample_rate", expr("floor(cap * target_w * n_total / n_docs * 1e6 + 5e-1) / 1e6"))
+      .withColumn("expected_docs", expr("cast(floor(cap * target_w * n_total + 5e-1) AS bigint)"))
+      .select(
+        col("source"),
+        col("n_docs"),
+        expr("floor(target_w * 1e6 + 5e-1) / 1e6").as("target_share"),
+        col("sample_rate"),
+        col("expected_docs")
+      )
+      .orderBy(col("source"))
+  }
+
+  val q70Oracle: String =
+    """WITH s AS (
+      |  SELECT source, count(*) AS n_docs,
+      |         CAST(substring(source, 4) AS INT) AS idx
+      |  FROM documents GROUP BY 1),
+      |tot AS (SELECT CAST(sum(idx + 1) AS DOUBLE) AS w_sum, CAST(sum(n_docs) AS DOUBLE) AS n_total FROM s),
+      |w AS (
+      |  SELECT source, n_docs, (idx + 1) / tot.w_sum AS target_w, tot.n_total AS n_total
+      |  FROM s, tot),
+      |cap AS (SELECT min(n_docs / (target_w * n_total)) AS cap FROM w)
+      |SELECT source, n_docs,
+      |       floor(target_w * 1e6 + 5e-1) / 1e6 AS target_share,
+      |       floor(cap.cap * target_w * n_total / n_docs * 1e6 + 5e-1) / 1e6 AS sample_rate,
+      |       CAST(floor(cap.cap * target_w * n_total + 5e-1) AS BIGINT) AS expected_docs
+      |FROM w, cap
+      |ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q66_context_pack" -> (q66ContextPack _),
     "q67_contamination" -> (q67Contamination _),
-    "q68_repetition" -> (q68Repetition _)
+    "q68_repetition" -> (q68Repetition _),
+    "q69_unigram_logprob" -> (q69UnigramLogprob _),
+    "q70_mixture_plan" -> (q70MixturePlan _)
   )
 
   val oracles: Map[String, String] = Map(
     "q66_context_pack" -> q66Oracle,
     "q67_contamination" -> q67Oracle,
-    "q68_repetition" -> q68Oracle
+    "q68_repetition" -> q68Oracle,
+    "q69_unigram_logprob" -> q69Oracle,
+    "q70_mixture_plan" -> q70Oracle
   )
 }

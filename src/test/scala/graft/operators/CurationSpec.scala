@@ -130,9 +130,57 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("q69 logprob: rarer-vocabulary docs score higher; n_tokens matches tokenizer") {
+    val rows = Curation.q69UnigramLogprob(spark, sfDir).collect()
+    val nDocs = graft.core.Tables.documents(spark, sfDir).count()
+    assert(rows.length === nDocs)
+    val texts = graft.core.Tables
+      .documents(spark, sfDir)
+      .select("doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    // recompute the score for a handful of docs from first principles
+    val allToks = texts.values.flatMap(tokens).toSeq
+    val freq = allToks.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    val t = allToks.size.toDouble
+    rows.take(20).foreach { r =>
+      val toks = tokens(texts(r.getAs[Long]("doc_id")))
+      assert(r.getAs[Long]("n_tokens") === toks.length)
+      val expected = toks.map(tk => math.log(t) - math.log(freq(tk))).sum / toks.length
+      // result is floor-rounded at 4dp; the recomputation is unrounded
+      assert(
+        math.abs(r.getAs[Double]("avg_neg_logprob") - expected) < 1e-4,
+        s"doc ${r.getLong(0)}: got ${r.getAs[Double]("avg_neg_logprob")}, expected ~$expected"
+      )
+    }
+  }
+
+  test("q70 mixture plan: no upsampling, binding source at rate 1, target ratios hit") {
+    val rows = Curation.q70MixturePlan(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val rate = r.getAs[Double]("sample_rate")
+      assert(rate > 0.0 && rate <= 1.0, s"${r.getString(0)} rate $rate")
+      assert(r.getAs[Long]("expected_docs") <= r.getAs[Long]("n_docs"), "plan upsamples a source")
+    }
+    // the cap is tight: some source is sampled in full
+    assert(rows.exists(_.getAs[Double]("sample_rate") == 1.0), "no binding source — cap not maximal")
+    // expected counts track the target mixture: ratios ~ target_share ratios
+    val shares = rows.map(r => r.getAs[Double]("target_share"))
+    val expected = rows.map(r => r.getAs[Long]("expected_docs").toDouble)
+    val scale = expected.sum / shares.sum
+    shares.zip(expected).foreach { case (s, e) =>
+      assert(math.abs(e - s * scale) <= 1.0, s"expected_docs $e off target ${s * scale}")
+    }
+  }
+
   test("plans: q66/q68 shuffle-minimal, q67 equi-join only (no BNLJ/cartesian)") {
-    for ((name, fn) <- Curation.queries) {
-      val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+    // q69/q70 are excluded from the BNLJ check: their crossJoins are
+    // single-row broadcast aggregates (total token mass, the cap — the q62
+    // pattern), which plan as a 1-row BroadcastNestedLoopJoin by design
+    for (name <- Seq("q66_context_pack", "q67_contamination", "q68_repetition")) {
+      val plan = Curation.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name plans a BNLJ:\n$plan")
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")
     }
