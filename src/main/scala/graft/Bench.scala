@@ -123,7 +123,7 @@ object Bench {
 
       // recall / scanned-fraction curves (bench_details only): the
       // trade-off each knob buys — LSH extra probes, IVF nprobe.
-      for (m <- Seq(0, 2, 4)) {
+      for (m <- Seq(0, 1, 2, 4)) {
         spark.conf.set(operators.Similarity.LshProbesConf, m.toString)
         val rp = recall(topkSet(operators.Similarity.plantedLshTopK(spark, sfDir, m)), exactP)
         val ru = recall(topkSet(operators.Similarity.q35LshTopK(spark, sfDir)), exactU)
@@ -159,10 +159,18 @@ object Bench {
     // repeat count, recall/scan-fraction curves. Path from
     // SPARK_GRAFT_BENCH_DETAILS so the file lands beside the bench JSON
     // regardless of the working directory sbt forked from.
+    // `noisy` makes the spread machine-readable: queries whose max/min
+    // exceeded 3x within one run (at repeat >= 3, where the median already
+    // absorbed the outlier) — a reader comparing rounds should treat their
+    // movements as scheduler noise, not regression, unless the MEDIAN moved.
+    val noisy = results.collect {
+      case (k, (_, lo, hi)) if repeat >= 3 && lo > 0 && hi / lo > 3.0 => k
+    }
     val details =
       s"""{"metric":"total","value":${jNum(total)},"unit":"sec","repeat":$repeat,"stat":"median",
          |"queries":${jMap(results.map { case (k, (v, _, _)) => k -> jNum(v) })},
          |"spread":${jMap(results.map { case (k, (_, lo, hi)) => k -> s"[${jNum(lo)},${jNum(hi)}]" })},
+         |"noisy":${noisy.map("\"" + _ + "\"").mkString("[", ",", "]")},
          |"phases":${jMap(phases.map { case (k, v) => k -> jNum(v) })},
          |"quality":${jMap(quality.map { case (k, v) => k -> jNum(v) })},
          |"quality_curves":${curves.mkString("[", ",", "]")},

@@ -6,6 +6,32 @@ package graft
   *   sbt "runMain graft.PlanAudit [sfDir]"
   */
 object PlanAudit {
+
+  /** Remove every "== Initial Plan ==" block from a printed physical plan.
+    * A block = the marker line plus the following lines whose tree-prefix
+    * (spaces / ':' / '+' / '-') is at least as long as the marker's — i.e.
+    * the subtree printed under it. The initial plan is always the LAST
+    * inner child of its AdaptiveSparkPlan node, so the first shallower line
+    * is the enclosing plan's continuation and is kept.
+    */
+  private[graft] def stripInitialPlans(full: String): String = {
+    def prefixLen(l: String): Int = {
+      val i = l.indexWhere(c => c != ' ' && c != ':' && c != '+' && c != '-')
+      if (i == -1) l.length else i
+    }
+    val out = new StringBuilder
+    var skipDepth = -1
+    full.linesIterator.foreach { line =>
+      val d = prefixLen(line)
+      if (skipDepth >= 0 && d < skipDepth) skipDepth = -1
+      if (skipDepth < 0) {
+        if (line.contains("== Initial Plan ==")) skipDepth = d
+        else out.append(line).append('\n')
+      }
+    }
+    out.toString
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = core.Sessions.local("graft-plan-audit")
@@ -21,13 +47,16 @@ object PlanAudit {
         // original would stay unexecuted.)
         df.queryExecution.toRdd.count()
         // An executed AdaptiveSparkPlan prints the FINAL plan followed by a
-        // "== Initial Plan ==" copy of the pre-AQE one: keep only the final
+        // "== Initial Plan ==" copy of the pre-AQE one: drop each initial
         // section, or every scan/join in a single-scan query counts twice.
+        // Markers can also appear NESTED (adaptive subquery subtrees print
+        // their own Initial Plan mid-tree), so prefix-truncating at the
+        // first marker would cut off the rest of the main final plan:
+        // instead skip each marker's SUBTREE — the lines that follow it at
+        // the same-or-deeper tree indentation — and resume at the first
+        // shallower line, which belongs to the enclosing final plan.
         val full = df.queryExecution.executedPlan.toString
-        val plan = full.indexOf("== Initial Plan ==") match {
-          case -1 => full
-          case i  => full.substring(0, i)
-        }
+        val plan = stripInitialPlans(full)
         if (sys.env.contains("PLAN_AUDIT_DEBUG")) println(plan.linesIterator.take(40).mkString("\n"))
         val scans = "ReadSchema: struct<([^>]*)".r.findAllMatchIn(plan).map(_.group(1)).toSeq
         val pushed = "PushedFilters: \\[([^\\]]*)\\]".r.findAllMatchIn(plan).map(_.group(1)).toSeq

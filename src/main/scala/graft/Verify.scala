@@ -14,6 +14,13 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The oracle SQL below is pinned to each query's DEFAULT knobs; a
+    // semantics-changing conf leaked into this session (e.g. a curation
+    // shard/ctx override from an earlier test or user session) would make
+    // the gate compare two different queries and fail opaquely — gated runs
+    // always execute at the defaults.
+    Seq(operators.Curation.ShardsConf, operators.Curation.CtxConf)
+      .foreach(k => if (spark.conf.getOption(k).isDefined) spark.conf.unset(k))
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -48,9 +48,21 @@ object Curation {
   private val SHARDS = 8
 
   def q66ContextPack(spark: SparkSession, dir: String): DataFrame = {
-    // defaults match the DuckDB oracle; the confs are the cluster-size knobs
+    // defaults match the registered DuckDB oracle; the confs are the
+    // cluster-size knobs. A non-default knob changes the query's semantics,
+    // so the REGISTERED oracle (q66Oracle, pinned to the defaults) no longer
+    // applies — warn loudly so a gated run with a leaked conf fails
+    // diagnosably, not opaquely (q66OracleFor gives the matching SQL).
     val shards = spark.conf.getOption(ShardsConf).map(_.toInt).getOrElse(SHARDS)
     val ctx = spark.conf.getOption(CtxConf).map(_.toInt).getOrElse(CTX)
+    if (shards != SHARDS || ctx != CTX)
+      org.slf4j.LoggerFactory
+        .getLogger(getClass)
+        .warn(
+          s"q66_context_pack running with non-default knobs (shards=$shards, ctx=$ctx): " +
+            s"the registered oracle assumes shards=$SHARDS, ctx=$CTX — compare against " +
+            s"Curation.q66OracleFor($shards, $ctx) instead"
+        )
     val docs = Tables
       .documents(spark, dir)
       .select(
@@ -71,20 +83,25 @@ object Curation {
       .orderBy(col("lang"), col("shard"), col("bin"))
   }
 
-  val q66Oracle: String =
+  /** The q66 oracle at an arbitrary knob setting — the registered gate uses
+    * the defaults; specs use this to oracle-check non-default knobs too.
+    */
+  def q66OracleFor(shards: Int, ctx: Int): String =
     s"""WITH d AS (
        |  SELECT doc_id, lang, len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
-       |         CAST(doc_id % $SHARDS AS INT) AS shard
+       |         CAST(doc_id % $shards AS INT) AS shard
        |  FROM documents),
        |c AS (
        |  SELECT lang, shard, doc_id, n_tokens,
        |         COALESCE(sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
        |  FROM d)
-       |SELECT lang, shard, CAST(floor(cum_before / $CTX.0) AS INT) AS bin,
+       |SELECT lang, shard, CAST(floor(cum_before / $ctx.0) AS INT) AS bin,
        |       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
        |FROM c GROUP BY 1, 2, 3
        |ORDER BY lang, shard, bin""".stripMargin
+
+  val q66Oracle: String = q66OracleFor(SHARDS, CTX)
 
   // ---------------------------------------------------------------------------
   // q67 — train/test contamination screen: which TRAIN-split documents share
@@ -100,12 +117,17 @@ object Curation {
   // stage-as-a-table pattern) because three consumers read it (test-side
   // vocabulary, per-doc totals, hit counts) and each would otherwise
   // re-scan the corpus and re-run the explode+distinct: one corpus scan
-  // instead of four (PlanAudit-verified). The TEST side is benchmark-sized
-  // (tiny vs the corpus) — AQE broadcasts it from its measured shuffle
-  // size; the train side is never re-shuffled after its distinct. At
-  // 100 TB the only change is hashing the shingle string to a 64-bit key
-  // (xxhash64) so the join key is fixed-width — kept as the raw string
-  // here for oracle parity.
+  // instead of four (PlanAudit-verified). The staged table carries
+  // md5(shingle) — a fixed-width key both engines compute identically —
+  // not the raw variable-width 8-gram, so every downstream
+  // distinct/join/shuffle moves 32-byte keys instead of ~50-byte strings
+  // (at 100 TB swap md5 for xxhash64's 8-byte key; md5 is the widest key
+  // DuckDB shares with Spark, kept for oracle parity). Validation-bucket
+  // docs (205 <= b < 230) are dropped BEFORE the explode/distinct — no
+  // consumer reads them, so staging them would be pure waste. The TEST
+  // side is benchmark-sized (tiny vs the corpus) — AQE broadcasts it from
+  // its measured shuffle size; the train side is never re-shuffled after
+  // its distinct.
   // ---------------------------------------------------------------------------
   def q67Contamination(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables
@@ -116,21 +138,24 @@ object Curation {
       // oracle's range(1, len-6) is empty there for the same reason)
       .filter(size(col("toks")) >= 8)
     // bucket is functional on doc_id, so distinct over (doc_id, bucket,
-    // shingle) equals the per-doc distinct shingle set
+    // sh_key) equals the per-doc distinct shingle set (md5 is injective
+    // on both engines' identical inputs for gate purposes)
     val sh = t
+      .filter(col("bucket") < 205 || col("bucket") >= 230)
       .select(
         col("doc_id"),
         col("bucket"),
         explode(expr("transform(sequence(1, size(toks) - 7), i -> array_join(slice(toks, i, 8), ' '))"))
           .as("shingle")
       )
+      .select(col("doc_id"), col("bucket"), md5(col("shingle")).as("sh_key"))
       .distinct()
       .localCheckpoint()
-    val testSh = sh.filter(col("bucket") >= 230).select(col("shingle")).distinct()
-    val train = sh.filter(col("bucket") < 205).select(col("doc_id"), col("shingle"))
+    val testSh = sh.filter(col("bucket") >= 230).select(col("sh_key")).distinct()
+    val train = sh.filter(col("bucket") < 205).select(col("doc_id"), col("sh_key"))
     val perDoc = train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
     val hits = train
-      .join(testSh, "shingle")
+      .join(testSh, "sh_key")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hits"))
     perDoc
@@ -153,15 +178,15 @@ object Curation {
       |  FROM documents),
       |sh AS (
       |  SELECT doc_id, bucket,
-      |         unnest(list_transform(range(1, len(toks) - 6),
-      |                               i -> array_to_string(toks[i:i+7], ' '))) AS shingle
-      |  FROM t),
-      |test_sh AS (SELECT DISTINCT shingle FROM sh WHERE bucket >= 230),
-      |train AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE bucket < 205),
+      |         md5(unnest(list_transform(range(1, len(toks) - 6),
+      |                                   i -> array_to_string(toks[i:i+7], ' ')))) AS sh_key
+      |  FROM t WHERE bucket < 205 OR bucket >= 230),
+      |test_sh AS (SELECT DISTINCT sh_key FROM sh WHERE bucket >= 230),
+      |train AS (SELECT DISTINCT doc_id, sh_key FROM sh WHERE bucket < 205),
       |n AS (SELECT doc_id, count(*) AS n_shingles FROM train GROUP BY 1),
       |hits AS (
       |  SELECT train.doc_id AS doc_id, count(*) AS n_hits
-      |  FROM train JOIN test_sh USING (shingle) GROUP BY 1)
+      |  FROM train JOIN test_sh USING (sh_key) GROUP BY 1)
       |SELECT n.doc_id AS doc_id, CAST(n.n_shingles AS BIGINT) AS n_shingles,
       |       CAST(hits.n_hits AS BIGINT) AS n_hits,
       |       floor(n_hits * 1e6 / n_shingles + 5e-1) / 1e6 AS contamination

@@ -149,9 +149,15 @@ object Similarity {
   private val TABLES = 6
   private val PLANES = 6
 
-  /** Query-time knob: extra flipped-bit probes per table (multiprobe LSH). */
+  /** Query-time knob: extra flipped-bit probes per table (multiprobe LSH).
+    * Default = the knee of the published recall/scan-fraction curve
+    * (bench_details.json, sf0.1 planted corpus): probes=1 reaches planted
+    * recall 1.00 at candidate fraction 0.199 — probes=2 buys NO planted
+    * recall for another 0.075 of the corpus scanned (0.274), and probes=0
+    * gives up the last 2 points (0.98 at 0.13).
+    */
   val LshProbesConf = "graft.ann.lsh.probes"
-  private val LSH_PROBES_DEFAULT = 2
+  private val LSH_PROBES_DEFAULT = 1
 
   private def lshExtraProbes(spark: SparkSession): Int =
     spark.conf
@@ -438,7 +444,14 @@ object Similarity {
   // ---------------------------------------------------------------------------
   private val C = 16
 
-  /** Query-time knob: how many of the C cells each query probes. */
+  /** Query-time knob: how many of the C cells each query probes.
+    * Unlike the LSH probes knob, the published sf0.1 curve's knee (planted
+    * 1.00 at nprobe=1) does NOT hold at smaller corpora — measured planted
+    * recall at sf0.001/sf0.01 is 0.66/0.64 at nprobe=1 and 0.90/0.90 at
+    * nprobe=2 (boundary queries whose true cluster is not their nearest
+    * centroid), so the default stays at 4 (planted ≥ 0.98 at every SF)
+    * rather than chasing the large-corpus knee.
+    */
   val IvfNprobeConf = "graft.ann.ivf.nprobe"
   private val NPROBE_DEFAULT = 4
 
@@ -496,19 +509,39 @@ object Similarity {
     ): CentroidRanks = copy(child = c)
   }
 
+  /** Per-session record of the centroid table `centroid_ranks` is currently
+    * bound to, so repeated installs of the SAME binding (every q36/planted
+    * call re-installs defensively) skip the registry write — without it each
+    * call logs a "centroid_ranks replaced" warning, hundreds per bench run.
+    * Weak keys: entries die with their session.
+    */
+  private val centroidBinding = new java.util.WeakHashMap[SparkSession, Array[Array[Double]]]()
+
   /** Register `centroid_ranks` bound to this centroid table (session-scoped;
-    * re-registration replaces the binding — DataFrames are analyzed eagerly,
-    * so plans built between installs keep the binding they resolved).
+    * a DIFFERENT table re-registers and replaces the binding — DataFrames
+    * are analyzed eagerly, so plans built between installs keep the binding
+    * they resolved — while an identical one is a no-op; a plain
+    * functionExists guard like installPlaneBuckets's would wrongly pin the
+    * first corpus's centroids for the whole session).
     */
   private def installCentroidRanks(spark: SparkSession, cs: Array[Array[Double]]): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      org.apache.spark.sql.catalyst.FunctionIdentifier("centroid_ranks"),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        classOf[CentroidRanks].getName,
-        "centroid_ranks"
-      ),
-      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => CentroidRanks(args.head, cs)
-    )
+    centroidBinding.synchronized {
+      val bound = centroidBinding.get(spark)
+      if ((bound ne cs) && !java.util.Arrays.deepEquals(
+          bound.asInstanceOf[Array[AnyRef]],
+          cs.asInstanceOf[Array[AnyRef]]
+        )) {
+        spark.sessionState.functionRegistry.registerFunction(
+          org.apache.spark.sql.catalyst.FunctionIdentifier("centroid_ranks"),
+          new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+            classOf[CentroidRanks].getName,
+            "centroid_ranks"
+          ),
+          (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => CentroidRanks(args.head, cs)
+        )
+        centroidBinding.put(spark, cs)
+      }
+    }
 
   private val toDouble: String => String = v => s"transform($v, x -> cast(x AS double))"
 

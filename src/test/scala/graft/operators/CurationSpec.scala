@@ -109,6 +109,51 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("q66 at shards=3/ctx=128: Spark matches the parameterized DuckDB oracle") {
+    // The registered gate only ever runs the DEFAULT knobs; this is the one
+    // non-default oracle check, via the driver-side python/duckdb env (the
+    // same engine the gate uses). Skipped — not silently passed — when that
+    // env is absent, so `sbt test` stays green on a bare JVM box.
+    import scala.sys.process._
+    val duckdbOk =
+      try Process(Seq("python3", "-c", "import duckdb")).!(ProcessLogger(_ => ())) == 0
+      catch { case _: Throwable => false }
+    assume(duckdbOk, "python3+duckdb not available")
+
+    val (shards, ctx) = (3, 128)
+    val sqlFile = java.nio.file.Files.createTempFile("q66oracle", ".sql")
+    java.nio.file.Files.writeString(sqlFile, Curation.q66OracleFor(shards, ctx))
+    val py =
+      s"""import duckdb, sys
+         |con = duckdb.connect()
+         |con.sql("CREATE VIEW documents AS SELECT * FROM '$sfDir/documents.parquet'")
+         |for row in con.sql(open('$sqlFile').read()).fetchall():
+         |    print('\\t'.join(str(v) for v in row))
+         |""".stripMargin
+    val out = new StringBuilder
+    val code = Process(Seq("python3", "-c", py)).!(ProcessLogger(l => out.append(l).append('\n'), System.err.println))
+    assert(code === 0, "duckdb oracle run failed")
+    val want = out.toString.linesIterator.toSeq
+
+    val got =
+      try {
+        spark.conf.set(Curation.ShardsConf, shards.toString)
+        spark.conf.set(Curation.CtxConf, ctx.toString)
+        Curation
+          .q66ContextPack(spark, sfDir)
+          .collect()
+          .map(r => Seq(r.get(0), r.get(1), r.get(2), r.get(3), r.get(4)).mkString("\t"))
+          .toSeq
+      } finally {
+        spark.conf.unset(Curation.ShardsConf)
+        spark.conf.unset(Curation.CtxConf)
+      }
+    assert(got.length === want.length, s"row counts differ: spark=${got.length} duckdb=${want.length}")
+    got.zip(want).zipWithIndex.foreach { case ((g, w), i) =>
+      assert(g === w, s"row $i differs")
+    }
+  }
+
   test("q68 repetition: ratio matches a direct recomputation per doc") {
     val rows = Curation.q68Repetition(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -102,4 +102,49 @@ class SimilarityPersistSpec extends SparkSpec {
     assert(s3.catalog.tableExists(Similarity.lshTable(dataDir)))
     assert(idx3.select("vec_id").distinct().count() === 50L)
   }
+
+  private def deepEq(a: Array[Array[Double]], b: Array[Array[Double]]): Boolean =
+    java.util.Arrays.deepEquals(a.asInstanceOf[Array[AnyRef]], b.asInstanceOf[Array[AnyRef]])
+
+  test("stale persisted IVF index is detected, rebuilt with fresh centroids, and re-persistable") {
+    val indexDir = Files.createTempDirectory("annidx").toString
+    val dataDir = Files.createTempDirectory("anndata").toString
+    val src = graft.core.Tables.embeddings(spark, sfDir)
+
+    // v1 data: 30 vectors → persist (corpus table + centroid sidecar table)
+    src.filter(col("vec_id") < 30).write.mode("overwrite").parquet(s"$dataDir/embeddings.parquet")
+    assert(Similarity.persistIvfIndex(spark, dataDir, indexDir))
+
+    val s1 = coldSession(indexDir)
+    val (cents1, idx1) = Similarity.buildIvfIndex(s1, dataDir)
+    assert(s1.catalog.tableExists(Similarity.ivfTable(dataDir)), "v1 index should serve from table")
+    assert(idx1.select("vec_id").distinct().count() === 30L)
+
+    // data regenerated in place: 50 vectors — the sidecar fingerprint
+    // (rows + max vec_id) no longer matches, so the persisted index AND its
+    // persisted centroids must both be bypassed
+    src.filter(col("vec_id") < 50).write.mode("overwrite").parquet(s"$dataDir/embeddings.parquet")
+
+    val s2 = coldSession(indexDir)
+    val (cents2, idx2) = Similarity.buildIvfIndex(s2, dataDir)
+    assert(
+      idx2.select("vec_id").distinct().count() === 50L,
+      "stale persisted IVF index served after data regeneration"
+    )
+    assert(!deepEq(cents1, cents2), "rebuild must retrain the quantizer on the v2 data")
+
+    // persist sees the mismatch and rewrites both artifacts; a later cold
+    // session serves v2 from the table, with the centroid parquet
+    // round-tripping the exact quantizer the rebuild trained
+    assert(Similarity.persistIvfIndex(s2, dataDir, indexDir), "stale persist must rewrite")
+    val s3 = coldSession(indexDir)
+    val (cents3, idx3) = Similarity.buildIvfIndex(s3, dataDir)
+    assert(s3.catalog.tableExists(Similarity.ivfTable(dataDir)))
+    assert(
+      idx3.queryExecution.analyzed.toString.contains(Similarity.ivfTable(dataDir)),
+      "v2 build should serve from the persisted table, not recompute"
+    )
+    assert(idx3.select("vec_id").distinct().count() === 50L)
+    assert(deepEq(cents3, cents2), "persisted centroids must round-trip the v2 quantizer exactly")
+  }
 }

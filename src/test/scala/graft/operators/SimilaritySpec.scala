@@ -45,10 +45,11 @@ class SimilaritySpec extends SparkSpec {
     val trueTop = byQuery(brute).view.mapValues(_.map(_.getLong(2)).toSet).toMap
     val hits = lsh.count(r => trueTop(r.getLong(0)).contains(r.getLong(2)))
     info(s"q35 recall@10 at sf0.1: $hits/${brute.length}")
-    // near-uniform synthetic vectors: with the default 2 extra multiprobes
-    // per table the measured recall is ~0.66 (33/50); floor well below the
-    // binomial mean so the pin is stable, but high enough that a broken
-    // index, broken probe generation, or broken dedup fails.
+    // near-uniform synthetic vectors: with the default 1 extra multiprobe
+    // per table (the curve knee) the measured recall is 0.48 (24/50) —
+    // recall here necessarily tracks scanned fraction, so the floor only
+    // guards that a broken index, broken probe generation, or broken dedup
+    // fails loudly, and sits below the deterministic 24.
     assert(hits >= 20, s"q35 recall@10 collapsed: $hits/${brute.length}")
     // every returned cosine must equal the true cosine for that pair
     val trueCos = brute.map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
@@ -74,18 +75,20 @@ class SimilaritySpec extends SparkSpec {
   // tracks scanned fraction by construction. On the planted corpus
   // (deterministic clusters at within-cluster cos ≈ 0.9 derived from the
   // same table) a correct ANN must find the cluster-mates: these floors are
-  // the real quality gate (measured ≈ 1.0 at sf0.01; floor 0.8 leaves
+  // the real quality gate (measured ≈ 1.0 at sf0.01; floors leave
   // binomial margin).
 
   private val plantedDir = "/root/testdata/sf0.01"
 
-  test("planted clusters: LSH recall@10 >= 0.8 vs exact baseline") {
+  test("planted clusters: LSH recall@10 >= 0.9 vs exact baseline") {
     val exact = Similarity.plantedBruteTopK(spark, plantedDir).collect()
     val lsh = Similarity.plantedLshTopK(spark, plantedDir).collect()
     val trueTop = byQuery(exact).view.mapValues(_.map(_.getLong(2)).toSet).toMap
     val hits = lsh.count(r => trueTop(r.getLong(0)).contains(r.getLong(2)))
     info(s"planted LSH recall@10: $hits/${exact.length}")
-    assert(hits >= (exact.length * 0.8).toInt, s"planted LSH recall: $hits/${exact.length}")
+    // measured 1.00 at the default probes=1 (sf0.001/sf0.01/sf0.1 alike);
+    // floor 0.9 per the knee-tuned default's published curve
+    assert(hits >= (exact.length * 0.9).toInt, s"planted LSH recall: $hits/${exact.length}")
     // and no duplicate pairs from the multiprobe first-hit dedup
     val pairs = lsh.map(r => (r.getLong(0), r.getLong(2)))
     assert(pairs.distinct.length === pairs.length, "duplicate (query, vec) pair in planted LSH output")
