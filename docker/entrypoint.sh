@@ -1,0 +1,71 @@
+#!/usr/bin/env bash
+# Container entrypoint (reference `docker/entrypoint.sh` analog,
+# `/root/reference/docker/entrypoint.sh:1-66`): verify the Java install,
+# print the effective configuration, run the setup checks, execute the
+# pipeline once immediately, then hand the process over to the scheduled
+# loop. Two deliberate re-expressions of the reference's shape:
+#   - the cron cadence runs IN-PROCESS (graft.etl.CronMain parses the same
+#     5-field Vixie expressions and `CRON_ENVIRONMENT` contract) instead of
+#     installing a system crontab — one JVM, one warm SparkSession across
+#     ticks, no `service cron start` inside a container;
+#   - logs go to stdout/stderr (container-idiomatic, `docker logs`) rather
+#     than a tail -f of a log file.
+#
+# Environment:
+#   CRON_ENVIRONMENT   production|testing cadence key   (default testing)
+#   GRAFT_INPUT        incoming parquet dir             (default raw_data)
+#   GRAFT_OUTPUT       per-date CSV output dir          (default output)
+#   GRAFT_WAREHOUSE    parquet warehouse dir            (default warehouse)
+#   GRAFT_USER_AGENT   user-agent filter value          (default "some user agent")
+#   GRAFT_TESTDATA     setup-check data dir             (default /root/testdata/sf0.001)
+#   GRAFT_CRON_TICKS   bound the loop to N ticks (smoke tests); empty = run forever
+set -euo pipefail
+
+cd "$(dirname "$0")/.."
+GRAFT="bin/graft.sh"
+
+verify_java() {
+    echo "Verifying Java installation..."
+    if ! command -v java >/dev/null 2>&1; then
+        echo "ERROR: java not found on PATH (JAVA_HOME=${JAVA_HOME:-unset})"
+        return 1
+    fi
+    java -version
+}
+
+verify_environment() {
+    echo "Environment Configuration:"
+    echo "========================="
+    echo "JAVA_HOME:        ${JAVA_HOME:-unset}"
+    echo "SPARK_JARS_DIR:   ${SPARK_JARS_DIR:-/opt/spark/jars}"
+    echo "CRON_ENVIRONMENT: ${CRON_ENVIRONMENT:-testing}"
+    echo "GRAFT_INPUT:      ${GRAFT_INPUT:-raw_data}"
+    echo "GRAFT_OUTPUT:     ${GRAFT_OUTPUT:-output}"
+    echo "GRAFT_WAREHOUSE:  ${GRAFT_WAREHOUSE:-warehouse}"
+    echo "DB_HOST:          ${DB_HOST:-unset (parquet warehouse)}"
+    echo "DB_PORT:          ${DB_PORT:-unset}"
+}
+
+echo "Starting application setup..."
+verify_java
+verify_environment
+
+echo "Running setup verification..."
+"$GRAFT" verify-setup "${GRAFT_TESTDATA:-/root/testdata/sf0.001}"
+
+args=(
+  --user-agent "${GRAFT_USER_AGENT:-some user agent}"
+  --input "${GRAFT_INPUT:-raw_data}"
+  --output "${GRAFT_OUTPUT:-output}"
+  --warehouse "${GRAFT_WAREHOUSE:-warehouse}"
+)
+
+echo "Running initial application execution..."
+"$GRAFT" run "${args[@]}"
+
+echo "Starting scheduled loop (CRON_ENVIRONMENT=${CRON_ENVIRONMENT:-testing})..."
+if [ -n "${GRAFT_CRON_TICKS:-}" ]; then
+  exec "$GRAFT" cron "${args[@]}" --ticks "$GRAFT_CRON_TICKS"
+else
+  exec "$GRAFT" cron "${args[@]}"
+fi

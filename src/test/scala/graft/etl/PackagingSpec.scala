@@ -1,0 +1,63 @@
+package graft.etl
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The shell/packaging layer (reference `deploy.sh` + docker analogs).
+  * The full orchestration — entrypoint → verify-setup → one run → bounded
+  * cron loop — is driven for real by `deploy.sh --no-docker` and
+  * `GRAFT_CRON_TICKS=1 docker/entrypoint.sh` (both exercised in this
+  * sandbox); the spec keeps the cheap invariants under `sbt test`: every
+  * script stays syntactically valid bash, and the warehouse init SQL is
+  * generated from the dialect code rather than hand-maintained.
+  */
+class PackagingSpec extends AnyFunSuite {
+
+  private val repoRoot = {
+    // tests fork with cwd = project root, but don't depend on it
+    val here = new java.io.File(".").getCanonicalFile
+    Iterator.iterate(here)(_.getParentFile)
+      .takeWhile(_ != null)
+      .find(d => new java.io.File(d, "bin/graft.sh").isFile)
+      .getOrElse(fail("repo root with bin/graft.sh not found"))
+  }
+
+  private def bashAvailable: Boolean =
+    try scala.sys.process.Process(Seq("bash", "--version")).!(scala.sys.process.ProcessLogger(_ => ())) == 0
+    catch { case _: Throwable => false }
+
+  test("launcher, entrypoint, and deploy scripts are valid bash") {
+    assume(bashAvailable, "bash not available")
+    for (script <- Seq("bin/graft.sh", "docker/entrypoint.sh", "deploy.sh")) {
+      val f = new java.io.File(repoRoot, script)
+      assert(f.isFile, s"$script missing")
+      assert(f.canExecute, s"$script not executable")
+      val code = scala.sys.process.Process(Seq("bash", "-n", f.getPath)).!
+      assert(code === 0, s"$script fails bash -n")
+    }
+  }
+
+  test("warehouse init SQL is the dialect's own DDL, in execution order") {
+    val sql = DialectDump.initSql(PostgresDialect)
+    // exactly the create_* prefix of the statement inventory, each
+    // semicolon-terminated so docker-entrypoint-initdb.d can execute it
+    val ddl = DialectDump.statements(PostgresDialect).takeWhile(_._1.startsWith("create_"))
+    assert(ddl.nonEmpty)
+    var at = 0
+    ddl.foreach { case (name, stmt, _) =>
+      val i = sql.indexOf(stmt + ";")
+      assert(i >= at, s"$name missing or out of order in init SQL")
+      at = i
+    }
+    // and nothing but DDL: no INSERT/DELETE/MERGE leaks into the bootstrap
+    assert(!sql.toUpperCase.contains("INSERT INTO"))
+    assert(!sql.toUpperCase.contains("DELETE FROM"))
+  }
+
+  test("generated init file (when present) matches the current dialect DDL") {
+    val f = new java.io.File(repoRoot, "docker/init/01-init-warehouse.sql")
+    if (f.isFile) {
+      val onDisk = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      assert(onDisk === DialectDump.initSql(PostgresDialect), "regenerate with bin/graft.sh init-sql")
+    }
+  }
+}
