@@ -365,12 +365,117 @@ object Curation {
       |FROM w, cap
       |ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q71 — cross-document passage dedup: the sub-document granularity the
+  // whole-doc passes (q29 exact, q30-q33 near-dup) cannot see — boilerplate
+  // passages repeated ACROSS otherwise-distinct documents (Lee et al.,
+  // "Deduplicating Training Data Makes Language Models Better";
+  // RefinedWeb's exact-substring pass). The corpus has no line breaks, so
+  // passages are fixed non-overlapping SEG-token chunks — the
+  // bucketed/hashable approximation of exact-substring dedup that scales
+  // (suffix automata don't shard; chunk hashing is one groupBy).
+  //
+  // Keep rule: a chunk appearing in >1 documents is kept only in its
+  // canonical OWNER (the min doc_id holding it) and dropped everywhere
+  // else; doc-unique chunks always stay (intra-doc repetition is q68's
+  // signal, not this one's). Output per doc: chunk/token counts, how many
+  // chunks are corpus-shared, and the token count that survives the drop —
+  // the numbers a curation pipeline needs to decide rewrite-vs-discard.
+  //
+  // Scale shape: the q67/q69 stage-once pattern — the exploded chunk table
+  // is materialized once (localCheckpoint) and feeds both the frequency
+  // pass and the per-doc roll-up; chunk keys are md5 (fixed-width; xxhash64
+  // at 100 TB, md5 kept for oracle parity). Both shuffles key on the
+  // 32-byte hash, never on passage text.
+  // ---------------------------------------------------------------------------
+  private val SEG = 16
+
+  def q71PassageDedup(spark: SparkSession, dir: String): DataFrame = {
+    val segs = Tables
+      .balanced(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .withColumn("toks", expr(toksExpr))
+      // every doc tokenizes to >= 1 token, but guard anyway: sequence(0, -1)
+      // would produce a DESCENDING range, not an empty one
+      .filter(size(col("toks")) >= 1)
+      .withColumn(
+        "chunks",
+        expr(
+          s"transform(sequence(0, cast(ceil(size(toks) / $SEG.0) AS int) - 1), " +
+            s"i -> struct(md5(array_join(slice(toks, i * $SEG + 1, $SEG), ' ')) AS seg_key, " +
+            s"size(slice(toks, i * $SEG + 1, $SEG)) AS seg_len))"
+        )
+      )
+      .select(col("doc_id"), explode(col("chunks")).as("p"))
+      .select(col("doc_id"), col("p.seg_key").as("seg_key"), col("p.seg_len").as("seg_len"))
+      .localCheckpoint()
+    // presence (doc, chunk) distinct first: one plain groupBy instead of a
+    // mixed count(DISTINCT)+min aggregate (which Catalyst plans via Expand,
+    // doubling the shuffled rows)
+    val freq = segs
+      .select(col("doc_id"), col("seg_key"))
+      .distinct()
+      .groupBy(col("seg_key"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("owner"))
+    segs
+      .join(freq, "seg_key")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_segs"),
+        sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_shared_segs"),
+        sum(col("seg_len")).cast("long").as("n_tokens"),
+        sum(when(col("n_docs") === 1 || col("owner") === col("doc_id"), col("seg_len")).otherwise(0))
+          .cast("long")
+          .as("keep_tokens")
+      )
+      .withColumn(
+        "shared_frac",
+        expr("floor(cast(n_shared_segs AS double) * 1e6 / cast(n_segs AS double) + 5e-1) / 1e6")
+      )
+      .select(
+        col("doc_id"),
+        col("n_segs"),
+        col("n_shared_segs"),
+        col("n_tokens"),
+        col("keep_tokens"),
+        col("shared_frac")
+      )
+      .orderBy(col("doc_id"))
+  }
+
+  val q71Oracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+       |  FROM documents),
+       |seg AS (
+       |  SELECT doc_id,
+       |         unnest(list_transform(range(0, CAST(ceil(len(toks) / $SEG.0) AS INT)),
+       |                i -> md5(array_to_string(toks[i*$SEG+1:i*$SEG+$SEG], ' ')))) AS seg_key,
+       |         unnest(list_transform(range(0, CAST(ceil(len(toks) / $SEG.0) AS INT)),
+       |                i -> len(toks[i*$SEG+1:i*$SEG+$SEG]))) AS seg_len
+       |  FROM t WHERE len(toks) >= 1),
+       |freq AS (
+       |  SELECT seg_key, count(*) AS n_docs, min(doc_id) AS owner
+       |  FROM (SELECT DISTINCT doc_id, seg_key FROM seg) GROUP BY 1),
+       |agg AS (
+       |  SELECT seg.doc_id AS doc_id,
+       |         count(*) AS n_segs,
+       |         sum(CASE WHEN freq.n_docs > 1 THEN 1 ELSE 0 END) AS n_shared_segs,
+       |         sum(seg.seg_len) AS n_tokens,
+       |         sum(CASE WHEN freq.n_docs = 1 OR freq.owner = seg.doc_id THEN seg.seg_len ELSE 0 END) AS keep_tokens
+       |  FROM seg JOIN freq USING (seg_key) GROUP BY 1)
+       |SELECT doc_id, CAST(n_segs AS BIGINT) AS n_segs, CAST(n_shared_segs AS BIGINT) AS n_shared_segs,
+       |       CAST(n_tokens AS BIGINT) AS n_tokens, CAST(keep_tokens AS BIGINT) AS keep_tokens,
+       |       floor(CAST(n_shared_segs AS DOUBLE) * 1e6 / n_segs + 5e-1) / 1e6 AS shared_frac
+       |FROM agg ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q66_context_pack" -> (q66ContextPack _),
     "q67_contamination" -> (q67Contamination _),
     "q68_repetition" -> (q68Repetition _),
     "q69_unigram_logprob" -> (q69UnigramLogprob _),
-    "q70_mixture_plan" -> (q70MixturePlan _)
+    "q70_mixture_plan" -> (q70MixturePlan _),
+    "q71_passage_dedup" -> (q71PassageDedup _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -378,6 +483,7 @@ object Curation {
     "q67_contamination" -> q67Oracle,
     "q68_repetition" -> q68Oracle,
     "q69_unigram_logprob" -> q69Oracle,
-    "q70_mixture_plan" -> q70Oracle
+    "q70_mixture_plan" -> q70Oracle,
+    "q71_passage_dedup" -> q71Oracle
   )
 }

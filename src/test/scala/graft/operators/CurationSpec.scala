@@ -201,6 +201,77 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("q71 passage dedup: bounds hold, tokenizer parity, exact-dup non-owners drop all") {
+    val rows = Curation.q71PassageDedup(spark, sfDir).collect()
+    val texts = graft.core.Tables
+      .documents(spark, sfDir)
+      .select("doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    assert(rows.length === texts.size, "one row per document")
+    val byId = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    rows.foreach { r =>
+      val (nSegs, nShared) = (r.getAs[Long]("n_segs"), r.getAs[Long]("n_shared_segs"))
+      val (nToks, keep) = (r.getAs[Long]("n_tokens"), r.getAs[Long]("keep_tokens"))
+      assert(nShared >= 0 && nShared <= nSegs)
+      assert(keep >= 0 && keep <= nToks)
+      // only corpus-shared chunks are ever dropped
+      if (nShared == 0) assert(keep === nToks, s"doc ${r.getLong(0)} dropped unshared tokens")
+      assert(nSegs === (r.getAs[Long]("n_tokens") + 15) / 16, "chunk count = ceil(tokens/16)")
+    }
+    // tokenizer parity on a sample
+    rows.take(25).foreach { r =>
+      assert(r.getAs[Long]("n_tokens") === tokens(texts(r.getAs[Long]("doc_id"))).length.toLong)
+    }
+    // sharp semantics on exact whole-doc duplicates: every chunk of a
+    // non-min member is held by the (smaller) min member too, so the
+    // canonical-owner rule drops ALL of its tokens
+    val groups = texts.toSeq
+      .map { case (id, t) => (tokens(t).mkString(" "), id) }
+      .groupBy(_._1)
+      .values
+      .filter(_.size > 1)
+      .map(_.map(_._2).sorted)
+    groups.foreach { ids =>
+      ids.tail.foreach { dup =>
+        assert(byId(dup).getAs[Long]("keep_tokens") === 0L, s"exact dup $dup kept tokens")
+        assert(byId(dup).getAs[Double]("shared_frac") === 1.0)
+      }
+    }
+    info(s"exact-dup groups at sf0.001: ${groups.size}")
+  }
+
+  test("q71 passage dedup: crafted corpus gets the exact keep/drop accounting") {
+    // 100 and 200 are verbatim duplicates (3 chunks: 16+16+8 tokens); 300
+    // repeats 100's first chunk then diverges; 400 is fully unique
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q71corpus").toString
+    val dup = ((1 to 40).map(i => s"tok$i")).mkString(" ")
+    val partial = ((1 to 16).map(i => s"tok$i") ++ (1 to 10).map(i => s"other$i")).mkString(" ")
+    val solo = (1 to 20).map(i => s"solo$i").mkString(" ")
+    Seq((100L, dup), (200L, dup), (300L, partial), (400L, solo))
+      .toDF("doc_id", "text")
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+
+    val r = Curation
+      .q71PassageDedup(spark, dir)
+      .collect()
+      .map(x =>
+        x.getAs[Long]("doc_id") ->
+          ((x.getAs[Long]("n_segs"), x.getAs[Long]("n_shared_segs"),
+            x.getAs[Long]("n_tokens"), x.getAs[Long]("keep_tokens"),
+            x.getAs[Double]("shared_frac")))
+      )
+      .toMap
+    assert(r(100L) === ((3L, 3L, 40L, 40L, 1.0)), "owner keeps everything it shares")
+    assert(r(200L) === ((3L, 3L, 40L, 0L, 1.0)), "verbatim dup loses everything")
+    assert(r(300L) === ((2L, 1L, 26L, 10L, 0.5)), "partial overlap drops only the shared chunk")
+    assert(r(400L) === ((2L, 0L, 20L, 20L, 0.0)), "unique doc untouched")
+  }
+
   test("q70 mixture plan: no upsampling, binding source at rate 1, target ratios hit") {
     val rows = Curation.q70MixturePlan(spark, sfDir).collect()
     assert(rows.nonEmpty)
@@ -224,7 +295,7 @@ class CurationSpec extends SparkSpec {
     // q69/q70 are excluded from the BNLJ check: their crossJoins are
     // single-row broadcast aggregates (total token mass, the cap — the q62
     // pattern), which plan as a 1-row BroadcastNestedLoopJoin by design
-    for (name <- Seq("q66_context_pack", "q67_contamination", "q68_repetition")) {
+    for (name <- Seq("q66_context_pack", "q67_contamination", "q68_repetition", "q71_passage_dedup")) {
       val plan = Curation.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name plans a BNLJ:\n$plan")
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")
