@@ -469,13 +469,131 @@ object Curation {
        |       floor(CAST(n_shared_segs AS DOUBLE) * 1e6 / n_segs + 5e-1) / 1e6 AS shared_frac
        |FROM agg ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q72 — curation funnel: the ordered Gopher-style rule battery applied in
+  // ONE corpus scan, with FIRST-FAILING-RULE attribution, rolled up per
+  // source — the report a pipeline operator actually reads ("why is src7
+  // losing 40% of its docs?") and the survival input the q70 mixture plan
+  // consumes. Individual signals exist as standalone queries (q26 quality,
+  // q68 repetition); the funnel is the composition: every signal computed
+  // in one projection over one scan (signal fusion — four separate passes
+  // at 100 TB would quadruple the I/O), then a single groupBy(source,
+  // reason) whose output is dozens of rows.
+  //
+  // Rules in order (first failure wins, mirroring how Gopher/CCNet-family
+  // filters short-circuit):
+  //   lang_filter  lang outside the target set (en/de/fr/es)
+  //   too_short    < 15 tokens
+  //   too_long     > 5000 tokens
+  //   word_len     mean token length outside [2, 12] chars
+  //   symbol_ratio non [a-z0-9 space] fraction of normalized text > 0.25
+  //   repetition   duplicate-bigram fraction > 0.2 (q68's signal)
+  //   pass         survives the battery
+  // ---------------------------------------------------------------------------
+  private val TargetLangs = Seq("en", "de", "fr", "es")
+  private val MIN_TOKENS = 15
+  private val MAX_TOKENS = 5000
+
+  def q72CurationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val langList = TargetLangs.map(l => s"'$l'").mkString(", ")
+    val docs = Tables
+      .balanced(Tables.documents(spark, dir))
+      .withColumn("norm", expr("regexp_replace(lower(trim(text)), '\\\\s+', ' ')"))
+      .withColumn("toks", expr("split(norm, ' ')"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("letters", expr("length(replace(norm, ' ', ''))"))
+      .withColumn(
+        "mean_word_len",
+        expr("cast(letters AS double) / cast(n_tokens AS double)")
+      )
+      .withColumn(
+        "symbol_ratio",
+        expr("cast(length(regexp_replace(norm, '[a-z0-9 ]', '')) AS double) / cast(greatest(length(norm), 1) AS double)")
+      )
+      // q68's duplicate-bigram fraction; 0 for 1-token docs (sequence(1, 0)
+      // is DESCENDING in Spark, so the size guard is load-bearing)
+      .withColumn(
+        "dup_ratio",
+        expr(
+          "CASE WHEN size(toks) >= 2 THEN " +
+            "1.0 - cast(size(array_distinct(transform(sequence(1, size(toks) - 1), " +
+            "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))))) AS double) " +
+            "/ cast(size(toks) - 1 AS double) ELSE 0D END"
+        )
+      )
+      .withColumn(
+        "reason",
+        expr(
+          s"CASE WHEN lang NOT IN ($langList) THEN 'lang_filter' " +
+            s"WHEN n_tokens < $MIN_TOKENS THEN 'too_short' " +
+            s"WHEN n_tokens > $MAX_TOKENS THEN 'too_long' " +
+            "WHEN mean_word_len < 2D OR mean_word_len > 12D THEN 'word_len' " +
+            "WHEN symbol_ratio > 25e-2 THEN 'symbol_ratio' " +
+            "WHEN dup_ratio > 2e-1 THEN 'repetition' " +
+            "ELSE 'pass' END"
+        )
+      )
+    val bySource = docs
+      .groupBy(col("source"), col("reason"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("token_mass"))
+    // source totals over the aggregated frame (dozens of rows): a window,
+    // not a second corpus pass
+    val w = Window.partitionBy(col("source"))
+    bySource
+      .withColumn("source_total", sum(col("n_docs")).over(w))
+      .withColumn(
+        "source_share",
+        expr("floor(cast(n_docs AS double) * 1e6 / cast(source_total AS double) + 5e-1) / 1e6")
+      )
+      .select(col("source"), col("reason"), col("n_docs"), col("token_mass"), col("source_share"))
+      .orderBy(col("source"), col("reason"))
+  }
+
+  val q72Oracle: String = {
+    val langList = TargetLangs.map(l => s"'$l'").mkString(", ")
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, source,
+       |         regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, lang, source,
+       |         string_split(norm, ' ') AS toks,
+       |         len(string_split(norm, ' ')) AS n_tokens,
+       |         len(replace(norm, ' ', '')) AS letters,
+       |         len(regexp_replace(norm, '[a-z0-9 ]', '', 'g'))::DOUBLE
+       |           / greatest(len(norm), 1) AS symbol_ratio
+       |  FROM d),
+       |r AS (
+       |  SELECT source, n_tokens,
+       |         CASE WHEN lang NOT IN ($langList) THEN 'lang_filter'
+       |              WHEN n_tokens < $MIN_TOKENS THEN 'too_short'
+       |              WHEN n_tokens > $MAX_TOKENS THEN 'too_long'
+       |              WHEN letters::DOUBLE / n_tokens < 2 OR letters::DOUBLE / n_tokens > 12 THEN 'word_len'
+       |              WHEN symbol_ratio > 0.25 THEN 'symbol_ratio'
+       |              WHEN (CASE WHEN n_tokens >= 2 THEN
+       |                      1.0 - len(list_distinct(list_transform(range(1, n_tokens),
+       |                            i -> toks[i] || ' ' || toks[i+1])))::DOUBLE / (n_tokens - 1)
+       |                    ELSE 0 END) > 0.2 THEN 'repetition'
+       |              ELSE 'pass' END AS reason
+       |  FROM s),
+       |g AS (
+       |  SELECT source, reason, count(*) AS n_docs, sum(n_tokens) AS token_mass
+       |  FROM r GROUP BY 1, 2)
+       |SELECT source, reason, CAST(n_docs AS BIGINT) AS n_docs,
+       |       CAST(token_mass AS BIGINT) AS token_mass,
+       |       floor(n_docs::DOUBLE * 1e6 / sum(n_docs) OVER (PARTITION BY source) + 5e-1) / 1e6 AS source_share
+       |FROM g
+       |ORDER BY source, reason""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q66_context_pack" -> (q66ContextPack _),
     "q67_contamination" -> (q67Contamination _),
     "q68_repetition" -> (q68Repetition _),
     "q69_unigram_logprob" -> (q69UnigramLogprob _),
     "q70_mixture_plan" -> (q70MixturePlan _),
-    "q71_passage_dedup" -> (q71PassageDedup _)
+    "q71_passage_dedup" -> (q71PassageDedup _),
+    "q72_curation_funnel" -> (q72CurationFunnel _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -484,6 +602,7 @@ object Curation {
     "q68_repetition" -> q68Oracle,
     "q69_unigram_logprob" -> q69Oracle,
     "q70_mixture_plan" -> q70Oracle,
-    "q71_passage_dedup" -> q71Oracle
+    "q71_passage_dedup" -> q71Oracle,
+    "q72_curation_funnel" -> q72Oracle
   )
 }

@@ -272,6 +272,51 @@ class CurationSpec extends SparkSpec {
     assert(r(400L) === ((2L, 0L, 20L, 20L, 0.0)), "unique doc untouched")
   }
 
+  test("q72 funnel: reasons match a first-principles recomputation, shares sum to 1") {
+    val rows = Curation.q72CurationFunnel(spark, sfDir).collect()
+    val docs = graft.core.Tables
+      .documents(spark, sfDir)
+      .select("doc_id", "lang", "source", "text")
+      .collect()
+
+    def reasonOf(lang: String, text: String): String = {
+      val norm = text.trim.toLowerCase.replaceAll("\\s+", " ")
+      val toks = norm.split(" ")
+      val letters = norm.replace(" ", "").length
+      val symbolRatio = norm.count(c => !(c.isDigit || c == ' ' || (c >= 'a' && c <= 'z'))).toDouble /
+        math.max(norm.length, 1)
+      val meanLen = letters.toDouble / toks.length
+      val dupRatio =
+        if (toks.length >= 2) {
+          val grams = toks.sliding(2).map(_.mkString(" ")).toSeq
+          1.0 - grams.distinct.length.toDouble / grams.length
+        } else 0.0
+      if (!Seq("en", "de", "fr", "es").contains(lang)) "lang_filter"
+      else if (toks.length < 15) "too_short"
+      else if (toks.length > 5000) "too_long"
+      else if (meanLen < 2 || meanLen > 12) "word_len"
+      else if (symbolRatio > 0.25) "symbol_ratio"
+      else if (dupRatio > 0.2) "repetition"
+      else "pass"
+    }
+
+    val expected = docs
+      .groupBy(r => (r.getString(2), reasonOf(r.getString(1), r.getString(3))))
+      .view
+      .mapValues(_.size.toLong)
+      .toMap
+    val got = rows.map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n_docs")).toMap
+    assert(got === expected, "funnel attribution differs from first-principles recomputation")
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === docs.length.toLong, "docs not conserved")
+    // per-source shares: floor-rounded at 6dp, so the sum is 1 within
+    // reason-count * 1e-6
+    rows.groupBy(_.getString(0)).foreach { case (src, rs) =>
+      val s = rs.map(_.getAs[Double]("source_share")).sum
+      assert(math.abs(s - 1.0) <= rs.length * 1e-6 + 1e-9, s"$src shares sum to $s")
+    }
+    assert(rows.exists(_.getString(1) == "pass"), "battery must pass some docs")
+  }
+
   test("q70 mixture plan: no upsampling, binding source at rate 1, target ratios hit") {
     val rows = Curation.q70MixturePlan(spark, sfDir).collect()
     assert(rows.nonEmpty)
@@ -295,7 +340,13 @@ class CurationSpec extends SparkSpec {
     // q69/q70 are excluded from the BNLJ check: their crossJoins are
     // single-row broadcast aggregates (total token mass, the cap — the q62
     // pattern), which plan as a 1-row BroadcastNestedLoopJoin by design
-    for (name <- Seq("q66_context_pack", "q67_contamination", "q68_repetition", "q71_passage_dedup")) {
+    for (name <- Seq(
+        "q66_context_pack",
+        "q67_contamination",
+        "q68_repetition",
+        "q71_passage_dedup",
+        "q72_curation_funnel"
+      )) {
       val plan = Curation.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name plans a BNLJ:\n$plan")
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")
