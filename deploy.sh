@@ -21,9 +21,9 @@ if [ -f .env ]; then
     set -a; . ./.env; set +a
 fi
 
-echo "Starting graft deployment..."
+echo "[deploy] graft deployment starting"
 
-echo "Setting up directory structure..."
+echo "[deploy] ensuring directory layout..."
 for dir in "${GRAFT_INPUT:-raw_data}" "${GRAFT_OUTPUT:-output}" "${GRAFT_WAREHOUSE:-warehouse}" logs docker/init; do
     mkdir -p "$dir"
     echo "  created/verified $dir"
@@ -61,7 +61,7 @@ if ! bin/graft.sh verify-setup "${GRAFT_TESTDATA:-/root/testdata/sf0.001}"; then
     exit 1
 fi
 
-echo "Setup completed successfully. Running the pipeline..."
+echo "[deploy] setup checks green — launching the pipeline..."
 bin/graft.sh run \
     --user-agent "${GRAFT_USER_AGENT:-some user agent}" \
     --input "${GRAFT_INPUT:-raw_data}" \

@@ -24,33 +24,32 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 GRAFT="bin/graft.sh"
 
-verify_java() {
-    echo "Verifying Java installation..."
+check_jvm() {
+    echo "[entrypoint] checking JVM..."
     if ! command -v java >/dev/null 2>&1; then
-        echo "ERROR: java not found on PATH (JAVA_HOME=${JAVA_HOME:-unset})"
+        echo "[entrypoint] ERROR: java not on PATH (JAVA_HOME=${JAVA_HOME:-unset})" >&2
         return 1
     fi
     java -version
 }
 
-verify_environment() {
-    echo "Environment Configuration:"
-    echo "========================="
-    echo "JAVA_HOME:        ${JAVA_HOME:-unset}"
-    echo "SPARK_JARS_DIR:   ${SPARK_JARS_DIR:-/opt/spark/jars}"
-    echo "CRON_ENVIRONMENT: ${CRON_ENVIRONMENT:-testing}"
-    echo "GRAFT_INPUT:      ${GRAFT_INPUT:-raw_data}"
-    echo "GRAFT_OUTPUT:     ${GRAFT_OUTPUT:-output}"
-    echo "GRAFT_WAREHOUSE:  ${GRAFT_WAREHOUSE:-warehouse}"
-    echo "DB_HOST:          ${DB_HOST:-unset (parquet warehouse)}"
-    echo "DB_PORT:          ${DB_PORT:-unset}"
+report_config() {
+    echo "[entrypoint] effective configuration:"
+    echo "  JAVA_HOME        = ${JAVA_HOME:-unset}"
+    echo "  SPARK_JARS_DIR   = ${SPARK_JARS_DIR:-/opt/spark/jars}"
+    echo "  CRON_ENVIRONMENT = ${CRON_ENVIRONMENT:-testing}"
+    echo "  GRAFT_INPUT      = ${GRAFT_INPUT:-raw_data}"
+    echo "  GRAFT_OUTPUT     = ${GRAFT_OUTPUT:-output}"
+    echo "  GRAFT_WAREHOUSE  = ${GRAFT_WAREHOUSE:-warehouse}"
+    echo "  DB_HOST          = ${DB_HOST:-unset (parquet warehouse)}"
+    echo "  DB_PORT          = ${DB_PORT:-unset}"
 }
 
-echo "Starting application setup..."
-verify_java
-verify_environment
+echo "[entrypoint] container boot"
+check_jvm
+report_config
 
-echo "Running setup verification..."
+echo "[entrypoint] setup checks..."
 "$GRAFT" verify-setup "${GRAFT_TESTDATA:-/root/testdata/sf0.001}"
 
 args=(
@@ -60,10 +59,10 @@ args=(
   --warehouse "${GRAFT_WAREHOUSE:-warehouse}"
 )
 
-echo "Running initial application execution..."
+echo "[entrypoint] immediate first run..."
 "$GRAFT" run "${args[@]}"
 
-echo "Starting scheduled loop (CRON_ENVIRONMENT=${CRON_ENVIRONMENT:-testing})..."
+echo "[entrypoint] handing over to the scheduled loop (CRON_ENVIRONMENT=${CRON_ENVIRONMENT:-testing})"
 if [ -n "${GRAFT_CRON_TICKS:-}" ]; then
   exec "$GRAFT" cron "${args[@]}" --ticks "$GRAFT_CRON_TICKS"
 else
