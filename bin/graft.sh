@@ -57,7 +57,9 @@ case "$cmd" in
   dialect-sql)  main=graft.etl.DialectDump ;;
   init-sql)     main=graft.etl.DialectDump; set -- --init-sql "$@" ;;
   help|--help|-h)
-    sed -n '2,21p' "$0" | sed 's/^# \{0,1\}//'
+    # print the header comment block (everything between the shebang and
+    # the first non-comment line), stripping the leading '# '
+    awk 'NR > 1 { if (!/^#/) exit; sub(/^# ?/, ""); print }' "$0"
     exit 0 ;;
   *)
     echo "unknown command: $cmd (try: bin/graft.sh help)" >&2

@@ -35,35 +35,52 @@ echo "Generating warehouse init SQL..."
 bin/graft.sh init-sql docker/init/01-init-warehouse.sql
 
 if [ "${1:-}" = "--no-docker" ] || ! command -v docker >/dev/null 2>&1; then
-    echo "Local mode: skipping containers (parquet warehouse)."
+    # ---- local mode: verify + run directly on this host ----
+    echo "[deploy] local mode: no containers (parquet warehouse)"
+
+    echo "[deploy] verifying setup..."
+    TESTDATA="${GRAFT_TESTDATA:-/root/testdata/sf0.001}"
+    if [ -d "$TESTDATA" ]; then VERIFY_ARG="$TESTDATA"; else VERIFY_ARG="--skip-testdata"; fi
+    if ! bin/graft.sh verify-setup "$VERIFY_ARG"; then
+        echo "[deploy] ERROR: setup verification failed." >&2
+        exit 1
+    fi
+
+    echo "[deploy] setup checks green — launching the pipeline..."
+    bin/graft.sh run \
+        --user-agent "${GRAFT_USER_AGENT:-some user agent}" \
+        --input "${GRAFT_INPUT:-raw_data}" \
+        --output "${GRAFT_OUTPUT:-output}" \
+        --warehouse "${GRAFT_WAREHOUSE:-warehouse}"
 else
-    echo "Starting warehouse container..."
+    # ---- compose mode: everything runs in containers ----
+    # the graft image needs the pre-built library jar baked in
+    if ! ls target/scala-2.13/data_engineering_projectspark_*.jar >/dev/null 2>&1; then
+        echo "[deploy] building the library jar for the image..."
+        bin/graft.sh build
+    fi
+
+    echo "[deploy] building the graft image + starting the warehouse..."
     docker compose -f docker/docker-compose.yml down 2>/dev/null || true
+    docker compose -f docker/docker-compose.yml build graft
     docker compose -f docker/docker-compose.yml up -d warehouse
 
-    echo "Waiting for the warehouse to be ready..."
+    echo "[deploy] waiting for the warehouse..."
     max_retries=30 counter=0
     until docker exec graft_warehouse pg_isready -U "${POSTGRES_USER:-graft_user}" -d "${POSTGRES_DB:-graft_db}" >/dev/null 2>&1; do
         counter=$((counter + 1))
         if [ "$counter" -gt "$max_retries" ]; then
-            echo "ERROR: warehouse failed to start in time"
+            echo "[deploy] ERROR: warehouse failed to start in time" >&2
             exit 1
         fi
         echo "  waiting for warehouse... ($counter/$max_retries)"
         sleep 2
     done
-    echo "Warehouse is ready."
-fi
+    echo "[deploy] warehouse is ready"
 
-echo "Verifying setup..."
-if ! bin/graft.sh verify-setup "${GRAFT_TESTDATA:-/root/testdata/sf0.001}"; then
-    echo "ERROR: setup verification failed."
-    exit 1
+    # the container's entrypoint runs the verify -> run-once -> cron-loop
+    # sequence itself; deploy just starts it and reports where the logs are
+    echo "[deploy] starting the graft service..."
+    docker compose -f docker/docker-compose.yml up -d graft
+    echo "[deploy] graft service started — follow with: docker logs -f graft_app"
 fi
-
-echo "[deploy] setup checks green — launching the pipeline..."
-bin/graft.sh run \
-    --user-agent "${GRAFT_USER_AGENT:-some user agent}" \
-    --input "${GRAFT_INPUT:-raw_data}" \
-    --output "${GRAFT_OUTPUT:-output}" \
-    --warehouse "${GRAFT_WAREHOUSE:-warehouse}"

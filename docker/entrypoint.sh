@@ -50,7 +50,15 @@ check_jvm
 report_config
 
 echo "[entrypoint] setup checks..."
-"$GRAFT" verify-setup "${GRAFT_TESTDATA:-/root/testdata/sf0.001}"
+# the benchmark-table check only applies where testdata is mounted; a real
+# deployment has none, so skip it rather than crash-loop the container
+TESTDATA="${GRAFT_TESTDATA:-/root/testdata/sf0.001}"
+if [ -d "$TESTDATA" ]; then
+    "$GRAFT" verify-setup "$TESTDATA"
+else
+    echo "[entrypoint] no testdata at $TESTDATA — skipping the benchmark-table check"
+    "$GRAFT" verify-setup --skip-testdata
+fi
 
 args=(
   --user-agent "${GRAFT_USER_AGENT:-some user agent}"

@@ -16,11 +16,17 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     // The oracle SQL below is pinned to each query's DEFAULT knobs; a
     // semantics-changing conf leaked into this session (e.g. a curation
-    // shard/ctx override from an earlier test or user session) would make
-    // the gate compare two different queries and fail opaquely — gated runs
-    // always execute at the defaults.
-    Seq(operators.Curation.ShardsConf, operators.Curation.CtxConf)
-      .foreach(k => if (spark.conf.getOption(k).isDefined) spark.conf.unset(k))
+    // shard/ctx override or an ANN probe/index setting from an earlier
+    // tuning run sharing the getOrCreate session) would make the gate
+    // compare two different queries and fail opaquely — gated runs always
+    // execute at the defaults.
+    Seq(
+      operators.Curation.ShardsConf,
+      operators.Curation.CtxConf,
+      operators.Similarity.LshProbesConf,
+      operators.Similarity.IvfNprobeConf,
+      operators.Similarity.IndexDirConf
+    ).foreach(k => if (spark.conf.getOption(k).isDefined) spark.conf.unset(k))
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

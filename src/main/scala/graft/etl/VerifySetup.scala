@@ -79,6 +79,12 @@ object VerifySetup {
       )
     } catch { case e: Exception => Check("warehouse_roundtrip", ok = false, e.toString) }
 
+  /** Sentinel dir value: skip the testdata check entirely (deployments
+    * outside this sandbox have no benchmark tables to verify against; the
+    * entrypoint passes this when no testdata directory exists).
+    */
+  val SkipTestdata = "--skip-testdata"
+
   def run(spark: SparkSession, testdataDir: String = "/root/testdata/sf0.001"): Seq[Check] = {
     val checks = Seq.newBuilder[Check]
 
@@ -101,12 +107,14 @@ object VerifySetup {
       Check("spark_sql_temp_view", rows.length == 2 && rows.head.getInt(0) == 1)
     } catch { case e: Exception => Check("spark_sql_temp_view", ok = false, e.toString) })
 
-    // testdata presence + readability
-    checks += (try {
-      val ok = Files.isDirectory(Paths.get(testdataDir)) &&
-        spark.read.parquet(s"$testdataDir/lineitem.parquet").limit(1).count() == 1
-      Check("testdata_readable", ok, testdataDir)
-    } catch { case e: Exception => Check("testdata_readable", ok = false, e.toString) })
+    // testdata presence + readability (skippable: not part of a production
+    // deployment, see SkipTestdata)
+    if (testdataDir != SkipTestdata)
+      checks += (try {
+        val ok = Files.isDirectory(Paths.get(testdataDir)) &&
+          spark.read.parquet(s"$testdataDir/lineitem.parquet").limit(1).count() == 1
+        Check("testdata_readable", ok, testdataDir)
+      } catch { case e: Exception => Check("testdata_readable", ok = false, e.toString) })
 
     // native function registration
     checks += (try {
