@@ -382,16 +382,19 @@ object Curation {
   // chunks are corpus-shared, and the token count that survives the drop —
   // the numbers a curation pipeline needs to decide rewrite-vs-discard.
   //
-  // Scale shape: the q67/q69 stage-once pattern — the exploded chunk table
-  // is materialized once (localCheckpoint) and feeds both the frequency
-  // pass and the per-doc roll-up; chunk keys are md5 (fixed-width; xxhash64
-  // at 100 TB, md5 kept for oracle parity). Both shuffles key on the
-  // 32-byte hash, never on passage text.
+  // Scale shape: the q67/q69 stage-once pattern, but the staged table is
+  // ALREADY grouped to (doc, chunk) — the explode feeds straight into a
+  // map-side-combined groupBy, so the materialized checkpoint holds one
+  // row per distinct chunk per doc (instance multiplicity as a count), a
+  // separate presence-distinct shuffle disappears, and every downstream
+  // shuffle moves the deduplicated rows. Chunk keys are md5 (fixed-width;
+  // xxhash64 at 100 TB, md5 kept for oracle parity) — all shuffles key on
+  // the 32-byte hash, never on passage text.
   // ---------------------------------------------------------------------------
   private val SEG = 16
 
   def q71PassageDedup(spark: SparkSession, dir: String): DataFrame = {
-    val segs = Tables
+    val grouped = Tables
       .balanced(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
       .withColumn("toks", expr(toksExpr))
       // every doc tokenizes to >= 1 token, but guard anyway: sequence(0, -1)
@@ -407,25 +410,25 @@ object Curation {
       )
       .select(col("doc_id"), explode(col("chunks")).as("p"))
       .select(col("doc_id"), col("p.seg_key").as("seg_key"), col("p.seg_len").as("seg_len"))
+      // identical chunk content ⇒ identical length, so seg_len is constant
+      // within a (doc, chunk) group — max() just picks that constant
+      .groupBy(col("doc_id"), col("seg_key"))
+      .agg(count(lit(1)).as("n_inst"), max(col("seg_len")).as("seg_len"))
       .localCheckpoint()
-    // presence (doc, chunk) distinct first: one plain groupBy instead of a
-    // mixed count(DISTINCT)+min aggregate (which Catalyst plans via Expand,
-    // doubling the shuffled rows)
-    val freq = segs
-      .select(col("doc_id"), col("seg_key"))
-      .distinct()
+    val freq = grouped
       .groupBy(col("seg_key"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("owner"))
-    segs
+    grouped
       .join(freq, "seg_key")
       .groupBy(col("doc_id"))
       .agg(
-        count(lit(1)).as("n_segs"),
-        sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_shared_segs"),
-        sum(col("seg_len")).cast("long").as("n_tokens"),
-        sum(when(col("n_docs") === 1 || col("owner") === col("doc_id"), col("seg_len")).otherwise(0))
-          .cast("long")
-          .as("keep_tokens")
+        sum(col("n_inst")).as("n_segs"),
+        sum(when(col("n_docs") > 1, col("n_inst")).otherwise(0L)).as("n_shared_segs"),
+        sum(col("seg_len").cast("long") * col("n_inst")).as("n_tokens"),
+        sum(
+          when(col("n_docs") === 1 || col("owner") === col("doc_id"), col("seg_len").cast("long") * col("n_inst"))
+            .otherwise(0L)
+        ).as("keep_tokens")
       )
       .withColumn(
         "shared_frac",
