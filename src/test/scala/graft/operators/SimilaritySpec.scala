@@ -94,16 +94,17 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.distinct.length === pairs.length, "duplicate (query, vec) pair in planted LSH output")
   }
 
-  test("planted clusters: IVF recall@10 >= 0.8 vs exact baseline") {
+  test("planted clusters: IVF recall@10 >= 0.9 vs exact baseline") {
     val exact = Similarity.plantedBruteTopK(spark, plantedDir).collect()
     val ivf = Similarity.plantedIvfTopK(spark, plantedDir).collect()
     val trueTop = byQuery(exact).view.mapValues(_.map(_.getLong(2)).toSet).toMap
     val hits = ivf.count(r => trueTop(r.getLong(0)).contains(r.getLong(2)))
     info(s"planted IVF recall@10: $hits/${exact.length}")
-    assert(hits >= (exact.length * 0.8).toInt, s"planted IVF recall: $hits/${exact.length}")
+    // measured 0.98 at sf0.01 / 1.0 at sf0.001 with the default nprobe=4
+    assert(hits >= (exact.length * 0.9).toInt, s"planted IVF recall: $hits/${exact.length}")
   }
 
-  test("planted clusters: q60 LSH pair recall >= 0.8 vs exact pair set") {
+  test("planted clusters: q60 LSH pair recall >= 0.9 vs exact pair set") {
     def pairs(rows: Array[org.apache.spark.sql.Row]) =
       rows.map(r => (r.getLong(0), r.getLong(1))).toSet
     val exact = pairs(Dedup.plantedExactNearDup(spark, plantedDir).collect())
@@ -113,7 +114,9 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh.subsetOf(exact), "planted LSH pair set must be a subset of exact pairs")
     val recall = lsh.intersect(exact).size.toDouble / exact.size
     info(f"planted q60 pair recall: $recall%.3f (${exact.size} exact pairs)")
-    assert(recall >= 0.8, f"planted q60 pair recall too low: $recall%.3f")
+    // measured 0.972 on the planted pair set; floor 0.9 keeps margin while
+    // catching any real bucketing/verify regression
+    assert(recall >= 0.9, f"planted q60 pair recall too low: $recall%.3f")
   }
 
   test("q36 centroids: C centroids of corpus dimension, finite values") {
