@@ -58,6 +58,56 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("q66 packing matches a sequential reference packer on random corpora and knobs") {
+    // the distributed window/bin math vs the obvious single-threaded
+    // packer, across random doc sizes and non-default knob settings
+    import spark.implicits._
+    val rng = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val shards = 1 + rng.nextInt(6)
+      val ctx = Seq(32, 64, 128)(rng.nextInt(3))
+      val docs = (0 until 200).map { i =>
+        val n = 1 + rng.nextInt(40)
+        (i.toLong, Seq.fill(n)(s"w${rng.nextInt(9)}").mkString(" "), Seq("en", "de", "zh")(rng.nextInt(3)))
+      }
+      val dir = java.nio.file.Files.createTempDirectory("q66prop").toString
+      docs.toDF("doc_id", "text", "lang").write.parquet(s"$dir/documents.parquet")
+
+      val expected = docs
+        .map { case (id, text, lang) => (lang, (id % shards).toInt, id, text.split(" ").length.toLong) }
+        .groupBy(d => (d._1, d._2))
+        .toSeq
+        .flatMap { case ((lang, shard), ds) =>
+          var cum = 0L
+          ds.sortBy(_._3).map { case (_, _, _, n) =>
+            val bin = (cum / ctx).toInt
+            cum += n
+            ((lang, shard, bin), n)
+          }
+        }
+        .groupBy(_._1)
+        .map { case ((lang, shard, bin), xs) => (lang, shard, bin, xs.size.toLong, xs.map(_._2).sum) }
+        .toSeq
+        .sorted
+
+      val got =
+        try {
+          spark.conf.set(Curation.ShardsConf, shards.toString)
+          spark.conf.set(Curation.CtxConf, ctx.toString)
+          Curation
+            .q66ContextPack(spark, dir)
+            .collect()
+            .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+            .toSeq
+            .sorted
+        } finally {
+          spark.conf.unset(Curation.ShardsConf)
+          spark.conf.unset(Curation.CtxConf)
+        }
+      assert(got === expected, s"trial $trial: shards=$shards ctx=$ctx")
+    }
+  }
+
   test("q67 contamination: only train-split docs, hits bounded by shingle count") {
     val rows = Curation.q67Contamination(spark, sfDir).collect()
     assert(rows.nonEmpty, "synthetic near-duplicates must cross the md5 split")
