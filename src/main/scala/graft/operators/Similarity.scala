@@ -509,38 +509,49 @@ object Similarity {
     ): CentroidRanks = copy(child = c)
   }
 
-  /** Per-session record of the centroid table `centroid_ranks` is currently
-    * bound to, so repeated installs of the SAME binding (every q36/planted
-    * call re-installs defensively) skip the registry write — without it each
-    * call logs a "centroid_ranks replaced" warning, hundreds per bench run.
-    * Weak keys: entries die with their session.
+  /** Per-session list of centroid tables already registered, in
+    * registration order — binding i is served by the session function
+    * `centroid_ranks_i`. One name per distinct table means a binding is
+    * registered exactly once and NEVER replaced (a single mutable
+    * `centroid_ranks` name would either log a replaced-function warning on
+    * every corpus switch — q36 and the planted eval alternate tables inside
+    * one bench run — or, with a plain functionExists guard, silently pin
+    * the first corpus's centroids for the whole session). Weak keys:
+    * entries die with their session; the list stays tiny (one entry per
+    * distinct corpus a session touches).
     */
-  private val centroidBinding = new java.util.WeakHashMap[SparkSession, Array[Array[Double]]]()
+  private val centroidBindings =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.ArrayBuffer[Array[Array[Double]]]]()
 
-  /** Register `centroid_ranks` bound to this centroid table (session-scoped;
-    * a DIFFERENT table re-registers and replaces the binding — DataFrames
-    * are analyzed eagerly, so plans built between installs keep the binding
-    * they resolved — while an identical one is a no-op; a plain
-    * functionExists guard like installPlaneBuckets's would wrongly pin the
-    * first corpus's centroids for the whole session).
+  /** Register (or find) the session function bound to this centroid table
+    * and return its name — callers splice the name into their expressions.
     */
-  private def installCentroidRanks(spark: SparkSession, cs: Array[Array[Double]]): Unit =
-    centroidBinding.synchronized {
-      val bound = centroidBinding.get(spark)
-      if ((bound ne cs) && !java.util.Arrays.deepEquals(
-          bound.asInstanceOf[Array[AnyRef]],
-          cs.asInstanceOf[Array[AnyRef]]
-        )) {
-        spark.sessionState.functionRegistry.registerFunction(
-          org.apache.spark.sql.catalyst.FunctionIdentifier("centroid_ranks"),
-          new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-            classOf[CentroidRanks].getName,
-            "centroid_ranks"
-          ),
-          (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => CentroidRanks(args.head, cs)
-        )
-        centroidBinding.put(spark, cs)
-      }
+  private def installCentroidRanks(spark: SparkSession, cs: Array[Array[Double]]): String =
+    centroidBindings.synchronized {
+      val list = centroidBindings.computeIfAbsent(
+        spark,
+        _ => scala.collection.mutable.ArrayBuffer.empty[Array[Array[Double]]]
+      )
+      val existing = list.indexWhere(b =>
+        (b eq cs) || java.util.Arrays.deepEquals(b.asInstanceOf[Array[AnyRef]], cs.asInstanceOf[Array[AnyRef]])
+      )
+      val i =
+        if (existing >= 0) existing
+        else {
+          val idx = list.size
+          val name = s"centroid_ranks_$idx"
+          spark.sessionState.functionRegistry.registerFunction(
+            org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+            new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+              classOf[CentroidRanks].getName,
+              name
+            ),
+            (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => CentroidRanks(args.head, cs)
+          )
+          list += cs
+          idx
+        }
+      s"centroid_ranks_$i"
     }
 
   private val toDouble: String => String = v => s"transform($v, x -> cast(x AS double))"
@@ -609,10 +620,10 @@ object Similarity {
   private def ivfAssign(spark: SparkSession, emb: DataFrame, cents: Array[Array[Double]]): DataFrame = {
     // cluster assignment + probe distances in RAW space (matching the
     // trained centroids); exact re-rank on unit vectors via vec_dot.
-    installCentroidRanks(spark, cents)
+    val fn = installCentroidRanks(spark, cents)
     withUnit(Tables.balanced(emb), "embedding", "vb")
       .withColumn("emb_d", expr(toDouble("embedding")))
-      .withColumn("cluster", expr("element_at(centroid_ranks(emb_d), 1)"))
+      .withColumn("cluster", expr(s"element_at($fn(emb_d), 1)"))
       .select(col("vec_id"), col("vb"), col("cluster"))
   }
 
@@ -648,10 +659,10 @@ object Similarity {
       corpus: DataFrame,
       nprobe: Int
   ): DataFrame = {
-    installCentroidRanks(spark, cents)
+    val fn = installCentroidRanks(spark, cents)
     val probes = queries
       .withColumn("qraw_d", expr(toDouble("qraw")))
-      .withColumn("cluster", explode(expr(s"slice(centroid_ranks(qraw_d), 1, $nprobe)")))
+      .withColumn("cluster", explode(expr(s"slice($fn(qraw_d), 1, $nprobe)")))
       .select(col("query_id"), col("va"), col("cluster"))
     topKRanked(
       broadcast(probes)
@@ -763,10 +774,10 @@ object Similarity {
   def plantedIvfCandidateCount(spark: SparkSession, dir: String, nprobe: Int): Long = {
     graft.functions.VecFunctions.install(spark)
     val (cents, corpus) = buildPlantedIvf(spark, dir)
-    installCentroidRanks(spark, cents)
+    val fn = installCentroidRanks(spark, cents)
     val probes = plantedQueries(spark, dir)
       .withColumn("qraw_d", expr(toDouble("qraw")))
-      .withColumn("cluster", explode(expr(s"slice(centroid_ranks(qraw_d), 1, ${math.min(nprobe, C)})")))
+      .withColumn("cluster", explode(expr(s"slice($fn(qraw_d), 1, ${math.min(nprobe, C)})")))
       .select(col("query_id"), col("cluster"))
     broadcast(probes).join(corpus, Seq("cluster")).filter(col("query_id") =!= col("vec_id")).count()
   }
