@@ -17,6 +17,7 @@
 #   plan-audit    physical-plan hygiene report      (graft.PlanAudit)
 #   dialect-sql   dump warehouse dialect SQL        (graft.etl.DialectDump)
 #   init-sql      write warehouse bootstrap DDL     (DialectDump --init-sql)
+#   ann-tune      ANN recall/scan-fraction sweep    (graft.tools.AnnTune)
 set -euo pipefail
 
 cd "$(dirname "$0")/.."
@@ -56,6 +57,7 @@ case "$cmd" in
   plan-audit)   main=graft.PlanAudit ;;
   dialect-sql)  main=graft.etl.DialectDump ;;
   init-sql)     main=graft.etl.DialectDump; set -- --init-sql "$@" ;;
+  ann-tune)     main=graft.tools.AnnTune ;;
   help|--help|-h)
     # print the header comment block (everything between the shebang and
     # the first non-comment line), stripping the leading '# '
