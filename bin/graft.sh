@@ -4,8 +4,9 @@
 # (default /opt/spark/jars, override SPARK_JARS_DIR), so a plain `java -cp`
 # plus the JDK-17 --add-opens set (mirrors build.sbt / Spark's own
 # JavaModuleOptions) is a complete launch. Builds the library jar on first
-# use when sbt is available; in a container the jar is pre-built and baked
-# in (GRAFT_JAR).
+# use when sbt is available; in a container the pre-built jar sits on the
+# default search path (newest jar in target/scala-2.13 wins; override
+# with GRAFT_JAR).
 #
 # Usage: bin/graft.sh <command> [args...]
 #   build         compile + package the library jar (needs sbt)
@@ -23,7 +24,9 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 
 SPARK_JARS_DIR="${SPARK_JARS_DIR:-/opt/spark/jars}"
-GRAFT_JAR="${GRAFT_JAR:-$(ls target/scala-2.13/data_engineering_projectspark_*.jar 2>/dev/null | head -1 || true)}"
+# newest-first so a leftover jar from an older version can't shadow the
+# current build
+GRAFT_JAR="${GRAFT_JAR:-$(ls -t target/scala-2.13/data_engineering_projectspark_*.jar 2>/dev/null | head -1 || true)}"
 
 # JDK 17+ module opens Spark needs when launched outside spark-submit —
 # keep in sync with build.sbt's jdk17AddOpens.
@@ -72,7 +75,7 @@ if [ -z "$GRAFT_JAR" ] || [ ! -f "$GRAFT_JAR" ]; then
   if command -v sbt >/dev/null 2>&1; then
     echo "[graft] library jar missing — building with sbt package..." >&2
     sbt -batch package >&2
-    GRAFT_JAR="$(ls target/scala-2.13/data_engineering_projectspark_*.jar | head -1)"
+    GRAFT_JAR="$(ls -t target/scala-2.13/data_engineering_projectspark_*.jar | head -1)"
   else
     echo "[graft] ERROR: no library jar at target/scala-2.13/ and no sbt to build one (set GRAFT_JAR)" >&2
     exit 1

@@ -54,10 +54,14 @@ if [ "${1:-}" = "--no-docker" ] || ! command -v docker >/dev/null 2>&1; then
         --warehouse "${GRAFT_WAREHOUSE:-warehouse}"
 else
     # ---- compose mode: everything runs in containers ----
-    # the graft image needs the pre-built library jar baked in
-    if ! ls target/scala-2.13/data_engineering_projectspark_*.jar >/dev/null 2>&1; then
+    # always (re)build the jar for the image — sbt package is incremental,
+    # and skipping it when ANY jar exists would bake a stale version in
+    if command -v sbt >/dev/null 2>&1; then
         echo "[deploy] building the library jar for the image..."
         bin/graft.sh build
+    elif ! ls target/scala-2.13/data_engineering_projectspark_*.jar >/dev/null 2>&1; then
+        echo "[deploy] ERROR: no library jar and no sbt to build one" >&2
+        exit 1
     fi
 
     echo "[deploy] building the graft image + starting the warehouse..."

@@ -532,7 +532,10 @@ object Curation {
             s"WHEN n_tokens > $MAX_TOKENS THEN 'too_long' " +
             "WHEN mean_word_len < 2D OR mean_word_len > 12D THEN 'word_len' " +
             "WHEN symbol_ratio > 25e-2 THEN 'symbol_ratio' " +
-            "WHEN dup_ratio > 2e-1 THEN 'repetition' " +
+            // same 6dp floor q68 applies before ITS threshold, so the
+            // funnel and the standalone repetition query can never
+            // classify a boundary doc differently
+            "WHEN floor(dup_ratio * 1e6 + 5e-1) / 1e6 > 2e-1 THEN 'repetition' " +
             "ELSE 'pass' END"
         )
       )
@@ -573,10 +576,10 @@ object Curation {
        |              WHEN n_tokens > $MAX_TOKENS THEN 'too_long'
        |              WHEN letters::DOUBLE / n_tokens < 2 OR letters::DOUBLE / n_tokens > 12 THEN 'word_len'
        |              WHEN symbol_ratio > 0.25 THEN 'symbol_ratio'
-       |              WHEN (CASE WHEN n_tokens >= 2 THEN
+       |              WHEN floor((CASE WHEN n_tokens >= 2 THEN
        |                      1.0 - len(list_distinct(list_transform(range(1, n_tokens),
        |                            i -> toks[i] || ' ' || toks[i+1])))::DOUBLE / (n_tokens - 1)
-       |                    ELSE 0 END) > 0.2 THEN 'repetition'
+       |                    ELSE 0 END) * 1e6 + 5e-1) / 1e6 > 0.2 THEN 'repetition'
        |              ELSE 'pass' END AS reason
        |  FROM s),
        |g AS (

@@ -9,11 +9,14 @@ import graft.operators.{Dedup, Similarity}
   * clustered corpus, recall@10 vs the exact baseline at each multiprobe /
   * nprobe setting, with the measured candidate fraction. Run:
   *
-  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.tools.AnnTune"
+  *   sbt "runMain graft.tools.AnnTune /root/testdata/sf0.1"
+  *   (or SPARK_GRAFT_SF_DIR=... with no argument)
   */
 object AnnTune {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val sfDir = args.headOption
+      .orElse(sys.env.get("SPARK_GRAFT_SF_DIR"))
+      .getOrElse("/root/testdata/sf0.01")
     val spark = graft.core.Sessions.local("graft-ann-tune")
 
     def topkSet(df: DataFrame): Set[(Long, Long)] =

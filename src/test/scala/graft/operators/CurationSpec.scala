@@ -333,7 +333,9 @@ class CurationSpec extends SparkSpec {
       val norm = text.trim.toLowerCase.replaceAll("\\s+", " ")
       val toks = norm.split(" ")
       val letters = norm.replace(" ", "").length
-      val symbolRatio = norm.count(c => !(c.isDigit || c == ' ' || (c >= 'a' && c <= 'z'))).toDouble /
+      // ASCII class exactly like the query's [a-z0-9 ] regex — Unicode
+      // Character.isDigit would diverge on non-ASCII decimal digits
+      val symbolRatio = norm.count(c => !((c >= '0' && c <= '9') || c == ' ' || (c >= 'a' && c <= 'z'))).toDouble /
         math.max(norm.length, 1)
       val meanLen = letters.toDouble / toks.length
       val dupRatio =
@@ -346,7 +348,7 @@ class CurationSpec extends SparkSpec {
       else if (toks.length > 5000) "too_long"
       else if (meanLen < 2 || meanLen > 12) "word_len"
       else if (symbolRatio > 0.25) "symbol_ratio"
-      else if (dupRatio > 0.2) "repetition"
+      else if (math.floor(dupRatio * 1e6 + 0.5) / 1e6 > 0.2) "repetition"
       else "pass"
     }
 
