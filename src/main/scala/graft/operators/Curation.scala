@@ -25,6 +25,28 @@ object Curation {
     */
   private val toksExpr = "split(regexp_replace(lower(trim(text)), '\\\\s+', ' '), ' ')"
 
+  /** Shuffle-key hash for the content-keyed stages (q67 shingles, q71
+    * chunks): `md5` (default — 32-byte key, the widest hash DuckDB shares
+    * with Spark, so the registered oracles stay byte-comparable) or
+    * `xxhash64` (8-byte LONG key — the 100 TB choice: every
+    * distinct/join/groupBy on the key moves a quarter of the bytes). The
+    * key never reaches any output column — both queries aggregate it away —
+    * so the setting cannot change results (CurationSpec pins q67/q71
+    * equality under both). NOT applied to q67's train/test bucket split:
+    * that md5 defines WHICH docs are train/test (q49's split semantics),
+    * not how bytes shuffle.
+    */
+  val KeyHashConf = "graft.curation.keyhash"
+  private def keyHashFn(spark: SparkSession): String =
+    spark.conf.getOption(KeyHashConf).map(_.trim.toLowerCase) match {
+      case Some("xxhash64") => "xxhash64"
+      case Some("md5") | None => "md5"
+      case Some(other) =>
+        throw new IllegalArgumentException(
+          s"$KeyHashConf must be md5 or xxhash64, got '$other'"
+        )
+    }
+
   // ---------------------------------------------------------------------------
   // q66 — context-window packing: concatenate documents in doc_id order and
   // cut a bin boundary every CTX=512 tokens; a document belongs to the bin
@@ -121,8 +143,9 @@ object Curation {
   // md5(shingle) — a fixed-width key both engines compute identically —
   // not the raw variable-width 8-gram, so every downstream
   // distinct/join/shuffle moves 32-byte keys instead of ~50-byte strings
-  // (at 100 TB swap md5 for xxhash64's 8-byte key; md5 is the widest key
-  // DuckDB shares with Spark, kept for oracle parity). Validation-bucket
+  // (`graft.curation.keyhash=xxhash64` narrows that to an 8-byte LONG at
+  // 100 TB; md5 stays the default — the widest key DuckDB shares with
+  // Spark — so the registered oracle applies). Validation-bucket
   // docs (205 <= b < 230) are dropped BEFORE the explode/distinct — no
   // consumer reads them, so staging them would be pure waste. The TEST
   // side is benchmark-sized (tiny vs the corpus) — AQE broadcasts it from
@@ -130,6 +153,7 @@ object Curation {
   // its distinct.
   // ---------------------------------------------------------------------------
   def q67Contamination(spark: SparkSession, dir: String): DataFrame = {
+    val hashFn = keyHashFn(spark)
     val t = Tables
       .balanced(Tables.documents(spark, dir))
       .withColumn("bucket", conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10).cast("int"))
@@ -148,7 +172,7 @@ object Curation {
         explode(expr("transform(sequence(1, size(toks) - 7), i -> array_join(slice(toks, i, 8), ' '))"))
           .as("shingle")
       )
-      .select(col("doc_id"), col("bucket"), md5(col("shingle")).as("sh_key"))
+      .select(col("doc_id"), col("bucket"), expr(s"$hashFn(shingle)").as("sh_key"))
       .distinct()
       .localCheckpoint()
     val testSh = sh.filter(col("bucket") >= 230).select(col("sh_key")).distinct()
@@ -387,13 +411,15 @@ object Curation {
   // map-side-combined groupBy, so the materialized checkpoint holds one
   // row per distinct chunk per doc (instance multiplicity as a count), a
   // separate presence-distinct shuffle disappears, and every downstream
-  // shuffle moves the deduplicated rows. Chunk keys are md5 (fixed-width;
-  // xxhash64 at 100 TB, md5 kept for oracle parity) — all shuffles key on
-  // the 32-byte hash, never on passage text.
+  // shuffle moves the deduplicated rows. Chunk keys are md5 by default
+  // (fixed-width, oracle-shared; `graft.curation.keyhash=xxhash64` swaps in
+  // the 8-byte LONG key at 100 TB) — all shuffles key on the hash, never on
+  // passage text.
   // ---------------------------------------------------------------------------
   private val SEG = 16
 
   def q71PassageDedup(spark: SparkSession, dir: String): DataFrame = {
+    val hashFn = keyHashFn(spark)
     val grouped = Tables
       .balanced(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
       .withColumn("toks", expr(toksExpr))
@@ -404,7 +430,7 @@ object Curation {
         "chunks",
         expr(
           s"transform(sequence(0, cast(ceil(size(toks) / $SEG.0) AS int) - 1), " +
-            s"i -> struct(md5(array_join(slice(toks, i * $SEG + 1, $SEG), ' ')) AS seg_key, " +
+            s"i -> struct($hashFn(array_join(slice(toks, i * $SEG + 1, $SEG), ' ')) AS seg_key, " +
             s"size(slice(toks, i * $SEG + 1, $SEG)) AS seg_len))"
         )
       )

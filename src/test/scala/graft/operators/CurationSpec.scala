@@ -322,6 +322,25 @@ class CurationSpec extends SparkSpec {
     assert(r(400L) === ((2L, 0L, 20L, 20L, 0.0)), "unique doc untouched")
   }
 
+  test("keyhash conf: q67/q71 aggregates identical under md5 and xxhash64") {
+    // the hash is only ever a shuffle/join key that no output column keeps,
+    // so swapping the 32-byte md5 for the 8-byte xxhash64 (the 100 TB
+    // setting) must leave every aggregate byte-identical
+    def snap(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq.sorted
+    val md67 = snap(Curation.q67Contamination(spark, sfDir))
+    val md71 = snap(Curation.q71PassageDedup(spark, sfDir))
+    spark.conf.set(Curation.KeyHashConf, "xxhash64")
+    try {
+      assert(snap(Curation.q67Contamination(spark, sfDir)) === md67, "q67 diverged under xxhash64")
+      assert(snap(Curation.q71PassageDedup(spark, sfDir)) === md71, "q71 diverged under xxhash64")
+    } finally spark.conf.unset(Curation.KeyHashConf)
+    spark.conf.set(Curation.KeyHashConf, "sha512")
+    try {
+      intercept[IllegalArgumentException](Curation.q67Contamination(spark, sfDir))
+    } finally spark.conf.unset(Curation.KeyHashConf)
+  }
+
   test("q72 funnel: reasons match a first-principles recomputation, shares sum to 1") {
     val rows = Curation.q72CurationFunnel(spark, sfDir).collect()
     val docs = graft.core.Tables
