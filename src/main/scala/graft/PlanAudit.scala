@@ -1,18 +1,72 @@
 package graft
 
-/** Plan auditor: prints, per registered query, the physical-plan properties
-  * that matter at scale — pushed filters, read schema width, join
-  * strategies, whole-stage-codegen coverage. Run:
-  *   sbt "runMain graft.PlanAudit [sfDir]"
+import org.apache.spark.sql.DataFrame
+
+/** Plan auditor and SCALE GATE: per registered query, inspects the executed
+  * physical plan for the properties that matter at scale — pushed filters,
+  * read schema width, join strategies, whole-stage-codegen coverage — and
+  * FAILS (non-zero exit; see [[audit]]) on any strategy that does not scale
+  * unless it is explicitly whitelisted with a justification:
+  *
+  *   - CartesianProduct: never acceptable (O(n·m) with no bound).
+  *   - BroadcastNestedLoopJoin: acceptable only where one side is known
+  *     O(1)-row or the scan is the query's declared contract (q34 is the
+  *     brute-force ground truth every ANN result is measured against).
+  *
+  * Every other built-in strategy (BroadcastHashJoin, SortMergeJoin,
+  * ShuffledHashJoin) is scale-legitimate by construction — the audit prints
+  * them for the record but never fails on them. The whitelist lives here,
+  * in code, so a new BNLJ/cartesian anywhere else turns the round's audit
+  * red instead of relying on a human re-adjudicating known-good entries
+  * every round. PlanAuditGateSpec runs [[audit]] over the full registry at
+  * sf0.001 inside `sbt test` and separately proves a planted cartesian is
+  * caught.
+  *
+  * Run: sbt "runMain graft.PlanAudit [sfDir]"
   */
 object PlanAudit {
+
+  /** One non-whitelisted scale-killer strategy found in a query's plan. */
+  final case class Violation(query: String, strategy: String, count: Int) {
+    override def toString: String = s"$query: $strategy x$count (not whitelisted)"
+  }
+
+  /** Adjudicated exceptions: query -> (allowed strategy -> justification).
+    * Kept deliberately narrow — a strategy allowed for one query says
+    * nothing about the next one.
+    */
+  private[graft] val whitelist: Map[String, Map[String, String]] = Map(
+    "q34_bruteforce_topk" -> Map(
+      "BroadcastNestedLoopJoin" ->
+        "declared brute-force ground truth: broadcast 5-query side x one corpus scan is the contract"
+    ),
+    "q62_tfidf" -> Map(
+      "BroadcastNestedLoopJoin" ->
+        "1-row broadcast total (corpus doc count) joined onto per-term rows"
+    ),
+    "q69_unigram_logprob" -> Map(
+      "BroadcastNestedLoopJoin" ->
+        "1-row broadcast total (corpus token mass) joined onto per-doc rows"
+    ),
+    "q70_mixture_plan" -> Map(
+      "BroadcastNestedLoopJoin" ->
+        "1-row/dozens-row broadcast frames (global totals, binding-cap row) over the per-source aggregate"
+    )
+  )
+
+  /** Strategies that fail the audit when not whitelisted for the query. */
+  private val gated = Seq("CartesianProduct", "BroadcastNestedLoopJoin")
 
   /** Remove every "== Initial Plan ==" block from a printed physical plan.
     * A block = the marker line plus the following lines whose tree-prefix
     * (spaces / ':' / '+' / '-') is at least as long as the marker's — i.e.
     * the subtree printed under it. The initial plan is always the LAST
     * inner child of its AdaptiveSparkPlan node, so the first shallower line
-    * is the enclosing plan's continuation and is kept.
+    * is the enclosing plan's continuation and is kept. If Spark's layout
+    * ever changes so that a same-depth SIBLING follows the marker, this
+    * helper cannot tell it from the subtree and would over-strip — the
+    * emptiness guard in [[auditPlan]] (a stripped plan must keep at least
+    * one node) turns that silent corruption into a loud failure.
     */
   private[graft] def stripInitialPlans(full: String): String = {
     def prefixLen(l: String): Int = {
@@ -32,51 +86,83 @@ object PlanAudit {
     out.toString
   }
 
+  /** Audit facts extracted from one executed plan. */
+  final case class PlanFacts(
+      scans: Seq[Int], // column count per parquet scan
+      pushed: Seq[String], // pushed-filter list per scan
+      joins: Seq[(String, Int)], // strategy -> occurrence count
+      codegenSpans: Int,
+      violations: Seq[Violation]
+  )
+
+  /** Execute `df`'s plan (toRdd.count touches every partition without
+    * collecting rows — under AQE the final per-stage plans only exist after
+    * execution) and extract the audit facts, including gate violations.
+    */
+  private[graft] def auditPlan(name: String, df: DataFrame): PlanFacts = {
+    df.queryExecution.toRdd.count()
+    // An executed AdaptiveSparkPlan prints the FINAL plan followed by an
+    // "== Initial Plan ==" copy of the pre-AQE one (possibly NESTED inside
+    // adaptive subquery subtrees): strip each such block or every scan/join
+    // counts twice — including joins AQE planned away, which would
+    // false-positive the gate (an initial-plan SMJ that executed as a BHJ).
+    val full = df.queryExecution.executedPlan.toString
+    val plan = stripInitialPlans(full)
+    require(
+      plan.linesIterator.exists(_.trim.nonEmpty),
+      s"$name: initial-plan stripping consumed the whole plan — layout change? raw:\n$full"
+    )
+    val scans = "ReadSchema: struct<([^>]*)".r.findAllMatchIn(plan).map(_.group(1).split(",").length).toSeq
+    val pushed = "PushedFilters: \\[([^\\]]*)\\]".r.findAllMatchIn(plan).map(_.group(1)).toSeq
+    val joins =
+      Seq("BroadcastHashJoin", "SortMergeJoin", "BroadcastNestedLoopJoin", "ShuffledHashJoin", "CartesianProduct")
+        .map(j => j -> j.r.findAllIn(plan).size)
+        .filter(_._2 > 0)
+    val codegenSpans = "\\*\\((\\d+)\\)".r.findAllMatchIn(plan).map(_.group(1)).toSet.size
+    val allowed = whitelist.getOrElse(name, Map.empty)
+    val violations = joins.collect {
+      case (j, n) if gated.contains(j) && !allowed.contains(j) => Violation(name, j, n)
+    }
+    PlanFacts(scans, pushed, joins, codegenSpans, violations)
+  }
+
+  /** Run the gate over every registered query: the returned violations are
+    * empty iff the round's plans are scale-clean. Queries that FAIL to run
+    * are reported as violations too — an unplannable query must not pass
+    * the plan gate.
+    */
+  def audit(spark: org.apache.spark.sql.SparkSession, sfDir: String, verbose: Boolean = false): Seq[Violation] =
+    SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        val f = auditPlan(name, fn(spark, sfDir))
+        if (verbose) {
+          println(s"== $name")
+          f.scans.zipWithIndex.foreach { case (cols, i) =>
+            println(s"   scan$i: $cols cols" + (if (f.pushed.lift(i).exists(_.nonEmpty)) s" pushed=[${f.pushed(i)}]" else ""))
+          }
+          if (f.joins.nonEmpty) println(s"   joins: ${f.joins.map { case (k, v) => s"$k x$v" }.mkString(", ")}")
+          val waived = whitelist.getOrElse(name, Map.empty)
+          f.joins.collect { case (j, _) if waived.contains(j) => println(s"   whitelisted: $j — ${waived(j)}") }
+          println(s"   codegen spans: ${f.codegenSpans}")
+        }
+        f.violations
+      } catch {
+        case e: Throwable =>
+          println(s"== $name FAILED: ${e.getMessage}")
+          Seq(Violation(name, s"audit-failed: ${e.getClass.getSimpleName}", 1))
+      }
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = core.Sessions.local("graft-plan-audit")
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      try {
-        val df = fn(spark, sfDir)
-        // Execute THIS QueryExecution first (toRdd.count touches every
-        // partition without collecting rows): under AQE the pre-execution
-        // plan string shows no WholeStageCodegen markers at all — they only
-        // exist in the finalized per-stage plans — so auditing the unexecuted
-        // plan silently reports zero codegen coverage. (A noop-sink write
-        // would NOT work: .write builds a fresh QueryExecution and the
-        // original would stay unexecuted.)
-        df.queryExecution.toRdd.count()
-        // An executed AdaptiveSparkPlan prints the FINAL plan followed by a
-        // "== Initial Plan ==" copy of the pre-AQE one: drop each initial
-        // section, or every scan/join in a single-scan query counts twice.
-        // Markers can also appear NESTED (adaptive subquery subtrees print
-        // their own Initial Plan mid-tree), so prefix-truncating at the
-        // first marker would cut off the rest of the main final plan:
-        // instead skip each marker's SUBTREE — the lines that follow it at
-        // the same-or-deeper tree indentation — and resume at the first
-        // shallower line, which belongs to the enclosing final plan.
-        val full = df.queryExecution.executedPlan.toString
-        val plan = stripInitialPlans(full)
-        if (sys.env.contains("PLAN_AUDIT_DEBUG")) println(plan.linesIterator.take(40).mkString("\n"))
-        val scans = "ReadSchema: struct<([^>]*)".r.findAllMatchIn(plan).map(_.group(1)).toSeq
-        val pushed = "PushedFilters: \\[([^\\]]*)\\]".r.findAllMatchIn(plan).map(_.group(1)).toSeq
-        val joins = Seq("BroadcastHashJoin", "SortMergeJoin", "BroadcastNestedLoopJoin", "ShuffledHashJoin")
-          .map(j => j -> j.r.findAllIn(plan).size)
-          .filter(_._2 > 0)
-        // codegen stage markers appear as "*(n)" prefixes in the simple plan
-        // string (AQE shows the pre-execution plan, so count distinct ids)
-        val codegenSpans = "\\*\\((\\d+)\\)".r.findAllMatchIn(plan).map(_.group(1)).toSet.size
-        println(s"== $name")
-        scans.zipWithIndex.foreach { case (s, i) =>
-          val cols = s.split(",").length
-          println(s"   scan$i: $cols cols" + (if (pushed.lift(i).exists(_.nonEmpty)) s" pushed=[${pushed(i)}]" else ""))
-        }
-        if (joins.nonEmpty) println(s"   joins: ${joins.map { case (k, v) => s"$k x$v" }.mkString(", ")}")
-        println(s"   codegen spans: $codegenSpans")
-      } catch {
-        case e: Throwable => println(s"== $name FAILED: ${e.getMessage}")
-      }
-    }
+    val violations = audit(spark, sfDir, verbose = true)
     spark.stop()
+    if (violations.nonEmpty) {
+      System.err.println(s"[plan-audit] ${violations.size} violation(s):")
+      violations.foreach(v => System.err.println(s"[plan-audit]   $v"))
+      sys.exit(1)
+    }
+    println("[plan-audit] clean: no non-whitelisted BNLJ/cartesian across the registry")
   }
 }
