@@ -29,14 +29,16 @@ for dir in "${GRAFT_INPUT:-raw_data}" "${GRAFT_OUTPUT:-output}" "${GRAFT_WAREHOU
     echo "  created/verified $dir"
 done
 
-# Regenerate the warehouse bootstrap DDL from the dialect code itself so
-# docker/init can never drift from what the engine executes at runtime.
-echo "Generating warehouse init SQL..."
-bin/graft.sh init-sql docker/init/01-init-warehouse.sql
-
 if [ "${1:-}" = "--no-docker" ] || ! command -v docker >/dev/null 2>&1; then
     # ---- local mode: verify + run directly on this host ----
     echo "[deploy] local mode: no containers (parquet warehouse)"
+
+    # Regenerate the warehouse bootstrap DDL from the dialect code itself so
+    # docker/init can never drift from what the engine executes at runtime.
+    # (Host generation is fine here: this branch runs the pipeline on the
+    # host, so the Spark jars the launcher needs are present anyway.)
+    echo "Generating warehouse init SQL..."
+    bin/graft.sh init-sql docker/init/01-init-warehouse.sql
 
     echo "[deploy] verifying setup..."
     TESTDATA="${GRAFT_TESTDATA:-/root/testdata/sf0.001}"
@@ -67,6 +69,17 @@ else
     echo "[deploy] building the graft image + starting the warehouse..."
     docker compose -f docker/docker-compose.yml down 2>/dev/null || true
     docker compose -f docker/docker-compose.yml build graft
+
+    # Regenerate the warehouse bootstrap DDL from the dialect code itself so
+    # docker/init can never drift from what the engine executes at runtime.
+    # Generated INSIDE the just-built image (init-sql - prints bare SQL on
+    # stdout): a docker-only host has no /opt/spark/jars, so running the
+    # launcher on the host would hard-error here. --no-deps: the generator
+    # must not wait on (or boot) the warehouse it is generating DDL for.
+    echo "Generating warehouse init SQL (inside the image)..."
+    docker compose -f docker/docker-compose.yml run --rm --no-deps \
+        --entrypoint bin/graft.sh graft init-sql - > docker/init/01-init-warehouse.sql
+
     docker compose -f docker/docker-compose.yml up -d warehouse
 
     echo "[deploy] waiting for the warehouse..."

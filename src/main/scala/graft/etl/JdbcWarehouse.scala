@@ -242,6 +242,19 @@ object JdbcWarehouse {
     def apply(): Connection
   }
 
+  /** DriverManager-backed factory — serializable by VALUE (url +
+    * credentials travel to executors; each call opens a fresh connection).
+    * Requires the matching JDBC driver jar on the classpath (e.g. the
+    * public org.postgresql:postgresql jar in /opt/spark/jars);
+    * DriverManager's "No suitable driver" error is the diagnostic when it
+    * is absent.
+    */
+  final case class DriverManagerFactory(url: String, user: String, password: String)
+      extends ConnectionFactory {
+    override def apply(): Connection =
+      java.sql.DriverManager.getConnection(url, user, password)
+  }
+
   private[etl] val ReportCols: Seq[(String, String, Boolean)] = Seq(
     ("datetime", "TIMESTAMP", true),
     ("impression_count", "BIGINT", true),

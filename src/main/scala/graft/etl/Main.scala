@@ -9,6 +9,14 @@ import graft.core.Sessions
   *    --input <dir> --output <dir> --warehouse <dir> [--keep-inputs]`
   * Env fallbacks mirror the reference's config.py: INPUT_PATH, OUTPUT_PATH,
   * WAREHOUSE_PATH.
+  *
+  * Warehouse-sink resolution: when `DB_HOST` is present in the environment
+  * (compose's graft service sets DB_HOST/DB_PORT and the POSTGRES_* trio —
+  * reference `docker-compose.yml` + `config.py`'s DB settings), the
+  * pipeline loads the SQL warehouse through [[JdbcWarehouse]] over a
+  * DriverManager connection; otherwise it loads the parquet warehouse at
+  * `--warehouse`. Same plan either way — the sink is constructor choice
+  * (Pipeline's sink-generic `run`).
   */
 object Main {
 
@@ -19,6 +27,50 @@ object Main {
       warehouse: String = sys.env.getOrElse("WAREHOUSE_PATH", "warehouse"),
       deleteInputs: Boolean = true
   )
+
+  /** SQL-warehouse coordinates from the environment, present iff DB_HOST
+    * is set (non-empty). Defaults mirror docker-compose.yml's warehouse
+    * service so a compose boot needs no extra variables.
+    */
+  final case class DbEnv(host: String, port: Int, database: String, user: String, password: String) {
+    def url: String = s"jdbc:postgresql://$host:$port/$database"
+  }
+
+  def dbEnv(env: Map[String, String] = sys.env): Option[DbEnv] =
+    env.get("DB_HOST").map(_.trim).filter(_.nonEmpty).map { host =>
+      DbEnv(
+        host = host,
+        port = env.get("DB_PORT").flatMap(p => scala.util.Try(p.trim.toInt).toOption).getOrElse(5432),
+        database = env.getOrElse("POSTGRES_DB", "graft_db"),
+        user = env.getOrElse("POSTGRES_USER", "graft_user"),
+        password = env.getOrElse("POSTGRES_PASSWORD", "graft_pass")
+      )
+    }
+
+  /** The run's warehouse sink. Construction does not connect — the first
+    * statement does (JdbcWarehouse opens per use), so resolution is pure
+    * and unit-testable without a server.
+    */
+  def sinkFor(spark: SparkSession, args: Args, env: Map[String, String] = sys.env): WarehouseSink =
+    dbEnv(env) match {
+      case Some(d) => new JdbcWarehouse(JdbcWarehouse.DriverManagerFactory(d.url, d.user, d.password), PostgresDialect)
+      case None    => new ParquetWarehouse(spark, args.warehouse)
+    }
+
+  /** Resolve the sink, bootstrap DDL for the SQL path (idempotent — the
+    * compose init SQL already created the schema; IF NOT EXISTS makes this
+    * a no-op there), and say which mode the run is in.
+    */
+  private[etl] def prepareSink(spark: SparkSession, args: Args): WarehouseSink =
+    sinkFor(spark, args) match {
+      case wh: JdbcWarehouse =>
+        println(s"warehouse sink: JDBC ${dbEnv().map(_.url).getOrElse("")}")
+        wh.ensureSchema()
+        wh
+      case p =>
+        println(s"warehouse sink: parquet ${args.warehouse}")
+        p
+    }
 
   def parse(argv: Array[String]): Args = {
     @annotation.tailrec
@@ -39,7 +91,7 @@ object Main {
     val spark: SparkSession = Sessions.local("graft-etl")
     try {
       val t0 = System.nanoTime()
-      val result = Pipeline.run(spark, args.input, args.output, args.warehouse, args.userAgent, args.deleteInputs)
+      val result = Pipeline.run(spark, args.input, args.output, prepareSink(spark, args), args.userAgent, args.deleteInputs)
       println(f"pipeline wall: ${(System.nanoTime() - t0) / 1e9}%.2f s (excl. session startup)")
       println(s"processed dates: ${result.processedDates.map(_.date).mkString(", ")}")
       result.failedDates.foreach { case (d, e) => System.err.println(s"date $d failed: $e") }

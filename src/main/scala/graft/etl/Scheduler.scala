@@ -161,6 +161,9 @@ object CronMain {
     println(s"[scheduler] environment=$env schedule='${Scheduler.schedule(env)}'")
     val spark = graft.core.Sessions.local("graft-etl-cron")
     try {
+      // same env-resolved sink as a one-shot Main run (DB_HOST -> JDBC,
+      // else parquet), resolved once — every tick reuses it
+      val sink = Main.prepareSink(spark, args)
       val n = Scheduler.loop(
         cron,
         () => LocalDateTime.now(),
@@ -168,7 +171,7 @@ object CronMain {
         maxTicks
       ) { fireAt =>
         println(s"[scheduler] tick at $fireAt")
-        val result = Pipeline.run(spark, args.input, args.output, args.warehouse, args.userAgent, args.deleteInputs)
+        val result = Pipeline.run(spark, args.input, args.output, sink, args.userAgent, args.deleteInputs)
         println(s"[scheduler] processed=${result.processedDates.map(_.date).mkString(",")} failed=${result.failedDates.size}")
         true
       }

@@ -53,6 +53,48 @@ class PackagingSpec extends AnyFunSuite {
     assert(!sql.toUpperCase.contains("DELETE FROM"))
   }
 
+  test("compose file parses as YAML and pins the topology contract") {
+    // `docker compose config` can't run in this sandbox; a real YAML parse
+    // (snakeyaml ships in /opt/spark/jars) plus required-keys assertions
+    // catches drift the same way bash -n guards the scripts
+    import scala.jdk.CollectionConverters._
+    def m(o: Object): Map[String, Object] =
+      o.asInstanceOf[java.util.Map[String, Object]].asScala.toMap
+    val f = new java.io.File(repoRoot, "docker/docker-compose.yml")
+    assert(f.isFile, "docker/docker-compose.yml missing")
+    val in = new java.io.FileInputStream(f)
+    val root =
+      try m(new org.yaml.snakeyaml.Yaml().load[Object](in))
+      finally in.close()
+
+    val services = m(root("services"))
+    assert(services.contains("warehouse") && services.contains("graft"))
+
+    val wh = m(services("warehouse"))
+    assert(wh.contains("healthcheck"), "warehouse needs a healthcheck (graft gates on it)")
+    val whVols = wh("volumes").asInstanceOf[java.util.List[Object]].asScala.map(_.toString)
+    assert(
+      whVols.exists(_.endsWith(":/docker-entrypoint-initdb.d")),
+      "init SQL mount missing — the generated DDL would never run"
+    )
+
+    val g = m(services("graft"))
+    val env = m(g("environment")).map { case (k, v) => k -> String.valueOf(v) }
+    for (k <- Seq("DB_HOST", "DB_PORT", "POSTGRES_USER", "POSTGRES_PASSWORD", "POSTGRES_DB"))
+      assert(env.contains(k), s"graft env $k missing — Main.sinkFor would fall back to parquet")
+    // the credential trio must use the same ${VAR:-default} substitutions as
+    // the warehouse service, so one override reconfigures both sides
+    val whEnv = m(wh("environment")).map { case (k, v) => k -> String.valueOf(v) }
+    for (k <- Seq("POSTGRES_USER", "POSTGRES_PASSWORD", "POSTGRES_DB"))
+      assert(env(k) === whEnv(k), s"$k differs between graft and warehouse services")
+    // restart must be the service-level key: plain `docker compose up`
+    // ignores the swarm-only deploy.restart_policy block
+    assert(g.contains("restart"), "graft needs a service-level restart policy")
+    assert(!g.contains("deploy"), "deploy.restart_policy is swarm-only — use the restart key")
+    val dep = m(m(g("depends_on"))("warehouse"))
+    assert(String.valueOf(dep("condition")) === "service_healthy")
+  }
+
   test("generated init file (when present) matches the current dialect DDL") {
     val f = new java.io.File(repoRoot, "docker/init/01-init-warehouse.sql")
     if (f.isFile) {
