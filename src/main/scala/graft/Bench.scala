@@ -158,6 +158,26 @@ object Bench {
         curves += f"""{"knob":"ivf_nprobe","value":$np,"planted":$rp%.3f,"uniform":$ru%.3f,"cand_frac":$frac%.3f}"""
       }
       spark.conf.unset(operators.Similarity.IvfNprobeConf)
+
+      // the `quality` profile's uniform-corpus operating point (the preset
+      // AnnTune's structural sweep chose): recall >= 0.9 bought with ~0.8
+      // scanned fraction — reported so every round re-measures the preset's
+      // contract at the bench SF alongside fast's curves above
+      spark.conf.set(operators.Similarity.ProfileConf, "quality")
+      val qProf = operators.Similarity.Quality
+      quality("q35_recall_uniform_quality") =
+        recall(topkSet(operators.Similarity.q35LshTopK(spark, sfDir)), exactU)
+      quality("q36_recall_uniform_quality") =
+        recall(topkSet(operators.Similarity.q36IvfTopK(spark, sfDir)), exactU)
+      val qFracL = operators.Similarity.lshCandidateCountWith(spark, sfDir, qProf, qProf.lshProbes) / (5.0 * n)
+      val qFracI = operators.Similarity.ivfCandidateCountWith(spark, sfDir, qProf, qProf.ivfNprobe) / (5.0 * n)
+      curves += f"""{"knob":"lsh_profile_quality","value":${qProf.lshProbes},"planted":-1.0,"uniform":${quality(
+          "q35_recall_uniform_quality"
+        )}%.3f,"cand_frac":$qFracL%.3f}"""
+      curves += f"""{"knob":"ivf_profile_quality","value":${qProf.ivfNprobe},"planted":-1.0,"uniform":${quality(
+          "q36_recall_uniform_quality"
+        )}%.3f,"cand_frac":$qFracI%.3f}"""
+      spark.conf.unset(operators.Similarity.ProfileConf)
     } catch { case e: Throwable => System.err.println(s"[bench] recall failed: ${e.getMessage}") }
 
     // Load-calibration probe, reading 2 of 2 (after all timed work): a

@@ -146,34 +146,89 @@ object Similarity {
   // recall per table far more, because the flipped buckets are chosen
   // query-directed, not blindly.
   // ---------------------------------------------------------------------------
-  private val TABLES = 6
-  private val PLANES = 6
+  /** Structural ANN profile — the knobs that shape the INDEX (not just the
+    * query): LSH table count / sign-bits per table, IVF centroid count,
+    * and each family's default probe width. Selected per session via
+    * `graft.ann.profile`:
+    *
+    *   - `fast` (default): the near-dup/clustered-corpus operating point —
+    *     planted recall 1.00/1.00 at ~0.2 scanned fraction (the knee of the
+    *     published curves). On a near-uniform corpus its recall tracks its
+    *     scanned fraction (~0.4-0.5), which is the declared trade.
+    *   - `quality`: the uniform-corpus retrieval point — coarser buckets
+    *     (fewer sign-bits, more tables) and wide probing push the scanned
+    *     fraction to ~0.8, buying uniform recall >= 0.9 (SimilaritySpec
+    *     floor; curves in bench_details.json via AnnTune). The honest
+    *     statement: on data with NO cluster structure, recall ~ scanned
+    *     fraction for ANY sub-linear method — `quality` chooses recall and
+    *     pays the scan, still ~4x under brute force at 100 TB and, unlike
+    *     it, still index-pruned on real (clustered) corpora.
+    *
+    * The profile is part of the index identity: session caches key on it
+    * and persisted-index sidecars record its parameters, so switching
+    * profiles can never serve the other profile's buckets.
+    */
+  final case class AnnProfile(
+      name: String,
+      lshTables: Int,
+      lshPlanes: Int,
+      lshProbes: Int,
+      ivfC: Int,
+      ivfNprobe: Int
+  ) {
+    /** Session plane-function names are profile-qualified (the binding per
+      * name is immutable — same no-rebind rule as `centroid_ranks_i`).
+      */
+    private[operators] def fnSuffix: String = if (name == "fast") "" else s"_$name"
+  }
 
-  /** Query-time knob: extra flipped-bit probes per table (multiprobe LSH).
-    * Default = the knee of the published recall/scan-fraction curve
-    * (bench_details.json, sf0.1 planted corpus): probes=1 reaches planted
-    * recall 1.00 at candidate fraction 0.199 — probes=2 buys NO planted
-    * recall for another 0.075 of the corpus scanned (0.274), and probes=0
-    * gives up the last 2 points (0.98 at 0.13).
+  val Fast: AnnProfile = AnnProfile("fast", lshTables = 6, lshPlanes = 6, lshProbes = 1, ivfC = 16, ivfNprobe = 4)
+
+  /** Sweep-chosen (tools.AnnTune, sf0.01/sf0.1 uniform corpus): P=4 makes
+    * 16 buckets/table (~6% of the corpus each), T=8 tables x (1+2) probes
+    * reach ~0.8 scanned fraction -> uniform recall >= 0.9 for LSH; IVF gets
+    * there by probing 13 of 16 cells. See the quality_curves block in
+    * bench_details.json for the measured recall/fraction grid.
+    */
+  val Quality: AnnProfile =
+    AnnProfile("quality", lshTables = 8, lshPlanes = 4, lshProbes = 2, ivfC = 16, ivfNprobe = 13)
+
+  val ProfileConf = "graft.ann.profile"
+
+  def annProfile(spark: SparkSession): AnnProfile =
+    spark.conf.getOption(ProfileConf).map(_.trim.toLowerCase).filter(_.nonEmpty) match {
+      case None | Some("fast") => Fast
+      case Some("quality")     => Quality
+      case Some(other) =>
+        throw new IllegalArgumentException(s"$ProfileConf must be fast or quality, got '$other'")
+    }
+
+  /** Query-time knob: extra flipped-bit probes per table (multiprobe LSH),
+    * overriding the profile's default. `fast`'s default 1 is the knee of
+    * the published recall/scan-fraction curve (bench_details.json, sf0.1
+    * planted corpus): probes=1 reaches planted recall 1.00 at candidate
+    * fraction 0.199 — probes=2 buys NO planted recall for another 0.075 of
+    * the corpus scanned (0.274), and probes=0 gives up the last 2 points
+    * (0.98 at 0.13).
     */
   val LshProbesConf = "graft.ann.lsh.probes"
-  private val LSH_PROBES_DEFAULT = 1
 
-  private def lshExtraProbes(spark: SparkSession): Int =
+  private def lshExtraProbes(spark: SparkSession, prof: AnnProfile): Int =
     spark.conf
       .getOption(LshProbesConf)
       .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
-      .getOrElse(LSH_PROBES_DEFAULT)
+      .getOrElse(prof.lshProbes)
       .max(0)
-      .min(PLANES)
+      .min(prof.lshPlanes)
 
   /** Deterministic hyperplane weights in [-1,1] (splitmix64-derived),
-    * indexed [t * PLANES + p][dim].
+    * indexed [t * planes + p][dim]. Seeded by (t, p) alone, so a profile's
+    * matrix depends only on its geometry.
     */
-  private[operators] def planeMatrix(): Array[Array[Double]] =
-    Array.tabulate(TABLES * PLANES) { tp =>
-      val t = tp / PLANES
-      val p = tp % PLANES
+  private[operators] def planeMatrix(tables: Int, planes: Int): Array[Array[Double]] =
+    Array.tabulate(tables * planes) { tp =>
+      val t = tp / planes
+      val p = tp % planes
       val seed = t.toLong * 100003 + p.toLong * 1009
       Array.tabulate(DIM)(d => graft.functions.VecFunctions.mix64(seed * 8191 + d).toDouble / 9.223372036854776e18)
     }
@@ -304,28 +359,34 @@ object Similarity {
     ): PlaneProbes = copy(child = c)
   }
 
-  private def installPlaneBuckets(spark: SparkSession): Unit = {
-    val id = org.apache.spark.sql.catalyst.FunctionIdentifier("plane_buckets")
+  /** Register this profile's `plane_buckets<suffix>` / `plane_probes<suffix>`
+    * session functions (idempotent: each name binds one immutable geometry,
+    * so a plain functionExists guard is safe — nothing is ever rebound).
+    */
+  private def installPlaneBuckets(spark: SparkSession, prof: AnnProfile): Unit = {
+    val bName = s"plane_buckets${prof.fnSuffix}"
+    val id = org.apache.spark.sql.catalyst.FunctionIdentifier(bName)
     if (!spark.sessionState.functionRegistry.functionExists(id)) {
-      val planes = planeMatrix()
+      val planes = planeMatrix(prof.lshTables, prof.lshPlanes)
       spark.sessionState.functionRegistry.registerFunction(
         id,
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[PlaneBuckets].getName,
-          "plane_buckets"
+          bName
         ),
         (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-          PlaneBuckets(args.head, planes, TABLES, PLANES)
+          PlaneBuckets(args.head, planes, prof.lshTables, prof.lshPlanes)
       )
     }
-    val pid = org.apache.spark.sql.catalyst.FunctionIdentifier("plane_probes")
+    val pName = s"plane_probes${prof.fnSuffix}"
+    val pid = org.apache.spark.sql.catalyst.FunctionIdentifier(pName)
     if (!spark.sessionState.functionRegistry.functionExists(pid)) {
-      val planes = planeMatrix()
+      val planes = planeMatrix(prof.lshTables, prof.lshPlanes)
       spark.sessionState.functionRegistry.registerFunction(
         pid,
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[PlaneProbes].getName,
-          "plane_probes"
+          pName
         ),
         (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
           PlaneProbes(
@@ -333,11 +394,11 @@ object Similarity {
             // second arg: literal probe count, bound at analysis time
             math.min(
               math.max(args(1).eval().asInstanceOf[Number].intValue(), 0),
-              PLANES
+              prof.lshPlanes
             ),
             planes,
-            TABLES,
-            PLANES
+            prof.lshTables,
+            prof.lshPlanes
           )
       )
     }
@@ -348,8 +409,13 @@ object Similarity {
     * `bsName` — downstream joins use it to dedup multi-table collisions
     * WITHOUT a shuffle (see firstCollision).
     */
-  private[operators] def withBuckets(df: DataFrame, vcol: String, bsName: String = "bs"): DataFrame = {
-    val withBs = df.withColumn(bsName, expr(s"plane_buckets($vcol)"))
+  private[operators] def withBuckets(
+      df: DataFrame,
+      vcol: String,
+      bsName: String = "bs",
+      fnSuffix: String = ""
+  ): DataFrame = {
+    val withBs = df.withColumn(bsName, expr(s"plane_buckets$fnSuffix($vcol)"))
     // posexplode_OUTER: a plain posexplode makes Catalyst push
     // `size(plane_buckets(...)) > 0 AND isnotnull(plane_buckets(...))`
     // guard conjuncts down into the scan filter, re-evaluating the whole
@@ -380,26 +446,29 @@ object Similarity {
     * always computed fresh from the source parquet (persist writes this, so
     * a re-persist never reads the table it is about to overwrite).
     */
-  private def computeLshIndex(spark: SparkSession, dir: String): DataFrame = {
+  private def computeLshIndex(spark: SparkSession, dir: String, prof: AnnProfile): DataFrame = {
     graft.functions.VecFunctions.install(spark)
-    installPlaneBuckets(spark)
-    withBuckets(unitCorpus(Tables.embeddings(spark, dir)), "vb", bsName = "cbs")
+    installPlaneBuckets(spark, prof)
+    withBuckets(unitCorpus(Tables.embeddings(spark, dir)), "vb", bsName = "cbs", fnSuffix = prof.fnSuffix)
   }
 
-  /** Build (or fetch) the LSH corpus index: (t, b, vec_id, vb-unit-vector),
-    * materialized. Resolution order: session cache → persisted table (when
-    * `graft.ann.indexDir` is set and holds a CURRENT one — sidecar
-    * fingerprint and parameters must match; anything stale is skipped and
-    * the index computed fresh) → compute. Callers time this separately from
-    * the query phase.
+  /** Build (or fetch) the LSH corpus index for the session profile:
+    * (t, b, vec_id, vb-unit-vector), materialized. Resolution order:
+    * session cache → persisted table (when `graft.ann.indexDir` is set and
+    * holds a CURRENT one — sidecar fingerprint and parameters must match;
+    * anything stale is skipped and the index computed fresh) → compute.
+    * Callers time this separately from the query phase.
     */
   def buildLshIndex(spark: SparkSession, dir: String): DataFrame =
-    lshIndexCache.getOrBuild(spark, dir) {
+    buildLshIndexWith(spark, dir, annProfile(spark))
+
+  private[operators] def buildLshIndexWith(spark: SparkSession, dir: String, prof: AnnProfile): DataFrame =
+    lshIndexCache.getOrBuild(spark, s"$dir@${prof.name}") {
       graft.functions.VecFunctions.install(spark)
-      installPlaneBuckets(spark)
+      installPlaneBuckets(spark, prof)
       confIndexDir(spark)
-        .flatMap(ix => resolvePersisted(spark, dir, lshTable(dir), lshPath(ix, dir), lshSpec))
-        .getOrElse(computeLshIndex(spark, dir).localCheckpoint())
+        .flatMap(ix => resolvePersisted(spark, dir, lshTable(dir, prof), lshPath(ix, dir, prof), lshSpec(prof)))
+        .getOrElse(computeLshIndex(spark, dir, prof).localCheckpoint())
     }
 
   /** LSH candidate pairs (query_id, va, vec_id, vb) for an arbitrary query
@@ -408,11 +477,11 @@ object Similarity {
     * probe position, where "hit" compares the query's flat probe array
     * against the corpus row's exact per-table buckets.
     */
-  private def lshCandidates(queries: DataFrame, idx: DataFrame, extra: Int): DataFrame = {
+  private def lshCandidates(queries: DataFrame, idx: DataFrame, extra: Int, fnSuffix: String = ""): DataFrame = {
     val stride = extra + 1
     val qp = queries
       .select(col("query_id"), col("va"))
-      .withColumn("ps", expr(s"plane_probes(va, $extra)"))
+      .withColumn("ps", expr(s"plane_probes$fnSuffix(va, $extra)"))
     val exploded = qp
       .select(qp.columns.map(col).toSeq :+ posexplode_outer(col("ps")).as(Seq("pp", "b")): _*)
       .withColumn("t", expr(s"cast(pp div $stride AS int)"))
@@ -431,8 +500,16 @@ object Similarity {
 
   def q35LshTopK(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VecFunctions.install(spark)
-    installPlaneBuckets(spark)
-    topKRanked(lshCandidates(queriesDf(spark, dir), buildLshIndex(spark, dir), lshExtraProbes(spark)))
+    val prof = annProfile(spark)
+    installPlaneBuckets(spark, prof)
+    topKRanked(
+      lshCandidates(
+        queriesDf(spark, dir),
+        buildLshIndexWith(spark, dir, prof),
+        lshExtraProbes(spark, prof),
+        prof.fnSuffix
+      )
+    )
   }
 
   // ---------------------------------------------------------------------------
@@ -442,26 +519,30 @@ object Similarity {
   // inside them. Only the bounded sample and centroid summaries touch the
   // driver.
   // ---------------------------------------------------------------------------
-  private val C = 16
+  /** Fast-profile centroid count, kept as a named constant because the
+    * planted-eval and spec floors are calibrated against it.
+    */
+  private val C = Fast.ivfC
 
-  /** Query-time knob: how many of the C cells each query probes.
-    * Unlike the LSH probes knob, the published sf0.1 curve's knee (planted
-    * 1.00 at nprobe=1) does NOT hold at smaller corpora — measured planted
-    * recall at sf0.001/sf0.01 is 0.66/0.64 at nprobe=1 and 0.90/0.90 at
-    * nprobe=2 (boundary queries whose true cluster is not their nearest
-    * centroid), so the default stays at 4 (planted ≥ 0.98 at every SF)
-    * rather than chasing the large-corpus knee.
+  /** Query-time knob: how many of the profile's C cells each query probes,
+    * overriding the profile default. `fast`'s default 4: unlike the LSH
+    * probes knob, the published sf0.1 curve's knee (planted 1.00 at
+    * nprobe=1) does NOT hold at smaller corpora — measured planted recall
+    * at sf0.001/sf0.01 is 0.66/0.64 at nprobe=1 and 0.90/0.90 at nprobe=2
+    * (boundary queries whose true cluster is not their nearest centroid),
+    * so the default stays at 4 (planted ≥ 0.98 at every SF) rather than
+    * chasing the large-corpus knee. `quality`'s default 13 is the uniform
+    * recall >= 0.9 point (see AnnProfile).
     */
   val IvfNprobeConf = "graft.ann.ivf.nprobe"
-  private val NPROBE_DEFAULT = 4
 
-  private def ivfNprobe(spark: SparkSession): Int =
+  private def ivfNprobe(spark: SparkSession, prof: AnnProfile): Int =
     spark.conf
       .getOption(IvfNprobeConf)
       .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
-      .getOrElse(NPROBE_DEFAULT)
+      .getOrElse(prof.ivfNprobe)
       .max(1)
-      .min(C)
+      .min(prof.ivfC)
 
   /** Centroid indexes of `child` sorted by L2 distance, with the centroid
     * table held as a REFERENCE OBJECT: inlining 16×64 literal doubles into
@@ -565,7 +646,7 @@ object Similarity {
   private val TRAIN_SAMPLE = 4096
 
   /** Train the coarse quantizer from any (vec_id, embedding) frame. */
-  def trainCentroidsFrom(emb: DataFrame): Array[Array[Double]] = {
+  def trainCentroidsFrom(emb: DataFrame, c: Int = C): Array[Array[Double]] = {
     graft.functions.VecFunctions.install(emb.sparkSession)
     // Deterministic hash-prefix sample: the TRAIN_SAMPLE vectors with the
     // smallest xxhash64(vec_id) — planned as a TakeOrdered top-k, ONE corpus
@@ -578,9 +659,9 @@ object Similarity {
       .limit(TRAIN_SAMPLE)
       .collect()
       .map(_.getSeq[Double](1).toArray)
-    // init = first C of the hash-ordered sample (deterministic); Lloyd on
+    // init = first c of the hash-ordered sample (deterministic); Lloyd on
     // the sample is microseconds of driver arithmetic
-    var cents = sample.take(C).map(_.clone)
+    var cents = sample.take(c).map(_.clone)
     for (_ <- 1 to 3) {
       val counts = Array.fill(cents.length)(0L)
       val sums = Array.fill(cents.length, DIM)(0.0)
@@ -629,23 +710,32 @@ object Similarity {
 
   private def computeIvfIndexFrom(
       spark: SparkSession,
-      emb: DataFrame
+      emb: DataFrame,
+      c: Int = C
   ): (Array[Array[Double]], DataFrame) = {
-    val cents = trainCentroidsFrom(emb)
+    val cents = trainCentroidsFrom(emb, c)
     (cents, ivfAssign(spark, emb, cents).localCheckpoint())
   }
 
-  /** Build (or fetch) the IVF index: the trained centroids + the corpus
-    * with cluster assignment and unit vectors, materialized. Resolution
-    * order: session cache → persisted table (when `graft.ann.indexDir` is
-    * set and holds a current one) → train + assign. The quantizer is
-    * trained ONCE per (session, dir) — queries only pay the probe join.
+  /** Build (or fetch) the IVF index for the session profile: the trained
+    * centroids + the corpus with cluster assignment and unit vectors,
+    * materialized. Resolution order: session cache → persisted table (when
+    * `graft.ann.indexDir` is set and holds a current one) → train + assign.
+    * The quantizer is trained ONCE per (session, dir, profile) — queries
+    * only pay the probe join.
     */
   def buildIvfIndex(spark: SparkSession, dir: String): (Array[Array[Double]], DataFrame) =
-    ivfIndexCache.getOrBuild(spark, dir) {
+    buildIvfIndexWith(spark, dir, annProfile(spark))
+
+  private[operators] def buildIvfIndexWith(
+      spark: SparkSession,
+      dir: String,
+      prof: AnnProfile
+  ): (Array[Array[Double]], DataFrame) =
+    ivfIndexCache.getOrBuild(spark, s"$dir@${prof.name}") {
       graft.functions.VecFunctions.install(spark)
-      readPersistedIvf(spark, dir).getOrElse(
-        computeIvfIndexFrom(spark, Tables.embeddings(spark, dir))
+      readPersistedIvf(spark, dir, prof).getOrElse(
+        computeIvfIndexFrom(spark, Tables.embeddings(spark, dir), prof.ivfC)
       )
     }
 
@@ -673,8 +763,58 @@ object Similarity {
 
   def q36IvfTopK(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VecFunctions.install(spark)
-    val (cents, corpus) = buildIvfIndex(spark, dir)
-    ivfTopKFrom(spark, queriesDf(spark, dir), cents, corpus, ivfNprobe(spark))
+    val prof = annProfile(spark)
+    val (cents, corpus) = buildIvfIndexWith(spark, dir, prof)
+    ivfTopKFrom(spark, queriesDf(spark, dir), cents, corpus, ivfNprobe(spark, prof))
+  }
+
+  // ---------------------------------------------------------------------------
+  // Structural tuning API — the sweep entries tools.AnnTune uses to measure
+  // recall/scan-fraction under ARBITRARY geometry (that is how the profile
+  // presets above were chosen). Each geometry gets its own session-cached
+  // index and its own immutable plane functions; nothing here is on the
+  // registered-query path.
+  // ---------------------------------------------------------------------------
+
+  /** An ad-hoc profile for sweeps: name (and thus function/cache identity)
+    * derived from the geometry.
+    */
+  def sweepProfile(tables: Int, planes: Int, c: Int = C): AnnProfile =
+    AnnProfile(s"sweep_t${tables}p${planes}c$c", tables, planes, lshProbes = 0, ivfC = c, ivfNprobe = 1)
+
+  /** Uniform-corpus LSH top-k under an arbitrary geometry + probe width. */
+  def lshTopKWith(spark: SparkSession, dir: String, prof: AnnProfile, extra: Int): DataFrame = {
+    graft.functions.VecFunctions.install(spark)
+    installPlaneBuckets(spark, prof)
+    val m = math.min(math.max(extra, 0), prof.lshPlanes)
+    topKRanked(lshCandidates(queriesDf(spark, dir), buildLshIndexWith(spark, dir, prof), m, prof.fnSuffix))
+  }
+
+  /** Uniform-corpus LSH candidate count (scan-fraction numerator). */
+  def lshCandidateCountWith(spark: SparkSession, dir: String, prof: AnnProfile, extra: Int): Long = {
+    graft.functions.VecFunctions.install(spark)
+    installPlaneBuckets(spark, prof)
+    val m = math.min(math.max(extra, 0), prof.lshPlanes)
+    lshCandidates(queriesDf(spark, dir), buildLshIndexWith(spark, dir, prof), m, prof.fnSuffix).count()
+  }
+
+  /** Uniform-corpus IVF top-k under an arbitrary centroid count + nprobe. */
+  def ivfTopKWith(spark: SparkSession, dir: String, prof: AnnProfile, nprobe: Int): DataFrame = {
+    graft.functions.VecFunctions.install(spark)
+    val (cents, corpus) = buildIvfIndexWith(spark, dir, prof)
+    ivfTopKFrom(spark, queriesDf(spark, dir), cents, corpus, math.min(math.max(nprobe, 1), prof.ivfC))
+  }
+
+  /** Uniform-corpus IVF probed-candidate count (scan-fraction numerator). */
+  def ivfCandidateCountWith(spark: SparkSession, dir: String, prof: AnnProfile, nprobe: Int): Long = {
+    graft.functions.VecFunctions.install(spark)
+    val (cents, corpus) = buildIvfIndexWith(spark, dir, prof)
+    val fn = installCentroidRanks(spark, cents)
+    val probes = queriesDf(spark, dir)
+      .withColumn("qraw_d", expr(toDouble("qraw")))
+      .withColumn("cluster", explode(expr(s"slice($fn(qraw_d), 1, ${math.min(math.max(nprobe, 1), prof.ivfC)})")))
+      .select(col("query_id"), col("cluster"))
+    broadcast(probes).join(corpus, Seq("cluster")).filter(col("query_id") =!= col("vec_id")).count()
   }
 
   // ---------------------------------------------------------------------------
@@ -728,11 +868,14 @@ object Similarity {
 
   /** LSH index over the planted corpus (session-cached, never persisted —
     * it is an eval artifact). Shared with Dedup's planted near-dup eval.
+    * Pinned to the `fast` profile: the planted corpus IS the clustered
+    * operating point that profile is calibrated for, and the published
+    * planted floors/curves must not move when a session flips profiles.
     */
   private[operators] def buildPlantedLshIndex(spark: SparkSession, dir: String): DataFrame =
     plantedLshCache.getOrBuild(spark, dir) {
       graft.functions.VecFunctions.install(spark)
-      installPlaneBuckets(spark)
+      installPlaneBuckets(spark, Fast)
       withBuckets(unitCorpus(plantedCorpus(spark, dir)), "vb", bsName = "cbs").localCheckpoint()
     }
 
@@ -741,8 +884,8 @@ object Similarity {
     */
   def plantedLshTopK(spark: SparkSession, dir: String, extra: Int = -1): DataFrame = {
     graft.functions.VecFunctions.install(spark)
-    installPlaneBuckets(spark)
-    val m = if (extra < 0) lshExtraProbes(spark) else math.min(extra, PLANES)
+    installPlaneBuckets(spark, Fast)
+    val m = if (extra < 0) lshExtraProbes(spark, Fast) else math.min(extra, Fast.lshPlanes)
     topKRanked(lshCandidates(plantedQueries(spark, dir), buildPlantedLshIndex(spark, dir), m))
   }
 
@@ -751,8 +894,8 @@ object Similarity {
     */
   def plantedLshCandidateCount(spark: SparkSession, dir: String, extra: Int): Long = {
     graft.functions.VecFunctions.install(spark)
-    installPlaneBuckets(spark)
-    lshCandidates(plantedQueries(spark, dir), buildPlantedLshIndex(spark, dir), math.min(extra, PLANES))
+    installPlaneBuckets(spark, Fast)
+    lshCandidates(plantedQueries(spark, dir), buildPlantedLshIndex(spark, dir), math.min(extra, Fast.lshPlanes))
       .count()
   }
 
@@ -762,11 +905,13 @@ object Similarity {
       computeIvfIndexFrom(spark, plantedCorpus(spark, dir))
     }
 
-  /** q36's pipeline on the planted corpus; `nprobe` < 1 takes the conf. */
+  /** q36's pipeline on the planted corpus; `nprobe` < 1 takes the conf.
+    * Fast-profile geometry, same pinning rationale as the planted LSH eval.
+    */
   def plantedIvfTopK(spark: SparkSession, dir: String, nprobe: Int = -1): DataFrame = {
     graft.functions.VecFunctions.install(spark)
     val (cents, corpus) = buildPlantedIvf(spark, dir)
-    val np = if (nprobe < 1) ivfNprobe(spark) else math.min(nprobe, C)
+    val np = if (nprobe < 1) ivfNprobe(spark, Fast) else math.min(nprobe, C)
     ivfTopKFrom(spark, plantedQueries(spark, dir), cents, corpus, np)
   }
 
@@ -806,10 +951,15 @@ object Similarity {
   private val LSH_BUCKETS = 16
   private val IVF_BUCKETS = 8
 
-  /** Bucket spec + parameter string of one persisted index flavor. */
+  /** Bucket spec + parameter string of one persisted index flavor. The
+    * params string carries the profile geometry, so a persisted index from
+    * one profile can never satisfy a read under another (sidecar mismatch
+    * → rebuild), even if paths were somehow crossed.
+    */
   private final case class IndexSpec(buckets: Int, keys: Seq[String], params: String)
-  private def lshSpec = IndexSpec(LSH_BUCKETS, Seq("t", "b"), s"lsh:t$TABLES:p$PLANES")
-  private def ivfSpec = IndexSpec(IVF_BUCKETS, Seq("cluster"), s"ivf:c$C")
+  private def lshSpec(prof: AnnProfile) =
+    IndexSpec(LSH_BUCKETS, Seq("t", "b"), s"lsh:t${prof.lshTables}:p${prof.lshPlanes}")
+  private def ivfSpec(prof: AnnProfile) = IndexSpec(IVF_BUCKETS, Seq("cluster"), s"ivf:c${prof.ivfC}")
 
   /** Stable cross-JVM key for a data dir (first 8 md5 hex chars). */
   private def indexKey(dir: String): String =
@@ -823,11 +973,19 @@ object Similarity {
   private def confIndexDir(spark: SparkSession): Option[String] =
     spark.conf.getOption(IndexDirConf).filter(_.nonEmpty)
 
-  private def lshPath(indexDir: String, dir: String) = s"$indexDir/lsh_${indexKey(dir)}"
-  private def ivfPath(indexDir: String, dir: String) = s"$indexDir/ivf_${indexKey(dir)}"
-  private def ivfCentroidsPath(indexDir: String, dir: String) = s"${ivfPath(indexDir, dir)}_centroids"
-  private[operators] def lshTable(dir: String) = s"graft_lsh_${indexKey(dir)}"
-  private[operators] def ivfTable(dir: String) = s"graft_ivf_${indexKey(dir)}"
+  // fast keeps the historical un-suffixed path/table names; other profiles
+  // get their own artifacts (a profile switch must never overwrite or serve
+  // the other profile's buckets)
+  private def lshPath(indexDir: String, dir: String, prof: AnnProfile) =
+    s"$indexDir/lsh_${indexKey(dir)}${prof.fnSuffix}"
+  private def ivfPath(indexDir: String, dir: String, prof: AnnProfile) =
+    s"$indexDir/ivf_${indexKey(dir)}${prof.fnSuffix}"
+  private def ivfCentroidsPath(indexDir: String, dir: String, prof: AnnProfile) =
+    s"${ivfPath(indexDir, dir, prof)}_centroids"
+  private[operators] def lshTable(dir: String, prof: AnnProfile) =
+    s"graft_lsh_${indexKey(dir)}${prof.fnSuffix}"
+  private[operators] def ivfTable(dir: String, prof: AnnProfile) =
+    s"graft_ivf_${indexKey(dir)}${prof.fnSuffix}"
 
   private def hadoopPath(spark: SparkSession, p: String) = {
     val path = new org.apache.hadoop.fs.Path(p)
@@ -959,23 +1117,25 @@ object Similarity {
     * building fresh rather than reading a torn index.
     */
   def persistLshIndex(spark: SparkSession, dir: String, indexDir: String): Boolean = {
+    val prof = annProfile(spark)
+    val spec = lshSpec(prof)
     val fp = dataFingerprint(spark, dir)
-    val path = lshPath(indexDir, dir)
-    if (sidecarCurrent(spark, path, lshSpec, fp)) false
+    val path = lshPath(indexDir, dir, prof)
+    if (sidecarCurrent(spark, path, spec, fp)) false
     else {
-      val table = lshTable(dir)
+      val table = lshTable(dir, prof)
       deleteSidecar(spark, path)
-      lshIndexCache.invalidate(spark, dir)
+      lshIndexCache.invalidate(spark, s"$dir@${prof.name}")
       spark.sql(s"DROP TABLE IF EXISTS `$table`")
       deletePath(spark, path)
       graft.sources.Layouts.writeBucketed(
-        computeLshIndex(spark, dir),
+        computeLshIndex(spark, dir, prof),
         table,
-        lshSpec.keys,
-        lshSpec.buckets,
+        spec.keys,
+        spec.buckets,
         path
       )
-      writeSidecar(spark, path, lshSpec, fp)
+      writeSidecar(spark, path, spec, fp)
       true
     }
   }
@@ -991,18 +1151,20 @@ object Similarity {
     * contract as [[persistLshIndex]].
     */
   def persistIvfIndex(spark: SparkSession, dir: String, indexDir: String): Boolean = {
+    val prof = annProfile(spark)
+    val spec = ivfSpec(prof)
     val fp = dataFingerprint(spark, dir)
-    val path = ivfPath(indexDir, dir)
-    if (sidecarCurrent(spark, path, ivfSpec, fp)) false
+    val path = ivfPath(indexDir, dir, prof)
+    if (sidecarCurrent(spark, path, spec, fp)) false
     else {
-      val table = ivfTable(dir)
+      val table = ivfTable(dir, prof)
       deleteSidecar(spark, path)
-      ivfIndexCache.invalidate(spark, dir)
+      ivfIndexCache.invalidate(spark, s"$dir@${prof.name}")
       spark.sql(s"DROP TABLE IF EXISTS `$table`")
       deletePath(spark, path)
-      deletePath(spark, ivfCentroidsPath(indexDir, dir))
+      deletePath(spark, ivfCentroidsPath(indexDir, dir, prof))
       val emb = Tables.embeddings(spark, dir)
-      val cents = trainCentroidsFrom(emb)
+      val cents = trainCentroidsFrom(emb, prof.ivfC)
       import spark.implicits._
       cents.zipWithIndex
         .map { case (v, i) => (i, v.toSeq) }
@@ -1011,15 +1173,15 @@ object Similarity {
         .coalesce(1)
         .write
         .mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .parquet(ivfCentroidsPath(indexDir, dir))
+        .parquet(ivfCentroidsPath(indexDir, dir, prof))
       graft.sources.Layouts.writeBucketed(
         ivfAssign(spark, emb, cents),
         table,
-        ivfSpec.keys,
-        ivfSpec.buckets,
+        spec.keys,
+        spec.buckets,
         path
       )
-      writeSidecar(spark, path, ivfSpec, fp)
+      writeSidecar(spark, path, spec, fp)
       true
     }
   }
@@ -1029,11 +1191,15 @@ object Similarity {
       throw new IllegalStateException(s"set $IndexDirConf or pass indexDir explicitly")
     })
 
-  private def readPersistedIvf(spark: SparkSession, dir: String): Option[(Array[Array[Double]], DataFrame)] =
+  private def readPersistedIvf(
+      spark: SparkSession,
+      dir: String,
+      prof: AnnProfile
+  ): Option[(Array[Array[Double]], DataFrame)] =
     confIndexDir(spark).flatMap { ix =>
-      resolvePersisted(spark, dir, ivfTable(dir), ivfPath(ix, dir), ivfSpec).map { corpus =>
+      resolvePersisted(spark, dir, ivfTable(dir, prof), ivfPath(ix, dir, prof), ivfSpec(prof)).map { corpus =>
         val cents = spark.read
-          .parquet(ivfCentroidsPath(ix, dir))
+          .parquet(ivfCentroidsPath(ix, dir, prof))
           .orderBy(col("cluster"))
           .collect()
           .map(_.getSeq[Double](1).toArray)

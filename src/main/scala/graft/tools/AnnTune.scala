@@ -56,6 +56,41 @@ object AnnTune {
     val lshPairsU = pairSet(Dedup.q60LshNearDup(spark, sfDir))
     println(f"q60 uniform pairs exact=${exactPairsU.size} lsh_recall=${recall(lshPairsU, exactPairsU)}%.3f")
 
+    // Structural sweep (uniform corpus): the grid the profile presets were
+    // chosen from. Tables x planes x probes for LSH, nprobe (x centroid
+    // count) for IVF — uniform recall vs measured scanned fraction, the
+    // quantity that actually buys recall on cluster-free data.
+    println("-- structural sweep (uniform corpus): lsh tables/planes/probes --")
+    for {
+      (t, p) <- Seq((6, 6), (8, 5), (8, 4), (12, 4))
+      m <- Seq(1, 2, 3)
+    } {
+      val prof = Similarity.sweepProfile(t, p)
+      val r = recall(topkSet(Similarity.lshTopKWith(spark, sfDir, prof, m)), exactU)
+      val frac = Similarity.lshCandidateCountWith(spark, sfDir, prof, m).toDouble / (5.0 * n)
+      println(f"lsh t=$t p=$p m=$m uniform=$r%.3f cand_frac=$frac%.3f")
+    }
+    println("-- structural sweep (uniform corpus): ivf c/nprobe --")
+    for {
+      c <- Seq(8, 16, 32)
+      np <- Seq(c / 2, (c * 3) / 4, (c * 7) / 8)
+    } {
+      val prof = Similarity.sweepProfile(Similarity.Fast.lshTables, Similarity.Fast.lshPlanes, c)
+      val r = recall(topkSet(Similarity.ivfTopKWith(spark, sfDir, prof, np)), exactU)
+      val frac = Similarity.ivfCandidateCountWith(spark, sfDir, prof, np).toDouble / (5.0 * n)
+      println(f"ivf c=$c np=$np uniform=$r%.3f cand_frac=$frac%.3f")
+    }
+
+    // The chosen presets, measured end-to-end through the profile conf —
+    // the numbers SimilaritySpec floors (uniform >= 0.9 for quality).
+    for (profName <- Seq("fast", "quality")) {
+      spark.conf.set(Similarity.ProfileConf, profName)
+      val r35 = recall(topkSet(Similarity.q35LshTopK(spark, sfDir)), exactU)
+      val r36 = recall(topkSet(Similarity.q36IvfTopK(spark, sfDir)), exactU)
+      println(f"profile=$profName q35_uniform=$r35%.3f q36_uniform=$r36%.3f")
+    }
+    spark.conf.unset(Similarity.ProfileConf)
+
     spark.stop()
   }
 }

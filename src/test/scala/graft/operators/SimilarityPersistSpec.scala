@@ -41,8 +41,8 @@ class SimilarityPersistSpec extends SparkSpec {
 
     // force the truly-cold path: no catalog entry, so the reader must
     // rebuild table metadata from the sidecar + parquet footers
-    spark.sql(s"DROP TABLE IF EXISTS `${Similarity.lshTable(sfDir)}`")
-    spark.sql(s"DROP TABLE IF EXISTS `${Similarity.ivfTable(sfDir)}`")
+    spark.sql(s"DROP TABLE IF EXISTS `${Similarity.lshTable(sfDir, Similarity.Fast)}`")
+    spark.sql(s"DROP TABLE IF EXISTS `${Similarity.ivfTable(sfDir, Similarity.Fast)}`")
 
     val s2 = coldSession(indexDir)
     val coldLsh = rowsOf(Similarity.q35LshTopK(s2, sfDir))
@@ -51,8 +51,8 @@ class SimilarityPersistSpec extends SparkSpec {
     assert(coldIvf === baselineIvf, "cold-session IVF results differ from freshly built")
     // proof the cold session READ the index rather than rebuilding: the
     // resolve path re-registered the catalog tables
-    assert(s2.catalog.tableExists(Similarity.lshTable(sfDir)), "LSH table not re-registered")
-    assert(s2.catalog.tableExists(Similarity.ivfTable(sfDir)), "IVF table not re-registered")
+    assert(s2.catalog.tableExists(Similarity.lshTable(sfDir, Similarity.Fast)), "LSH table not re-registered")
+    assert(s2.catalog.tableExists(Similarity.ivfTable(sfDir, Similarity.Fast)), "IVF table not re-registered")
   }
 
   test("re-persist over a current index is an idempotent no-op") {
@@ -81,7 +81,7 @@ class SimilarityPersistSpec extends SparkSpec {
 
     val s1 = coldSession(indexDir)
     val idx1 = Similarity.buildLshIndex(s1, dataDir)
-    assert(s1.catalog.tableExists(Similarity.lshTable(dataDir)), "v1 index should serve from table")
+    assert(s1.catalog.tableExists(Similarity.lshTable(dataDir, Similarity.Fast)), "v1 index should serve from table")
     assert(idx1.select("vec_id").distinct().count() === 30L)
 
     // data regenerated in place: 50 vectors — the sidecar fingerprint
@@ -99,7 +99,7 @@ class SimilarityPersistSpec extends SparkSpec {
     assert(Similarity.persistLshIndex(s2, dataDir, indexDir), "stale persist must rewrite")
     val s3 = coldSession(indexDir)
     val idx3 = Similarity.buildLshIndex(s3, dataDir)
-    assert(s3.catalog.tableExists(Similarity.lshTable(dataDir)))
+    assert(s3.catalog.tableExists(Similarity.lshTable(dataDir, Similarity.Fast)))
     assert(idx3.select("vec_id").distinct().count() === 50L)
   }
 
@@ -117,7 +117,7 @@ class SimilarityPersistSpec extends SparkSpec {
 
     val s1 = coldSession(indexDir)
     val (cents1, idx1) = Similarity.buildIvfIndex(s1, dataDir)
-    assert(s1.catalog.tableExists(Similarity.ivfTable(dataDir)), "v1 index should serve from table")
+    assert(s1.catalog.tableExists(Similarity.ivfTable(dataDir, Similarity.Fast)), "v1 index should serve from table")
     assert(idx1.select("vec_id").distinct().count() === 30L)
 
     // data regenerated in place: 50 vectors — the sidecar fingerprint
@@ -139,9 +139,9 @@ class SimilarityPersistSpec extends SparkSpec {
     assert(Similarity.persistIvfIndex(s2, dataDir, indexDir), "stale persist must rewrite")
     val s3 = coldSession(indexDir)
     val (cents3, idx3) = Similarity.buildIvfIndex(s3, dataDir)
-    assert(s3.catalog.tableExists(Similarity.ivfTable(dataDir)))
+    assert(s3.catalog.tableExists(Similarity.ivfTable(dataDir, Similarity.Fast)))
     assert(
-      idx3.queryExecution.analyzed.toString.contains(Similarity.ivfTable(dataDir)),
+      idx3.queryExecution.analyzed.toString.contains(Similarity.ivfTable(dataDir, Similarity.Fast)),
       "v2 build should serve from the persisted table, not recompute"
     )
     assert(idx3.select("vec_id").distinct().count() === 50L)

@@ -119,6 +119,47 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, f"planted q60 pair recall too low: $recall%.3f")
   }
 
+  test("quality profile: uniform-corpus recall@10 >= 0.9 for both ANN families") {
+    // the preset's contract (AnnTune-swept: t=8/p=4/m=2 LSH, nprobe=13/16
+    // IVF — measured uniform recall 1.00/0.96/0.94 LSH and 0.98/0.96/0.94
+    // IVF at sf0.001/0.01/0.1): on cluster-free data recall is BOUGHT with
+    // scanned fraction (~0.8 here), and this floor pins that the quality
+    // preset actually delivers what fast deliberately does not
+    val brute = Similarity.q34BruteForceTopK(spark, sfDir).collect()
+    val trueTop = byQuery(brute).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    spark.conf.set(Similarity.ProfileConf, "quality")
+    try {
+      val lsh = Similarity.q35LshTopK(spark, sfDir).collect()
+      val lshHits = lsh.count(r => trueTop(r.getLong(0)).contains(r.getLong(2)))
+      info(s"quality q35 uniform recall@10: $lshHits/${brute.length}")
+      assert(lshHits >= (brute.length * 0.9).toInt, s"quality LSH recall: $lshHits/${brute.length}")
+      val ivf = Similarity.q36IvfTopK(spark, sfDir).collect()
+      val ivfHits = ivf.count(r => trueTop(r.getLong(0)).contains(r.getLong(2)))
+      info(s"quality q36 uniform recall@10: $ivfHits/${brute.length}")
+      assert(ivfHits >= (brute.length * 0.9).toInt, s"quality IVF recall: $ivfHits/${brute.length}")
+      // cosines stay exact under any profile — candidates change, the
+      // re-rank arithmetic does not
+      val trueCos = brute.map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+      (lsh ++ ivf).foreach { r =>
+        trueCos.get((r.getLong(0), r.getLong(2))).foreach(c => assert(math.abs(c - r.getDouble(3)) < 1e-9))
+      }
+    } finally spark.conf.unset(Similarity.ProfileConf)
+  }
+
+  test("profile plumbing: unknown profile rejected, planted floors pinned to fast") {
+    spark.conf.set(Similarity.ProfileConf, "turbo")
+    try intercept[IllegalArgumentException](Similarity.q35LshTopK(spark, sfDir))
+    finally spark.conf.unset(Similarity.ProfileConf)
+    // the planted eval (the published floors/curves) must not move when a
+    // session flips profiles — it is pinned to fast geometry
+    val base = Similarity.plantedLshTopK(spark, sfDir).collect().map(_.toString).sorted
+    spark.conf.set(Similarity.ProfileConf, "quality")
+    try {
+      val under = Similarity.plantedLshTopK(spark, sfDir).collect().map(_.toString).sorted
+      assert(under.sameElements(base), "planted eval drifted with the session profile")
+    } finally spark.conf.unset(Similarity.ProfileConf)
+  }
+
   test("q36 centroids: C centroids of corpus dimension, finite values") {
     val cents = Similarity.trainCentroids(spark, sfDir)
     assert(cents.length === 16)
