@@ -51,6 +51,10 @@ object PlanAudit {
     "q70_mixture_plan" -> Map(
       "BroadcastNestedLoopJoin" ->
         "1-row/dozens-row broadcast frames (global totals, binding-cap row) over the per-source aggregate"
+    ),
+    "q74_mixture_apply" -> Map(
+      "BroadcastNestedLoopJoin" ->
+        "inherits q70's plan stage (1-row broadcast totals/cap); the corpus-side join is a BHJ on source"
     )
   )
 

@@ -618,6 +618,156 @@ object Curation {
        |ORDER BY source, reason""".stripMargin
   }
 
+  // ---------------------------------------------------------------------------
+  // q73 — n-gram novelty score: per document, the fraction of its bigram
+  // MASS that the document itself introduces to the corpus (scanning in
+  // doc_id order) — the "how much new text does this doc actually
+  // contribute" signal dedup-aware sampling uses to prioritize documents
+  // (the complement of Lee et al.'s duplicated-n-gram fraction, attributed
+  // to the earliest occurrence). A verbatim duplicate of an earlier doc
+  // scores 0; a doc of never-seen-before bigrams scores 1. Attribution
+  // convention: the introducing (min doc_id) document owns ALL instances
+  // of its bigram, including its own repeats.
+  //
+  // Scale shape: q71's exactly — the exploded bigram instances are grouped
+  // to (doc, bigram-key) WITH the explode feeding a map-side-combined
+  // groupBy, staged once (localCheckpoint) for its two consumers
+  // (first-seen table, join-back), and every shuffle keys on the
+  // fixed-width hash of the bigram (`graft.curation.keyhash`), never the
+  // raw string pair.
+  // ---------------------------------------------------------------------------
+  def q73NgramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val hashFn = keyHashFn(spark)
+    val grouped = Tables
+      .balanced(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .withColumn("toks", expr(toksExpr))
+      // a 1-token doc has no bigrams (and sequence(1, 0) would descend)
+      .filter(size(col("toks")) >= 2)
+      .select(
+        col("doc_id"),
+        // generators can't nest inside expressions: explode the raw bigram
+        // first, hash in the next select
+        explode(
+          expr("transform(sequence(1, size(toks) - 1), i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))")
+        ).as("bg")
+      )
+      .select(col("doc_id"), expr(s"$hashFn(bg)").as("bg_key"))
+      .groupBy(col("doc_id"), col("bg_key"))
+      .agg(count(lit(1)).as("n_inst"))
+      .localCheckpoint()
+    val first = grouped
+      .groupBy(col("bg_key"))
+      .agg(min(col("doc_id")).as("first_seen"))
+    grouped
+      .join(first, "bg_key")
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("n_inst")).as("n_bigrams"),
+        sum(when(col("first_seen") === col("doc_id"), col("n_inst")).otherwise(0L)).as("novel_bigrams")
+      )
+      .withColumn(
+        "novelty",
+        expr("floor(cast(novel_bigrams AS double) * 1e6 / cast(n_bigrams AS double) + 5e-1) / 1e6")
+      )
+      .select(col("doc_id"), col("n_bigrams"), col("novel_bigrams"), col("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q73Oracle: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id,
+      |         unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bg
+      |  FROM t WHERE len(toks) >= 2),
+      |g AS (SELECT doc_id, bg, count(*) AS n_inst FROM bg GROUP BY 1, 2),
+      |first AS (SELECT bg, min(doc_id) AS first_seen FROM g GROUP BY 1),
+      |agg AS (
+      |  SELECT g.doc_id AS doc_id,
+      |         sum(n_inst) AS n_bigrams,
+      |         sum(CASE WHEN first.first_seen = g.doc_id THEN n_inst ELSE 0 END) AS novel_bigrams
+      |  FROM g JOIN first USING (bg) GROUP BY 1)
+      |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+      |       CAST(novel_bigrams AS BIGINT) AS novel_bigrams,
+      |       floor(CAST(novel_bigrams AS DOUBLE) * 1e6 / n_bigrams + 5e-1) / 1e6 AS novelty
+      |FROM agg ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q74 — mixture plan APPLICATION: execute q70's per-source sampling plan
+  // against the corpus with a deterministic content-addressed coin
+  // (md5(doc_id) fraction < sample_rate — the q49 split convention at 16-bit
+  // granularity) and report, per source, what the sample actually realized:
+  // kept docs, kept token mass, realized rate vs the planned rate. This is
+  // the step that turns q70's plan into a training corpus, kept separate so
+  // the plan stays auditable before anything is dropped.
+  //
+  // Scale shape: the plan is a dozens-of-rows broadcast joined onto one
+  // corpus scan; the keep decision and token count are per-row expressions;
+  // one groupBy(source) ends the query. Determinism makes the sample
+  // reproducible on any engine and any cluster size — no RNG, no
+  // partition-order dependence.
+  // ---------------------------------------------------------------------------
+  def q74MixtureApply(spark: SparkSession, dir: String): DataFrame = {
+    val plan = q70MixturePlan(spark, dir).select(col("source"), col("sample_rate"), col("expected_docs"))
+    Tables
+      .balanced(Tables.documents(spark, dir).select(col("doc_id"), col("source"), col("text")))
+      .withColumn("n_tokens", size(expr(toksExpr)).cast("long"))
+      .withColumn("u", conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10).cast("double") / 65536.0)
+      .join(broadcast(plan), "source")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        max(col("expected_docs")).as("expected_docs"),
+        sum(when(col("u") < col("sample_rate"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("u") < col("sample_rate"), col("n_tokens")).otherwise(0L)).as("kept_tokens")
+      )
+      .withColumn(
+        "realized_rate",
+        expr("floor(cast(n_kept AS double) * 1e6 / cast(n_docs AS double) + 5e-1) / 1e6")
+      )
+      .select(
+        col("source"),
+        col("n_docs"),
+        col("expected_docs"),
+        col("n_kept"),
+        col("kept_tokens"),
+        col("realized_rate")
+      )
+      .orderBy(col("source"))
+  }
+
+  val q74Oracle: String =
+    """WITH s AS (
+      |  SELECT source, count(*) AS n_docs,
+      |         CAST(substring(source, 4) AS INT) AS idx
+      |  FROM documents GROUP BY 1),
+      |tot AS (SELECT CAST(sum(idx + 1) AS DOUBLE) AS w_sum, CAST(sum(n_docs) AS DOUBLE) AS n_total FROM s),
+      |w AS (
+      |  SELECT source, n_docs, (idx + 1) / tot.w_sum AS target_w, tot.n_total AS n_total
+      |  FROM s, tot),
+      |cap AS (SELECT min(n_docs / (target_w * n_total)) AS cap FROM w),
+      |plan AS (
+      |  SELECT source,
+      |         floor(cap.cap * target_w * n_total / n_docs * 1e6 + 5e-1) / 1e6 AS sample_rate,
+      |         CAST(floor(cap.cap * target_w * n_total + 5e-1) AS BIGINT) AS expected_docs
+      |  FROM w, cap),
+      |d AS (
+      |  SELECT doc_id, source,
+      |         len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS n_tokens,
+      |         CAST(('0x' || substring(md5(doc_id::VARCHAR), 1, 4))::INT AS DOUBLE) / 65536.0 AS u
+      |  FROM documents)
+      |SELECT d.source AS source,
+      |       count(*) AS n_docs,
+      |       max(plan.expected_docs) AS expected_docs,
+      |       CAST(sum(CASE WHEN d.u < plan.sample_rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |       CAST(sum(CASE WHEN d.u < plan.sample_rate THEN d.n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens,
+      |       floor(sum(CASE WHEN d.u < plan.sample_rate THEN 1 ELSE 0 END)::DOUBLE * 1e6 / count(*) + 5e-1) / 1e6 AS realized_rate
+      |FROM d JOIN plan USING (source)
+      |GROUP BY 1
+      |ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q66_context_pack" -> (q66ContextPack _),
     "q67_contamination" -> (q67Contamination _),
@@ -625,7 +775,9 @@ object Curation {
     "q69_unigram_logprob" -> (q69UnigramLogprob _),
     "q70_mixture_plan" -> (q70MixturePlan _),
     "q71_passage_dedup" -> (q71PassageDedup _),
-    "q72_curation_funnel" -> (q72CurationFunnel _)
+    "q72_curation_funnel" -> (q72CurationFunnel _),
+    "q73_ngram_novelty" -> (q73NgramNovelty _),
+    "q74_mixture_apply" -> (q74MixtureApply _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -635,6 +787,8 @@ object Curation {
     "q69_unigram_logprob" -> q69Oracle,
     "q70_mixture_plan" -> q70Oracle,
     "q71_passage_dedup" -> q71Oracle,
-    "q72_curation_funnel" -> q72Oracle
+    "q72_curation_funnel" -> q72Oracle,
+    "q73_ngram_novelty" -> q73Oracle,
+    "q74_mixture_apply" -> q74Oracle
   )
 }

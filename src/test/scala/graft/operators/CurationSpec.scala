@@ -322,7 +322,7 @@ class CurationSpec extends SparkSpec {
     assert(r(400L) === ((2L, 0L, 20L, 20L, 0.0)), "unique doc untouched")
   }
 
-  test("keyhash conf: q67/q71 aggregates identical under md5 and xxhash64") {
+  test("keyhash conf: q67/q71/q73 aggregates identical under md5 and xxhash64") {
     // the hash is only ever a shuffle/join key that no output column keeps,
     // so swapping the 32-byte md5 for the 8-byte xxhash64 (the 100 TB
     // setting) must leave every aggregate byte-identical
@@ -330,15 +330,101 @@ class CurationSpec extends SparkSpec {
       df.collect().map(_.toString).toSeq.sorted
     val md67 = snap(Curation.q67Contamination(spark, sfDir))
     val md71 = snap(Curation.q71PassageDedup(spark, sfDir))
+    val md73 = snap(Curation.q73NgramNovelty(spark, sfDir))
     spark.conf.set(Curation.KeyHashConf, "xxhash64")
     try {
       assert(snap(Curation.q67Contamination(spark, sfDir)) === md67, "q67 diverged under xxhash64")
       assert(snap(Curation.q71PassageDedup(spark, sfDir)) === md71, "q71 diverged under xxhash64")
+      assert(snap(Curation.q73NgramNovelty(spark, sfDir)) === md73, "q73 diverged under xxhash64")
     } finally spark.conf.unset(Curation.KeyHashConf)
     spark.conf.set(Curation.KeyHashConf, "sha512")
     try {
       intercept[IllegalArgumentException](Curation.q67Contamination(spark, sfDir))
     } finally spark.conf.unset(Curation.KeyHashConf)
+  }
+
+  test("q73 novelty: crafted corpus gets the exact attribution accounting") {
+    // 10 copies 20 verbatim; 30 shares half its bigram stream with 10; 40
+    // is all-new; 50 is one token (no bigrams — excluded)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q73corpus").toString
+    val a = (1 to 21).map(i => s"w$i").mkString(" ") // 20 bigrams
+    val half = ((1 to 11).map(i => s"w$i") ++ (1 to 10).map(i => s"x$i")).mkString(" ") // 20 bigrams
+    val fresh = (1 to 21).map(i => s"y$i").mkString(" ")
+    Seq((10L, a), (20L, a), (30L, half), (40L, fresh), (50L, "solo"))
+      .toDF("doc_id", "text")
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val r = Curation
+      .q73NgramNovelty(spark, dir)
+      .collect()
+      .map(x =>
+        x.getAs[Long]("doc_id") ->
+          ((x.getAs[Long]("n_bigrams"), x.getAs[Long]("novel_bigrams"), x.getAs[Double]("novelty")))
+      )
+      .toMap
+    assert(r(10L) === ((20L, 20L, 1.0)), "first occurrence owns all its bigram mass")
+    assert(r(20L) === ((20L, 0L, 0.0)), "verbatim duplicate contributes nothing")
+    // 30 shares bigrams w1..w10->w11 (10 of them, first seen in 10); the
+    // w11->x1 junction and x-chain (10) are its own
+    assert(r(30L) === ((20L, 10L, 0.5)), "partial overlap attributes only the new half")
+    assert(r(40L) === ((20L, 20L, 1.0)))
+    assert(!r.contains(50L), "a bigram-less doc has no novelty row")
+  }
+
+  test("q73 novelty: earliest doc scores 1.0; bounds hold corpus-wide") {
+    val rows = Curation.q73NgramNovelty(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, nov) = (r.getAs[Long]("n_bigrams"), r.getAs[Long]("novel_bigrams"))
+      assert(nov >= 0 && nov <= n)
+      val s = r.getAs[Double]("novelty")
+      assert(s >= 0.0 && s <= 1.0)
+    }
+    // the smallest doc_id in the output precedes every other doc, so every
+    // bigram it holds is first-seen there
+    val first = rows.minBy(_.getAs[Long]("doc_id"))
+    assert(first.getAs[Double]("novelty") === 1.0, "earliest doc must own all its bigrams")
+  }
+
+  test("q74 mixture apply: keep set matches a first-principles md5 recomputation") {
+    val plan = Curation
+      .q70MixturePlan(spark, sfDir)
+      .collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("sample_rate"))
+      .toMap
+    val docs = graft.core.Tables
+      .documents(spark, sfDir)
+      .selectExpr("doc_id", "source", "size(split(regexp_replace(lower(trim(text)), '\\\\s+', ' '), ' ')) AS n")
+      .collect()
+    def u(id: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .take(2)
+        .map(b => f"$b%02x")
+        .mkString
+      java.lang.Long.parseLong(md, 16).toDouble / 65536.0
+    }
+    val expected = docs
+      .groupBy(_.getString(1))
+      .map { case (src, rs) =>
+        val kept = rs.filter(r => u(r.getLong(0)) < plan(src))
+        src -> ((rs.length.toLong, kept.length.toLong, kept.map(_.getInt(2).toLong).sum))
+      }
+    val got = Curation
+      .q74MixtureApply(spark, sfDir)
+      .collect()
+      .map(r =>
+        r.getString(0) -> ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_kept"), r.getAs[Long]("kept_tokens")))
+      )
+      .toMap
+    assert(got === expected, "q74 keep accounting differs from first-principles md5 recomputation")
+    // the binding source (rate 1.0) keeps everything — the plan's defining
+    // property survives application
+    val binding = plan.collect { case (s, r) if r >= 1.0 => s }
+    assert(binding.nonEmpty, "q70 must have a binding source at rate 1.0")
+    binding.foreach(s => assert(got(s)._1 === got(s)._2, s"binding source $s dropped docs"))
   }
 
   test("q72 funnel: reasons match a first-principles recomputation, shares sum to 1") {
