@@ -72,6 +72,8 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"[bench] q35_build failed: ${e.getMessage}") }
     try phases("q36_build") = sec(operators.Similarity.buildIvfIndex(spark, sfDir))
     catch { case e: Throwable => System.err.println(s"[bench] q36_build failed: ${e.getMessage}") }
+    try phases("q75_build") = sec(operators.Similarity.buildPqIndex(spark, sfDir))
+    catch { case e: Throwable => System.err.println(s"[bench] q75_build failed: ${e.getMessage}") }
     try phases("q61_graph") = sec(operators.Dedup.buildPairGraph(spark, sfDir))
     catch { case e: Throwable => System.err.println(s"[bench] q61_graph failed: ${e.getMessage}") }
 
@@ -131,8 +133,10 @@ object Bench {
       val exactU = topkSet(operators.Similarity.q34BruteForceTopK(spark, sfDir))
       quality("q35_recall") = recall(topkSet(operators.Similarity.plantedLshTopK(spark, sfDir)), exactP)
       quality("q36_recall") = recall(topkSet(operators.Similarity.plantedIvfTopK(spark, sfDir)), exactP)
+      quality("q75_recall") = recall(topkSet(operators.Similarity.plantedPqTopK(spark, sfDir)), exactP)
       quality("q35_recall_uniform") = recall(topkSet(operators.Similarity.q35LshTopK(spark, sfDir)), exactU)
       quality("q36_recall_uniform") = recall(topkSet(operators.Similarity.q36IvfTopK(spark, sfDir)), exactU)
+      quality("q75_recall_uniform") = recall(topkSet(operators.Similarity.q75PqTopK(spark, sfDir)), exactU)
 
       val exactPairsP = pairSet(operators.Dedup.plantedExactNearDup(spark, sfDir))
       quality("q60_recall") = recall(pairSet(operators.Dedup.plantedLshNearDup(spark, sfDir)), exactPairsP)

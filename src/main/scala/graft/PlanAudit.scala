@@ -55,6 +55,10 @@ object PlanAudit {
     "q74_mixture_apply" -> Map(
       "BroadcastNestedLoopJoin" ->
         "inherits q70's plan stage (1-row broadcast totals/cap); the corpus-side join is a BHJ on source"
+    ),
+    "q75_pq_topk" -> Map(
+      "BroadcastNestedLoopJoin" ->
+        "the ADC pass is a declared exhaustive scan of the 4-byte CODE table (PQ's contract: compressed scan, no float math); re-rank is a BHJ on vec_id"
     )
   )
 

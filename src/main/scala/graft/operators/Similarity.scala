@@ -769,6 +769,363 @@ object Similarity {
   }
 
   // ---------------------------------------------------------------------------
+  // q75 — product-quantization (PQ) ANN: the MEMORY-bound scale path the
+  // LSH/IVF families don't cover (Jégou et al., "Product Quantization for
+  // Nearest Neighbor Search", TPAMI'11). The corpus is encoded once into
+  // 8-bit-per-subspace codes — 8 subspaces over 64 dims → ONE 64-bit long
+  // per vector, 32x smaller than the float32 embedding — and queries scan
+  // the CODES with an asymmetric-distance (ADC) lookup table instead of the
+  // vectors: at 100 TB of embeddings the code table is ~3 TB and fits a
+  // cluster's memory/NVMe tier, which is the entire point. Per query:
+  //   1. LUT: dot(query-subvector, codeword) for all M x K codewords —
+  //      M*K = 2048 doubles, computed once per query (PqLut).
+  //   2. ADC scan: approximate cosine of every corpus code = sum of M table
+  //      lookups (PqAdc — codegen'd; no float math against the corpus).
+  //   3. Shortlist top PQ_SHORTLIST by ADC, then exact re-rank on the
+  //      ORIGINAL unit vectors fetched by vec_id (one keyed join touching
+  //      shortlist-many rows) — returned cosines are exact, PQ error only
+  //      affects which candidates make the shortlist.
+  // Codebooks train on the same bounded hash-prefix sample as IVF (Lloyd
+  // per subspace over 4096 unit vectors — driver cost is microseconds,
+  // corpus cost is the single encode pass). Like q35/q36 the result is
+  // model-based → rows-only gate; SimilaritySpec floors planted recall at
+  // 0.9 and pins exact-cosine parity; the bench reports recall + build
+  // phase every round.
+  // ---------------------------------------------------------------------------
+  private val PQ_M = 8 // subspaces
+  private val PQ_SUB = DIM / PQ_M // dims per subspace
+  private val PQ_K = 256 // codewords per subspace -> 8-bit codes (standard PQ)
+
+  /** Query-time knob: ADC candidates per query before exact re-rank (the
+    * PQ recall/re-rank-cost lever, like LSH probes / IVF nprobe). The
+    * default 64 measures planted recall 0.98/0.96/1.00 and uniform
+    * 0.98/1.00/0.84 at sf0.001/0.01/0.1 — a CONSTANT shortlist dilutes on
+    * uniform data as the corpus grows (it is 3% of sf0.1's corpus), which
+    * is the honest trade; raise it per-corpus when uniform retrieval
+    * matters more than re-rank cost.
+    */
+  val PqShortlistConf = "graft.ann.pq.shortlist"
+  private val PQ_SHORTLIST_DEFAULT = 64
+
+  private def pqShortlist(spark: SparkSession): Int =
+    spark.conf
+      .getOption(PqShortlistConf)
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .getOrElse(PQ_SHORTLIST_DEFAULT)
+      .max(K)
+
+  /** Lloyd over an in-memory sample (init = first k, empty cluster keeps
+    * its centroid — the trainCentroidsFrom conventions, generalized).
+    */
+  private def lloydOn(sample: Array[Array[Double]], k: Int, dim: Int, iters: Int): Array[Array[Double]] = {
+    var cents = sample.take(k).map(_.clone)
+    for (_ <- 1 to iters) {
+      val counts = Array.fill(cents.length)(0L)
+      val sums = Array.fill(cents.length, dim)(0.0)
+      sample.foreach { v =>
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < cents.length) {
+          var d = 0.0
+          var i = 0
+          val lim = math.min(v.length, cents(c).length)
+          while (i < lim) { val t = v(i) - cents(c)(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        val lim = math.min(v.length, dim)
+        while (i < lim) { sums(best)(i) += v(i); i += 1 }
+      }
+      cents = Array.tabulate(cents.length) { c =>
+        if (counts(c) == 0L) cents(c) else Array.tabulate(dim)(i => sums(c)(i) / counts(c))
+      }
+    }
+    cents
+  }
+
+  /** PQ codebooks from any (vec_id, embedding) frame: per subspace j,
+    * PQ_K codewords trained over the UNIT-normalized bounded sample's
+    * j-th subvectors (codes quantize unit vectors, so ADC approximates
+    * cosine directly). books(j)(k) is a PQ_SUB-dim codeword.
+    */
+  def trainPqBooksFrom(emb: DataFrame): Array[Array[Array[Double]]] = {
+    graft.functions.VecFunctions.install(emb.sparkSession)
+    val sample: Array[Array[Double]] = withUnit(emb, "embedding", "u")
+      .select(col("vec_id"), col("u"))
+      .orderBy(expr("xxhash64(vec_id)"), col("vec_id"))
+      .limit(TRAIN_SAMPLE)
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+    Array.tabulate(PQ_M) { j =>
+      val subs = sample.map(v => v.slice(j * PQ_SUB, math.min((j + 1) * PQ_SUB, v.length)))
+      lloydOn(subs, PQ_K, PQ_SUB, iters = 3)
+    }
+  }
+
+  /** 8-bit-packed PQ code of a unit vector: bits [8j, 8j+8) hold the
+    * argmin-distance codeword index of subspace j — one LONG per vector.
+    * Codebooks ride as a codegen reference object (the CentroidRanks
+    * pattern).
+    */
+  private[operators] case class PqEncode(
+      child: org.apache.spark.sql.catalyst.expressions.Expression,
+      books: Array[Array[Array[Double]]]
+  ) extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types._
+
+    override def dataType: DataType = LongType
+
+    private def encode(x: ArrayData): Long = {
+      val n = x.numElements()
+      var packed = 0L
+      var j = 0
+      while (j < books.length) {
+        val book = books(j)
+        val off = j * PQ_SUB
+        var best = 0
+        var bestD = Double.MaxValue
+        var k = 0
+        while (k < book.length) {
+          val cw = book(k)
+          var d = 0.0
+          var i = 0
+          val lim = math.min(cw.length, math.max(0, n - off))
+          while (i < lim) { val t = x.getDouble(off + i) - cw(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = k }
+          k += 1
+        }
+        packed |= best.toLong << (8 * j)
+        j += 1
+      }
+      packed
+    }
+
+    override protected def nullSafeEval(a: Any): Any = encode(a.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("pqEncode", this, classOf[PqEncode].getName)
+      nullSafeCodeGen(ctx, ev, a => s"${ev.value} = (Long) $ref.nullSafeEval($a);")
+    }
+
+    override protected def withNewChildInternal(
+        c: org.apache.spark.sql.catalyst.expressions.Expression
+    ): PqEncode = copy(child = c)
+  }
+
+  /** Per-query ADC lookup table: element [j * PQ_K + k] = dot(query
+    * subvector j, codeword k of subspace j). Computed once per query row;
+    * the corpus-side scan then never touches float vectors.
+    */
+  private[operators] case class PqLut(
+      child: org.apache.spark.sql.catalyst.expressions.Expression,
+      books: Array[Array[Array[Double]]]
+  ) extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types._
+
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+    private def lut(q: ArrayData): Array[Double] = {
+      val n = q.numElements()
+      val out = new Array[Double](books.length * PQ_K)
+      var j = 0
+      while (j < books.length) {
+        val book = books(j)
+        val off = j * PQ_SUB
+        var k = 0
+        while (k < book.length) {
+          val cw = book(k)
+          var d = 0.0
+          var i = 0
+          val lim = math.min(cw.length, math.max(0, n - off))
+          while (i < lim) { d += q.getDouble(off + i) * cw(i); i += 1 }
+          out(j * PQ_K + k) = d
+          k += 1
+        }
+        j += 1
+      }
+      out
+    }
+
+    override protected def nullSafeEval(a: Any): Any =
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(lut(a.asInstanceOf[ArrayData]))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("pqLut", this, classOf[PqLut].getName)
+      nullSafeCodeGen(
+        ctx,
+        ev,
+        a => s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($a);"
+      )
+    }
+
+    override protected def withNewChildInternal(
+        c: org.apache.spark.sql.catalyst.expressions.Expression
+    ): PqLut = copy(child = c)
+  }
+
+  /** ADC score = Σ_j lut[j * PQ_K + code-byte-j]: M array reads + adds per
+    * corpus row, zero float-vector math. Stateless — registered once per
+    * session under one immutable name.
+    */
+  private[operators] case class PqAdc(
+      left: org.apache.spark.sql.catalyst.expressions.Expression,
+      right: org.apache.spark.sql.catalyst.expressions.Expression
+  ) extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types._
+
+    override def dataType: DataType = DoubleType
+
+    override protected def nullSafeEval(l: Any, r: Any): Any = {
+      val lut = l.asInstanceOf[ArrayData]
+      val code = r.asInstanceOf[Long]
+      var s = 0.0
+      var j = 0
+      while (j * PQ_K < lut.numElements()) {
+        s += lut.getDouble(j * PQ_K + ((code >>> (8 * j)) & 0xffL).toInt)
+        j += 1
+      }
+      s
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("pqAdc", this, classOf[PqAdc].getName)
+      nullSafeCodeGen(
+        ctx,
+        ev,
+        (l, r) => s"${ev.value} = (Double) $ref.nullSafeEval($l, $r);"
+      )
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: org.apache.spark.sql.catalyst.expressions.Expression,
+        newRight: org.apache.spark.sql.catalyst.expressions.Expression
+    ): PqAdc = copy(left = newLeft, right = newRight)
+  }
+
+  /** Per-session registry of codebook bindings (the centroid_ranks pattern:
+    * one immutable indexed name per distinct binding, never rebound).
+    * Returns the index i: callers use `pq_encode_i` / `pq_lut_i`.
+    */
+  private val pqBindings =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.ArrayBuffer[Array[Array[Array[Double]]]]]()
+
+  private def installPq(spark: SparkSession, books: Array[Array[Array[Double]]]): Int =
+    pqBindings.synchronized {
+      val list = pqBindings.computeIfAbsent(
+        spark,
+        _ => scala.collection.mutable.ArrayBuffer.empty[Array[Array[Array[Double]]]]
+      )
+      val existing = list.indexWhere(b =>
+        (b eq books) || (b.length == books.length && b.indices.forall(j =>
+          java.util.Arrays.deepEquals(b(j).asInstanceOf[Array[AnyRef]], books(j).asInstanceOf[Array[AnyRef]])
+        ))
+      )
+      val i =
+        if (existing >= 0) existing
+        else {
+          val idx = list.size
+          def reg(
+              name: String,
+              builder: Seq[org.apache.spark.sql.catalyst.expressions.Expression] => org.apache.spark.sql.catalyst.expressions.Expression
+          ): Unit =
+            spark.sessionState.functionRegistry.registerFunction(
+              org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+              new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(getClass.getName, name),
+              builder
+            )
+          reg(s"pq_encode_$idx", args => PqEncode(args.head, books))
+          reg(s"pq_lut_$idx", args => PqLut(args.head, books))
+          list += books
+          idx
+        }
+      // the stateless ADC combiner registers once per session
+      val adcId = org.apache.spark.sql.catalyst.FunctionIdentifier("pq_adc")
+      if (!spark.sessionState.functionRegistry.functionExists(adcId)) {
+        spark.sessionState.functionRegistry.registerFunction(
+          adcId,
+          new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(getClass.getName, "pq_adc"),
+          (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => PqAdc(args(0), args(1))
+        )
+      }
+      i
+    }
+
+  private val pqIndexCache = new SessionCache[(Array[Array[Array[Double]]], DataFrame)]
+  private val plantedPqCache = new SessionCache[(Array[Array[Array[Double]]], DataFrame)]
+
+  /** Build (or fetch) the PQ index: trained codebooks + the (vec_id, code)
+    * table — 4 bytes of code per corpus vector, the whole point.
+    */
+  def buildPqIndex(spark: SparkSession, dir: String): (Array[Array[Array[Double]]], DataFrame) =
+    pqIndexCache.getOrBuild(spark, dir) {
+      computePqIndexFrom(spark, Tables.embeddings(spark, dir))
+    }
+
+  private def computePqIndexFrom(
+      spark: SparkSession,
+      emb: DataFrame
+  ): (Array[Array[Array[Double]]], DataFrame) = {
+    graft.functions.VecFunctions.install(spark)
+    val books = trainPqBooksFrom(emb)
+    val i = installPq(spark, books)
+    val codes = withUnit(Tables.balanced(emb), "embedding", "vb")
+      .withColumn("code", expr(s"pq_encode_$i(vb)"))
+      .select(col("vec_id"), col("code"))
+      .localCheckpoint()
+    (books, codes)
+  }
+
+  /** PQ top-k over any (queries, codes, corpus) triple: LUT per query →
+    * ADC scan of the codes → shortlist → exact re-rank on the original
+    * unit vectors (fetched by vec_id — shortlist-many rows).
+    */
+  private def pqTopKFrom(
+      spark: SparkSession,
+      queries: DataFrame,
+      books: Array[Array[Array[Double]]],
+      codes: DataFrame,
+      corpus: DataFrame
+  ): DataFrame = {
+    val i = installPq(spark, books)
+    val shortlistN = pqShortlist(spark)
+    val q = queries
+      .withColumn("lut", expr(s"pq_lut_$i(va)"))
+      .select(col("query_id"), col("va"), col("lut"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc").desc, col("vec_id"))
+    val shortlist = broadcast(q)
+      .join(codes, col("query_id") =!= col("vec_id"))
+      .withColumn("adc", expr("pq_adc(lut, code)"))
+      .withColumn("srank", row_number().over(w))
+      .filter(col("srank") <= shortlistN)
+      .select(col("query_id"), col("va"), col("vec_id"))
+    topKRanked(broadcast(shortlist).join(corpus, "vec_id"))
+  }
+
+  def q75PqTopK(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VecFunctions.install(spark)
+    val (books, codes) = buildPqIndex(spark, dir)
+    pqTopKFrom(spark, queriesDf(spark, dir), books, codes, unitCorpus(Tables.embeddings(spark, dir)))
+  }
+
+  /** q75 on the planted clustered corpus — the recall yardstick. */
+  def plantedPqTopK(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VecFunctions.install(spark)
+    val (books, codes) = plantedPqCache.getOrBuild(spark, dir) {
+      computePqIndexFrom(spark, plantedCorpus(spark, dir))
+    }
+    pqTopKFrom(spark, plantedQueries(spark, dir), books, codes, unitCorpus(plantedCorpus(spark, dir)))
+  }
+
+  // ---------------------------------------------------------------------------
   // Structural tuning API — the sweep entries tools.AnnTune uses to measure
   // recall/scan-fraction under ARBITRARY geometry (that is how the profile
   // presets above were chosen). Each geometry gets its own session-cached
@@ -1260,10 +1617,11 @@ object Similarity {
     "q34_bruteforce_topk" -> (q34BruteForceTopK _),
     "q35_lsh_topk" -> (q35LshTopK _),
     "q36_ivf_topk" -> (q36IvfTopK _),
-    "q64_embedding_quantize" -> (q64EmbeddingQuantize _)
+    "q64_embedding_quantize" -> (q64EmbeddingQuantize _),
+    "q75_pq_topk" -> (q75PqTopK _)
   )
 
-  /** q35/q36 are hash/model-based — rows-only driver check. */
+  /** q35/q36/q75 are hash/model-based — rows-only driver check. */
   val oracles: Map[String, String] = Map(
     "q34_bruteforce_topk" -> q34Oracle,
     "q64_embedding_quantize" -> q64Oracle

@@ -160,6 +160,51 @@ class SimilaritySpec extends SparkSpec {
     } finally spark.conf.unset(Similarity.ProfileConf)
   }
 
+  test("q75 PQ: shape, exact re-ranked cosines, planted recall >= 0.9") {
+    val brute = Similarity.q34BruteForceTopK(spark, sfDir).collect()
+    val pq = Similarity.q75PqTopK(spark, sfDir).collect()
+    assert(byQuery(pq).size === 5)
+    byQuery(pq).values.foreach { rs =>
+      assert(rs.length === 10)
+      assert(rs.map(_.getInt(1)).sorted.sameElements(1 to 10))
+    }
+    // PQ error affects only WHICH candidates make the shortlist — returned
+    // cosines are exact re-ranks and must equal brute force per pair
+    val trueCos = brute.map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    pq.foreach { r =>
+      trueCos.get((r.getLong(0), r.getLong(2))).foreach(c => assert(math.abs(c - r.getDouble(3)) < 1e-9))
+    }
+    // planted floor: 8-bit codes measure 0.98/0.96/1.00 planted recall at
+    // sf0.001/0.01/0.1 — 0.9 guards codebook/encode/ADC/shortlist breakage
+    val exactP = Similarity.plantedBruteTopK(spark, sfDir).collect()
+    val trueTop = byQuery(exactP).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val hits = Similarity
+      .plantedPqTopK(spark, sfDir)
+      .collect()
+      .count(r => trueTop(r.getLong(0)).contains(r.getLong(2)))
+    info(s"planted PQ recall@10: $hits/${exactP.length}")
+    assert(hits >= (exactP.length * 0.9).toInt, s"planted PQ recall: $hits/${exactP.length}")
+  }
+
+  test("q75 PQ: codes are one LONG per vector; full shortlist degrades to brute force") {
+    val (books, codes) = Similarity.buildPqIndex(spark, sfDir)
+    assert(books.length === 8)
+    books.foreach { book => assert(book.length === 256); book.foreach(cw => assert(cw.length === 8)) }
+    // the memory claim: the scannable index is (vec_id, code) with an
+    // 8-byte code — 32x smaller than the 64-dim float32 embedding
+    assert(codes.schema("code").dataType === org.apache.spark.sql.types.LongType)
+    assert(codes.columns.toSet === Set("vec_id", "code"))
+    assert(codes.count() === graft.core.Tables.embeddings(spark, sfDir).count())
+    // with the shortlist covering the whole corpus the ADC stage cannot
+    // exclude anyone, so the exact re-rank must reproduce q34 verbatim
+    val brute = Similarity.q34BruteForceTopK(spark, sfDir).collect().map(_.toString)
+    spark.conf.set(Similarity.PqShortlistConf, "1000000")
+    try {
+      val full = Similarity.q75PqTopK(spark, sfDir).collect().map(_.toString)
+      assert(full.sameElements(brute), "full-shortlist PQ must equal brute force exactly")
+    } finally spark.conf.unset(Similarity.PqShortlistConf)
+  }
+
   test("q36 centroids: C centroids of corpus dimension, finite values") {
     val cents = Similarity.trainCentroids(spark, sfDir)
     assert(cents.length === 16)
