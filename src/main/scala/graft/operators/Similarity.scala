@@ -1063,11 +1063,15 @@ object Similarity {
   private val plantedPqCache = new SessionCache[(Array[Array[Array[Double]]], DataFrame)]
 
   /** Build (or fetch) the PQ index: trained codebooks + the (vec_id, code)
-    * table — 4 bytes of code per corpus vector, the whole point.
+    * table — 8 bytes of code per corpus vector, the whole point. Same
+    * resolution order as LSH/IVF: session cache → persisted table (current
+    * sidecar only) → train + encode.
     */
   def buildPqIndex(spark: SparkSession, dir: String): (Array[Array[Array[Double]]], DataFrame) =
     pqIndexCache.getOrBuild(spark, dir) {
-      computePqIndexFrom(spark, Tables.embeddings(spark, dir))
+      readPersistedPq(spark, dir).getOrElse(
+        computePqIndexFrom(spark, Tables.embeddings(spark, dir))
+      )
     }
 
   private def computePqIndexFrom(
@@ -1307,6 +1311,7 @@ object Similarity {
   val IndexDirConf = "graft.ann.indexDir"
   private val LSH_BUCKETS = 16
   private val IVF_BUCKETS = 8
+  private val PQ_BUCKETS = 8
 
   /** Bucket spec + parameter string of one persisted index flavor. The
     * params string carries the profile geometry, so a persisted index from
@@ -1317,6 +1322,7 @@ object Similarity {
   private def lshSpec(prof: AnnProfile) =
     IndexSpec(LSH_BUCKETS, Seq("t", "b"), s"lsh:t${prof.lshTables}:p${prof.lshPlanes}")
   private def ivfSpec(prof: AnnProfile) = IndexSpec(IVF_BUCKETS, Seq("cluster"), s"ivf:c${prof.ivfC}")
+  private def pqSpec = IndexSpec(PQ_BUCKETS, Seq("vec_id"), s"pq:m$PQ_M:k$PQ_K")
 
   /** Stable cross-JVM key for a data dir (first 8 md5 hex chars). */
   private def indexKey(dir: String): String =
@@ -1343,6 +1349,10 @@ object Similarity {
     s"graft_lsh_${indexKey(dir)}${prof.fnSuffix}"
   private[operators] def ivfTable(dir: String, prof: AnnProfile) =
     s"graft_ivf_${indexKey(dir)}${prof.fnSuffix}"
+  // PQ geometry is profile-independent (M/K are the compression contract)
+  private def pqPath(indexDir: String, dir: String) = s"$indexDir/pq_${indexKey(dir)}"
+  private def pqBooksPath(indexDir: String, dir: String) = s"${pqPath(indexDir, dir)}_books"
+  private[operators] def pqTable(dir: String) = s"graft_pq_${indexKey(dir)}"
 
   private def hadoopPath(spark: SparkSession, p: String) = {
     val path = new org.apache.hadoop.fs.Path(p)
@@ -1547,6 +1557,62 @@ object Similarity {
     persistIvfIndex(spark, dir, confIndexDir(spark).getOrElse {
       throw new IllegalStateException(s"set $IndexDirConf or pass indexDir explicitly")
     })
+
+  /** Materialize the PQ index: the (vec_id, code) table — 8 bytes of code
+    * per vector, the artifact a 100 TB deployment persists INSTEAD of
+    * re-reading embeddings — plus the codebooks (M x K x sub doubles,
+    * ~130 KB) as plain parquet. Same idempotent/sidecar-last contract as
+    * [[persistLshIndex]].
+    */
+  def persistPqIndex(spark: SparkSession, dir: String, indexDir: String): Boolean = {
+    val fp = dataFingerprint(spark, dir)
+    val path = pqPath(indexDir, dir)
+    if (sidecarCurrent(spark, path, pqSpec, fp)) false
+    else {
+      val table = pqTable(dir)
+      deleteSidecar(spark, path)
+      pqIndexCache.invalidate(spark, dir)
+      spark.sql(s"DROP TABLE IF EXISTS `$table`")
+      deletePath(spark, path)
+      deletePath(spark, pqBooksPath(indexDir, dir))
+      val emb = Tables.embeddings(spark, dir)
+      val (books, codes) = computePqIndexFrom(spark, emb)
+      import spark.implicits._
+      books.zipWithIndex
+        .flatMap { case (book, j) => book.zipWithIndex.map { case (cw, k) => (j, k, cw.toSeq) } }
+        .toSeq
+        .toDF("subspace", "k", "codeword")
+        .coalesce(1)
+        .write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(pqBooksPath(indexDir, dir))
+      graft.sources.Layouts.writeBucketed(codes, table, pqSpec.keys, pqSpec.buckets, path)
+      writeSidecar(spark, path, pqSpec, fp)
+      true
+    }
+  }
+
+  def persistPqIndex(spark: SparkSession, dir: String): Boolean =
+    persistPqIndex(spark, dir, confIndexDir(spark).getOrElse {
+      throw new IllegalStateException(s"set $IndexDirConf or pass indexDir explicitly")
+    })
+
+  private def readPersistedPq(
+      spark: SparkSession,
+      dir: String
+  ): Option[(Array[Array[Array[Double]]], DataFrame)] =
+    confIndexDir(spark).flatMap { ix =>
+      resolvePersisted(spark, dir, pqTable(dir), pqPath(ix, dir), pqSpec).map { codes =>
+        val rows = spark.read
+          .parquet(pqBooksPath(ix, dir))
+          .orderBy(col("subspace"), col("k"))
+          .collect()
+        val books = Array.tabulate(PQ_M) { j =>
+          rows.filter(_.getInt(0) == j).map(_.getSeq[Double](2).toArray)
+        }
+        (books, codes)
+      }
+    }
 
   private def readPersistedIvf(
       spark: SparkSession,

@@ -56,6 +56,17 @@ object AnnTune {
     val lshPairsU = pairSet(Dedup.q60LshNearDup(spark, sfDir))
     println(f"q60 uniform pairs exact=${exactPairsU.size} lsh_recall=${recall(lshPairsU, exactPairsU)}%.3f")
 
+    // PQ: recall vs shortlist width (the ADC pass always scans every 8-byte
+    // code; the shortlist is the exact-re-rank budget).
+    val exactP2 = topkSet(Similarity.plantedBruteTopK(spark, sfDir))
+    for (sl <- Seq(16, 32, 64, 128)) {
+      spark.conf.set(Similarity.PqShortlistConf, sl.toString)
+      val ru = recall(topkSet(Similarity.q75PqTopK(spark, sfDir)), exactU)
+      val rp = recall(topkSet(Similarity.plantedPqTopK(spark, sfDir)), exactP2)
+      println(f"pq shortlist=$sl uniform=$ru%.3f planted=$rp%.3f rerank_frac=${sl.toDouble / n}%.3f")
+    }
+    spark.conf.unset(Similarity.PqShortlistConf)
+
     // Structural sweep (uniform corpus): the grid the profile presets were
     // chosen from. Tables x planes x probes for LSH, nprobe (x centroid
     // count) for IVF — uniform recall vs measured scanned fraction, the

@@ -106,6 +106,58 @@ class SimilarityPersistSpec extends SparkSpec {
   private def deepEq(a: Array[Array[Double]], b: Array[Array[Double]]): Boolean =
     java.util.Arrays.deepEquals(a.asInstanceOf[Array[AnyRef]], b.asInstanceOf[Array[AnyRef]])
 
+  private def booksEq(a: Array[Array[Array[Double]]], b: Array[Array[Array[Double]]]): Boolean =
+    a.length == b.length && a.indices.forall(j => deepEq(a(j), b(j)))
+
+  test("persist + cold-session read-back serves identical q75 results") {
+    val indexDir = Files.createTempDirectory("annidx").toString
+    val baseline = rowsOf(Similarity.q75PqTopK(spark, sfDir))
+    val (booksBuilt, _) = Similarity.buildPqIndex(spark, sfDir)
+
+    assert(Similarity.persistPqIndex(spark, sfDir, indexDir), "first PQ persist should write")
+    assert(!Similarity.persistPqIndex(spark, sfDir, indexDir), "re-persist must be a no-op")
+
+    spark.sql(s"DROP TABLE IF EXISTS `${Similarity.pqTable(sfDir)}`")
+    val s2 = coldSession(indexDir)
+    val cold = rowsOf(Similarity.q75PqTopK(s2, sfDir))
+    assert(cold === baseline, "cold-session PQ results differ from freshly built")
+    assert(s2.catalog.tableExists(Similarity.pqTable(sfDir)), "PQ table not re-registered")
+    // the persisted codebooks round-trip the trained quantizer exactly —
+    // a drifted book would silently mis-decode every persisted code
+    val (booksCold, _) = Similarity.buildPqIndex(s2, sfDir)
+    assert(booksEq(booksCold, booksBuilt), "persisted codebooks differ from the trained ones")
+  }
+
+  test("stale persisted PQ index is detected, rebuilt with fresh books, and re-persistable") {
+    val indexDir = Files.createTempDirectory("annidx").toString
+    val dataDir = Files.createTempDirectory("anndata").toString
+    val src = graft.core.Tables.embeddings(spark, sfDir)
+
+    src.filter(col("vec_id") < 30).write.mode("overwrite").parquet(s"$dataDir/embeddings.parquet")
+    assert(Similarity.persistPqIndex(spark, dataDir, indexDir))
+
+    val s1 = coldSession(indexDir)
+    val (books1, codes1) = Similarity.buildPqIndex(s1, dataDir)
+    assert(s1.catalog.tableExists(Similarity.pqTable(dataDir)), "v1 index should serve from table")
+    assert(codes1.count() === 30L)
+
+    // data regenerated in place — fingerprint mismatch bypasses the
+    // persisted codes AND the persisted books
+    src.filter(col("vec_id") < 50).write.mode("overwrite").parquet(s"$dataDir/embeddings.parquet")
+
+    val s2 = coldSession(indexDir)
+    val (books2, codes2) = Similarity.buildPqIndex(s2, dataDir)
+    assert(codes2.count() === 50L, "stale persisted PQ index served after data regeneration")
+    assert(!booksEq(books1, books2), "rebuild must retrain the codebooks on the v2 data")
+
+    assert(Similarity.persistPqIndex(s2, dataDir, indexDir), "stale persist must rewrite")
+    val s3 = coldSession(indexDir)
+    val (books3, codes3) = Similarity.buildPqIndex(s3, dataDir)
+    assert(s3.catalog.tableExists(Similarity.pqTable(dataDir)))
+    assert(codes3.count() === 50L)
+    assert(booksEq(books3, books2), "persisted books must round-trip the v2 quantizer exactly")
+  }
+
   test("stale persisted IVF index is detected, rebuilt with fresh centroids, and re-persistable") {
     val indexDir = Files.createTempDirectory("annidx").toString
     val dataDir = Files.createTempDirectory("anndata").toString
