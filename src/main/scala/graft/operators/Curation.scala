@@ -523,10 +523,15 @@ object Curation {
   private val MIN_TOKENS = 15
   private val MAX_TOKENS = 5000
 
-  def q72CurationFunnel(spark: SparkSession, dir: String): DataFrame = {
+  /** The funnel's fused signal projection + first-failing-rule attribution
+    * over any (lang, source, text) frame — ONE projection, usable on a
+    * batch frame (q72) or a streaming micro-batch
+    * ([[graft.streaming.StreamingFunnel]]) unchanged: every signal is
+    * per-row, so the rule battery is structurally streaming-safe.
+    */
+  private[graft] def funnelSignals(input: DataFrame): DataFrame = {
     val langList = TargetLangs.map(l => s"'$l'").mkString(", ")
-    val docs = Tables
-      .balanced(Tables.documents(spark, dir))
+    input
       .withColumn("norm", expr("regexp_replace(lower(trim(text)), '\\\\s+', ' ')"))
       .withColumn("toks", expr("split(norm, ' ')"))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
@@ -565,6 +570,10 @@ object Curation {
             "ELSE 'pass' END"
         )
       )
+  }
+
+  def q72CurationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val docs = funnelSignals(Tables.balanced(Tables.documents(spark, dir)))
     val bySource = docs
       .groupBy(col("source"), col("reason"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("token_mass"))

@@ -47,6 +47,39 @@ class StreamingSpec extends SparkSpec {
     assert(collected.size === before, "checkpoint prevents reprocessing consumed files")
   }
 
+  test("streaming funnel: arrival-order counts converge to the batch q72 report") {
+    val dir = Files.createTempDirectory("s_funnel").toString
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    // the corpus arrives as two file drops (a crawler's landing directory)
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.mode("append").parquet(s"$dir/in")
+    docs.filter(col("doc_id") % 2 =!= 0).coalesce(1).write.mode("append").parquet(s"$dir/in")
+
+    val q = StreamingFunnel
+      .funnelStream(spark, s"$dir/in", docs.schema)
+      .writeStream
+      .format("memory")
+      .queryName("funnel_live")
+      .outputMode("complete")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val got = spark
+      .table("funnel_live")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getAs[Long]("n_docs"), r.getAs[Long]("token_mass"))))
+      .toMap
+    // batch and streaming share ONE rule projection (Curation.funnelSignals),
+    // so the running report must equal q72's over the same corpus exactly
+    val want = graft.operators.Curation
+      .q72CurationFunnel(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getAs[Long]("n_docs"), r.getAs[Long]("token_mass"))))
+      .toMap
+    assert(got === want, "streaming funnel diverged from the batch funnel")
+  }
+
   test("streaming rollup feeds the warehouse via foreachBatch (T5 end-to-end)") {
     val in = Files.createTempDirectory("sw_in")
     val ckpt = Files.createTempDirectory("sw_ckpt").toString
