@@ -55,6 +55,40 @@ class SimilarityPersistSpec extends SparkSpec {
     assert(s2.catalog.tableExists(Similarity.ivfTable(sfDir, Similarity.Fast)), "IVF table not re-registered")
   }
 
+  test("profiles persist to distinct artifacts; neither serves the other's buckets") {
+    val indexDir = Files.createTempDirectory("annidx").toString
+    assert(Similarity.persistLshIndex(spark, sfDir, indexDir), "fast persist writes")
+
+    // a quality-profile session must NOT be satisfied by the fast artifact:
+    // its persist call writes its own table under the suffixed path
+    val sq = coldSession(indexDir)
+    sq.conf.set(Similarity.ProfileConf, "quality")
+    val baselineQ = rowsOf(Similarity.q35LshTopK(sq, sfDir))
+    assert(Similarity.persistLshIndex(sq, sfDir, indexDir), "quality persist must write its own artifact")
+    assert(
+      Similarity.lshTable(sfDir, Similarity.Quality) !== Similarity.lshTable(sfDir, Similarity.Fast),
+      "profile tables must not collide"
+    )
+    // fast artifact untouched by the quality write: re-persist is still a no-op
+    assert(!Similarity.persistLshIndex(spark, sfDir, indexDir), "fast artifact must remain current")
+
+    // a truly-cold quality session serves the persisted quality index and
+    // reproduces the freshly-built results
+    sq.sql(s"DROP TABLE IF EXISTS `${Similarity.lshTable(sfDir, Similarity.Quality)}`")
+    val sq2 = coldSession(indexDir)
+    sq2.conf.set(Similarity.ProfileConf, "quality")
+    assert(rowsOf(Similarity.q35LshTopK(sq2, sfDir)) === baselineQ, "cold quality session diverged")
+    assert(
+      sq2.catalog.tableExists(Similarity.lshTable(sfDir, Similarity.Quality)),
+      "quality table not re-registered"
+    )
+    // and a cold FAST session still reads the fast artifact, not quality's
+    spark.sql(s"DROP TABLE IF EXISTS `${Similarity.lshTable(sfDir, Similarity.Fast)}`")
+    val sf = coldSession(indexDir)
+    Similarity.q35LshTopK(sf, sfDir).collect()
+    assert(sf.catalog.tableExists(Similarity.lshTable(sfDir, Similarity.Fast)))
+  }
+
   test("re-persist over a current index is an idempotent no-op") {
     val indexDir = Files.createTempDirectory("annidx").toString
     assert(Similarity.persistLshIndex(spark, sfDir, indexDir))
