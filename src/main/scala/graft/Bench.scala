@@ -74,6 +74,8 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"[bench] q36_build failed: ${e.getMessage}") }
     try phases("q75_build") = sec(operators.Similarity.buildPqIndex(spark, sfDir))
     catch { case e: Throwable => System.err.println(s"[bench] q75_build failed: ${e.getMessage}") }
+    try phases("q76_build") = sec(operators.Similarity.buildIvfPqIndex(spark, sfDir))
+    catch { case e: Throwable => System.err.println(s"[bench] q76_build failed: ${e.getMessage}") }
     try phases("q61_graph") = sec(operators.Dedup.buildPairGraph(spark, sfDir))
     catch { case e: Throwable => System.err.println(s"[bench] q61_graph failed: ${e.getMessage}") }
 
@@ -134,9 +136,11 @@ object Bench {
       quality("q35_recall") = recall(topkSet(operators.Similarity.plantedLshTopK(spark, sfDir)), exactP)
       quality("q36_recall") = recall(topkSet(operators.Similarity.plantedIvfTopK(spark, sfDir)), exactP)
       quality("q75_recall") = recall(topkSet(operators.Similarity.plantedPqTopK(spark, sfDir)), exactP)
+      quality("q76_recall") = recall(topkSet(operators.Similarity.plantedIvfPqTopK(spark, sfDir)), exactP)
       quality("q35_recall_uniform") = recall(topkSet(operators.Similarity.q35LshTopK(spark, sfDir)), exactU)
       quality("q36_recall_uniform") = recall(topkSet(operators.Similarity.q36IvfTopK(spark, sfDir)), exactU)
       quality("q75_recall_uniform") = recall(topkSet(operators.Similarity.q75PqTopK(spark, sfDir)), exactU)
+      quality("q76_recall_uniform") = recall(topkSet(operators.Similarity.q76IvfPqTopK(spark, sfDir)), exactU)
 
       val exactPairsP = pairSet(operators.Dedup.plantedExactNearDup(spark, sfDir))
       quality("q60_recall") = recall(pairSet(operators.Dedup.plantedLshNearDup(spark, sfDir)), exactPairsP)

@@ -1130,6 +1130,113 @@ object Similarity {
   }
 
   // ---------------------------------------------------------------------------
+  // q76 — IVF-PQ ANN: the production composition (the FAISS "IVFPQ" shape)
+  // of the two indexes above. The corpus is coarse-quantized into C cells
+  // (IVF) AND 8-bit PQ-encoded in ONE pass; a query probes its nprobe
+  // nearest cells and ADC-scans only THOSE cells' 8-byte codes, then
+  // exact-re-ranks the shortlist. Cuts both axes at once: the IVF prune
+  // reads nprobe/C of the corpus, and what it reads is codes, not vectors —
+  // at 100 TB of embeddings a query touches ~nprobe/C x 3 TB of codes
+  // instead of either full axis. The cell scan is a broadcast EQUI-join on
+  // (cluster), so unlike flat PQ there is no exhaustive-scan BNLJ anywhere
+  // in the plan. Same honest trades as its parents: cell-boundary misses
+  // (IVF) and shortlist dilution (PQ) — planted recall is spec-floored at
+  // 0.9, uniform reported per round.
+  // ---------------------------------------------------------------------------
+  private val ivfPqCache =
+    new SessionCache[(Array[Array[Double]], Array[Array[Array[Double]]], DataFrame)]
+  private val plantedIvfPqCache =
+    new SessionCache[(Array[Array[Double]], Array[Array[Array[Double]]], DataFrame)]
+
+  private def computeIvfPqIndexFrom(
+      spark: SparkSession,
+      emb: DataFrame
+  ): (Array[Array[Double]], Array[Array[Array[Double]]], DataFrame) = {
+    graft.functions.VecFunctions.install(spark)
+    val cents = trainCentroidsFrom(emb)
+    val books = trainPqBooksFrom(emb)
+    val fn = installCentroidRanks(spark, cents)
+    val i = installPq(spark, books)
+    val index = withUnit(Tables.balanced(emb), "embedding", "vb")
+      .withColumn("emb_d", expr(toDouble("embedding")))
+      .withColumn("cluster", expr(s"element_at($fn(emb_d), 1)"))
+      .withColumn("code", expr(s"pq_encode_$i(vb)"))
+      .select(col("vec_id"), col("cluster"), col("code"))
+      .localCheckpoint()
+    (cents, books, index)
+  }
+
+  /** Build (or fetch) the composed index: coarse centroids + PQ codebooks +
+    * the (vec_id, cluster, code) table — 12 bytes of index per vector.
+    */
+  def buildIvfPqIndex(
+      spark: SparkSession,
+      dir: String
+  ): (Array[Array[Double]], Array[Array[Array[Double]]], DataFrame) =
+    ivfPqCache.getOrBuild(spark, dir) {
+      computeIvfPqIndexFrom(spark, Tables.embeddings(spark, dir))
+    }
+
+  private def ivfPqTopKFrom(
+      spark: SparkSession,
+      queries: DataFrame,
+      cents: Array[Array[Double]],
+      books: Array[Array[Array[Double]]],
+      index: DataFrame,
+      corpus: DataFrame,
+      nprobe: Int
+  ): DataFrame = {
+    val fnC = installCentroidRanks(spark, cents)
+    val i = installPq(spark, books)
+    val shortlistN = pqShortlist(spark)
+    val probes = queries
+      .withColumn("qraw_d", expr(toDouble("qraw")))
+      .withColumn("lut", expr(s"pq_lut_$i(va)"))
+      .withColumn("cluster", explode(expr(s"slice($fnC(qraw_d), 1, $nprobe)")))
+      .select(col("query_id"), col("va"), col("lut"), col("cluster"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc").desc, col("vec_id"))
+    val shortlist = broadcast(probes)
+      .join(index, Seq("cluster"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("adc", expr("pq_adc(lut, code)"))
+      .withColumn("srank", row_number().over(w))
+      .filter(col("srank") <= shortlistN)
+      .select(col("query_id"), col("va"), col("vec_id"))
+    topKRanked(broadcast(shortlist).join(corpus, "vec_id"))
+  }
+
+  def q76IvfPqTopK(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VecFunctions.install(spark)
+    val (cents, books, index) = buildIvfPqIndex(spark, dir)
+    ivfPqTopKFrom(
+      spark,
+      queriesDf(spark, dir),
+      cents,
+      books,
+      index,
+      unitCorpus(Tables.embeddings(spark, dir)),
+      ivfNprobe(spark, Fast)
+    )
+  }
+
+  /** q76 on the planted clustered corpus — the recall yardstick. */
+  def plantedIvfPqTopK(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VecFunctions.install(spark)
+    val (cents, books, index) = plantedIvfPqCache.getOrBuild(spark, dir) {
+      computeIvfPqIndexFrom(spark, plantedCorpus(spark, dir))
+    }
+    ivfPqTopKFrom(
+      spark,
+      plantedQueries(spark, dir),
+      cents,
+      books,
+      index,
+      unitCorpus(plantedCorpus(spark, dir)),
+      ivfNprobe(spark, Fast)
+    )
+  }
+
+  // ---------------------------------------------------------------------------
   // Structural tuning API — the sweep entries tools.AnnTune uses to measure
   // recall/scan-fraction under ARBITRARY geometry (that is how the profile
   // presets above were chosen). Each geometry gets its own session-cached
@@ -1684,10 +1791,11 @@ object Similarity {
     "q35_lsh_topk" -> (q35LshTopK _),
     "q36_ivf_topk" -> (q36IvfTopK _),
     "q64_embedding_quantize" -> (q64EmbeddingQuantize _),
-    "q75_pq_topk" -> (q75PqTopK _)
+    "q75_pq_topk" -> (q75PqTopK _),
+    "q76_ivfpq_topk" -> (q76IvfPqTopK _)
   )
 
-  /** q35/q36/q75 are hash/model-based — rows-only driver check. */
+  /** q35/q36/q75/q76 are hash/model-based — rows-only driver check. */
   val oracles: Map[String, String] = Map(
     "q34_bruteforce_topk" -> q34Oracle,
     "q64_embedding_quantize" -> q64Oracle

@@ -205,6 +205,51 @@ class SimilaritySpec extends SparkSpec {
     } finally spark.conf.unset(Similarity.PqShortlistConf)
   }
 
+  test("q76 IVF-PQ: shape, exact cosines, planted recall >= 0.9, index is 12 bytes/vector") {
+    val brute = Similarity.q34BruteForceTopK(spark, sfDir).collect()
+    val got = Similarity.q76IvfPqTopK(spark, sfDir).collect()
+    assert(byQuery(got).size === 5)
+    byQuery(got).values.foreach { rs =>
+      assert(rs.length === 10)
+      assert(rs.map(_.getInt(1)).sorted.sameElements(1 to 10))
+    }
+    val trueCos = brute.map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    got.foreach { r =>
+      trueCos.get((r.getLong(0), r.getLong(2))).foreach(c => assert(math.abs(c - r.getDouble(3)) < 1e-9))
+    }
+    // the composed index is (vec_id, cluster, code): the scannable state is
+    // an int cell id + an 8-byte code per vector
+    val (_, _, index) = Similarity.buildIvfPqIndex(spark, sfDir)
+    assert(index.columns.toSet === Set("vec_id", "cluster", "code"))
+    assert(index.schema("code").dataType === org.apache.spark.sql.types.LongType)
+    assert(index.count() === graft.core.Tables.embeddings(spark, sfDir).count())
+    // planted floor (measured 0.98/0.96/1.00 at sf0.001/0.01/0.1)
+    val exactP = Similarity.plantedBruteTopK(spark, sfDir).collect()
+    val trueTop = byQuery(exactP).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val hits = Similarity
+      .plantedIvfPqTopK(spark, sfDir)
+      .collect()
+      .count(r => trueTop(r.getLong(0)).contains(r.getLong(2)))
+    info(s"planted IVF-PQ recall@10: $hits/${exactP.length}")
+    assert(hits >= (exactP.length * 0.9).toInt, s"planted IVF-PQ recall: $hits/${exactP.length}")
+  }
+
+  test("q76 IVF-PQ: probing every cell with a full shortlist degrades to brute force") {
+    // both prunes disabled (nprobe = C, shortlist >= corpus) leaves nothing
+    // for the approximation to exclude — the exact re-rank must reproduce
+    // q34 verbatim, which pins the whole probe/ADC/shortlist plumbing
+    val brute = Similarity.q34BruteForceTopK(spark, sfDir).collect().map(_.toString)
+    spark.conf.set(Similarity.IvfNprobeConf, "16")
+    spark.conf.set(Similarity.PqShortlistConf, "1000000")
+    try {
+      val full = Similarity.q76IvfPqTopK(spark, sfDir).collect().map(_.toString)
+      assert(full.sameElements(brute), "fully-open IVF-PQ must equal brute force exactly")
+    } finally {
+      spark.conf.unset(Similarity.IvfNprobeConf)
+      spark.conf.unset(Similarity.PqShortlistConf)
+    }
+  }
+
   test("q36 centroids: C centroids of corpus dimension, finite values") {
     val cents = Similarity.trainCentroids(spark, sfDir)
     assert(cents.length === 16)
