@@ -1168,13 +1168,85 @@ object Similarity {
 
   /** Build (or fetch) the composed index: coarse centroids + PQ codebooks +
     * the (vec_id, cluster, code) table — 12 bytes of index per vector.
+    * Same resolution order as the other families: session cache →
+    * persisted table (current sidecar only) → train + assign + encode.
     */
   def buildIvfPqIndex(
       spark: SparkSession,
       dir: String
   ): (Array[Array[Double]], Array[Array[Array[Double]]], DataFrame) =
     ivfPqCache.getOrBuild(spark, dir) {
-      computeIvfPqIndexFrom(spark, Tables.embeddings(spark, dir))
+      readPersistedIvfPq(spark, dir).getOrElse(
+        computeIvfPqIndexFrom(spark, Tables.embeddings(spark, dir))
+      )
+    }
+
+  /** Materialize the composed index: the (vec_id, cluster, code) table
+    * BUCKETED ON CLUSTER — a cold session's probe join reads only the
+    * probed cells' buckets shuffle-free — plus centroid and codebook
+    * parquet. Same idempotent/sidecar-last contract as the other families.
+    */
+  def persistIvfPqIndex(spark: SparkSession, dir: String, indexDir: String): Boolean = {
+    val fp = dataFingerprint(spark, dir)
+    val path = ivfPqPath(indexDir, dir)
+    if (sidecarCurrent(spark, path, ivfPqSpec, fp)) false
+    else {
+      val table = ivfPqTable(dir)
+      deleteSidecar(spark, path)
+      ivfPqCache.invalidate(spark, dir)
+      spark.sql(s"DROP TABLE IF EXISTS `$table`")
+      deletePath(spark, path)
+      deletePath(spark, ivfPqBooksPath(indexDir, dir))
+      deletePath(spark, ivfPqCentroidsPath(indexDir, dir))
+      val (cents, books, index) = computeIvfPqIndexFrom(spark, Tables.embeddings(spark, dir))
+      import spark.implicits._
+      cents.zipWithIndex
+        .map { case (v, i) => (i, v.toSeq) }
+        .toSeq
+        .toDF("cluster", "centroid")
+        .coalesce(1)
+        .write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(ivfPqCentroidsPath(indexDir, dir))
+      books.zipWithIndex
+        .flatMap { case (book, j) => book.zipWithIndex.map { case (cw, k) => (j, k, cw.toSeq) } }
+        .toSeq
+        .toDF("subspace", "k", "codeword")
+        .coalesce(1)
+        .write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(ivfPqBooksPath(indexDir, dir))
+      graft.sources.Layouts.writeBucketed(index, table, ivfPqSpec.keys, ivfPqSpec.buckets, path)
+      writeSidecar(spark, path, ivfPqSpec, fp)
+      true
+    }
+  }
+
+  def persistIvfPqIndex(spark: SparkSession, dir: String): Boolean =
+    persistIvfPqIndex(spark, dir, confIndexDir(spark).getOrElse {
+      throw new IllegalStateException(s"set $IndexDirConf or pass indexDir explicitly")
+    })
+
+  private def readPersistedIvfPq(
+      spark: SparkSession,
+      dir: String
+  ): Option[(Array[Array[Double]], Array[Array[Array[Double]]], DataFrame)] =
+    confIndexDir(spark).flatMap { ix =>
+      resolvePersisted(spark, dir, ivfPqTable(dir), ivfPqPath(ix, dir), ivfPqSpec).map { index =>
+        val cents = spark.read
+          .parquet(ivfPqCentroidsPath(ix, dir))
+          .orderBy(col("cluster"))
+          .collect()
+          .map(_.getSeq[Double](1).toArray)
+        val rows = spark.read
+          .parquet(ivfPqBooksPath(ix, dir))
+          .orderBy(col("subspace"), col("k"))
+          .collect()
+        val books = Array.tabulate(PQ_M) { j =>
+          rows.filter(_.getInt(0) == j).map(_.getSeq[Double](2).toArray)
+        }
+        (cents, books, index)
+      }
     }
 
   private def ivfPqTopKFrom(
@@ -1430,6 +1502,9 @@ object Similarity {
     IndexSpec(LSH_BUCKETS, Seq("t", "b"), s"lsh:t${prof.lshTables}:p${prof.lshPlanes}")
   private def ivfSpec(prof: AnnProfile) = IndexSpec(IVF_BUCKETS, Seq("cluster"), s"ivf:c${prof.ivfC}")
   private def pqSpec = IndexSpec(PQ_BUCKETS, Seq("vec_id"), s"pq:m$PQ_M:k$PQ_K")
+  // bucketed on cluster: the probe equi-join reads only the probed cells'
+  // buckets shuffle-free straight off the persisted layout
+  private def ivfPqSpec = IndexSpec(IVF_BUCKETS, Seq("cluster"), s"ivfpq:c$C:m$PQ_M:k$PQ_K")
 
   /** Stable cross-JVM key for a data dir (first 8 md5 hex chars). */
   private def indexKey(dir: String): String =
@@ -1460,6 +1535,10 @@ object Similarity {
   private def pqPath(indexDir: String, dir: String) = s"$indexDir/pq_${indexKey(dir)}"
   private def pqBooksPath(indexDir: String, dir: String) = s"${pqPath(indexDir, dir)}_books"
   private[operators] def pqTable(dir: String) = s"graft_pq_${indexKey(dir)}"
+  private def ivfPqPath(indexDir: String, dir: String) = s"$indexDir/ivfpq_${indexKey(dir)}"
+  private def ivfPqBooksPath(indexDir: String, dir: String) = s"${ivfPqPath(indexDir, dir)}_books"
+  private def ivfPqCentroidsPath(indexDir: String, dir: String) = s"${ivfPqPath(indexDir, dir)}_centroids"
+  private[operators] def ivfPqTable(dir: String) = s"graft_ivfpq_${indexKey(dir)}"
 
   private def hadoopPath(spark: SparkSession, p: String) = {
     val path = new org.apache.hadoop.fs.Path(p)

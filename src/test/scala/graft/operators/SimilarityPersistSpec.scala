@@ -162,6 +162,44 @@ class SimilarityPersistSpec extends SparkSpec {
     assert(booksEq(booksCold, booksBuilt), "persisted codebooks differ from the trained ones")
   }
 
+  test("persist + cold-session read-back serves identical q76 results (cluster-bucketed)") {
+    val indexDir = Files.createTempDirectory("annidx").toString
+    val baseline = rowsOf(Similarity.q76IvfPqTopK(spark, sfDir))
+
+    assert(Similarity.persistIvfPqIndex(spark, sfDir, indexDir), "first IVF-PQ persist should write")
+    assert(!Similarity.persistIvfPqIndex(spark, sfDir, indexDir), "re-persist must be a no-op")
+
+    spark.sql(s"DROP TABLE IF EXISTS `${Similarity.ivfPqTable(sfDir)}`")
+    val s2 = coldSession(indexDir)
+    assert(rowsOf(Similarity.q76IvfPqTopK(s2, sfDir)) === baseline, "cold-session IVF-PQ differs")
+    assert(s2.catalog.tableExists(Similarity.ivfPqTable(sfDir)), "IVF-PQ table not re-registered")
+  }
+
+  test("stale persisted IVF-PQ index is detected, rebuilt, and re-persistable") {
+    val indexDir = Files.createTempDirectory("annidx").toString
+    val dataDir = Files.createTempDirectory("anndata").toString
+    val src = graft.core.Tables.embeddings(spark, sfDir)
+
+    src.filter(col("vec_id") < 30).write.mode("overwrite").parquet(s"$dataDir/embeddings.parquet")
+    assert(Similarity.persistIvfPqIndex(spark, dataDir, indexDir))
+
+    val s1 = coldSession(indexDir)
+    val (_, _, idx1) = Similarity.buildIvfPqIndex(s1, dataDir)
+    assert(s1.catalog.tableExists(Similarity.ivfPqTable(dataDir)))
+    assert(idx1.count() === 30L)
+
+    src.filter(col("vec_id") < 50).write.mode("overwrite").parquet(s"$dataDir/embeddings.parquet")
+    val s2 = coldSession(indexDir)
+    val (_, _, idx2) = Similarity.buildIvfPqIndex(s2, dataDir)
+    assert(idx2.count() === 50L, "stale persisted IVF-PQ index served after data regeneration")
+
+    assert(Similarity.persistIvfPqIndex(s2, dataDir, indexDir), "stale persist must rewrite")
+    val s3 = coldSession(indexDir)
+    val (_, _, idx3) = Similarity.buildIvfPqIndex(s3, dataDir)
+    assert(s3.catalog.tableExists(Similarity.ivfPqTable(dataDir)))
+    assert(idx3.count() === 50L)
+  }
+
   test("stale persisted PQ index is detected, rebuilt with fresh books, and re-persistable") {
     val indexDir = Files.createTempDirectory("annidx").toString
     val dataDir = Files.createTempDirectory("anndata").toString
