@@ -66,26 +66,32 @@ object PlanAudit {
   private val gated = Seq("CartesianProduct", "BroadcastNestedLoopJoin")
 
   /** Remove every "== Initial Plan ==" block from a printed physical plan.
-    * A block = the marker line plus the following lines whose tree-prefix
-    * (spaces / ':' / '+' / '-') is at least as long as the marker's — i.e.
-    * the subtree printed under it. The initial plan is always the LAST
-    * inner child of its AdaptiveSparkPlan node, so the first shallower line
-    * is the enclosing plan's continuation and is kept. If Spark's layout
-    * ever changes so that a same-depth SIBLING follows the marker, this
-    * helper cannot tell it from the subtree and would over-strip — the
-    * emptiness guard in [[auditPlan]] (a stripped plan must keep at least
-    * one node) turns that silent corruption into a loud failure.
+    * A block = the marker line plus the subtree printed under it: lines
+    * whose tree-prefix (spaces / ':' / '+' / '-') is strictly deeper, plus
+    * the subtree's ROOT line at the marker's own depth — distinguishable
+    * from a same-depth SIBLING node because the root is indented under the
+    * `+- ` marker with spaces (prefix ends "   ") while a sibling is its
+    * own branch (prefix ends "- "). Today the initial plan is always the
+    * LAST child of its AdaptiveSparkPlan node so the sibling case never
+    * fires, but if Spark's layout ever reorders the sections this keeps
+    * the following same-depth branch instead of silently over-stripping.
+    * [[auditPlan]] additionally guards that a stripped plan keeps at least
+    * one node.
     */
   private[graft] def stripInitialPlans(full: String): String = {
     def prefixLen(l: String): Int = {
       val i = l.indexWhere(c => c != ' ' && c != ':' && c != '+' && c != '-')
       if (i == -1) l.length else i
     }
+    // a line whose content starts a new branch at depth d (prefix "+- " /
+    // ":- ") rather than continuing the block opened above it
+    def isBranch(l: String, d: Int): Boolean = d >= 2 && l.charAt(d - 2) == '-'
     val out = new StringBuilder
     var skipDepth = -1
     full.linesIterator.foreach { line =>
       val d = prefixLen(line)
-      if (skipDepth >= 0 && d < skipDepth) skipDepth = -1
+      if (skipDepth >= 0 && (d < skipDepth || (d == skipDepth && isBranch(line, d))))
+        skipDepth = -1
       if (skipDepth < 0) {
         if (line.contains("== Initial Plan ==")) skipDepth = d
         else out.append(line).append('\n')

@@ -57,4 +57,28 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(out.contains("BroadcastHashJoin"))
     assert("BroadcastHashJoin".r.findAllIn(out).size === 1, out)
   }
+
+  test("a same-depth sibling branch after the marker is kept, not stripped") {
+    // Hypothetical layout where the initial plan is NOT the last child:
+    // the sibling `+- == Final Plan ==` sits at the marker's own depth.
+    // The subtree root (space-indented) is stripped; the sibling branch
+    // (its own `+- ` at that depth) resumes output.
+    val plan =
+      """AdaptiveSparkPlan isFinalPlan=true
+        |+- == Initial Plan ==
+        |   HashAggregate
+        |   +- Exchange
+        |      +- Scan parquet ReadSchema: struct<a:int>
+        |+- == Final Plan ==
+        |   *(2) HashAggregate
+        |   +- ShuffleQueryStage
+        |      +- Exchange
+        |         +- *(1) Scan parquet ReadSchema: struct<a:int>
+        |""".stripMargin
+    val out = PlanAudit.stripInitialPlans(plan)
+    assert(!out.contains("== Initial Plan =="), out)
+    assert(out.contains("== Final Plan =="), out)
+    assert("ReadSchema".r.findAllIn(out).size === 1, out)
+    assert(out.contains("ShuffleQueryStage"), out)
+  }
 }
