@@ -19,6 +19,7 @@
 #   dialect-sql   dump warehouse dialect SQL        (graft.etl.DialectDump)
 #   init-sql      write warehouse bootstrap DDL     (DialectDump --init-sql)
 #   ann-tune      ANN recall/scan-fraction sweep    (graft.tools.AnnTune)
+#   ann-build     persist ANN indexes offline       (graft.tools.AnnBuild)
 set -euo pipefail
 
 cd "$(dirname "$0")/.."
@@ -61,6 +62,7 @@ case "$cmd" in
   dialect-sql)  main=graft.etl.DialectDump ;;
   init-sql)     main=graft.etl.DialectDump; set -- --init-sql "$@" ;;
   ann-tune)     main=graft.tools.AnnTune ;;
+  ann-build)    main=graft.tools.AnnBuild ;;
   help|--help|-h)
     # print the header comment block (everything between the shebang and
     # the first non-comment line), stripping the leading '# '

@@ -1,0 +1,64 @@
+package graft.tools
+
+import graft.operators.Similarity
+
+/** Offline ANN index builder — the deployment entry point for the
+  * build-once / serve-everywhere contract. Persists every index family
+  * (LSH buckets, IVF centroids+assignments, PQ codebooks+codes, IVF-PQ)
+  * for a data dir into an index dir; query sessions then set
+  * `graft.ann.indexDir` and serve the persisted layout with zero build
+  * work. Each persist is idempotent: a current index (matching data
+  * fingerprint + geometry sidecar) is skipped, a stale one is rebuilt.
+  *
+  *   bin/graft.sh ann-build <dataDir> <indexDir> [profile ...]
+  *   sbt "runMain graft.tools.AnnBuild /root/testdata/sf0.1 /tmp/annidx"
+  *
+  * Profiles default to `fast`; pass `fast quality` to materialize both
+  * (profile-keyed artifacts coexist — a query session serves whichever
+  * matches its own `graft.ann.profile`). PQ / IVF-PQ geometry is
+  * profile-independent and is built once.
+  */
+object AnnBuild {
+
+  /** Persist every family; returns (family -> wrote?) in build order. */
+  def run(
+      spark: org.apache.spark.sql.SparkSession,
+      dataDir: String,
+      indexDir: String,
+      profiles: Seq[String]
+  ): Seq[(String, Boolean)] = {
+    val prior = spark.conf.getOption(Similarity.ProfileConf)
+    try {
+      val perProfile = profiles.flatMap { prof =>
+        spark.conf.set(Similarity.ProfileConf, prof)
+        Seq(
+          s"lsh($prof)" -> Similarity.persistLshIndex(spark, dataDir, indexDir),
+          s"ivf($prof)" -> Similarity.persistIvfIndex(spark, dataDir, indexDir)
+        )
+      }
+      perProfile ++ Seq(
+        "pq" -> Similarity.persistPqIndex(spark, dataDir, indexDir),
+        "ivfpq" -> Similarity.persistIvfPqIndex(spark, dataDir, indexDir)
+      )
+    } finally prior.fold(spark.conf.unset(Similarity.ProfileConf))(
+      spark.conf.set(Similarity.ProfileConf, _)
+    )
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println("usage: AnnBuild <dataDir> <indexDir> [profile ...]")
+      sys.exit(2)
+    }
+    val Array(dataDir, indexDir) = args.take(2)
+    val profiles = if (args.length > 2) args.drop(2).toSeq else Seq("fast")
+    val spark = graft.core.Sessions.local("graft-ann-build")
+    try {
+      spark.conf.set(Similarity.IndexDirConf, indexDir)
+      run(spark, dataDir, indexDir, profiles).foreach { case (family, wrote) =>
+        println(s"[ann-build] $family: ${if (wrote) "written" else "current, skipped"}")
+      }
+      println(s"[ann-build] index dir ready: $indexDir (serve with ${Similarity.IndexDirConf}=$indexDir)")
+    } finally spark.stop()
+  }
+}
