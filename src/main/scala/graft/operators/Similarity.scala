@@ -446,10 +446,18 @@ object Similarity {
     * always computed fresh from the source parquet (persist writes this, so
     * a re-persist never reads the table it is about to overwrite).
     */
-  private def computeLshIndex(spark: SparkSession, dir: String, prof: AnnProfile): DataFrame = {
+  private def computeLshIndex(spark: SparkSession, dir: String, prof: AnnProfile): DataFrame =
+    computeLshIndexOn(spark, Tables.embeddings(spark, dir), prof)
+
+  /** LSH index rows for an arbitrary embedding frame — the append-refresh
+    * path indexes just the delta through here; the planes are deterministic
+    * functions of the profile geometry, so delta-hashing is bit-identical
+    * to what a full rebuild would produce for those rows.
+    */
+  private def computeLshIndexOn(spark: SparkSession, emb: DataFrame, prof: AnnProfile): DataFrame = {
     graft.functions.VecFunctions.install(spark)
     installPlaneBuckets(spark, prof)
-    withBuckets(unitCorpus(Tables.embeddings(spark, dir)), "vb", bsName = "cbs", fnSuffix = prof.fnSuffix)
+    withBuckets(unitCorpus(emb), "vb", bsName = "cbs", fnSuffix = prof.fnSuffix)
   }
 
   /** Build (or fetch) the LSH corpus index for the session profile:
@@ -1186,43 +1194,46 @@ object Similarity {
     * probed cells' buckets shuffle-free — plus centroid and codebook
     * parquet. Same idempotent/sidecar-last contract as the other families.
     */
-  def persistIvfPqIndex(spark: SparkSession, dir: String, indexDir: String): Boolean = {
+  def persistIvfPqIndex(spark: SparkSession, dir: String, indexDir: String): PersistOutcome = {
     val fp = dataFingerprint(spark, dir)
     val path = ivfPqPath(indexDir, dir)
-    if (sidecarCurrent(spark, path, ivfPqSpec, fp)) false
-    else {
-      val table = ivfPqTable(dir)
-      deleteSidecar(spark, path)
-      ivfPqCache.invalidate(spark, dir)
-      spark.sql(s"DROP TABLE IF EXISTS `$table`")
-      deletePath(spark, path)
-      deletePath(spark, ivfPqBooksPath(indexDir, dir))
-      deletePath(spark, ivfPqCentroidsPath(indexDir, dir))
-      val (cents, books, index) = computeIvfPqIndexFrom(spark, Tables.embeddings(spark, dir))
-      import spark.implicits._
-      cents.zipWithIndex
-        .map { case (v, i) => (i, v.toSeq) }
-        .toSeq
-        .toDF("cluster", "centroid")
-        .coalesce(1)
-        .write
-        .mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .parquet(ivfPqCentroidsPath(indexDir, dir))
-      books.zipWithIndex
-        .flatMap { case (book, j) => book.zipWithIndex.map { case (cw, k) => (j, k, cw.toSeq) } }
-        .toSeq
-        .toDF("subspace", "k", "codeword")
-        .coalesce(1)
-        .write
-        .mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .parquet(ivfPqBooksPath(indexDir, dir))
-      graft.sources.Layouts.writeBucketed(index, table, ivfPqSpec.keys, ivfPqSpec.buckets, path)
-      writeSidecar(spark, path, ivfPqSpec, fp)
-      true
-    }
+    val table = ivfPqTable(dir)
+    def invalidate() = ivfPqCache.invalidate(spark, dir)
+    if (sidecarCurrent(spark, path, ivfPqSpec, fp)) Current
+    else
+      appendableSidecar(spark, path, ivfPqSpec)
+        .flatMap(s => appendOnlyDelta(spark, dir, s).map((s, _)))
+        .map { case (s, delta) =>
+          val cents = readCentroidsAt(spark, ivfPqCentroidsPath(indexDir, dir))
+          val books = readBooksAt(spark, ivfPqBooksPath(indexDir, dir))
+          appendToIndex(
+            spark,
+            ivfPqRowsFor(spark, delta, cents, books),
+            table,
+            path,
+            ivfPqSpec,
+            fp,
+            () => invalidate()
+          )
+          Appended(fp._1 - s.rows)
+        }
+        .getOrElse {
+          deleteSidecar(spark, path)
+          invalidate()
+          spark.sql(s"DROP TABLE IF EXISTS `$table`")
+          deletePath(spark, path)
+          deletePath(spark, ivfPqBooksPath(indexDir, dir))
+          deletePath(spark, ivfPqCentroidsPath(indexDir, dir))
+          val (cents, books, index) = computeIvfPqIndexFrom(spark, Tables.embeddings(spark, dir))
+          writeCentroids(spark, cents, ivfPqCentroidsPath(indexDir, dir))
+          writeBooks(spark, books, ivfPqBooksPath(indexDir, dir))
+          graft.sources.Layouts.writeBucketed(index, table, ivfPqSpec.keys, ivfPqSpec.buckets, path)
+          writeSidecar(spark, path, ivfPqSpec, fp)
+          Rebuilt
+        }
   }
 
-  def persistIvfPqIndex(spark: SparkSession, dir: String): Boolean =
+  def persistIvfPqIndex(spark: SparkSession, dir: String): PersistOutcome =
     persistIvfPqIndex(spark, dir, confIndexDir(spark).getOrElse {
       throw new IllegalStateException(s"set $IndexDirConf or pass indexDir explicitly")
     })
@@ -1233,19 +1244,11 @@ object Similarity {
   ): Option[(Array[Array[Double]], Array[Array[Array[Double]]], DataFrame)] =
     confIndexDir(spark).flatMap { ix =>
       resolvePersisted(spark, dir, ivfPqTable(dir), ivfPqPath(ix, dir), ivfPqSpec).map { index =>
-        val cents = spark.read
-          .parquet(ivfPqCentroidsPath(ix, dir))
-          .orderBy(col("cluster"))
-          .collect()
-          .map(_.getSeq[Double](1).toArray)
-        val rows = spark.read
-          .parquet(ivfPqBooksPath(ix, dir))
-          .orderBy(col("subspace"), col("k"))
-          .collect()
-        val books = Array.tabulate(PQ_M) { j =>
-          rows.filter(_.getInt(0) == j).map(_.getSeq[Double](2).toArray)
-        }
-        (cents, books, index)
+        (
+          readCentroidsAt(spark, ivfPqCentroidsPath(ix, dir)),
+          readBooksAt(spark, ivfPqBooksPath(ix, dir)),
+          index
+        )
       }
     }
 
@@ -1488,6 +1491,33 @@ object Similarity {
   // the same job is reading — the rewrite recomputes from source parquet).
   // ---------------------------------------------------------------------------
   val IndexDirConf = "graft.ann.indexDir"
+
+  /** Refresh policy for `persist*Index` over a stale persisted index:
+    * `rebuild` (default) always retrains + rewrites; `append` extends the
+    * existing layout in place when the data change is append-only (same
+    * rows at vec_id <= the indexed maxId, new rows above it) — new rows are
+    * hashed/assigned/encoded under the PERSISTED geometry (LSH planes are
+    * deterministic so the result is bit-identical to a full rebuild; IVF
+    * centroids and PQ codebooks are frozen, the standard add-without-
+    * retrain trade) and appended as new bucket files, so a 100 TB ingest
+    * tick pays one delta-sized write instead of a corpus-sized retrain.
+    * Any non-append change still falls back to a full rebuild.
+    */
+  val RefreshConf = "graft.ann.refresh"
+
+  /** What a `persist*Index` call did. */
+  sealed trait PersistOutcome { def wrote: Boolean }
+  /** Sidecar already matches this data + geometry; nothing touched. */
+  case object Current extends PersistOutcome { def wrote = false }
+  /** Full retrain + rewrite (first build, non-append change, or the
+    * default `rebuild` refresh policy).
+    */
+  case object Rebuilt extends PersistOutcome { def wrote = true }
+  /** Append-only refresh: `newRows` rows indexed under the persisted
+    * geometry and appended; everything already indexed was left in place.
+    */
+  final case class Appended(newRows: Long) extends PersistOutcome { def wrote = true }
+
   private val LSH_BUCKETS = 16
   private val IVF_BUCKETS = 8
   private val PQ_BUCKETS = 8
@@ -1622,21 +1652,83 @@ object Similarity {
         }
       }
       .map { s =>
-        if (!spark.catalog.tableExists(table)) {
-          val schemaDdl = spark.read.parquet(dataPath).schema.toDDL
-          val keyList = s.keys.map(k => s"`$k`").mkString(", ")
-          spark.sql(
-            s"CREATE TABLE `$table` ($schemaDdl) USING PARQUET " +
-              s"CLUSTERED BY ($keyList) SORTED BY ($keyList) INTO ${s.buckets} BUCKETS " +
-              s"LOCATION '$dataPath'"
-          )
-        } else {
-          // the table may have been re-persisted by another session: drop
-          // this session's cached file listing before serving
-          spark.catalog.refreshTable(table)
-        }
+        registerBucketedTable(spark, table, dataPath, s.buckets, s.keys)
         spark.table(table)
       }
+
+  /** Re-register catalog metadata over existing bucketed index files (the
+    * truly-cold path: bucket spec from the sidecar, schema from the parquet
+    * footers); refresh the cached file listing when the table is already
+    * known (it may have been re-persisted by another session).
+    */
+  private def registerBucketedTable(
+      spark: SparkSession,
+      table: String,
+      dataPath: String,
+      buckets: Int,
+      keys: Seq[String]
+  ): Unit =
+    if (!spark.catalog.tableExists(table)) {
+      val schemaDdl = spark.read.parquet(dataPath).schema.toDDL
+      val keyList = keys.map(k => s"`$k`").mkString(", ")
+      spark.sql(
+        s"CREATE TABLE `$table` ($schemaDdl) USING PARQUET " +
+          s"CLUSTERED BY ($keyList) SORTED BY ($keyList) INTO $buckets BUCKETS " +
+          s"LOCATION '$dataPath'"
+      )
+    } else spark.catalog.refreshTable(table)
+
+  /** The new embedding rows when the current data is an APPEND-ONLY
+    * extension of what `s` indexed — every already-indexed row still
+    * present (same count at vec_id <= s.maxId) and at least one new row
+    * above s.maxId. None for any other change (rewrite, shrink, in-place
+    * edit): those need a full rebuild.
+    */
+  private def appendOnlyDelta(spark: SparkSession, dir: String, s: Sidecar): Option[DataFrame] = {
+    val emb = Tables.embeddings(spark, dir)
+    val r = emb
+      .agg(max(col("vec_id")), count(when(col("vec_id") <= s.maxId, 1)))
+      .collect()(0)
+    val maxId = if (r.isNullAt(0)) -1L else r.getLong(0)
+    if (maxId > s.maxId && r.getLong(1) == s.rows) Some(emb.filter(col("vec_id") > s.maxId))
+    else None
+  }
+
+  /** The persisted sidecar at `path` iff it matches `spec`'s geometry AND
+    * the session opted into append refresh — the precondition for trying
+    * [[appendOnlyDelta]] instead of a rebuild.
+    */
+  private def appendableSidecar(
+      spark: SparkSession,
+      path: String,
+      spec: IndexSpec
+  ): Option[Sidecar] =
+    if (spark.conf.get(RefreshConf, "rebuild") != "append") None
+    else
+      readSidecar(spark, path).filter(s =>
+        s.buckets == spec.buckets && s.keys == spec.keys && s.params == spec.params
+      )
+
+  /** Shared append-path tail: sidecar off (crash-safe), session cache
+    * invalidated, table registered over the existing files, delta rows
+    * appended as new bucket files, fresh sidecar committed last.
+    */
+  private def appendToIndex(
+      spark: SparkSession,
+      deltaRows: DataFrame,
+      table: String,
+      path: String,
+      spec: IndexSpec,
+      fp: (Long, Long),
+      invalidate: () => Unit
+  ): Unit = {
+    deleteSidecar(spark, path)
+    invalidate()
+    registerBucketedTable(spark, table, path, spec.buckets, spec.keys)
+    graft.sources.Layouts.appendBucketed(deltaRows, table, spec.keys, spec.buckets)
+    spark.catalog.refreshTable(table)
+    writeSidecar(spark, path, spec, fp)
+  }
 
   /** True when the sidecar at `dataPath` already describes exactly this
     * spec over exactly this data — the idempotent-persist fast path.
@@ -1662,84 +1754,116 @@ object Similarity {
     * session (this JVM or another) reads it back via [[buildLshIndex]]
     * instead of rebuilding.
     *
-    * Idempotent: returns false without touching anything when the persisted
-    * index already matches the current data and parameters; otherwise
-    * recomputes FROM SOURCE (never reading the index table it is about to
-    * replace), rewrites, and returns true. Sidecar-last commit: the old
-    * sidecar is deleted first, so a crash mid-rewrite leaves readers
-    * building fresh rather than reading a torn index.
+    * Idempotent: returns [[Current]] without touching anything when the
+    * persisted index already matches the current data and parameters.
+    * Under `graft.ann.refresh=append` an append-only data change hashes
+    * just the new rows with the same deterministic planes and appends them
+    * ([[Appended]] — bit-identical to a rebuild). Otherwise recomputes FROM
+    * SOURCE (never reading the index table it is about to replace) and
+    * rewrites ([[Rebuilt]]). Sidecar-last commit: the old sidecar is
+    * deleted first, so a crash mid-write leaves readers building fresh
+    * rather than reading a torn index.
     */
-  def persistLshIndex(spark: SparkSession, dir: String, indexDir: String): Boolean = {
+  def persistLshIndex(spark: SparkSession, dir: String, indexDir: String): PersistOutcome = {
     val prof = annProfile(spark)
     val spec = lshSpec(prof)
     val fp = dataFingerprint(spark, dir)
     val path = lshPath(indexDir, dir, prof)
-    if (sidecarCurrent(spark, path, spec, fp)) false
-    else {
-      val table = lshTable(dir, prof)
-      deleteSidecar(spark, path)
-      lshIndexCache.invalidate(spark, s"$dir@${prof.name}")
-      spark.sql(s"DROP TABLE IF EXISTS `$table`")
-      deletePath(spark, path)
-      graft.sources.Layouts.writeBucketed(
-        computeLshIndex(spark, dir, prof),
-        table,
-        spec.keys,
-        spec.buckets,
-        path
-      )
-      writeSidecar(spark, path, spec, fp)
-      true
-    }
+    val table = lshTable(dir, prof)
+    def invalidate() = lshIndexCache.invalidate(spark, s"$dir@${prof.name}")
+    if (sidecarCurrent(spark, path, spec, fp)) Current
+    else
+      appendableSidecar(spark, path, spec)
+        .flatMap(s => appendOnlyDelta(spark, dir, s).map((s, _)))
+        .map { case (s, delta) =>
+          appendToIndex(
+            spark,
+            computeLshIndexOn(spark, delta, prof),
+            table,
+            path,
+            spec,
+            fp,
+            () => invalidate()
+          )
+          Appended(fp._1 - s.rows)
+        }
+        .getOrElse {
+          deleteSidecar(spark, path)
+          invalidate()
+          spark.sql(s"DROP TABLE IF EXISTS `$table`")
+          deletePath(spark, path)
+          graft.sources.Layouts.writeBucketed(
+            computeLshIndex(spark, dir, prof),
+            table,
+            spec.keys,
+            spec.buckets,
+            path
+          )
+          writeSidecar(spark, path, spec, fp)
+          Rebuilt
+        }
   }
 
-  def persistLshIndex(spark: SparkSession, dir: String): Boolean =
+  def persistLshIndex(spark: SparkSession, dir: String): PersistOutcome =
     persistLshIndex(spark, dir, confIndexDir(spark).getOrElse {
       throw new IllegalStateException(s"set $IndexDirConf or pass indexDir explicitly")
     })
 
   /** Materialize the IVF index: the assigned corpus as a table bucketed on
     * (cluster) plus the centroid table (C rows — tiny) as plain parquet.
-    * Cold sessions read both back via [[buildIvfIndex]]. Same idempotent
-    * contract as [[persistLshIndex]].
+    * Cold sessions read both back via [[buildIvfIndex]]. Same idempotent /
+    * sidecar-last contract as [[persistLshIndex]]; under
+    * `graft.ann.refresh=append` an append-only change assigns just the new
+    * rows to the PERSISTED centroids (no retrain — the standard
+    * add-without-retrain trade; rebuild periodically if the data
+    * distribution drifts) and appends them to the cluster-bucketed layout.
     */
-  def persistIvfIndex(spark: SparkSession, dir: String, indexDir: String): Boolean = {
+  def persistIvfIndex(spark: SparkSession, dir: String, indexDir: String): PersistOutcome = {
     val prof = annProfile(spark)
     val spec = ivfSpec(prof)
     val fp = dataFingerprint(spark, dir)
     val path = ivfPath(indexDir, dir, prof)
-    if (sidecarCurrent(spark, path, spec, fp)) false
-    else {
-      val table = ivfTable(dir, prof)
-      deleteSidecar(spark, path)
-      ivfIndexCache.invalidate(spark, s"$dir@${prof.name}")
-      spark.sql(s"DROP TABLE IF EXISTS `$table`")
-      deletePath(spark, path)
-      deletePath(spark, ivfCentroidsPath(indexDir, dir, prof))
-      val emb = Tables.embeddings(spark, dir)
-      val cents = trainCentroidsFrom(emb, prof.ivfC)
-      import spark.implicits._
-      cents.zipWithIndex
-        .map { case (v, i) => (i, v.toSeq) }
-        .toSeq
-        .toDF("cluster", "centroid")
-        .coalesce(1)
-        .write
-        .mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .parquet(ivfCentroidsPath(indexDir, dir, prof))
-      graft.sources.Layouts.writeBucketed(
-        ivfAssign(spark, emb, cents),
-        table,
-        spec.keys,
-        spec.buckets,
-        path
-      )
-      writeSidecar(spark, path, spec, fp)
-      true
-    }
+    val table = ivfTable(dir, prof)
+    def invalidate() = ivfIndexCache.invalidate(spark, s"$dir@${prof.name}")
+    if (sidecarCurrent(spark, path, spec, fp)) Current
+    else
+      appendableSidecar(spark, path, spec)
+        .flatMap(s => appendOnlyDelta(spark, dir, s).map((s, _)))
+        .map { case (s, delta) =>
+          val cents = readCentroidsAt(spark, ivfCentroidsPath(indexDir, dir, prof))
+          appendToIndex(
+            spark,
+            ivfAssign(spark, delta, cents),
+            table,
+            path,
+            spec,
+            fp,
+            () => invalidate()
+          )
+          Appended(fp._1 - s.rows)
+        }
+        .getOrElse {
+          deleteSidecar(spark, path)
+          invalidate()
+          spark.sql(s"DROP TABLE IF EXISTS `$table`")
+          deletePath(spark, path)
+          deletePath(spark, ivfCentroidsPath(indexDir, dir, prof))
+          val emb = Tables.embeddings(spark, dir)
+          val cents = trainCentroidsFrom(emb, prof.ivfC)
+          writeCentroids(spark, cents, ivfCentroidsPath(indexDir, dir, prof))
+          graft.sources.Layouts.writeBucketed(
+            ivfAssign(spark, emb, cents),
+            table,
+            spec.keys,
+            spec.buckets,
+            path
+          )
+          writeSidecar(spark, path, spec, fp)
+          Rebuilt
+        }
   }
 
-  def persistIvfIndex(spark: SparkSession, dir: String): Boolean =
+  def persistIvfIndex(spark: SparkSession, dir: String): PersistOutcome =
     persistIvfIndex(spark, dir, confIndexDir(spark).getOrElse {
       throw new IllegalStateException(s"set $IndexDirConf or pass indexDir explicitly")
     })
@@ -1748,40 +1872,131 @@ object Similarity {
     * per vector, the artifact a 100 TB deployment persists INSTEAD of
     * re-reading embeddings — plus the codebooks (M x K x sub doubles,
     * ~130 KB) as plain parquet. Same idempotent/sidecar-last contract as
-    * [[persistLshIndex]].
+    * [[persistLshIndex]]; under `graft.ann.refresh=append` an append-only
+    * change encodes just the new rows with the PERSISTED codebooks (no
+    * retrain) and appends their 8-byte codes.
     */
-  def persistPqIndex(spark: SparkSession, dir: String, indexDir: String): Boolean = {
+  def persistPqIndex(spark: SparkSession, dir: String, indexDir: String): PersistOutcome = {
     val fp = dataFingerprint(spark, dir)
     val path = pqPath(indexDir, dir)
-    if (sidecarCurrent(spark, path, pqSpec, fp)) false
-    else {
-      val table = pqTable(dir)
-      deleteSidecar(spark, path)
-      pqIndexCache.invalidate(spark, dir)
-      spark.sql(s"DROP TABLE IF EXISTS `$table`")
-      deletePath(spark, path)
-      deletePath(spark, pqBooksPath(indexDir, dir))
-      val emb = Tables.embeddings(spark, dir)
-      val (books, codes) = computePqIndexFrom(spark, emb)
-      import spark.implicits._
-      books.zipWithIndex
-        .flatMap { case (book, j) => book.zipWithIndex.map { case (cw, k) => (j, k, cw.toSeq) } }
-        .toSeq
-        .toDF("subspace", "k", "codeword")
-        .coalesce(1)
-        .write
-        .mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .parquet(pqBooksPath(indexDir, dir))
-      graft.sources.Layouts.writeBucketed(codes, table, pqSpec.keys, pqSpec.buckets, path)
-      writeSidecar(spark, path, pqSpec, fp)
-      true
-    }
+    val table = pqTable(dir)
+    def invalidate() = pqIndexCache.invalidate(spark, dir)
+    if (sidecarCurrent(spark, path, pqSpec, fp)) Current
+    else
+      appendableSidecar(spark, path, pqSpec)
+        .flatMap(s => appendOnlyDelta(spark, dir, s).map((s, _)))
+        .map { case (s, delta) =>
+          val books = readBooksAt(spark, pqBooksPath(indexDir, dir))
+          appendToIndex(
+            spark,
+            pqCodesFor(spark, delta, books),
+            table,
+            path,
+            pqSpec,
+            fp,
+            () => invalidate()
+          )
+          Appended(fp._1 - s.rows)
+        }
+        .getOrElse {
+          deleteSidecar(spark, path)
+          invalidate()
+          spark.sql(s"DROP TABLE IF EXISTS `$table`")
+          deletePath(spark, path)
+          deletePath(spark, pqBooksPath(indexDir, dir))
+          val emb = Tables.embeddings(spark, dir)
+          val (books, codes) = computePqIndexFrom(spark, emb)
+          writeBooks(spark, books, pqBooksPath(indexDir, dir))
+          graft.sources.Layouts.writeBucketed(codes, table, pqSpec.keys, pqSpec.buckets, path)
+          writeSidecar(spark, path, pqSpec, fp)
+          Rebuilt
+        }
   }
 
-  def persistPqIndex(spark: SparkSession, dir: String): Boolean =
+  def persistPqIndex(spark: SparkSession, dir: String): PersistOutcome =
     persistPqIndex(spark, dir, confIndexDir(spark).getOrElse {
       throw new IllegalStateException(s"set $IndexDirConf or pass indexDir explicitly")
     })
+
+  /** The centroid / codebook parquet sidecars of the persisted IVF / PQ /
+    * IVF-PQ families — tiny (C rows / M x K rows), written once per
+    * (re)build, read back by cold sessions and by the append-refresh path
+    * (which must encode new rows under EXACTLY the persisted geometry).
+    */
+  private def writeCentroids(spark: SparkSession, cents: Array[Array[Double]], path: String): Unit = {
+    import spark.implicits._
+    cents.zipWithIndex
+      .map { case (v, i) => (i, v.toSeq) }
+      .toSeq
+      .toDF("cluster", "centroid")
+      .coalesce(1)
+      .write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(path)
+  }
+
+  private def writeBooks(spark: SparkSession, books: Array[Array[Array[Double]]], path: String): Unit = {
+    import spark.implicits._
+    books.zipWithIndex
+      .flatMap { case (book, j) => book.zipWithIndex.map { case (cw, k) => (j, k, cw.toSeq) } }
+      .toSeq
+      .toDF("subspace", "k", "codeword")
+      .coalesce(1)
+      .write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(path)
+  }
+
+  private def readCentroidsAt(spark: SparkSession, path: String): Array[Array[Double]] =
+    spark.read
+      .parquet(path)
+      .orderBy(col("cluster"))
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+
+  private def readBooksAt(spark: SparkSession, path: String): Array[Array[Array[Double]]] = {
+    val rows = spark.read
+      .parquet(path)
+      .orderBy(col("subspace"), col("k"))
+      .collect()
+    Array.tabulate(PQ_M) { j =>
+      rows.filter(_.getInt(0) == j).map(_.getSeq[Double](2).toArray)
+    }
+  }
+
+  /** PQ codes for an arbitrary embedding frame under GIVEN codebooks — the
+    * append-refresh encode (no retrain).
+    */
+  private def pqCodesFor(
+      spark: SparkSession,
+      emb: DataFrame,
+      books: Array[Array[Array[Double]]]
+  ): DataFrame = {
+    graft.functions.VecFunctions.install(spark)
+    val i = installPq(spark, books)
+    withUnit(Tables.balanced(emb), "embedding", "vb")
+      .withColumn("code", expr(s"pq_encode_$i(vb)"))
+      .select(col("vec_id"), col("code"))
+  }
+
+  /** IVF-PQ (vec_id, cluster, code) rows for an arbitrary embedding frame
+    * under GIVEN centroids + codebooks — the append-refresh assign+encode.
+    */
+  private def ivfPqRowsFor(
+      spark: SparkSession,
+      emb: DataFrame,
+      cents: Array[Array[Double]],
+      books: Array[Array[Array[Double]]]
+  ): DataFrame = {
+    graft.functions.VecFunctions.install(spark)
+    val fn = installCentroidRanks(spark, cents)
+    val i = installPq(spark, books)
+    withUnit(Tables.balanced(emb), "embedding", "vb")
+      .withColumn("emb_d", expr(toDouble("embedding")))
+      .withColumn("cluster", expr(s"element_at($fn(emb_d), 1)"))
+      .withColumn("code", expr(s"pq_encode_$i(vb)"))
+      .select(col("vec_id"), col("cluster"), col("code"))
+  }
 
   private def readPersistedPq(
       spark: SparkSession,
@@ -1789,14 +2004,7 @@ object Similarity {
   ): Option[(Array[Array[Array[Double]]], DataFrame)] =
     confIndexDir(spark).flatMap { ix =>
       resolvePersisted(spark, dir, pqTable(dir), pqPath(ix, dir), pqSpec).map { codes =>
-        val rows = spark.read
-          .parquet(pqBooksPath(ix, dir))
-          .orderBy(col("subspace"), col("k"))
-          .collect()
-        val books = Array.tabulate(PQ_M) { j =>
-          rows.filter(_.getInt(0) == j).map(_.getSeq[Double](2).toArray)
-        }
-        (books, codes)
+        (readBooksAt(spark, pqBooksPath(ix, dir)), codes)
       }
     }
 
@@ -1807,12 +2015,7 @@ object Similarity {
   ): Option[(Array[Array[Double]], DataFrame)] =
     confIndexDir(spark).flatMap { ix =>
       resolvePersisted(spark, dir, ivfTable(dir, prof), ivfPath(ix, dir, prof), ivfSpec(prof)).map { corpus =>
-        val cents = spark.read
-          .parquet(ivfCentroidsPath(ix, dir, prof))
-          .orderBy(col("cluster"))
-          .collect()
-          .map(_.getSeq[Double](1).toArray)
-        (cents, corpus)
+        (readCentroidsAt(spark, ivfCentroidsPath(ix, dir, prof)), corpus)
       }
     }
 

@@ -49,6 +49,27 @@ object Layouts {
       .option("path", path)
       .saveAsTable(table)
 
+  /** Append rows to an EXISTING bucketed table (same keys/bucket count —
+    * Spark validates the spec against the catalog entry). Each append adds
+    * one file set per bucket; bucket pruning and co-located joins keep
+    * working (Spark unions a bucket's files; it inserts a sort above the
+    * scan when per-bucket sortedness can no longer be assumed). This is the
+    * cheap half of an append-only refresh: new rows pay one small write,
+    * the existing layout is never rewritten.
+    */
+  def appendBucketed(
+      df: DataFrame,
+      table: String,
+      keys: Seq[String],
+      buckets: Int
+  ): Unit =
+    df.write
+      .mode(SaveMode.Append)
+      .format("parquet")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(table)
+
   /** Persist `df` partitioned by `partitionCol` (directory-level pruning). */
   def writePartitioned(
       df: DataFrame,

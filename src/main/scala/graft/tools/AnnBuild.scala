@@ -10,23 +10,27 @@ import graft.operators.Similarity
   * work. Each persist is idempotent: a current index (matching data
   * fingerprint + geometry sidecar) is skipped, a stale one is rebuilt.
   *
-  *   bin/graft.sh ann-build <dataDir> <indexDir> [profile ...]
+  *   bin/graft.sh ann-build <dataDir> <indexDir> [--append] [profile ...]
   *   sbt "runMain graft.tools.AnnBuild /root/testdata/sf0.1 /tmp/annidx"
   *
   * Profiles default to `fast`; pass `fast quality` to materialize both
   * (profile-keyed artifacts coexist — a query session serves whichever
   * matches its own `graft.ann.profile`). PQ / IVF-PQ geometry is
-  * profile-independent and is built once.
+  * profile-independent and is built once. `--append` sets
+  * `graft.ann.refresh=append`: an ingest tick whose change is append-only
+  * extends each index under its persisted geometry instead of retraining —
+  * the refresh cadence a 100 TB corpus actually runs (periodic full
+  * rebuilds remain one `ann-build` without the flag).
   */
 object AnnBuild {
 
-  /** Persist every family; returns (family -> wrote?) in build order. */
+  /** Persist every family; returns (family -> outcome) in build order. */
   def run(
       spark: org.apache.spark.sql.SparkSession,
       dataDir: String,
       indexDir: String,
       profiles: Seq[String]
-  ): Seq[(String, Boolean)] = {
+  ): Seq[(String, Similarity.PersistOutcome)] = {
     val prior = spark.conf.getOption(Similarity.ProfileConf)
     try {
       val perProfile = profiles.flatMap { prof =>
@@ -46,17 +50,24 @@ object AnnBuild {
   }
 
   def main(args: Array[String]): Unit = {
-    if (args.length < 2) {
-      System.err.println("usage: AnnBuild <dataDir> <indexDir> [profile ...]")
+    val (flags, positional) = args.partition(_.startsWith("--"))
+    if (positional.length < 2 || flags.exists(_ != "--append")) {
+      System.err.println("usage: AnnBuild <dataDir> <indexDir> [--append] [profile ...]")
       sys.exit(2)
     }
-    val Array(dataDir, indexDir) = args.take(2)
-    val profiles = if (args.length > 2) args.drop(2).toSeq else Seq("fast")
+    val Array(dataDir, indexDir) = positional.take(2)
+    val profiles = if (positional.length > 2) positional.drop(2).toSeq else Seq("fast")
     val spark = graft.core.Sessions.local("graft-ann-build")
     try {
       spark.conf.set(Similarity.IndexDirConf, indexDir)
-      run(spark, dataDir, indexDir, profiles).foreach { case (family, wrote) =>
-        println(s"[ann-build] $family: ${if (wrote) "written" else "current, skipped"}")
+      if (flags.contains("--append")) spark.conf.set(Similarity.RefreshConf, "append")
+      run(spark, dataDir, indexDir, profiles).foreach { case (family, outcome) =>
+        val what = outcome match {
+          case Similarity.Current     => "current, skipped"
+          case Similarity.Rebuilt     => "written"
+          case Similarity.Appended(n) => s"appended $n new rows"
+        }
+        println(s"[ann-build] $family: $what")
       }
       println(s"[ann-build] index dir ready: $indexDir (serve with ${Similarity.IndexDirConf}=$indexDir)")
     } finally spark.stop()

@@ -36,8 +36,8 @@ class SimilarityPersistSpec extends SparkSpec {
     val baselineLsh = rowsOf(Similarity.q35LshTopK(spark, sfDir))
     val baselineIvf = rowsOf(Similarity.q36IvfTopK(spark, sfDir))
 
-    assert(Similarity.persistLshIndex(spark, sfDir, indexDir), "first LSH persist should write")
-    assert(Similarity.persistIvfIndex(spark, sfDir, indexDir), "first IVF persist should write")
+    assert(Similarity.persistLshIndex(spark, sfDir, indexDir).wrote, "first LSH persist should write")
+    assert(Similarity.persistIvfIndex(spark, sfDir, indexDir).wrote, "first IVF persist should write")
 
     // force the truly-cold path: no catalog entry, so the reader must
     // rebuild table metadata from the sidecar + parquet footers
@@ -57,20 +57,20 @@ class SimilarityPersistSpec extends SparkSpec {
 
   test("profiles persist to distinct artifacts; neither serves the other's buckets") {
     val indexDir = Files.createTempDirectory("annidx").toString
-    assert(Similarity.persistLshIndex(spark, sfDir, indexDir), "fast persist writes")
+    assert(Similarity.persistLshIndex(spark, sfDir, indexDir).wrote, "fast persist writes")
 
     // a quality-profile session must NOT be satisfied by the fast artifact:
     // its persist call writes its own table under the suffixed path
     val sq = coldSession(indexDir)
     sq.conf.set(Similarity.ProfileConf, "quality")
     val baselineQ = rowsOf(Similarity.q35LshTopK(sq, sfDir))
-    assert(Similarity.persistLshIndex(sq, sfDir, indexDir), "quality persist must write its own artifact")
+    assert(Similarity.persistLshIndex(sq, sfDir, indexDir).wrote, "quality persist must write its own artifact")
     assert(
       Similarity.lshTable(sfDir, Similarity.Quality) !== Similarity.lshTable(sfDir, Similarity.Fast),
       "profile tables must not collide"
     )
     // fast artifact untouched by the quality write: re-persist is still a no-op
-    assert(!Similarity.persistLshIndex(spark, sfDir, indexDir), "fast artifact must remain current")
+    assert(!Similarity.persistLshIndex(spark, sfDir, indexDir).wrote, "fast artifact must remain current")
 
     // a truly-cold quality session serves the persisted quality index and
     // reproduces the freshly-built results
@@ -91,16 +91,16 @@ class SimilarityPersistSpec extends SparkSpec {
 
   test("re-persist over a current index is an idempotent no-op") {
     val indexDir = Files.createTempDirectory("annidx").toString
-    assert(Similarity.persistLshIndex(spark, sfDir, indexDir))
-    assert(Similarity.persistIvfIndex(spark, sfDir, indexDir))
+    assert(Similarity.persistLshIndex(spark, sfDir, indexDir).wrote)
+    assert(Similarity.persistIvfIndex(spark, sfDir, indexDir).wrote)
 
     // a session actively READING the persisted index (the round-6 failure
     // mode: build resolved via the table, then persist overwrote it)
     val reader = coldSession(indexDir)
     val before = rowsOf(Similarity.q35LshTopK(reader, sfDir))
 
-    assert(!Similarity.persistLshIndex(reader, sfDir, indexDir), "re-persist must be a no-op")
-    assert(!Similarity.persistIvfIndex(reader, sfDir, indexDir), "re-persist must be a no-op")
+    assert(!Similarity.persistLshIndex(reader, sfDir, indexDir).wrote, "re-persist must be a no-op")
+    assert(!Similarity.persistIvfIndex(reader, sfDir, indexDir).wrote, "re-persist must be a no-op")
     assert(rowsOf(Similarity.q35LshTopK(reader, sfDir)) === before)
   }
 
@@ -111,7 +111,7 @@ class SimilarityPersistSpec extends SparkSpec {
 
     // v1 data: 30 vectors → persist
     src.filter(col("vec_id") < 30).write.mode("overwrite").parquet(s"$dataDir/embeddings.parquet")
-    assert(Similarity.persistLshIndex(spark, dataDir, indexDir))
+    assert(Similarity.persistLshIndex(spark, dataDir, indexDir).wrote)
 
     val s1 = coldSession(indexDir)
     val idx1 = Similarity.buildLshIndex(s1, dataDir)
@@ -130,7 +130,7 @@ class SimilarityPersistSpec extends SparkSpec {
     )
 
     // persist sees the mismatch, rewrites, and a later cold session reads v2
-    assert(Similarity.persistLshIndex(s2, dataDir, indexDir), "stale persist must rewrite")
+    assert(Similarity.persistLshIndex(s2, dataDir, indexDir).wrote, "stale persist must rewrite")
     val s3 = coldSession(indexDir)
     val idx3 = Similarity.buildLshIndex(s3, dataDir)
     assert(s3.catalog.tableExists(Similarity.lshTable(dataDir, Similarity.Fast)))
@@ -148,8 +148,8 @@ class SimilarityPersistSpec extends SparkSpec {
     val baseline = rowsOf(Similarity.q75PqTopK(spark, sfDir))
     val (booksBuilt, _) = Similarity.buildPqIndex(spark, sfDir)
 
-    assert(Similarity.persistPqIndex(spark, sfDir, indexDir), "first PQ persist should write")
-    assert(!Similarity.persistPqIndex(spark, sfDir, indexDir), "re-persist must be a no-op")
+    assert(Similarity.persistPqIndex(spark, sfDir, indexDir).wrote, "first PQ persist should write")
+    assert(!Similarity.persistPqIndex(spark, sfDir, indexDir).wrote, "re-persist must be a no-op")
 
     spark.sql(s"DROP TABLE IF EXISTS `${Similarity.pqTable(sfDir)}`")
     val s2 = coldSession(indexDir)
@@ -166,8 +166,8 @@ class SimilarityPersistSpec extends SparkSpec {
     val indexDir = Files.createTempDirectory("annidx").toString
     val baseline = rowsOf(Similarity.q76IvfPqTopK(spark, sfDir))
 
-    assert(Similarity.persistIvfPqIndex(spark, sfDir, indexDir), "first IVF-PQ persist should write")
-    assert(!Similarity.persistIvfPqIndex(spark, sfDir, indexDir), "re-persist must be a no-op")
+    assert(Similarity.persistIvfPqIndex(spark, sfDir, indexDir).wrote, "first IVF-PQ persist should write")
+    assert(!Similarity.persistIvfPqIndex(spark, sfDir, indexDir).wrote, "re-persist must be a no-op")
 
     spark.sql(s"DROP TABLE IF EXISTS `${Similarity.ivfPqTable(sfDir)}`")
     val s2 = coldSession(indexDir)
@@ -181,7 +181,7 @@ class SimilarityPersistSpec extends SparkSpec {
     val src = graft.core.Tables.embeddings(spark, sfDir)
 
     src.filter(col("vec_id") < 30).write.mode("overwrite").parquet(s"$dataDir/embeddings.parquet")
-    assert(Similarity.persistIvfPqIndex(spark, dataDir, indexDir))
+    assert(Similarity.persistIvfPqIndex(spark, dataDir, indexDir).wrote)
 
     val s1 = coldSession(indexDir)
     val (_, _, idx1) = Similarity.buildIvfPqIndex(s1, dataDir)
@@ -193,7 +193,7 @@ class SimilarityPersistSpec extends SparkSpec {
     val (_, _, idx2) = Similarity.buildIvfPqIndex(s2, dataDir)
     assert(idx2.count() === 50L, "stale persisted IVF-PQ index served after data regeneration")
 
-    assert(Similarity.persistIvfPqIndex(s2, dataDir, indexDir), "stale persist must rewrite")
+    assert(Similarity.persistIvfPqIndex(s2, dataDir, indexDir).wrote, "stale persist must rewrite")
     val s3 = coldSession(indexDir)
     val (_, _, idx3) = Similarity.buildIvfPqIndex(s3, dataDir)
     assert(s3.catalog.tableExists(Similarity.ivfPqTable(dataDir)))
@@ -206,7 +206,7 @@ class SimilarityPersistSpec extends SparkSpec {
     val src = graft.core.Tables.embeddings(spark, sfDir)
 
     src.filter(col("vec_id") < 30).write.mode("overwrite").parquet(s"$dataDir/embeddings.parquet")
-    assert(Similarity.persistPqIndex(spark, dataDir, indexDir))
+    assert(Similarity.persistPqIndex(spark, dataDir, indexDir).wrote)
 
     val s1 = coldSession(indexDir)
     val (books1, codes1) = Similarity.buildPqIndex(s1, dataDir)
@@ -222,7 +222,7 @@ class SimilarityPersistSpec extends SparkSpec {
     assert(codes2.count() === 50L, "stale persisted PQ index served after data regeneration")
     assert(!booksEq(books1, books2), "rebuild must retrain the codebooks on the v2 data")
 
-    assert(Similarity.persistPqIndex(s2, dataDir, indexDir), "stale persist must rewrite")
+    assert(Similarity.persistPqIndex(s2, dataDir, indexDir).wrote, "stale persist must rewrite")
     val s3 = coldSession(indexDir)
     val (books3, codes3) = Similarity.buildPqIndex(s3, dataDir)
     assert(s3.catalog.tableExists(Similarity.pqTable(dataDir)))
@@ -237,7 +237,7 @@ class SimilarityPersistSpec extends SparkSpec {
 
     // v1 data: 30 vectors → persist (corpus table + centroid sidecar table)
     src.filter(col("vec_id") < 30).write.mode("overwrite").parquet(s"$dataDir/embeddings.parquet")
-    assert(Similarity.persistIvfIndex(spark, dataDir, indexDir))
+    assert(Similarity.persistIvfIndex(spark, dataDir, indexDir).wrote)
 
     val s1 = coldSession(indexDir)
     val (cents1, idx1) = Similarity.buildIvfIndex(s1, dataDir)
@@ -260,7 +260,7 @@ class SimilarityPersistSpec extends SparkSpec {
     // persist sees the mismatch and rewrites both artifacts; a later cold
     // session serves v2 from the table, with the centroid parquet
     // round-tripping the exact quantizer the rebuild trained
-    assert(Similarity.persistIvfIndex(s2, dataDir, indexDir), "stale persist must rewrite")
+    assert(Similarity.persistIvfIndex(s2, dataDir, indexDir).wrote, "stale persist must rewrite")
     val s3 = coldSession(indexDir)
     val (cents3, idx3) = Similarity.buildIvfIndex(s3, dataDir)
     assert(s3.catalog.tableExists(Similarity.ivfTable(dataDir, Similarity.Fast)))

@@ -20,10 +20,16 @@ class AnnBuildSpec extends SparkSpec {
       first.map(_._1) === Seq("lsh(fast)", "ivf(fast)", "lsh(quality)", "ivf(quality)", "pq", "ivfpq"),
       first
     )
-    assert(first.forall(_._2), s"every family should be written on first build: $first")
+    assert(
+      first.forall(_._2 == Similarity.Rebuilt),
+      s"every family should be built on first run: $first"
+    )
 
     val second = AnnBuild.run(spark, sfDir, indexDir, Seq("fast", "quality"))
-    assert(second.forall(!_._2), s"re-build over a current index dir must skip everything: $second")
+    assert(
+      second.forall(_._2 == Similarity.Current),
+      s"re-build over a current index dir must skip everything: $second"
+    )
 
     // the builder must leave the caller's profile conf untouched
     assert(spark.conf.getOption(Similarity.ProfileConf).isEmpty)
