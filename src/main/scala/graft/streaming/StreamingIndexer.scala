@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.operators.Similarity
+
+/** Live ANN index maintenance: keeps the persisted index families at
+  * `indexDir` current as embedding files LAND in `dataDir`, by running the
+  * append-only refresh (`graft.ann.refresh=append`) once per micro-batch.
+  *
+  * The file stream is used as a CHANGE SIGNAL only — each tick recomputes
+  * the actual delta from the table's own state (the sidecar's
+  * (rows, maxId) fingerprint against the current files), never from the
+  * micro-batch rows. That keeps one source of truth: redelivered or
+  * reordered batches can't double-index a row (the fingerprint already
+  * covers it → `Current`), a tick that coalesces several file drops
+  * indexes them all at once, and a non-append change discovered at tick
+  * time falls back to the full rebuild exactly like the batch path. The
+  * ingest contract is the same as `ann-build --append`: new rows carry
+  * vec_ids above the indexed maxId (monotone ingest ids).
+  *
+  * `Trigger.AvailableNow` drains what has landed and stops — the cron /
+  * entrypoint cadence; pass a processing-time trigger for a long-lived
+  * maintainer.
+  */
+object StreamingIndexer {
+
+  /** Start the maintainer; `onTick` sees each tick's per-family outcomes
+    * (for tests and operational logging).
+    */
+  def start(
+      spark: SparkSession,
+      dataDir: String,
+      indexDir: String,
+      profiles: Seq[String] = Seq("fast"),
+      trigger: Trigger = Trigger.AvailableNow(),
+      onTick: Seq[(String, Similarity.PersistOutcome)] => Unit = _ => ()
+  ): StreamingQuery = {
+    val embPath = s"$dataDir/embeddings.parquet"
+    val schema = spark.read.parquet(embPath).schema
+    spark.readStream
+      .schema(schema)
+      .parquet(embPath)
+      .writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", s"$indexDir/_indexer_checkpoint")
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        val prior = spark.conf.getOption(Similarity.RefreshConf)
+        spark.conf.set(Similarity.RefreshConf, "append")
+        try onTick(graft.tools.AnnBuild.run(spark, dataDir, indexDir, profiles))
+        finally prior.fold(spark.conf.unset(Similarity.RefreshConf))(
+          spark.conf.set(Similarity.RefreshConf, _)
+        )
+      }
+      .start()
+  }
+}
