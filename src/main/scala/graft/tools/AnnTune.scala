@@ -67,6 +67,22 @@ object AnnTune {
     }
     spark.conf.unset(Similarity.PqShortlistConf)
 
+    // IVF-PQ: the production composition's 2-D grid — nprobe sets how much
+    // of the code table the ADC pass reads (nprobe/C), shortlist the exact
+    // re-rank budget. Both knobs are the session confs q76 already reads.
+    for {
+      np <- Seq(2, 4, 6)
+      sl <- Seq(32, 64, 128)
+    } {
+      spark.conf.set(Similarity.IvfNprobeConf, np.toString)
+      spark.conf.set(Similarity.PqShortlistConf, sl.toString)
+      val ru = recall(topkSet(Similarity.q76IvfPqTopK(spark, sfDir)), exactU)
+      val rp = recall(topkSet(Similarity.plantedIvfPqTopK(spark, sfDir)), exactP)
+      println(f"ivfpq np=$np shortlist=$sl uniform=$ru%.3f planted=$rp%.3f")
+    }
+    spark.conf.unset(Similarity.IvfNprobeConf)
+    spark.conf.unset(Similarity.PqShortlistConf)
+
     // Structural sweep (uniform corpus): the grid the profile presets were
     // chosen from. Tables x planes x probes for LSH, nprobe (x centroid
     // count) for IVF — uniform recall vs measured scanned fraction, the
