@@ -1195,42 +1195,28 @@ object Similarity {
     * parquet. Same idempotent/sidecar-last contract as the other families.
     */
   def persistIvfPqIndex(spark: SparkSession, dir: String, indexDir: String): PersistOutcome = {
-    val fp = dataFingerprint(spark, dir)
     val path = ivfPqPath(indexDir, dir)
     val table = ivfPqTable(dir)
-    def invalidate() = ivfPqCache.invalidate(spark, dir)
-    if (sidecarCurrent(spark, path, ivfPqSpec, fp)) Current
-    else
-      appendableSidecar(spark, path, ivfPqSpec)
-        .flatMap(s => appendOnlyDelta(spark, dir, s).map((s, _)))
-        .map { case (s, delta) =>
-          val cents = readCentroidsAt(spark, ivfPqCentroidsPath(indexDir, dir))
-          val books = readBooksAt(spark, ivfPqBooksPath(indexDir, dir))
-          appendToIndex(
-            spark,
-            ivfPqRowsFor(spark, delta, cents, books),
-            table,
-            path,
-            ivfPqSpec,
-            fp,
-            () => invalidate()
-          )
-          Appended(fp._1 - s.rows)
-        }
-        .getOrElse {
-          deleteSidecar(spark, path)
-          invalidate()
-          spark.sql(s"DROP TABLE IF EXISTS `$table`")
-          deletePath(spark, path)
-          deletePath(spark, ivfPqBooksPath(indexDir, dir))
-          deletePath(spark, ivfPqCentroidsPath(indexDir, dir))
-          val (cents, books, index) = computeIvfPqIndexFrom(spark, Tables.embeddings(spark, dir))
-          writeCentroids(spark, cents, ivfPqCentroidsPath(indexDir, dir))
-          writeBooks(spark, books, ivfPqBooksPath(indexDir, dir))
-          graft.sources.Layouts.writeBucketed(index, table, ivfPqSpec.keys, ivfPqSpec.buckets, path)
-          writeSidecar(spark, path, ivfPqSpec, fp)
-          Rebuilt
-        }
+    val centsPath = ivfPqCentroidsPath(indexDir, dir)
+    val booksPath = ivfPqBooksPath(indexDir, dir)
+    persistFamily(
+      spark,
+      dir,
+      table,
+      path,
+      ivfPqSpec,
+      invalidate = () => ivfPqCache.invalidate(spark, dir),
+      computeDeltaRows = delta =>
+        ivfPqRowsFor(spark, delta, readCentroidsAt(spark, centsPath), readBooksAt(spark, booksPath)),
+      rebuild = () => {
+        deletePath(spark, booksPath)
+        deletePath(spark, centsPath)
+        val (cents, books, index) = computeIvfPqIndexFrom(spark, Tables.embeddings(spark, dir))
+        writeCentroids(spark, cents, centsPath)
+        writeBooks(spark, books, booksPath)
+        graft.sources.Layouts.writeBucketed(index, table, ivfPqSpec.keys, ivfPqSpec.buckets, path)
+      }
+    )
   }
 
   def persistIvfPqIndex(spark: SparkSession, dir: String): PersistOutcome =
@@ -1678,19 +1664,41 @@ object Similarity {
       )
     } else spark.catalog.refreshTable(table)
 
-  /** The new embedding rows when the current data is an APPEND-ONLY
-    * extension of what `s` indexed — every already-indexed row still
-    * present (same count at vec_id <= s.maxId) and at least one new row
-    * above s.maxId. None for any other change (rewrite, shrink, in-place
-    * edit): those need a full rebuild.
+  /** The (delta rows, fingerprint-to-commit, new-row count) when the
+    * current data is an APPEND-ONLY extension of what `s` indexed — every
+    * already-indexed row still present (same count at vec_id <= s.maxId)
+    * and at least one new row above it. None for any other change
+    * (rewrite, shrink): those need a full rebuild.
+    *
+    * All three values come from ONE aggregate snapshot, and the delta is
+    * bounded to (s.maxId, snapshot max]: rows that land mid-append carry
+    * ids above the snapshot max (the monotone-id ingest contract), so they
+    * are excluded from this append and the committed fingerprint describes
+    * exactly what was indexed — the next tick picks them up instead of
+    * this one double-counting them. The contract's blind spot is honest:
+    * a count-preserving in-place EDIT below s.maxId is not detectable
+    * from (rows, maxId) — append mode trusts that indexed rows are
+    * immutable; keep the default `rebuild` policy when they can mutate.
     */
-  private def appendOnlyDelta(spark: SparkSession, dir: String, s: Sidecar): Option[DataFrame] = {
+  private def appendOnlyDelta(
+      spark: SparkSession,
+      dir: String,
+      s: Sidecar
+  ): Option[(DataFrame, (Long, Long), Long)] = {
     val emb = Tables.embeddings(spark, dir)
     val r = emb
-      .agg(max(col("vec_id")), count(when(col("vec_id") <= s.maxId, 1)))
+      .agg(count(lit(1)), max(col("vec_id")), count(when(col("vec_id") <= s.maxId, 1)))
       .collect()(0)
-    val maxId = if (r.isNullAt(0)) -1L else r.getLong(0)
-    if (maxId > s.maxId && r.getLong(1) == s.rows) Some(emb.filter(col("vec_id") > s.maxId))
+    val total = r.getLong(0)
+    val maxId = if (r.isNullAt(1)) -1L else r.getLong(1)
+    if (maxId > s.maxId && r.getLong(2) == s.rows)
+      Some(
+        (
+          emb.filter(col("vec_id") > s.maxId && col("vec_id") <= maxId),
+          (total, maxId),
+          total - s.rows
+        )
+      )
     else None
   }
 
@@ -1710,8 +1718,12 @@ object Similarity {
       )
 
   /** Shared append-path tail: sidecar off (crash-safe), session cache
-    * invalidated, table registered over the existing files, delta rows
-    * appended as new bucket files, fresh sidecar committed last.
+    * invalidated, table metadata re-pointed at THIS index dir's files (the
+    * table name keys on the data dir only, so a previous persist to a
+    * different index dir may have left it at the other location — a
+    * location-blind append would write there and stamp this sidecar with
+    * rows it never received), delta rows appended as new bucket files,
+    * fresh sidecar committed last.
     */
   private def appendToIndex(
       spark: SparkSession,
@@ -1724,10 +1736,50 @@ object Similarity {
   ): Unit = {
     deleteSidecar(spark, path)
     invalidate()
+    // drop + recreate is metadata-only (external table) and guarantees the
+    // append lands under `path` whatever location the name pointed at
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
     registerBucketedTable(spark, table, path, spec.buckets, spec.keys)
     graft.sources.Layouts.appendBucketed(deltaRows, table, spec.keys, spec.buckets)
     spark.catalog.refreshTable(table)
     writeSidecar(spark, path, spec, fp)
+  }
+
+  /** Shared persist orchestration for every index family: [[Current]] on a
+    * matching sidecar; bounded append under `graft.ann.refresh=append` for
+    * an append-only change; full retrain otherwise. `computeDeltaRows`
+    * maps the bounded delta embeddings to index rows under the PERSISTED
+    * geometry; `rebuild` retrains from source and writes the table +
+    * geometry artifacts — everything except the sidecar, which this driver
+    * commits last (sidecar-last: a crash mid-write leaves readers building
+    * fresh rather than serving a torn index).
+    */
+  private def persistFamily(
+      spark: SparkSession,
+      dir: String,
+      table: String,
+      path: String,
+      spec: IndexSpec,
+      invalidate: () => Unit,
+      computeDeltaRows: DataFrame => DataFrame,
+      rebuild: () => Unit
+  ): PersistOutcome = {
+    val fp = dataFingerprint(spark, dir)
+    if (sidecarCurrent(spark, path, spec, fp)) Current
+    else
+      appendableSidecar(spark, path, spec).flatMap(s => appendOnlyDelta(spark, dir, s)) match {
+        case Some((delta, snapFp, nNew)) =>
+          appendToIndex(spark, computeDeltaRows(delta), table, path, spec, snapFp, invalidate)
+          Appended(nNew)
+        case None =>
+          deleteSidecar(spark, path)
+          invalidate()
+          spark.sql(s"DROP TABLE IF EXISTS `$table`")
+          deletePath(spark, path)
+          rebuild()
+          writeSidecar(spark, path, spec, fp)
+          Rebuilt
+      }
   }
 
   /** True when the sidecar at `dataPath` already describes exactly this
@@ -1767,41 +1819,25 @@ object Similarity {
   def persistLshIndex(spark: SparkSession, dir: String, indexDir: String): PersistOutcome = {
     val prof = annProfile(spark)
     val spec = lshSpec(prof)
-    val fp = dataFingerprint(spark, dir)
     val path = lshPath(indexDir, dir, prof)
     val table = lshTable(dir, prof)
-    def invalidate() = lshIndexCache.invalidate(spark, s"$dir@${prof.name}")
-    if (sidecarCurrent(spark, path, spec, fp)) Current
-    else
-      appendableSidecar(spark, path, spec)
-        .flatMap(s => appendOnlyDelta(spark, dir, s).map((s, _)))
-        .map { case (s, delta) =>
-          appendToIndex(
-            spark,
-            computeLshIndexOn(spark, delta, prof),
-            table,
-            path,
-            spec,
-            fp,
-            () => invalidate()
-          )
-          Appended(fp._1 - s.rows)
-        }
-        .getOrElse {
-          deleteSidecar(spark, path)
-          invalidate()
-          spark.sql(s"DROP TABLE IF EXISTS `$table`")
-          deletePath(spark, path)
-          graft.sources.Layouts.writeBucketed(
-            computeLshIndex(spark, dir, prof),
-            table,
-            spec.keys,
-            spec.buckets,
-            path
-          )
-          writeSidecar(spark, path, spec, fp)
-          Rebuilt
-        }
+    persistFamily(
+      spark,
+      dir,
+      table,
+      path,
+      spec,
+      invalidate = () => lshIndexCache.invalidate(spark, s"$dir@${prof.name}"),
+      computeDeltaRows = delta => computeLshIndexOn(spark, delta, prof),
+      rebuild = () =>
+        graft.sources.Layouts.writeBucketed(
+          computeLshIndex(spark, dir, prof),
+          table,
+          spec.keys,
+          spec.buckets,
+          path
+        )
+    )
   }
 
   def persistLshIndex(spark: SparkSession, dir: String): PersistOutcome =
@@ -1821,46 +1857,31 @@ object Similarity {
   def persistIvfIndex(spark: SparkSession, dir: String, indexDir: String): PersistOutcome = {
     val prof = annProfile(spark)
     val spec = ivfSpec(prof)
-    val fp = dataFingerprint(spark, dir)
     val path = ivfPath(indexDir, dir, prof)
     val table = ivfTable(dir, prof)
-    def invalidate() = ivfIndexCache.invalidate(spark, s"$dir@${prof.name}")
-    if (sidecarCurrent(spark, path, spec, fp)) Current
-    else
-      appendableSidecar(spark, path, spec)
-        .flatMap(s => appendOnlyDelta(spark, dir, s).map((s, _)))
-        .map { case (s, delta) =>
-          val cents = readCentroidsAt(spark, ivfCentroidsPath(indexDir, dir, prof))
-          appendToIndex(
-            spark,
-            ivfAssign(spark, delta, cents),
-            table,
-            path,
-            spec,
-            fp,
-            () => invalidate()
-          )
-          Appended(fp._1 - s.rows)
-        }
-        .getOrElse {
-          deleteSidecar(spark, path)
-          invalidate()
-          spark.sql(s"DROP TABLE IF EXISTS `$table`")
-          deletePath(spark, path)
-          deletePath(spark, ivfCentroidsPath(indexDir, dir, prof))
-          val emb = Tables.embeddings(spark, dir)
-          val cents = trainCentroidsFrom(emb, prof.ivfC)
-          writeCentroids(spark, cents, ivfCentroidsPath(indexDir, dir, prof))
-          graft.sources.Layouts.writeBucketed(
-            ivfAssign(spark, emb, cents),
-            table,
-            spec.keys,
-            spec.buckets,
-            path
-          )
-          writeSidecar(spark, path, spec, fp)
-          Rebuilt
-        }
+    val centsPath = ivfCentroidsPath(indexDir, dir, prof)
+    persistFamily(
+      spark,
+      dir,
+      table,
+      path,
+      spec,
+      invalidate = () => ivfIndexCache.invalidate(spark, s"$dir@${prof.name}"),
+      computeDeltaRows = delta => ivfAssign(spark, delta, readCentroidsAt(spark, centsPath)),
+      rebuild = () => {
+        deletePath(spark, centsPath)
+        val emb = Tables.embeddings(spark, dir)
+        val cents = trainCentroidsFrom(emb, prof.ivfC)
+        writeCentroids(spark, cents, centsPath)
+        graft.sources.Layouts.writeBucketed(
+          ivfAssign(spark, emb, cents),
+          table,
+          spec.keys,
+          spec.buckets,
+          path
+        )
+      }
+    )
   }
 
   def persistIvfIndex(spark: SparkSession, dir: String): PersistOutcome =
@@ -1877,40 +1898,24 @@ object Similarity {
     * retrain) and appends their 8-byte codes.
     */
   def persistPqIndex(spark: SparkSession, dir: String, indexDir: String): PersistOutcome = {
-    val fp = dataFingerprint(spark, dir)
     val path = pqPath(indexDir, dir)
     val table = pqTable(dir)
-    def invalidate() = pqIndexCache.invalidate(spark, dir)
-    if (sidecarCurrent(spark, path, pqSpec, fp)) Current
-    else
-      appendableSidecar(spark, path, pqSpec)
-        .flatMap(s => appendOnlyDelta(spark, dir, s).map((s, _)))
-        .map { case (s, delta) =>
-          val books = readBooksAt(spark, pqBooksPath(indexDir, dir))
-          appendToIndex(
-            spark,
-            pqCodesFor(spark, delta, books),
-            table,
-            path,
-            pqSpec,
-            fp,
-            () => invalidate()
-          )
-          Appended(fp._1 - s.rows)
-        }
-        .getOrElse {
-          deleteSidecar(spark, path)
-          invalidate()
-          spark.sql(s"DROP TABLE IF EXISTS `$table`")
-          deletePath(spark, path)
-          deletePath(spark, pqBooksPath(indexDir, dir))
-          val emb = Tables.embeddings(spark, dir)
-          val (books, codes) = computePqIndexFrom(spark, emb)
-          writeBooks(spark, books, pqBooksPath(indexDir, dir))
-          graft.sources.Layouts.writeBucketed(codes, table, pqSpec.keys, pqSpec.buckets, path)
-          writeSidecar(spark, path, pqSpec, fp)
-          Rebuilt
-        }
+    val booksPath = pqBooksPath(indexDir, dir)
+    persistFamily(
+      spark,
+      dir,
+      table,
+      path,
+      pqSpec,
+      invalidate = () => pqIndexCache.invalidate(spark, dir),
+      computeDeltaRows = delta => pqCodesFor(spark, delta, readBooksAt(spark, booksPath)),
+      rebuild = () => {
+        deletePath(spark, booksPath)
+        val (books, codes) = computePqIndexFrom(spark, Tables.embeddings(spark, dir))
+        writeBooks(spark, books, booksPath)
+        graft.sources.Layouts.writeBucketed(codes, table, pqSpec.keys, pqSpec.buckets, path)
+      }
+    )
   }
 
   def persistPqIndex(spark: SparkSession, dir: String): PersistOutcome =

@@ -50,12 +50,16 @@ object Layouts {
       .saveAsTable(table)
 
   /** Append rows to an EXISTING bucketed table (same keys/bucket count —
-    * Spark validates the spec against the catalog entry). Each append adds
-    * one file set per bucket; bucket pruning and co-located joins keep
-    * working (Spark unions a bucket's files; it inserts a sort above the
-    * scan when per-bucket sortedness can no longer be assumed). This is the
-    * cheap half of an append-only refresh: new rows pay one small write,
-    * the existing layout is never rewritten.
+    * Spark validates the spec against the catalog entry). The rows are
+    * first repartitioned on the bucket keys into `buckets` partitions —
+    * the same hash the bucketed writer uses — so each append adds AT MOST
+    * one file per bucket instead of one per (task, bucket); without this a
+    * frequent append cadence (the streaming index maintainer) multiplies
+    * file counts by core count every tick. Bucket pruning and co-located
+    * joins keep working across appends (Spark unions a bucket's files; it
+    * inserts a sort above the scan when per-bucket sortedness can no
+    * longer be assumed). A periodic full rewrite (`writeBucketed`) remains
+    * the compaction path once accumulated append files dominate scan time.
     */
   def appendBucketed(
       df: DataFrame,
@@ -63,7 +67,8 @@ object Layouts {
       keys: Seq[String],
       buckets: Int
   ): Unit =
-    df.write
+    df.repartition(buckets, keys.map(df.col): _*)
+      .write
       .mode(SaveMode.Append)
       .format("parquet")
       .bucketBy(buckets, keys.head, keys.tail: _*)

@@ -27,7 +27,10 @@ import graft.operators.Similarity
 object StreamingIndexer {
 
   /** Start the maintainer; `onTick` sees each tick's per-family outcomes
-    * (for tests and operational logging).
+    * (for tests and operational logging). The refresh runs on a DEDICATED
+    * session clone: persist* reads `graft.ann.refresh` / `graft.ann
+    * .profile` from session conf, and a long-lived maintainer must not
+    * mutate those on a session that is concurrently serving queries.
     */
   def start(
       spark: SparkSession,
@@ -39,6 +42,9 @@ object StreamingIndexer {
   ): StreamingQuery = {
     val embPath = s"$dataDir/embeddings.parquet"
     val schema = spark.read.parquet(embPath).schema
+    val maintainer = spark.newSession()
+    maintainer.conf.set(Similarity.IndexDirConf, indexDir)
+    maintainer.conf.set(Similarity.RefreshConf, "append")
     spark.readStream
       .schema(schema)
       .parquet(embPath)
@@ -46,12 +52,7 @@ object StreamingIndexer {
       .trigger(trigger)
       .option("checkpointLocation", s"$indexDir/_indexer_checkpoint")
       .foreachBatch { (_: DataFrame, _: Long) =>
-        val prior = spark.conf.getOption(Similarity.RefreshConf)
-        spark.conf.set(Similarity.RefreshConf, "append")
-        try onTick(graft.tools.AnnBuild.run(spark, dataDir, indexDir, profiles))
-        finally prior.fold(spark.conf.unset(Similarity.RefreshConf))(
-          spark.conf.set(Similarity.RefreshConf, _)
-        )
+        onTick(graft.tools.AnnBuild.run(maintainer, dataDir, indexDir, profiles))
       }
       .start()
   }

@@ -116,6 +116,33 @@ class SimilarityRefreshSpec extends SparkSpec {
     assert(Similarity.buildIvfPqIndex(s2, dataDir)._3.count() === 50L)
   }
 
+  test("append lands in the targeted index dir even when the table last pointed elsewhere") {
+    // the catalog table name keys on the DATA dir only — persisting the
+    // same data to two index dirs leaves the name pointing at whichever
+    // was written last; a location-blind append would write into that one
+    // and stamp the other's sidecar with rows it never received
+    val dirA = Files.createTempDirectory("annidxA").toString
+    val dirB = Files.createTempDirectory("annidxB").toString
+    val dataDir = Files.createTempDirectory("anndata").toString
+    writeRows(dataDir, 30)
+    assert(Similarity.persistLshIndex(session(dirA, Some("append")), dataDir, dirA) === Similarity.Rebuilt)
+    assert(Similarity.persistLshIndex(session(dirB, Some("append")), dataDir, dirB) === Similarity.Rebuilt)
+
+    writeRows(dataDir, 50)
+    assert(Similarity.persistLshIndex(session(dirA, Some("append")), dataDir, dirA) === Similarity.Appended(20))
+    assert(
+      Similarity.buildLshIndex(session(dirA, None), dataDir).select("vec_id").distinct().count() === 50L,
+      "index dir A must actually hold the appended rows"
+    )
+
+    // B's sidecar is honestly stale (it missed the append); its own
+    // append-refresh then catches B up independently
+    assert(Similarity.persistLshIndex(session(dirB, Some("append")), dataDir, dirB) === Similarity.Appended(20))
+    assert(
+      Similarity.buildLshIndex(session(dirB, None), dataDir).select("vec_id").distinct().count() === 50L
+    )
+  }
+
   test("a non-append change still forces a full rebuild under refresh=append") {
     val indexDir = Files.createTempDirectory("annidx").toString
     val dataDir = Files.createTempDirectory("anndata").toString
