@@ -59,6 +59,10 @@ object PlanAudit {
     "q75_pq_topk" -> Map(
       "BroadcastNestedLoopJoin" ->
         "the ADC pass is a declared exhaustive scan of the 4-byte CODE table (PQ's contract: compressed scan, no float math); re-rank is a BHJ on vec_id"
+    ),
+    "q77_corpus_build" -> Map(
+      "BroadcastNestedLoopJoin" ->
+        "inherits q70's plan stage (1-row broadcast totals/cap over the survivor counts); every corpus-side join is keyed (fp, sh_key, doc_id, source)"
     )
   )
 

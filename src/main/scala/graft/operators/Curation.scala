@@ -340,15 +340,18 @@ object Curation {
   // per-source rows (dozens) — the cap is a broadcast single-row aggregate,
   // never a driver collect.
   // ---------------------------------------------------------------------------
-  def q70MixturePlan(spark: SparkSession, dir: String): DataFrame = {
-    val bySource = Tables
-      .documents(spark, dir)
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"))
+  /** q70's plan math over ANY (source, n_docs) frame — q70 feeds it raw
+    * corpus counts, q77 the post-filter survivor counts. Keeps `target_w`
+    * so callers can derive shares; expression forms are kept EXACTLY as the
+    * gate-passing q70/q74 oracles write them (double-division order is the
+    * cross-engine contract).
+    */
+  private def mixturePlanOver(bySourceIn: DataFrame): DataFrame = {
+    val bySource = bySourceIn
       // w ∝ (index + 1), normalized over the sources present
       .withColumn("idx", expr("cast(substring(source, 4) AS int)"))
       // source-count rows (dozens): stage them so the three consumers
-      // (weight norm, cap, plan) don't each re-scan the corpus
+      // (weight norm, cap, plan) don't each recompute their input
       .localCheckpoint()
     val withW = bySource
       .crossJoin(broadcast(bySource.agg(
@@ -362,6 +365,15 @@ object Curation {
       .crossJoin(broadcast(cap))
       .withColumn("sample_rate", expr("floor(cap * target_w * n_total / n_docs * 1e6 + 5e-1) / 1e6"))
       .withColumn("expected_docs", expr("cast(floor(cap * target_w * n_total + 5e-1) AS bigint)"))
+  }
+
+  def q70MixturePlan(spark: SparkSession, dir: String): DataFrame =
+    mixturePlanOver(
+      Tables
+        .documents(spark, dir)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+    )
       .select(
         col("source"),
         col("n_docs"),
@@ -370,7 +382,6 @@ object Curation {
         col("expected_docs")
       )
       .orderBy(col("source"))
-  }
 
   val q70Oracle: String =
     """WITH s AS (
@@ -777,6 +788,209 @@ object Curation {
       |GROUP BY 1
       |ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q77 — end-to-end corpus build: the full curation pipeline COMPOSED as
+  // one declarative plan — q72's rule battery, q29's exact dedup (canonical
+  // min-doc_id owner), q67's test-split decontamination, and q70's mixture
+  // plan applied with q74's deterministic coin — with per-document
+  // FIRST-FAILING-STAGE attribution rolled up per source. This is the query
+  // a corpus team actually ships; each stage is the already-oracle-gated
+  // operator, and the composition itself is oracle-gated as one CTE chain.
+  //
+  // Pipeline order (first failure wins):
+  //   rules         q72's battery rejects the doc
+  //   held_out      validation/test split (bucket >= 205) — not training
+  //                 data (the test side still feeds the decontamination
+  //                 vocabulary, exactly q67's split)
+  //   duplicate     not the canonical (min doc_id) owner of its normalized
+  //                 fingerprint among rule-passing train docs
+  //   contaminated  shares >= 1 verbatim 8-gram with any test-split doc
+  //   sampled_out   q70's plan — computed over the ELIGIBLE survivors, the
+  //                 honest base for mixture math — says down-sample
+  //                 (q74's md5-fraction coin)
+  //   kept          the training corpus
+  //
+  // Scale shape: ONE corpus scan fused into the signal projection (rules +
+  // split bucket + dedup fingerprint + sampling coin in one pass), staged
+  // once; the dedup groupBy and shingle joins key on fixed-width hashes
+  // (fp = md5(norm); sh_key via `graft.curation.keyhash`); the stage-
+  // attributed table is re-staged NARROW (5 columns) for its two consumers;
+  // the mixture plan is dozens of rows with 1-row broadcast totals (the
+  // whitelisted q70 pattern); the report is a single groupBy(source).
+  // ---------------------------------------------------------------------------
+  def q77CorpusBuild(spark: SparkSession, dir: String): DataFrame = {
+    val hashFn = keyHashFn(spark)
+    val base = funnelSignals(Tables.balanced(Tables.documents(spark, dir)))
+      .withColumn("bucket", conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10).cast("int"))
+      .withColumn("fp", md5(col("norm")))
+      .withColumn(
+        "u",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10).cast("double") / 65536.0
+      )
+      .select(
+        col("doc_id"),
+        col("source"),
+        col("norm"),
+        col("n_tokens"),
+        col("reason"),
+        col("bucket"),
+        col("fp"),
+        col("u")
+      )
+      .localCheckpoint()
+
+    val canon = base
+      .filter(col("reason") === "pass" && col("bucket") < 205)
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("canon_id"))
+
+    // distinct 8-gram keys per doc (q67's shingle convention; re-splitting
+    // norm per consumer is cheaper than checkpointing token arrays)
+    def shinglesOf(df: DataFrame): DataFrame = df
+      .withColumn("toks", expr("split(norm, ' ')"))
+      .filter(size(col("toks")) >= 8)
+      .select(
+        col("doc_id"),
+        explode(expr("transform(sequence(1, size(toks) - 7), i -> array_join(slice(toks, i, 8), ' '))"))
+          .as("shingle")
+      )
+      .select(col("doc_id"), expr(s"$hashFn(shingle)").as("sh_key"))
+      .distinct()
+
+    val withCanon = base.join(canon, Seq("fp"), "left")
+    val survivors = withCanon.filter(
+      col("reason") === "pass" && col("bucket") < 205 && col("doc_id") === col("canon_id")
+    )
+    val testSh = shinglesOf(base.filter(col("bucket") >= 230)).select(col("sh_key")).distinct()
+    val contaminated = shinglesOf(survivors.select(col("doc_id"), col("norm")))
+      .join(testSh, "sh_key")
+      .select(col("doc_id"))
+      .distinct()
+      .withColumn("contam", lit(true))
+
+    val staged = withCanon
+      .join(contaminated, Seq("doc_id"), "left")
+      .withColumn(
+        "stage",
+        expr(
+          "CASE WHEN reason <> 'pass' THEN 'rules' " +
+            "WHEN bucket >= 205 THEN 'held_out' " +
+            "WHEN doc_id <> canon_id THEN 'duplicate' " +
+            "WHEN coalesce(contam, false) THEN 'contaminated' " +
+            "ELSE 'eligible' END"
+        )
+      )
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("u"), col("stage"))
+      .localCheckpoint()
+
+    val plan = mixturePlanOver(
+      staged.filter(col("stage") === "eligible").groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    ).select(col("source"), col("sample_rate"))
+
+    staged
+      .join(broadcast(plan), Seq("source"), "left")
+      .withColumn(
+        "final_stage",
+        expr(
+          "CASE WHEN stage <> 'eligible' THEN stage WHEN u < sample_rate THEN 'kept' ELSE 'sampled_out' END"
+        )
+      )
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_input"),
+        sum(when(col("final_stage") === "rules", 1L).otherwise(0L)).as("n_rules"),
+        sum(when(col("final_stage") === "held_out", 1L).otherwise(0L)).as("n_held_out"),
+        sum(when(col("final_stage") === "duplicate", 1L).otherwise(0L)).as("n_dup"),
+        sum(when(col("final_stage") === "contaminated", 1L).otherwise(0L)).as("n_contaminated"),
+        sum(when(col("final_stage") === "sampled_out", 1L).otherwise(0L)).as("n_sampled_out"),
+        sum(when(col("final_stage") === "kept", 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("final_stage") === "kept", col("n_tokens")).otherwise(0L)).as("kept_tokens")
+      )
+      .orderBy(col("source"))
+  }
+
+  val q77Oracle: String = {
+    val langList = TargetLangs.map(l => s"'$l'").mkString(", ")
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, source,
+       |         regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm,
+       |         CAST(('0x' || substring(md5(doc_id::VARCHAR), 1, 2))::INT AS INT) AS bucket,
+       |         CAST(('0x' || substring(md5(doc_id::VARCHAR), 1, 4))::INT AS DOUBLE) / 65536.0 AS u
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, lang, source, norm, bucket, u,
+       |         string_split(norm, ' ') AS toks,
+       |         len(string_split(norm, ' ')) AS n_tokens,
+       |         len(replace(norm, ' ', '')) AS letters,
+       |         len(regexp_replace(norm, '[a-z0-9 ]', '', 'g'))::DOUBLE
+       |           / greatest(len(norm), 1) AS symbol_ratio,
+       |         md5(norm) AS fp
+       |  FROM d),
+       |r AS (
+       |  SELECT *, CASE WHEN lang NOT IN ($langList) THEN 'rules'
+       |              WHEN n_tokens < $MIN_TOKENS THEN 'rules'
+       |              WHEN n_tokens > $MAX_TOKENS THEN 'rules'
+       |              WHEN letters::DOUBLE / n_tokens < 2 OR letters::DOUBLE / n_tokens > 12 THEN 'rules'
+       |              WHEN symbol_ratio > 0.25 THEN 'rules'
+       |              WHEN floor((CASE WHEN n_tokens >= 2 THEN
+       |                      1.0 - len(list_distinct(list_transform(range(1, n_tokens),
+       |                            i -> toks[i] || ' ' || toks[i+1])))::DOUBLE / (n_tokens - 1)
+       |                    ELSE 0 END) * 1e6 + 5e-1) / 1e6 > 0.2 THEN 'rules'
+       |              ELSE 'pass' END AS verdict
+       |  FROM s),
+       |canon AS (
+       |  SELECT fp, min(doc_id) AS canon_id
+       |  FROM r WHERE verdict = 'pass' AND bucket < 205 GROUP BY 1),
+       |test_sh AS (
+       |  SELECT DISTINCT md5(unnest(list_transform(range(1, len(toks) - 6),
+       |                                            i -> array_to_string(toks[i:i+7], ' ')))) AS sh_key
+       |  FROM r WHERE bucket >= 230 AND len(toks) >= 8),
+       |surv AS (
+       |  SELECT r.doc_id AS doc_id, r.toks AS toks
+       |  FROM r JOIN canon USING (fp)
+       |  WHERE verdict = 'pass' AND bucket < 205 AND doc_id = canon_id),
+       |surv_sh AS (
+       |  SELECT DISTINCT doc_id,
+       |         md5(unnest(list_transform(range(1, len(toks) - 6),
+       |                                   i -> array_to_string(toks[i:i+7], ' ')))) AS sh_key
+       |  FROM surv WHERE len(toks) >= 8),
+       |contam AS (SELECT DISTINCT surv_sh.doc_id FROM surv_sh JOIN test_sh USING (sh_key)),
+       |stg AS (
+       |  SELECT r.doc_id AS doc_id, r.source AS source, r.n_tokens AS n_tokens, r.u AS u,
+       |         CASE WHEN verdict <> 'pass' THEN 'rules'
+       |              WHEN bucket >= 205 THEN 'held_out'
+       |              WHEN r.doc_id <> canon.canon_id THEN 'duplicate'
+       |              WHEN contam.doc_id IS NOT NULL THEN 'contaminated'
+       |              ELSE 'eligible' END AS stage
+       |  FROM r LEFT JOIN canon USING (fp) LEFT JOIN contam ON r.doc_id = contam.doc_id),
+       |sc AS (
+       |  SELECT source, count(*) AS n_docs, CAST(substring(source, 4) AS INT) AS idx
+       |  FROM stg WHERE stage = 'eligible' GROUP BY 1),
+       |tot AS (SELECT CAST(sum(idx + 1) AS DOUBLE) AS w_sum, CAST(sum(n_docs) AS DOUBLE) AS n_total FROM sc),
+       |w AS (SELECT source, n_docs, (idx + 1) / tot.w_sum AS target_w, tot.n_total AS n_total FROM sc, tot),
+       |cap AS (SELECT min(n_docs / (target_w * n_total)) AS cap FROM w),
+       |plan AS (
+       |  SELECT source, floor(cap.cap * target_w * n_total / n_docs * 1e6 + 5e-1) / 1e6 AS sample_rate
+       |  FROM w, cap),
+       |fin AS (
+       |  SELECT stg.source AS source, stg.n_tokens AS n_tokens,
+       |         CASE WHEN stage <> 'eligible' THEN stage
+       |              WHEN stg.u < plan.sample_rate THEN 'kept'
+       |              ELSE 'sampled_out' END AS final_stage
+       |  FROM stg LEFT JOIN plan USING (source))
+       |SELECT source,
+       |       CAST(count(*) AS BIGINT) AS n_input,
+       |       CAST(sum(CASE WHEN final_stage = 'rules' THEN 1 ELSE 0 END) AS BIGINT) AS n_rules,
+       |       CAST(sum(CASE WHEN final_stage = 'held_out' THEN 1 ELSE 0 END) AS BIGINT) AS n_held_out,
+       |       CAST(sum(CASE WHEN final_stage = 'duplicate' THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       |       CAST(sum(CASE WHEN final_stage = 'contaminated' THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+       |       CAST(sum(CASE WHEN final_stage = 'sampled_out' THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled_out,
+       |       CAST(sum(CASE WHEN final_stage = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |       CAST(sum(CASE WHEN final_stage = 'kept' THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
+       |FROM fin GROUP BY 1
+       |ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q66_context_pack" -> (q66ContextPack _),
     "q67_contamination" -> (q67Contamination _),
@@ -786,7 +1000,8 @@ object Curation {
     "q71_passage_dedup" -> (q71PassageDedup _),
     "q72_curation_funnel" -> (q72CurationFunnel _),
     "q73_ngram_novelty" -> (q73NgramNovelty _),
-    "q74_mixture_apply" -> (q74MixtureApply _)
+    "q74_mixture_apply" -> (q74MixtureApply _),
+    "q77_corpus_build" -> (q77CorpusBuild _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -798,6 +1013,7 @@ object Curation {
     "q71_passage_dedup" -> q71Oracle,
     "q72_curation_funnel" -> q72Oracle,
     "q73_ngram_novelty" -> q73Oracle,
-    "q74_mixture_apply" -> q74Oracle
+    "q74_mixture_apply" -> q74Oracle,
+    "q77_corpus_build" -> q77Oracle
   )
 }

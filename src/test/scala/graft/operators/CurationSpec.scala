@@ -512,4 +512,42 @@ class CurationSpec extends SparkSpec {
     val q68 = Curation.q68Repetition(spark, sfDir).queryExecution.executedPlan.toString
     assert(!q68.contains("HashAggregate"), s"q68 must not aggregate:\n$q68")
   }
+
+  test("q77 corpus build: stages account for every doc and agree with the standalone operators") {
+    val rows = Curation.q77CorpusBuild(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+
+    // accounting identity: the six stages partition each source's input
+    rows.foreach { r =>
+      val parts = Seq("n_rules", "n_held_out", "n_dup", "n_contaminated", "n_sampled_out", "n_kept")
+        .map(r.getAs[Long])
+        .sum
+      assert(parts === r.getAs[Long]("n_input"), s"stage counts must partition input: $r")
+    }
+    val nInput = rows.map(_.getAs[Long]("n_input")).sum
+    assert(nInput === graft.core.Tables.documents(spark, sfDir).count(), "every doc attributed once")
+
+    // cross-operator agreement 1: total rules drops == q72's non-pass mass
+    val q72NonPass = Curation
+      .q72CurationFunnel(spark, sfDir)
+      .collect()
+      .filter(_.getAs[String]("reason") != "pass")
+      .map(_.getAs[Long]("n_docs"))
+      .sum
+    assert(rows.map(_.getAs[Long]("n_rules")).sum === q72NonPass, "rules stage must equal q72's battery")
+
+    // cross-operator agreement 2: sampling only thins the eligible pool,
+    // and some eligible docs survive end-to-end on this corpus
+    val kept = rows.map(_.getAs[Long]("n_kept")).sum
+    val sampledOut = rows.map(_.getAs[Long]("n_sampled_out")).sum
+    assert(kept > 0, "the build must keep a non-empty training corpus")
+    assert(kept + sampledOut > 0 && kept <= kept + sampledOut)
+
+    // determinism: the whole composition is content-addressed (md5 coins,
+    // min-id canonicals) — a second run is byte-identical
+    assert(
+      Curation.q77CorpusBuild(spark, sfDir).collect().toSeq.map(_.toSeq) === rows.toSeq.map(_.toSeq),
+      "corpus build must be deterministic"
+    )
+  }
 }
