@@ -1150,6 +1150,15 @@ object Similarity {
   // in the plan. Same honest trades as its parents: cell-boundary misses
   // (IVF) and shortlist dilution (PQ) — planted recall is spec-floored at
   // 0.9, uniform reported per round.
+  //
+  // Knob curve (AnnTune grid, sf0.1, n=2000): the SHORTLIST is the binding
+  // knob on clustered data — planted recall jumps 0.44 -> 1.00 at
+  // shortlist 32 -> 64 for EVERY nprobe in {2,4,6} — while nprobe buys
+  // uniform recall roughly linearly (0.36/0.48/0.60 at np=2/4/6,
+  // shortlist 64). The defaults (nprobe=4 via IvfNprobeConf, shortlist=64
+  // via PqShortlistConf) sit exactly at the planted knee; raising nprobe
+  // past it only helps cluster-free corpora, where the `quality` profile
+  // is the documented path.
   // ---------------------------------------------------------------------------
   private val ivfPqCache =
     new SessionCache[(Array[Array[Double]], Array[Array[Array[Double]]], DataFrame)]
