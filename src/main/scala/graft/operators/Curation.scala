@@ -818,7 +818,12 @@ object Curation {
   // the mixture plan is dozens of rows with 1-row broadcast totals (the
   // whitelisted q70 pattern); the report is a single groupBy(source).
   // ---------------------------------------------------------------------------
-  def q77CorpusBuild(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-document final stage for the whole pipeline — the shared core of
+    * the q77 report and [[corpusBuildKept]] (the materialized training
+    * corpus). One row per input doc: (doc_id, source, n_tokens,
+    * final_stage).
+    */
+  private[operators] def corpusBuildStages(spark: SparkSession, dir: String): DataFrame = {
     val hashFn = keyHashFn(spark)
     val base = funnelSignals(Tables.balanced(Tables.documents(spark, dir)))
       .withColumn("bucket", conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10).cast("int"))
@@ -895,6 +900,11 @@ object Curation {
           "CASE WHEN stage <> 'eligible' THEN stage WHEN u < sample_rate THEN 'kept' ELSE 'sampled_out' END"
         )
       )
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("final_stage"))
+  }
+
+  def q77CorpusBuild(spark: SparkSession, dir: String): DataFrame =
+    corpusBuildStages(spark, dir)
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_input"),
@@ -907,7 +917,18 @@ object Curation {
         sum(when(col("final_stage") === "kept", col("n_tokens")).otherwise(0L)).as("kept_tokens")
       )
       .orderBy(col("source"))
-  }
+
+  /** The materialized training corpus q77 reports on: the kept documents
+    * with their text, ready to feed q66's context packing (or a tokenizer).
+    * Same deterministic content-addressed pipeline — re-running emits the
+    * byte-identical corpus.
+    */
+  def corpusBuildKept(spark: SparkSession, dir: String): DataFrame =
+    corpusBuildStages(spark, dir)
+      .filter(col("final_stage") === "kept")
+      .select(col("doc_id"), col("n_tokens"))
+      .join(Tables.documents(spark, dir), Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("lang"), col("n_tokens"), col("text"))
 
   val q77Oracle: String = {
     val langList = TargetLangs.map(l => s"'$l'").mkString(", ")

@@ -549,5 +549,14 @@ class CurationSpec extends SparkSpec {
       Curation.q77CorpusBuild(spark, sfDir).collect().toSeq.map(_.toSeq) === rows.toSeq.map(_.toSeq),
       "corpus build must be deterministic"
     )
+
+    // the materialized corpus is exactly what the report counted
+    val keptRows = Curation.corpusBuildKept(spark, sfDir).collect()
+    assert(keptRows.length.toLong === kept, "corpusBuildKept must emit exactly the reported kept docs")
+    assert(
+      keptRows.map(_.getAs[Long]("n_tokens")).sum === rows.map(_.getAs[Long]("kept_tokens")).sum,
+      "kept token mass must match the report"
+    )
+    assert(keptRows.forall(_.getAs[String]("text") != null), "kept docs carry their text")
   }
 }
