@@ -85,19 +85,25 @@ object Curation {
             s"the registered oracle assumes shards=$SHARDS, ctx=$CTX — compare against " +
             s"Curation.q66OracleFor($shards, $ctx) instead"
         )
-    val docs = Tables
-      .documents(spark, dir)
-      .select(
-        col("lang"),
-        col("doc_id"),
-        pmod(col("doc_id"), lit(shards)).cast("int").as("shard"),
-        size(split(trim(col("text")), "\\s+")).as("n_tokens")
-      )
+    packOver(
+      Tables
+        .documents(spark, dir)
+        .select(col("lang"), col("doc_id"), size(split(trim(col("text")), "\\s+")).as("n_tokens")),
+      shards,
+      ctx
+    )
+  }
+
+  /** q66's sharded greedy packing over ANY (lang, doc_id, n_tokens) frame —
+    * q66 feeds it the raw corpus, [[corpusBuildPacked]] the q77 survivors.
+    */
+  private def packOver(docs: DataFrame, shards: Int, ctx: Int): DataFrame = {
     val w = Window
       .partitionBy(col("lang"), col("shard"))
       .orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     docs
+      .withColumn("shard", pmod(col("doc_id"), lit(shards)).cast("int"))
       .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .withColumn("bin", floor(col("cum_before") / lit(ctx.toDouble)).cast("int"))
       .groupBy(col("lang"), col("shard"), col("bin"))
@@ -929,6 +935,16 @@ object Curation {
       .select(col("doc_id"), col("n_tokens"))
       .join(Tables.documents(spark, dir), Seq("doc_id"))
       .select(col("doc_id"), col("source"), col("lang"), col("n_tokens"), col("text"))
+
+  /** The last step of the training-data pipeline: q66's context packing
+    * over the q77 KEPT corpus — build, then pack, one declarative plan end
+    * to end. Same shard/ctx knobs as q66.
+    */
+  def corpusBuildPacked(spark: SparkSession, dir: String): DataFrame = {
+    val shards = spark.conf.getOption(ShardsConf).map(_.toInt).getOrElse(SHARDS)
+    val ctx = spark.conf.getOption(CtxConf).map(_.toInt).getOrElse(CTX)
+    packOver(corpusBuildKept(spark, dir).select(col("lang"), col("doc_id"), col("n_tokens")), shards, ctx)
+  }
 
   val q77Oracle: String = {
     val langList = TargetLangs.map(l => s"'$l'").mkString(", ")

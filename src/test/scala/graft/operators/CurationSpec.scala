@@ -558,5 +558,13 @@ class CurationSpec extends SparkSpec {
       "kept token mass must match the report"
     )
     assert(keptRows.forall(_.getAs[String]("text") != null), "kept docs carry their text")
+
+    // build → pack: packing the kept corpus conserves its docs and tokens
+    val packed = Curation.corpusBuildPacked(spark, sfDir).collect()
+    assert(packed.map(_.getAs[Long]("n_docs")).sum === kept, "packing must conserve kept docs")
+    assert(
+      packed.map(_.getAs[Long]("bin_tokens")).sum === keptRows.map(_.getAs[Long]("n_tokens")).sum,
+      "packing must conserve kept token mass"
+    )
   }
 }
