@@ -19,7 +19,7 @@
 #   dialect-sql   dump warehouse dialect SQL        (graft.etl.DialectDump)
 #   init-sql      write warehouse bootstrap DDL     (DialectDump --init-sql)
 #   ann-tune      ANN recall/scan-fraction sweep    (graft.tools.AnnTune)
-#   ann-build     persist ANN indexes offline       (graft.tools.AnnBuild)
+#   ann-build     persist/refresh/compact ANN indexes (graft.tools.AnnBuild)
 set -euo pipefail
 
 cd "$(dirname "$0")/.."

@@ -1754,6 +1754,112 @@ object Similarity {
     writeSidecar(spark, path, spec, fp)
   }
 
+  /** Geometry-preserving compaction of a persisted index: rewrite the
+    * accumulated append files (one per bucket per tick under the streaming
+    * maintainer) into ONE file set per bucket, without touching geometry
+    * (planes / centroids / codebooks) or content — the maintenance step
+    * between full rebuilds once append files dominate scan/listing time.
+    * No-op (false) unless the sidecar is CURRENT (a stale index's remedy
+    * is persist/rebuild, not compaction) and the file count exceeds one
+    * per bucket. Swap protocol: compacted copy written beside the live
+    * index, sidecar off, old files dropped, copy renamed into place,
+    * sidecar re-committed — a crash at any point leaves readers building
+    * fresh rather than serving a torn index.
+    */
+  private def compactFamily(
+      spark: SparkSession,
+      dir: String,
+      table: String,
+      path: String,
+      spec: IndexSpec,
+      invalidate: () => Unit
+  ): Boolean = {
+    val fp = dataFingerprint(spark, dir)
+    if (!sidecarCurrent(spark, path, spec, fp)) false
+    else {
+      val (fs, p) = hadoopPath(spark, path)
+      val dataFiles = fs
+        .listStatus(p)
+        .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+      if (dataFiles.length <= spec.buckets) false
+      else {
+        val tmpPath = s"${path}_compacting"
+        val tmpTable = s"${table}_compacting"
+        deletePath(spark, tmpPath)
+        spark.sql(s"DROP TABLE IF EXISTS `$tmpTable`")
+        // read the files as PLAIN parquet (pinned to THIS path, and without
+        // bucket metadata): reading through the catalog table would let the
+        // optimizer elide the repartition on the strength of the table's
+        // declared bucketing while the scan itself may execute non-bucketed
+        // (autoBucketedScan), leaving the writer with arbitrary splits and
+        // a files-per-bucket count no better than before
+        val raw = spark.read.parquet(path)
+        graft.sources.Layouts.writeBucketed(
+          raw.repartition(spec.buckets, spec.keys.map(raw.col): _*),
+          tmpTable,
+          spec.keys,
+          spec.buckets,
+          tmpPath
+        )
+        deleteSidecar(spark, path)
+        invalidate()
+        spark.sql(s"DROP TABLE IF EXISTS `$table`")
+        spark.sql(s"DROP TABLE IF EXISTS `$tmpTable`")
+        deletePath(spark, path)
+        val (tfs, tp) = hadoopPath(spark, tmpPath)
+        tfs.rename(tp, p)
+        registerBucketedTable(spark, table, path, spec.buckets, spec.keys)
+        writeSidecar(spark, path, spec, fp)
+        true
+      }
+    }
+  }
+
+  /** Compact each family's persisted bucketed table (geometry untouched). */
+  def compactLshIndex(spark: SparkSession, dir: String, indexDir: String): Boolean = {
+    val prof = annProfile(spark)
+    compactFamily(
+      spark,
+      dir,
+      lshTable(dir, prof),
+      lshPath(indexDir, dir, prof),
+      lshSpec(prof),
+      () => lshIndexCache.invalidate(spark, s"$dir@${prof.name}")
+    )
+  }
+
+  def compactIvfIndex(spark: SparkSession, dir: String, indexDir: String): Boolean = {
+    val prof = annProfile(spark)
+    compactFamily(
+      spark,
+      dir,
+      ivfTable(dir, prof),
+      ivfPath(indexDir, dir, prof),
+      ivfSpec(prof),
+      () => ivfIndexCache.invalidate(spark, s"$dir@${prof.name}")
+    )
+  }
+
+  def compactPqIndex(spark: SparkSession, dir: String, indexDir: String): Boolean =
+    compactFamily(
+      spark,
+      dir,
+      pqTable(dir),
+      pqPath(indexDir, dir),
+      pqSpec,
+      () => pqIndexCache.invalidate(spark, dir)
+    )
+
+  def compactIvfPqIndex(spark: SparkSession, dir: String, indexDir: String): Boolean =
+    compactFamily(
+      spark,
+      dir,
+      ivfPqTable(dir),
+      ivfPqPath(indexDir, dir),
+      ivfPqSpec,
+      () => ivfPqCache.invalidate(spark, dir)
+    )
+
   /** Shared persist orchestration for every index family: [[Current]] on a
     * matching sidecar; bounded append under `graft.ann.refresh=append` for
     * an append-only change; full retrain otherwise. `computeDeltaRows`

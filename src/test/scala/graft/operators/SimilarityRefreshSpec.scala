@@ -143,6 +143,38 @@ class SimilarityRefreshSpec extends SparkSpec {
     )
   }
 
+  test("compaction collapses append files to one set per bucket without changing results") {
+    val indexDir = Files.createTempDirectory("annidx").toString
+    val dataDir = Files.createTempDirectory("anndata").toString
+    writeRows(dataDir, 30)
+    assert(Similarity.persistLshIndex(session(indexDir, Some("append")), dataDir, indexDir) === Similarity.Rebuilt)
+    writeRows(dataDir, 50)
+    assert(Similarity.persistLshIndex(session(indexDir, Some("append")), dataDir, indexDir) === Similarity.Appended(20))
+
+    // parquet data files only (java.io also sees local-FS .crc shadows,
+    // which Hadoop's listing — what compaction reasons over — hides)
+    def lshFiles(): Seq[String] = {
+      val dir = new java.io.File(indexDir).listFiles().filter(_.getName.matches("lsh_[0-9a-f]+")).head
+      dir.listFiles().map(_.getName).filter(n => n.endsWith(".parquet") && !n.startsWith(".")).toSeq
+    }
+    val before = rowsOf(Similarity.q35LshTopK(session(indexDir, None), dataDir))
+    val filesBefore = lshFiles().length
+    assert(filesBefore > 16, s"rebuild + append should leave multi-file buckets ($filesBefore)")
+
+    val s1 = session(indexDir, None)
+    assert(Similarity.compactLshIndex(s1, dataDir, indexDir), "multi-file buckets must compact")
+    val after = lshFiles()
+    assert(after.length === 16, s"compaction must leave exactly one file per bucket: $after")
+    assert(!Similarity.compactLshIndex(s1, dataDir, indexDir), "re-compaction must be a no-op")
+
+    val s2 = session(indexDir, None)
+    assert(rowsOf(Similarity.q35LshTopK(s2, dataDir)) === before, "compaction must not change results")
+    assert(
+      Similarity.persistLshIndex(s2, dataDir, indexDir) === Similarity.Current,
+      "the compacted index must still read as current"
+    )
+  }
+
   test("a non-append change still forces a full rebuild under refresh=append") {
     val indexDir = Files.createTempDirectory("annidx").toString
     val dataDir = Files.createTempDirectory("anndata").toString
