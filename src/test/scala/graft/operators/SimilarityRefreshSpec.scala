@@ -189,4 +189,29 @@ class SimilarityRefreshSpec extends SparkSpec {
     )
     assert(Similarity.buildLshIndex(session(indexDir, None), dataDir).select("vec_id").distinct().count() === 20L)
   }
+
+  test("rows arriving BELOW the indexed maxId violate the monotone contract and rebuild") {
+    val indexDir = Files.createTempDirectory("annidx").toString
+    val dataDir = Files.createTempDirectory("anndata").toString
+    val src = graft.core.Tables.embeddings(spark, sfDir)
+    src
+      .filter(col("vec_id") >= 10 && col("vec_id") < 40)
+      .write
+      .mode("overwrite")
+      .parquet(s"$dataDir/embeddings.parquet")
+    assert(Similarity.persistLshIndex(session(indexDir, Some("append")), dataDir, indexDir) === Similarity.Rebuilt)
+
+    // a late file lands with ids 0..9 — below the indexed maxId (39): the
+    // old-row count at vec_id <= 39 changes, so this is NOT an append
+    src
+      .filter(col("vec_id") < 10)
+      .write
+      .mode("append")
+      .parquet(s"$dataDir/embeddings.parquet")
+    assert(
+      Similarity.persistLshIndex(session(indexDir, Some("append")), dataDir, indexDir) === Similarity.Rebuilt,
+      "out-of-order ingest must rebuild, never append"
+    )
+    assert(Similarity.buildLshIndex(session(indexDir, None), dataDir).select("vec_id").distinct().count() === 40L)
+  }
 }
