@@ -27,11 +27,28 @@ import org.apache.spark.sql.types.StructType
 object StreamingFunnel {
 
   /** Running (source, reason, n_docs, token_mass) over a document file
-    * stream. Write with `outputMode("complete")`.
+    * stream. Write with `outputMode("complete")`. `format` is "parquet"
+    * (default) or "json" — crawlers drop JSONL; the declared schema keeps
+    * the stream inference-free either way. A malformed JSONL line parses
+    * to all-null columns; it is dropped here rather than killing the
+    * stream or polluting the report (batch-mode quarantine with the raw
+    * lines preserved is [[graft.sources.JsonlCorpus.split]]).
     */
-  def funnelStream(spark: SparkSession, inputDir: String, schema: StructType): DataFrame =
+  def funnelStream(
+      spark: SparkSession,
+      inputDir: String,
+      schema: StructType,
+      format: String = "parquet"
+  ): DataFrame = {
+    val reader = spark.readStream.schema(schema)
+    val docs = format match {
+      case "parquet" => reader.parquet(inputDir)
+      case "json"    => reader.json(inputDir).filter(col("text").isNotNull)
+      case other     => throw new IllegalArgumentException(s"unsupported funnel stream format: $other")
+    }
     graft.operators.Curation
-      .funnelSignals(spark.readStream.schema(schema).parquet(inputDir))
+      .funnelSignals(docs)
       .groupBy(col("source"), col("reason"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("token_mass"))
+  }
 }

@@ -80,6 +80,40 @@ class StreamingSpec extends SparkSpec {
     assert(got === want, "streaming funnel diverged from the batch funnel")
   }
 
+  test("streaming funnel ingests JSONL drops; torn lines tolerated, counts == batch") {
+    val dir = Files.createTempDirectory("s_funnel_jsonl").toString
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    docs.coalesce(1).write.mode("append").json(s"$dir/in")
+    // a crawler's torn line lands mid-directory: must not kill the stream
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "in", "torn.json"),
+      "{\"doc_id\": 99999, \"text\": \"trunc".getBytes("UTF-8")
+    )
+
+    val q = StreamingFunnel
+      .funnelStream(spark, s"$dir/in", docs.schema, format = "json")
+      .writeStream
+      .format("memory")
+      .queryName("funnel_jsonl")
+      .outputMode("complete")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val got = spark
+      .table("funnel_jsonl")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getAs[Long]("n_docs"), r.getAs[Long]("token_mass"))))
+      .toMap
+    val want = graft.operators.Curation
+      .q72CurationFunnel(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getAs[Long]("n_docs"), r.getAs[Long]("token_mass"))))
+      .toMap
+    assert(got === want, "JSONL-fed funnel diverged from the batch funnel")
+  }
+
   test("streaming rollup feeds the warehouse via foreachBatch (T5 end-to-end)") {
     val in = Files.createTempDirectory("sw_in")
     val ckpt = Files.createTempDirectory("sw_ckpt").toString
