@@ -63,6 +63,10 @@ object PlanAudit {
     "q77_corpus_build" -> Map(
       "BroadcastNestedLoopJoin" ->
         "inherits q70's plan stage (1-row broadcast totals/cap over the survivor counts); every corpus-side join is keyed (fp, sh_key, doc_id, source)"
+    ),
+    "q78_bigram_lm" -> Map(
+      "BroadcastNestedLoopJoin" ->
+        "1-row broadcast total (vocabulary size V) joined onto per-doc rows — the q69 pattern; transition/context joins are keyed (bgk, w1k)"
     )
   )
 

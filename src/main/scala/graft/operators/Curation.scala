@@ -1028,6 +1028,83 @@ object Curation {
        |ORDER BY source""".stripMargin
   }
 
+  // ---------------------------------------------------------------------------
+  // q78 — bigram language-model quality score: per document, the average
+  // negative log-probability of its token transitions under an add-k
+  // smoothed corpus bigram model, p(w2|w1) = (c(w1 w2) + 0.5) /
+  // (c(w1 ·) + 0.5 V) — the next rung of the quality ladder above q69's
+  // unigram score (a doc of common words in IMPROBABLE order now scores
+  // badly, which no bag-of-words signal can see). CCNet's LM-perplexity
+  // filter with the corpus itself as the model.
+  //
+  // Scale shape: q69's exactly — one corpus scan exploded to (doc, w1-key,
+  // bigram-key) counts and staged once (localCheckpoint) for its three
+  // consumers; transition and context frequency tables are vocab-sized
+  // (Heaps' law) and AQE-broadcast from measured size; the vocab size V is
+  // a broadcast single row (the whitelisted q69 1-row BNLJ pattern). All
+  // joins key on `graft.curation.keyhash` fixed-width hashes. The per-doc
+  // average is floored at 4dp (q69's convention): the cross-row double
+  // sum's last digits depend on partial-aggregation order.
+  // ---------------------------------------------------------------------------
+  def q78BigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val hashFn = keyHashFn(spark)
+    val docs = Tables
+      .balanced(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .withColumn("toks", expr(toksExpr))
+    // (doc, w1-key, bigram-key) instance counts — generators can't nest in
+    // expressions, so explode the index first, hash in the next select
+    val g = docs
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("toks"), explode(expr("sequence(1, size(toks) - 1)")).as("i"))
+      .select(
+        col("doc_id"),
+        expr(s"$hashFn(element_at(toks, i))").as("w1k"),
+        expr(s"$hashFn(concat(element_at(toks, i), ' ', element_at(toks, i + 1)))").as("bgk")
+      )
+      .groupBy(col("doc_id"), col("w1k"), col("bgk"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val f12 = g.groupBy(col("bgk")).agg(sum(col("c")).cast("double").as("f12"))
+    val f1 = g.groupBy(col("w1k")).agg(sum(col("c")).cast("double").as("f1"))
+    val vocab = docs
+      .select(explode(col("toks")).as("tok"))
+      .agg(countDistinct(col("tok")).cast("double").as("v"))
+    g.join(f12, "bgk")
+      .join(f1, "w1k")
+      .crossJoin(broadcast(vocab))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_bigrams"),
+        (sum(col("c").cast("double") * log((col("f12") + 0.5) / (col("f1") + lit(0.5) * col("v"))))
+          / sum(col("c").cast("double"))).as("avg_ln")
+      )
+      .withColumn("avg_neg_logprob", expr("floor(-avg_ln * 1e4 + 5e-1) / 1e4"))
+      .select(col("doc_id"), col("n_bigrams"), col("avg_neg_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q78Oracle: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, md5(toks[i]) AS w1k, md5(toks[i] || ' ' || toks[i+1]) AS bgk
+      |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t WHERE len(toks) >= 2)),
+      |g AS (SELECT doc_id, w1k, bgk, count(*) AS c FROM bg GROUP BY 1, 2, 3),
+      |f12 AS (SELECT bgk, CAST(sum(c) AS DOUBLE) AS f12 FROM g GROUP BY 1),
+      |f1 AS (SELECT w1k, CAST(sum(c) AS DOUBLE) AS f1 FROM g GROUP BY 1),
+      |v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v
+      |      FROM (SELECT unnest(toks) AS tok FROM t)),
+      |per AS (
+      |  SELECT doc_id, sum(c) AS n_bigrams,
+      |         sum(c * ln((f12 + 5e-1) / (f1 + 5e-1 * v.v))) / sum(c) AS avg_ln
+      |  FROM g JOIN f12 USING (bgk) JOIN f1 USING (w1k), v
+      |  GROUP BY doc_id)
+      |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+      |       floor(-avg_ln * 1e4 + 5e-1) / 1e4 AS avg_neg_logprob
+      |FROM per ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q66_context_pack" -> (q66ContextPack _),
     "q67_contamination" -> (q67Contamination _),
@@ -1038,7 +1115,8 @@ object Curation {
     "q72_curation_funnel" -> (q72CurationFunnel _),
     "q73_ngram_novelty" -> (q73NgramNovelty _),
     "q74_mixture_apply" -> (q74MixtureApply _),
-    "q77_corpus_build" -> (q77CorpusBuild _)
+    "q77_corpus_build" -> (q77CorpusBuild _),
+    "q78_bigram_lm" -> (q78BigramLm _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1051,6 +1129,7 @@ object Curation {
     "q72_curation_funnel" -> q72Oracle,
     "q73_ngram_novelty" -> q73Oracle,
     "q74_mixture_apply" -> q74Oracle,
-    "q77_corpus_build" -> q77Oracle
+    "q77_corpus_build" -> q77Oracle,
+    "q78_bigram_lm" -> q78Oracle
   )
 }

@@ -331,11 +331,13 @@ class CurationSpec extends SparkSpec {
     val md67 = snap(Curation.q67Contamination(spark, sfDir))
     val md71 = snap(Curation.q71PassageDedup(spark, sfDir))
     val md73 = snap(Curation.q73NgramNovelty(spark, sfDir))
+    val md78 = snap(Curation.q78BigramLm(spark, sfDir))
     spark.conf.set(Curation.KeyHashConf, "xxhash64")
     try {
       assert(snap(Curation.q67Contamination(spark, sfDir)) === md67, "q67 diverged under xxhash64")
       assert(snap(Curation.q71PassageDedup(spark, sfDir)) === md71, "q71 diverged under xxhash64")
       assert(snap(Curation.q73NgramNovelty(spark, sfDir)) === md73, "q73 diverged under xxhash64")
+      assert(snap(Curation.q78BigramLm(spark, sfDir)) === md78, "q78 diverged under xxhash64")
     } finally spark.conf.unset(Curation.KeyHashConf)
     spark.conf.set(Curation.KeyHashConf, "sha512")
     try {
@@ -511,6 +513,22 @@ class CurationSpec extends SparkSpec {
     // q68 is per-row: nothing but the presentation sort may shuffle
     val q68 = Curation.q68Repetition(spark, sfDir).queryExecution.executedPlan.toString
     assert(!q68.contains("HashAggregate"), s"q68 must not aggregate:\n$q68")
+  }
+
+  test("q78 bigram LM: instance accounting exact, scores strictly positive") {
+    val rows = Curation.q78BigramLm(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // add-k smoothing keeps every p(w2|w1) < 1, so -ln p > 0 for every doc
+    assert(rows.forall(_.getAs[Double]("avg_neg_logprob") > 0d), "smoothed probabilities must be < 1")
+    // each doc contributes exactly (tokens - 1) bigram instances
+    val expected = graft.core.Tables
+      .documents(spark, sfDir)
+      .collect()
+      .map(r => tokens(r.getAs[String]("text")).length)
+      .filter(_ >= 2)
+      .map(_ - 1L)
+      .sum
+    assert(rows.map(_.getAs[Long]("n_bigrams")).sum === expected, "bigram instance mass must be exact")
   }
 
   test("q77 corpus build: stages account for every doc and agree with the standalone operators") {
