@@ -1105,6 +1105,71 @@ object Curation {
       |       floor(-avg_ln * 1e4 + 5e-1) / 1e4 AS avg_neg_logprob
       |FROM per ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q81 — cross-source overlap matrix: for every pair of sources, how many
+  // distinct 8-gram shingles they share, and the containment fraction
+  // (shared / smaller side's shingle count). This is the corpus-level
+  // diagnostic behind dedup strategy: a pair at high containment means one
+  // source is substantially a mirror of the other, so source-level drop
+  // beats row-level dedup there.
+  //
+  // Scale shape: the per-(source, shingle-key) distinct set is staged ONCE
+  // (localCheckpoint) and feeds both the per-source totals and the
+  // self-join; the join keys on the fixed-width hash (q67's convention),
+  // and its output is bounded by |sources|² rows per key — never a
+  // corpus-sized blowup. Totals are a |sources|-row frame, broadcast to
+  // decorate the pair counts.
+  // ---------------------------------------------------------------------------
+  def q81SourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val hashFn = keyHashFn(spark)
+    val sh = Tables
+      .balanced(Tables.documents(spark, dir))
+      .withColumn("toks", expr(toksExpr))
+      .filter(size(col("toks")) >= 8)
+      .select(
+        col("source"),
+        explode(expr("transform(sequence(1, size(toks) - 7), i -> array_join(slice(toks, i, 8), ' '))"))
+          .as("shingle")
+      )
+      .select(col("source"), expr(s"$hashFn(shingle)").as("sh_key"))
+      .distinct()
+      .localCheckpoint()
+    val totals = sh.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+    val pairs = sh
+      .as("a")
+      .join(sh.as("b"), col("a.sh_key") === col("b.sh_key") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(broadcast(totals.select(col("source").as("src_a"), col("n_sh").as("n_sh_a"))), "src_a")
+      .join(broadcast(totals.select(col("source").as("src_b"), col("n_sh").as("n_sh_b"))), "src_b")
+      .withColumn(
+        "containment",
+        expr("floor(cast(shared AS double) * 1e6 / cast(least(n_sh_a, n_sh_b) AS double) + 5e-1) / 1e6")
+      )
+      .select(col("src_a"), col("src_b"), col("shared"), col("n_sh_a"), col("n_sh_b"), col("containment"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val q81Oracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, source, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT source,
+      |         md5(unnest(list_transform(range(1, len(toks) - 6), i -> array_to_string(toks[i:i+7], ' ')))) AS sh_key
+      |  FROM t),
+      |tot AS (SELECT source, count(*) AS n_sh FROM sh GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS shared
+      |  FROM sh a JOIN sh b ON a.sh_key = b.sh_key AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT src_a, src_b, CAST(shared AS BIGINT) AS shared,
+      |  CAST(ta.n_sh AS BIGINT) AS n_sh_a, CAST(tb.n_sh AS BIGINT) AS n_sh_b,
+      |  floor(shared * 1e6 / least(ta.n_sh, tb.n_sh) + 5e-1) / 1e6 AS containment
+      |FROM pairs JOIN tot ta ON pairs.src_a = ta.source JOIN tot tb ON pairs.src_b = tb.source
+      |ORDER BY src_a, src_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q66_context_pack" -> (q66ContextPack _),
     "q67_contamination" -> (q67Contamination _),
@@ -1116,7 +1181,8 @@ object Curation {
     "q73_ngram_novelty" -> (q73NgramNovelty _),
     "q74_mixture_apply" -> (q74MixtureApply _),
     "q77_corpus_build" -> (q77CorpusBuild _),
-    "q78_bigram_lm" -> (q78BigramLm _)
+    "q78_bigram_lm" -> (q78BigramLm _),
+    "q81_source_overlap" -> (q81SourceOverlap _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1130,6 +1196,7 @@ object Curation {
     "q73_ngram_novelty" -> q73Oracle,
     "q74_mixture_apply" -> q74Oracle,
     "q77_corpus_build" -> q77Oracle,
-    "q78_bigram_lm" -> q78Oracle
+    "q78_bigram_lm" -> q78Oracle,
+    "q81_source_overlap" -> q81Oracle
   )
 }

@@ -2188,18 +2188,89 @@ object Similarity {
       |FROM q
       |ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q79 — per-label embedding centroids + cohesion: for each label, the mean
+  // vector's norm and the member-to-centroid cosine spread. This is the
+  // cluster-quality readout an embedding-curation pipeline runs after any
+  // labeling/clustering step (is this label a tight semantic cluster or a
+  // grab-bag?), and the exact-aggregation complement to the IVF centroids
+  // (those are k-means approximations; these are closed-form per-group
+  // means, so DuckDB can reproduce them bit-for-bit at 6 dp).
+  //
+  // Scale shape: the centroid is computed by posexplode → groupBy(label,
+  // pos) avg — the explode multiplies rows by dim, but partial aggregation
+  // combines map-side, so the shuffle carries only |labels|×dim rows. The
+  // per-vector cosines then come from ONE broadcast join of the assembled
+  // |labels|-row centroid table back onto the corpus, with the dot/norm as
+  // codegen'd vec_dot — no second explode, no corpus self-join.
+  //
+  // Free invariant: on a unit-normalized corpus, mean_cos == centroid_norm
+  // (avg(v·c/|c|) = (c·c)/|c| = |c| when |v|=1) — the two columns agreeing
+  // at 6 dp is an internal consistency check the oracle re-proves.
+  // ---------------------------------------------------------------------------
+  def q79LabelCentroids(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VecFunctions.install(spark)
+    val emb = Tables
+      .embeddings(spark, dir)
+      .withColumn("vd", col("embedding").cast("array<double>"))
+    val cent = emb
+      .select(col("label"), posexplode(col("vd")).as(Seq("pos", "e")))
+      .groupBy(col("label"), col("pos"))
+      .agg(avg(col("e")).as("c"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)").as("cent"))
+    emb
+      .join(broadcast(cent), "label")
+      .withColumn("dot", expr("vec_dot(vd, cent)"))
+      .withColumn("nv", expr("vec_dot(vd, vd)"))
+      .withColumn("nc", expr("vec_dot(cent, cent)"))
+      .withColumn("cos", col("dot") / (sqrt(col("nv")) * sqrt(col("nc"))))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        expr("floor(sqrt(first(nc)) * 1e6 + 5e-1) / 1e6").as("centroid_norm"),
+        expr("floor(avg(cos) * 1e6 + 5e-1) / 1e6").as("mean_cos"),
+        expr("floor(min(cos) * 1e6 + 5e-1) / 1e6").as("min_cos"),
+        expr("floor(max(cos) * 1e6 + 5e-1) / 1e6").as("max_cos")
+      )
+      .orderBy(col("label"))
+  }
+
+  val q79Oracle: String =
+    """WITH pos AS (
+      |  SELECT label, vec_id, pos, embedding[pos]::DOUBLE AS e
+      |  FROM (SELECT label, vec_id, embedding, unnest(range(1, len(embedding) + 1)) AS pos FROM embeddings)),
+      |cent AS (SELECT label, pos, avg(e) AS c FROM pos GROUP BY 1, 2),
+      |nc AS (SELECT label, sum(c * c) AS nc FROM cent GROUP BY 1),
+      |dots AS (
+      |  SELECT p.label AS label, p.vec_id AS vec_id, sum(p.e * c.c) AS dot, sum(p.e * p.e) AS nv
+      |  FROM pos p JOIN cent c ON p.label = c.label AND p.pos = c.pos
+      |  GROUP BY 1, 2),
+      |cos AS (
+      |  SELECT d.label AS label, d.vec_id AS vec_id, dot / (sqrt(nv) * sqrt(nc.nc)) AS cos
+      |  FROM dots d JOIN nc ON d.label = nc.label)
+      |SELECT c.label AS label, CAST(count(*) AS BIGINT) AS n_vecs,
+      |  floor(sqrt(any_value(nc.nc)) * 1e6 + 5e-1) / 1e6 AS centroid_norm,
+      |  floor(avg(cos) * 1e6 + 5e-1) / 1e6 AS mean_cos,
+      |  floor(min(cos) * 1e6 + 5e-1) / 1e6 AS min_cos,
+      |  floor(max(cos) * 1e6 + 5e-1) / 1e6 AS max_cos
+      |FROM cos c JOIN nc ON c.label = nc.label
+      |GROUP BY c.label ORDER BY label""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_bruteforce_topk" -> (q34BruteForceTopK _),
     "q35_lsh_topk" -> (q35LshTopK _),
     "q36_ivf_topk" -> (q36IvfTopK _),
     "q64_embedding_quantize" -> (q64EmbeddingQuantize _),
     "q75_pq_topk" -> (q75PqTopK _),
-    "q76_ivfpq_topk" -> (q76IvfPqTopK _)
+    "q76_ivfpq_topk" -> (q76IvfPqTopK _),
+    "q79_label_centroids" -> (q79LabelCentroids _)
   )
 
   /** q35/q36/q75/q76 are hash/model-based — rows-only driver check. */
   val oracles: Map[String, String] = Map(
     "q34_bruteforce_topk" -> q34Oracle,
-    "q64_embedding_quantize" -> q64Oracle
+    "q64_embedding_quantize" -> q64Oracle,
+    "q79_label_centroids" -> q79Oracle
   )
 }

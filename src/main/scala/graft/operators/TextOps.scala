@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -310,13 +311,140 @@ object TextOps {
       |FROM ranked WHERE rank <= 3
       |ORDER BY doc_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q80 — Gopher-style DYNAMIC quality threshold: instead of one global
+  // cutoff (q26's fixed 70/45 buckets), each language keeps its own top 90%
+  // by quality score — the per-subcorpus adaptive filtering real curation
+  // pipelines use, because a fixed absolute floor over-prunes whichever
+  // language the heuristic scores systematically lower.
+  //
+  // Exactness at scale: the naive formulation (percent_rank window over
+  // every document) sorts the full corpus per language — a skew bomb at
+  // 100 TB with a handful of languages. This is the scale-safe equivalent:
+  // rank a document by COUNTING strictly-lower scores, which only needs
+  // per-(lang, score) counts (map-side combined, tiny after agg) plus a
+  // running sum over that aggregated frame (the q72 pattern: windows only
+  // over post-agg dozens/thousands of rows, never the corpus). The cutoff
+  // `cnt_less >= 0.1*(n-1)` is exactly `percent_rank() >= 0.1` with ties
+  // sharing rank, so the result is identical to the window formulation but
+  // the big table is only ever scanned, aggregated, and hash-joined.
+  // ---------------------------------------------------------------------------
+  def q80DynamicThreshold(spark: SparkSession, dir: String): DataFrame = {
+    val toks = size(split(trim(col("text")), "\\s+"))
+    val stops = wordHits(col("text"), enStop)
+    val scored = Tables
+      .balanced(Tables.documents(spark, dir))
+      .withColumn("n_tokens", toks)
+      .withColumn("stopword_ratio", round(stops.cast("double") / greatest(toks, lit(1)).cast("double"), 6))
+      .withColumn(
+        "score",
+        round(
+          least(lit(40), col("n_tokens").cast("double") / 2)
+            + least(lit(30), col("stopword_ratio") * 100)
+            + lit(30) * when(col("n_chars").between(100, 500), 1.0).otherwise(0.5),
+          4
+        )
+      )
+      .select(col("lang"), col("score"))
+    val n = scored.groupBy(col("lang")).agg(count(lit(1)).as("n_total"))
+    val grouped = scored.groupBy(col("lang"), col("score")).agg(count(lit(1)).as("c"))
+    // running count of strictly-lower scores, over the aggregated frame
+    val w = Window.partitionBy(col("lang")).orderBy(col("score"))
+    val thr = grouped
+      .withColumn("cum_less", sum(col("c")).over(w) - col("c"))
+      .join(n, "lang")
+      .filter(col("cum_less") >= lit(0.1) * (col("n_total") - 1))
+      .groupBy(col("lang"))
+      .agg(min(col("score")).as("threshold"))
+    val kept = scored
+      .join(broadcast(thr), Seq("lang"))
+      .filter(col("score") >= col("threshold"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"), avg(col("score")).as("mk"))
+    n.join(thr, "lang")
+      .join(kept, "lang")
+      .select(
+        col("lang"),
+        col("n_total"),
+        col("threshold"),
+        col("n_kept"),
+        (col("n_total") - col("n_kept")).as("n_dropped"),
+        expr("floor(mk * 1e6 + 5e-1) / 1e6").as("mean_kept")
+      )
+      .orderBy(col("lang"))
+  }
+
+  val q80Oracle: String =
+    s"""WITH s AS (
+       |  SELECT lang,
+       |    round(least(40, len(string_split_regex(trim(text), '\\s+'))::DOUBLE / 2)
+       |        + least(30, round(${sqlHits(enStop)}::DOUBLE
+       |                          / greatest(len(string_split_regex(trim(text), '\\s+')), 1), 6) * 100)
+       |        + 30 * (CASE WHEN n_chars BETWEEN 100 AND 500 THEN 1.0 ELSE 0.5 END), 4) AS score
+       |  FROM documents),
+       |n AS (SELECT lang, count(*) AS n_total FROM s GROUP BY 1),
+       |g AS (SELECT lang, score, count(*) AS c FROM s GROUP BY 1, 2),
+       |cum AS (SELECT lang, score, sum(c) OVER (PARTITION BY lang ORDER BY score) - c AS cum_less FROM g),
+       |thr AS (SELECT cum.lang AS lang, min(score) AS threshold
+       |        FROM cum JOIN n ON cum.lang = n.lang WHERE cum_less >= 0.1 * (n_total - 1) GROUP BY 1),
+       |k AS (SELECT s.lang AS lang, count(*) AS n_kept, avg(score) AS mk
+       |      FROM s JOIN thr ON s.lang = thr.lang AND s.score >= thr.threshold GROUP BY 1)
+       |SELECT n.lang AS lang, CAST(n_total AS BIGINT) AS n_total, threshold,
+       |  CAST(n_kept AS BIGINT) AS n_kept, CAST(n_total - n_kept AS BIGINT) AS n_dropped,
+       |  floor(mk * 1e6 + 5e-1) / 1e6 AS mean_kept
+       |FROM n JOIN thr ON n.lang = thr.lang JOIN k ON n.lang = k.lang
+       |ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q82 — vocabulary growth per source: total/distinct token counts, hapax
+  // legomena (frequency-1 tokens), and type-token ratio — the Heaps-law
+  // diagnostics a corpus curator reads to spot synthetic/templated sources
+  // (TTR collapses) or OCR noise (hapax rate explodes). Two-level
+  // aggregation: per-(source, token) counts first (map-side combined — the
+  // explode never reaches the shuffle at corpus multiplicity), then the
+  // per-source rollup over the much smaller vocabulary frame.
+  // ---------------------------------------------------------------------------
+  def q82VocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.balanced(Tables.documents(spark, dir))
+    val tf = docs
+      .select(col("source"), explode(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val nDocs = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    tf.groupBy(col("source"))
+      .agg(
+        sum(col("c")).as("total_tokens"),
+        count(lit(1)).as("distinct_tokens"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax_count")
+      )
+      .join(broadcast(nDocs), "source")
+      .withColumn("ttr", expr("floor(cast(distinct_tokens AS double) * 1e6 / cast(total_tokens AS double) + 5e-1) / 1e6"))
+      .select(col("source"), col("n_docs"), col("total_tokens"), col("distinct_tokens"), col("hapax_count"), col("ttr"))
+      .orderBy(col("source"))
+  }
+
+  val q82Oracle: String =
+    """WITH tf AS (
+      |  SELECT source, unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+      |  FROM documents),
+      |g AS (SELECT source, tok, count(*) AS c FROM tf GROUP BY 1, 2),
+      |d AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1)
+      |SELECT g.source AS source, CAST(any_value(n_docs) AS BIGINT) AS n_docs,
+      |  CAST(sum(c) AS BIGINT) AS total_tokens, CAST(count(*) AS BIGINT) AS distinct_tokens,
+      |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_count,
+      |  floor(count(*) * 1e6 / sum(c) + 5e-1) / 1e6 AS ttr
+      |FROM g JOIN d ON g.source = d.source
+      |GROUP BY g.source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_lang_id" -> (q25LangId _),
     "q26_quality_score" -> (q26QualityScore _),
     "q27_token_counts" -> (q27TokenCounts _),
     "q28_fingerprint" -> (q28Fingerprint _),
     "q54_fuzzy_names" -> (q54FuzzyNames _),
-    "q62_tfidf" -> (q62TfIdf _)
+    "q62_tfidf" -> (q62TfIdf _),
+    "q80_dynamic_threshold" -> (q80DynamicThreshold _),
+    "q82_vocab_growth" -> (q82VocabGrowth _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -325,6 +453,8 @@ object TextOps {
     "q27_token_counts" -> q27Oracle,
     "q28_fingerprint" -> q28Oracle,
     "q54_fuzzy_names" -> q54Oracle,
-    "q62_tfidf" -> q62Oracle
+    "q62_tfidf" -> q62Oracle,
+    "q80_dynamic_threshold" -> q80Oracle,
+    "q82_vocab_growth" -> q82Oracle
   )
 }

@@ -585,4 +585,35 @@ class CurationSpec extends SparkSpec {
       "packing must conserve kept token mass"
     )
   }
+
+  test("q81 source overlap: matches an exact shingle-set intersection recomputation") {
+    val docs = graft.core.Tables
+      .documents(spark, sfDir)
+      .select("source", "text")
+      .collect()
+      .map { r =>
+        val toks = r.getString(1).toLowerCase.trim.replaceAll("\\s+", " ").split(" ")
+        val sh =
+          if (toks.length < 8) Set.empty[String]
+          else (0 to toks.length - 8).map(i => toks.slice(i, i + 8).mkString(" ")).toSet
+        (r.getString(0), sh)
+      }
+    val bySrc = docs.groupBy(_._1).map { case (s2, rs) => (s2, rs.map(_._2).reduce(_ ++ _)) }
+    val expected = (for {
+      a <- bySrc.keys; b <- bySrc.keys if a < b
+      shared = (bySrc(a) & bySrc(b)).size if shared > 0
+    } yield ((a, b), shared)).toMap
+    val rows = Curation.q81SourceOverlap(spark, sfDir).collect()
+    val got = rows.map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(got.keySet === expected.keySet, "overlapping pair set")
+    expected.foreach { case (k, v) => assert(got(k) === v.toLong, s"pair $k shared count") }
+    rows.foreach { r =>
+      val (shared, na, nb, cont) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(na === bySrc(r.getString(0)).size.toLong)
+      assert(nb === bySrc(r.getString(1)).size.toLong)
+      assert(shared <= math.min(na, nb))
+      assert(cont > 0 && cont <= 1)
+      assert(math.abs(cont - shared.toDouble / math.min(na, nb)) < 2e-6)
+    }
+  }
 }

@@ -272,4 +272,33 @@ class SimilaritySpec extends SparkSpec {
       assert(meanErr <= maxErr + 1e-12)
     }
   }
+
+  test("q79 label centroids: exact recomputation per label; unit-corpus invariant holds") {
+    val embs = graft.core.Tables
+      .embeddings(spark, sfDir)
+      .collect()
+      .map(r => (r.getInt(2), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val byLabel = embs.groupBy(_._1)
+    val rows = Similarity.q79LabelCentroids(spark, sfDir).collect()
+    assert(rows.map(_.getInt(0)).toSet === byLabel.keySet)
+    rows.foreach { r =>
+      val label = r.getInt(0)
+      val vs = byLabel(label).map(_._2)
+      assert(r.getLong(1) === vs.length.toLong, s"label $label n_vecs")
+      val dim = vs.head.length
+      val cent = Array.tabulate(dim)(i => vs.map(_(i)).sum / vs.length)
+      val nc = math.sqrt(cent.map(x => x * x).sum)
+      assert(math.abs(r.getDouble(2) - nc) < 2e-6, s"label $label centroid_norm")
+      val cosines = vs.map { v =>
+        val dot = v.zip(cent).map { case (a, b) => a * b }.sum
+        dot / (math.sqrt(v.map(x => x * x).sum) * nc)
+      }
+      assert(math.abs(r.getDouble(3) - cosines.sum / cosines.length) < 2e-6, s"label $label mean_cos")
+      assert(math.abs(r.getDouble(4) - cosines.min) < 2e-6, s"label $label min_cos")
+      assert(math.abs(r.getDouble(5) - cosines.max) < 2e-6, s"label $label max_cos")
+      // unit-normalized corpus: avg member-to-centroid cosine == |centroid|
+      assert(math.abs(r.getDouble(3) - r.getDouble(2)) <= 2e-6, s"label $label invariant")
+      assert(r.getDouble(4) <= r.getDouble(3) && r.getDouble(3) <= r.getDouble(5))
+    }
+  }
 }

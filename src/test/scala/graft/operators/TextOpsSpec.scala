@@ -95,4 +95,64 @@ class TextOpsSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"q54 must not plan a BNLJ:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"q54 must not plan a cartesian:\n$plan")
   }
+
+  test("q80 dynamic threshold: matches a per-lang percent-rank recomputation") {
+    import org.apache.spark.sql.functions._
+    // recompute the q26 score per doc with the same expressions, then derive
+    // the keep set from first principles: percent_rank >= 0.1 with ties
+    // sharing rank, i.e. cnt_less(score) >= 0.1 * (n - 1)
+    val toks = size(split(trim(col("text")), "\\s+"))
+    val stops = size(regexp_extract_all(lower(col("text")), lit("\\b(the|a|of|and|to|in|is|it|that|for)\\b"), lit(0)))
+    val scored = graft.core.Tables
+      .documents(spark, sfDir)
+      .withColumn("sr", round(stops.cast("double") / greatest(toks, lit(1)).cast("double"), 6))
+      .withColumn(
+        "score",
+        round(
+          least(lit(40), toks.cast("double") / 2) + least(lit(30), col("sr") * 100)
+            + lit(30) * when(col("n_chars").between(100, 500), 1.0).otherwise(0.5),
+          4
+        )
+      )
+      .select(col("lang"), col("score"))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val byLang = scored.groupBy(_._1).map { case (l, rs) => (l, rs.map(_._2)) }
+    val rows = TextOps.q80DynamicThreshold(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).toSet === byLang.keySet)
+    rows.foreach { r =>
+      val (lang, nTotal, thr, nKept, nDropped, meanKept) =
+        (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+      val xs = byLang(lang)
+      assert(nTotal === xs.length.toLong)
+      assert(nKept + nDropped === nTotal)
+      val expectedThr = xs.sorted.filter(sc => xs.count(_ < sc) >= 0.1 * (xs.length - 1)).min
+      assert(thr === expectedThr, s"$lang threshold")
+      val kept = xs.filter(_ >= expectedThr)
+      assert(nKept === kept.length.toLong, s"$lang kept count")
+      assert(math.abs(meanKept - kept.sum / kept.length) < 2e-6, s"$lang mean kept")
+      // the whole point: at least ~90% of every language survives
+      assert(nKept.toDouble / nTotal >= 0.85, s"$lang kept fraction")
+    }
+  }
+
+  test("q82 vocab growth: matches an exact per-source recomputation") {
+    val docs = graft.core.Tables
+      .documents(spark, sfDir)
+      .select("source", "text")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1).toLowerCase.trim.split("\\s+").toSeq))
+    val rows = TextOps.q82VocabGrowth(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).toSet === docs.map(_._1).toSet)
+    rows.foreach { r =>
+      val src = r.getString(0)
+      val toks = docs.filter(_._1 == src).flatMap(_._2)
+      val freq = toks.groupBy(identity).map { case (t, ts) => (t, ts.length) }
+      assert(r.getLong(1) === docs.count(_._1 == src).toLong, s"$src n_docs")
+      assert(r.getLong(2) === toks.length.toLong, s"$src total")
+      assert(r.getLong(3) === freq.size.toLong, s"$src distinct")
+      assert(r.getLong(4) === freq.values.count(_ == 1).toLong, s"$src hapax")
+      assert(math.abs(r.getDouble(5) - freq.size.toDouble / toks.length) < 2e-6, s"$src ttr")
+    }
+  }
 }
