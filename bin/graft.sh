@@ -20,6 +20,7 @@
 #   init-sql      write warehouse bootstrap DDL     (DialectDump --init-sql)
 #   ann-tune      ANN recall/scan-fraction sweep    (graft.tools.AnnTune)
 #   ann-build     persist/refresh/compact ANN indexes (graft.tools.AnnBuild)
+#   train-export  write training shard files + manifest (graft.tools.TrainExportMain)
 set -euo pipefail
 
 cd "$(dirname "$0")/.."
@@ -63,6 +64,7 @@ case "$cmd" in
   init-sql)     main=graft.etl.DialectDump; set -- --init-sql "$@" ;;
   ann-tune)     main=graft.tools.AnnTune ;;
   ann-build)    main=graft.tools.AnnBuild ;;
+  train-export) main=graft.tools.TrainExportMain ;;
   help|--help|-h)
     # print the header comment block (everything between the shebang and
     # the first non-comment line), stripping the leading '# '

@@ -29,7 +29,8 @@ object SparkEntry {
       operators.Skew.queries ++
       operators.RangeOps.queries ++
       operators.Sampling.queries ++
-      operators.Curation.queries
+      operators.Curation.queries ++
+      operators.TrainExport.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -46,5 +47,6 @@ object SparkEntry {
       operators.Skew.oracles ++
       operators.RangeOps.oracles ++
       operators.Sampling.oracles ++
-      operators.Curation.oracles
+      operators.Curation.oracles ++
+      operators.TrainExport.oracles
 }

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Training-shard export — the last mile of the curation pipeline: turn a
+  * curated corpus into the fixed set of shard files a training data loader
+  * streams. Two requirements drive the design, both standard in pretraining
+  * setups (and absent from the reference, whose pipeline ends at a
+  * warehouse table — see `data_processing.py:303`'s terminal load step):
+  *
+  *   1. **Global shuffle, reproducibly.** Adjacent documents in the source
+  *      corpus are correlated (same crawl, same source, same dedup
+  *      cluster); a loader that streams shards sequentially needs the
+  *      corpus pre-shuffled. Ordering by `md5(seed ':' doc_id)` is a
+  *      deterministic permutation — re-running the export reproduces
+  *      byte-identical shard order, and changing the seed reshuffles
+  *      without touching the corpus.
+  *   2. **Fixed shard count, hash-assigned.** shard = first-7-hex-digits of
+  *      that same key mod N, so assignment needs no global coordination, is
+  *      stable under corpus growth (a new doc lands in one shard, others
+  *      unmoved), and each worker of an N-way loader reads exactly one
+  *      file.
+  *
+  * Scale shape: the plan is one scan + one hash-partitioned sort
+  * (`repartition(shard)` + `sortWithinPartitions`) — exactly the shuffle a
+  * distributed sort-by-random-key does, with the key cryptographically
+  * derived instead of RNG-drawn so the driver gate (and any re-run) can
+  * reproduce it. The manifest query (q83) is the auditable plan: per-shard
+  * doc/token totals plus the order-key range, all md5-deterministic, so
+  * DuckDB recomputes it exactly.
+  */
+object TrainExport {
+
+  val N_SHARDS = 8
+  val SEED = "graft-v1"
+
+  /** Corpus rows decorated with the export key and shard assignment. */
+  private def sharded(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .balanced(Tables.documents(spark, dir))
+      .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")).cast("long"))
+      .withColumn("order_key", md5(concat(lit(SEED + ":"), col("doc_id").cast("string"))))
+      .withColumn(
+        "shard",
+        (conv(substring(col("order_key"), 1, 7), 16, 10).cast("long") % N_SHARDS).cast("int")
+      )
+
+  // ---------------------------------------------------------------------------
+  // q83 — the shard manifest: what a loader (or an auditor) reads before
+  // touching any shard file. Doc/token totals per shard prove balance; the
+  // order-key range pins the permutation so a re-export can be verified
+  // without re-reading payloads.
+  // ---------------------------------------------------------------------------
+  def q83ShardPlan(spark: SparkSession, dir: String): DataFrame =
+    sharded(spark, dir)
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("order_key")).as("first_key"),
+        max(col("order_key")).as("last_key")
+      )
+      .orderBy(col("shard"))
+
+  val q83Oracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+       |         md5('$SEED:' || doc_id::VARCHAR) AS order_key
+       |  FROM documents)
+       |SELECT CAST(('0x' || substring(order_key, 1, 7))::INT % $N_SHARDS AS INT) AS shard,
+       |  CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  min(order_key) AS first_key, max(order_key) AS last_key
+       |FROM d GROUP BY 1 ORDER BY shard""".stripMargin
+
+  /** Write the shard files: one parquet file per shard under
+    * `outDir/shard=N/`, rows in order_key order — the deterministic global
+    * shuffle a trainer streams start-to-finish. `repartition(N, shard)`
+    * co-locates each shard in one task (same-value hash), the
+    * within-partition sort fixes row order, and `partitionBy` routes each
+    * shard to its own directory while preserving that order — so each
+    * shard is exactly one file written in one sequential pass.
+    */
+  def write(spark: SparkSession, dir: String, outDir: String): Unit =
+    sharded(spark, dir)
+      .select(col("shard"), col("order_key"), col("doc_id"), col("lang"), col("source"), col("n_tokens"), col("text"))
+      .repartition(N_SHARDS, col("shard"))
+      .sortWithinPartitions(col("shard"), col("order_key"))
+      .write
+      .mode("overwrite")
+      .partitionBy("shard")
+      .parquet(outDir)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q83_shard_plan" -> (q83ShardPlan _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q83_shard_plan" -> q83Oracle
+  )
+}

@@ -1,0 +1,73 @@
+package graft.operators
+
+import java.security.MessageDigest
+
+import graft.SparkSpec
+
+/** Training-shard export at sf0.001: manifest exactness, file layout, and
+  * the deterministic-permutation contract.
+  */
+class TrainExportSpec extends SparkSpec {
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def expected(): Map[Int, Seq[(Long, String, Long)]] = {
+    // (shard -> rows of (doc_id, order_key, n_tokens)) from first principles
+    val docs = graft.core.Tables
+      .documents(spark, sfDir)
+      .select("doc_id", "text")
+      .collect()
+      .map { r =>
+        val id = r.getLong(0)
+        val key = md5hex(s"${TrainExport.SEED}:$id")
+        val shard = (java.lang.Long.parseLong(key.substring(0, 7), 16) % TrainExport.N_SHARDS).toInt
+        val nTokens = r.getString(1).trim.split("\\s+").length.toLong
+        (shard, (id, key, nTokens))
+      }
+    docs.groupBy(_._1).map { case (s2, rs) => (s2, rs.map(_._2).toSeq) }
+  }
+
+  test("q83 shard plan: matches an md5 first-principles recomputation") {
+    val exp = expected()
+    val rows = TrainExport.q83ShardPlan(spark, sfDir).collect()
+    assert(rows.map(_.getInt(0)).toSet === exp.keySet)
+    rows.foreach { r =>
+      val rs = exp(r.getInt(0))
+      assert(r.getLong(1) === rs.length.toLong, s"shard ${r.getInt(0)} n_docs")
+      assert(r.getLong(2) === rs.map(_._3).sum, s"shard ${r.getInt(0)} n_tokens")
+      assert(r.getString(3) === rs.map(_._2).min, s"shard ${r.getInt(0)} first_key")
+      assert(r.getString(4) === rs.map(_._2).max, s"shard ${r.getInt(0)} last_key")
+    }
+    // hash assignment balances: no shard holds more than 2x the mean
+    val counts = rows.map(_.getLong(1))
+    assert(counts.max <= 2 * (counts.sum / counts.length), "shard skew")
+  }
+
+  test("export writes one ordered file per shard; re-export is identical") {
+    val out = java.nio.file.Files.createTempDirectory("train_export").toString
+    TrainExport.write(spark, sfDir, out)
+    val exp = expected()
+    val firstRun = exp.keySet.toSeq.sorted.map { s2 =>
+      val dir = new java.io.File(s"$out/shard=$s2")
+      val files = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length === 1, s"shard $s2 must be exactly one file, got ${files.length}")
+      // single-file read: partitions follow file offsets, so collect()
+      // preserves on-disk row order at this size (one row group)
+      val rows = spark.read.parquet(files.head.getPath).collect()
+      val keys = rows.map(_.getAs[String]("order_key"))
+      assert(keys.sorted.sameElements(keys), s"shard $s2 rows not in order_key order")
+      assert(rows.map(_.getAs[Long]("doc_id")).toSet === exp(s2).map(_._1).toSet, s"shard $s2 membership")
+      (s2, keys.toSeq)
+    }
+    // the permutation is a function of (seed, doc_id) only: a second export
+    // reproduces every shard's row order exactly
+    val out2 = java.nio.file.Files.createTempDirectory("train_export2").toString
+    TrainExport.write(spark, sfDir, out2)
+    firstRun.foreach { case (s2, keys) =>
+      val f = new java.io.File(s"$out2/shard=$s2").listFiles().filter(_.getName.endsWith(".parquet")).head
+      val keys2 = spark.read.parquet(f.getPath).collect().map(_.getAs[String]("order_key"))
+      assert(keys2.sameElements(keys), s"shard $s2 re-export changed the order")
+    }
+  }
+}
