@@ -21,6 +21,7 @@
 #   ann-tune      ANN recall/scan-fraction sweep    (graft.tools.AnnTune)
 #   ann-build     persist/refresh/compact ANN indexes (graft.tools.AnnBuild)
 #   train-export  write training shard files + manifest (graft.tools.TrainExportMain)
+#   corpus-report corpus health report (one text page) (graft.tools.CorpusReport)
 set -euo pipefail
 
 cd "$(dirname "$0")/.."
@@ -65,6 +66,7 @@ case "$cmd" in
   ann-tune)     main=graft.tools.AnnTune ;;
   ann-build)    main=graft.tools.AnnBuild ;;
   train-export) main=graft.tools.TrainExportMain ;;
+  corpus-report) main=graft.tools.CorpusReport ;;
   help|--help|-h)
     # print the header comment block (everything between the shebang and
     # the first non-comment line), stripping the leading '# '

@@ -1170,6 +1170,82 @@ object Curation {
       |FROM pairs JOIN tot ta ON pairs.src_a = ta.source JOIN tot tb ON pairs.src_b = tb.source
       |ORDER BY src_a, src_b""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q84 — model-based quality score: a fixed-weight logistic blend of three
+  // per-doc signals (length saturation, stopword ratio, bigram repetition).
+  // This is the "quality classifier" slot of a curation stack — the
+  // fasttext-style linear probe that replaces hand-tuned rule thresholds
+  // once labels exist. The weights here stand in for an offline fit and are
+  // published constants: the ENGINE contract is the featurization + scoring
+  // plan (one scan, all codegen'd, no shuffle before the presentation
+  // sort), not the fit itself — retraining changes four numbers, not the
+  // plan.
+  //
+  // Exactness: each feature is floor-rounded to 6 dp BEFORE entering the
+  // linear term, so both engines compute z from bit-identical inputs and
+  // the only cross-engine float risk is exp()'s final ulp — the same
+  // already-green exposure as q62's ln and q34's sqrt.
+  // ---------------------------------------------------------------------------
+  private val QM_BIAS = -2.0
+  private val QM_W_LEN = 3.0
+  private val QM_W_STOP = 4.0
+  private val QM_W_REP = -5.0
+
+  def q84QualityModel(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .balanced(Tables.documents(spark, dir))
+      .withColumn("toks", expr(toksExpr))
+      // no bigrams on a 1-token doc (q68's guard)
+      .filter(size(col("toks")) >= 2)
+      .withColumn(
+        "grams",
+        expr("transform(sequence(1, size(toks) - 1), i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))")
+      )
+      .withColumn(
+        "f_len",
+        expr("floor(least(1e0, cast(size(toks) AS double) / 80e0) * 1e6 + 5e-1) / 1e6")
+      )
+      .withColumn(
+        "f_stop",
+        expr(
+          "floor(cast(size(regexp_extract_all(array_join(toks, ' '), '\\\\b(the|a|of|and|to|in|is|it|that|for)\\\\b', 0)) AS double) " +
+            "/ cast(size(toks) AS double) * 1e6 + 5e-1) / 1e6"
+        )
+      )
+      .withColumn(
+        "f_rep",
+        expr("floor((1.0 - cast(size(array_distinct(grams)) AS double) / cast(size(grams) AS double)) * 1e6 + 5e-1) / 1e6")
+      )
+      .withColumn("z", lit(QM_BIAS) + lit(QM_W_LEN) * col("f_len") + lit(QM_W_STOP) * col("f_stop") + lit(QM_W_REP) * col("f_rep"))
+      .withColumn("prob", expr("floor(1e0 / (1e0 + exp(-z)) * 1e6 + 5e-1) / 1e6"))
+      .withColumn("decision", when(col("prob") >= 0.5, "keep").otherwise("drop"))
+      .select(col("doc_id"), col("f_len"), col("f_stop"), col("f_rep"), col("prob"), col("decision"))
+      .orderBy(col("doc_id"))
+
+  val q84Oracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, toks,
+       |         list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS grams
+       |  FROM t WHERE len(toks) >= 2),
+       |f AS (
+       |  SELECT doc_id,
+       |    floor(least(1e0, len(toks)::DOUBLE / 80e0) * 1e6 + 5e-1) / 1e6 AS f_len,
+       |    floor(len(regexp_extract_all(array_to_string(toks, ' '), '\\b(the|a|of|and|to|in|is|it|that|for)\\b'))::DOUBLE
+       |          / len(toks) * 1e6 + 5e-1) / 1e6 AS f_stop,
+       |    floor((1.0 - len(list_distinct(grams))::DOUBLE / len(grams)) * 1e6 + 5e-1) / 1e6 AS f_rep
+       |  FROM g),
+       |z AS (
+       |  SELECT doc_id, f_len, f_stop, f_rep,
+       |         $QM_BIAS + $QM_W_LEN * f_len + $QM_W_STOP * f_stop + $QM_W_REP * f_rep AS zz
+       |  FROM f)
+       |SELECT doc_id, f_len, f_stop, f_rep,
+       |  floor(1e0 / (1e0 + exp(-zz)) * 1e6 + 5e-1) / 1e6 AS prob,
+       |  CASE WHEN floor(1e0 / (1e0 + exp(-zz)) * 1e6 + 5e-1) / 1e6 >= 0.5 THEN 'keep' ELSE 'drop' END AS decision
+       |FROM z ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q66_context_pack" -> (q66ContextPack _),
     "q67_contamination" -> (q67Contamination _),
@@ -1182,7 +1258,8 @@ object Curation {
     "q74_mixture_apply" -> (q74MixtureApply _),
     "q77_corpus_build" -> (q77CorpusBuild _),
     "q78_bigram_lm" -> (q78BigramLm _),
-    "q81_source_overlap" -> (q81SourceOverlap _)
+    "q81_source_overlap" -> (q81SourceOverlap _),
+    "q84_quality_model" -> (q84QualityModel _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1197,6 +1274,7 @@ object Curation {
     "q74_mixture_apply" -> q74Oracle,
     "q77_corpus_build" -> q77Oracle,
     "q78_bigram_lm" -> q78Oracle,
-    "q81_source_overlap" -> q81Oracle
+    "q81_source_overlap" -> q81Oracle,
+    "q84_quality_model" -> q84Oracle
   )
 }

@@ -37,10 +37,13 @@ object TrainExport {
   val N_SHARDS = 8
   val SEED = "graft-v1"
 
-  /** Corpus rows decorated with the export key and shard assignment. */
-  private def sharded(spark: SparkSession, dir: String): DataFrame =
-    Tables
-      .balanced(Tables.documents(spark, dir))
+  /** Any (doc_id, lang, source, text) frame decorated with the export key
+    * and shard assignment. n_tokens is recomputed from text so the export
+    * carries exactly one tokenizer regardless of what the source frame
+    * staged.
+    */
+  private def shardedOf(corpus: DataFrame): DataFrame =
+    corpus
       .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")).cast("long"))
       .withColumn("order_key", md5(concat(lit(SEED + ":"), col("doc_id").cast("string"))))
       .withColumn(
@@ -55,7 +58,7 @@ object TrainExport {
   // without re-reading payloads.
   // ---------------------------------------------------------------------------
   def q83ShardPlan(spark: SparkSession, dir: String): DataFrame =
-    sharded(spark, dir)
+    shardedOf(Tables.balanced(Tables.documents(spark, dir)))
       .groupBy(col("shard"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -84,7 +87,18 @@ object TrainExport {
     * shard is exactly one file written in one sequential pass.
     */
   def write(spark: SparkSession, dir: String, outDir: String): Unit =
-    sharded(spark, dir)
+    writeFrame(shardedOf(Tables.balanced(Tables.documents(spark, dir))), outDir)
+
+  /** Build → export, end to end: the q77 curation-build survivors
+    * ([[Curation.corpusBuildKept]]) as shard files — what an actual
+    * pretraining run consumes. Same permutation contract as [[write]]; the
+    * kept set itself is gated by q77's oracle.
+    */
+  def writeCurated(spark: SparkSession, dir: String, outDir: String): Unit =
+    writeFrame(shardedOf(Curation.corpusBuildKept(spark, dir)), outDir)
+
+  private def writeFrame(df: DataFrame, outDir: String): Unit =
+    df
       .select(col("shard"), col("order_key"), col("doc_id"), col("lang"), col("source"), col("n_tokens"), col("text"))
       .repartition(N_SHARDS, col("shard"))
       .sortWithinPartitions(col("shard"), col("order_key"))

@@ -1,0 +1,97 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Curation, TextOps, TrainExport}
+
+/** One-command corpus health report — the diagnostic battery a curator
+  * reads before (and after) committing to a build: the q77 stage funnel,
+  * per-language dynamic quality floors (q80), the cross-source mirror
+  * matrix (q81), vocabulary growth (q82), and the shard manifest (q83),
+  * rendered as one text page. Every number comes from the same oracle-gated
+  * queries the driver checks — the report is a VIEW over the inventory, not
+  * a second implementation.
+  *
+  *   bin/graft.sh corpus-report <dataDir>
+  *   sbt "runMain graft.tools.CorpusReport /root/testdata/sf0.01"
+  */
+object CorpusReport {
+
+  /** The rendered report. Collect sizes are all per-source / per-lang /
+    * per-shard aggregates (dozens of rows) — never corpus rows.
+    */
+  def report(spark: SparkSession, dir: String): String = {
+    val sb = new StringBuilder
+    def section(title: String): Unit = sb.append(s"\n== $title ==\n")
+    def line(s: String): Unit = sb.append(s).append('\n')
+
+    val docs = graft.core.Tables.documents(spark, dir)
+    val o = docs
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("lang")).as("langs"),
+        countDistinct(col("source")).as("sources"),
+        sum(col("n_chars")).as("chars")
+      )
+      .head()
+    section(s"corpus: $dir")
+    line(s"docs=${o.getLong(0)} langs=${o.getLong(1)} sources=${o.getLong(2)} chars=${o.getLong(3)}")
+
+    section("curation build (q77): docs per stage, by source")
+    Curation.q77CorpusBuild(spark, dir).collect().foreach { r =>
+      val kept = r.getLong(7)
+      val in = r.getLong(1)
+      line(
+        f"${r.getString(0)}%-8s in=$in%5d rules=${r.getLong(2)}%4d held_out=${r.getLong(3)}%4d " +
+          f"dup=${r.getLong(4)}%4d contam=${r.getLong(5)}%4d sampled_out=${r.getLong(6)}%4d " +
+          f"kept=$kept%5d (${if (in == 0) 0.0 else 100.0 * kept / in}%5.1f%%)"
+      )
+    }
+
+    section("dynamic quality floors (q80): per-language keep-top-90%")
+    TextOps.q80DynamicThreshold(spark, dir).collect().foreach { r =>
+      line(
+        f"${r.getString(0)}%-4s threshold=${r.getDouble(2)}%8.4f kept=${r.getLong(3)}%5d/${r.getLong(1)}%-5d " +
+          f"mean_kept=${r.getDouble(5)}%8.4f"
+      )
+    }
+
+    section("source overlap (q81): top pairs by containment")
+    val overlap = Curation.q81SourceOverlap(spark, dir).collect().sortBy(-_.getDouble(5))
+    if (overlap.isEmpty) line("no overlapping source pairs")
+    overlap.take(5).foreach { r =>
+      line(
+        f"${r.getString(0)}%-8s ~ ${r.getString(1)}%-8s shared=${r.getLong(2)}%6d " +
+          f"containment=${r.getDouble(5)}%7.4f"
+      )
+    }
+
+    section("vocabulary growth (q82): type-token ratio per source")
+    TextOps.q82VocabGrowth(spark, dir).collect().foreach { r =>
+      line(
+        f"${r.getString(0)}%-8s docs=${r.getLong(1)}%5d tokens=${r.getLong(2)}%8d " +
+          f"distinct=${r.getLong(3)}%6d hapax=${r.getLong(4)}%5d ttr=${r.getDouble(5)}%8.6f"
+      )
+    }
+
+    section("train shards (q83): manifest")
+    TrainExport.q83ShardPlan(spark, dir).collect().foreach { r =>
+      line(
+        f"shard=${r.getInt(0)} docs=${r.getLong(1)}%5d tokens=${r.getLong(2)}%8d " +
+          s"keys=[${r.getString(3).take(8)}.., ${r.getString(4).take(8)}..]"
+      )
+    }
+    sb.toString
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.length != 1) {
+      System.err.println("usage: CorpusReport <dataDir>")
+      sys.exit(2)
+    }
+    val spark = graft.core.Sessions.local("graft-corpus-report")
+    try println(report(spark, args(0)))
+    finally spark.stop()
+  }
+}

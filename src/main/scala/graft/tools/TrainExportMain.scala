@@ -7,21 +7,26 @@ import graft.operators.TrainExport
   * md5-order-shuffled shard files and print the manifest (q83) that a
   * loader or auditor checks against them.
   *
-  *   bin/graft.sh train-export <dataDir> <outDir>
+  *   bin/graft.sh train-export <dataDir> <outDir> [--curated]
   *   sbt "runMain graft.tools.TrainExportMain /root/testdata/sf0.01 /tmp/shards"
+  *
+  * `--curated` exports the q77 curation-build survivors instead of the raw
+  * corpus — build → export end to end.
   */
 object TrainExportMain {
 
   def main(args: Array[String]): Unit = {
-    if (args.length != 2) {
-      System.err.println("usage: TrainExportMain <dataDir> <outDir>")
+    val (flags, positional) = args.partition(_.startsWith("--"))
+    if (positional.length != 2 || flags.exists(_ != "--curated")) {
+      System.err.println("usage: TrainExportMain <dataDir> <outDir> [--curated]")
       sys.exit(2)
     }
-    val Array(dataDir, outDir) = args
+    val Array(dataDir, outDir) = positional
     val spark = graft.core.Sessions.local("graft-train-export")
     try {
-      TrainExport.write(spark, dataDir, outDir)
-      println(s"[train-export] wrote ${TrainExport.N_SHARDS} shards to $outDir (seed ${TrainExport.SEED})")
+      if (flags.contains("--curated")) TrainExport.writeCurated(spark, dataDir, outDir)
+      else TrainExport.write(spark, dataDir, outDir)
+      println(s"[train-export] wrote ${TrainExport.N_SHARDS} shards to $outDir (seed ${TrainExport.SEED}${if (flags.contains("--curated")) ", curated" else ""})")
       TrainExport.q83ShardPlan(spark, dataDir).collect().foreach { r =>
         println(
           s"[train-export] shard=${r.getInt(0)} docs=${r.getLong(1)} tokens=${r.getLong(2)} " +

@@ -616,4 +616,21 @@ class CurationSpec extends SparkSpec {
       assert(math.abs(cont - shared.toDouble / math.min(na, nb)) < 2e-6)
     }
   }
+
+  test("q84 quality model: probs recompute exactly from the rounded features") {
+    val rows = Curation.q84QualityModel(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (fLen, fStop, fRep, prob) = (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(fLen >= 0 && fLen <= 1); assert(fStop >= 0 && fStop <= 1); assert(fRep >= 0 && fRep <= 1)
+      // z from the ROUNDED features — the cross-engine contract
+      val z = -2.0 + 3.0 * fLen + 4.0 * fStop - 5.0 * fRep
+      val expected = math.floor(1.0 / (1.0 + math.exp(-z)) * 1e6 + 0.5) / 1e6
+      assert(math.abs(prob - expected) < 2e-6, s"doc ${r.getLong(0)} prob $prob vs $expected")
+      assert(r.getString(5) === (if (prob >= 0.5) "keep" else "drop"))
+    }
+    // the model must actually discriminate on this corpus
+    val decisions = rows.map(_.getString(5)).toSet
+    assert(decisions === Set("keep", "drop"), s"degenerate decisions: $decisions")
+  }
 }

@@ -70,4 +70,21 @@ class TrainExportSpec extends SparkSpec {
       assert(keys2.sameElements(keys), s"shard $s2 re-export changed the order")
     }
   }
+
+  test("curated export ships exactly the q77 kept set, same contract") {
+    val out = java.nio.file.Files.createTempDirectory("train_export_cur").toString
+    TrainExport.writeCurated(spark, sfDir, out)
+    val kept = Curation.corpusBuildKept(spark, sfDir).select("doc_id").collect().map(_.getLong(0)).toSet
+    val shardDirs = new java.io.File(out).listFiles().filter(_.getName.startsWith("shard="))
+    val exported = shardDirs.flatMap { d =>
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length === 1, s"${d.getName} must be one file")
+      val rows = spark.read.parquet(files.head.getPath).collect()
+      val keys = rows.map(_.getAs[String]("order_key"))
+      assert(keys.sorted.sameElements(keys), s"${d.getName} rows not in order")
+      rows.map(_.getAs[Long]("doc_id"))
+    }
+    assert(exported.length === exported.distinct.length, "a doc exported twice")
+    assert(exported.toSet === kept, "exported set != q77 kept set")
+  }
 }

@@ -1,0 +1,31 @@
+package graft.tools
+
+import graft.SparkSpec
+
+/** The report is a view over the oracle-gated inventory — assert every
+  * section renders and carries real rows at sf0.001.
+  */
+class CorpusReportSpec extends SparkSpec {
+
+  test("corpus report renders every section with data") {
+    val r = CorpusReport.report(spark, sfDir)
+    for (
+      header <- Seq(
+        "corpus:",
+        "curation build (q77)",
+        "dynamic quality floors (q80)",
+        "source overlap (q81)",
+        "vocabulary growth (q82)",
+        "train shards (q83)"
+      )
+    ) assert(r.contains(header), s"missing section: $header\n$r")
+    // per-source rows actually rendered (src0..src19 exist at every SF)
+    assert(r.contains("src0"), r.take(500))
+    // all 8 shards in the manifest
+    (0 until graft.operators.TrainExport.N_SHARDS)
+      .foreach(s2 => assert(r.contains(s"shard=$s2"), s"missing shard $s2"))
+    // doc total in the corpus line matches the table
+    val n = graft.core.Tables.documents(spark, sfDir).count()
+    assert(r.contains(s"docs=$n"), "corpus overview doc count")
+  }
+}
