@@ -30,7 +30,8 @@ object SparkEntry {
       operators.RangeOps.queries ++
       operators.Sampling.queries ++
       operators.Curation.queries ++
-      operators.TrainExport.queries
+      operators.TrainExport.queries ++
+      operators.Privacy.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -48,5 +49,6 @@ object SparkEntry {
       operators.RangeOps.oracles ++
       operators.Sampling.oracles ++
       operators.Curation.oracles ++
-      operators.TrainExport.oracles
+      operators.TrainExport.oracles ++
+      operators.Privacy.oracles
 }

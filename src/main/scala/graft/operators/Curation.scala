@@ -1191,7 +1191,12 @@ object Curation {
   private val QM_W_STOP = 4.0
   private val QM_W_REP = -5.0
 
-  def q84QualityModel(spark: SparkSession, dir: String): DataFrame =
+  /** Scored corpus shared by q84 (per-doc view) and q86 (curriculum
+    * binning): documents with the three rounded features, the logistic
+    * prob, and the keep/drop decision — lang and token count kept for
+    * downstream grouping.
+    */
+  private def qualityScored(spark: SparkSession, dir: String): DataFrame =
     Tables
       .balanced(Tables.documents(spark, dir))
       .withColumn("toks", expr(toksExpr))
@@ -1219,6 +1224,10 @@ object Curation {
       .withColumn("z", lit(QM_BIAS) + lit(QM_W_LEN) * col("f_len") + lit(QM_W_STOP) * col("f_stop") + lit(QM_W_REP) * col("f_rep"))
       .withColumn("prob", expr("floor(1e0 / (1e0 + exp(-z)) * 1e6 + 5e-1) / 1e6"))
       .withColumn("decision", when(col("prob") >= 0.5, "keep").otherwise("drop"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+
+  def q84QualityModel(spark: SparkSession, dir: String): DataFrame =
+    qualityScored(spark, dir)
       .select(col("doc_id"), col("f_len"), col("f_stop"), col("f_rep"), col("prob"), col("decision"))
       .orderBy(col("doc_id"))
 
@@ -1246,6 +1255,69 @@ object Curation {
        |  CASE WHEN floor(1e0 / (1e0 + exp(-zz)) * 1e6 + 5e-1) / 1e6 >= 0.5 THEN 'keep' ELSE 'drop' END AS decision
        |FROM z ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q86 — curriculum binning: each language's corpus quartiled by the q84
+  // quality prob (easy→hard = low→high stage), reported as per-stage doc /
+  // token / score envelopes — the schedule a curriculum-ordered training run
+  // consumes. NTILE over the (prob, doc_id) total order makes tie handling
+  // deterministic and identical in both engines.
+  //
+  // Scale note: exact quartiles need a per-language sort, and partitioning
+  // by `lang` alone is skew-prone (one window partition per language). At
+  // 100 TB the same schedule comes from q50-style approx-quantile
+  // boundaries + a value-range assignment — no global sort, at the cost of
+  // value-ties landing in one bin. The exact NTILE form is the oracle-able
+  // contract the approximate path is validated against.
+  // ---------------------------------------------------------------------------
+  def q86Curriculum(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("prob"), col("doc_id"))
+    qualityScored(spark, dir)
+      .select(col("doc_id"), col("lang"), col("prob"), col("n_tokens"))
+      .withColumn("stage", ntile(4).over(w))
+      .groupBy(col("lang"), col("stage"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        // exact decimal sum of the 6-dp-quantized probs, so the mean is
+        // add-order-independent; the divide is then one double op
+        expr("floor(cast(sum(cast(prob AS decimal(18,6))) AS double) / count(1) * 1e6 + 5e-1) / 1e6").as("mean_prob"),
+        min(col("prob")).as("min_prob"),
+        max(col("prob")).as("max_prob")
+      )
+      .orderBy(col("lang"), col("stage"))
+  }
+
+  val q86Oracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, lang, toks,
+       |         list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS grams
+       |  FROM t WHERE len(toks) >= 2),
+       |f AS (
+       |  SELECT doc_id, lang, len(toks)::BIGINT AS n_tokens,
+       |    floor(least(1e0, len(toks)::DOUBLE / 80e0) * 1e6 + 5e-1) / 1e6 AS f_len,
+       |    floor(len(regexp_extract_all(array_to_string(toks, ' '), '\\b(the|a|of|and|to|in|is|it|that|for)\\b'))::DOUBLE
+       |          / len(toks) * 1e6 + 5e-1) / 1e6 AS f_stop,
+       |    floor((1.0 - len(list_distinct(grams))::DOUBLE / len(grams)) * 1e6 + 5e-1) / 1e6 AS f_rep
+       |  FROM g),
+       |p AS (
+       |  SELECT doc_id, lang, n_tokens,
+       |         floor(1e0 / (1e0 + exp(-($QM_BIAS + $QM_W_LEN * f_len + $QM_W_STOP * f_stop + $QM_W_REP * f_rep))) * 1e6 + 5e-1) / 1e6 AS prob
+       |  FROM f),
+       |s AS (
+       |  SELECT lang, prob, n_tokens,
+       |         ntile(4) OVER (PARTITION BY lang ORDER BY prob, doc_id) AS stage
+       |  FROM p)
+       |SELECT lang, stage,
+       |       count(*)::BIGINT AS n_docs,
+       |       sum(n_tokens)::BIGINT AS n_tokens,
+       |       floor(CAST(sum(CAST(prob AS DECIMAL(18,6))) AS DOUBLE) / count(*) * 1e6 + 5e-1) / 1e6 AS mean_prob,
+       |       min(prob) AS min_prob,
+       |       max(prob) AS max_prob
+       |FROM s GROUP BY lang, stage ORDER BY lang, stage""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q66_context_pack" -> (q66ContextPack _),
     "q67_contamination" -> (q67Contamination _),
@@ -1259,7 +1331,8 @@ object Curation {
     "q77_corpus_build" -> (q77CorpusBuild _),
     "q78_bigram_lm" -> (q78BigramLm _),
     "q81_source_overlap" -> (q81SourceOverlap _),
-    "q84_quality_model" -> (q84QualityModel _)
+    "q84_quality_model" -> (q84QualityModel _),
+    "q86_curriculum" -> (q86Curriculum _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1275,6 +1348,7 @@ object Curation {
     "q77_corpus_build" -> q77Oracle,
     "q78_bigram_lm" -> q78Oracle,
     "q81_source_overlap" -> q81Oracle,
-    "q84_quality_model" -> q84Oracle
+    "q84_quality_model" -> q84Oracle,
+    "q86_curriculum" -> q86Oracle
   )
 }

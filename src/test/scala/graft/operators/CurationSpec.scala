@@ -633,4 +633,27 @@ class CurationSpec extends SparkSpec {
     val decisions = rows.map(_.getString(5)).toSet
     assert(decisions === Set("keep", "drop"), s"degenerate decisions: $decisions")
   }
+
+  test("q86 curriculum: quartiles partition each language, stages order by quality") {
+    val rows = Curation.q86Curriculum(spark, sfDir).collect()
+    val byLang = rows.groupBy(_.getString(0))
+    val scored = Curation.q84QualityModel(spark, sfDir).collect()
+    assert(byLang.nonEmpty)
+    byLang.foreach { case (lang, stages) =>
+      assert(stages.map(_.getInt(1)).sorted.sameElements(1 to 4), s"$lang stages")
+      // NTILE balance: stage sizes differ by at most 1
+      val sizes = stages.map(_.getLong(2))
+      assert(sizes.max - sizes.min <= 1, s"$lang sizes ${sizes.mkString(",")}")
+      // stages are quality-ordered: min_prob of stage s+1 >= min_prob of s,
+      // and each stage's envelope is internally sane
+      val ordered = stages.sortBy(_.getInt(1))
+      ordered.foreach(r => assert(r.getDouble(5) <= r.getDouble(6), s"$lang envelope"))
+      ordered.sliding(2).foreach {
+        case Array(a, b) => assert(b.getDouble(5) >= a.getDouble(5), s"$lang stage order")
+        case _           =>
+      }
+    }
+    // doc accounting: quartiles cover exactly the scored corpus
+    assert(rows.map(_.getLong(2)).sum === scored.length.toLong)
+  }
 }
