@@ -31,7 +31,8 @@ object SparkEntry {
       operators.Sampling.queries ++
       operators.Curation.queries ++
       operators.TrainExport.queries ++
-      operators.Privacy.queries
+      operators.Privacy.queries ++
+      operators.BloomPrune.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -50,5 +51,6 @@ object SparkEntry {
       operators.Sampling.oracles ++
       operators.Curation.oracles ++
       operators.TrainExport.oracles ++
-      operators.Privacy.oracles
+      operators.Privacy.oracles ++
+      operators.BloomPrune.oracles
 }

@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.BloomSketch
+
+/** Bloom-filter semi-join pruning — the shuffle-reduction pattern for the
+  * selective-dim join at 100 TB: build a KB-sized bitset over the dim
+  * side's surviving join keys (one scan, word-wise-OR merge), ship it to
+  * every fact task as a plan constant, and drop non-matching fact rows AT
+  * THE SCAN, before they pay the join shuffle. With a 20%-selective dim
+  * filter and ~1% bloom fpp, ~79% of the fact table's shuffle volume
+  * disappears; the exact join then removes the false positives, so the
+  * result is bit-identical to the unpruned plan (which is exactly what the
+  * oracle checks).
+  *
+  * Spark's optimizer has this move built in (`InjectRuntimeFilter`) but
+  * only fires it on its own cost heuristics; this operator makes the
+  * pruning an explicit, testable, always-on step — the same reasoning as
+  * q43's explicit salting vs AQE.
+  */
+object BloomPrune {
+
+  /** Session-bound `bloom_contains_<i>` registrations: one immutable name
+    * per distinct bitset (same discipline as Similarity's
+    * `centroid_ranks_<i>` — a mutable name would either spam re-codegen or
+    * silently pin the first binding).
+    */
+  private val bloomBindings =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.ArrayBuffer[Array[Long]]]()
+
+  /** Register (or find) the session function bound to this bitset and
+    * return its name — callers splice the name into expressions.
+    */
+  def installBloom(spark: SparkSession, bits: Array[Long]): String =
+    bloomBindings.synchronized {
+      val list = {
+        val l = bloomBindings.get(spark)
+        if (l != null) l
+        else {
+          val fresh = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+          bloomBindings.put(spark, fresh)
+          fresh
+        }
+      }
+      val existing = list.indexWhere(b => (b eq bits) || java.util.Arrays.equals(b, bits))
+      val i =
+        if (existing >= 0) existing
+        else {
+          val idx = list.size
+          val name = s"bloom_contains_$idx"
+          spark.sessionState.functionRegistry.registerFunction(
+            org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+            new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+              classOf[BloomSketch.BloomContains].getName,
+              name
+            ),
+            (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+              BloomSketch.BloomContains(args.head, bits)
+          )
+          list += bits
+          idx
+        }
+      s"bloom_contains_$i"
+    }
+
+  /** Build a bloom over `keys` (a 1-column BIGINT frame). Two actions: a
+    * count to size the bitset (at 100 TB this is the dim-side scan — small
+    * relative to the fact scan it saves) and the aggregate itself.
+    */
+  def buildBloom(spark: SparkSession, keys: DataFrame): Array[Long] = {
+    import spark.implicits._
+    val ds = keys.as[Long]
+    val n = math.max(1L, ds.count())
+    ds.select(BloomSketch.aggregator(BloomSketch.wordsFor(n)).toColumn).head()
+  }
+
+  // ---------------------------------------------------------------------------
+  // q88 — urgent-order revenue with explicit bloom pruning: lineitem rows are
+  // filtered by a bloom over the urgent orders' keys before the join. The
+  // oracle is the plain unpruned SQL join — pruning must be invisible in the
+  // result.
+  // ---------------------------------------------------------------------------
+  def q88BloomPrune(spark: SparkSession, dir: String): DataFrame = {
+    val urgent = Tables.orders(spark, dir).filter(col("o_orderpriority") === "1-URGENT")
+    val fn = installBloom(spark, buildBloom(spark, urgent.select(col("o_orderkey"))))
+    Tables
+      .lineitem(spark, dir)
+      .filter(expr(s"$fn(l_orderkey)"))
+      .join(urgent, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue")
+      )
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q88Oracle: String =
+    """SELECT l_returnflag,
+      |       count(*) AS n_items,
+      |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q88_bloom_prune" -> (q88BloomPrune _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q88_bloom_prune" -> q88Oracle
+  )
+}

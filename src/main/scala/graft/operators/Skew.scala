@@ -59,11 +59,66 @@ object Skew {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  /** Salted replicated join: spread each hot fact key over `salts` sub-keys
+    * and replicate every dim row `salts` ways so each (key, salt) pair still
+    * finds its match. Inner-join semantics are exactly the plain join's —
+    * each fact row meets each matching dim row exactly once, under exactly
+    * one salt.
+    *
+    * This is the tool for the case AQE's skew handling doesn't cover and
+    * broadcast can't: a MEDIUM dim (too big for one executor's memory) and
+    * a fact side whose key histogram has a few keys holding a double-digit
+    * percentage of rows — there, a plain shuffle join pins each hot key's
+    * entire fact volume on one task, while the salted plan caps any task at
+    * 1/`salts` of the hottest key for the price of `salts`× the (small
+    * relative to fact) dim shuffle volume.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: Column, dimKey: Column, salts: Int): DataFrame = {
+    val saltedFact =
+      fact.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts.toLong)).cast("int"))
+    val saltedDim =
+      dim.withColumn("__salt", explode(expr(s"sequence(0, ${salts - 1})")))
+    saltedFact
+      .join(saltedDim.hint("merge"), saltedFact("__salt") === saltedDim("__salt") && factKey === dimKey)
+      .drop("__salt")
+  }
+
+  // ---------------------------------------------------------------------------
+  // q87 — salted fact⋈dim join under a skewed fact key: events (every row one
+  // of a handful of user_ids — the "viral user" histogram) joined to
+  // customer, revenue by market segment. The `merge` hint pins the shape the
+  // salt exists for (a shuffled sort-merge join, the 100 TB medium-dim
+  // case); the oracle is the plain unsalted SQL join — salting must be
+  // invisible in the result. The segment totals accumulate in DECIMAL so the
+  // salt-sharded merge order can't flip a rounding boundary (q43's rule).
+  // ---------------------------------------------------------------------------
+  def q87SkewJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    saltedJoin(ev, cust, col("user_id"), col("c_custkey"), salts = 16)
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value")
+      )
+      .orderBy(col("segment"))
+  }
+
+  val q87Oracle: String =
+    """SELECT c_mktsegment AS segment,
+      |       count(*) AS n_events,
+      |       round(sum(value), 2) AS total_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q43_salted_agg" -> (q43SaltedAgg _)
+    "q43_salted_agg" -> (q43SaltedAgg _),
+    "q87_skew_join" -> (q87SkewJoin _)
   )
 
   val oracles: Map[String, String] = Map(
-    "q43_salted_agg" -> q43Oracle
+    "q43_salted_agg" -> q43Oracle,
+    "q87_skew_join" -> q87Oracle
   )
 }

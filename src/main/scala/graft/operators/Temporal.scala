@@ -285,13 +285,65 @@ object Temporal {
       |FROM activity JOIN cohort_sizes USING (cohort_date)
       |ORDER BY cohort_date, day_offset""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q89 — SCD Type-2 history build: each user's event_type stream compressed
+  // into versioned validity intervals (valid_from, valid_to, version,
+  // is_current) — the slowly-changing-dimension shape every warehouse keeps
+  // for "what was this entity's state at time T" queries, built from an
+  // append-only event log in two window passes over ONE user-keyed shuffle:
+  // pass 1 drops rows equal to their predecessor (run-length compression),
+  // pass 2 closes each surviving interval with the next one's start.
+  // (ts, event_id) is a total order, so version numbers are deterministic.
+  // At 100 TB the shuffle is the unavoidable one (state is per-user); both
+  // windows reuse the same partitioning, so it's paid once.
+  // ---------------------------------------------------------------------------
+  def q89Scd2(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val changes = Tables
+      .events(spark, dir)
+      .withColumn("prev_state", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_state").isNull || col("prev_state") =!= col("event_type"))
+    changes
+      .withColumn("valid_to_ts", lead(col("ts"), 1).over(w))
+      .withColumn("version", row_number().over(w))
+      .select(
+        col("user_id"),
+        col("event_type").as("state"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("valid_from"),
+        date_format(col("valid_to_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("valid_to"),
+        col("version"),
+        col("valid_to_ts").isNull.as("is_current")
+      )
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  val q89Oracle: String =
+    """WITH ordered AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_state
+      |  FROM events),
+      |ch AS (
+      |  SELECT * FROM ordered WHERE prev_state IS NULL OR prev_state <> event_type),
+      |v AS (
+      |  SELECT user_id, event_type, ts,
+      |         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to_ts,
+      |         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS version
+      |  FROM ch)
+      |SELECT user_id, event_type AS state,
+      |       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+      |       strftime(valid_to_ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+      |       version,
+      |       (valid_to_ts IS NULL) AS is_current
+      |FROM v ORDER BY user_id, version""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_hourly_dense" -> (q20HourlyDense _),
     "q21_tumbling_daily" -> (q21TumblingDaily _),
     "q22_sessionize" -> (q22Sessionize _),
     "q23_asof_attribution" -> (q23AsofAttribution _),
     "q24_json_props" -> (q24JsonProps _),
-    "q63_cohort_retention" -> (q63CohortRetention _)
+    "q63_cohort_retention" -> (q63CohortRetention _),
+    "q89_scd2" -> (q89Scd2 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -300,6 +352,7 @@ object Temporal {
     "q22_sessionize" -> q22Oracle,
     "q23_asof_attribution" -> q23Oracle,
     "q24_json_props" -> q24Oracle,
-    "q63_cohort_retention" -> q63Oracle
+    "q63_cohort_retention" -> q63Oracle,
+    "q89_scd2" -> q89Oracle
   )
 }

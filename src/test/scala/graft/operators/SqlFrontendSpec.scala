@@ -98,4 +98,35 @@ class SqlFrontendSpec extends SparkSpec {
       assert(s.getLong(2) === d.getLong(2))
     }
   }
+
+  test("q87 salted join equals the plain join and keeps the shuffled-join shape") {
+    import org.apache.spark.sql.functions._
+    val salted = Skew.q87SkewJoin(spark, sfDir).collect()
+    val direct = graft.core.Tables
+      .events(spark, sfDir)
+      .join(graft.core.Tables.customer(spark, sfDir), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("segment"))
+      .collect()
+    assert(salted.length === direct.length && salted.nonEmpty)
+    salted.zip(direct).foreach { case (s, d) =>
+      assert(s.getString(0) === d.getString(0))
+      assert(s.getLong(1) === d.getLong(1))
+      assert(math.abs(s.getDouble(2) - d.getDouble(2)) < 0.02)
+    }
+    // the merge hint must hold: salting is pointless under a broadcast join
+    val plan = Skew.q87SkewJoin(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan.take(800))
+  }
+
+  test("salted join replicates each dim row exactly once per salt") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.core.Tables.events(spark, sfDir)
+    val cust = graft.core.Tables.customer(spark, sfDir)
+    val joined = Skew.saltedJoin(ev, cust, col("user_id"), col("c_custkey"), salts = 7)
+    // every fact row meets its dim match exactly once ⇒ row count == plain join
+    val plainCount = ev.join(cust, col("user_id") === col("c_custkey")).count()
+    assert(joined.count() === plainCount)
+  }
 }

@@ -37,4 +37,29 @@ class TemporalSpec extends SparkSpec {
     assert(rows.length === purchases)
     rows.filter(!_.isNullAt(4)).foreach(r => assert(r.getLong(4) >= 0))
   }
+
+  test("q89 scd2: intervals tile each user's timeline, versions dense, one current") {
+    val rows = Temporal.q89Scd2(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).values.foreach { rs =>
+      val ordered = rs.sortBy(_.getInt(4))
+      // versions are 1..n dense
+      assert(ordered.map(_.getInt(4)).sameElements(1 to ordered.length))
+      // exactly one open (current) interval per user, and it is the last
+      assert(ordered.count(_.getBoolean(5)) === 1)
+      assert(ordered.last.getBoolean(5))
+      // intervals tile: each valid_to == next valid_from, valid_from < valid_to
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getString(3) === b.getString(2), s"gap between v${a.getInt(4)} and v${b.getInt(4)}")
+          assert(a.getString(2) < a.getString(3))
+        case _ =>
+      }
+      // run-length compression: consecutive versions always change state
+      ordered.sliding(2).foreach {
+        case Array(a, b) => assert(a.getString(1) !== b.getString(1))
+        case _           =>
+      }
+    }
+  }
 }
