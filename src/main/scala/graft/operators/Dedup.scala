@@ -492,6 +492,45 @@ object Dedup {
       |FROM labels l JOIN sizes s USING (cluster)
       |ORDER BY cluster, doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q90 — SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
+  // corpus with the IVF coarse quantizer, then drop any vector with a
+  // smaller-id within-cluster neighbor at cosine ≥ τ (q71's canonical-owner
+  // rule, in embedding space). The pair stage is O(Σ nc²) instead of q33's
+  // O(n²): at 100 TB, C scales with corpus size to hold cluster population
+  // bounded, so per-cluster all-pairs stays a constant-sized task — the
+  // published SemDeDup recipe. Cross-cluster near-dups are the recall loss
+  // the spec measures against q33's exact ground truth.
+  //
+  // Kept-set invariant (by the min-id rule): no two KEPT vectors in the
+  // same cluster are ≥ τ — the dedup actually deduplicates.
+  //
+  // No SQL oracle: the quantizer is the trained k-means (not expressible in
+  // DuckDB) → rows-only check; DedupSpec cross-validates every decision
+  // against exact cosines.
+  // ---------------------------------------------------------------------------
+  private val SEM_TAU = 0.45
+
+  def q90SemDedup(spark: SparkSession, dir: String): DataFrame = {
+    val (_, corpus) = Similarity.buildIvfIndex(spark, dir) // (vec_id, vb unit, cluster)
+    val l = corpus.select(col("cluster"), col("vec_id").as("vec_a"), col("vb").as("ua"))
+    val r = corpus.select(col("cluster"), col("vec_id").as("vec_b"), col("vb").as("ub"))
+    val dropped = l
+      .join(r, Seq("cluster"))
+      .filter(col("vec_a") < col("vec_b") && expr("vec_dot(ua, ub)") >= SEM_TAU)
+      .groupBy(col("vec_b").as("vec_id"))
+      .agg(min(col("vec_a")).as("kept_for"))
+    corpus
+      .join(dropped, Seq("vec_id"), "left")
+      .select(
+        col("vec_id"),
+        col("cluster"),
+        when(col("kept_for").isNull, "keep").otherwise("drop").as("decision"),
+        col("kept_for")
+      )
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_exact_dedup" -> (q29ExactDedup _),
     "q30_minhash_pairs" -> (q30MinhashPairs _),
@@ -499,7 +538,8 @@ object Dedup {
     "q32_token_jaccard" -> (q32TokenJaccard _),
     "q33_embedding_neardup" -> (q33EmbeddingNearDup _),
     "q60_lsh_neardup" -> (q60LshNearDup _),
-    "q61_dup_clusters" -> (q61DupClusters _)
+    "q61_dup_clusters" -> (q61DupClusters _),
+    "q90_semdedup" -> (q90SemDedup _)
   )
 
   /** q30/q31/q60 are hash-based LSH — not reproducible in plain SQL →

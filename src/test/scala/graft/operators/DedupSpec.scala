@@ -130,4 +130,53 @@ class DedupSpec extends SparkSpec {
     // uniform data is LSH's worst case, and precision stays exactly 1.
     assert(recall >= 0.15, s"q60 recall collapsed: $recall")
   }
+
+  test("q90 semdedup: decisions cross-validate against exact cosines") {
+    val rows = Dedup.q90SemDedup(spark, sfDir).collect()
+    val n = graft.core.Tables.embeddings(spark, sfDir).count()
+    assert(rows.length.toLong === n, "one decision per vector")
+
+    // exact unit vectors + cluster per vec, recomputed first-principles
+    val unit = graft.core.Tables
+      .embeddings(spark, sfDir)
+      .collect()
+      .map { r =>
+        val v = r.getSeq[Float](1).map(_.toDouble).toArray
+        val nrm = math.sqrt(v.map(x => x * x).sum)
+        r.getLong(0) -> v.map(_ / nrm)
+      }
+      .toMap
+    def cos(a: Long, b: Long): Double = unit(a).zip(unit(b)).map { case (x, y) => x * y }.sum
+
+    val cluster = rows.map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val dropped = rows.filter(_.getString(2) == "drop")
+    val kept = rows.filter(_.getString(2) == "keep").map(_.getLong(0))
+
+    // every drop has its recorded smaller-id same-cluster witness at >= tau
+    dropped.foreach { r =>
+      val (v, w) = (r.getLong(0), r.getLong(3))
+      assert(w < v, s"witness $w not smaller than $v")
+      assert(cluster(w) === cluster(v), s"witness $w in different cluster from $v")
+      assert(cos(w, v) >= 0.45 - 1e-9, s"cos($w,$v)=${cos(w, v)} below tau")
+    }
+
+    // kept-set invariant: no two kept vectors in one cluster at >= tau
+    kept.groupBy(cluster).values.foreach { ids =>
+      val s = ids.sorted
+      for (i <- s.indices; j <- (i + 1) until s.length)
+        assert(cos(s(i), s(j)) < 0.45 + 1e-9, s"kept pair (${s(i)},${s(j)}) still near-dup")
+    }
+
+    // coverage vs exact ground truth: every same-cluster exact pair is caught
+    val exactPairs = Dedup
+      .q33EmbeddingNearDup(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val sameCluster = exactPairs.filter { case (a, b) => cluster(a) == cluster(b) }
+    val droppedSet = dropped.map(_.getLong(0)).toSet
+    // q33 emits vec_a < vec_b, so the larger id of a same-cluster pair MUST drop
+    sameCluster.foreach { case (a, b) => assert(droppedSet.contains(b), s"same-cluster pair ($a,$b) kept $b") }
+    if (exactPairs.nonEmpty)
+      info(s"q90 same-cluster coverage: ${sameCluster.length}/${exactPairs.length} exact pairs in-reach")
+  }
 }
