@@ -436,6 +436,92 @@ object TextOps {
       |FROM g JOIN d ON g.source = d.source
       |GROUP BY g.source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q91 — context-window chunking: split each document into overlapping
+  // token windows (width 64, stride 56 ⇒ 8-token overlap) — the "long doc →
+  // training sequences" step that precedes packing when documents exceed
+  // the context length. One scan; the explode emits chunk START POSITIONS
+  // (a few ints per doc), not materialized chunk arrays, and the slice +
+  // hash happen after, so shuffle volume is (doc_id, start, 32-byte hash)
+  // per chunk regardless of chunk text size. Generators can't nest inside
+  // expressions — explode first, slice in the next select.
+  // ---------------------------------------------------------------------------
+  private val CHUNK_W = 64
+  private val CHUNK_STRIDE = 56
+
+  def q91Chunking(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .balanced(Tables.documents(spark, dir))
+      .select(
+        col("doc_id"),
+        split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ").as("toks")
+      )
+      .select(col("doc_id"), col("toks"), explode(expr(s"sequence(1, size(toks), $CHUNK_STRIDE)")).as("start"))
+      .select(
+        col("doc_id"),
+        (((col("start") - 1) / CHUNK_STRIDE)).cast("int").as("chunk_idx"),
+        col("start"),
+        expr(s"size(slice(toks, start, $CHUNK_W))").as("chunk_tokens"),
+        expr(s"md5(array_join(slice(toks, start, $CHUNK_W), ' '))").as("chunk_hash")
+      )
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  val q91Oracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, toks, unnest(range(1, len(toks) + 1, $CHUNK_STRIDE)) AS start
+       |  FROM t)
+       |SELECT doc_id,
+       |       CAST((start - 1) / $CHUNK_STRIDE AS INT) AS chunk_idx,
+       |       CAST(start AS INT) AS start,
+       |       CAST(len(list_slice(toks, start, start + ${CHUNK_W - 1})) AS INT) AS chunk_tokens,
+       |       md5(array_to_string(list_slice(toks, start, start + ${CHUNK_W - 1}), ' ')) AS chunk_hash
+       |FROM s ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q92 — BPE pair-frequency kernel: the most frequent adjacent character
+  // pairs across the corpus vocabulary, occurrence-weighted — the
+  // distributed inner loop of byte-pair-encoding vocabulary training (each
+  // BPE iteration = this count over the current symbol sequences, then a
+  // merge of the argmax pair). The full training loop is sequential by
+  // nature; the kernel is where 100 TB of text gets reduced, and it
+  // aggregates to |alphabet|² rows — tiny — after a map-side combine on
+  // (word, count) first, so each distinct word's characters are walked once,
+  // not once per occurrence.
+  // ---------------------------------------------------------------------------
+  def q92BpePairs(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables
+      .balanced(Tables.documents(spark, dir))
+      .select(explode(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")).as("w"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("occ"))
+      .filter(length(col("w")) >= 2)
+    words
+      .select(
+        col("occ"),
+        explode(expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair")
+      )
+      .groupBy(col("pair"))
+      .agg(sum(col("occ")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(20)
+  }
+
+  val q92Oracle: String =
+    """WITH words AS (
+      |  SELECT w, count(*) AS occ FROM (
+      |    SELECT unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+      |    FROM documents)
+      |  GROUP BY w HAVING len(w) >= 2),
+      |pairs AS (
+      |  SELECT unnest(list_transform(range(1, len(w)), i -> substr(w, i, 2))) AS pair, occ
+      |  FROM words)
+      |SELECT pair, CAST(sum(occ) AS BIGINT) AS cnt
+      |FROM pairs GROUP BY pair
+      |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_lang_id" -> (q25LangId _),
     "q26_quality_score" -> (q26QualityScore _),
@@ -444,7 +530,9 @@ object TextOps {
     "q54_fuzzy_names" -> (q54FuzzyNames _),
     "q62_tfidf" -> (q62TfIdf _),
     "q80_dynamic_threshold" -> (q80DynamicThreshold _),
-    "q82_vocab_growth" -> (q82VocabGrowth _)
+    "q82_vocab_growth" -> (q82VocabGrowth _),
+    "q91_chunking" -> (q91Chunking _),
+    "q92_bpe_pairs" -> (q92BpePairs _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -455,6 +543,8 @@ object TextOps {
     "q54_fuzzy_names" -> q54Oracle,
     "q62_tfidf" -> q62Oracle,
     "q80_dynamic_threshold" -> q80Oracle,
-    "q82_vocab_growth" -> q82Oracle
+    "q82_vocab_growth" -> q82Oracle,
+    "q91_chunking" -> q91Oracle,
+    "q92_bpe_pairs" -> q92Oracle
   )
 }

@@ -155,4 +155,53 @@ class TextOpsSpec extends SparkSpec {
       assert(math.abs(r.getDouble(5) - freq.size.toDouble / toks.length) < 2e-6, s"$src ttr")
     }
   }
+
+  test("q91 chunking: windows tile every doc with the declared width/stride") {
+    val docs = graft.core.Tables
+      .documents(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.trim.replaceAll("\\s+", " ").split(" "))
+      .toMap
+    val rows = TextOps.q91Chunking(spark, sfDir).collect()
+    assert(rows.map(_.getLong(0)).toSet === docs.keySet, "every doc chunked")
+    rows.groupBy(_.getLong(0)).foreach { case (id, cs) =>
+      val n = docs(id).length
+      val ordered = cs.sortBy(_.getInt(1))
+      // chunk indexes dense from 0; starts advance by the stride
+      assert(ordered.map(_.getInt(1)).sameElements(0 until ordered.length))
+      ordered.foreach(c => assert(c.getInt(2) === c.getInt(1) * 56 + 1))
+      // widths: exactly min(64, n - start + 1) per chunk; tail reaches n
+      ordered.foreach(c => assert(c.getInt(3) === math.min(64, n - c.getInt(2) + 1), s"doc $id chunk width"))
+      val last = ordered.last
+      assert(last.getInt(2) + last.getInt(3) - 1 === n, s"doc $id tail doesn't reach end")
+      // overlap: every token index covered at least once
+      assert(ordered.head.getInt(2) === 1)
+    }
+  }
+
+  test("q92 bpe pairs: counts recompute from first principles, top-20 ordered") {
+    val words = graft.core.Tables
+      .documents(spark, sfDir)
+      .collect()
+      .flatMap(_.getString(1).toLowerCase.trim.replaceAll("\\s+", " ").split(" "))
+      .filter(_.length >= 2)
+    val expected = words
+      .flatMap(w => w.sliding(2))
+      .groupBy(identity)
+      .map { case (p, ps) => (p, ps.length.toLong) }
+    val rows = TextOps.q92BpePairs(spark, sfDir).collect()
+    assert(rows.length === math.min(20, expected.size))
+    rows.foreach(r => assert(expected(r.getString(0)) === r.getLong(1), s"pair ${r.getString(0)}"))
+    // descending, pair-tiebroken order
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(
+          a.getLong(1) > b.getLong(1) || (a.getLong(1) == b.getLong(1) && a.getString(0) < b.getString(0))
+        )
+      case _ =>
+    }
+    // the returned 20 are the global argmax set
+    val top = expected.values.toSeq.sorted(Ordering[Long].reverse).take(20).sum
+    assert(rows.map(_.getLong(1)).sum === top, "not the true top-20 by count")
+  }
 }
