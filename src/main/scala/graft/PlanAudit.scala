@@ -67,6 +67,10 @@ object PlanAudit {
     "q78_bigram_lm" -> Map(
       "BroadcastNestedLoopJoin" ->
         "1-row broadcast total (vocabulary size V) joined onto per-doc rows — the q69 pattern; transition/context joins are keyed (bgk, w1k)"
+    ),
+    "q93_filtered_topk" -> Map(
+      "BroadcastNestedLoopJoin" ->
+        "q34's declared brute-force contract over the predicate-filtered corpus: broadcast 5-query side x one (pushed-filter) corpus scan"
     )
   )
 

@@ -2257,6 +2257,62 @@ object Similarity {
       |FROM cos c JOIN nc ON c.label = nc.label
       |GROUP BY c.label ORDER BY label""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q93 — FILTERED vector search: top-k under a metadata predicate (label =
+  // 3) — the "where" clause every production vector store has to support
+  // alongside similarity. Exact form: pre-filter the corpus, then
+  // brute-force rank (oracle-gated — it's q34's plan over the filtered
+  // corpus, and the label predicate reaches the parquet scan). The scale
+  // path is `filteredIvfTopK` below: PRE-filtering the IVF index by label
+  // before the probe join — the candidate set shrinks with predicate
+  // selectivity, and recall vs this exact baseline is what the spec pins.
+  // (Post-filtering the top-k instead would return < k rows under selective
+  // predicates — the classic filtered-ANN failure mode.)
+  // ---------------------------------------------------------------------------
+  private val FILTER_LABEL = 3
+
+  def q93FilteredTopK(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VecFunctions.install(spark)
+    bruteTopKFrom(
+      queriesDf(spark, dir),
+      unitCorpus(Tables.embeddings(spark, dir).filter(col("label") === FILTER_LABEL))
+    )
+  }
+
+  val q93Oracle: String =
+    s"""WITH u AS (
+       |  SELECT vec_id, label,
+       |         list_transform(embedding,
+       |           x -> x::DOUBLE / sqrt(list_sum(list_transform(embedding, e -> e::DOUBLE * e::DOUBLE)))) AS unit
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, unit AS va FROM u WHERE vec_id < $N_QUERIES),
+       |scored AS (
+       |  SELECT q.query_id, e.vec_id,
+       |         list_sum(list_transform(list_zip(q.va, e.unit), z -> z[1] * z[2])) AS cosine
+       |  FROM q JOIN u e ON e.vec_id <> q.query_id AND e.label = $FILTER_LABEL),
+       |ranked AS (
+       |  SELECT query_id, vec_id, cosine,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, CAST(rank AS INT) AS rank, vec_id, round(cosine, 6) AS cosine
+       |FROM ranked WHERE rank <= $K
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** IVF-accelerated filtered search: the index rows are label-joined and
+    * pre-filtered BEFORE the probe join. Same contract as q36, restricted
+    * to the predicate's stratum; recall vs q93's exact baseline.
+    */
+  def filteredIvfTopK(spark: SparkSession, dir: String, label: Int): DataFrame = {
+    graft.functions.VecFunctions.install(spark)
+    val prof = annProfile(spark)
+    val (cents, corpus) = buildIvfIndexWith(spark, dir, prof)
+    val labeled = corpus.join(
+      Tables.embeddings(spark, dir).select(col("vec_id"), col("label")),
+      Seq("vec_id")
+    )
+    ivfTopKFrom(spark, queriesDf(spark, dir), cents, labeled.filter(col("label") === label).drop("label"), ivfNprobe(spark, prof))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_bruteforce_topk" -> (q34BruteForceTopK _),
     "q35_lsh_topk" -> (q35LshTopK _),
@@ -2264,13 +2320,15 @@ object Similarity {
     "q64_embedding_quantize" -> (q64EmbeddingQuantize _),
     "q75_pq_topk" -> (q75PqTopK _),
     "q76_ivfpq_topk" -> (q76IvfPqTopK _),
-    "q79_label_centroids" -> (q79LabelCentroids _)
+    "q79_label_centroids" -> (q79LabelCentroids _),
+    "q93_filtered_topk" -> (q93FilteredTopK _)
   )
 
   /** q35/q36/q75/q76 are hash/model-based — rows-only driver check. */
   val oracles: Map[String, String] = Map(
     "q34_bruteforce_topk" -> q34Oracle,
     "q64_embedding_quantize" -> q64Oracle,
-    "q79_label_centroids" -> q79Oracle
+    "q79_label_centroids" -> q79Oracle,
+    "q93_filtered_topk" -> q93Oracle
   )
 }
