@@ -297,25 +297,83 @@ object Temporal {
   // At 100 TB the shuffle is the unavoidable one (state is per-user); both
   // windows reuse the same partitioning, so it's paid once.
   // ---------------------------------------------------------------------------
-  def q89Scd2(spark: SparkSession, dir: String): DataFrame = {
+  /** Typed SCD2 core over any (user_id, event_type, ts, event_id) frame,
+    * with `version` continuing from an optional per-row offset column
+    * `voff` (0 when absent): (user_id, state, valid_from, valid_to TIMESTAMP,
+    * version, is_current).
+    */
+  private[operators] def scd2Of(ev: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val changes = Tables
-      .events(spark, dir)
+    val withOff = if (ev.columns.contains("voff")) ev else ev.withColumn("voff", lit(0))
+    val changes = withOff
       .withColumn("prev_state", lag(col("event_type"), 1).over(w))
       .filter(col("prev_state").isNull || col("prev_state") =!= col("event_type"))
     changes
-      .withColumn("valid_to_ts", lead(col("ts"), 1).over(w))
-      .withColumn("version", row_number().over(w))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .withColumn("version", (row_number().over(w) + col("voff")).cast("int"))
       .select(
         col("user_id"),
         col("event_type").as("state"),
-        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("valid_from"),
-        date_format(col("valid_to_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("valid_to"),
+        col("ts").as("valid_from"),
+        col("valid_to"),
         col("version"),
-        col("valid_to_ts").isNull.as("is_current")
+        col("valid_to").isNull.as("is_current")
+      )
+  }
+
+  /** SCD2 history for the whole event log (typed timestamps). */
+  def scd2History(spark: SparkSession, dir: String): DataFrame =
+    scd2Of(Tables.events(spark, dir))
+
+  /** Incremental SCD2 merge: fold a delta batch (events strictly after the
+    * history's build horizon) into an existing history WITHOUT rebuilding
+    * untouched users — the micro-batch shape of dimension maintenance. Per
+    * affected user, only the OPEN interval participates: it is re-seeded as
+    * the first pseudo-event (version continues from its number), closed
+    * intervals pass through untouched, and `scd2Apply(scd2(≤T), events>T)`
+    * equals `scd2(all)` row-for-row (the spec's invariant). At 100 TB the
+    * win is proportional: the delta shuffle covers the users who CHANGED
+    * this batch, not the dimension.
+    */
+  def scd2Apply(history: DataFrame, delta: DataFrame): DataFrame = {
+    val affected = delta.select(col("user_id")).distinct()
+    val untouched = history.join(affected, Seq("user_id"), "left_anti")
+    val touched = history.join(broadcast(affected), Seq("user_id"))
+    val closed = touched.filter(!col("is_current"))
+    // the open interval re-enters as the seed pseudo-event; MinValue
+    // event_id keeps it first among equal timestamps (delta is strictly
+    // later anyway), and its version number anchors the continuation
+    val seeds = touched
+      .filter(col("is_current"))
+      .select(
+        col("user_id"),
+        col("state").as("event_type"),
+        col("valid_from").as("ts"),
+        lit(Long.MinValue).as("event_id"),
+        (col("version") - 1).as("voff")
+      )
+    // brand-new users (in delta, absent from history) start at version 1
+    val voffs = seeds.select(col("user_id"), col("voff"))
+    val dev = delta
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .join(broadcast(voffs), Seq("user_id"), "left")
+      .na
+      .fill(0, Seq("voff"))
+    val rebuilt = scd2Of(seeds.unionByName(dev))
+    untouched.unionByName(closed).unionByName(rebuilt)
+  }
+
+  def q89Scd2(spark: SparkSession, dir: String): DataFrame =
+    scd2History(spark, dir)
+      .select(
+        col("user_id"),
+        col("state"),
+        date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("valid_from"),
+        date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("valid_to"),
+        col("version"),
+        col("is_current")
       )
       .orderBy(col("user_id"), col("version"))
-  }
 
   val q89Oracle: String =
     """WITH ordered AS (

@@ -62,4 +62,26 @@ class TemporalSpec extends SparkSpec {
       }
     }
   }
+
+  test("scd2Apply: incremental merge over a time-split equals the full rebuild") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.core.Tables.events(spark, sfDir)
+    val cut = ev.stat.approxQuantile("event_id", Array(0.5), 0.0).head.toLong
+    // split on event time so the delta is strictly later than the horizon
+    val tcut = ev.agg(expr("percentile_approx(cast(ts AS double), 0.5, 10000)")).head().getDouble(0)
+    val before = ev.filter(col("ts").cast("double") <= tcut)
+    val after = ev.filter(col("ts").cast("double") > tcut)
+    assert(before.count() > 0 && after.count() > 0, s"degenerate split at $tcut (cut id $cut)")
+
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("user_id", "state", "valid_from", "valid_to", "version", "is_current")
+        .collect()
+        .map(_.toSeq.map(v => if (v == null) "∅" else v.toString))
+        .map(_.mkString("|"))
+        .sorted
+
+    val merged = Temporal.scd2Apply(Temporal.scd2Of(before), after)
+    val full = Temporal.scd2Of(ev)
+    assert(canon(merged).sameElements(canon(full)), "incremental != rebuild")
+  }
 }
