@@ -75,6 +75,14 @@ object CorpusReport {
       )
     }
 
+    section("curriculum stages (q86): quality quartiles per language")
+    Curation.q86Curriculum(spark, dir).collect().foreach { r =>
+      line(
+        f"${r.getString(0)}%-4s stage=${r.getInt(1)} docs=${r.getLong(2)}%5d tokens=${r.getLong(3)}%8d " +
+          f"prob=[${r.getDouble(5)}%.4f, ${r.getDouble(6)}%.4f] mean=${r.getDouble(4)}%.4f"
+      )
+    }
+
     section("train shards (q83): manifest")
     TrainExport.q83ShardPlan(spark, dir).collect().foreach { r =>
       line(

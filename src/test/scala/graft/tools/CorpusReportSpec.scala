@@ -16,6 +16,7 @@ class CorpusReportSpec extends SparkSpec {
         "dynamic quality floors (q80)",
         "source overlap (q81)",
         "vocabulary growth (q82)",
+        "curriculum stages (q86)",
         "train shards (q83)"
       )
     ) assert(r.contains(header), s"missing section: $header\n$r")
