@@ -302,7 +302,7 @@ object Temporal {
     * `voff` (0 when absent): (user_id, state, valid_from, valid_to TIMESTAMP,
     * version, is_current).
     */
-  private[operators] def scd2Of(ev: DataFrame): DataFrame = {
+  private[graft] def scd2Of(ev: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val withOff = if (ev.columns.contains("voff")) ev else ev.withColumn("voff", lit(0))
     val changes = withOff
