@@ -522,6 +522,89 @@ object TextOps {
       |FROM pairs GROUP BY pair
       |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q94 — distributed BPE vocabulary training: N full merge iterations, not
+  // just q92's one-shot pair count. The corpus collapses ONCE to the
+  // distinct-word frame (word → occurrence count — bounded by vocabulary,
+  // not corpus size, which is what makes 100 TB feasible: every later
+  // iteration touches only that frame). Each iteration is
+  //   count adjacent symbol pairs (occurrence-weighted, map-side combined)
+  //   → argmax (ONE driver row — the broadcast-scalar idiom)
+  //   → apply the merge with a greedy leftmost left-fold HOF per word
+  //     (localCheckpoint keeps the plan flat across iterations).
+  // Greedy-leftmost matches the published BPE reference (Sennrich et al.
+  // 2016); ties break lexicographically so the merge list is deterministic.
+  // Model-based (iterative argmax) → rows-only gate; the spec replays the
+  // whole loop single-node and pins the merge table exactly.
+  // ---------------------------------------------------------------------------
+  private val BPE_MERGES = 10
+
+  private def sqlQuote(s: String): String = s.replace("\\", "\\\\").replace("'", "\\'")
+
+  /** One greedy-leftmost merge of (a, b) → ab over a symbol array, as a
+    * fold: `prev` carries the pending symbol; a (prev=a, x=b) adjacency
+    * emits the merged symbol and clears the carry.
+    */
+  private def mergeExpr(a: String, b: String): String = {
+    val (qa, qb, qab) = (sqlQuote(a), sqlQuote(b), sqlQuote(a + b))
+    s"""aggregate(
+       |  syms,
+       |  named_struct('out', cast(array() AS array<string>), 'prev', cast(null AS string)),
+       |  (acc, x) -> CASE
+       |    WHEN acc.prev IS NULL THEN named_struct('out', acc.out, 'prev', x)
+       |    WHEN acc.prev = '$qa' AND x = '$qb'
+       |      THEN named_struct('out', concat(acc.out, array('$qab')), 'prev', cast(null AS string))
+       |    ELSE named_struct('out', concat(acc.out, array(acc.prev)), 'prev', x) END,
+       |  acc -> CASE WHEN acc.prev IS NULL THEN acc.out ELSE concat(acc.out, array(acc.prev)) END
+       |)""".stripMargin
+  }
+
+  /** The learned merge table: (rank, left, right, merged, pair_count). */
+  def bpeTrain(spark: SparkSession, dir: String, nMerges: Int = BPE_MERGES): DataFrame = {
+    import spark.implicits._
+    var words = Tables
+      .balanced(Tables.documents(spark, dir))
+      .select(explode(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")).as("w"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("occ"))
+      .filter(length(col("w")) >= 1)
+      .withColumn("syms", expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+      .select(col("occ"), col("syms"))
+      // the corpus collapse above was the distributed heavy lift; what's
+      // left is VOCABULARY-sized. Repartition (not coalesce — that would
+      // collapse the collapse's own parallelism) into few partitions so the
+      // merge iterations don't pay full-width task scheduling per tick
+      // (size by |vocab| / ~1M rows per partition at real scale; 1 here)
+      .repartition(1)
+      .localCheckpoint(true)
+
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var rank = 1
+    while (rank <= nMerges) {
+      val top = words
+        .filter(size(col("syms")) >= 2)
+        .select(
+          col("occ"),
+          explode(expr("transform(sequence(1, size(syms) - 1), i -> named_struct('l', element_at(syms, i), 'r', element_at(syms, i + 1)))")).as("p")
+        )
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("occ")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) rank = nMerges + 1
+      else {
+        val (l, r, cnt) = (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
+        merges += ((rank, l, r, l + r, cnt))
+        words = words.withColumn("syms", expr(mergeExpr(l, r))).localCheckpoint(true)
+        rank += 1
+      }
+    }
+    merges.toSeq.toDF("rank", "left", "right", "merged", "pair_count").orderBy(col("rank"))
+  }
+
+  def q94BpeTrain(spark: SparkSession, dir: String): DataFrame = bpeTrain(spark, dir)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_lang_id" -> (q25LangId _),
     "q26_quality_score" -> (q26QualityScore _),
@@ -532,7 +615,8 @@ object TextOps {
     "q80_dynamic_threshold" -> (q80DynamicThreshold _),
     "q82_vocab_growth" -> (q82VocabGrowth _),
     "q91_chunking" -> (q91Chunking _),
-    "q92_bpe_pairs" -> (q92BpePairs _)
+    "q92_bpe_pairs" -> (q92BpePairs _),
+    "q94_bpe_train" -> (q94BpeTrain _)
   )
 
   val oracles: Map[String, String] = Map(

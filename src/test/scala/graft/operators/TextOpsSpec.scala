@@ -204,4 +204,47 @@ class TextOpsSpec extends SparkSpec {
     val top = expected.values.toSeq.sorted(Ordering[Long].reverse).take(20).sum
     assert(rows.map(_.getLong(1)).sum === top, "not the true top-20 by count")
   }
+
+  test("q94 bpe train: distributed merge loop replays the single-node reference exactly") {
+    // single-node reference BPE (Sennrich-style greedy leftmost, lex ties)
+    var words: Map[Vector[String], Long] = graft.core.Tables
+      .documents(spark, sfDir)
+      .collect()
+      .flatMap(_.getString(1).toLowerCase.trim.replaceAll("\\s+", " ").split(" "))
+      .groupBy(identity)
+      .map { case (w, ws) => w.map(_.toString).toVector -> ws.length.toLong }
+
+    def mergeWord(syms: Vector[String], l: String, r: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) { out += (l + r); i += 2 }
+        else { out += syms(i); i += 1 }
+      }
+      out.result()
+    }
+
+    val expected = (1 to 10).flatMap { rank =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      words.foreach { case (syms, occ) =>
+        syms.sliding(2).foreach {
+          case Vector(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + occ
+          case _            =>
+        }
+      }
+      if (counts.isEmpty) None
+      else {
+        val ((l, r), cnt) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        words = words.groupBy { case (syms, _) => mergeWord(syms, l, r) }.map { case (s, m) => s -> m.values.sum }
+        Some((rank, l, r, l + r, cnt))
+      }
+    }
+
+    val got = TextOps
+      .bpeTrain(spark, sfDir, 10)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .toSeq
+    assert(got === expected, s"merge tables differ:\n got $got\n exp $expected")
+  }
 }
