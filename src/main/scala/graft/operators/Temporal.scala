@@ -100,17 +100,22 @@ object Temporal {
   // sum per user. One shuffle on user_id; state never leaves the partition.
   // (user_id, ts) is unique in the data; event_id tiebreak keeps it total.
   // ---------------------------------------------------------------------------
-  def q22Sessionize(spark: SparkSession, dir: String): DataFrame = {
+  /** Events with their gap-session assignment (30-min inactivity) — q22's
+    * state machine, shared with the q95 sequence export.
+    */
+  private def sessionAssigned(ev: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val flagged = Tables
-      .events(spark, dir)
-      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+    ev.withColumn("prev_ts", lag(col("ts"), 1).over(w))
       .withColumn(
         "new_session",
         when(col("prev_ts").isNull || col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1)
           .otherwise(0)
       )
       .withColumn("session_idx", sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  def q22Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val flagged = sessionAssigned(Tables.events(spark, dir))
     flagged
       .groupBy(col("user_id"), col("session_idx"))
       .agg(
@@ -394,6 +399,62 @@ object Temporal {
       |       (valid_to_ts IS NULL) AS is_current
       |FROM v ORDER BY user_id, version""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q95 — behavioral sequence export: each gap-session becomes one training
+  // example for a sequence model (recommender / next-action pretraining):
+  // the session's ordered event-type sequence, plus a fixed-width (8-slot,
+  // '<pad>'-filled) window of its start — the tensor-shaped view a trainer
+  // consumes. Ordered collect is array_sort over (row_number, type) structs,
+  // so the sequence order is the (ts, event_id) total order regardless of
+  // aggregation order; the only full-data shuffle is the session window's
+  // user partition, shared with q22.
+  // ---------------------------------------------------------------------------
+  private val SEQ_W = 8
+
+  def q95EventSequences(spark: SparkSession, dir: String): DataFrame = {
+    val w2 = Window.partitionBy(col("user_id"), col("session_idx")).orderBy(col("ts"), col("event_id"))
+    sessionAssigned(Tables.events(spark, dir))
+      .withColumn("rn", row_number().over(w2))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"), collect_list(struct(col("rn"), col("event_type"))).as("evs"))
+      .withColumn("seq_arr", expr("transform(array_sort(evs), x -> x.event_type)"))
+      .select(
+        col("user_id"),
+        col("session_idx"),
+        col("n_events"),
+        array_join(col("seq_arr"), ",").as("seq"),
+        concat(
+          array_join(slice(col("seq_arr"), 1, SEQ_W), ","),
+          expr(s"repeat(',<pad>', greatest(0, $SEQ_W - size(seq_arr)))")
+        ).as("example")
+      )
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
+  val q95Oracle: String =
+    s"""WITH flagged AS (
+       |  SELECT user_id, ts, event_id, event_type,
+       |         CASE WHEN lag(ts) OVER w IS NULL
+       |                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+       |              THEN 1 ELSE 0 END AS new_session
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |sessions AS (
+       |  SELECT user_id, ts, event_id, event_type,
+       |         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+       |  FROM flagged),
+       |seqs AS (
+       |  SELECT user_id, session_idx,
+       |         count(*) AS n_events,
+       |         list(event_type ORDER BY ts, event_id) AS seq_arr
+       |  FROM sessions GROUP BY user_id, session_idx)
+       |SELECT user_id, session_idx, n_events,
+       |       array_to_string(seq_arr, ',') AS seq,
+       |       array_to_string(list_slice(seq_arr, 1, $SEQ_W), ',')
+       |         || repeat(',<pad>', greatest(0, $SEQ_W - len(seq_arr))) AS example
+       |FROM seqs ORDER BY user_id, session_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_hourly_dense" -> (q20HourlyDense _),
     "q21_tumbling_daily" -> (q21TumblingDaily _),
@@ -401,7 +462,8 @@ object Temporal {
     "q23_asof_attribution" -> (q23AsofAttribution _),
     "q24_json_props" -> (q24JsonProps _),
     "q63_cohort_retention" -> (q63CohortRetention _),
-    "q89_scd2" -> (q89Scd2 _)
+    "q89_scd2" -> (q89Scd2 _),
+    "q95_event_sequences" -> (q95EventSequences _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -411,6 +473,7 @@ object Temporal {
     "q23_asof_attribution" -> q23Oracle,
     "q24_json_props" -> q24Oracle,
     "q63_cohort_retention" -> q63Oracle,
-    "q89_scd2" -> q89Oracle
+    "q89_scd2" -> q89Oracle,
+    "q95_event_sequences" -> q95Oracle
   )
 }

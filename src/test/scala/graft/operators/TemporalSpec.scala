@@ -84,4 +84,35 @@ class TemporalSpec extends SparkSpec {
     val full = Temporal.scd2Of(ev)
     assert(canon(merged).sameElements(canon(full)), "incremental != rebuild")
   }
+
+  test("q95 event sequences: per-session order exact, example always 8 slots") {
+    import org.apache.spark.sql.functions._
+    val rows = Temporal.q95EventSequences(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // sequences reconstruct from the raw events in (ts, event_id) order
+    val raw = graft.core.Tables
+      .events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2), r.getString(3)))
+    val byUser = raw.groupBy(_._1).view.mapValues(_.sortBy(e => (e._2, e._3)).map(_._4).toList).toMap
+    // session boundaries come from q22 — cross-check counts line up with it
+    val sess = Temporal.q22Sessionize(spark, sfDir).collect()
+    val sessCount = sess.map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("n_events")).toMap
+    rows.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(r.getLong(2) === sessCount(key), s"$key n_events vs q22")
+      val seq = r.getString(3).split(",", -1)
+      assert(seq.length.toLong === r.getLong(2), s"$key seq length")
+      val ex = r.getString(4).split(",", -1)
+      assert(ex.length === 8, s"$key example not 8 slots: ${r.getString(4)}")
+      assert(ex.takeWhile(_ != "<pad>").sameElements(seq.take(8)), s"$key example prefix")
+      if (seq.length < 8) assert(ex.drop(seq.length).forall(_ == "<pad>"), s"$key padding")
+    }
+    // per-user concatenation of session sequences == the user's full ordered stream
+    rows.groupBy(_.getLong(0)).foreach { case (u, rs) =>
+      val concat = rs.sortBy(_.getLong(1)).flatMap(_.getString(3).split(",", -1)).toList
+      assert(concat === byUser(u), s"user $u sequence stitch")
+    }
+  }
 }
