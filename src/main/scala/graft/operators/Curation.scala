@@ -829,9 +829,20 @@ object Curation {
     * corpus). One row per input doc: (doc_id, source, n_tokens,
     * final_stage).
     */
-  private[operators] def corpusBuildStages(spark: SparkSession, dir: String): DataFrame = {
-    val hashFn = keyHashFn(spark)
-    val base = funnelSignals(Tables.balanced(Tables.documents(spark, dir)))
+  /** Hold-out / test-split bucket thresholds shared by the batch build and
+    * the incremental maintainer (md5 bucket 0-255: < 205 ≈ 80% train
+    * candidates, ≥ 230 ≈ 10% benchmark/test split).
+    */
+  private[graft] val SplitKeepBucket = 205
+  private[graft] val TestBucket = 230
+
+  /** Funnel signals + content addresses for any documents frame — the
+    * per-doc, state-independent projection shared by the batch build and
+    * [[graft.streaming.StreamingCorpus]]: first-failing rule, md5 split
+    * bucket, content fingerprint, and the deterministic sampling coin.
+    */
+  private[graft] def buildSignals(docs: DataFrame): DataFrame =
+    funnelSignals(docs)
       .withColumn("bucket", conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10).cast("int"))
       .withColumn("fp", md5(col("norm")))
       .withColumn(
@@ -848,17 +859,14 @@ object Curation {
         col("fp"),
         col("u")
       )
-      .localCheckpoint()
 
-    val canon = base
-      .filter(col("reason") === "pass" && col("bucket") < 205)
-      .groupBy(col("fp"))
-      .agg(min(col("doc_id")).as("canon_id"))
-
-    // distinct 8-gram keys per doc (q67's shingle convention; re-splitting
-    // norm per consumer is cheaper than checkpointing token arrays)
-    def shinglesOf(df: DataFrame): DataFrame = df
-      .withColumn("toks", expr("split(norm, ' ')"))
+  /** Distinct hashed 8-gram keys per doc (q67's shingle convention;
+    * re-splitting norm per consumer is cheaper than checkpointing token
+    * arrays). Input needs (doc_id, norm).
+    */
+  private[graft] def shingleKeys(spark: SparkSession, df: DataFrame): DataFrame = {
+    val hashFn = keyHashFn(spark)
+    df.withColumn("toks", expr("split(norm, ' ')"))
       .filter(size(col("toks")) >= 8)
       .select(
         col("doc_id"),
@@ -867,33 +875,14 @@ object Curation {
       )
       .select(col("doc_id"), expr(s"$hashFn(shingle)").as("sh_key"))
       .distinct()
+  }
 
-    val withCanon = base.join(canon, Seq("fp"), "left")
-    val survivors = withCanon.filter(
-      col("reason") === "pass" && col("bucket") < 205 && col("doc_id") === col("canon_id")
-    )
-    val testSh = shinglesOf(base.filter(col("bucket") >= 230)).select(col("sh_key")).distinct()
-    val contaminated = shinglesOf(survivors.select(col("doc_id"), col("norm")))
-      .join(testSh, "sh_key")
-      .select(col("doc_id"))
-      .distinct()
-      .withColumn("contam", lit(true))
-
-    val staged = withCanon
-      .join(contaminated, Seq("doc_id"), "left")
-      .withColumn(
-        "stage",
-        expr(
-          "CASE WHEN reason <> 'pass' THEN 'rules' " +
-            "WHEN bucket >= 205 THEN 'held_out' " +
-            "WHEN doc_id <> canon_id THEN 'duplicate' " +
-            "WHEN coalesce(contam, false) THEN 'contaminated' " +
-            "ELSE 'eligible' END"
-        )
-      )
-      .select(col("doc_id"), col("source"), col("n_tokens"), col("u"), col("stage"))
-      .localCheckpoint()
-
+  /** The mixture-sampling final stage over a pre-mixture staged frame
+    * (doc_id, source, n_tokens, u, stage): rates derive from the CURRENT
+    * eligible counts, so this is a cheap recomputed VIEW — the one build
+    * stage whose decisions are legitimately non-incremental.
+    */
+  private[graft] def mixtureFinal(staged: DataFrame): DataFrame = {
     val plan = mixturePlanOver(
       staged.filter(col("stage") === "eligible").groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
     ).select(col("source"), col("sample_rate"))
@@ -907,6 +896,43 @@ object Curation {
         )
       )
       .select(col("doc_id"), col("source"), col("n_tokens"), col("final_stage"))
+  }
+
+  private[operators] def corpusBuildStages(spark: SparkSession, dir: String): DataFrame = {
+    val base = buildSignals(Tables.balanced(Tables.documents(spark, dir))).localCheckpoint()
+
+    val canon = base
+      .filter(col("reason") === "pass" && col("bucket") < SplitKeepBucket)
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("canon_id"))
+
+    val withCanon = base.join(canon, Seq("fp"), "left")
+    val survivors = withCanon.filter(
+      col("reason") === "pass" && col("bucket") < SplitKeepBucket && col("doc_id") === col("canon_id")
+    )
+    val testSh = shingleKeys(spark, base.filter(col("bucket") >= TestBucket)).select(col("sh_key")).distinct()
+    val contaminated = shingleKeys(spark, survivors.select(col("doc_id"), col("norm")))
+      .join(testSh, "sh_key")
+      .select(col("doc_id"))
+      .distinct()
+      .withColumn("contam", lit(true))
+
+    val staged = withCanon
+      .join(contaminated, Seq("doc_id"), "left")
+      .withColumn(
+        "stage",
+        expr(
+          "CASE WHEN reason <> 'pass' THEN 'rules' " +
+            s"WHEN bucket >= $SplitKeepBucket THEN 'held_out' " +
+            "WHEN doc_id <> canon_id THEN 'duplicate' " +
+            "WHEN coalesce(contam, false) THEN 'contaminated' " +
+            "ELSE 'eligible' END"
+        )
+      )
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("u"), col("stage"))
+      .localCheckpoint()
+
+    mixtureFinal(staged)
   }
 
   def q77CorpusBuild(spark: SparkSession, dir: String): DataFrame =

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -49,43 +49,17 @@ object StreamingScd2 {
     )
   )
 
-  private def watermarkPath(historyDir: String) = Paths.get(historyDir + ".watermark")
+  def readWatermark(historyDir: String): Long =
+    StateStore.readWatermark(Paths.get(historyDir + ".watermark"))
 
-  def readWatermark(historyDir: String): Long = {
-    val p = watermarkPath(historyDir)
-    if (Files.exists(p)) new String(Files.readAllBytes(p), "UTF-8").trim.toLong else -1L
-  }
-
-  private def writeWatermark(historyDir: String, w: Long): Unit = {
-    val p = watermarkPath(historyDir)
-    Files.write(p, w.toString.getBytes("UTF-8"))
-    ()
-  }
+  private def writeWatermark(historyDir: String, w: Long): Unit =
+    StateStore.writeWatermark(Paths.get(historyDir + ".watermark"), w)
 
   def readHistory(spark: SparkSession, historyDir: String): DataFrame =
-    if (Files.isDirectory(Paths.get(historyDir))) spark.read.parquet(historyDir)
-    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], historySchema)
+    StateStore.readTable(spark, historyDir, historySchema)
 
-  /** Two-rename commit (see ParquetWarehouse.writeTable): never zero copies
-    * of the history on disk, `.old`/`.staging` recoverable on crash.
-    */
-  private def commitHistory(df: DataFrame, historyDir: String): Unit = {
-    val staging = Paths.get(historyDir + ".staging")
-    val old = Paths.get(historyDir + ".old")
-    val target = Paths.get(historyDir)
-    // staging write reads the OLD table lazily — distinct directories, safe
-    df.write.mode("overwrite").parquet(staging.toString)
-    delete(old)
-    if (Files.exists(target)) Files.move(target, old, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(staging, target, StandardCopyOption.ATOMIC_MOVE)
-    delete(old)
-  }
-
-  private def delete(p: java.nio.file.Path): Unit =
-    if (Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-    }
+  private def commitHistory(df: DataFrame, historyDir: String): Unit =
+    StateStore.commit(df, historyDir)
 
   /** One maintenance tick over the accumulated event log (exposed for the
     * batch/cron path and the spec; the stream calls exactly this).
