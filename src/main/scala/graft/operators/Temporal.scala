@@ -455,6 +455,72 @@ object Temporal {
        |         || repeat(',<pad>', greatest(0, $SEQ_W - len(seq_arr))) AS example
        |FROM seqs ORDER BY user_id, session_idx""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q96 — EWMA anomaly detection on the daily event-count series: each
+  // (event_type, day) compared against the exponentially-weighted moving
+  // average of its own trailing 10 days (excluding today), flagged when it
+  // leaves the [0.5, 1.5]× band — the ops-monitoring readout over an event
+  // pipeline ("did clicks fall off a cliff overnight?"). The corpus-sized
+  // work is the first groupBy; the window then runs over the tiny
+  // (type × day) aggregate, so the operator costs one scan at any scale.
+  //
+  // Exactness: α = 0.5 makes every weight a power of two, so the weighted
+  // sums are exact dyadic arithmetic — bit-identical in both engines with
+  // no rounding-order risk; only the final ratio is floor-rounded.
+  // ---------------------------------------------------------------------------
+  def q96EwmaAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables
+      .events(spark, dir)
+      .groupBy(col("event_type"), date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day")).rowsBetween(-10, -1)
+    daily
+      .withColumn("xs", collect_list(col("n_events")).over(w))
+      .withColumn(
+        "ewma",
+        expr(
+          // newest trailing day gets weight 1, each older day halves;
+          // den = 2 - 0.5^(k-1) is the closed-form weight sum
+          """CASE WHEN size(xs) = 0 THEN NULL ELSE
+            |floor(aggregate(sequence(1, size(xs)), 0D,
+            |        (a, i) -> a + cast(element_at(xs, i) AS double) * power(5e-1, size(xs) - i))
+            |      / (2e0 - power(5e-1, size(xs) - 1)) * 1e6 + 5e-1) / 1e6 END""".stripMargin
+        )
+      )
+      .withColumn(
+        "flag",
+        when(col("ewma").isNull, lit("warmup"))
+          .when(col("n_events") > col("ewma") * 1.5, lit("spike"))
+          .when(col("n_events") < col("ewma") * 0.5, lit("drop"))
+          .otherwise(lit("normal"))
+      )
+      .select(col("event_type"), col("day"), col("n_events"), col("ewma"), col("flag"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val q96Oracle: String =
+    """WITH daily AS (
+      |  SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, count(*) AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |win AS (
+      |  SELECT event_type, day, n_events,
+      |         list(n_events) OVER (PARTITION BY event_type ORDER BY day
+      |                              ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING) AS xs
+      |  FROM daily),
+      |e AS (
+      |  SELECT event_type, day, n_events,
+      |         CASE WHEN len(xs) = 0 THEN NULL ELSE
+      |           floor(list_sum(list_transform(range(1, len(xs) + 1),
+      |                   i -> xs[i]::DOUBLE * pow(5e-1, len(xs) - i)))
+      |                 / (2e0 - pow(5e-1, len(xs) - 1)) * 1e6 + 5e-1) / 1e6 END AS ewma
+      |  FROM win)
+      |SELECT event_type, day, n_events, ewma,
+      |       CASE WHEN ewma IS NULL THEN 'warmup'
+      |            WHEN n_events > ewma * 1.5 THEN 'spike'
+      |            WHEN n_events < ewma * 0.5 THEN 'drop'
+      |            ELSE 'normal' END AS flag
+      |FROM e ORDER BY event_type, day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_hourly_dense" -> (q20HourlyDense _),
     "q21_tumbling_daily" -> (q21TumblingDaily _),
@@ -463,7 +529,8 @@ object Temporal {
     "q24_json_props" -> (q24JsonProps _),
     "q63_cohort_retention" -> (q63CohortRetention _),
     "q89_scd2" -> (q89Scd2 _),
-    "q95_event_sequences" -> (q95EventSequences _)
+    "q95_event_sequences" -> (q95EventSequences _),
+    "q96_ewma_anomaly" -> (q96EwmaAnomaly _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -474,6 +541,7 @@ object Temporal {
     "q24_json_props" -> q24Oracle,
     "q63_cohort_retention" -> q63Oracle,
     "q89_scd2" -> q89Oracle,
-    "q95_event_sequences" -> q95Oracle
+    "q95_event_sequences" -> q95Oracle,
+    "q96_ewma_anomaly" -> q96Oracle
   )
 }

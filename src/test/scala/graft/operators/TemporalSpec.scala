@@ -115,4 +115,26 @@ class TemporalSpec extends SparkSpec {
       assert(concat === byUser(u), s"user $u sequence stitch")
     }
   }
+
+  test("q96 ewma anomaly: trailing average recomputes exactly, flags honor the band") {
+    val rows = Temporal.q96EwmaAnomaly(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).values.foreach { series =>
+      val ordered = series.sortBy(_.getString(1))
+      // first day of each series is warmup (empty trailing window)
+      assert(ordered.head.getString(4) === "warmup")
+      ordered.zipWithIndex.drop(1).foreach { case (r, i) =>
+        val xs = ordered.slice(math.max(0, i - 10), i).map(_.getLong(2))
+        val k = xs.length
+        val num = xs.zipWithIndex.map { case (x, j) => x.toDouble * math.pow(0.5, k - j - 1) }.sum
+        val den = 2.0 - math.pow(0.5, k - 1)
+        val expected = math.floor(num / den * 1e6 + 0.5) / 1e6
+        assert(math.abs(r.getDouble(3) - expected) < 1e-9, s"${r.getString(0)} ${r.getString(1)} ewma")
+        val n = r.getLong(2).toDouble
+        val want =
+          if (n > expected * 1.5) "spike" else if (n < expected * 0.5) "drop" else "normal"
+        assert(r.getString(4) === want, s"${r.getString(0)} ${r.getString(1)} flag")
+      }
+    }
+  }
 }
