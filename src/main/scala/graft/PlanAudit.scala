@@ -71,6 +71,12 @@ object PlanAudit {
     "q93_filtered_topk" -> Map(
       "BroadcastNestedLoopJoin" ->
         "q34's declared brute-force contract over the predicate-filtered corpus: broadcast 5-query side x one (pushed-filter) corpus scan"
+    ),
+    "q97_conversion_funnel" -> Map(
+      "BroadcastNestedLoopJoin" ->
+        "three 1-row step-count aggregates cross-joined into the single summary row — the q70 broadcast-scalar pattern",
+      "CartesianProduct" ->
+        "same 1-row x 1-row combine when the planner picks the cartesian form"
     )
   )
 

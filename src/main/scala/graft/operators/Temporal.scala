@@ -521,6 +521,67 @@ object Temporal {
       |            ELSE 'normal' END AS flag
       |FROM e ORDER BY event_type, day""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q97 — ordered conversion funnel (view → click → purchase): how many
+  // users complete each step IN ORDER, with step-to-step conversion rates —
+  // the product-analytics readout (distinct from q72's curation funnel,
+  // which is a rule battery). Each step is "earliest qualifying event
+  // strictly after the previous step's time": three per-user min-aggregates
+  // chained by user-keyed joins, all shuffling on the same user_id key (one
+  // partitioning reused; step frames only shrink). Ties at the exact same
+  // timestamp break by event_id — (ts, event_id) is the total order used
+  // everywhere else.
+  // ---------------------------------------------------------------------------
+  def q97ConversionFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables
+      .events(spark, dir)
+      // one orderable long key: micros×1000 + id%1000 (< 2^61, no overflow)
+      // keeps the (ts, event_id) order for same-instant events
+      .select(
+        col("user_id"),
+        col("event_type"),
+        (unix_micros(col("ts")) * 1000L + pmod(col("event_id"), lit(1000L))).as("k")
+      )
+    def step(of: String, prev: DataFrame, prevKey: String, outKey: String) =
+      ev.filter(col("event_type") === of)
+        .join(prev, Seq("user_id"))
+        .filter(col("k") > col(prevKey))
+        .groupBy(col("user_id"))
+        .agg(min(col("k")).as(outKey))
+    val s1 = ev.filter(col("event_type") === "view").groupBy(col("user_id")).agg(min(col("k")).as("k1"))
+    val s2 = step("click", s1, "k1", "k2")
+    val s3 = step("purchase", s2, "k2", "k3")
+    val total = ev.select(col("user_id")).distinct().count()
+    s1.select(count(lit(1)).as("n_view"))
+      .crossJoin(s2.select(count(lit(1)).as("n_view_click")))
+      .crossJoin(s3.select(count(lit(1)).as("n_full_funnel")))
+      .select(
+        lit(total).as("n_users"),
+        col("n_view"),
+        col("n_view_click"),
+        col("n_full_funnel"),
+        expr("floor(cast(n_view_click AS double) / n_view * 1e6 + 5e-1) / 1e6").as("rate_click"),
+        expr("floor(cast(n_full_funnel AS double) / n_view_click * 1e6 + 5e-1) / 1e6").as("rate_purchase")
+      )
+  }
+
+  val q97Oracle: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type,
+      |         epoch_us(ts) * 1000 + (event_id % 1000) AS k
+      |  FROM events),
+      |s1 AS (SELECT user_id, min(k) AS k1 FROM ev WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (SELECT ev.user_id, min(k) AS k2 FROM ev JOIN s1 ON ev.user_id = s1.user_id
+      |       WHERE event_type = 'click' AND k > k1 GROUP BY 1),
+      |s3 AS (SELECT ev.user_id, min(k) AS k3 FROM ev JOIN s2 ON ev.user_id = s2.user_id
+      |       WHERE event_type = 'purchase' AND k > k2 GROUP BY 1)
+      |SELECT (SELECT count(DISTINCT user_id) FROM ev) AS n_users,
+      |       (SELECT count(*) FROM s1) AS n_view,
+      |       (SELECT count(*) FROM s2) AS n_view_click,
+      |       (SELECT count(*) FROM s3) AS n_full_funnel,
+      |       floor((SELECT count(*) FROM s2)::DOUBLE / (SELECT count(*) FROM s1) * 1e6 + 5e-1) / 1e6 AS rate_click,
+      |       floor((SELECT count(*) FROM s3)::DOUBLE / (SELECT count(*) FROM s2) * 1e6 + 5e-1) / 1e6 AS rate_purchase""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_hourly_dense" -> (q20HourlyDense _),
     "q21_tumbling_daily" -> (q21TumblingDaily _),
@@ -530,7 +591,8 @@ object Temporal {
     "q63_cohort_retention" -> (q63CohortRetention _),
     "q89_scd2" -> (q89Scd2 _),
     "q95_event_sequences" -> (q95EventSequences _),
-    "q96_ewma_anomaly" -> (q96EwmaAnomaly _)
+    "q96_ewma_anomaly" -> (q96EwmaAnomaly _),
+    "q97_conversion_funnel" -> (q97ConversionFunnel _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -542,6 +604,7 @@ object Temporal {
     "q63_cohort_retention" -> q63Oracle,
     "q89_scd2" -> q89Oracle,
     "q95_event_sequences" -> q95Oracle,
-    "q96_ewma_anomaly" -> q96Oracle
+    "q96_ewma_anomaly" -> q96Oracle,
+    "q97_conversion_funnel" -> q97Oracle
   )
 }

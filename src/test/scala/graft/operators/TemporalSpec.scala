@@ -137,4 +137,32 @@ class TemporalSpec extends SparkSpec {
       }
     }
   }
+
+  test("q97 conversion funnel: step counts replay from the raw event order") {
+    val row = Temporal.q97ConversionFunnel(spark, sfDir).collect().head
+    val evs = graft.core.Tables
+      .events(spark, sfDir)
+      .selectExpr("user_id", "unix_micros(ts) * 1000 + pmod(event_id, 1000) AS k", "event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byUser = evs.groupBy(_._1)
+    def firstAfter(u: Long, typ: String, after: Long): Option[Long] =
+      byUser(u).filter(e => e._3 == typ && e._2 > after).map(_._2).minOption
+    var (s1, s2, s3) = (0L, 0L, 0L)
+    byUser.keys.foreach { u =>
+      firstAfter(u, "view", Long.MinValue).foreach { t1 =>
+        s1 += 1
+        firstAfter(u, "click", t1).foreach { t2 =>
+          s2 += 1
+          firstAfter(u, "purchase", t2).foreach(_ => s3 += 1)
+        }
+      }
+    }
+    assert(row.getLong(0) === byUser.size.toLong)
+    assert(row.getLong(1) === s1, "n_view")
+    assert(row.getLong(2) === s2, "n_view_click")
+    assert(row.getLong(3) === s3, "n_full_funnel")
+    assert(row.getLong(1) >= row.getLong(2) && row.getLong(2) >= row.getLong(3), "monotone funnel")
+    assert(math.abs(row.getDouble(4) - math.floor(s2.toDouble / s1 * 1e6 + 0.5) / 1e6) < 1e-9)
+  }
 }
