@@ -22,6 +22,8 @@
 #   ann-build     persist/refresh/compact ANN indexes (graft.tools.AnnBuild)
 #   train-export  write training shard files + manifest (graft.tools.TrainExportMain)
 #   corpus-report corpus health report (one text page) (graft.tools.CorpusReport)
+#   scd2-maintain   one SCD2-history maintenance tick  (graft.tools.Scd2MaintainMain)
+#   corpus-maintain one corpus-build maintenance tick  (graft.tools.CorpusMaintainMain)
 set -euo pipefail
 
 cd "$(dirname "$0")/.."
@@ -67,6 +69,8 @@ case "$cmd" in
   ann-build)    main=graft.tools.AnnBuild ;;
   train-export) main=graft.tools.TrainExportMain ;;
   corpus-report) main=graft.tools.CorpusReport ;;
+  scd2-maintain)   main=graft.tools.Scd2MaintainMain ;;
+  corpus-maintain) main=graft.tools.CorpusMaintainMain ;;
   help|--help|-h)
     # print the header comment block (everything between the shebang and
     # the first non-comment line), stripping the leading '# '

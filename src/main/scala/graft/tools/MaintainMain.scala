@@ -1,0 +1,47 @@
+package graft.tools
+
+import graft.streaming.{StreamingCorpus, StreamingScd2}
+
+/** CLI entry points for the incremental maintainers — one tick per
+  * invocation (the cron / entrypoint shape; the file-stream variants run
+  * the same tick per micro-batch).
+  *
+  *   bin/graft.sh scd2-maintain   <eventsDir> <historyDir>
+  *   bin/graft.sh corpus-maintain <docsDir>   <stateDir>
+  */
+object Scd2MaintainMain {
+  def main(args: Array[String]): Unit = {
+    if (args.length != 2) {
+      System.err.println("usage: Scd2MaintainMain <eventsDir> <historyDir>")
+      sys.exit(2)
+    }
+    val spark = graft.core.Sessions.local("graft-scd2-maintain")
+    try {
+      val o = StreamingScd2.tick(spark, args(0), args(1))
+      println(s"[scd2-maintain] mode=${o.mode} history_rows=${o.historyRows} watermark=${o.watermark}")
+    } finally spark.stop()
+  }
+}
+
+object CorpusMaintainMain {
+  def main(args: Array[String]): Unit = {
+    if (args.length != 2) {
+      System.err.println("usage: CorpusMaintainMain <docsDir> <stateDir>")
+      sys.exit(2)
+    }
+    val spark = graft.core.Sessions.local("graft-corpus-maintain")
+    try {
+      val o = StreamingCorpus.tick(spark, args(0), args(1))
+      println(
+        s"[corpus-maintain] mode=${o.mode} delta_docs=${o.nDelta} retro_contaminated=${o.retro} watermark=${o.watermark}"
+      )
+      StreamingCorpus
+        .finalStages(spark, args(1))
+        .groupBy("final_stage")
+        .count()
+        .orderBy("final_stage")
+        .collect()
+        .foreach(r => println(s"[corpus-maintain] ${r.getString(0)}=${r.getLong(1)}"))
+    } finally spark.stop()
+  }
+}
