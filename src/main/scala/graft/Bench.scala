@@ -193,13 +193,18 @@ object Bench {
     val calEnd = sec(calibrationProbe(spark))
 
     def jNum(v: Double): String = f"$v%.3f"
+    // Failed queries serialize as JSON null (never a -1.0 sentinel): naive
+    // consumers summing/averaging `queries` must not pick up negative
+    // contamination, and round-over-round totals stay self-describing via
+    // the explicit n_runnable/n_failed counts below.
+    def jTime(v: Double): String = if (v < 0) "null" else jNum(v)
     def jMap(entries: Iterable[(String, String)]): String =
       entries.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
 
     // Short key = the qNN prefix (unique across the suite); full names map
     // in bench_details.json and README.
     def shortKey(name: String): String = name.takeWhile(_ != '_')
-    val qs = jMap(results.map { case (k, (v, _, _)) => shortKey(k) -> jNum(v) })
+    val qs = jMap(results.map { case (k, (v, _, _)) => shortKey(k) -> jTime(v) })
     val ph = jMap(phases.map { case (k, v) => k -> jNum(v) })
     val qu = jMap(quality.map { case (k, v) => k -> jNum(v) })
     val fl = failed.map("\"" + shortKey(_) + "\"").mkString("[", ",", "]")
@@ -218,11 +223,15 @@ object Bench {
       case (k, (_, lo, hi)) if repeat >= 3 && lo > 0 && hi / lo > 3.0 => k
     }
     val cal = s"""{"start_s":${jNum(calStart)},"end_s":${jNum(calEnd)}}"""
+    val nRunnable = results.count { case (_, (v, _, _)) => v >= 0 }
     val details =
       s"""{"metric":"total","value":${jNum(total)},"unit":"sec","repeat":$repeat,"stat":"median",
+         |"n_runnable":$nRunnable,"n_failed":${failed.size},
          |"calibration":$cal,
-         |"queries":${jMap(results.map { case (k, (v, _, _)) => k -> jNum(v) })},
-         |"spread":${jMap(results.map { case (k, (_, lo, hi)) => k -> s"[${jNum(lo)},${jNum(hi)}]" })},
+         |"queries":${jMap(results.map { case (k, (v, _, _)) => k -> jTime(v) })},
+         |"spread":${jMap(results.map { case (k, (_, lo, hi)) =>
+          k -> (if (lo < 0) "null" else s"[${jNum(lo)},${jNum(hi)}]")
+        })},
          |"noisy":${noisy.map("\"" + _ + "\"").mkString("[", ",", "]")},
          |"phases":${jMap(phases.map { case (k, v) => k -> jNum(v) })},
          |"quality":${jMap(quality.map { case (k, v) => k -> jNum(v) })},
@@ -237,7 +246,7 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"[bench] details write failed: ${e.getMessage}") }
 
     println(
-      s"""{"metric":"total","value":${jNum(total)},"unit":"sec","queries":$qs,"phases":$ph,"quality":$qu,"calibration":$cal,"failed":$fl,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${jNum(total)},"unit":"sec","n_runnable":$nRunnable,"n_failed":${failed.size},"queries":$qs,"phases":$ph,"quality":$qu,"calibration":$cal,"failed":$fl,"sf":"$sfDir"}"""
     )
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)

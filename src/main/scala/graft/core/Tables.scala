@@ -22,15 +22,37 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
-    * rejects; read nanos as long and rebuild a microsecond timestamp
-    * (`ts div 1000` — integer division; a double division would lose
-    * precision at 1e18 nanos). Column name stays `ts`.
+  /** `events.ts` has shipped in two physical parquet encodings across test
+    * data generations: TIMESTAMP(NANOS) (which Spark's vectorized reader
+    * rejects outright) and plain TIMESTAMP(MICROS) stored without a UTC
+    * adjustment flag (surfacing as TIMESTAMP_NTZ). Branch on what the scan
+    * actually produces instead of assuming one format:
+    *   - nanos: readable only with `nanosAsLong`, so the first read throws;
+    *     retry with the legacy conf (set only on this branch — it is a
+    *     session-wide flag and must not flip as a side effect of loading a
+    *     modern file) and rebuild a microsecond timestamp via integer
+    *     `div 1000` (double division would lose precision at 1e18 nanos).
+    *   - TIMESTAMP_NTZ: cast to session-TZ timestamp (session TZ is UTC, so
+    *     values are identical) so downstream `window`/`unix_timestamp` logic
+    *     sees one type everywhere.
+    * Column name stays `ts` in every branch.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    val raw =
+      try load(spark, dir, "events")
+      catch {
+        case e: Exception if String.valueOf(e.getMessage).contains("NANOS") ||
+            String.valueOf(e.getMessage).contains("Illegal Parquet type") =>
+          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          load(spark, dir, "events")
+      }
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _                => raw
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
