@@ -26,9 +26,18 @@ import org.apache.spark.sql.DataFrame
   */
 object PlanAudit {
 
-  /** One non-whitelisted scale-killer strategy found in a query's plan. */
-  final case class Violation(query: String, strategy: String, count: Int) {
-    override def toString: String = s"$query: $strategy x$count (not whitelisted)"
+  /** One non-whitelisted scale-killer strategy found in a query's plan, or
+    * a query that could not be audited at all (`strategy` starts with
+    * "BROKEN"; `detail` carries the first line of the error). Broken
+    * queries are violations too — an unplannable query must not pass the
+    * plan gate — but they render with their own cause, not the
+    * "not whitelisted" wording, so 23 analysis failures read as 23 named
+    * broken queries instead of one opaque stack trace for the suite.
+    */
+  final case class Violation(query: String, strategy: String, count: Int, detail: String = "") {
+    override def toString: String =
+      if (strategy.startsWith("BROKEN")) s"$query: $strategy — $detail"
+      else s"$query: $strategy x$count (not whitelisted)"
   }
 
   /** Adjudicated exceptions: query -> (allowed strategy -> justification).
@@ -158,6 +167,26 @@ object PlanAudit {
     PlanFacts(scans, pushed, joins, codegenSpans, violations)
   }
 
+  /** First line of an error message, for one-line broken-query reporting. */
+  private def firstLine(e: Throwable): String =
+    String.valueOf(e.getMessage).linesIterator.find(_.trim.nonEmpty).getOrElse(e.getClass.getSimpleName).trim
+
+  /** Classify a query failure for the gate report: analysis failures (the
+    * query doesn't even resolve — wrong column type/name, bad SQL) are
+    * called out as "BROKEN (analysis)" so a driver-side data-contract
+    * change reads as exactly that; anything else carries its exception
+    * class. Analysis errors can surface wrapped (e.g. inside a
+    * SparkException from a forked planner thread), so walk the cause chain.
+    */
+  private[graft] def brokenViolation(name: String, e: Throwable): Violation = {
+    val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    val analysis = chain.collectFirst { case a: org.apache.spark.sql.AnalysisException => a }
+    analysis match {
+      case Some(a) => Violation(name, "BROKEN (analysis)", 1, firstLine(a))
+      case None    => Violation(name, s"BROKEN (${e.getClass.getSimpleName})", 1, firstLine(e))
+    }
+  }
+
   /** Run the gate over every registered query: the returned violations are
     * empty iff the round's plans are scale-clean. Queries that FAIL to run
     * are reported as violations too — an unplannable query must not pass
@@ -180,8 +209,9 @@ object PlanAudit {
         f.violations
       } catch {
         case e: Throwable =>
-          println(s"== $name FAILED: ${e.getMessage}")
-          Seq(Violation(name, s"audit-failed: ${e.getClass.getSimpleName}", 1))
+          val v = brokenViolation(name, e)
+          println(s"== $v")
+          Seq(v)
       }
     }
 

@@ -197,8 +197,8 @@ object Multimodal {
       )
       .orderBy(col("kind"))
 
-  // q37 byte-sum decode is JVM arithmetic not cleanly expressible in DuckDB
-  // SQL → ships as a rows-only check; MultimodalSpec pins its values.
+  // q37's byte-sum decode is reproduced in DuckDB via codepoint sums over
+  // the (verified-ASCII) corpus — see the oracle block below.
 
   /** q38 — frame sampling at 1 frame/sec: sequence+explode, oracle-able. */
   def q38FrameSample(spark: SparkSession, dir: String): DataFrame =
@@ -220,8 +220,9 @@ object Multimodal {
       |ORDER BY media_id, frame_idx""".stripMargin
 
   /** q39 — feature extraction summary: per-kind mean feature-vector norm.
-    * Hash/histogram features → rows-only check; exactness is pinned by
-    * MultimodalSpec against a direct JVM recomputation.
+    * Oracle-checked (byte-histogram math reproduced in DuckDB with FLOAT
+    * casts mirroring the codec's float32 accumulation); MultimodalSpec
+    * additionally pins values against a direct JVM recomputation.
     */
   def q39MediaFeatures(spark: SparkSession, dir: String): DataFrame = {
     val spark0 = spark
@@ -238,8 +239,8 @@ object Multimodal {
 
   /** q65 — resize summary per kind: media fit into a 224×224 box (the
     * ubiquitous vision-model input), average scale factor and output byte
-    * volume. Depends on the fake decode's JVM arithmetic → rows-only;
-    * MultimodalSpec pins dims/scale/byte invariants.
+    * volume. Oracle-checked (the fake decode's arithmetic is reproduced in
+    * DuckDB); MultimodalSpec pins dims/scale/byte invariants.
     */
   def q65MediaResize(spark: SparkSession, dir: String): DataFrame =
     resize(mediaTable(spark, dir).repartition(col("media_id")), targetW = 224, targetH = 224)
@@ -260,10 +261,87 @@ object Multimodal {
     "q65_media_resize" -> (q65MediaResize _)
   )
 
-  /** q37/q39 depend on JVM byte arithmetic → rows-only; q38 is pure
-    * sequence math → full oracle.
+  /** The fake codec's "decode" is pure arithmetic on the payload's length
+    * and byte sum, and the corpus is verified pure ASCII (TablesSpec loads
+    * it; DuckDB `octet_length(encode(text)) == length(text)` for every
+    * row), so the byte sum equals the sum of character codepoints —
+    * expressible in DuckDB as
+    * `list_sum(list_transform(string_split(text,''), c -> unicode(c)))`.
+    * That makes q37 (decode dims), q65 (resize arithmetic) and q39
+    * (byte-histogram feature norm, float32 math reproduced via FLOAT
+    * casts) fully oracle-checkable; only a real (non-fake) codec binding
+    * would take these back to rows-only.
     */
+  private val q37Oracle: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |         ['image','audio','video'][(doc_id % 3 + 1)::INT] AS kind,
+      |         octet_length(encode(text)) AS n,
+      |         coalesce(list_sum(list_transform(string_split(text, ''), c -> unicode(c))), 0) AS bsum
+      |  FROM documents)
+      |SELECT kind,
+      |       count(*) AS n_media,
+      |       round(avg(64 + n % 512), 4) AS avg_width,
+      |       round(avg(64 + bsum % 512), 4) AS avg_height,
+      |       sum(n)::BIGINT AS total_bytes
+      |FROM m GROUP BY kind ORDER BY kind""".stripMargin
+
+  private val q65Oracle: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |         ['image','audio','video'][(doc_id % 3 + 1)::INT] AS kind,
+      |         octet_length(encode(text)) AS n,
+      |         coalesce(list_sum(list_transform(string_split(text, ''), c -> unicode(c))), 0) AS bsum
+      |  FROM documents),
+      |d AS (
+      |  SELECT kind, n,
+      |         (64 + n % 512)::INT AS w,
+      |         (64 + bsum % 512)::INT AS h
+      |  FROM m),
+      |r AS (
+      |  SELECT kind, w, h, n,
+      |         least(1.0::DOUBLE, least(224.0::DOUBLE / w, 224.0::DOUBLE / h)) AS scale
+      |  FROM d),
+      |f AS (
+      |  SELECT kind, scale,
+      |         greatest(1, CAST(round(w * scale) AS INT)) AS ow,
+      |         greatest(1, CAST(round(h * scale) AS INT)) AS oh,
+      |         greatest(1, CAST(round(n * scale * scale) AS BIGINT)) AS bytes
+      |  FROM r)
+      |SELECT kind,
+      |       count(*) AS n_media,
+      |       round(avg(scale), 6) AS avg_scale,
+      |       max(ow) AS max_out_width,
+      |       max(oh) AS max_out_height,
+      |       sum(bytes)::BIGINT AS total_resized_bytes
+      |FROM f GROUP BY kind ORDER BY kind""".stripMargin
+
+  private val q39Oracle: String =
+    """WITH chars AS (
+      |  SELECT doc_id, unicode(t.x) % 16 AS b
+      |  FROM documents, unnest(string_split(text, '')) AS t(x)
+      |  WHERE length(text) > 0),
+      |hist AS (
+      |  SELECT doc_id, b, count(*)::FLOAT AS cnt FROM chars GROUP BY doc_id, b),
+      |docs AS (
+      |  SELECT doc_id,
+      |         ['image','audio','video'][(doc_id % 3 + 1)::INT] AS kind,
+      |         greatest(octet_length(encode(text)), 1)::FLOAT AS total
+      |  FROM documents),
+      |norms AS (
+      |  SELECT d.doc_id, min(d.kind) AS kind,
+      |         sqrt(coalesce(sum(
+      |           CAST(CAST(h.cnt / d.total AS FLOAT) AS DOUBLE) *
+      |           CAST(CAST(h.cnt / d.total AS FLOAT) AS DOUBLE)), 0)) AS l2
+      |  FROM docs d LEFT JOIN hist h ON d.doc_id = h.doc_id
+      |  GROUP BY d.doc_id)
+      |SELECT kind, count(*) AS n_media, round(avg(l2), 6) AS avg_feature_norm
+      |FROM norms GROUP BY kind ORDER BY kind""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "q38_frame_sample" -> q38Oracle
+    "q37_media_decode" -> q37Oracle,
+    "q38_frame_sample" -> q38Oracle,
+    "q39_media_features" -> q39Oracle,
+    "q65_media_resize" -> q65Oracle
   )
 }

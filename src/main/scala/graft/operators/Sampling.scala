@@ -23,18 +23,54 @@ object Sampling {
   // ---------------------------------------------------------------------------
   // q48 — stratified sampling: 50%/10% per event type via sampleBy with a
   // fixed seed. Per-row Bernoulli draw — no shuffle; the aggregate just
-  // summarizes what survived.
+  // summarizes what survived. The draw is engine-specific RNG, so the
+  // registered output is the ORACLE-CHECKABLE envelope form: exact stratum
+  // totals, the target fraction, and a verdict that the sampled fraction
+  // sits within 5 binomial sigmas of target — DuckDB reproduces
+  // n_total/target_frac and pins `1` for the verdict, hash-gating the
+  // sampler's statistical contract. Raw sampled counts stay visible to the
+  // spec via q48Sample.
   // ---------------------------------------------------------------------------
-  def q48StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
-    val fractions = Map("click" -> 0.5, "view" -> 0.5, "purchase" -> 0.1, "signup" -> 0.1, "error" -> 0.1)
+  private val q48Fractions =
+    Map("click" -> 0.5, "view" -> 0.5, "purchase" -> 0.1, "signup" -> 0.1, "error" -> 0.1)
+
+  /** Sampled counts per stratum (the RNG output — spec-checked shape). */
+  def q48Sample(spark: SparkSession, dir: String): DataFrame =
     Tables
       .events(spark, dir)
       .stat
-      .sampleBy("event_type", fractions, seed = 42L)
+      .sampleBy("event_type", q48Fractions, seed = 42L)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_sampled"))
+
+  def q48StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val targets = q48Fractions.toSeq.toDF("event_type", "target_frac")
+    Tables
+      .events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_total"))
+      .join(broadcast(targets), Seq("event_type"))
+      .join(broadcast(q48Sample(spark, dir)), Seq("event_type"))
+      .select(
+        col("event_type"),
+        col("n_total"),
+        col("target_frac"),
+        // 5-sigma binomial envelope: |n_sampled/n - p| <= 5*sqrt(p(1-p)/n)
+        (abs(col("n_sampled") / col("n_total") - col("target_frac")) <=
+          lit(5.0) * sqrt(col("target_frac") * (lit(1.0) - col("target_frac")) / col("n_total")))
+          .cast("int")
+          .as("frac_ok")
+      )
       .orderBy(col("event_type"))
   }
+
+  val q48Oracle: String =
+    """SELECT event_type,
+      |       count(*) AS n_total,
+      |       CASE WHEN event_type IN ('click', 'view') THEN 0.5::DOUBLE ELSE 0.1::DOUBLE END AS target_frac,
+      |       1 AS frac_ok
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // ---------------------------------------------------------------------------
   // q49 — deterministic train/validation/test split: bucket = first 2 hex
@@ -114,8 +150,11 @@ object Sampling {
     "q51_bottomk_sample" -> (q51BottomKSample _)
   )
 
-  /** q48 is RNG-based → rows-only; q49/q51 are deterministic → oracle. */
+  /** q49/q51 are deterministic → exact oracle; q48's RNG is checked via
+    * its envelope form (exact totals + verdict columns).
+    */
   val oracles: Map[String, String] = Map(
+    "q48_stratified_sample" -> q48Oracle,
     "q49_hash_split" -> q49Oracle,
     "q51_bottomk_sample" -> q51Oracle
   )

@@ -45,4 +45,23 @@ class PlanAuditGateSpec extends SparkSpec {
       PlanAudit.auditPlan("broken", spark.sql("SELECT * FROM nonexistent_table_xyz"))
     }
   }
+
+  test("an analysis failure reports BROKEN (analysis) with the query's name and cause") {
+    // the round-9 failure mode: a data-contract change makes a query
+    // unresolvable — the gate must name the query and say "analysis", not
+    // dump one shared stack trace for the whole suite
+    val e = intercept[Throwable] { spark.sql("SELECT * FROM nonexistent_table_xyz").collect() }
+    val v = PlanAudit.brokenViolation("q99_planted", e)
+    assert(v.strategy == "BROKEN (analysis)", s"got strategy ${v.strategy}")
+    assert(v.query == "q99_planted")
+    assert(v.detail.nonEmpty, "detail must carry the first line of the analysis error")
+    assert(v.toString.startsWith("q99_planted: BROKEN (analysis) — "), v.toString)
+  }
+
+  test("a non-analysis failure reports its exception class, not 'not whitelisted'") {
+    val v = PlanAudit.brokenViolation("q98_planted", new IllegalStateException("boom town"))
+    assert(v.strategy == "BROKEN (IllegalStateException)", v.strategy)
+    assert(v.detail == "boom town")
+    assert(!v.toString.contains("not whitelisted"), v.toString)
+  }
 }

@@ -6,8 +6,8 @@ import graft.SparkSpec
 class SamplingSpec extends SparkSpec {
 
   test("q48 stratified sample: proportions within a loose binomial envelope, reproducible") {
-    val a = Sampling.q48StratifiedSample(spark, sfDir).collect()
-    val b = Sampling.q48StratifiedSample(spark, sfDir).collect()
+    val a = Sampling.q48Sample(spark, sfDir).orderBy("event_type").collect()
+    val b = Sampling.q48Sample(spark, sfDir).orderBy("event_type").collect()
     assert(a.sameElements(b), "fixed seed must reproduce the sample")
     val totals = graft.core.Tables
       .events(spark, sfDir)
@@ -22,6 +22,12 @@ class SamplingSpec extends SparkSpec {
       val frac = r.getLong(1).toDouble / totals(t)
       assert(math.abs(frac - want(t)) < 0.15, s"$t sampled at $frac, wanted ~${want(t)}")
     }
+  }
+
+  test("q48 registered output: 5-sigma envelope verdict is 1 for every stratum") {
+    val rows = Sampling.q48StratifiedSample(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Int]("frac_ok") === 1, s"sampler left its envelope: $r"))
   }
 
   test("q51 bottom-k sketch: k per group, partition-invariant, content-addressed") {

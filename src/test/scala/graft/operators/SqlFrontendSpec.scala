@@ -31,7 +31,7 @@ class SqlFrontendSpec extends SparkSpec {
   }
 
   test("q42 approx distinct within 5% of exact per event type") {
-    val rows = SqlFrontend.q42ApproxDistinct(spark, sfDir).collect()
+    val rows = SqlFrontend.q42Estimates(spark, sfDir).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val approx = r.getAs[Long]("approx_users").toDouble
@@ -40,12 +40,18 @@ class SqlFrontendSpec extends SparkSpec {
     }
   }
 
+  test("q42 registered output: envelope verdict is 1 for every event type") {
+    val rows = SqlFrontend.q42ApproxDistinct(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Int]("approx_ok") === 1, s"HLL left its 3-sigma envelope: $r"))
+  }
+
   test("q50 approx quantiles within 2% of exact percentiles (computed here, not in the query)") {
     import org.apache.spark.sql.functions._
-    val rows = SqlFrontend.q50ApproxQuantiles(spark, sfDir).collect()
+    val rows = SqlFrontend.q50Sketch(spark, sfDir).collect()
     assert(rows.nonEmpty)
     // the exact sort lives in the TEST: the registered operator ships only
-    // the mergeable sketch (the 100 TB path)
+    // the mergeable sketch plus its rank-envelope verdicts (the 100 TB path)
     val exact = graft.core.Tables
       .lineitem(spark, sfDir)
       .groupBy(col("l_returnflag"))
@@ -55,10 +61,19 @@ class SqlFrontendSpec extends SparkSpec {
       .toMap
     rows.foreach { r =>
       val e = exact(r.getString(0))
-      Seq(r.getDouble(1) -> e(0), r.getDouble(2) -> e(1), r.getDouble(3) -> e(2)).foreach {
-        case (approx, ex) =>
-          assert(math.abs(approx - ex) / ex <= 0.02, s"approx=$approx exact=$ex")
+      r.getSeq[Double](1).zip(e).foreach { case (approx, ex) =>
+        assert(math.abs(approx - ex) / ex <= 0.02, s"approx=$approx exact=$ex")
       }
+    }
+  }
+
+  test("q50 registered output: rank-envelope verdicts are 1 for every group") {
+    val rows = SqlFrontend.q50ApproxQuantiles(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      Seq("p25_rank_ok", "median_rank_ok", "p75_rank_ok").foreach(c =>
+        assert(r.getAs[Int](c) === 1, s"GK sketch left its rank envelope: $r")
+      )
     }
   }
 
