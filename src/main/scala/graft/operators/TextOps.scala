@@ -533,9 +533,11 @@ object TextOps {
   //   → apply the merge with a greedy leftmost left-fold HOF per word
   //     (localCheckpoint keeps the plan flat across iterations).
   // Greedy-leftmost matches the published BPE reference (Sennrich et al.
-  // 2016); ties break lexicographically so the merge list is deterministic.
-  // Model-based (iterative argmax) → rows-only gate; the spec replays the
-  // whole loop single-node and pins the merge table exactly.
+  // 2016); ties break lexicographically so the merge list is deterministic
+  // — which makes even this iterative build oracle-gateable: q94Oracle
+  // below replays all N merge iterations in DuckDB as one generated chain
+  // of CTE stages. The spec additionally replays the loop single-node and
+  // pins the merge table exactly.
   // ---------------------------------------------------------------------------
   private val BPE_MERGES = 10
 
@@ -605,6 +607,71 @@ object TextOps {
 
   def q94BpeTrain(spark: SparkSession, dir: String): DataFrame = bpeTrain(spark, dir)
 
+  /** Full DuckDB replay of the BPE training loop: one generated chain of
+    * per-iteration CTE stages (pair count → lexicographic-tiebreak argmax →
+    * greedy-leftmost merge application), so even the iterative model-build
+    * is hash-gated against an independent engine, not just replayed by the
+    * spec. The merge application avoids a fold (DuckDB's list_reduce has no
+    * initial accumulator) with an islands-and-parity formulation: a merge
+    * STARTS at every odd offset within each maximal run of consecutive
+    * matched positions — for left != right, matches are never adjacent, so
+    * every match is a start; for left == right (a run of identical
+    * symbols, e.g. 'aaa' under (a,a)), odd offsets reproduce exactly the
+    * greedy-leftmost pairing. Starts are pairwise >= 2 apart by
+    * construction, so "position follows a start" is exactly "consumed".
+    * Every stage CTE is MATERIALIZED: stages reference their predecessor
+    * more than once, and without materialization the inlining would double
+    * work per stage (2^N blowup over N merges).
+    */
+  private def bpeOracleStage(k: Int): String = {
+    val p = k - 1
+    s"""pairs$k AS MATERIALIZED (
+       |  SELECT syms[i] AS l, syms[i+1] AS r, CAST(sum(occ) AS BIGINT) AS cnt
+       |  FROM words$p, unnest(range(1, len(syms))) AS u(i)
+       |  GROUP BY 1, 2),
+       |top$k AS MATERIALIZED (
+       |  SELECT l, r, cnt FROM pairs$k ORDER BY cnt DESC, l, r LIMIT 1),
+       |pos$k AS MATERIALIZED (
+       |  SELECT w.wid, w.occ, u.i AS pos, w.syms[u.i] AS sym,
+       |         (w.syms[u.i] = t.l AND w.syms[u.i+1] = t.r AND u.i < len(w.syms)) AS matched
+       |  FROM words$p w CROSS JOIN top$k t, unnest(range(1, len(w.syms)+1)) AS u(i)),
+       |starts$k AS MATERIALIZED (
+       |  SELECT wid, pos FROM (
+       |    SELECT wid, pos,
+       |           row_number() OVER (PARTITION BY wid, isl ORDER BY pos) AS off
+       |    FROM (SELECT wid, pos,
+       |                 pos - row_number() OVER (PARTITION BY wid ORDER BY pos) AS isl
+       |          FROM pos$k WHERE matched))
+       |  WHERE off % 2 = 1),
+       |words$k AS MATERIALIZED (
+       |  SELECT p.wid, any_value(p.occ) AS occ,
+       |         list(CASE WHEN st.pos IS NOT NULL THEN t.l || t.r ELSE p.sym END ORDER BY p.pos) AS syms
+       |  FROM pos$k p
+       |  CROSS JOIN top$k t
+       |  LEFT JOIN starts$k st ON p.wid = st.wid AND p.pos = st.pos
+       |  LEFT JOIN starts$k cons ON p.wid = cons.wid AND p.pos = cons.pos + 1
+       |  WHERE cons.pos IS NULL
+       |  GROUP BY p.wid)""".stripMargin
+  }
+
+  val q94Oracle: String = {
+    val words0 =
+      """words0 AS MATERIALIZED (
+        |  SELECT row_number() OVER () AS wid, occ,
+        |         list_transform(range(1, len(w)+1), i -> w[i]) AS syms
+        |  FROM (
+        |    SELECT w, count(*) AS occ FROM (
+        |      SELECT unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+        |      FROM documents)
+        |    GROUP BY w HAVING len(w) >= 1))""".stripMargin
+    val stages = (1 to BPE_MERGES).map(bpeOracleStage)
+    val selects = (1 to BPE_MERGES).map(k =>
+      s"""SELECT $k AS rank, l AS "left", r AS "right", l || r AS merged, cnt AS pair_count FROM top$k"""
+    )
+    (words0 +: stages).mkString("WITH ", ",\n", "\n") +
+      selects.mkString("\nUNION ALL\n") + "\nORDER BY rank"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_lang_id" -> (q25LangId _),
     "q26_quality_score" -> (q26QualityScore _),
@@ -629,6 +696,7 @@ object TextOps {
     "q80_dynamic_threshold" -> q80Oracle,
     "q82_vocab_growth" -> q82Oracle,
     "q91_chunking" -> q91Oracle,
-    "q92_bpe_pairs" -> q92Oracle
+    "q92_bpe_pairs" -> q92Oracle,
+    "q94_bpe_train" -> q94Oracle
   )
 }
