@@ -562,7 +562,18 @@ object TextOps {
   }
 
   /** The learned merge table: (rank, left, right, merged, pair_count). */
-  def bpeTrain(spark: SparkSession, dir: String, nMerges: Int = BPE_MERGES): DataFrame = {
+  def bpeTrain(spark: SparkSession, dir: String, nMerges: Int = BPE_MERGES): DataFrame =
+    bpeTrainState(spark, dir, nMerges)._1
+
+  /** Training loop internals: the merge table plus the final distinct-word
+    * frame (occ, syms) with all merges applied — the trained tokenizer's
+    * word → pieces map, which [[q98BpeApply]] joins back onto the corpus.
+    */
+  private def bpeTrainState(
+      spark: SparkSession,
+      dir: String,
+      nMerges: Int
+  ): (DataFrame, DataFrame) = {
     import spark.implicits._
     var words = Tables
       .balanced(Tables.documents(spark, dir))
@@ -602,10 +613,73 @@ object TextOps {
         rank += 1
       }
     }
-    merges.toSeq.toDF("rank", "left", "right", "merged", "pair_count").orderBy(col("rank"))
+    (merges.toSeq.toDF("rank", "left", "right", "merged", "pair_count").orderBy(col("rank")), words)
   }
 
   def q94BpeTrain(spark: SparkSession, dir: String): DataFrame = bpeTrain(spark, dir)
+
+  // ---------------------------------------------------------------------------
+  // q98 — BPE tokenizer APPLICATION: train (q94's loop), then tokenize the
+  // corpus with the learned merges — the step every tokenizer exists for,
+  // closing the train → apply → chunk/pack → export pipeline. The
+  // scale-correct shape: merges apply to the DISTINCT-WORD frame
+  // (vocabulary-bounded, same invariant that makes training feasible at
+  // 100 TB), and the corpus only pays a keyed join of words onto that
+  // word → piece-count map — never a per-row merge scan over raw text. The
+  // word string is rebuilt from the final symbols (merges only concatenate
+  // adjacent pieces, so array_join inverts training's w → syms split).
+  // Deterministic end to end → oracle-gated by extending q94's CTE chain
+  // with the same join.
+  // ---------------------------------------------------------------------------
+  def q98BpeApply(spark: SparkSession, dir: String): DataFrame = {
+    val (_, trained) = bpeTrainState(spark, dir, BPE_MERGES)
+    val wordTokens = trained.select(
+      array_join(col("syms"), "").as("w"),
+      size(col("syms")).as("n_tokens")
+    )
+    Tables
+      .balanced(Tables.documents(spark, dir))
+      .select(
+        col("doc_id"),
+        col("source"),
+        explode(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")).as("w")
+      )
+      .filter(length(col("w")) >= 1)
+      .join(broadcast(wordTokens), Seq("w"))
+      .groupBy(col("source"))
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("total_words"),
+        sum(col("n_tokens")).as("total_tokens"),
+        round(avg(col("n_tokens")), 4).as("avg_tokens_per_word")
+      )
+      .orderBy(col("source"))
+  }
+
+  /** q94's training chain, plus the tokenize-join: words10's symbol lists
+    * ARE the trained tokenizer, so the apply oracle is one more join.
+    * (lazy: q94Oracle is declared further down this object, so an eager
+    * val here would read null during object init.)
+    */
+  lazy val q98Oracle: String = {
+    val chain = q94Oracle.substring(0, q94Oracle.indexOf("\nSELECT 1 AS rank"))
+    s"""$chain,
+       |wordtok AS MATERIALIZED (
+       |  SELECT array_to_string(syms, '') AS w, len(syms) AS n_tokens FROM words$BPE_MERGES),
+       |docw AS (
+       |  SELECT doc_id, source,
+       |         unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS w
+       |  FROM documents)
+       |SELECT d.source,
+       |       count(DISTINCT d.doc_id) AS n_docs,
+       |       count(*) AS total_words,
+       |       CAST(sum(t.n_tokens) AS BIGINT) AS total_tokens,
+       |       round(avg(t.n_tokens), 4) AS avg_tokens_per_word
+       |FROM docw d JOIN wordtok t USING (w)
+       |WHERE len(d.w) >= 1
+       |GROUP BY d.source
+       |ORDER BY d.source""".stripMargin
+  }
 
   /** Full DuckDB replay of the BPE training loop: one generated chain of
     * per-iteration CTE stages (pair count → lexicographic-tiebreak argmax →
@@ -683,7 +757,8 @@ object TextOps {
     "q82_vocab_growth" -> (q82VocabGrowth _),
     "q91_chunking" -> (q91Chunking _),
     "q92_bpe_pairs" -> (q92BpePairs _),
-    "q94_bpe_train" -> (q94BpeTrain _)
+    "q94_bpe_train" -> (q94BpeTrain _),
+    "q98_bpe_apply" -> (q98BpeApply _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -697,6 +772,7 @@ object TextOps {
     "q82_vocab_growth" -> q82Oracle,
     "q91_chunking" -> q91Oracle,
     "q92_bpe_pairs" -> q92Oracle,
-    "q94_bpe_train" -> q94Oracle
+    "q94_bpe_train" -> q94Oracle,
+    "q98_bpe_apply" -> q98Oracle
   )
 }

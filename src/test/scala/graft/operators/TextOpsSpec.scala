@@ -247,4 +247,26 @@ class TextOpsSpec extends SparkSpec {
       .toSeq
     assert(got === expected, s"merge tables differ:\n got $got\n exp $expected")
   }
+
+  test("q98 bpe apply: tokenization totals bounded and consistent with training") {
+    val rows = TextOps.q98BpeApply(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // every word tokenizes to at least 1 and at most word-length pieces, so
+    // totals must sit between word count and character mass; 10 merges on
+    // this corpus must actually compress (tokens strictly under characters)
+    val words = graft.core.Tables
+      .documents(spark, sfDir)
+      .collect()
+      .flatMap(r => (r.getString(3), r.getString(1)) match {
+        case (src, text) => text.toLowerCase.trim.replaceAll("\\s+", " ").split(" ").filter(_.nonEmpty).map(src -> _)
+      })
+    val bySource = words.groupBy(_._1)
+    rows.foreach { r =>
+      val src = r.getString(0)
+      val (nWords, nChars) = (bySource(src).length.toLong, bySource(src).map(_._2.length.toLong).sum)
+      assert(r.getAs[Long]("total_words") === nWords, s"$src word count")
+      val tokens = r.getAs[Long]("total_tokens")
+      assert(tokens >= nWords && tokens < nChars, s"$src tokens=$tokens outside ($nWords, $nChars)")
+    }
+  }
 }
