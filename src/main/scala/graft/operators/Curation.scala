@@ -1222,7 +1222,7 @@ object Curation {
     * prob, and the keep/drop decision — lang and token count kept for
     * downstream grouping.
     */
-  private def qualityScored(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def qualityScored(spark: SparkSession, dir: String): DataFrame =
     Tables
       .balanced(Tables.documents(spark, dir))
       .withColumn("toks", expr(toksExpr))

@@ -531,6 +531,62 @@ object Dedup {
       .orderBy(col("vec_id"))
   }
 
+  // ---------------------------------------------------------------------------
+  // q99 — canonical-representative selection: for every duplicate cluster
+  // (q61), KEEP the highest-quality member (q84's logistic prob, doc_id
+  // ascending on rounded-prob ties) and count the drops — the step a real
+  // dedup pipeline runs between clustering and export, where "which copy
+  // survives" should be a quality decision, not an arbitrary min-id. The
+  // window partitions by cluster (near-dup clusters are small by
+  // construction — bounded by group size, never corpus size) and the
+  // quality join is keyed on doc_id; both inputs are already-reduced
+  // frames, so the composition adds no corpus-scale work.
+  // ---------------------------------------------------------------------------
+  def q99ClusterCanon(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val quality = Curation.qualityScored(spark, dir).select(col("doc_id"), col("prob"))
+    val w = Window.partitionBy(col("cluster")).orderBy(col("prob").desc, col("doc_id"))
+    q61DupClusters(spark, dir)
+      .join(quality, Seq("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("cluster"),
+        col("cluster_size"),
+        col("doc_id").as("kept_doc_id"),
+        col("prob").as("kept_prob"),
+        (col("cluster_size") - 1).cast("long").as("n_dropped")
+      )
+      .orderBy(col("cluster"))
+  }
+
+  /** Oracle composed from the two published oracles: q61's recursive-CTE
+    * components joined with q84's quality CTEs (spliced textually so the
+    * model constants stay defined in exactly one place), ranked with the
+    * same (prob DESC, doc_id) window.
+    */
+  lazy val q99Oracle: String = {
+    // q61Oracle = "WITH RECURSIVE <ctes>\nSELECT l.node ..." — keep the ctes
+    val clusterCtes = q61Oracle.substring(0, q61Oracle.indexOf("\nSELECT l.node"))
+    // q84Oracle = "WITH <ctes>\nSELECT doc_id ... FROM z ORDER BY doc_id" —
+    // strip "WITH ", wrap its final select (minus ORDER BY) as a CTE
+    val q84body = Curation.q84Oracle.stripPrefix("WITH ")
+    val selIdx = q84body.indexOf("\nSELECT doc_id")
+    val q84Ctes = q84body.substring(0, selIdx)
+    val q84Select = q84body.substring(selIdx + 1).stripSuffix(" ORDER BY doc_id")
+    s"""$clusterCtes,
+       |$q84Ctes,
+       |quality AS (
+       |$q84Select),
+       |ranked AS (
+       |  SELECT l.node AS doc_id, l.cluster, s.cluster_size, q.prob,
+       |         row_number() OVER (PARTITION BY l.cluster ORDER BY q.prob DESC, l.node) AS rn
+       |  FROM labels l JOIN sizes s USING (cluster) JOIN quality q ON q.doc_id = l.node)
+       |SELECT cluster, cluster_size, doc_id AS kept_doc_id, prob AS kept_prob,
+       |       CAST(cluster_size - 1 AS BIGINT) AS n_dropped
+       |FROM ranked WHERE rn = 1 ORDER BY cluster""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_exact_dedup" -> (q29ExactDedup _),
     "q30_minhash_pairs" -> (q30MinhashPairs _),
@@ -539,7 +595,8 @@ object Dedup {
     "q33_embedding_neardup" -> (q33EmbeddingNearDup _),
     "q60_lsh_neardup" -> (q60LshNearDup _),
     "q61_dup_clusters" -> (q61DupClusters _),
-    "q90_semdedup" -> (q90SemDedup _)
+    "q90_semdedup" -> (q90SemDedup _),
+    "q99_cluster_canon" -> (q99ClusterCanon _)
   )
 
   /** q30/q31/q60 are hash-based LSH — not reproducible in plain SQL →
@@ -549,6 +606,7 @@ object Dedup {
     "q29_exact_dedup" -> q29Oracle,
     "q32_token_jaccard" -> q32Oracle,
     "q33_embedding_neardup" -> q33Oracle,
-    "q61_dup_clusters" -> q61Oracle
+    "q61_dup_clusters" -> q61Oracle,
+    "q99_cluster_canon" -> q99Oracle
   )
 }

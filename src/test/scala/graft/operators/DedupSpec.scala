@@ -179,4 +179,28 @@ class DedupSpec extends SparkSpec {
     if (exactPairs.nonEmpty)
       info(s"q90 same-cluster coverage: ${sameCluster.length}/${exactPairs.length} exact pairs in-reach")
   }
+
+  test("q99 cluster canon: one keeper per cluster, max quality, drop accounting exact") {
+    val clusters = Dedup.q61DupClusters(spark, sfDir).collect()
+    val byCluster = clusters.groupBy(_.getLong(1))
+    val quality = Curation
+      .qualityScored(spark, sfDir)
+      .select("doc_id", "prob")
+      .collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+      .toMap
+    val rows = Dedup.q99ClusterCanon(spark, sfDir).collect()
+    assert(rows.length === byCluster.size, "exactly one keeper per cluster")
+    rows.foreach { r =>
+      val (cluster, size, kept, prob, dropped) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))
+      val members = byCluster(cluster).map(_.getLong(0))
+      assert(members.contains(kept), s"keeper $kept not in cluster $cluster")
+      assert(dropped === members.length - 1, s"cluster $cluster drop count")
+      assert(size === members.length.toLong)
+      // keeper has the best (prob desc, doc_id asc) among scored members
+      val best = members.map(id => (id, quality(id))).minBy { case (id, p) => (-p, id) }
+      assert((kept, prob) === best, s"cluster $cluster kept $kept/$prob, best was $best")
+    }
+  }
 }
