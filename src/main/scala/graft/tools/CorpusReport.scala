@@ -3,15 +3,16 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Curation, TextOps, TrainExport}
+import graft.operators.{Curation, Dedup, TextOps, TrainExport}
 
 /** One-command corpus health report — the diagnostic battery a curator
   * reads before (and after) committing to a build: the q77 stage funnel,
   * per-language dynamic quality floors (q80), the cross-source mirror
-  * matrix (q81), vocabulary growth (q82), and the shard manifest (q83),
-  * rendered as one text page. Every number comes from the same oracle-gated
-  * queries the driver checks — the report is a VIEW over the inventory, not
-  * a second implementation.
+  * matrix (q81), vocabulary growth (q82), duplicate-cluster canon
+  * decisions (q99), and the shard manifest (q83), rendered as one text
+  * page. Every number comes from the same oracle-gated queries the driver
+  * checks — the report is a VIEW over the inventory, not a second
+  * implementation.
   *
   *   bin/graft.sh corpus-report <dataDir>
   *   sbt "runMain graft.tools.CorpusReport /root/testdata/sf0.01"
@@ -81,6 +82,19 @@ object CorpusReport {
         f"${r.getString(0)}%-4s stage=${r.getInt(1)} docs=${r.getLong(2)}%5d tokens=${r.getLong(3)}%8d " +
           f"prob=[${r.getDouble(5)}%.4f, ${r.getDouble(6)}%.4f] mean=${r.getDouble(4)}%.4f"
       )
+    }
+
+    section("duplicate clusters (q99): quality-ranked canon keep/drop")
+    val canon = Dedup.q99ClusterCanon(spark, dir).collect()
+    if (canon.isEmpty) line("no duplicate clusters")
+    else {
+      canon.foreach { r =>
+        line(
+          f"cluster=${r.getLong(0)}%6d size=${r.getLong(1)}%3d keep=doc_${r.getLong(2)}%-6d " +
+            f"prob=${r.getDouble(3)}%.4f dropped=${r.getLong(4)}%3d"
+        )
+      }
+      line(f"total dropped: ${canon.map(_.getLong(4)).sum}")
     }
 
     section("train shards (q83): manifest")

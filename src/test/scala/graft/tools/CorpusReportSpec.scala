@@ -17,6 +17,7 @@ class CorpusReportSpec extends SparkSpec {
         "source overlap (q81)",
         "vocabulary growth (q82)",
         "curriculum stages (q86)",
+        "duplicate clusters (q99)",
         "train shards (q83)"
       )
     ) assert(r.contains(header), s"missing section: $header\n$r")
