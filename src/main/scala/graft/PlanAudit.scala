@@ -81,6 +81,10 @@ object PlanAudit {
       "BroadcastNestedLoopJoin" ->
         "q34's declared brute-force contract over the predicate-filtered corpus: broadcast 5-query side x one (pushed-filter) corpus scan"
     ),
+    "q100_epoch_plan" -> Map(
+      "BroadcastNestedLoopJoin" ->
+        "1-row broadcast totals (corpus token mass + source count) joined onto per-source rows — the q70 broadcast-scalar pattern"
+    ),
     "q97_conversion_funnel" -> Map(
       "BroadcastNestedLoopJoin" ->
         "three 1-row step-count aggregates cross-joined into the single summary row — the q70 broadcast-scalar pattern",

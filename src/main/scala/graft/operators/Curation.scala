@@ -389,6 +389,93 @@ object Curation {
       )
       .orderBy(col("source"))
 
+  // ---------------------------------------------------------------------------
+  // q100 — epoch/repetition plan under a token budget: the DATA-CONSTRAINED
+  // complement of q70. q70 downsamples a too-large corpus toward a target
+  // mixture without upsampling; q100 plans how many EPOCHS of each source
+  // to repeat when the training budget exceeds the corpus, with a
+  // repetition cap past which repeated data stops helping (Muennighoff et
+  // al. 2023, "Scaling Data-Constrained Language Models" — returns
+  // diminish around ~4 epochs). Each source gets a uniform token target
+  // (balanced mixture, budget = BUDGET_MULT x the mean source mass);
+  // epochs = min(cap, target/tokens), floor-rounded at 1e4 so both
+  // engines agree bit-for-bit; `capped` marks sources whose mass is too
+  // small to meet target even at the cap — the sources a curator must
+  // actually go collect more of. Token definition matches q82, so the
+  // report's numbers line up.
+  //
+  // Scale shape: one groupBy(source) token count over the corpus;
+  // everything after is per-source rows (dozens) with a broadcast 1-row
+  // totals aggregate — no driver collect.
+  // ---------------------------------------------------------------------------
+  private val EPOCH_CAP = 4.0
+  private val BUDGET_MULT = 3.0
+
+  def q100EpochPlan(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables
+      .balanced(Tables.documents(spark, dir))
+      .select(
+        col("source"),
+        size(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")).as("n_toks")
+      )
+      .groupBy(col("source"))
+      .agg(sum(col("n_toks")).as("n_tokens"))
+      // per-source rows (dozens): staged once for the totals + plan passes
+      .localCheckpoint()
+    val totals = toks.agg(
+      sum(col("n_tokens")).cast("double").as("corpus_tokens"),
+      count(lit(1)).cast("double").as("n_sources")
+    )
+    toks
+      .crossJoin(broadcast(totals))
+      .withColumn(
+        "target_tokens",
+        expr(s"cast(floor(${BUDGET_MULT}e0 * corpus_tokens / n_sources + 5e-1) AS bigint)")
+      )
+      .withColumn(
+        "epochs",
+        expr(
+          s"floor(least(${EPOCH_CAP}e0, cast(target_tokens AS double) / cast(n_tokens AS double)) * 1e4 + 5e-1) / 1e4"
+        )
+      )
+      .withColumn("planned_tokens", expr("cast(floor(epochs * cast(n_tokens AS double) + 5e-1) AS bigint)"))
+      .withColumn(
+        "capped",
+        expr(s"cast(cast(target_tokens AS double) / cast(n_tokens AS double) > ${EPOCH_CAP}e0 AS int)")
+      )
+      .select(
+        col("source"),
+        col("n_tokens"),
+        col("target_tokens"),
+        col("epochs"),
+        col("planned_tokens"),
+        col("capped")
+      )
+      .orderBy(col("source"))
+  }
+
+  val q100Oracle: String =
+    s"""WITH toks AS (
+       |  SELECT source,
+       |         CAST(sum(len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY source),
+       |tot AS (
+       |  SELECT CAST(sum(n_tokens) AS DOUBLE) AS corpus_tokens,
+       |         CAST(count(*) AS DOUBLE) AS n_sources
+       |  FROM toks),
+       |plan AS (
+       |  SELECT source, n_tokens,
+       |         CAST(floor(${BUDGET_MULT}e0 * corpus_tokens / n_sources + 5e-1) AS BIGINT) AS target_tokens
+       |  FROM toks, tot),
+       |e AS (
+       |  SELECT source, n_tokens, target_tokens,
+       |         floor(least(${EPOCH_CAP}e0, target_tokens::DOUBLE / n_tokens::DOUBLE) * 1e4 + 5e-1) / 1e4 AS epochs
+       |  FROM plan)
+       |SELECT source, n_tokens, target_tokens, epochs,
+       |       CAST(floor(epochs * n_tokens::DOUBLE + 5e-1) AS BIGINT) AS planned_tokens,
+       |       CASE WHEN target_tokens::DOUBLE / n_tokens::DOUBLE > ${EPOCH_CAP}e0 THEN 1 ELSE 0 END AS capped
+       |FROM e ORDER BY source""".stripMargin
+
   val q70Oracle: String =
     """WITH s AS (
       |  SELECT source, count(*) AS n_docs,
@@ -1358,7 +1445,8 @@ object Curation {
     "q78_bigram_lm" -> (q78BigramLm _),
     "q81_source_overlap" -> (q81SourceOverlap _),
     "q84_quality_model" -> (q84QualityModel _),
-    "q86_curriculum" -> (q86Curriculum _)
+    "q86_curriculum" -> (q86Curriculum _),
+    "q100_epoch_plan" -> (q100EpochPlan _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1375,6 +1463,7 @@ object Curation {
     "q78_bigram_lm" -> q78Oracle,
     "q81_source_overlap" -> q81Oracle,
     "q84_quality_model" -> q84Oracle,
-    "q86_curriculum" -> q86Oracle
+    "q86_curriculum" -> q86Oracle,
+    "q100_epoch_plan" -> q100Oracle
   )
 }

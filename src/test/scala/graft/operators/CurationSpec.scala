@@ -656,4 +656,29 @@ class CurationSpec extends SparkSpec {
     // doc accounting: quartiles cover exactly the scored corpus
     assert(rows.map(_.getLong(2)).sum === scored.length.toLong)
   }
+
+  test("q100 epoch plan: uniform targets, cap respected, accounting recomputes") {
+    val rows = Curation.q100EpochPlan(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // independent token recount per source (q82's token definition)
+    val tokens = graft.core.Tables
+      .documents(spark, sfDir)
+      .collect()
+      .groupBy(_.getString(3))
+      .map { case (src, docs) =>
+        src -> docs.map(r => r.getString(1).toLowerCase.trim.replaceAll("\\s+", " ").split(" ", -1).length.toLong).sum
+      }
+    val target = math.floor(3.0 * tokens.values.sum / tokens.size + 0.5).toLong
+    rows.foreach { r =>
+      val (src, n, tgt, epochs, planned, capped) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4), r.getInt(5))
+      assert(n === tokens(src), s"$src token count")
+      assert(tgt === target, s"$src uniform target")
+      assert(epochs > 0.0 && epochs <= 4.0, s"$src epochs $epochs outside (0, cap]")
+      assert((capped === 1) === (target.toDouble / n > 4.0), s"$src capped flag")
+      assert(math.abs(planned - epochs * n) <= 1.0, s"$src planned_tokens accounting")
+      if (capped === 0)
+        assert(math.abs(planned - target) <= n * 1e-4 + 1, s"$src uncapped source must hit target")
+    }
+  }
 }
