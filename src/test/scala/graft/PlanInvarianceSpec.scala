@@ -95,4 +95,32 @@ class PlanInvarianceSpec extends SparkSpec {
       }
     }
   }
+
+  test("native-expression queries: interpreted evaluation equals codegen") {
+    // Every custom Catalyst Expression here (vec_dot, sorted-intersect,
+    // simhash64, shingle_hashes, minhash_sigs16, bloom_contains) carries a
+    // hand-written doGenCode beside its eval — divergence between the two
+    // paths is the classic native-expression bug class, and wholestage-off
+    // alone does NOT force interpreted eval (Spark still codegens
+    // projections unless the factory mode says otherwise). Compare the
+    // expression-heavy queries' results under fully interpreted
+    // (NO_CODEGEN + wholestage off) against the default codegen'd run.
+    val exprQueries = Seq(
+      "q30_minhash_pairs",
+      "q31_simhash_pairs",
+      "q32_token_jaccard",
+      "q60_lsh_neardup",
+      "q88_bloom_prune"
+    )
+    val queries = SparkEntry.queries
+    val baselines = exprQueries.map(n => n -> canon(queries(n)(spark, sfDir).collect()))
+    withConf(
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN",
+      "spark.sql.codegen.wholeStage" -> "false"
+    ) {
+      baselines.foreach { case (name, base) =>
+        assertSame(name, "interpreted", base, canon(queries(name)(spark, sfDir).collect()))
+      }
+    }
+  }
 }
