@@ -87,14 +87,12 @@ object Dedup {
       .select(col("doc_id"), col("shingles"), col("sig"))
   }
 
-  def q30MinhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    // localCheckpoint: the signature pipeline feeds THREE consumers below
-    // (buckets, sh_a, sh_b) — round 1 recomputed the full shingle/minhash
-    // pass for each. Eager checkpoint runs it ONCE into executor storage
-    // (MEMORY_AND_DISK) with lineage truncated; the blocks are reclaimed by
-    // the ContextCleaner when the DF becomes unreachable, so nothing pins
-    // storage for the session the way a .cache() we can't unpersist would.
-    val sigs = signatures(spark, dir).localCheckpoint()
+  /** Banded-LSH candidate pairs (doc_a < doc_b, distinct) from a signature
+    * frame: explode b band keys, equi-join on (band, key). ~Linear for
+    * hash-spread corpora — the shared candidate miner behind q30's
+    * shingle-verified pairs and q101's token-verified dup-cluster graph.
+    */
+  private def minhashCandidates(sigs: DataFrame): DataFrame = {
     // band key = hash of the band's signature slice; explode to (band, key, doc)
     val bandCols = (0 until BANDS).map { b =>
       val slice = (0 until ROWS_PER_BAND).map(r => s"sig[${b * ROWS_PER_BAND + r}]").mkString(", ")
@@ -103,12 +101,23 @@ object Dedup {
     val buckets = sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val candidates = buckets
+    buckets
       .as("l")
       .join(buckets.as("r"), Seq("band", "key"))
       .filter(col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  def q30MinhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    // localCheckpoint: the signature pipeline feeds THREE consumers below
+    // (buckets, sh_a, sh_b) — round 1 recomputed the full shingle/minhash
+    // pass for each. Eager checkpoint runs it ONCE into executor storage
+    // (MEMORY_AND_DISK) with lineage truncated; the blocks are reclaimed by
+    // the ContextCleaner when the DF becomes unreachable, so nothing pins
+    // storage for the session the way a .cache() we can't unpersist would.
+    val sigs = signatures(spark, dir).localCheckpoint()
+    val candidates = minhashCandidates(sigs)
     val sa = sigs.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
     val sb = sigs.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
     // shingle arrays are sorted-distinct → zero-allocation merge intersect
@@ -179,18 +188,24 @@ object Dedup {
     * (q61's cluster propagation, the cached pair graph) actually want: a
     * global sort of the edge list buys nothing downstream.
     */
-  private[operators] def tokenJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+  /** Token sets as SORTED xxhash64 arrays: sorting is paid once per
+    * document; each pair is then one zero-allocation two-pointer merge via
+    * the codegen'd sorted_intersect_count (graft.functions) instead of
+    * array_intersect's per-pair hash-set build. Shared by the exact
+    * all-pairs miner (q32) and the MinHash-candidate verify (q101's graph).
+    */
+  private def tokenSets(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VecFunctions.install(spark)
-    // Token sets as SORTED xxhash64 arrays: sorting is paid once per
-    // document; each pair is then one zero-allocation two-pointer merge via
-    // the codegen'd sorted_intersect_count (graft.functions) instead of
-    // array_intersect's per-pair hash-set build.
-    val docs = Tables
+    Tables
       .balanced(Tables.documents(spark, dir))
       .withColumn("toks", expr("array_sort(array_distinct(transform(split(" +
         "regexp_replace(lower(trim(text)), '\\\\s+', ' '), ' '), t -> xxhash64(t))))"))
       .withColumn("sz", size(col("toks")))
       .select(col("lang"), col("doc_id"), col("toks"), col("sz"))
+  }
+
+  private[operators] def tokenJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tokenSets(spark, dir)
     // ALL predicates live in the join condition, cheap-first: generated code
     // evaluates conjuncts left-to-right, so the integer size-ratio prune
     // (jaccard <= min(sz)/max(sz), hence jaccard >= 0.8 ⇒ sizes within
@@ -381,8 +396,23 @@ object Dedup {
   // session-scoped cache (built once, shared with repeat runs — the artifact
   // a 100 TB dedup pipeline would persist as a table).
   // ---------------------------------------------------------------------------
-  def q61DupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val edges = directedEdges(spark, dir)
+  def q61DupClusters(spark: SparkSession, dir: String): DataFrame =
+    clustersFrom(buildPairGraph(spark, dir))
+
+  /** Connected components over ANY undirected pair frame (doc_a, doc_b) —
+    * the propagation loop parametrized over its edge supply, so exact pair
+    * graphs (q61) and sub-quadratic LSH-mined graphs (q101) cluster through
+    * the same scale-safe machinery. Returns (doc_id, cluster, cluster_size)
+    * with cluster = min doc_id of the component, ordered (cluster, doc_id).
+    */
+  private[operators] def clustersFrom(pairs: DataFrame): DataFrame = {
+    // both-direction expansion, materialized once: the loop scans it every
+    // round, so paying one doubling job beats re-reading the pair frame
+    // twice per round through a lazy union
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .localCheckpoint()
     var labels = edges
       .select(col("src").as("node"))
       .distinct()
@@ -446,21 +476,51 @@ object Dedup {
       tokenJaccardPairs(spark, dir).select(col("doc_a"), col("doc_b")).localCheckpoint()
     }
 
-  private val edgesCache = new SessionCache[DataFrame]
+  // ---------------------------------------------------------------------------
+  // q101 — dup clusters over the SUB-QUADRATIC pair graph: the 100-TB dedup
+  // path. Candidate pairs come from q30's banded MinHash buckets (equi-join,
+  // ~linear — never the per-language all-pairs join q61's exact graph pays),
+  // then each candidate is verified with the SAME token-set Jaccard >= 0.8
+  // within-language predicate as q32, so every q101 edge is a true q32 edge
+  // (pair precision 1) and every q101 cluster is contained in a q61 cluster.
+  // Recall < 1 is the LSH trade (a true pair whose signatures collide in no
+  // band is missed); DedupSpec pins both properties against exact q61 and
+  // Verify's self-check manifest re-measures them each run. Same propagation
+  // loop as q61 via clustersFrom — only the edge supply changes.
+  //
+  // The signatures here are MinHash over the TOKEN sets (not q30's 3-word
+  // shingles): the verify predicate is order-insensitive token Jaccard, and
+  // shingles are order-sensitive — two docs sharing 80% of tokens in a
+  // different order share almost no shingles, so shingle signatures would
+  // miss them (measured: co-cluster recall 0.0006). Token MinHash estimates
+  // the verified quantity directly: a 2-row band collides with prob j² =
+  // 0.64 at the 0.8 threshold → 1-(1-0.64)^8 ≈ 0.997 per-edge recall, and
+  // cluster transitivity repairs most residual missing edges.
+  // ---------------------------------------------------------------------------
+  private[operators] def minhashPairGraph(spark: SparkSession, dir: String): DataFrame = {
+    // one checkpointed frame feeds the candidate miner AND both verify
+    // sides (same single-materialization rationale as q30's signatures)
+    val t = tokenSets(spark, dir)
+      .filter(size(col("toks")) > 0)
+      .withColumn("sig", expr("minhash_sigs16(toks)"))
+      .localCheckpoint()
+    val a = t.select(col("lang").as("lang_a"), col("doc_id").as("doc_a"),
+      col("toks").as("toks_a"), col("sz").as("sz_a"))
+    val b = t.select(col("lang").as("lang_b"), col("doc_id").as("doc_b"),
+      col("toks").as("toks_b"), col("sz").as("sz_b"))
+    val inter = expr("sorted_intersect_count(toks_a, toks_b)").cast("double")
+    minhashCandidates(t.select(col("doc_id"), col("sig")))
+      .join(a, "doc_a")
+      .join(b, "doc_b")
+      .filter(
+        col("lang_a") === col("lang_b") &&
+          inter / (col("sz_a") + col("sz_b") - inter) >= 0.8
+      )
+      .select(col("doc_a"), col("doc_b"))
+  }
 
-  /** Both-direction (src, dst) expansion of the pair graph, materialized
-    * once per (session, dir): the propagation loop scans it every round, so
-    * paying one doubling job beats re-reading the pair blocks twice per
-    * round through a lazy union.
-    */
-  private def directedEdges(spark: SparkSession, dir: String): DataFrame =
-    edgesCache.getOrBuild(spark, dir) {
-      val pairs = buildPairGraph(spark, dir)
-      pairs
-        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .union(pairs.select(col("doc_b"), col("doc_a")))
-        .localCheckpoint()
-    }
+  def q101LshDupClusters(spark: SparkSession, dir: String): DataFrame =
+    clustersFrom(minhashPairGraph(spark, dir))
 
   /** Same components in DuckDB: min-label reachability via a recursive CTE
     * (the UNION dedups (node, label) states, so the fixpoint enumerates
@@ -604,11 +664,12 @@ object Dedup {
     "q60_lsh_neardup" -> (q60LshNearDup _),
     "q61_dup_clusters" -> (q61DupClusters _),
     "q90_semdedup" -> (q90SemDedup _),
-    "q99_cluster_canon" -> (q99ClusterCanon _)
+    "q99_cluster_canon" -> (q99ClusterCanon _),
+    "q101_lsh_dup_clusters" -> (q101LshDupClusters _)
   )
 
-  /** q30/q31/q60 are hash-based LSH — not reproducible in plain SQL →
-    * rows-only.
+  /** q30/q31/q60/q101 are hash-based LSH — not reproducible in plain SQL →
+    * rows-only (plus Verify's data-derived self-check manifest).
     */
   val oracles: Map[String, String] = Map(
     "q29_exact_dedup" -> q29Oracle,

@@ -180,6 +180,43 @@ class DedupSpec extends SparkSpec {
       info(s"q90 same-cluster coverage: ${sameCluster.length}/${exactPairs.length} exact pairs in-reach")
   }
 
+  test("q101 LSH dup clusters: refinement of exact q61 clusters, pair recall pinned") {
+    val exact = Dedup.q61DupClusters(spark, sfDir).collect()
+    val approx = Dedup.q101LshDupClusters(spark, sfDir).collect()
+    val exactLabel = exact.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val approxLabel = approx.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact.nonEmpty && approx.nonEmpty)
+
+    // precision 1 at the cluster level: every doc q101 labels exists in the
+    // exact output, and two docs q101 co-clusters are co-clustered exactly —
+    // each q101 cluster is CONTAINED in one q61 cluster (edges verified with
+    // the same jaccard>=0.8 predicate can only connect true component-mates)
+    assert(approxLabel.keySet.subsetOf(exactLabel.keySet), "q101 labeled a non-dup doc")
+    approx.groupBy(_.getLong(1)).values.foreach { ms =>
+      val hosts = ms.map(m => exactLabel(m.getLong(0))).distinct
+      assert(hosts.length === 1, s"q101 cluster spans exact clusters $hosts")
+    }
+    // sizes self-consistent
+    approx.groupBy(_.getLong(1)).foreach { case (label, ms) =>
+      assert(ms.map(_.getLong(0)).min === label)
+      ms.foreach(m => assert(m.getLong(2) === ms.length.toLong))
+    }
+
+    // recall: fraction of exact co-clustered pairs that q101 also co-clusters
+    def coPairs(label: Map[Long, Long]) =
+      label.groupBy(_._2).values.flatMap { m =>
+        val s = m.keys.toSeq.sorted
+        for (i <- s.indices; j <- (i + 1) until s.length) yield (s(i), s(j))
+      }.toSet
+    val exactPairs = coPairs(exactLabel)
+    val got = coPairs(approxLabel)
+    val recall = got.count(exactPairs.contains).toDouble / exactPairs.size
+    info(s"q101 co-cluster pair recall vs exact q61: $recall (${got.size}/${exactPairs.size})")
+    // near-dup docs share most shingles → their 2-row band signatures agree
+    // with high probability; on the planted corpus recall is ~1.0
+    assert(recall >= 0.8, s"q101 cluster recall collapsed: $recall")
+  }
+
   test("q99 cluster canon: one keeper per cluster, max quality, drop accounting exact") {
     val clusters = Dedup.q61DupClusters(spark, sfDir).collect()
     val byCluster = clusters.groupBy(_.getLong(1))
