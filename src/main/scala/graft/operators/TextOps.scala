@@ -527,19 +527,42 @@ object TextOps {
   // just q92's one-shot pair count. The corpus collapses ONCE to the
   // distinct-word frame (word → occurrence count — bounded by vocabulary,
   // not corpus size, which is what makes 100 TB feasible: every later
-  // iteration touches only that frame). Each iteration is
+  // iteration touches only that frame). Each driver TICK is
   //   count adjacent symbol pairs (occurrence-weighted, map-side combined)
-  //   → argmax (ONE driver row — the broadcast-scalar idiom)
-  //   → apply the merge with a greedy leftmost left-fold HOF per word
-  //     (localCheckpoint keeps the plan flat across iterations).
+  //   → a BATCH of top pairwise-disjoint merges (see below — one tick per
+  //     merge would mean 30k sequential Spark jobs at a production
+  //     vocabulary; batching divides the job count by the batch width)
+  //   → apply each merge with a greedy leftmost left-fold HOF per word
+  //     (one localCheckpoint per tick keeps the plan flat across ticks).
   // Greedy-leftmost matches the published BPE reference (Sennrich et al.
   // 2016); ties break lexicographically so the merge list is deterministic
   // — which makes even this iterative build oracle-gateable: q94Oracle
-  // below replays all N merge iterations in DuckDB as one generated chain
-  // of CTE stages. The spec additionally replays the loop single-node and
-  // pins the merge table exactly.
+  // below replays all N merge iterations ONE AT A TIME in DuckDB as a
+  // generated chain of CTE stages, so the oracle gate itself proves the
+  // batch selection equals the sequential reference. The spec additionally
+  // replays the loop single-node and pins the merge table exactly.
+  //
+  // Batch rule (provably identical to one-at-a-time, not a heuristic):
+  // rank all pairs by (cnt DESC, l, r) and accept the maximal PREFIX whose
+  // members are mutually disjoint — no shared left/right symbol and no
+  // member's symbol equal to another's merged string — stopping at the
+  // first conflicting pair, then truncating to members whose count is
+  // STRICTLY above the stop row's count. Why this is exact: disjointness
+  // means applying one accepted merge cannot create or destroy occurrences
+  // of another (destroyed pairs share a symbol; created pairs involve the
+  // merged string), so each accepted pair's count is unchanged when its
+  // sequential turn comes; any OTHER pair the applications create or leave
+  // behind is bounded by the count of some pair that overlaps an accepted
+  // one — and every such pair ranks at or below the stop row, whose count
+  // the strict truncation keeps all accepted members above. Ties at the
+  // stop boundary are exactly the case the truncation removes.
   // ---------------------------------------------------------------------------
   private val BPE_MERGES = 10
+
+  /** Merges accepted per driver tick (upper bound — the disjoint-prefix
+    * rule may take fewer when top pairs conflict).
+    */
+  private val BPE_BATCH = 8
 
   private def sqlQuote(s: String): String = s.replace("\\", "\\\\").replace("'", "\\'")
 
@@ -561,9 +584,17 @@ object TextOps {
        |)""".stripMargin
   }
 
-  /** The learned merge table: (rank, left, right, merged, pair_count). */
-  def bpeTrain(spark: SparkSession, dir: String, nMerges: Int = BPE_MERGES): DataFrame =
-    bpeTrainState(spark, dir, nMerges)._1
+  /** The learned merge table: (rank, left, right, merged, pair_count).
+    * `batchWidth` caps merges per tick; any width yields the identical
+    * table (the disjoint-prefix rule — TextOpsSpec pins width 1 == width 8).
+    */
+  def bpeTrain(
+      spark: SparkSession,
+      dir: String,
+      nMerges: Int = BPE_MERGES,
+      batchWidth: Int = BPE_BATCH
+  ): DataFrame =
+    bpeTrainState(spark, dir, nMerges, batchWidth)._1
 
   /** Training loop internals: the merge table plus the final distinct-word
     * frame (occ, syms) with all merges applied — the trained tokenizer's
@@ -572,7 +603,8 @@ object TextOps {
   private def bpeTrainState(
       spark: SparkSession,
       dir: String,
-      nMerges: Int
+      nMerges: Int,
+      batchWidth: Int = BPE_BATCH
   ): (DataFrame, DataFrame) = {
     import spark.implicits._
     var words = Tables
@@ -593,7 +625,12 @@ object TextOps {
 
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     var rank = 1
-    while (rank <= nMerges) {
+    var exhausted = false
+    while (rank <= nMerges && !exhausted) {
+      val want = math.min(batchWidth, nMerges - rank + 1)
+      // collect a few rows past the batch so the stop/boundary count is
+      // driver-known; TakeOrderedAndProject keeps this a top-k, not a sort
+      val limit = 3 * want + 1
       val top = words
         .filter(size(col("syms")) >= 2)
         .select(
@@ -603,14 +640,39 @@ object TextOps {
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("occ")).as("cnt"))
         .orderBy(col("cnt").desc, col("l"), col("r"))
-        .limit(1)
+        .limit(limit)
         .collect()
-      if (top.isEmpty) rank = nMerges + 1
+      if (top.isEmpty) exhausted = true
       else {
-        val (l, r, cnt) = (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
-        merges += ((rank, l, r, l + r, cnt))
-        words = words.withColumn("syms", expr(mergeExpr(l, r))).localCheckpoint(true)
-        rank += 1
+        // maximal disjoint prefix: stop at the first pair sharing a symbol
+        // (or merged string) with an accepted one
+        val taken = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        val used = scala.collection.mutable.Set.empty[String]
+        var stop: Option[Long] = None // count bound from the first conflict
+        val it = top.iterator
+        while (it.hasNext && stop.isEmpty && taken.size < want) {
+          val row = it.next()
+          val (l, r, c) = (row.getString(0), row.getString(1), row.getLong(2))
+          if (taken.isEmpty || (!used(l) && !used(r) && !used(l + r)))
+            { taken += ((l, r, c)); used ++= Seq(l, r, l + r) }
+          else stop = Some(c)
+        }
+        // counts at or below `bound` can belong to pairs the applications
+        // create or revive — keep only members strictly above it. The head
+        // (the global argmax under the full ordering) is always safe.
+        val bound: Option[Long] =
+          stop.orElse {
+            if (it.hasNext) Some(it.next().getLong(2)) // scan ended early
+            else if (top.length == limit) Some(top.last.getLong(2)) // more rows may exist off-driver
+            else None // the entire pair universe was scanned, all disjoint
+          }
+        val kept = taken.head +: taken.tail.filter(t => bound.forall(t._3 > _))
+        kept.zipWithIndex.foreach { case ((l, r, c), i) => merges += ((rank + i, l, r, l + r, c)) }
+        val applied = kept.foldLeft(words) { case (w, (l, r, _)) =>
+          w.withColumn("syms", expr(mergeExpr(l, r)))
+        }
+        words = applied.localCheckpoint(true)
+        rank += kept.size
       }
     }
     (merges.toSeq.toDF("rank", "left", "right", "merged", "pair_count").orderBy(col("rank")), words)
@@ -705,6 +767,14 @@ object TextOps {
     * Every stage CTE is MATERIALIZED: stages reference their predecessor
     * more than once, and without materialization the inlining would double
     * work per stage (2^N blowup over N merges).
+    *
+    * top$k is consumed via SCALAR SUBQUERIES, not a CROSS JOIN: if the
+    * pair supply exhausts before the requested merge count (tiny corpus),
+    * top$k is EMPTY — a cross join would empty pos$k and every later
+    * words$k, silently diverging from the Scala loop (which keeps the last
+    * word frame). The scalar subqueries yield NULL instead: matched goes
+    * NULL (filtered by WHERE matched), starts$k is empty, and words$k
+    * reproduces words$p unchanged — the same fixpoint the loop holds.
     */
   private def bpeOracleStage(k: Int): String = {
     val p = k - 1
@@ -716,8 +786,10 @@ object TextOps {
        |  SELECT l, r, cnt FROM pairs$k ORDER BY cnt DESC, l, r LIMIT 1),
        |pos$k AS MATERIALIZED (
        |  SELECT w.wid, w.occ, u.i AS pos, w.syms[u.i] AS sym,
-       |         (w.syms[u.i] = t.l AND w.syms[u.i+1] = t.r AND u.i < len(w.syms)) AS matched
-       |  FROM words$p w CROSS JOIN top$k t, unnest(range(1, len(w.syms)+1)) AS u(i)),
+       |         (w.syms[u.i] = (SELECT l FROM top$k)
+       |          AND w.syms[u.i+1] = (SELECT r FROM top$k)
+       |          AND u.i < len(w.syms)) AS matched
+       |  FROM words$p w, unnest(range(1, len(w.syms)+1)) AS u(i)),
        |starts$k AS MATERIALIZED (
        |  SELECT wid, pos FROM (
        |    SELECT wid, pos,
@@ -728,9 +800,10 @@ object TextOps {
        |  WHERE off % 2 = 1),
        |words$k AS MATERIALIZED (
        |  SELECT p.wid, any_value(p.occ) AS occ,
-       |         list(CASE WHEN st.pos IS NOT NULL THEN t.l || t.r ELSE p.sym END ORDER BY p.pos) AS syms
+       |         list(CASE WHEN st.pos IS NOT NULL
+       |                   THEN (SELECT l || r FROM top$k)
+       |                   ELSE p.sym END ORDER BY p.pos) AS syms
        |  FROM pos$k p
-       |  CROSS JOIN top$k t
        |  LEFT JOIN starts$k st ON p.wid = st.wid AND p.pos = st.pos
        |  LEFT JOIN starts$k cons ON p.wid = cons.wid AND p.pos = cons.pos + 1
        |  WHERE cons.pos IS NULL

@@ -248,6 +248,43 @@ class TextOpsSpec extends SparkSpec {
     assert(got === expected, s"merge tables differ:\n got $got\n exp $expected")
   }
 
+  test("q94 batched merges: any batch width yields the identical merge table") {
+    // 24 merges exercises multiple ticks at width 8 (incl. conflict-truncated
+    // ones) against the strictly one-at-a-time loop
+    def table(batch: Int) = TextOps
+      .bpeTrain(spark, sfDir, 24, batch)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .toSeq
+    val sequential = table(1)
+    val batched = table(8)
+    assert(sequential.length === 24, "corpus should support 24 merges")
+    assert(batched === sequential, s"batched merge table diverged:\n got $batched\n exp $sequential")
+  }
+
+  test("q94 pair-supply exhaustion: loop stops gracefully with fewer merges") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bpetiny").toString
+    // vocabulary {ab, cd}: merge 1 = (a,b), merge 2 = (c,d), then every word
+    // is a single symbol — the supply is exhausted far before 10 merges
+    Seq(
+      (1L, "ab cd ab", "en", "a", 8L),
+      (2L, "cd ab", "en", "a", 5L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = TextOps
+      .bpeTrain(spark, dir, 10)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .toSeq
+    assert(got === Seq((1, "a", "b", "ab", 3L), (2, "c", "d", "cd", 2L)))
+    // the apply path must keep the fully-merged word frame, not an empty one
+    val applied = TextOps.q98BpeApply(spark, dir).collect()
+    assert(applied.length === 1)
+    assert(applied.head.getAs[Long]("total_words") === 5L)
+    assert(applied.head.getAs[Long]("total_tokens") === 5L, "each word is one merged token")
+  }
+
   test("q98 bpe apply: tokenization totals bounded and consistent with training") {
     val rows = TextOps.q98BpeApply(spark, sfDir).collect()
     assert(rows.nonEmpty)
