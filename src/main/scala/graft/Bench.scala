@@ -31,6 +31,11 @@ import org.apache.spark.sql.SparkSession
   * A failed query is reported in an explicit `failed` array AND exits
   * non-zero: a silently-missing query would make the bench look faster.
   *
+  * After the timed loop, PlanAudit runs over the full registry AT THE
+  * BENCH SF (plan strategies are size-dependent under AQE) and writes
+  * plan_audit.json beside bench_details.json; the violation count rides
+  * the bench line as `plan_violations`.
+  *
   * `calibration` is a LOAD PROBE, not a query: the same fixed scalar-only
   * micro-job (`spark.range(5e8).sum` — no I/O, no shuffle, CPU-bound on all
   * cores) timed once at bench start and once at bench end. On an idle box
@@ -192,6 +197,21 @@ object Bench {
     // start/end pair catches load that arrived mid-run, not just at launch.
     val calEnd = sec(calibrationProbe(spark))
 
+    // Plan audit AT THE BENCH SCALE FACTOR: AQE strategy choices (broadcast
+    // thresholds, skew splits) are size-dependent, so a plan clean at the
+    // test suite's sf0.001 can flip to a BNLJ/cartesian at sf0.1+. Runs
+    // after every timed reading (it re-executes each query once) and lands
+    // as plan_audit.json beside bench_details.json; violations are counted
+    // in the bench line but do not flip the exit code — the hard gate is
+    // PlanAuditGateSpec, this is the at-scale evidence trail.
+    val planViolations =
+      try PlanAudit.audit(spark, sfDir)
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] plan audit failed: ${e.getMessage}")
+          Seq(PlanAudit.Violation("(audit)", s"BROKEN (${e.getClass.getSimpleName})", 1, String.valueOf(e.getMessage).take(200)))
+      }
+
     def jNum(v: Double): String = f"$v%.3f"
     // Failed queries serialize as JSON null (never a -1.0 sentinel): naive
     // consumers summing/averaging `queries` must not pick up negative
@@ -224,6 +244,20 @@ object Bench {
     }
     val cal = s"""{"start_s":${jNum(calStart)},"end_s":${jNum(calEnd)}}"""
     val nRunnable = results.count { case (_, (v, _, _)) => v >= 0 }
+
+    def jStr(s: String): String = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val auditJson =
+      s"""{"sf":${jStr(sfDir)},"n_queries":${results.size},"clean":${planViolations.isEmpty},
+         |"violations":${planViolations
+          .map(v => s"""{"query":${jStr(v.query)},"strategy":${jStr(v.strategy)},"count":${v.count},"detail":${jStr(v.detail)}}""")
+          .mkString("[", ",", "]")}}""".stripMargin
+    val detailsPath = java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAILS", "bench_details.json"))
+    try {
+      val auditPath =
+        if (detailsPath.getParent == null) java.nio.file.Paths.get("plan_audit.json")
+        else detailsPath.getParent.resolve("plan_audit.json")
+      java.nio.file.Files.write(auditPath, auditJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Throwable => System.err.println(s"[bench] plan audit write failed: ${e.getMessage}") }
     val details =
       s"""{"metric":"total","value":${jNum(total)},"unit":"sec","repeat":$repeat,"stat":"median",
          |"n_runnable":$nRunnable,"n_failed":${failed.size},
@@ -237,16 +271,14 @@ object Bench {
          |"quality":${jMap(quality.map { case (k, v) => k -> jNum(v) })},
          |"quality_curves":${curves.mkString("[", ",", "]")},
          |"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},
+         |"plan_violations":${planViolations.size},
          |"sf":"$sfDir"}""".stripMargin
     try
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAILS", "bench_details.json")),
-        details.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      )
+      java.nio.file.Files.write(detailsPath, details.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] details write failed: ${e.getMessage}") }
 
     println(
-      s"""{"metric":"total","value":${jNum(total)},"unit":"sec","n_runnable":$nRunnable,"n_failed":${failed.size},"queries":$qs,"phases":$ph,"quality":$qu,"calibration":$cal,"failed":$fl,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${jNum(total)},"unit":"sec","n_runnable":$nRunnable,"n_failed":${failed.size},"plan_violations":${planViolations.size},"queries":$qs,"phases":$ph,"quality":$qu,"calibration":$cal,"failed":$fl,"sf":"$sfDir"}"""
     )
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
