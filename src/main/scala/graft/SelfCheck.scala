@@ -1,0 +1,186 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-derived pass/fail for the queries no SQL oracle can express — the
+  * hash/ANN ops the driver's DuckDB gate records as bare `no_oracle`.
+  * Verify emits these as `selfcheck.json` so the driver can gate them
+  * NUMERICALLY (a violation count or recall floor measured from this run's
+  * data), instead of trusting that the test suite ran elsewhere.
+  *
+  * Check shapes:
+  *   - precision checks (q30/q31/q60/q90/q101): every emitted row is
+  *     re-validated against an exact recomputation from the raw inputs —
+  *     `violations` counts rows that fail; pass = 0 violations. These are
+  *     O(result) or cluster-bounded joins, never corpus-quadratic.
+  *   - recall checks (q35/q36/q75/q76, q101): result coverage vs the exact
+  *     baseline computed in the same session (q34's planted brute-force
+  *     top-k; q61's exact clusters); pass = recall >= the floor the specs
+  *     pin (0.9 ANN, 0.8 cluster co-pairs).
+  */
+object SelfCheck {
+
+  /** name -> (check description, metric, violations, pass). */
+  final case class Result(check: String, metric: Double, violations: Long, pass: Boolean)
+
+  private def pairSet(df: DataFrame, a: String, b: String): DataFrame =
+    df.select(col(a).cast("long").as("pa"), col(b).cast("long").as("pb"))
+
+  def run(spark: SparkSession, sfDir: String): Seq[(String, Result)] = {
+    graft.functions.VecFunctions.install(spark)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Result)]
+    def check(name: String)(body: => Result): Unit =
+      out += name -> (try body
+      catch {
+        case e: Throwable =>
+          Result(s"ERRORED: ${String.valueOf(e.getMessage).linesIterator.find(_.trim.nonEmpty).getOrElse("")}", -1.0, -1L, pass = false)
+      })
+
+    // -- q30: every emitted pair's exact 3-shingle Jaccard >= 0.5 ------------
+    check("q30_minhash_pairs") {
+      val docs = core.Tables
+        .documents(spark, sfDir)
+        .withColumn("norm_text", regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+        .withColumn("th", expr("transform(split(norm_text, ' '), t -> xxhash64(t))"))
+        .withColumn("sh", expr("shingle_hashes(th)"))
+        .select(col("doc_id"), col("sh"))
+      val pairs = operators.Dedup.q30MinhashPairs(spark, sfDir)
+      val n = pairs.count()
+      val inter = expr("sorted_intersect_count(sh_a, sh_b)").cast("double")
+      val bad = pairs
+        .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+        .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+        .withColumn("j", inter / (size(col("sh_a")) + size(col("sh_b")) - inter))
+        .filter(col("j") < 0.5)
+        .count()
+      Result("exact shingle-jaccard >= 0.5 for every emitted pair", n.toDouble, bad, bad == 0L)
+    }
+
+    // -- q31: every emitted pair's recomputed simhash hamming <= 6 -----------
+    check("q31_simhash_pairs") {
+      val sh = core.Tables
+        .documents(spark, sfDir)
+        .withColumn("norm_text", regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+        .withColumn("th", expr("transform(split(norm_text, ' '), t -> xxhash64(t))"))
+        .filter(size(col("th")) > 0)
+        .withColumn("simhash", expr("simhash64(th)"))
+        .select(col("doc_id"), col("simhash"))
+      val pairs = operators.Dedup.q31SimhashPairs(spark, sfDir)
+      val n = pairs.count()
+      val bad = pairs
+        .join(sh.select(col("doc_id").as("doc_a"), col("simhash").as("ha")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("simhash").as("hb")), "doc_b")
+        .filter(expr("bit_count(ha ^ hb)") > 6 || expr("bit_count(ha ^ hb)") =!= col("hamming"))
+        .count()
+      Result("recomputed simhash hamming <= 6 and matches emitted value", n.toDouble, bad, bad == 0L)
+    }
+
+    // -- q60: emitted pairs are a subset of exact q33 (precision 1) ----------
+    check("q60_lsh_neardup") {
+      val approx = pairSet(operators.Dedup.q60LshNearDup(spark, sfDir), "vec_a", "vec_b")
+      val exact = pairSet(operators.Dedup.q33EmbeddingNearDup(spark, sfDir), "vec_a", "vec_b")
+      val n = approx.count()
+      val bad = approx.join(exact, Seq("pa", "pb"), "left_anti").count()
+      Result("subset of exact q33 pair set (precision 1)", n.toDouble, bad, bad == 0L)
+    }
+
+    // -- q90: witnesses valid + kept-set invariant within clusters -----------
+    check("q90_semdedup") {
+      val tau = 0.45
+      val unit = core.Tables
+        .embeddings(spark, sfDir)
+        .withColumn("nrm", expr("sqrt(aggregate(embedding, 0D, (a, e) -> a + cast(e AS double) * cast(e AS double)))"))
+        .withColumn("u", expr("transform(embedding, x -> cast(x AS double) / nrm)"))
+        .select(col("vec_id"), col("u"))
+      val dec = operators.Dedup.q90SemDedup(spark, sfDir).localCheckpoint()
+      val n = dec.count()
+      // each drop's recorded witness: smaller id, same cluster, cosine >= tau
+      val withCluster = dec.select(col("vec_id").as("w_id"), col("cluster").as("w_cluster"))
+      val badWitness = dec
+        .filter(col("decision") === "drop")
+        .join(withCluster, col("kept_for") === col("w_id"))
+        .join(unit.select(col("vec_id"), col("u").as("uv")), "vec_id")
+        .join(unit.select(col("vec_id").as("w_id2"), col("u").as("uw")), col("kept_for") === col("w_id2"))
+        .filter(
+          col("kept_for") >= col("vec_id") ||
+            col("w_cluster") =!= col("cluster") ||
+            expr("vec_dot(uv, uw)") < tau - 1e-9
+        )
+        .count()
+      // no two KEPT vectors in one cluster at >= tau (the dedup deduplicates)
+      val kept = dec
+        .filter(col("decision") === "keep")
+        .join(unit, "vec_id")
+        .select(col("cluster"), col("vec_id"), col("u"))
+      val badKept = kept
+        .as("l")
+        .join(kept.as("r"), Seq("cluster"))
+        .filter(col("l.vec_id") < col("r.vec_id") && expr("vec_dot(l.u, r.u)") >= tau + 1e-9)
+        .count()
+      Result("drop witnesses valid and kept set pairwise below tau", n.toDouble, badWitness + badKept, badWitness + badKept == 0L)
+    }
+
+    // -- ANN top-k: recall vs the exact brute-force on the planted corpus ----
+    def annRecall(name: String, approx: => DataFrame): Unit =
+      check(name) {
+        val exact = operators.Similarity
+          .plantedBruteTopK(spark, sfDir)
+          .select(col("query_id"), col("vec_id"))
+        val want = exact.count()
+        val hit = approx
+          .select(col("query_id"), col("vec_id"))
+          .join(exact, Seq("query_id", "vec_id"))
+          .count()
+        val recall = if (want == 0) -1.0 else hit.toDouble / want
+        Result("recall vs exact brute-force top-k on the planted corpus", recall, want - hit, recall >= 0.9)
+      }
+    annRecall("q35_lsh_topk", operators.Similarity.plantedLshTopK(spark, sfDir))
+    annRecall("q36_ivf_topk", operators.Similarity.plantedIvfTopK(spark, sfDir))
+    annRecall("q75_pq_topk", operators.Similarity.plantedPqTopK(spark, sfDir))
+    annRecall("q76_ivfpq_topk", operators.Similarity.plantedIvfPqTopK(spark, sfDir))
+
+    // -- q101: refinement of exact q61 clusters + co-pair recall floor -------
+    check("q101_lsh_dup_clusters") {
+      val exact = operators.Dedup
+        .q61DupClusters(spark, sfDir)
+        .select(col("doc_id"), col("cluster").as("exact_cluster"))
+        .localCheckpoint()
+      val approx = operators.Dedup
+        .q101LshDupClusters(spark, sfDir)
+        .select(col("doc_id"), col("cluster").as("lsh_cluster"))
+        .localCheckpoint()
+      // refinement: every labeled doc exists in the exact output, and every
+      // LSH cluster maps into exactly ONE exact cluster
+      val joined = approx.join(exact, Seq("doc_id"), "left")
+      val missing = joined.filter(col("exact_cluster").isNull).count()
+      val split = joined
+        .groupBy(col("lsh_cluster"))
+        .agg(countDistinct(col("exact_cluster")).as("hosts"))
+        .filter(col("hosts") > 1)
+        .count()
+      // co-cluster pair recall from group sizes: pairs(n) = n(n-1)/2 summed
+      // per exact cluster (want) and per (exact, lsh) joint group (got —
+      // refinement makes joint pairs exactly the recovered intersection)
+      def pairs(df: DataFrame, keys: Seq[String]): Long =
+        df.groupBy(keys.map(col): _*)
+          .agg(count(lit(1)).as("n"))
+          .agg(sum(expr("(n * (n - 1)) div 2")).as("p"))
+          .collect()
+          .headOption
+          .map(r => if (r.isNullAt(0)) 0L else r.getLong(0))
+          .getOrElse(0L)
+      val want = pairs(exact, Seq("exact_cluster"))
+      val got = pairs(joined.filter(col("exact_cluster").isNotNull), Seq("exact_cluster", "lsh_cluster"))
+      val recall = if (want == 0) -1.0 else got.toDouble / want
+      Result(
+        "refinement of exact q61 clusters, co-cluster pair recall >= 0.8",
+        recall,
+        missing + split,
+        missing + split == 0L && recall >= 0.8
+      )
+    }
+
+    out.toSeq
+  }
+}

@@ -58,6 +58,16 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/_errors.json"), errJson)
+    // Data-derived pass/fail for the no-oracle queries (SelfCheck): gives
+    // the driver a numeric gate where DuckDB can't express the semantics.
+    val selfJson = SelfCheck
+      .run(spark, sfDir)
+      .map { case (name, r) =>
+        s"${q(name)}: {${q("check")}: ${q(r.check)}, ${q("metric")}: ${"%.6f".format(r.metric)}, " +
+          s"${q("violations")}: ${r.violations}, ${q("pass")}: ${r.pass}}"
+      }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/selfcheck.json"), selfJson)
     spark.stop()
   }
 }
