@@ -28,10 +28,14 @@ object Tables {
     * adjustment flag (surfacing as TIMESTAMP_NTZ). Branch on what the scan
     * actually produces instead of assuming one format:
     *   - nanos: readable only with `nanosAsLong`, so the first read throws;
-    *     retry with the legacy conf (set only on this branch — it is a
-    *     session-wide flag and must not flip as a side effect of loading a
-    *     modern file) and rebuild a microsecond timestamp via integer
-    *     `div 1000` (double division would lose precision at 1e18 nanos).
+    *     retry with the legacy conf and rebuild a microsecond timestamp via
+    *     integer `div 1000` (double division would lose precision at 1e18
+    *     nanos). The retry fires on ANY load failure — matching the
+    *     exception message ("NANOS", "Illegal Parquet type") proved brittle
+    *     across Spark versions — but the session-wide conf is restored when
+    *     the retry doesn't help (it must not flip as a side effect of a
+    *     load that fails for an unrelated reason), and the ORIGINAL error
+    *     is rethrown as the representative one.
     *   - TIMESTAMP_NTZ: cast to session-TZ timestamp (session TZ is UTC, so
     *     values are identical) so downstream `window`/`unix_timestamp` logic
     *     sees one type everywhere.
@@ -43,10 +47,19 @@ object Tables {
     val raw =
       try load(spark, dir, "events")
       catch {
-        case e: Exception if String.valueOf(e.getMessage).contains("NANOS") ||
-            String.valueOf(e.getMessage).contains("Illegal Parquet type") =>
-          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-          load(spark, dir, "events")
+        case first: Exception =>
+          val before = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+          try {
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            load(spark, dir, "events")
+          } catch {
+            case _: Exception =>
+              before match {
+                case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+                case None    => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+              }
+              throw first
+          }
       }
     raw.schema("ts").dataType match {
       case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))

@@ -262,9 +262,10 @@ object Multimodal {
   )
 
   /** The fake codec's "decode" is pure arithmetic on the payload's length
-    * and byte sum, and the corpus is verified pure ASCII (TablesSpec loads
-    * it; DuckDB `octet_length(encode(text)) == length(text)` for every
-    * row), so the byte sum equals the sum of character codepoints —
+    * and byte sum, and the corpus is verified pure ASCII (TablesSpec's
+    * "documents.text is pure ASCII" test pins `length(text) ==
+    * octet_length(text)` for every row at sf0.001 AND the gate's sf0.01),
+    * so the byte sum equals the sum of character codepoints —
     * expressible in DuckDB as
     * `list_sum(list_transform(string_split(text,''), c -> unicode(c)))`.
     * That makes q37 (decode dims), q65 (resize arithmetic) and q39

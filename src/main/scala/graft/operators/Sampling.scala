@@ -51,7 +51,14 @@ object Sampling {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_total"))
       .join(broadcast(targets), Seq("event_type"))
-      .join(broadcast(q48Sample(spark, dir)), Seq("event_type"))
+      // LEFT join + coalesce 0: a stratum whose seeded draw returns zero
+      // rows has no q48Sample row but must still appear (and fail/pass the
+      // envelope on its merits) — an inner join would silently drop it and
+      // desync the row count from the oracle. The five-type domain the
+      // targets join assumes is pinned by TablesSpec, so no stratum is
+      // dropped on the targets side either.
+      .join(broadcast(q48Sample(spark, dir)), Seq("event_type"), "left")
+      .withColumn("n_sampled", coalesce(col("n_sampled"), lit(0L)))
       .select(
         col("event_type"),
         col("n_total"),

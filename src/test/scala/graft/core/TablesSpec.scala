@@ -109,6 +109,38 @@ class TablesSpec extends SparkSpec {
       assert(drift.isEmpty, drift.mkString("; "))
     }
 
+  test("documents.text is pure ASCII (the multimodal-oracle byte-arithmetic contract)") {
+    // q37/q39/q65's DuckDB oracles reproduce the fake codec's byte
+    // arithmetic as codepoint arithmetic, valid ONLY while every char is
+    // one UTF-8 byte. A driver regeneration introducing non-ASCII text
+    // must fail HERE with one named line, not as an opaque oracle
+    // mismatch. length == octet_length over UTF-8 is exactly "all ASCII".
+    for (dir <- Seq(sfDir, "/root/testdata/sf0.01")) {
+      val nonAscii = Tables
+        .documents(spark, dir)
+        .filter(org.apache.spark.sql.functions.expr("length(text) != octet_length(text)"))
+        .count()
+      assert(
+        nonAscii === 0L,
+        s"testdata contract changed: $dir documents.text has $nonAscii non-ASCII rows — " +
+          "the q37/q39/q65 byte-arithmetic oracles no longer hold"
+      )
+    }
+  }
+
+  test("events.event_type domain is the five types q48's sampling targets assume") {
+    // q48's oracle derives target_frac from a fixed five-type domain; a
+    // regeneration adding a sixth type must fail here, not as a q48 gate
+    // row mismatch
+    val known = Set("click", "view", "purchase", "signup", "error")
+    val got = loaded("events")
+      .select("event_type").distinct().collect().map(_.getString(0)).toSet
+    assert(
+      got.subsetOf(known),
+      s"testdata contract changed: events.event_type gained ${got -- known}"
+    )
+  }
+
   test("events loads and spans real time: non-empty with sane bounds") {
     // values, not just types: a regeneration that keeps the schema but
     // re-bases timestamps would silently shift every window/funnel oracle

@@ -30,6 +30,26 @@ class SamplingSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Int]("frac_ok") === 1, s"sampler left its envelope: $r"))
   }
 
+  test("q48 emits every stratum even when its seeded draw samples zero rows") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val dir = java.nio.file.Files.createTempDirectory("q48zero").toString
+    // one 'purchase' row at fraction 0.1: the seeded draw leaves it
+    // unsampled (pinned below), which used to vanish the stratum from the
+    // inner-joined output while the oracle still emitted its row
+    val t0 = Timestamp.valueOf("2024-06-01 00:00:00")
+    val rows = (1L to 40L).map(i => (i, t0, i, if (i == 1) "purchase" else "click", 1.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val sampled = Sampling.q48Sample(spark, dir).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!sampled.contains("purchase"), "fixture drift: the seeded draw now samples the single purchase row")
+    val out = Sampling.q48StratifiedSample(spark, dir).collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("click", "purchase"), "a zero-sampled stratum must still appear")
+    val p = out.find(_.getString(0) == "purchase").get
+    assert(p.getAs[Long]("n_total") === 1L)
+    assert(p.getAs[Int]("frac_ok") === 1, "n=1 sits inside the 5-sigma envelope even at zero sampled")
+  }
+
   test("q51 bottom-k sketch: k per group, partition-invariant, content-addressed") {
     val a = Sampling.q51BottomKSample(spark, sfDir).collect()
     // repartitioning the input must not change a content-addressed sample
