@@ -83,6 +83,8 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"[bench] q76_build failed: ${e.getMessage}") }
     try phases("q61_graph") = sec(operators.Dedup.buildPairGraph(spark, sfDir))
     catch { case e: Throwable => System.err.println(s"[bench] q61_graph failed: ${e.getMessage}") }
+    try phases("q101_graph") = sec(operators.Dedup.minhashPairGraph(spark, sfDir))
+    catch { case e: Throwable => System.err.println(s"[bench] q101_graph failed: ${e.getMessage}") }
 
     // repeat each query and report the MEDIAN: single-shot timings on a
     // shared box fold scheduler noise into query cost (observed up to 10x

@@ -497,7 +497,16 @@ object Dedup {
   // 0.64 at the 0.8 threshold → 1-(1-0.64)^8 ≈ 0.997 per-edge recall, and
   // cluster transitivity repairs most residual missing edges.
   // ---------------------------------------------------------------------------
-  private[operators] def minhashPairGraph(spark: SparkSession, dir: String): DataFrame = {
+  // session-scoped like buildPairGraph: the mined+verified edge set is the
+  // artifact a pipeline persists between pair mining and clustering, and
+  // the bench times the build as its own phase (q101_graph) so the query
+  // number reports the warm-graph clustering cost — symmetric with q61
+  private val minhashGraphCache = new SessionCache[DataFrame]
+
+  def minhashPairGraph(spark: SparkSession, dir: String): DataFrame =
+    minhashGraphCache.getOrBuild(spark, dir)(minhashPairGraphBuild(spark, dir).localCheckpoint())
+
+  private def minhashPairGraphBuild(spark: SparkSession, dir: String): DataFrame = {
     // one checkpointed frame feeds the candidate miner AND both verify
     // sides (same single-materialization rationale as q30's signatures)
     val t = tokenSets(spark, dir)
