@@ -181,6 +181,33 @@ object SelfCheck {
       )
     }
 
+    // -- q102: every keeper is the (prob DESC, doc_id) argmax of its cluster
+    check("q102_lsh_cluster_canon") {
+      val clusters = operators.Dedup.q101LshDupClusters(spark, sfDir)
+      // q84's registered (oracle-gated) output is the quality source of
+      // record — re-deriving the keeper from it keeps this check
+      // independent of the canon implementation's own quality plumbing
+      val quality = operators.Curation.q84QualityModel(spark, sfDir).select(col("doc_id"), col("prob"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster"))
+        .orderBy(col("prob").desc, col("doc_id"))
+      val argmax = clusters
+        .join(quality, Seq("doc_id"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("cluster"), col("doc_id").as("want_doc"), col("prob").as("want_prob"))
+      val got = operators.Dedup.q102LshClusterCanon(spark, sfDir)
+      val n = got.count()
+      val bad = got
+        .join(argmax, Seq("cluster"), "full")
+        .filter(
+          col("kept_doc_id").isNull || col("want_doc").isNull ||
+            col("kept_doc_id") =!= col("want_doc") || col("kept_prob") =!= col("want_prob")
+        )
+        .count()
+      Result("one keeper per q101 cluster, the quality argmax", n.toDouble, bad, bad == 0L)
+    }
+
     out.toSeq
   }
 }

@@ -618,12 +618,14 @@ object Dedup {
     */
   private val clusterCache = new SessionCache[DataFrame]
 
-  def q99ClusterCanon(spark: SparkSession, dir: String): DataFrame = {
+  /** Canonical selection over ANY (doc_id, cluster, cluster_size) frame —
+    * like clustersFrom, parametrized over its cluster supply so the exact
+    * path (q99) and the sub-quadratic path (q102) share one machinery.
+    */
+  private def canonFrom(clusters: DataFrame, quality: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val quality = Curation.qualityScored(spark, dir).select(col("doc_id"), col("prob"))
     val w = Window.partitionBy(col("cluster")).orderBy(col("prob").desc, col("doc_id"))
-    clusterCache
-      .getOrBuild(spark, dir)(q61DupClusters(spark, dir).localCheckpoint())
+    clusters
       .join(quality, Seq("doc_id"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
@@ -636,6 +638,31 @@ object Dedup {
       )
       .orderBy(col("cluster"))
   }
+
+  def q99ClusterCanon(spark: SparkSession, dir: String): DataFrame =
+    canonFrom(
+      clusterCache.getOrBuild(spark, dir)(q61DupClusters(spark, dir).localCheckpoint()),
+      Curation.qualityScored(spark, dir).select(col("doc_id"), col("prob"))
+    )
+
+  // ---------------------------------------------------------------------------
+  // q102 — the 100 TB dedup pipeline composed END TO END on its scale path:
+  // MinHash-mined pair graph (q101's edges) → clustersFrom propagation →
+  // quality-ranked canonical selection. Nothing in the chain is
+  // corpus-quadratic: candidates come from band-bucket equi-joins, the
+  // verify touches candidates only, the CC loop is frontier-bounded, and
+  // the canon window partitions by (small) cluster. q99 is the same canon
+  // over the exact clusters — its oracle-gated ground-truth contract;
+  // q102's selfcheck re-derives every keeper as the (prob DESC, doc_id)
+  // argmax of its cluster from the run's own data.
+  // ---------------------------------------------------------------------------
+  private val lshClusterCache = new SessionCache[DataFrame]
+
+  def q102LshClusterCanon(spark: SparkSession, dir: String): DataFrame =
+    canonFrom(
+      lshClusterCache.getOrBuild(spark, dir)(q101LshDupClusters(spark, dir).localCheckpoint()),
+      Curation.qualityScored(spark, dir).select(col("doc_id"), col("prob"))
+    )
 
   /** Oracle composed from the two published oracles: q61's recursive-CTE
     * components joined with q84's quality CTEs (spliced textually so the
@@ -674,11 +701,12 @@ object Dedup {
     "q61_dup_clusters" -> (q61DupClusters _),
     "q90_semdedup" -> (q90SemDedup _),
     "q99_cluster_canon" -> (q99ClusterCanon _),
-    "q101_lsh_dup_clusters" -> (q101LshDupClusters _)
+    "q101_lsh_dup_clusters" -> (q101LshDupClusters _),
+    "q102_lsh_cluster_canon" -> (q102LshClusterCanon _)
   )
 
-  /** q30/q31/q60/q101 are hash-based LSH — not reproducible in plain SQL →
-    * rows-only (plus Verify's data-derived self-check manifest).
+  /** q30/q31/q60/q101/q102 are hash-based LSH — not reproducible in plain
+    * SQL → rows-only (plus Verify's data-derived self-check manifest).
     */
   val oracles: Map[String, String] = Map(
     "q29_exact_dedup" -> q29Oracle,

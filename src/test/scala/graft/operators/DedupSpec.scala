@@ -217,6 +217,29 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.8, s"q101 cluster recall collapsed: $recall")
   }
 
+  test("q102 LSH-path canon: keeper is the quality argmax of its q101 cluster") {
+    val clusters = Dedup.q101LshDupClusters(spark, sfDir).collect()
+    val byCluster = clusters.groupBy(_.getLong(1))
+    val quality = Curation
+      .qualityScored(spark, sfDir)
+      .select("doc_id", "prob")
+      .collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+      .toMap
+    val rows = Dedup.q102LshClusterCanon(spark, sfDir).collect()
+    assert(rows.length === byCluster.size, "exactly one keeper per LSH cluster")
+    rows.foreach { r =>
+      val (cluster, kept, prob) = (r.getLong(0), r.getLong(2), r.getDouble(3))
+      val members = byCluster(cluster).map(_.getLong(0))
+      val best = members.map(id => (id, quality(id))).minBy { case (id, p) => (-p, id) }
+      assert((kept, prob) === best, s"cluster $cluster kept $kept/$prob, best was $best")
+    }
+    // at this corpus q101 recovers the exact clusters (recall 1.0 pinned
+    // above), so the scale-path canon must coincide with oracle-gated q99
+    val exact = Dedup.q99ClusterCanon(spark, sfDir).collect().map(_.toSeq).toSet
+    assert(rows.map(_.toSeq).toSet === exact, "q102 diverged from q99 despite identical clusters")
+  }
+
   test("q99 cluster canon: one keeper per cluster, max quality, drop accounting exact") {
     val clusters = Dedup.q61DupClusters(spark, sfDir).collect()
     val byCluster = clusters.groupBy(_.getLong(1))
