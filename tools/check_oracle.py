@@ -115,8 +115,28 @@ def main():
         else:
             print(f"PASS {name} ({len(got)} rows)")
             n_pass += 1
-    print(f"== {n_pass} pass, {n_fail} fail, {len(oracle)} total")
-    sys.exit(1 if n_fail else 0)
+    # selfcheck.json: Verify's data-derived gate for the no-oracle queries
+    # (hash/ANN ops) — fold it into this tool's exit code so the local loop
+    # covers the full registry, not just the SQL-expressible 92.
+    n_self_pass = n_self_fail = 0
+    try:
+        selfcheck = json.load(open(f"{out_dir}/selfcheck.json"))
+    except FileNotFoundError:
+        selfcheck = {}
+        print("WARN no selfcheck.json in output dir (old Verify build?)")
+    for name in sorted(selfcheck):
+        r = selfcheck[name]
+        if r["pass"]:
+            print(f"PASS {name} (selfcheck: {r['check']}; metric={r['metric']})")
+            n_self_pass += 1
+        else:
+            print(f"FAIL {name} (selfcheck: {r['check']}; metric={r['metric']}, violations={r['violations']})")
+            n_self_fail += 1
+    print(
+        f"== {n_pass} pass, {n_fail} fail, {len(oracle)} total"
+        f" | selfcheck {n_self_pass} pass, {n_self_fail} fail"
+    )
+    sys.exit(1 if (n_fail or n_self_fail) else 0)
 
 
 if __name__ == "__main__":
