@@ -90,6 +90,14 @@ object PlanAudit {
         "three 1-row step-count aggregates cross-joined into the single summary row — the q70 broadcast-scalar pattern",
       "CartesianProduct" ->
         "same 1-row x 1-row combine when the planner picks the cartesian form"
+    ),
+    "q103_bm25" -> Map(
+      "BroadcastNestedLoopJoin" ->
+        "1-row broadcast corpus constants (N, avgdl, per-term df) joined onto per-doc stat rows — the q62 broadcast-scalar pattern"
+    ),
+    "q105_dsir_weights" -> Map(
+      "BroadcastNestedLoopJoin" ->
+        "1-row broadcast histogram totals joined onto the <=64-row bucket frame — the q70 broadcast-scalar pattern; the corpus-side scoring join is keyed on bucket"
     )
   )
 

@@ -208,6 +208,33 @@ object SelfCheck {
       Result("one keeper per q101 cluster, the quality argmax", n.toDouble, bad, bad == 0L)
     }
 
+    // -- q107: group-aware split honors q101 clusters and q49's coin ---------
+    check("q107_lsh_safe_split") {
+      val clusters = operators.Dedup.q101LshDupClusters(spark, sfDir).select(col("doc_id"), col("cluster"))
+      val got = operators.Dedup.q107LshSafeSplit(spark, sfDir)
+      val n = got.count()
+      // 1) no cluster straddles splits
+      val straddle = got
+        .join(clusters, Seq("doc_id"))
+        .groupBy(col("cluster"))
+        .agg(countDistinct(col("split")).as("k"))
+        .filter(col("k") > 1)
+        .count()
+      // 2) group_key is the q101 label for clustered docs, own id otherwise
+      val wrongKey = got
+        .join(clusters, Seq("doc_id"), "left")
+        .filter(coalesce(col("cluster"), col("doc_id")) =!= col("group_key"))
+        .count()
+      // 3) the split is exactly q49's md5 coin on that key
+      val recoin = got
+        .withColumn("b", conv(substring(md5(col("group_key").cast("string")), 1, 2), 16, 10).cast("int"))
+        .withColumn("want", when(col("b") < 205, "train").when(col("b") < 230, "validation").otherwise("test"))
+        .filter(col("want") =!= col("split"))
+        .count()
+      val bad = straddle + wrongKey + recoin
+      Result("no q101 cluster straddles splits; group key + md5 coin re-derived exactly", n.toDouble, bad, bad == 0L)
+    }
+
     out.toSeq
   }
 }

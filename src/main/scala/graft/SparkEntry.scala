@@ -32,7 +32,9 @@ object SparkEntry {
       operators.Curation.queries ++
       operators.TrainExport.queries ++
       operators.Privacy.queries ++
-      operators.BloomPrune.queries
+      operators.BloomPrune.queries ++
+      operators.Retrieval.queries ++
+      operators.Importance.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -52,5 +54,7 @@ object SparkEntry {
       operators.Curation.oracles ++
       operators.TrainExport.oracles ++
       operators.Privacy.oracles ++
-      operators.BloomPrune.oracles
+      operators.BloomPrune.oracles ++
+      operators.Retrieval.oracles ++
+      operators.Importance.oracles
 }

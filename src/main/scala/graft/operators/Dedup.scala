@@ -691,6 +691,77 @@ object Dedup {
        |FROM ranked WHERE rn = 1 ORDER BY cluster""".stripMargin
   }
 
+  // ---------------------------------------------------------------------------
+  // q106 — leakage-safe train/validation/test split: q49's deterministic md5
+  // coin thrown at DUP-GROUP granularity. A doc-level hash split (q49) lets
+  // two near-duplicates land in train and test — the classic
+  // contamination-by-duplicate leak that inflates eval scores and that
+  // n-gram decontamination (q67) only catches after the fact. Here the coin
+  // is thrown once per GROUP (the q61 dup-cluster label for clustered docs,
+  // the doc's own id for singletons), so a near-dup cluster moves through
+  // the split as one atom and train/test can never share members.
+  //
+  // Singleton docs hash exactly as q49 hashes them (group_key = doc_id), so
+  // the group-aware split degrades to the doc-level split on a dedup'd
+  // corpus — the property the spec pins.
+  //
+  // Scale shape: the label frame carries clustered docs only (dup clusters
+  // are a small fraction of any real corpus) and joins keyed on doc_id; the
+  // coin is a per-row expression. Composition adds one keyed join over the
+  // corpus scan — no windows, no extra shuffles.
+  // ---------------------------------------------------------------------------
+  private def splitFrom(clusters: DataFrame, docs: DataFrame): DataFrame =
+    docs
+      .join(clusters.select(col("doc_id"), col("cluster")), Seq("doc_id"), "left")
+      .withColumn("group_key", coalesce(col("cluster"), col("doc_id")))
+      .withColumn("in_cluster", when(col("cluster").isNotNull, 1).otherwise(0))
+      .withColumn("bucket", conv(substring(md5(col("group_key").cast("string")), 1, 2), 16, 10).cast("int"))
+      .withColumn(
+        "split",
+        when(col("bucket") < 205, "train").when(col("bucket") < 230, "validation").otherwise("test")
+      )
+      .select(col("doc_id"), col("group_key"), col("in_cluster"), col("split"))
+      .orderBy(col("doc_id"))
+
+  def q106LeakageSafeSplit(spark: SparkSession, dir: String): DataFrame =
+    splitFrom(
+      clusterCache.getOrBuild(spark, dir)(q61DupClusters(spark, dir).localCheckpoint()),
+      Tables.documents(spark, dir).select(col("doc_id"))
+    )
+
+  // q107 — the same group-aware split over the SUB-QUADRATIC q101 clusters:
+  // the 100 TB path (mine → cluster → split with nothing corpus-quadratic).
+  // q106 is its oracle-gated ground-truth contract; the selfcheck re-derives
+  // every assignment from the run's own q101 labels and pins the
+  // no-straddle property numerically.
+  def q107LshSafeSplit(spark: SparkSession, dir: String): DataFrame =
+    splitFrom(
+      lshClusterCache.getOrBuild(spark, dir)(q101LshDupClusters(spark, dir).localCheckpoint()),
+      Tables.documents(spark, dir).select(col("doc_id"))
+    )
+
+  /** Oracle: q61's recursive-CTE cluster labels left-joined onto documents,
+    * then q49's published md5 coin on the group key.
+    */
+  lazy val q106Oracle: String = {
+    val clusterCtes = q61Oracle.substring(0, q61Oracle.indexOf("\nSELECT l.node"))
+    s"""$clusterCtes,
+       |grouped AS (
+       |  SELECT d.doc_id,
+       |         coalesce(l.cluster, d.doc_id) AS group_key,
+       |         CAST(CASE WHEN l.node IS NULL THEN 0 ELSE 1 END AS INT) AS in_cluster
+       |  FROM documents d LEFT JOIN labels l ON l.node = d.doc_id),
+       |coined AS (
+       |  SELECT *, CAST(('0x' || substring(md5(group_key::VARCHAR), 1, 2))::INT AS INT) AS bucket
+       |  FROM grouped)
+       |SELECT doc_id, group_key, in_cluster,
+       |       CASE WHEN bucket < 205 THEN 'train'
+       |            WHEN bucket < 230 THEN 'validation'
+       |            ELSE 'test' END AS split
+       |FROM coined
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_exact_dedup" -> (q29ExactDedup _),
     "q30_minhash_pairs" -> (q30MinhashPairs _),
@@ -702,17 +773,20 @@ object Dedup {
     "q90_semdedup" -> (q90SemDedup _),
     "q99_cluster_canon" -> (q99ClusterCanon _),
     "q101_lsh_dup_clusters" -> (q101LshDupClusters _),
-    "q102_lsh_cluster_canon" -> (q102LshClusterCanon _)
+    "q102_lsh_cluster_canon" -> (q102LshClusterCanon _),
+    "q106_leakage_safe_split" -> (q106LeakageSafeSplit _),
+    "q107_lsh_safe_split" -> (q107LshSafeSplit _)
   )
 
-  /** q30/q31/q60/q101/q102 are hash-based LSH — not reproducible in plain
-    * SQL → rows-only (plus Verify's data-derived self-check manifest).
+  /** q30/q31/q60/q101/q102/q107 are hash-based LSH — not reproducible in
+    * plain SQL → rows-only (plus Verify's data-derived self-check manifest).
     */
   val oracles: Map[String, String] = Map(
     "q29_exact_dedup" -> q29Oracle,
     "q32_token_jaccard" -> q32Oracle,
     "q33_embedding_neardup" -> q33Oracle,
     "q61_dup_clusters" -> q61Oracle,
-    "q99_cluster_canon" -> q99Oracle
+    "q99_cluster_canon" -> q99Oracle,
+    "q106_leakage_safe_split" -> q106Oracle
   )
 }

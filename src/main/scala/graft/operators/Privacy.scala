@@ -103,11 +103,84 @@ object Privacy {
        |FROM j WHERE granularity <> 'suppressed'
        |ORDER BY bucket, granularity, event_type, pseudo_id, val_band""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q104 — PII scrub over document text: the C4/CCNet-style redaction pass a
+  // web corpus runs before anything reaches a tokenizer. Emails, phone
+  // numbers, and IPv4 literals are counted and replaced with typed
+  // placeholders, with per-doc accounting and a post-scrub fingerprint so a
+  // downstream stage can prove it consumed the scrubbed bytes.
+  //
+  // The patterns are deliberately written in the regex intersection both
+  // Java (Spark codegen'd regexp_replace/regexp_extract_all) and RE2
+  // (DuckDB) interpret identically — \b, \d, bounded repetition, plain
+  // character classes; no backreferences or lookaround — so the scrub is
+  // fully oracle-gated. Replacement order is fixed (email -> phone -> IP)
+  // and each count is taken on the PREVIOUS stage's text, so an
+  // email-domain dot can never double-count as part of an IP.
+  //
+  // Scale shape: pure per-row projection battery — one corpus scan, no
+  // shuffle except the presentation sort, whole-stage codegen end to end.
+  // The synthetic corpus contains no PII (TablesSpec pins it ASCII word
+  // bags), so counts are zero on testdata; PrivacySpec plants a corpus with
+  // real-shaped PII and asserts the exact redaction accounting.
+  // ---------------------------------------------------------------------------
+  val EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PHONE_RE = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+  val IP_RE = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Scrub any (doc_id, text) frame — exposed separately from q104 so specs
+    * can drive planted corpora through the exact production expressions.
+    */
+  def piiScrub(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("n_emails", size(regexp_extract_all(col("text"), lit(EMAIL_RE), lit(0))))
+      .withColumn("t1", regexp_replace(col("text"), EMAIL_RE, "[EMAIL]"))
+      .withColumn("n_phones", size(regexp_extract_all(col("t1"), lit(PHONE_RE), lit(0))))
+      .withColumn("t2", regexp_replace(col("t1"), PHONE_RE, "[PHONE]"))
+      .withColumn("n_ips", size(regexp_extract_all(col("t2"), lit(IP_RE), lit(0))))
+      .withColumn("clean_text", regexp_replace(col("t2"), IP_RE, "[IP]"))
+      .select(
+        col("doc_id"),
+        col("n_emails"),
+        col("n_phones"),
+        col("n_ips"),
+        (col("n_emails") + col("n_phones") + col("n_ips")).as("n_redactions"),
+        length(col("clean_text")).as("clean_len"),
+        md5(col("clean_text")).as("clean_fp")
+      )
+
+  def q104PiiScrub(spark: SparkSession, dir: String): DataFrame =
+    piiScrub(Tables.balanced(Tables.documents(spark, dir).select(col("doc_id"), col("text"))))
+      .orderBy(col("doc_id"))
+
+  val q104Oracle: String =
+    s"""WITH s AS (
+       |  SELECT doc_id, text,
+       |         regexp_replace(text, '$EMAIL_RE', '[EMAIL]', 'g') AS t1
+       |  FROM documents),
+       |s2 AS (
+       |  SELECT *, regexp_replace(t1, '$PHONE_RE', '[PHONE]', 'g') AS t2 FROM s),
+       |s3 AS (
+       |  SELECT *, regexp_replace(t2, '$IP_RE', '[IP]', 'g') AS clean_text FROM s2)
+       |SELECT doc_id,
+       |       CAST(len(regexp_extract_all(text, '$EMAIL_RE')) AS INT) AS n_emails,
+       |       CAST(len(regexp_extract_all(t1, '$PHONE_RE')) AS INT) AS n_phones,
+       |       CAST(len(regexp_extract_all(t2, '$IP_RE')) AS INT) AS n_ips,
+       |       CAST(len(regexp_extract_all(text, '$EMAIL_RE'))
+       |            + len(regexp_extract_all(t1, '$PHONE_RE'))
+       |            + len(regexp_extract_all(t2, '$IP_RE')) AS INT) AS n_redactions,
+       |       CAST(length(clean_text) AS INT) AS clean_len,
+       |       md5(clean_text) AS clean_fp
+       |FROM s3
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q85_anonymize" -> (q85Anonymize _)
+    "q85_anonymize" -> (q85Anonymize _),
+    "q104_pii_scrub" -> (q104PiiScrub _)
   )
 
   val oracles: Map[String, String] = Map(
-    "q85_anonymize" -> q85Oracle
+    "q85_anonymize" -> q85Oracle,
+    "q104_pii_scrub" -> q104Oracle
   )
 }

@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Ranked retrieval over the `documents` corpus — the "find me the docs most
+  * about X" primitive a training-data pipeline runs for targeted corpus
+  * slicing (topic-focused subset extraction, eval-set mining, contamination
+  * triage beyond exact n-gram hits). The reference has no retrieval surface;
+  * this is a ★-addition in the q62 TF-IDF family, upgraded to the scoring
+  * function real retrieval stacks actually use.
+  *
+  * q103 scores every document against a fixed query-term set with Okapi
+  * BM25 (the Lucene/Elasticsearch default): per-term
+  * `idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))` with
+  * `idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))`, k1 = 1.2, b = 0.75.
+  *
+  * Scale shape — deliberately NOT the q62 explode pipeline: the query-term
+  * set is tiny and fixed, so per-document term frequencies come from
+  * per-row `filter(tokens, x -> x = term)` projections (whole-stage
+  * codegen, no token explode, no (doc, term) shuffle at all). The corpus
+  * scan happens once: the narrow per-doc stat frame (doc_id, dl, tf ×
+  * |terms|) is staged with `localCheckpoint`, the corpus constants
+  * (N, avgdl, df per term — ONE row) aggregate from it and broadcast back
+  * via crossJoin, and the final top-k is `orderBy(...).limit(k)` =
+  * TakeOrderedAndProject, the distributed heap — no global window over the
+  * corpus. At 100 TB this is one fact scan + a 1-row broadcast + a top-k.
+  *
+  * Determinism across engines: the score is floor-rounded at 6dp BEFORE
+  * ranking with a doc_id-asc tiebreak (house q62/q12 rule), so libm ULP
+  * differences in ln() can neither flip the ranking nor the emitted value.
+  */
+object Retrieval {
+
+  /** Fixed retrieval query — terms chosen to have distinct document
+    * frequencies in the synthetic corpus so the idf weighting is exercised.
+    */
+  val QUERY_TERMS: Seq[String] = Seq("spark", "vector", "stream", "window")
+  val K1 = 1.2
+  val B = 0.75
+  val TOP_K = 20
+
+  private def toks: Column = expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')")
+
+  // ---------------------------------------------------------------------------
+  // q103 — BM25 top-k retrieval for the fixed query-term set.
+  // ---------------------------------------------------------------------------
+  def q103Bm25(spark: SparkSession, dir: String): DataFrame = {
+    // Per-doc stats in ONE text scan: document length + tf per query term as
+    // pure projections over the tokenized array (no explode, no shuffle).
+    val tfCols = QUERY_TERMS.zipWithIndex.map { case (t, i) =>
+      size(expr(s"filter(toks, x -> x = '$t')")).cast("long").as(s"tf$i")
+    }
+    val stats = Tables
+      .balanced(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .withColumn("toks", toks)
+      .select(col("doc_id") +: size(col("toks")).cast("long").as("dl") +: tfCols: _*)
+      .localCheckpoint() // one corpus scan feeds both the constants agg and the scoring pass
+
+    // Corpus constants: ONE row (N, avgdl, df per term) -> broadcast.
+    val dfCols = QUERY_TERMS.indices.map(i => sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val aggCols = count(lit(1)).as("n_docs") +: avg(col("dl")).as("avgdl") +: dfCols
+    val consts = stats.agg(aggCols.head, aggCols.tail: _*)
+
+    // Per-term BM25 contribution; idf in the +1 (Lucene) form so it is
+    // always positive. Everything stays inside whole-stage codegen.
+    val termScore = QUERY_TERMS.indices
+      .map { i =>
+        val tf = col(s"tf$i").cast("double")
+        val idf = expr(s"ln(1e0 + (cast(n_docs AS double) - df$i + 5e-1) / (df$i + 5e-1))")
+        idf * (tf * lit(K1 + 1)) /
+          (tf + lit(K1) * (lit(1 - B) + lit(B) * col("dl").cast("double") / col("avgdl")))
+      }
+      .reduce(_ + _)
+
+    val matched = QUERY_TERMS.indices.map(i => when(col(s"tf$i") > 0, 1).otherwise(0)).reduce(_ + _)
+
+    val scored = stats
+      .crossJoin(broadcast(consts))
+      .withColumn("n_matched", matched)
+      .filter(col("n_matched") > 0)
+      // floor-form 6dp round BEFORE ranking (q62 rule): cross-engine ln ULPs
+      // cannot flip order or value
+      .withColumn("score", floor(termScore * lit(1e6) + lit(0.5)) / lit(1e6))
+      .select(col("doc_id"), col("n_matched"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(TOP_K) // TakeOrderedAndProject: distributed top-k, no global window
+
+    // rank over the already-limited TOP_K rows only — a single-partition
+    // window over <= 20 rows, not over the corpus
+    scored
+      .withColumn("rank", row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+      .select(col("rank"), col("doc_id"), col("n_matched"), col("score"))
+      .orderBy(col("rank"))
+  }
+
+  val q103Oracle: String = {
+    val tfDefs = QUERY_TERMS.zipWithIndex
+      .map { case (t, i) => s"len(list_filter(toks, x -> x = '$t'))::BIGINT AS tf$i" }
+      .mkString(",\n    ")
+    val dfDefs = QUERY_TERMS.indices
+      .map(i => s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i")
+      .mkString(", ")
+    val termSum = QUERY_TERMS.indices
+      .map { i =>
+        s"""ln(1 + (n_docs::DOUBLE - df$i + 0.5) / (df$i + 0.5))
+           |      * (tf$i::DOUBLE * ${K1 + 1}) / (tf$i::DOUBLE + $K1 * ((1 - $B) + $B * dl::DOUBLE / avgdl))""".stripMargin
+      }
+      .mkString("\n    + ")
+    val matchedSum = QUERY_TERMS.indices.map(i => s"(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |stats AS (
+       |  SELECT doc_id, len(toks)::BIGINT AS dl,
+       |    $tfDefs
+       |  FROM tok),
+       |consts AS (
+       |  SELECT count(*) AS n_docs, avg(dl) AS avgdl, $dfDefs FROM stats),
+       |scored AS (
+       |  SELECT doc_id, $matchedSum AS n_matched,
+       |    floor(($termSum) * 1e6 + 0.5) / 1e6 AS score
+       |  FROM stats CROSS JOIN consts
+       |  WHERE $matchedSum > 0),
+       |topk AS (
+       |  SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT $TOP_K)
+       |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank,
+       |       doc_id, CAST(n_matched AS INT) AS n_matched, score
+       |FROM topk
+       |ORDER BY rank""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q103_bm25" -> (q103Bm25 _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q103_bm25" -> q103Oracle
+  )
+}

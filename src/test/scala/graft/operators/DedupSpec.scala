@@ -263,4 +263,44 @@ class DedupSpec extends SparkSpec {
       assert((kept, prob) === best, s"cluster $cluster kept $kept/$prob, best was $best")
     }
   }
+
+  test("q106/q107 leakage-safe split: clusters move as atoms, singletons match the doc-level coin") {
+    def md5Coin(key: Long): String = {
+      val h = java.security.MessageDigest
+        .getInstance("MD5")
+        .digest(key.toString.getBytes("UTF-8"))
+        .map("%02x".format(_))
+        .mkString
+      val b = Integer.parseInt(h.substring(0, 2), 16)
+      if (b < 205) "train" else if (b < 230) "validation" else "test"
+    }
+    for ((name, split, clusters) <- Seq(
+        ("q106", Dedup.q106LeakageSafeSplit(spark, sfDir), Dedup.q61DupClusters(spark, sfDir)),
+        ("q107", Dedup.q107LshSafeSplit(spark, sfDir), Dedup.q101LshDupClusters(spark, sfDir))
+      )) {
+      val rows = split.collect()
+      val nDocs = graft.core.Tables.documents(spark, sfDir).count()
+      assert(rows.length.toLong === nDocs, s"$name must assign every doc exactly once")
+      val label = clusters.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(label.nonEmpty, s"fixture drift: no dup clusters at sf0.001 for $name")
+      val byDoc = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+      // clustered docs: group_key == cluster label, and the whole cluster
+      // shares one split (the no-straddle property that IS the operator)
+      label.foreach { case (doc, cl) =>
+        assert(byDoc(doc).getAs[Long]("group_key") === cl, s"$name doc $doc group key")
+        assert(byDoc(doc).getAs[Int]("in_cluster") === 1)
+        assert(byDoc(doc).getAs[String]("split") === byDoc(cl).getAs[String]("split"),
+          s"$name cluster $cl straddles splits")
+      }
+      // singleton docs: exactly q49's doc-level assignment
+      rows.filter(_.getAs[Int]("in_cluster") === 0).foreach { r =>
+        assert(r.getAs[Long]("group_key") === r.getAs[Long]("doc_id"))
+        assert(r.getAs[String]("split") === md5Coin(r.getAs[Long]("doc_id")), s"$name singleton coin")
+      }
+      // the operator exists to fix real straddles: report how many clusters
+      // a doc-level coin would have torn apart on this corpus
+      val torn = label.groupBy(_._2).values.count(m => m.keys.map(md5Coin).toSet.size > 1)
+      info(s"$name: ${label.groupBy(_._2).size} clusters, $torn would straddle under a doc-level split")
+    }
+  }
 }

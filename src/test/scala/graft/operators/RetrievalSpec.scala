@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** BM25 retrieval invariants at sf0.001 plus a hand-computed planted check. */
+class RetrievalSpec extends SparkSpec {
+
+  test("q103 bm25: ranks dense from 1, scores non-increasing, every hit matches a query term") {
+    val rows = Retrieval.q103Bm25(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= Retrieval.TOP_K)
+    assert(rows.map(_.getAs[Int]("rank")).toSeq === (1 to rows.length))
+    val scores = rows.map(_.getAs[Double]("score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, "scores must be non-increasing in rank")
+    assert(rows.forall(_.getAs[Int]("n_matched") >= 1))
+    // every returned doc really contains at least one query term
+    val ids = rows.map(_.getAs[Long]("doc_id")).toSet
+    val texts = graft.core.Tables
+      .documents(spark, sfDir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+      .toMap
+    ids.foreach { id =>
+      val toks = texts(id).toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSet
+      assert(Retrieval.QUERY_TERMS.exists(toks.contains), s"doc $id ranked but contains no query term")
+    }
+  }
+
+  test("q103 bm25: top-1 score matches a direct single-node BM25 recomputation") {
+    val corpus = graft.core.Tables
+      .documents(spark, sfDir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq)
+    val n = corpus.length.toDouble
+    val avgdl = corpus.map(_._2.length).sum.toDouble / n
+    val df = Retrieval.QUERY_TERMS.map(t => t -> corpus.count(_._2.contains(t))).toMap
+    def bm25(toks: Seq[String]): Double = {
+      val dl = toks.length.toDouble
+      val raw = Retrieval.QUERY_TERMS.map { t =>
+        val tf = toks.count(_ == t).toDouble
+        val idf = math.log(1 + (n - df(t) + 0.5) / (df(t) + 0.5))
+        idf * tf * (Retrieval.K1 + 1) / (tf + Retrieval.K1 * (1 - Retrieval.B + Retrieval.B * dl / avgdl))
+      }.sum
+      math.floor(raw * 1e6 + 0.5) / 1e6
+    }
+    val want = corpus
+      .map { case (id, toks) => (id, bm25(toks)) }
+      .filter { case (id, _) => corpus.find(_._1 == id).get._2.exists(Retrieval.QUERY_TERMS.contains) }
+      .sortBy { case (id, s) => (-s, id) }
+      .head
+    val got = Retrieval.q103Bm25(spark, sfDir).collect().head
+    assert(got.getAs[Long]("doc_id") === want._1)
+    assert(got.getAs[Double]("score") === want._2)
+  }
+}
