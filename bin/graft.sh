@@ -24,6 +24,7 @@
 #   corpus-report corpus health report (one text page) (graft.tools.CorpusReport)
 #   scd2-maintain   one SCD2-history maintenance tick  (graft.tools.Scd2MaintainMain)
 #   corpus-maintain one corpus-build maintenance tick  (graft.tools.CorpusMaintainMain)
+#   cluster-maintain one dup-cluster maintenance tick (graft.tools.ClusterMaintainMain)
 set -euo pipefail
 
 cd "$(dirname "$0")/.."
@@ -71,6 +72,7 @@ case "$cmd" in
   corpus-report) main=graft.tools.CorpusReport ;;
   scd2-maintain)   main=graft.tools.Scd2MaintainMain ;;
   corpus-maintain) main=graft.tools.CorpusMaintainMain ;;
+  cluster-maintain) main=graft.tools.ClusterMaintainMain ;;
   help|--help|-h)
     # print the header comment block (everything between the shebang and
     # the first non-comment line), stripping the leading '# '

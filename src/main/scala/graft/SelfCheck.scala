@@ -235,6 +235,22 @@ object SelfCheck {
       Result("no q101 cluster straddles splits; group key + md5 coin re-derived exactly", n.toDouble, bad, bad == 0L)
     }
 
+    // -- q108: incremental delta apply == full q101 rebuild, exactly ---------
+    check("q108_incremental_clusters") {
+      val inc = operators.Dedup.q108IncrementalClusters(spark, sfDir)
+      val full = operators.Dedup.q101LshDupClusters(spark, sfDir)
+      val n = inc.count()
+      // symmetric difference via union + count-per-row: every
+      // (doc_id, cluster, cluster_size) row must appear in BOTH frames
+      val bad = inc
+        .unionByName(full)
+        .groupBy(col("doc_id"), col("cluster"), col("cluster_size"))
+        .agg(count(lit(1)).as("c"))
+        .filter(col("c") =!= 2)
+        .count()
+      Result("incremental delta apply equals the full q101 rebuild exactly", n.toDouble, bad, bad == 0L)
+    }
+
     out.toSeq
   }
 }

@@ -92,15 +92,23 @@ object Dedup {
     * hash-spread corpora — the shared candidate miner behind q30's
     * shingle-verified pairs and q101's token-verified dup-cluster graph.
     */
-  private def minhashCandidates(sigs: DataFrame): DataFrame = {
+  /** (doc_id, band, key) LSH bucket rows for a (doc_id, sig) frame — the
+    * persistable index shape: a delta of new docs probes these buckets
+    * instead of re-mining the corpus.
+    */
+  private[graft] def bandBuckets(sigs: DataFrame): DataFrame = {
     // band key = hash of the band's signature slice; explode to (band, key, doc)
     val bandCols = (0 until BANDS).map { b =>
       val slice = (0 until ROWS_PER_BAND).map(r => s"sig[${b * ROWS_PER_BAND + r}]").mkString(", ")
       expr(s"named_struct('band', $b, 'key', xxhash64($b, $slice))")
     }
-    val buckets = sigs
+    sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  private def minhashCandidates(sigs: DataFrame): DataFrame = {
+    val buckets = bandBuckets(sigs)
     buckets
       .as("l")
       .join(buckets.as("r"), Seq("band", "key"))
@@ -194,10 +202,15 @@ object Dedup {
     * array_intersect's per-pair hash-set build. Shared by the exact
     * all-pairs miner (q32) and the MinHash-candidate verify (q101's graph).
     */
-  private def tokenSets(spark: SparkSession, dir: String): DataFrame = {
+  private def tokenSets(spark: SparkSession, dir: String): DataFrame =
+    tokenSetsFrom(spark, Tables.balanced(Tables.documents(spark, dir)))
+
+  /** Frame-based form of the token-set pipeline — the streaming maintainer
+    * feeds it delta slices instead of a directory.
+    */
+  private[graft] def tokenSetsFrom(spark: SparkSession, docs: DataFrame): DataFrame = {
     graft.functions.VecFunctions.install(spark)
-    Tables
-      .balanced(Tables.documents(spark, dir))
+    docs
       .withColumn("toks", expr("array_sort(array_distinct(transform(split(" +
         "regexp_replace(lower(trim(text)), '\\\\s+', ' '), ' '), t -> xxhash64(t))))"))
       .withColumn("sz", size(col("toks")))
@@ -506,19 +519,31 @@ object Dedup {
   def minhashPairGraph(spark: SparkSession, dir: String): DataFrame =
     minhashGraphCache.getOrBuild(spark, dir)(minhashPairGraphBuild(spark, dir).localCheckpoint())
 
-  private def minhashPairGraphBuild(spark: SparkSession, dir: String): DataFrame = {
-    // one checkpointed frame feeds the candidate miner AND both verify
-    // sides (same single-materialization rationale as q30's signatures)
-    val t = tokenSets(spark, dir)
-      .filter(size(col("toks")) > 0)
-      .withColumn("sig", expr("minhash_sigs16(toks)"))
-      .localCheckpoint()
+  private val sigFrameCache = new SessionCache[DataFrame]
+
+  /** (lang, doc_id, toks, sz, sig) checkpointed once per (session, dir) —
+    * one tokenize+sign pass feeds the full miner (q101's graph), the
+    * incremental path (q108), and both verify sides.
+    */
+  private def sigTokenFrame(spark: SparkSession, dir: String): DataFrame =
+    sigFrameCache.getOrBuild(spark, dir) {
+      tokenSets(spark, dir)
+        .filter(size(col("toks")) > 0)
+        .withColumn("sig", expr("minhash_sigs16(toks)"))
+        .localCheckpoint()
+    }
+
+  /** Exact-verify a candidate pair frame (doc_a, doc_b) against the token
+    * frame: same-language token Jaccard >= 0.8 — q32's predicate, touching
+    * candidates only.
+    */
+  private[graft] def verifyEdges(t: DataFrame, candidates: DataFrame): DataFrame = {
     val a = t.select(col("lang").as("lang_a"), col("doc_id").as("doc_a"),
       col("toks").as("toks_a"), col("sz").as("sz_a"))
     val b = t.select(col("lang").as("lang_b"), col("doc_id").as("doc_b"),
       col("toks").as("toks_b"), col("sz").as("sz_b"))
     val inter = expr("sorted_intersect_count(toks_a, toks_b)").cast("double")
-    minhashCandidates(t.select(col("doc_id"), col("sig")))
+    candidates
       .join(a, "doc_a")
       .join(b, "doc_b")
       .filter(
@@ -526,6 +551,11 @@ object Dedup {
           inter / (col("sz_a") + col("sz_b") - inter) >= 0.8
       )
       .select(col("doc_a"), col("doc_b"))
+  }
+
+  private def minhashPairGraphBuild(spark: SparkSession, dir: String): DataFrame = {
+    val t = sigTokenFrame(spark, dir)
+    verifyEdges(t, minhashCandidates(t.select(col("doc_id"), col("sig"))))
   }
 
   def q101LshDupClusters(spark: SparkSession, dir: String): DataFrame =
@@ -740,6 +770,110 @@ object Dedup {
       Tables.documents(spark, dir).select(col("doc_id"))
     )
 
+  // ---------------------------------------------------------------------------
+  // q108 — INCREMENTAL dup-cluster maintenance: label a delta of newly
+  // ingested docs at O(delta) cost instead of re-clustering the corpus.
+  // The missing piece of the dedup lifecycle: q101 builds clusters once;
+  // at 100 TB every ingest tick afterwards must not pay the full mine.
+  //
+  // Same trick the engine already uses for SCD2 (`scd2Apply`), the corpus
+  // build (`StreamingCorpus`), and the ANN indexes (append refresh):
+  // treat the existing label table as state and touch only what the delta
+  // can affect. New docs' band keys probe the bucket table (equi-join), so
+  // candidates are (new x bucket-mates) only; exact verification touches
+  // candidates; and the connected-components repair runs on a CONTRACTED
+  // graph — every existing cluster collapses to its label super-node, old
+  // singletons and new docs ride as themselves — so the propagation loop
+  // sees a delta-sized graph, never the corpus. A new doc bridging two old
+  // clusters merges them via the contracted edge (label_a — label_b); the
+  // resulting remap is delta-sized and joins back onto the label table.
+  //
+  // Exactly equal to the full rebuild, not approximately: banding and the
+  // jaccard verify are per-pair deterministic, so the full miner's old-old
+  // edges are precisely the ones the old run already contracted into
+  // labels. DedupSpec pins incremental == rebuild (including a planted
+  // bridge-merge) and the q108 selfcheck re-proves equality on every
+  // Verify run from the run's own data.
+  // ---------------------------------------------------------------------------
+  /** Apply a delta to an existing label table. `t` is the full signature
+    * frame (old + new docs), `isNew` marks the delta, `oldLabels` is the
+    * (doc_id, cluster) state from the previous run. Returns the same
+    * (doc_id, cluster, cluster_size) contract as clustersFrom.
+    */
+  private[operators] def clustersApply(t: DataFrame, isNew: Column, oldLabels: DataFrame): DataFrame = {
+    val allBuckets = bandBuckets(t.select(col("doc_id"), col("sig")))
+    val newBuckets = bandBuckets(t.filter(isNew).select(col("doc_id"), col("sig")))
+    // candidates touching >= 1 new doc: new-side buckets probe ALL buckets,
+    // so new-new pairs surface too (both directions — least/greatest +
+    // distinct canonicalizes)
+    val cand = newBuckets
+      .as("l")
+      .join(allBuckets.as("r"), Seq("band", "key"))
+      .filter(col("l.doc_id") =!= col("r.doc_id"))
+      .select(
+        least(col("l.doc_id"), col("r.doc_id")).as("doc_a"),
+        greatest(col("l.doc_id"), col("r.doc_id")).as("doc_b")
+      )
+      .distinct()
+    applyEdgesToLabels(verifyEdges(t, cand), oldLabels)
+  }
+
+  /** The label-repair half of the incremental path: merge a verified edge
+    * frame (every edge touches >= 1 unlabeled-or-new doc) into an existing
+    * label table via the contracted-graph propagation. Shared by the q108
+    * batch delta and the streaming maintainer.
+    */
+  private[graft] def applyEdgesToLabels(edges: DataFrame, oldLabels: DataFrame): DataFrame = {
+    // contract: old clustered docs -> their label; everything else -> itself
+    val la = oldLabels.select(col("doc_id").as("doc_a"), col("cluster").as("la"))
+    val lb = oldLabels.select(col("doc_id").as("doc_b"), col("cluster").as("lb"))
+    val superEdges = edges
+      .join(la, Seq("doc_a"), "left")
+      .join(lb, Seq("doc_b"), "left")
+      .select(coalesce(col("la"), col("doc_a")).as("doc_a"), coalesce(col("lb"), col("doc_b")).as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .distinct()
+    // delta-sized propagation: nodes are cluster labels, old singletons,
+    // and new docs — labels are component minima of MEMBER ids, and every
+    // old label IS its cluster's min member, so min over super-nodes is
+    // min over members
+    val remap = clustersFrom(superEdges).select(col("doc_id").as("repr"), col("cluster").as("new_label"))
+    val updatedOld = oldLabels
+      .join(remap.select(col("repr").as("cluster"), col("new_label")), Seq("cluster"), "left")
+      .select(col("doc_id"), coalesce(col("new_label"), col("cluster")).as("cluster"))
+    // reprs that are NOT old cluster labels are docs gaining a label now
+    // (new docs, or old singletons a new doc connected to)
+    val newlyLabeled = remap
+      .join(oldLabels.select(col("cluster").as("repr")).distinct(), Seq("repr"), "left_anti")
+      .select(col("repr").as("doc_id"), col("new_label").as("cluster"))
+    val all = updatedOld.unionByName(newlyLabeled).withColumnRenamed("cluster", "label0")
+    val sizes = all.groupBy(col("label0")).agg(count(lit(1)).as("cluster_size"))
+    all
+      .join(sizes, "label0")
+      .select(col("doc_id"), col("label0").as("cluster"), col("cluster_size"))
+      .orderBy(col("cluster"), col("doc_id"))
+  }
+
+  /** Old-half labels as session state: what a real pipeline persists
+    * between ingest ticks.
+    */
+  private val incrLabelCache = new SessionCache[DataFrame]
+
+  def q108IncrementalClusters(spark: SparkSession, dir: String): DataFrame = {
+    val t = sigTokenFrame(spark, dir)
+    // pivot at the id midpoint — a deterministic stand-in for the ingest
+    // watermark separating "already clustered" from "this tick's delta"
+    val mm = t.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi")).head()
+    val pivot = mm.getAs[Long]("lo") + (mm.getAs[Long]("hi") - mm.getAs[Long]("lo")) / 2
+    val oldLabels = incrLabelCache.getOrBuild(spark, dir) {
+      val tOld = t.filter(col("doc_id") <= pivot)
+      clustersFrom(verifyEdges(tOld, minhashCandidates(tOld.select(col("doc_id"), col("sig")))))
+        .select(col("doc_id"), col("cluster"))
+        .localCheckpoint()
+    }
+    clustersApply(t, col("doc_id") > pivot, oldLabels)
+  }
+
   /** Oracle: q61's recursive-CTE cluster labels left-joined onto documents,
     * then q49's published md5 coin on the group key.
     */
@@ -775,11 +909,13 @@ object Dedup {
     "q101_lsh_dup_clusters" -> (q101LshDupClusters _),
     "q102_lsh_cluster_canon" -> (q102LshClusterCanon _),
     "q106_leakage_safe_split" -> (q106LeakageSafeSplit _),
-    "q107_lsh_safe_split" -> (q107LshSafeSplit _)
+    "q107_lsh_safe_split" -> (q107LshSafeSplit _),
+    "q108_incremental_clusters" -> (q108IncrementalClusters _)
   )
 
-  /** q30/q31/q60/q101/q102/q107 are hash-based LSH — not reproducible in
-    * plain SQL → rows-only (plus Verify's data-derived self-check manifest).
+  /** q30/q31/q60/q101/q102/q107/q108 are hash-based LSH — not reproducible
+    * in plain SQL → rows-only (plus Verify's data-derived self-check
+    * manifest; q108's selfcheck is exact equality with the q101 rebuild).
     */
   val oracles: Map[String, String] = Map(
     "q29_exact_dedup" -> q29Oracle,

@@ -1,0 +1,160 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.operators.Dedup
+
+/** Live dup-cluster maintenance: keeps a persisted (doc_id, cluster,
+  * cluster_size) label table current as document files LAND in `dataDir`,
+  * by running the q108 incremental path (`Dedup.applyEdgesToLabels`) once
+  * per micro-batch — O(delta) per tick, never a corpus re-mine.
+  *
+  * Same contract as `StreamingIndexer`: the file stream is a CHANGE SIGNAL
+  * only. Each tick recomputes the actual delta from table state (docs with
+  * `doc_id` above the persisted watermark — monotone ingest ids, the
+  * StreamingCorpus/StreamingIndexer contract), so a redelivered or
+  * coalesced batch can never double-process a document: its ids are
+  * already at-or-below the watermark and the delta is empty.
+  *
+  * Persisted state under `stateDir`:
+  *   - `toks/delta_<lo>_<hi>/`    token sets + minhash sigs per ingest slice
+  *   - `buckets/delta_<lo>_<hi>/` (band, key, doc_id) LSH bucket rows
+  *   - `labels/current/`          the label table (stage-then-swap rewrite)
+  *   - `state.json`               watermark sidecar {max_doc_id}
+  *
+  * The toks/buckets slices are APPEND-ONLY under deterministic delta-range
+  * names, so a crashed tick that reruns overwrites its own files
+  * (idempotent) instead of duplicating rows. Candidates come from the
+  * delta's band keys equi-joined against the persisted bucket table;
+  * verification joins the persisted token sets of candidate docs only. At
+  * 100 TB the bucket table would be stored BUCKETED on `key`
+  * (`sources/Layouts` — zero-shuffle probe) and the label rewrite becomes
+  * a manifest-pointer swap; the per-tick algorithm is unchanged.
+  *
+  * The maintained table is spec-pinned EQUAL to the batch q101 rebuild
+  * after every tick — the same incremental == rebuild contract as
+  * `scd2Apply` and `StreamingCorpus`, which holds exactly (not
+  * approximately) because banding and the jaccard verify are per-pair
+  * deterministic.
+  */
+object StreamingDupClusters {
+
+  /** One maintenance tick against current table state; returns the number
+    * of delta docs processed (0 = no-op tick). Callable directly (cron
+    * cadence) — `start` wires it to a file stream.
+    */
+  def tick(spark: SparkSession, dataDir: String, stateDir: String): Long = {
+    val wm = readWatermark(stateDir)
+    val docs = graft.core.Tables.documents(spark, dataDir)
+    val delta = docs.filter(col("doc_id") > wm)
+    val mm = delta.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"), count(lit(1)).as("n")).head()
+    val n = mm.getAs[Long]("n")
+    if (n == 0L) return 0L
+    val (lo, hi) = (mm.getAs[Long]("lo"), mm.getAs[Long]("hi"))
+
+    val tDelta = Dedup
+      .tokenSetsFrom(spark, delta)
+      .filter(size(col("toks")) > 0)
+      .withColumn("sig", expr("minhash_sigs16(toks)"))
+      .localCheckpoint() // one tokenize+sign pass feeds toks, buckets, AND the probe
+
+    // append this slice's state under its deterministic delta-range name —
+    // a rerun of the same tick overwrites, never duplicates
+    val sliceName = s"delta_${lo}_$hi"
+    tDelta.write.mode("overwrite").parquet(s"$stateDir/toks/$sliceName")
+    Dedup
+      .bandBuckets(tDelta.select(col("doc_id"), col("sig")))
+      .write
+      .mode("overwrite")
+      .parquet(s"$stateDir/buckets/$sliceName")
+
+    // candidates: delta band keys probe the FULL persisted bucket table
+    // (which now includes this slice) — new-new and new-old pairs only.
+    // recursiveFileLookup over the parent, not a glob: a glob path makes
+    // the reader probe it as a possible streaming-sink metadata dir and
+    // log a spurious FileNotFound warning per tick
+    val allBuckets =
+      spark.read.option("recursiveFileLookup", "true").parquet(s"$stateDir/buckets")
+    val deltaBuckets = spark.read.parquet(s"$stateDir/buckets/$sliceName")
+    val cand = deltaBuckets
+      .as("l")
+      .join(allBuckets.as("r"), Seq("band", "key"))
+      .filter(col("l.doc_id") =!= col("r.doc_id"))
+      .select(
+        least(col("l.doc_id"), col("r.doc_id")).as("doc_a"),
+        greatest(col("l.doc_id"), col("r.doc_id")).as("doc_b")
+      )
+      .distinct()
+
+    // verification reads candidate docs' token sets from persisted state
+    val allToks = spark.read.option("recursiveFileLookup", "true").parquet(s"$stateDir/toks")
+    val edges = Dedup.verifyEdges(allToks, cand)
+
+    val oldLabels = readLabels(spark, stateDir)
+    val updated = Dedup.applyEdgesToLabels(edges, oldLabels).localCheckpoint()
+
+    // stage-then-swap the label rewrite, then advance the watermark LAST —
+    // a crash anywhere before it replays the same delta idempotently
+    updated.write.mode("overwrite").parquet(s"$stateDir/labels/stage")
+    val cur = Paths.get(stateDir, "labels", "current")
+    deleteRecursively(cur)
+    Files.move(Paths.get(stateDir, "labels", "stage"), cur)
+    Files.writeString(Paths.get(stateDir, "state.json"), s"""{"max_doc_id": $hi}""")
+    n
+  }
+
+  /** Current label table — empty with the right schema before first tick. */
+  def readLabels(spark: SparkSession, stateDir: String): DataFrame = {
+    val cur = s"$stateDir/labels/current"
+    if (Files.exists(Paths.get(cur))) spark.read.parquet(cur).select(col("doc_id"), col("cluster"))
+    else {
+      import spark.implicits._
+      Seq.empty[(Long, Long)].toDF("doc_id", "cluster")
+    }
+  }
+
+  private def readWatermark(stateDir: String): Long = {
+    val p = Paths.get(stateDir, "state.json")
+    if (!Files.exists(p)) Long.MinValue
+    else {
+      val s = Files.readString(p)
+      val m = "\"max_doc_id\"\\s*:\\s*(-?\\d+)".r.findFirstMatchIn(s)
+      m.map(_.group(1).toLong).getOrElse(Long.MinValue)
+    }
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+
+  /** Wire the tick to a file stream over the documents landing path —
+    * `Trigger.AvailableNow` drains what has landed and stops (cron /
+    * entrypoint cadence); pass a processing-time trigger for a long-lived
+    * maintainer. `onTick` sees each tick's delta count.
+    */
+  def start(
+      spark: SparkSession,
+      dataDir: String,
+      stateDir: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      onTick: Long => Unit = _ => ()
+  ): StreamingQuery = {
+    val docPath = s"$dataDir/documents.parquet"
+    val schema = spark.read.parquet(docPath).schema
+    spark.readStream
+      .schema(schema)
+      .parquet(docPath)
+      .writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", s"$stateDir/_clusters_checkpoint")
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        onTick(tick(spark, dataDir, stateDir))
+      }
+      .start()
+  }
+}

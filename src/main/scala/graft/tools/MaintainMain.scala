@@ -1,13 +1,14 @@
 package graft.tools
 
-import graft.streaming.{StreamingCorpus, StreamingScd2}
+import graft.streaming.{StreamingCorpus, StreamingDupClusters, StreamingScd2}
 
 /** CLI entry points for the incremental maintainers — one tick per
   * invocation (the cron / entrypoint shape; the file-stream variants run
   * the same tick per micro-batch).
   *
-  *   bin/graft.sh scd2-maintain   <eventsDir> <historyDir>
-  *   bin/graft.sh corpus-maintain <docsDir>   <stateDir>
+  *   bin/graft.sh scd2-maintain    <eventsDir> <historyDir>
+  *   bin/graft.sh corpus-maintain  <docsDir>   <stateDir>
+  *   bin/graft.sh cluster-maintain <docsDir>   <stateDir>
   */
 object Scd2MaintainMain {
   def main(args: Array[String]): Unit = {
@@ -42,6 +43,22 @@ object CorpusMaintainMain {
         .orderBy("final_stage")
         .collect()
         .foreach(r => println(s"[corpus-maintain] ${r.getString(0)}=${r.getLong(1)}"))
+    } finally spark.stop()
+  }
+}
+
+object ClusterMaintainMain {
+  def main(args: Array[String]): Unit = {
+    if (args.length != 2) {
+      System.err.println("usage: ClusterMaintainMain <docsDir> <stateDir>")
+      sys.exit(2)
+    }
+    val spark = graft.core.Sessions.local("graft-cluster-maintain")
+    try {
+      val n = StreamingDupClusters.tick(spark, args(0), args(1))
+      val labels = StreamingDupClusters.readLabels(spark, args(1))
+      val nClusters = labels.select("cluster").distinct().count()
+      println(s"[cluster-maintain] delta_docs=$n labeled_docs=${labels.count()} clusters=$nClusters")
     } finally spark.stop()
   }
 }

@@ -303,4 +303,52 @@ class DedupSpec extends SparkSpec {
       info(s"$name: ${label.groupBy(_._2).size} clusters, $torn would straddle under a doc-level split")
     }
   }
+
+  test("q108 incremental clusters equal the full q101 rebuild at sf0.001") {
+    val inc = Dedup.q108IncrementalClusters(spark, sfDir).collect()
+    val full = Dedup.q101LshDupClusters(spark, sfDir).collect()
+    assert(inc.nonEmpty, "fixture drift: no clusters at sf0.001")
+    def rows(a: Array[org.apache.spark.sql.Row]) =
+      a.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows(inc) === rows(full), "delta apply must reproduce the rebuild exactly")
+  }
+
+  test("q108 planted bridge: a new doc merges two pre-existing clusters and links an old singleton") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("incr").toString
+    val aToks = (1 to 10).map(i => s"a$i").mkString(" ")               // cluster A
+    val bToks = ((1 to 8).map(i => s"a$i") ++ Seq("b1", "b2")).mkString(" ") // cluster B: j(A,B)=8/12 < 0.8
+    val cToks = ((1 to 9).map(i => s"a$i") :+ "b1").mkString(" ")      // bridge: j(C,A)=j(C,B)=9/11 >= 0.8
+    val dToks = (1 to 10).map(i => s"d$i").mkString(" ")               // old singleton
+    // ids chosen so the q108 midpoint pivot (lo + (hi-lo)/2 = 4) puts
+    // A/B/D in the "already clustered" half and C/E in the delta
+    val docs = Seq(
+      (0L, aToks), (1L, aToks),  // old cluster {0,1}
+      (2L, bToks), (3L, bToks),  // old cluster {2,3}
+      (4L, dToks),               // old singleton
+      (8L, cToks),               // NEW: bridges A and B
+      (9L, dToks)                // NEW: exact dup of the old singleton
+    )
+    docs
+      .map { case (id, text) => (id, text, "en", "srcX", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write
+      .parquet(s"$dir/documents.parquet")
+
+    val out = Dedup.q108IncrementalClusters(spark, dir).collect()
+    val label = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // merged component: both old clusters + the bridge, labeled by min id 0
+    assert(Set(0L, 1L, 2L, 3L, 8L).forall(label.get(_).contains(0L)),
+      s"bridge merge failed: $label")
+    // the old singleton gains a 2-doc cluster with the new exact dup
+    assert(label.get(4L).contains(4L) && label.get(9L).contains(4L), s"singleton link failed: $label")
+    out.foreach { r =>
+      val want = if (r.getLong(1) == 0L) 5L else 2L
+      assert(r.getLong(2) === want, s"cluster_size wrong: $r")
+    }
+    // and the incremental answer IS the batch answer on this corpus too
+    val full = Dedup.q101LshDupClusters(spark, dir).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet ===
+      full.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+  }
 }

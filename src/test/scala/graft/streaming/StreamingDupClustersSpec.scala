@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+
+/** The live dup-cluster maintainer: tick-by-tick equality with a
+  * single-node exact clustering, bridge merges across ticks, and
+  * redelivery safety.
+  */
+class StreamingDupClustersSpec extends SparkSpec {
+
+  private val aToks = (1 to 10).map(i => s"a$i")
+  private val bToks = (1 to 8).map(i => s"a$i") ++ Seq("b1", "b2") // j(A,B)=8/12 < 0.8
+  private val cToks = (1 to 9).map(i => s"a$i") :+ "b1"            // j(C,A)=j(C,B)=9/11 >= 0.8
+  private val dToks = (1 to 10).map(i => s"d$i")
+
+  private def writeDocs(dataDir: String, mode: String, docs: Seq[(Long, Seq[String])]): Unit = {
+    import spark.implicits._
+    docs
+      .map { case (id, toks) => (id, toks.mkString(" "), "en", "srcX", toks.mkString(" ").length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write
+      .mode(mode)
+      .parquet(s"$dataDir/documents.parquet")
+  }
+
+  /** Single-node ground truth: exact same-lang token-jaccard >= 0.8 edges,
+    * union-find components, min-id labels — what the maintained table must
+    * equal after every tick.
+    */
+  private def exactClusters(docs: Seq[(Long, Seq[String])]): Map[Long, (Long, Long)] = {
+    val sets = docs.map { case (id, toks) => id -> toks.toSet }.toMap
+    val ids = docs.map(_._1)
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    for (a <- ids; b <- ids if a < b) {
+      val j = sets(a).intersect(sets(b)).size.toDouble / sets(a).union(sets(b)).size
+      if (j >= 0.8) parent(math.max(find(a), find(b))) = math.min(find(a), find(b))
+    }
+    val byRoot = ids.groupBy(find)
+    byRoot.values.filter(_.size > 1).flatMap { m =>
+      val label = m.min
+      m.map(id => id -> (label, m.size.toLong))
+    }.toMap
+  }
+
+  private def readState(stateDir: String): Map[Long, (Long, Long)] =
+    spark.read
+      .parquet(s"$stateDir/labels/current")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+
+  test("maintainer ticks: initial build, cross-tick bridge merge, redelivery no-op") {
+    val dataDir = java.nio.file.Files.createTempDirectory("sdc_data").toString
+    val stateDir = java.nio.file.Files.createTempDirectory("sdc_state").toString
+
+    // tick 1: two dup clusters + a singleton land
+    val oldDocs = Seq[(Long, Seq[String])](
+      0L -> aToks, 1L -> aToks, 2L -> bToks, 3L -> bToks, 4L -> dToks
+    )
+    writeDocs(dataDir, "overwrite", oldDocs)
+    val q1 = StreamingDupClusters.start(spark, dataDir, stateDir, Trigger.AvailableNow())
+    q1.awaitTermination(120000)
+    assert(readState(stateDir) === exactClusters(oldDocs), "tick 1 must equal the exact rebuild")
+    assert(readState(stateDir).keySet === Set(0L, 1L, 2L, 3L), "singleton must stay unlabeled")
+
+    // tick 2: a bridge doc merges both clusters; an exact dup links the
+    // old singleton — both across the tick boundary
+    val newDocs = Seq[(Long, Seq[String])](8L -> cToks, 9L -> dToks)
+    writeDocs(dataDir, "append", newDocs)
+    val q2 = StreamingDupClusters.start(spark, dataDir, stateDir, Trigger.AvailableNow())
+    q2.awaitTermination(120000)
+    val all = oldDocs ++ newDocs
+    val got = readState(stateDir)
+    assert(got === exactClusters(all), "tick 2 must equal the exact rebuild over old + delta")
+    assert(got(8L) === ((0L, 5L)), "bridge doc must merge both old clusters under label 0")
+    assert(got(4L) === ((4L, 2L)) && got(9L) === ((4L, 2L)), "old singleton must gain its 2-doc cluster")
+
+    // redelivery: a direct tick with nothing new is a no-op
+    assert(StreamingDupClusters.tick(spark, dataDir, stateDir) === 0L)
+    assert(readState(stateDir) === got, "a redelivered/empty tick must not change the table")
+  }
+}
