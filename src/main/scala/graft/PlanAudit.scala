@@ -98,6 +98,10 @@ object PlanAudit {
     "q105_dsir_weights" -> Map(
       "BroadcastNestedLoopJoin" ->
         "1-row broadcast histogram totals joined onto the <=64-row bucket frame — the q70 broadcast-scalar pattern; the corpus-side scoring join is keyed on bucket"
+    ),
+    "q109_temperature_mix" -> Map(
+      "BroadcastNestedLoopJoin" ->
+        "1-row broadcast totals (corpus tokens + temperature mass) joined onto per-source rows — the q70/q100 broadcast-scalar pattern"
     )
   )
 

@@ -476,6 +476,75 @@ object Curation {
        |       CASE WHEN target_tokens::DOUBLE / n_tokens::DOUBLE > ${EPOCH_CAP}e0 THEN 1 ELSE 0 END AS capped
        |FROM e ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q109 — temperature-scaled source mixing (the mT5/XLM-R recipe): sample
+  // probability p_s ∝ n_s^alpha with alpha in (0,1), up-weighting
+  // low-resource sources relative to their natural (proportional) share.
+  // Completes the mixing-plan family: q70 targets an EXPLICIT per-source
+  // weight vector, q100 a uniform token budget with an epoch cap, q109 the
+  // smooth power-law interpolation between natural (alpha=1) and uniform
+  // (alpha=0) that multilingual corpus builds actually ship.
+  //
+  // Determinism: sqrt(n) is floor-rounded to integer MICRO units before the
+  // cross-source sum, and the sum runs in DECIMAL — partial-agg merge order
+  // cannot move a bit, and DuckDB reproduces the arithmetic exactly (q105's
+  // integer-micro rule). The per-row shares/boost divide those exact
+  // integers in double — identical inputs, identical IEEE ops.
+  //
+  // Scale shape: one corpus scan into a dozens-of-rows per-source
+  // aggregate, a 1-row broadcast total, per-row arithmetic. Same as q100.
+  // ---------------------------------------------------------------------------
+  private val MIX_ALPHA = 0.5 // exposed in the output contract via sqrt
+  private val MIX_DOC_BUDGET = 10000L
+
+  def q109TemperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables
+      .balanced(Tables.documents(spark, dir))
+      .select(
+        col("source"),
+        size(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")).as("n_toks")
+      )
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+      .withColumn("w_micro", expr("cast(floor(sqrt(cast(n_tokens AS double)) * 1e6 + 5e-1) AS decimal(28,0))"))
+      .localCheckpoint()
+    val totals = toks.agg(
+      sum(col("n_tokens")).cast("double").as("corpus_tokens"),
+      sum(col("w_micro")).as("temp_mass")
+    )
+    toks
+      .crossJoin(broadcast(totals))
+      .withColumn("nat", expr("cast(n_tokens AS double) / corpus_tokens"))
+      .withColumn("temp", expr("cast(w_micro AS double) / cast(temp_mass AS double)"))
+      .select(
+        col("source"),
+        col("n_docs"),
+        col("n_tokens"),
+        expr("floor(nat * 1e6 + 5e-1) / 1e6").as("nat_share"),
+        expr("floor(temp * 1e6 + 5e-1) / 1e6").as("temp_share"),
+        expr("floor(temp / nat * 1e6 + 5e-1) / 1e6").as("boost"),
+        expr(s"cast(floor($MIX_DOC_BUDGET * temp + 5e-1) AS bigint)").as("plan_docs")
+      )
+      .orderBy(col("source"))
+  }
+
+  val q109Oracle: String =
+    s"""WITH toks AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY source),
+       |w AS (
+       |  SELECT *, CAST(floor(sqrt(n_tokens::DOUBLE) * 1e6 + 0.5) AS DECIMAL(28,0)) AS w_micro FROM toks),
+       |tot AS (
+       |  SELECT CAST(sum(n_tokens) AS DOUBLE) AS corpus_tokens, sum(w_micro) AS temp_mass FROM w)
+       |SELECT source, n_docs, n_tokens,
+       |       floor(n_tokens::DOUBLE / corpus_tokens * 1e6 + 0.5) / 1e6 AS nat_share,
+       |       floor(w_micro::DOUBLE / temp_mass::DOUBLE * 1e6 + 0.5) / 1e6 AS temp_share,
+       |       floor((w_micro::DOUBLE / temp_mass::DOUBLE) / (n_tokens::DOUBLE / corpus_tokens) * 1e6 + 0.5) / 1e6 AS boost,
+       |       CAST(floor($MIX_DOC_BUDGET * (w_micro::DOUBLE / temp_mass::DOUBLE) + 0.5) AS BIGINT) AS plan_docs
+       |FROM w, tot
+       |ORDER BY source""".stripMargin
+
   val q70Oracle: String =
     """WITH s AS (
       |  SELECT source, count(*) AS n_docs,
@@ -1446,7 +1515,8 @@ object Curation {
     "q81_source_overlap" -> (q81SourceOverlap _),
     "q84_quality_model" -> (q84QualityModel _),
     "q86_curriculum" -> (q86Curriculum _),
-    "q100_epoch_plan" -> (q100EpochPlan _)
+    "q100_epoch_plan" -> (q100EpochPlan _),
+    "q109_temperature_mix" -> (q109TemperatureMix _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1464,6 +1534,7 @@ object Curation {
     "q81_source_overlap" -> q81Oracle,
     "q84_quality_model" -> q84Oracle,
     "q86_curriculum" -> q86Oracle,
-    "q100_epoch_plan" -> q100Oracle
+    "q100_epoch_plan" -> q100Oracle,
+    "q109_temperature_mix" -> q109Oracle
   )
 }

@@ -681,4 +681,30 @@ class CurationSpec extends SparkSpec {
         assert(math.abs(planned - target) <= n * 1e-4 + 1, s"$src uncapped source must hit target")
     }
   }
+
+  test("q109 temperature mix: shares sum to 1, boost up-weights small sources monotonically") {
+    val rows = Curation.q109TemperatureMix(spark, sfDir).collect()
+    assert(rows.length > 1)
+    val natSum = rows.map(_.getAs[Double]("nat_share")).sum
+    val tempSum = rows.map(_.getAs[Double]("temp_share")).sum
+    assert(math.abs(natSum - 1.0) < 1e-3 && math.abs(tempSum - 1.0) < 1e-3, s"shares sum $natSum/$tempSum")
+    // alpha=0.5 compresses the distribution: the smallest source gains, the
+    // largest loses, and boost is monotone DECREASING in source size
+    val bySize = rows.sortBy(_.getAs[Long]("n_tokens"))
+    assert(bySize.head.getAs[Double]("boost") > 1.0, "smallest source must be up-weighted")
+    assert(bySize.last.getAs[Double]("boost") < 1.0, "largest source must be down-weighted")
+    bySize.map(_.getAs[Double]("boost")).sliding(2).foreach {
+      case Array(a, b) => assert(a >= b - 1e-9, "boost must not increase with source size")
+      case _           =>
+    }
+    // single-node replica of the exact arithmetic
+    val toks = bySize.map(r => r.getAs[String]("source") -> r.getAs[Long]("n_tokens")).toMap
+    val wMicro = toks.view.mapValues(n => math.floor(math.sqrt(n.toDouble) * 1e6 + 0.5).toLong).toMap
+    val mass = wMicro.values.sum.toDouble
+    rows.foreach { r =>
+      val temp = wMicro(r.getAs[String]("source")) / mass
+      assert(r.getAs[Double]("temp_share") === math.floor(temp * 1e6 + 0.5) / 1e6, s"${r.getAs[String]("source")} temp_share")
+      assert(r.getAs[Long]("plan_docs") === math.floor(10000 * temp + 0.5).toLong, s"${r.getAs[String]("source")} plan_docs")
+    }
+  }
 }
