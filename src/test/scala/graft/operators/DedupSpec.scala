@@ -320,14 +320,14 @@ class DedupSpec extends SparkSpec {
     val bToks = ((1 to 8).map(i => s"a$i") ++ Seq("b1", "b2")).mkString(" ") // cluster B: j(A,B)=8/12 < 0.8
     val cToks = ((1 to 9).map(i => s"a$i") :+ "b1").mkString(" ")      // bridge: j(C,A)=j(C,B)=9/11 >= 0.8
     val dToks = (1 to 10).map(i => s"d$i").mkString(" ")               // old singleton
-    // ids chosen so the q108 midpoint pivot (lo + (hi-lo)/2 = 4) puts
-    // A/B/D in the "already clustered" half and C/E in the delta
+    // ids chosen so the q108 90%-mark pivot (lo + (hi-lo)*9/10 = 17) puts
+    // A/B/D in the "already clustered" state and C/E in the delta
     val docs = Seq(
       (0L, aToks), (1L, aToks),  // old cluster {0,1}
       (2L, bToks), (3L, bToks),  // old cluster {2,3}
       (4L, dToks),               // old singleton
-      (8L, cToks),               // NEW: bridges A and B
-      (9L, dToks)                // NEW: exact dup of the old singleton
+      (18L, cToks),              // NEW: bridges A and B
+      (19L, dToks)               // NEW: exact dup of the old singleton
     )
     docs
       .map { case (id, text) => (id, text, "en", "srcX", text.length.toLong) }
@@ -338,10 +338,10 @@ class DedupSpec extends SparkSpec {
     val out = Dedup.q108IncrementalClusters(spark, dir).collect()
     val label = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
     // merged component: both old clusters + the bridge, labeled by min id 0
-    assert(Set(0L, 1L, 2L, 3L, 8L).forall(label.get(_).contains(0L)),
+    assert(Set(0L, 1L, 2L, 3L, 18L).forall(label.get(_).contains(0L)),
       s"bridge merge failed: $label")
     // the old singleton gains a 2-doc cluster with the new exact dup
-    assert(label.get(4L).contains(4L) && label.get(9L).contains(4L), s"singleton link failed: $label")
+    assert(label.get(4L).contains(4L) && label.get(19L).contains(4L), s"singleton link failed: $label")
     out.foreach { r =>
       val want = if (r.getLong(1) == 0L) 5L else 2L
       assert(r.getLong(2) === want, s"cluster_size wrong: $r")

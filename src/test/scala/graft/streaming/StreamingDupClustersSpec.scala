@@ -82,4 +82,37 @@ class StreamingDupClustersSpec extends SparkSpec {
     assert(StreamingDupClusters.tick(spark, dataDir, stateDir) === 0L)
     assert(readState(stateDir) === got, "a redelivered/empty tick must not change the table")
   }
+
+  test("randomized ingest sequence: maintained table equals the exact rebuild after every tick") {
+    val rnd = new scala.util.Random(7)
+    val vocab = (1 to 12).map(i => s"w$i")
+    val dataDir = java.nio.file.Files.createTempDirectory("sdc_rand_data").toString
+    val stateDir = java.nio.file.Files.createTempDirectory("sdc_rand_state").toString
+
+    var landed = Vector.empty[(Long, Seq[String])]
+    var nextId = 0L
+    for (tick <- 1 to 4) {
+      // each tick lands 5-9 docs: random small-vocab subsets (chance
+      // near-dups within AND across ticks) plus one perturbation of an
+      // already-landed doc when there is one
+      val fresh = (0 until (5 + rnd.nextInt(5))).map { _ =>
+        val k = 5 + rnd.nextInt(6)
+        val toks =
+          if (landed.nonEmpty && rnd.nextInt(3) == 0) {
+            val src = landed(rnd.nextInt(landed.size))._2
+            if (src.size > 5) src.drop(1) else src
+          } else rnd.shuffle(vocab).take(k)
+        val d = nextId -> toks
+        nextId += 1
+        d
+      }
+      writeDocs(dataDir, if (tick == 1) "overwrite" else "append", fresh)
+      landed ++= fresh
+
+      val n = StreamingDupClusters.tick(spark, dataDir, stateDir)
+      assert(n === fresh.size.toLong, s"tick $tick delta count")
+      assert(readState(stateDir) === exactClusters(landed), s"tick $tick diverged from the exact rebuild")
+    }
+    info(s"4 random ticks, ${landed.size} docs, ${exactClusters(landed).values.map(_._1).toSet.size} clusters — all equal")
+  }
 }
