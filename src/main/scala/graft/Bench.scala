@@ -247,7 +247,18 @@ object Bench {
     val cal = s"""{"start_s":${jNum(calStart)},"end_s":${jNum(calEnd)}}"""
     val nRunnable = results.count { case (_, (v, _, _)) => v >= 0 }
 
-    def jStr(s: String): String = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    // escape control chars too: a multi-line Spark exception message in a
+    // violation detail must not produce a literal newline inside a JSON
+    // string (same rule as Verify.q)
+    def jStr(s: String): String = "\"" + s.flatMap {
+      case '"'          => "\\\""
+      case '\\'         => "\\\\"
+      case '\n'         => "\\n"
+      case '\r'         => "\\r"
+      case '\t'         => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c            => c.toString
+    } + "\""
     val auditJson =
       s"""{"sf":${jStr(sfDir)},"n_queries":${results.size},"clean":${planViolations.isEmpty},
          |"violations":${planViolations

@@ -52,7 +52,10 @@ object SelfCheck {
         .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
         .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
         .withColumn("j", inter / (size(col("sh_a")) + size(col("sh_b")) - inter))
-        .filter(col("j") < 0.5)
+        // same ROUNDED predicate as q30 itself (Dedup emits round(j,6) >=
+        // 0.5): comparing the unrounded value would flag a legitimately
+        // emitted boundary pair (exact j in [0.4999995, 0.5)) as a violation
+        .filter(round(col("j"), 6) < 0.5)
         .count()
       Result("exact shingle-jaccard >= 0.5 for every emitted pair", n.toDouble, bad, bad == 0L)
     }
@@ -225,7 +228,10 @@ object SelfCheck {
         .join(clusters, Seq("doc_id"), "left")
         .filter(coalesce(col("cluster"), col("doc_id")) =!= col("group_key"))
         .count()
-      // 3) the split is exactly q49's md5 coin on that key
+      // 3) the split is exactly q49's md5 coin on that key — deliberately
+      // re-spelled inline rather than calling Sampling.hashSplitCoin: a
+      // selfcheck that shares the production expression would be a
+      // tautology, not a check
       val recoin = got
         .withColumn("b", conv(substring(md5(col("group_key").cast("string")), 1, 2), 16, 10).cast("int"))
         .withColumn("want", when(col("b") < 205, "train").when(col("b") < 230, "validation").otherwise("test"))
@@ -240,13 +246,18 @@ object SelfCheck {
       val inc = operators.Dedup.q108IncrementalClusters(spark, sfDir)
       val full = operators.Dedup.q101LshDupClusters(spark, sfDir)
       val n = inc.count()
-      // symmetric difference via union + count-per-row: every
-      // (doc_id, cluster, cluster_size) row must appear in BOTH frames
+      // per-frame tagged counts: every (doc_id, cluster, cluster_size) row
+      // must appear exactly once in EACH frame — a plain union count of 2
+      // could not tell "one in each" from "twice in one, absent from the
+      // other" (a duplicated-row divergence would slip through)
       val bad = inc
-        .unionByName(full)
+        .select(col("doc_id"), col("cluster"), col("cluster_size"), lit(1).as("a"), lit(0).as("b"))
+        .unionByName(
+          full.select(col("doc_id"), col("cluster"), col("cluster_size"), lit(0).as("a"), lit(1).as("b"))
+        )
         .groupBy(col("doc_id"), col("cluster"), col("cluster_size"))
-        .agg(count(lit(1)).as("c"))
-        .filter(col("c") =!= 2)
+        .agg(sum(col("a")).as("na"), sum(col("b")).as("nb"))
+        .filter(col("na") =!= 1 || col("nb") =!= 1)
         .count()
       Result("incremental delta apply equals the full q101 rebuild exactly", n.toDouble, bad, bad == 0L)
     }

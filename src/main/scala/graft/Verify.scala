@@ -63,7 +63,9 @@ object Verify {
     val selfJson = SelfCheck
       .run(spark, sfDir)
       .map { case (name, r) =>
-        s"${q(name)}: {${q("check")}: ${q(r.check)}, ${q("metric")}: ${"%.6f".format(r.metric)}, " +
+        // Locale.ROOT: a comma-decimal default locale would emit 0,997 —
+        // invalid JSON — and crash the driver's gate instead of reporting
+        s"${q(name)}: {${q("check")}: ${q(r.check)}, ${q("metric")}: ${String.format(java.util.Locale.ROOT, "%.6f", Double.box(r.metric))}, " +
           s"${q("violations")}: ${r.violations}, ${q("pass")}: ${r.pass}}"
       }
       .mkString("{", ",", "}")

@@ -44,27 +44,39 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    val confKey = "spark.sql.legacy.parquet.nanosAsLong"
+    var retried = false
+    val before = spark.conf.getOption(confKey)
+    def restore(): Unit = before match {
+      case Some(v) => spark.conf.set(confKey, v)
+      case None    => spark.conf.unset(confKey)
+    }
     val raw =
       try load(spark, dir, "events")
       catch {
         case first: Exception =>
-          val before = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
           try {
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            spark.conf.set(confKey, "true")
+            retried = true
             load(spark, dir, "events")
           } catch {
             case _: Exception =>
-              before match {
-                case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
-                case None    => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
-              }
+              restore()
               throw first
           }
       }
     raw.schema("ts").dataType match {
-      case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
-      case _                => raw
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      // retry succeeded but ts is NOT the nanos long — the first failure was
+      // transient and the legacy conf was not the cure, so it must not stay
+      // set as a session-wide side effect (it changes how any LATER
+      // nanos-typed parquet in this shared session is read)
+      case TimestampNTZType =>
+        if (retried) restore()
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ =>
+        if (retried) restore()
+        raw
     }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")

@@ -409,8 +409,16 @@ object Dedup {
   // session-scoped cache (built once, shared with repeat runs — the artifact
   // a 100 TB dedup pipeline would persist as a table).
   // ---------------------------------------------------------------------------
+  /** Doubled-edge frames as session artifacts: the repeat consumers of the
+    * two cluster queries (Bench's median-of-N repeats, the SelfCheck
+    * equality passes, q99/q102/q106-q108's label caches) would otherwise
+    * re-run the doubling job and stack another checkpoint per call.
+    */
+  private val exactEdgesCache = new SessionCache[DataFrame]
+  private val lshEdgesCache = new SessionCache[DataFrame]
+
   def q61DupClusters(spark: SparkSession, dir: String): DataFrame =
-    clustersFrom(buildPairGraph(spark, dir))
+    clustersFromEdges(exactEdgesCache.getOrBuild(spark, dir)(doubledEdges(buildPairGraph(spark, dir))))
 
   /** Connected components over ANY undirected pair frame (doc_a, doc_b) —
     * the propagation loop parametrized over its edge supply, so exact pair
@@ -418,14 +426,20 @@ object Dedup {
     * the same scale-safe machinery. Returns (doc_id, cluster, cluster_size)
     * with cluster = min doc_id of the component, ordered (cluster, doc_id).
     */
-  private[operators] def clustersFrom(pairs: DataFrame): DataFrame = {
-    // both-direction expansion, materialized once: the loop scans it every
-    // round, so paying one doubling job beats re-reading the pair frame
-    // twice per round through a lazy union
-    val edges = pairs
+  /** Both-direction expansion, materialized once: the propagation loop
+    * scans it every round, so paying one doubling job beats re-reading the
+    * pair frame twice per round through a lazy union.
+    */
+  private def doubledEdges(pairs: DataFrame): DataFrame =
+    pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b"), col("doc_a")))
       .localCheckpoint()
+
+  private[operators] def clustersFrom(pairs: DataFrame): DataFrame =
+    clustersFromEdges(doubledEdges(pairs))
+
+  private def clustersFromEdges(edges: DataFrame): DataFrame = {
     var labels = edges
       .select(col("src").as("node"))
       .distinct()
@@ -559,7 +573,7 @@ object Dedup {
   }
 
   def q101LshDupClusters(spark: SparkSession, dir: String): DataFrame =
-    clustersFrom(minhashPairGraph(spark, dir))
+    clustersFromEdges(lshEdgesCache.getOrBuild(spark, dir)(doubledEdges(minhashPairGraph(spark, dir))))
 
   /** Same components in DuckDB: min-label reachability via a recursive CTE
     * (the UNION dedups (node, label) states, so the fixpoint enumerates
@@ -745,11 +759,9 @@ object Dedup {
       .join(clusters.select(col("doc_id"), col("cluster")), Seq("doc_id"), "left")
       .withColumn("group_key", coalesce(col("cluster"), col("doc_id")))
       .withColumn("in_cluster", when(col("cluster").isNotNull, 1).otherwise(0))
-      .withColumn("bucket", conv(substring(md5(col("group_key").cast("string")), 1, 2), 16, 10).cast("int"))
-      .withColumn(
-        "split",
-        when(col("bucket") < 205, "train").when(col("bucket") < 230, "validation").otherwise("test")
-      )
+      // q49's shared coin + thresholds (Sampling) — the degrades-to-q49-on-
+      // singletons contract holds by construction, not by parallel edits
+      .withColumn("split", Sampling.hashSplitCoin(col("group_key")))
       .select(col("doc_id"), col("group_key"), col("in_cluster"), col("split"))
       .orderBy(col("doc_id"))
 
@@ -800,13 +812,14 @@ object Dedup {
     * (doc_id, cluster) state from the previous run. Returns the same
     * (doc_id, cluster, cluster_size) contract as clustersFrom.
     */
-  private[operators] def clustersApply(t: DataFrame, isNew: Column, oldLabels: DataFrame): DataFrame = {
-    val allBuckets = bandBuckets(t.select(col("doc_id"), col("sig")))
-    val newBuckets = bandBuckets(t.filter(isNew).select(col("doc_id"), col("sig")))
-    // candidates touching >= 1 new doc: new-side buckets probe ALL buckets,
-    // so new-new pairs surface too (both directions — least/greatest +
-    // distinct canonicalizes)
-    val cand = newBuckets
+  /** Candidate pairs touching >= 1 delta doc: the delta's band keys probe
+    * the full bucket table, so new-new pairs surface too (both directions —
+    * least/greatest + distinct canonicalizes). Shared by the q108 batch
+    * delta and the streaming maintainer so the two spec-pinned-equal paths
+    * cannot drift.
+    */
+  private[graft] def deltaCandidates(newBuckets: DataFrame, allBuckets: DataFrame): DataFrame =
+    newBuckets
       .as("l")
       .join(allBuckets.as("r"), Seq("band", "key"))
       .filter(col("l.doc_id") =!= col("r.doc_id"))
@@ -815,7 +828,11 @@ object Dedup {
         greatest(col("l.doc_id"), col("r.doc_id")).as("doc_b")
       )
       .distinct()
-    applyEdgesToLabels(verifyEdges(t, cand), oldLabels)
+
+  private[operators] def clustersApply(t: DataFrame, isNew: Column, oldLabels: DataFrame): DataFrame = {
+    val allBuckets = bandBuckets(t.select(col("doc_id"), col("sig")))
+    val newBuckets = bandBuckets(t.filter(isNew).select(col("doc_id"), col("sig")))
+    applyEdgesToLabels(verifyEdges(t, deltaCandidates(newBuckets, allBuckets)), oldLabels)
   }
 
   /** The label-repair half of the incremental path: merge a verified edge

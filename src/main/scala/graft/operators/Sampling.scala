@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -84,13 +84,30 @@ object Sampling {
   // chars of md5(doc_id) (256 buckets) → 80/10/10. Pure per-row expression,
   // engine-agnostic (md5 is md5 everywhere) → fully oracle-checked.
   // ---------------------------------------------------------------------------
+  /** 256-bucket boundaries of the 80/10/10 split — the ONE place the
+    * fractions live: q49's doc-level split, q106/q107's group-level split
+    * (Dedup.splitFrom), and the q107 selfcheck all throw this same coin, so
+    * a re-balance here cannot silently desync them.
+    */
+  val SPLIT_TRAIN_LT = 205
+  val SPLIT_VALIDATION_LT = 230
+
+  /** The md5 split coin on any key column (cast to its string form). */
+  private[graft] def hashSplitBucket(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 2), 16, 10).cast("int")
+
+  private[graft] def hashSplitCoin(key: Column): Column = {
+    val b = hashSplitBucket(key)
+    when(b < SPLIT_TRAIN_LT, "train").when(b < SPLIT_VALIDATION_LT, "validation").otherwise("test")
+  }
+
   def q49HashSplit(spark: SparkSession, dir: String): DataFrame =
     Tables
       .documents(spark, dir)
-      .withColumn("bucket", conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10).cast("int"))
+      .withColumn("bucket", hashSplitBucket(col("doc_id")))
       .withColumn(
         "split",
-        when(col("bucket") < 205, "train").when(col("bucket") < 230, "validation").otherwise("test")
+        when(col("bucket") < SPLIT_TRAIN_LT, "train").when(col("bucket") < SPLIT_VALIDATION_LT, "validation").otherwise("test")
       )
       .groupBy(col("split"))
       .agg(

@@ -22,13 +22,15 @@ import graft.operators.Dedup
   * already at-or-below the watermark and the delta is empty.
   *
   * Persisted state under `stateDir`:
-  *   - `toks/delta_<lo>_<hi>/`    token sets + minhash sigs per ingest slice
-  *   - `buckets/delta_<lo>_<hi>/` (band, key, doc_id) LSH bucket rows
-  *   - `labels/current/`          the label table (stage-then-swap rewrite)
-  *   - `state.json`               watermark sidecar {max_doc_id}
+  *   - `toks/delta_<lo>/`    token sets + minhash sigs per ingest slice
+  *   - `buckets/delta_<lo>/` (band, key, doc_id) LSH bucket rows
+  *   - `labels/current/`     the label table (retire-promote rewrite, with
+  *                           `labels/prev/` as the crash-window fallback)
+  *   - `state.json`          watermark sidecar {max_doc_id}
   *
-  * The toks/buckets slices are APPEND-ONLY under deterministic delta-range
-  * names, so a crashed tick that reruns overwrites its own files
+  * The toks/buckets slices are APPEND-ONLY under names keyed by the
+  * delta's first doc id (stable across a crashed tick's replay even when
+  * more documents land in between), so a rerun overwrites its own files
   * (idempotent) instead of duplicating rows. Candidates come from the
   * delta's band keys equi-joined against the persisted bucket table;
   * verification joins the persisted token sets of candidate docs only. At
@@ -63,9 +65,12 @@ object StreamingDupClusters {
       .withColumn("sig", expr("minhash_sigs16(toks)"))
       .localCheckpoint() // one tokenize+sign pass feeds toks, buckets, AND the probe
 
-    // append this slice's state under its deterministic delta-range name —
-    // a rerun of the same tick overwrites, never duplicates
-    val sliceName = s"delta_${lo}_$hi"
+    // append this slice's state under a name keyed by the delta's LOW id
+    // only: lo = watermark + first landed id is stable across a crashed
+    // tick's replay even if MORE documents land before the rerun (hi
+    // grows), so the rerun overwrites the stale partial slice instead of
+    // leaving an overlapping doc range behind to be double-read forever
+    val sliceName = s"delta_$lo"
     tDelta.write.mode("overwrite").parquet(s"$stateDir/toks/$sliceName")
     Dedup
       .bandBuckets(tDelta.select(col("doc_id"), col("sig")))
@@ -81,15 +86,7 @@ object StreamingDupClusters {
     val allBuckets =
       spark.read.option("recursiveFileLookup", "true").parquet(s"$stateDir/buckets")
     val deltaBuckets = spark.read.parquet(s"$stateDir/buckets/$sliceName")
-    val cand = deltaBuckets
-      .as("l")
-      .join(allBuckets.as("r"), Seq("band", "key"))
-      .filter(col("l.doc_id") =!= col("r.doc_id"))
-      .select(
-        least(col("l.doc_id"), col("r.doc_id")).as("doc_a"),
-        greatest(col("l.doc_id"), col("r.doc_id")).as("doc_b")
-      )
-      .distinct()
+    val cand = Dedup.deltaCandidates(deltaBuckets, allBuckets)
 
     // verification reads candidate docs' token sets from persisted state
     val allToks = spark.read.option("recursiveFileLookup", "true").parquet(s"$stateDir/toks")
@@ -98,23 +95,38 @@ object StreamingDupClusters {
     val oldLabels = readLabels(spark, stateDir)
     val updated = Dedup.applyEdgesToLabels(edges, oldLabels).localCheckpoint()
 
-    // stage-then-swap the label rewrite, then advance the watermark LAST —
-    // a crash anywhere before it replays the same delta idempotently
+    // label rewrite with no loss window: stage the new table, retire the
+    // old one to prev/ (rename, not delete), promote the stage, THEN drop
+    // prev and advance the watermark. A crash at any point leaves either
+    // current/ or prev/ holding a complete pre-tick table — readLabels
+    // falls back to prev/ when a crash struck between retire and promote —
+    // so the replayed tick always sees full pre-tick state. (A plain
+    // delete-current-then-move had a window where BOTH were gone and every
+    // cluster not touched by the delta would have been lost for good.)
     updated.write.mode("overwrite").parquet(s"$stateDir/labels/stage")
     val cur = Paths.get(stateDir, "labels", "current")
-    deleteRecursively(cur)
+    val prev = Paths.get(stateDir, "labels", "prev")
+    deleteRecursively(prev)
+    if (Files.exists(cur)) Files.move(cur, prev)
     Files.move(Paths.get(stateDir, "labels", "stage"), cur)
+    deleteRecursively(prev)
     Files.writeString(Paths.get(stateDir, "state.json"), s"""{"max_doc_id": $hi}""")
     n
   }
 
-  /** Current label table — empty with the right schema before first tick. */
+  /** Current label table — empty with the right schema before first tick;
+    * falls back to the retired prev/ copy if a crash struck between the
+    * retire and promote renames in [[tick]].
+    */
   def readLabels(spark: SparkSession, stateDir: String): DataFrame = {
-    val cur = s"$stateDir/labels/current"
-    if (Files.exists(Paths.get(cur))) spark.read.parquet(cur).select(col("doc_id"), col("cluster"))
-    else {
-      import spark.implicits._
-      Seq.empty[(Long, Long)].toDF("doc_id", "cluster")
+    val cur = Paths.get(stateDir, "labels", "current")
+    val prev = Paths.get(stateDir, "labels", "prev")
+    val pick = if (Files.exists(cur)) Some(cur) else if (Files.exists(prev)) Some(prev) else None
+    pick match {
+      case Some(p) => spark.read.parquet(p.toString).select(col("doc_id"), col("cluster"))
+      case None =>
+        import spark.implicits._
+        Seq.empty[(Long, Long)].toDF("doc_id", "cluster")
     }
   }
 

@@ -83,6 +83,34 @@ class StreamingDupClustersSpec extends SparkSpec {
     assert(readState(stateDir) === got, "a redelivered/empty tick must not change the table")
   }
 
+  test("crash window between label retire and promote: prev/ fallback keeps full pre-tick state") {
+    import java.nio.file.{Files, Paths}
+    val dataDir = java.nio.file.Files.createTempDirectory("sdc_crash_data").toString
+    val stateDir = java.nio.file.Files.createTempDirectory("sdc_crash_state").toString
+    val oldDocs = Seq[(Long, Seq[String])](0L -> aToks, 1L -> aToks, 2L -> bToks, 3L -> bToks)
+    writeDocs(dataDir, "overwrite", oldDocs)
+    assert(StreamingDupClusters.tick(spark, dataDir, stateDir) === 4L)
+    val before = readState(stateDir)
+
+    // simulate the tick-2 crash exactly between retire (current -> prev)
+    // and promote (stage -> current): current is GONE, only prev survives
+    Files.move(Paths.get(stateDir, "labels", "current"), Paths.get(stateDir, "labels", "prev"))
+    assert(
+      StreamingDupClusters.readLabels(spark, stateDir).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+        before.view.mapValues(_._1).toMap,
+      "readLabels must serve the retired prev/ copy during the crash window"
+    )
+
+    // the replayed tick (new docs landed meanwhile) must see full pre-tick
+    // state through the fallback and converge to the exact rebuild
+    val newDocs = Seq[(Long, Seq[String])](8L -> cToks)
+    writeDocs(dataDir, "append", newDocs)
+    assert(StreamingDupClusters.tick(spark, dataDir, stateDir) === 1L)
+    assert(readState(stateDir) === exactClusters(oldDocs ++ newDocs),
+      "replay after the crash window must not lose untouched clusters")
+    assert(!Files.exists(Paths.get(stateDir, "labels", "prev")), "a clean tick retires prev/")
+  }
+
   test("randomized ingest sequence: maintained table equals the exact rebuild after every tick") {
     val rnd = new scala.util.Random(7)
     val vocab = (1 to 12).map(i => s"w$i")
