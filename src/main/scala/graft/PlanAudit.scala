@@ -102,6 +102,14 @@ object PlanAudit {
     "q109_temperature_mix" -> Map(
       "BroadcastNestedLoopJoin" ->
         "1-row broadcast totals (corpus tokens + temperature mass) joined onto per-source rows — the q70/q100 broadcast-scalar pattern"
+    ),
+    "q111_kn_trigram" -> Map(
+      "BroadcastNestedLoopJoin" ->
+        "1-row broadcast scalar (N1+(··), the bigram-type total) joined onto per-trigram-type rows — the q70 broadcast-scalar pattern; every other join is keyed on word tuples"
+    ),
+    "q112_perplexity_buckets" -> Map(
+      "BroadcastNestedLoopJoin" ->
+        "inherits q111's plan stage (the 1-row N1+(··) broadcast); the tercile layer's joins are keyed on doc_id/lang"
     )
   )
 

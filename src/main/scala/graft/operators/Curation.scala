@@ -1500,6 +1500,324 @@ object Curation {
        |       max(prob) AS max_prob
        |FROM s GROUP BY lang, stage ORDER BY lang, stage""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q110 — maximal duplicated-span extraction: the exact-substring report at
+  // SPAN granularity. q71's fixed non-overlapping chunks miss any duplicate
+  // that straddles a chunk boundary or is shorter than a chunk but longer
+  // than the span floor; this pass slides a K-token window over every
+  // position (the rolling-hash half of Lee et al.'s suffix-array recipe —
+  // reference has no analog), marks the k-grams whose hash occurs >= 2
+  // times ANYWHERE in the corpus (same doc counts: exact-substring
+  // semantics, unlike q71's cross-doc-only rule), and merges each doc's
+  // overlapping duplicated windows into maximal coverage intervals with the
+  // gaps-and-islands running-max trick. Spans shorter than SPAN_MIN tokens
+  // are noise (every isolated dup k-gram would otherwise qualify) and are
+  // dropped before the per-doc rollup.
+  //
+  // Scale shape: the k-gram instance table is one row per token position —
+  // the same linear blow-up q67/q69 already stage — materialized ONCE and
+  // reused by all three consumers (frequency count, dup-instance join,
+  // per-doc token totals). Frequency is a map-side-combined groupBy on the
+  // fixed-width key; the dup join is keyed on the same hash (never on
+  // text); the island merge is one doc_id-partitioned window whose two
+  // passes (running max, running sum) share a single exchange+sort. No
+  // driver traffic, no O(n^2) anywhere — corpus cost is O(total tokens).
+  // Key width follows `graft.curation.keyhash` (md5 default for the shared
+  // oracle; xxhash64 halves shuffle bytes at 100 TB).
+  // ---------------------------------------------------------------------------
+  private val SPAN_K = 8
+  private val SPAN_MIN = 16
+
+  /** The k-gram instance table (doc_id, n_toks, key, pos) — one row per
+    * token position of every doc with >= SPAN_K tokens. Shared by the batch
+    * q110 and `streaming/StreamingSpanDedup`'s per-delta slices so the two
+    * spec-pinned-equal paths derive instances identically.
+    */
+  private[graft] def spanGramInstances(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val hashFn = keyHashFn(spark)
+    Tables
+      .balanced(docs.select(col("doc_id"), col("text")))
+      .withColumn("toks", expr(toksExpr))
+      .filter(size(col("toks")) >= SPAN_K)
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+      .select(
+        col("doc_id"),
+        col("n_toks"),
+        explode(
+          expr(
+            s"transform(sequence(1, size(toks) - $SPAN_K + 1), " +
+              s"i -> struct($hashFn(array_join(slice(toks, i, $SPAN_K), ' ')) AS key, i AS pos))"
+          )
+        ).as("g")
+      )
+      .select(col("doc_id"), col("n_toks"), col("g.key").as("key"), col("g.pos").as("pos"))
+  }
+
+  /** Per-doc span stats over ANY instance frame + dup-key set: mark dup
+    * positions, merge overlapping coverage with the gaps-and-islands
+    * running max, drop spans under SPAN_MIN, roll up. The batch path feeds
+    * the corpus-derived dup keys; the streaming maintainer feeds the
+    * maintained counts table — same machinery, so they cannot drift.
+    */
+  private[graft] def spanStatsFrom(inst: DataFrame, dupKeys: DataFrame): DataFrame = {
+    val wSeen = Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val spans = inst
+      .join(dupKeys.select(col("key")), "key")
+      .select(col("doc_id"), col("pos"), (col("pos") + SPAN_K - 1).as("endpos"))
+      // new island when this window starts past the furthest coverage so
+      // far + 1 (adjacent coverage merges: contiguous duplicated text)
+      .withColumn("brk", when(col("pos") > coalesce(max(col("endpos")).over(wSeen), lit(-1)) + 1, 1).otherwise(0))
+      .withColumn("island", sum(col("brk")).over(wRun))
+      .groupBy(col("doc_id"), col("island"))
+      .agg((max(col("endpos")) - min(col("pos")) + 1).as("span_len"))
+      .filter(col("span_len") >= SPAN_MIN)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_dup_spans"),
+        sum(col("span_len")).cast("long").as("dup_tokens"),
+        max(col("span_len")).cast("long").as("longest_span")
+      )
+    inst
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_toks")).as("n_tokens"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        coalesce(col("longest_span"), lit(0L)).as("longest_span"),
+        expr("floor(cast(coalesce(dup_tokens, 0) AS double) * 1e6 / cast(n_tokens AS double) + 5e-1) / 1e6")
+          .as("dup_frac")
+      )
+  }
+
+  def q110SpanDedup(spark: SparkSession, dir: String): DataFrame = {
+    val inst = spanGramInstances(spark, Tables.documents(spark, dir)).localCheckpoint()
+    // >= 2 occurrences corpus-wide (instances, not distinct docs): a
+    // verbatim self-repeat is exactly as much a duplicated substring as a
+    // cross-doc one
+    val dupKeys = inst
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2)
+      .select(col("key"))
+    spanStatsFrom(inst, dupKeys).orderBy(col("doc_id"))
+  }
+
+  val q110Oracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+       |  FROM documents),
+       |inst AS (
+       |  SELECT doc_id, len(toks) AS n_toks,
+       |         unnest(list_transform(range(1, len(toks) - $SPAN_K + 2), i -> i)) AS pos,
+       |         unnest(list_transform(range(1, len(toks) - $SPAN_K + 2),
+       |                i -> md5(array_to_string(toks[i:i+$SPAN_K-1], ' ')))) AS key
+       |  FROM t WHERE len(toks) >= $SPAN_K),
+       |dupkeys AS (SELECT key FROM inst GROUP BY key HAVING count(*) >= 2),
+       |dup AS (
+       |  SELECT doc_id, pos, pos + $SPAN_K - 1 AS endpos
+       |  FROM inst JOIN dupkeys USING (key)),
+       |brk AS (
+       |  SELECT doc_id, pos, endpos,
+       |         CASE WHEN pos > coalesce(max(endpos) OVER (PARTITION BY doc_id ORDER BY pos
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1 THEN 1 ELSE 0 END AS b
+       |  FROM dup),
+       |isl AS (
+       |  SELECT doc_id, pos, endpos,
+       |         sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |  FROM brk),
+       |spans AS (
+       |  SELECT doc_id, island, max(endpos) - min(pos) + 1 AS span_len
+       |  FROM isl GROUP BY 1, 2),
+       |sp AS (
+       |  SELECT doc_id, count(*) AS n_dup_spans, sum(span_len) AS dup_tokens, max(span_len) AS longest_span
+       |  FROM spans WHERE span_len >= $SPAN_MIN GROUP BY 1),
+       |docs AS (SELECT doc_id, max(n_toks) AS n_tokens FROM inst GROUP BY 1)
+       |SELECT doc_id,
+       |       CAST(n_tokens AS BIGINT) AS n_tokens,
+       |       CAST(coalesce(n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+       |       CAST(coalesce(dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       |       CAST(coalesce(longest_span, 0) AS BIGINT) AS longest_span,
+       |       floor(CAST(coalesce(dup_tokens, 0) AS DOUBLE) * 1e6 / n_tokens + 5e-1) / 1e6 AS dup_frac
+       |FROM docs LEFT JOIN sp USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q111 — interpolated Kneser-Ney trigram LM scoring: the CCNet/KenLM-class
+  // quality signal (Wenzek et al., "CCNet"; Heafield's KenLM) one rung above
+  // q78's add-k bigram — absolute discounting (D=0.75) with CONTINUATION
+  // counts for the lower orders, so "york" (frequent only after "new")
+  // stops looking like a likely unigram. All lower-order structures derive
+  // from the trigram TYPE table (the standard KN construction): contexts
+  // c(w1w2·), follower diversity N1+(w1w2·), middle-order N1+(·w2w3) /
+  // N1+(·w2·) / N1+(w2·), and the continuation distribution
+  // N1+(·w3) / N1+(··). Every trigram a document contains is observed in
+  // the corpus by construction (the corpus trains on itself — the q69/q78
+  // self-scoring contract), so the score path never needs the unseen-type
+  // branch; the spec's single-node replica separately proves the model
+  // NORMALIZES (sums to 1 over the full vocab including backoff-only mass).
+  //
+  // Engine-exactness: every count is an integer; D = 7.5e-1 is exact
+  // binary; the whole probability is ONE shared expression string (mirrored
+  // verbatim in the oracle) over doubles, and the per-TYPE log-prob is
+  // floor-rounded to integer micros before the per-doc rollup, so doc sums
+  // are exact 64-bit integer arithmetic — merge-order-proof, the q105 rule.
+  //
+  // Scale shape: one tokenize+explode staged to (doc, trigram) counts and
+  // reused by both consumers (corpus type counts, per-doc rollup); every
+  // join is keyed on word tuples (swap to xxhash64 keys at 100 TB — same
+  // note as q67); the three w2-keyed joins ride one exchange each over the
+  // TYPE table (O(unique trigrams), not instances); N1+(··) is the only
+  // broadcast — a 1-row scalar (q70 pattern). No driver traffic.
+  // ---------------------------------------------------------------------------
+  private val KN_PROB =
+    "greatest(CAST(c3 AS DOUBLE) - 7.5e-1, 0e0)/c2 + 7.5e-1*n1p_12/c2*" +
+      "(greatest(CAST(n1p_d23 AS DOUBLE) - 7.5e-1, 0e0)/n1p_d2d + " +
+      "7.5e-1*n1p_2d/n1p_d2d*(CAST(n1p_d3 AS DOUBLE)/nbt))"
+
+  def q111KnTrigram(spark: SparkSession, dir: String): DataFrame = {
+    val docTri = Tables
+      .balanced(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .withColumn("toks", expr(toksExpr))
+      .filter(size(col("toks")) >= 3)
+      .select(
+        col("doc_id"),
+        explode(
+          expr(
+            "transform(sequence(1, size(toks) - 2), i -> struct(" +
+              "element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2, element_at(toks, i + 2) AS w3))"
+          )
+        ).as("g")
+      )
+      .select(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"), col("g.w3").as("w3"))
+      .groupBy(col("doc_id"), col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("k"))
+      .localCheckpoint()
+    val tri = docTri.groupBy(col("w1"), col("w2"), col("w3")).agg(sum(col("k")).as("c3"))
+    val ctx = tri.groupBy(col("w1"), col("w2")).agg(sum(col("c3")).as("c2"), count(lit(1)).as("n1p_12"))
+    // m23 rows ARE the distinct (w2,w3) bigram types seen as trigram tails —
+    // the single table the whole lower-order stack derives from
+    val m23 = tri.groupBy(col("w2"), col("w3")).agg(count(lit(1)).as("n1p_d23"))
+    val m2 = tri.groupBy(col("w2")).agg(count(lit(1)).as("n1p_d2d"))
+    val n2d = m23.groupBy(col("w2")).agg(count(lit(1)).as("n1p_2d"))
+    val c3t = m23.groupBy(col("w3")).agg(count(lit(1)).as("n1p_d3"))
+    val nbt = m23.agg(count(lit(1)).as("nbt"))
+    val scored = tri
+      .join(ctx, Seq("w1", "w2"))
+      .join(m23, Seq("w2", "w3"))
+      .join(m2, Seq("w2"))
+      .join(n2d, Seq("w2"))
+      .join(c3t, Seq("w3"))
+      .crossJoin(broadcast(nbt))
+      .withColumn("lp_micro", expr(s"CAST(floor(ln($KN_PROB) * 1e6 + 5e-1) AS BIGINT)"))
+      .select(col("w1"), col("w2"), col("w3"), col("lp_micro"))
+    docTri
+      .join(scored, Seq("w1", "w2", "w3"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_tri"), sum(col("k") * col("lp_micro")).as("sum_lp_micro"))
+      .select(
+        col("doc_id"),
+        col("n_tri"),
+        col("sum_lp_micro"),
+        expr("floor(CAST(sum_lp_micro AS DOUBLE) / n_tri + 5e-1) / 1e6").as("avg_lp")
+      )
+      .orderBy(col("doc_id"))
+  }
+
+  /** The shared KN CTE chain (counts → continuation structures → per-type
+    * micro-rounded log-prob → per-doc rollup as `perdoc`) — q111 reads it
+    * out directly, q112 terciles it.
+    */
+  private val KN_CHAIN: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+       |  FROM documents),
+       |inst AS (
+       |  SELECT doc_id,
+       |         unnest(list_transform(range(1, len(toks) - 1), i -> toks[i])) AS w1,
+       |         unnest(list_transform(range(1, len(toks) - 1), i -> toks[i+1])) AS w2,
+       |         unnest(list_transform(range(1, len(toks) - 1), i -> toks[i+2])) AS w3
+       |  FROM t WHERE len(toks) >= 3),
+       |doctri AS (SELECT doc_id, w1, w2, w3, count(*) AS k FROM inst GROUP BY 1, 2, 3, 4),
+       |tri AS (SELECT w1, w2, w3, sum(k) AS c3 FROM doctri GROUP BY 1, 2, 3),
+       |ctx AS (SELECT w1, w2, sum(c3) AS c2, count(*) AS n1p_12 FROM tri GROUP BY 1, 2),
+       |m23 AS (SELECT w2, w3, count(*) AS n1p_d23 FROM tri GROUP BY 1, 2),
+       |m2 AS (SELECT w2, count(*) AS n1p_d2d FROM tri GROUP BY 1),
+       |n2d AS (SELECT w2, count(*) AS n1p_2d FROM m23 GROUP BY 1),
+       |c3t AS (SELECT w3, count(*) AS n1p_d3 FROM m23 GROUP BY 1),
+       |nbtt AS (SELECT count(*) AS nbt FROM m23),
+       |sc AS (
+       |  SELECT w1, w2, w3,
+       |         CAST(floor(ln($KN_PROB) * 1e6 + 5e-1) AS BIGINT) AS lp_micro
+       |  FROM tri JOIN ctx USING (w1, w2) JOIN m23 USING (w2, w3) JOIN m2 USING (w2)
+       |       JOIN n2d USING (w2) JOIN c3t USING (w3), nbtt),
+       |perdoc AS (
+       |  SELECT doc_id,
+       |         CAST(sum(k) AS BIGINT) AS n_tri,
+       |         CAST(sum(k * lp_micro) AS BIGINT) AS sum_lp_micro,
+       |         floor(CAST(sum(k * lp_micro) AS DOUBLE) / sum(k) + 5e-1) / 1e6 AS avg_lp
+       |  FROM doctri JOIN sc USING (w1, w2, w3) GROUP BY doc_id)""".stripMargin
+
+  val q111Oracle: String =
+    s"""$KN_CHAIN
+       |SELECT doc_id, n_tri, sum_lp_micro, avg_lp FROM perdoc ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q112 — CCNet head/middle/tail perplexity partition: per language, tercile
+  // the corpus by the q111 KN score (high avg_lp = low perplexity = head) and
+  // report each bucket's envelope — CCNet's signature output (Wenzek et al.
+  // §4.3: LM-score terciles per language, "head" shipped to training). NTILE
+  // over the (avg_lp DESC, doc_id) total order makes tie placement
+  // deterministic and identical in both engines (the q86 rule).
+  //
+  // Scale note: same as q86 — exact terciles need a per-language sort; at
+  // 100 TB the same partition comes from q50-style approx-quantile
+  // boundaries + value-range assignment. The exact NTILE form is the
+  // oracle-able contract the approximate path would be validated against.
+  // ---------------------------------------------------------------------------
+  def q112PerplexityBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("avg_lp").desc, col("doc_id"))
+    q111KnTrigram(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang")), "doc_id")
+      .withColumn("b", ntile(3).over(w))
+      .withColumn("bucket", when(col("b") === 1, "head").when(col("b") === 2, "middle").otherwise("tail"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tri")).as("n_tri"),
+        // exact integer-micro mean over the bucket (merge-order-proof), then
+        // one double divide — the q105/q111 integer-sum rule
+        expr("floor(CAST(sum(sum_lp_micro) AS DOUBLE) / sum(n_tri) + 5e-1) / 1e6").as("mean_lp"),
+        min(col("avg_lp")).as("min_lp"),
+        max(col("avg_lp")).as("max_lp")
+      )
+      .orderBy(col("lang"), col("bucket"))
+  }
+
+  val q112Oracle: String =
+    s"""$KN_CHAIN,
+       |lb AS (
+       |  SELECT perdoc.doc_id, d.lang, perdoc.n_tri, perdoc.sum_lp_micro, perdoc.avg_lp,
+       |         ntile(3) OVER (PARTITION BY d.lang ORDER BY perdoc.avg_lp DESC, perdoc.doc_id) AS b
+       |  FROM perdoc JOIN documents d ON perdoc.doc_id = d.doc_id)
+       |SELECT lang,
+       |       CASE WHEN b = 1 THEN 'head' WHEN b = 2 THEN 'middle' ELSE 'tail' END AS bucket,
+       |       count(*)::BIGINT AS n_docs,
+       |       sum(n_tri)::BIGINT AS n_tri,
+       |       floor(CAST(sum(sum_lp_micro) AS DOUBLE) / sum(n_tri) + 5e-1) / 1e6 AS mean_lp,
+       |       min(avg_lp) AS min_lp,
+       |       max(avg_lp) AS max_lp
+       |FROM lb GROUP BY lang, b ORDER BY lang, bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q66_context_pack" -> (q66ContextPack _),
     "q67_contamination" -> (q67Contamination _),
@@ -1516,7 +1834,10 @@ object Curation {
     "q84_quality_model" -> (q84QualityModel _),
     "q86_curriculum" -> (q86Curriculum _),
     "q100_epoch_plan" -> (q100EpochPlan _),
-    "q109_temperature_mix" -> (q109TemperatureMix _)
+    "q109_temperature_mix" -> (q109TemperatureMix _),
+    "q110_span_dedup" -> (q110SpanDedup _),
+    "q111_kn_trigram" -> (q111KnTrigram _),
+    "q112_perplexity_buckets" -> (q112PerplexityBuckets _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1535,6 +1856,9 @@ object Curation {
     "q84_quality_model" -> q84Oracle,
     "q86_curriculum" -> q86Oracle,
     "q100_epoch_plan" -> q100Oracle,
-    "q109_temperature_mix" -> q109Oracle
+    "q109_temperature_mix" -> q109Oracle,
+    "q110_span_dedup" -> q110Oracle,
+    "q111_kn_trigram" -> q111Oracle,
+    "q112_perplexity_buckets" -> q112Oracle
   )
 }

@@ -332,12 +332,14 @@ class CurationSpec extends SparkSpec {
     val md71 = snap(Curation.q71PassageDedup(spark, sfDir))
     val md73 = snap(Curation.q73NgramNovelty(spark, sfDir))
     val md78 = snap(Curation.q78BigramLm(spark, sfDir))
+    val md110 = snap(Curation.q110SpanDedup(spark, sfDir))
     spark.conf.set(Curation.KeyHashConf, "xxhash64")
     try {
       assert(snap(Curation.q67Contamination(spark, sfDir)) === md67, "q67 diverged under xxhash64")
       assert(snap(Curation.q71PassageDedup(spark, sfDir)) === md71, "q71 diverged under xxhash64")
       assert(snap(Curation.q73NgramNovelty(spark, sfDir)) === md73, "q73 diverged under xxhash64")
       assert(snap(Curation.q78BigramLm(spark, sfDir)) === md78, "q78 diverged under xxhash64")
+      assert(snap(Curation.q110SpanDedup(spark, sfDir)) === md110, "q110 diverged under xxhash64")
     } finally spark.conf.unset(Curation.KeyHashConf)
     spark.conf.set(Curation.KeyHashConf, "sha512")
     try {
@@ -706,5 +708,176 @@ class CurationSpec extends SparkSpec {
       assert(r.getAs[Double]("temp_share") === math.floor(temp * 1e6 + 0.5) / 1e6, s"${r.getAs[String]("source")} temp_share")
       assert(r.getAs[Long]("plan_docs") === math.floor(10000 * temp + 0.5).toLong, s"${r.getAs[String]("source")} plan_docs")
     }
+  }
+
+  test("q110 span dedup: crafted corpus gets the exact span accounting") {
+    // 100/200 verbatim duplicates (full 40-token coverage); 300 shares its
+    // first 20 tokens with them (one 20-token span); 400 unique; 500 is one
+    // 8-token phrase self-repeated 3x (every window periodic ⇒ full
+    // coverage — the same-doc case q71's cross-doc rule cannot see); 600
+    // shares exactly ONE 8-token window ⇒ below the 16-token span floor
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q110corpus").toString
+    val dup = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val partial = ((1 to 20).map(i => s"tok$i") ++ (1 to 20).map(i => s"x$i")).mkString(" ")
+    val solo = (1 to 20).map(i => s"solo$i").mkString(" ")
+    val selfRep = Seq.fill(3)((1 to 8).map(i => s"rep$i")).flatten.mkString(" ")
+    val oneWin = ((1 to 10).map(i => s"y$i") ++ (1 to 8).map(i => s"tok$i") ++ (1 to 12).map(i => s"z$i")).mkString(" ")
+    Seq((100L, dup), (200L, dup), (300L, partial), (400L, solo), (500L, selfRep), (600L, oneWin))
+      .toDF("doc_id", "text")
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+
+    val r = Curation
+      .q110SpanDedup(spark, dir)
+      .collect()
+      .map(x =>
+        x.getAs[Long]("doc_id") ->
+          ((x.getAs[Long]("n_tokens"), x.getAs[Long]("n_dup_spans"), x.getAs[Long]("dup_tokens"),
+            x.getAs[Long]("longest_span"), x.getAs[Double]("dup_frac")))
+      )
+      .toMap
+    assert(r(100L) === ((40L, 1L, 40L, 40L, 1.0)), "verbatim dup is one full-width span")
+    assert(r(200L) === ((40L, 1L, 40L, 40L, 1.0)), "both copies report — extraction, not keep/drop")
+    assert(r(300L) === ((40L, 1L, 20L, 20L, 0.5)), "boundary-straddling prefix merges to one 20-token span")
+    assert(r(400L) === ((20L, 0L, 0L, 0L, 0.0)), "unique doc untouched")
+    assert(r(500L) === ((24L, 1L, 24L, 24L, 1.0)), "periodic self-repeat covers the whole doc")
+    assert(r(600L) === ((30L, 0L, 0L, 0L, 0.0)), "a single shared window stays below the span floor")
+  }
+
+  test("q110 span dedup: matches a first-principles recomputation at sf0.001") {
+    // independent single-node replica: count every 8-gram corpus-wide, mark
+    // positions whose 8-gram occurs >= 2 times, merge overlapping coverage
+    // intervals, drop spans < 16, aggregate — then compare row-for-row
+    val K = 8
+    val MIN = 16
+    val docs = graft.core.Tables
+      .documents(spark, sfDir)
+      .select("doc_id", "text")
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> tokens(r.getAs[String]("text")))
+    val occ = scala.collection.mutable.HashMap.empty[String, Int]
+    docs.foreach { case (_, toks) =>
+      toks.sliding(K).filter(_.length == K).foreach(g => occ.update(g.mkString(" "), occ.getOrElse(g.mkString(" "), 0) + 1))
+    }
+    val expected = docs.collect { case (id, toks) if toks.length >= K =>
+      val dupPos = (0 to toks.length - K).filter(i => occ(toks.slice(i, i + K).mkString(" ")) >= 2)
+      val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      dupPos.foreach { p =>
+        val (s, e) = (p, p + K - 1)
+        if (spans.nonEmpty && s <= spans.last._2 + 1) spans(spans.length - 1) = (spans.last._1, math.max(spans.last._2, e))
+        else spans += ((s, e))
+      }
+      val kept = spans.map { case (s, e) => e - s + 1 }.filter(_ >= MIN)
+      val dupToks = kept.sum.toLong
+      (id, (toks.length.toLong, kept.length.toLong, dupToks,
+        if (kept.isEmpty) 0L else kept.max.toLong,
+        math.floor(dupToks.toDouble * 1e6 / toks.length + 0.5) / 1e6))
+    }.toMap
+    val got = Curation
+      .q110SpanDedup(spark, sfDir)
+      .collect()
+      .map(x =>
+        x.getAs[Long]("doc_id") ->
+          ((x.getAs[Long]("n_tokens"), x.getAs[Long]("n_dup_spans"), x.getAs[Long]("dup_tokens"),
+            x.getAs[Long]("longest_span"), x.getAs[Double]("dup_frac")))
+      )
+      .toMap
+    assert(got.keySet === expected.keySet, "doc coverage differs")
+    got.foreach { case (id, v) => assert(v === expected(id), s"doc $id diverged") }
+    val nDup = got.count(_._2._3 > 0)
+    info(s"sf0.001: ${got.size} docs, $nDup with >=1 qualifying span")
+  }
+
+  test("q111 KN trigram: matches a first-principles replica; the model normalizes") {
+    // single-node interpolated-KN replica over the same corpus: identical
+    // count structures, identical D=0.75 arithmetic shape, identical
+    // per-type micro-rounding — then row-for-row equality with the query
+    val D = 0.75
+    val docs = graft.core.Tables
+      .documents(spark, sfDir)
+      .select("doc_id", "text")
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> tokens(r.getAs[String]("text")))
+      .filter(_._2.length >= 3)
+    val docTri = docs.map { case (id, toks) =>
+      id -> toks.sliding(3).filter(_.length == 3).map(g => (g(0), g(1), g(2))).toSeq
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    }.toMap
+    val c3 = scala.collection.mutable.HashMap.empty[(String, String, String), Long]
+    docTri.values.foreach(_.foreach { case (g, k) => c3.update(g, c3.getOrElse(g, 0L) + k) })
+    val ctx = c3.keys.groupBy(g => (g._1, g._2)).view.mapValues(_.toSeq).toMap
+    val c2 = ctx.view.mapValues(_.map(c3).sum).toMap
+    val n1p12 = ctx.view.mapValues(_.size.toLong).toMap
+    val m23 = c3.keys.map(g => (g._2, g._3)).toSet
+    val n1pD23 = c3.keys.toSeq.groupBy(g => (g._2, g._3)).view.mapValues(_.size.toLong).toMap
+    val n1pD2D = c3.keys.toSeq.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val n1p2D = m23.toSeq.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val n1pD3 = m23.toSeq.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nbt = m23.size.toDouble
+    def pCont(w3: String): Double = n1pD3.getOrElse(w3, 0L).toDouble / nbt
+    def pMid(w2: String, w3: String): Double =
+      math.max(n1pD23.getOrElse((w2, w3), 0L).toDouble - D, 0.0) / n1pD2D(w2) +
+        D * n1p2D(w2) / n1pD2D(w2) * pCont(w3)
+    def pTri(g: (String, String, String)): Double =
+      math.max(c3.getOrElse(g, 0L).toDouble - D, 0.0) / c2((g._1, g._2)) +
+        D * n1p12((g._1, g._2)) / c2((g._1, g._2)) * pMid(g._2, g._3)
+    val lpMicro = c3.keys.map(g => g -> math.floor(math.log(pTri(g)) * 1e6 + 0.5).toLong).toMap
+    val expected = docTri.map { case (id, tris) =>
+      val n = tris.values.sum
+      val s = tris.map { case (g, k) => k * lpMicro(g) }.sum
+      (id, (n, s, math.floor(s.toDouble / n + 0.5) / 1e6))
+    }
+    val got = Curation
+      .q111KnTrigram(spark, sfDir)
+      .collect()
+      .map(x =>
+        x.getAs[Long]("doc_id") ->
+          ((x.getAs[Long]("n_tri"), x.getAs[Long]("sum_lp_micro"), x.getAs[Double]("avg_lp")))
+      )
+      .toMap
+    assert(got.keySet === expected.keySet, "doc coverage differs")
+    got.foreach { case (id, v) => assert(v === expected(id), s"doc $id diverged") }
+
+    // the smoothed conditional is a real probability distribution: for
+    // sampled observed contexts (w1,w2), P(w3|w1,w2) summed over the FULL
+    // vocabulary (unseen w3 take backoff-only mass) must be 1 — the
+    // property that separates KN from an ad-hoc score
+    val vocab = n1pD3.keys.toSeq
+    ctx.keys.take(5).foreach { case (w1, w2) =>
+      val total = vocab.map { w3 =>
+        math.max(c3.getOrElse((w1, w2, w3), 0L).toDouble - D, 0.0) / c2((w1, w2)) +
+          D * n1p12((w1, w2)) / c2((w1, w2)) * pMid(w2, w3)
+      }.sum
+      assert(math.abs(total - 1.0) < 1e-9, s"context ($w1,$w2) mass $total")
+    }
+    info(s"sf0.001: ${got.size} docs scored, ${c3.size} trigram types, normalization verified on 5 contexts")
+  }
+
+  test("q112 perplexity buckets: terciles partition each language, head >= middle >= tail") {
+    val rows = Curation.q112PerplexityBuckets(spark, sfDir).collect()
+    val perDocByLang = Curation
+      .q111KnTrigram(spark, sfDir)
+      .join(graft.core.Tables.documents(spark, sfDir).select("doc_id", "lang"), "doc_id")
+      .groupBy("lang")
+      .count()
+      .collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("count"))
+      .toMap
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (lang, bs) =>
+      assert(bs.map(_.getAs[String]("bucket")).toSet === Set("head", "middle", "tail"), s"$lang buckets")
+      assert(bs.map(_.getAs[Long]("n_docs")).sum === perDocByLang(lang), s"$lang doc conservation")
+      // NTILE balance: bucket sizes differ by at most 1
+      val sizes = bs.map(_.getAs[Long]("n_docs"))
+      assert(sizes.max - sizes.min <= 1, s"$lang tercile balance $sizes")
+      val byB = bs.map(r => r.getAs[String]("bucket") -> r).toMap
+      // head holds the highest LM scores: envelopes must be ordered, and
+      // buckets must not overlap beyond the shared boundary value
+      assert(byB("head").getAs[Double]("min_lp") >= byB("middle").getAs[Double]("max_lp") - 1e-9, s"$lang head/middle")
+      assert(byB("middle").getAs[Double]("min_lp") >= byB("tail").getAs[Double]("max_lp") - 1e-9, s"$lang middle/tail")
+      assert(byB("head").getAs[Double]("mean_lp") >= byB("tail").getAs[Double]("mean_lp"), s"$lang mean order")
+    }
+    info(s"sf0.001: ${rows.length} (lang, bucket) rows over ${perDocByLang.size} languages")
   }
 }
