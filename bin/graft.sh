@@ -25,6 +25,7 @@
 #   scd2-maintain   one SCD2-history maintenance tick  (graft.tools.Scd2MaintainMain)
 #   corpus-maintain one corpus-build maintenance tick  (graft.tools.CorpusMaintainMain)
 #   cluster-maintain one dup-cluster maintenance tick (graft.tools.ClusterMaintainMain)
+#   span-maintain   one span-dedup maintenance tick   (graft.tools.SpanMaintainMain)
 set -euo pipefail
 
 cd "$(dirname "$0")/.."
@@ -73,6 +74,7 @@ case "$cmd" in
   scd2-maintain)   main=graft.tools.Scd2MaintainMain ;;
   corpus-maintain) main=graft.tools.CorpusMaintainMain ;;
   cluster-maintain) main=graft.tools.ClusterMaintainMain ;;
+  span-maintain)   main=graft.tools.SpanMaintainMain ;;
   help|--help|-h)
     # print the header comment block (everything between the shebang and
     # the first non-comment line), stripping the leading '# '

@@ -262,6 +262,48 @@ object SelfCheck {
       Result("incremental delta apply equals the full q101 rebuild exactly", n.toDouble, bad, bad == 0L)
     }
 
+    // -- q113: cross-split pairs subset-of-exact + recall vs exact ----------
+    check("q113_neardup_contamination") {
+      val rep = operators.Dedup.q113NeardupContamination(spark, sfDir).localCheckpoint()
+      val n = rep.count()
+      // exact cross-split near-dup pairs, re-derived from raw text and the
+      // q49 md5 coin independently of the query's code path (including an
+      // inline re-spelling of the coin — the q107 tautology rule)
+      val t = core.Tables
+        .documents(spark, sfDir)
+        .withColumn(
+          "toks",
+          expr("array_sort(array_distinct(transform(split(regexp_replace(lower(trim(text)), '\\\\s+', ' '), ' '), t -> xxhash64(t))))")
+        )
+        .withColumn("sz", size(col("toks")))
+        .withColumn("b", conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10).cast("int"))
+        .withColumn("is_test", col("b") >= 230)
+        .select(col("lang"), col("doc_id"), col("toks"), col("sz"), col("is_test"))
+      val inter = expr("sorted_intersect_count(l.toks, r.toks)").cast("double")
+      val jac = inter / (col("l.sz") + col("r.sz") - inter)
+      val exact = t
+        .as("l")
+        .join(
+          t.as("r"),
+          col("l.lang") === col("r.lang") && !col("l.is_test") && col("r.is_test") &&
+            col("l.sz") * 0.8 <= col("r.sz") && col("r.sz") * 0.8 <= col("l.sz") && jac >= 0.8
+        )
+        .select(col("l.doc_id").as("pa"), col("r.doc_id").as("pb"), round(jac, 6).as("j"))
+        .localCheckpoint()
+      val repPairs = rep.select(col("doc_a").as("pa"), col("doc_b").as("pb"), col("jaccard"))
+      val phantom = repPairs.join(exact, Seq("pa", "pb"), "left_anti").count()
+      val wrongJ = repPairs.join(exact, Seq("pa", "pb")).filter(col("jaccard") =!= col("j")).count()
+      val want = exact.count()
+      val hit = repPairs.join(exact.select(col("pa"), col("pb")), Seq("pa", "pb")).count()
+      val recall = if (want == 0) -1.0 else hit.toDouble / want
+      Result(
+        "cross-split pairs subset-of-exact (precision 1); recall vs exact",
+        recall,
+        phantom + wrongJ,
+        phantom + wrongJ == 0L && (want == 0L || recall >= 0.8)
+      )
+    }
+
     out.toSeq
   }
 }

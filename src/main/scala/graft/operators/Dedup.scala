@@ -917,6 +917,49 @@ object Dedup {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------------
+  // q113 — near-duplicate TEST-SET CONTAMINATION screen: the fuzzy upgrade
+  // of q67's exact 8-gram overlap, and the published decontamination
+  // practice (GPT-3's 13-gram screen was exact; RefinedWeb/Llama-class
+  // pipelines re-screen with MinHash because a near-duplicate of a test
+  // document leaks evaluation signal just as surely as a verbatim one).
+  // Pairs a TRAIN-side doc (q49's md5 coin != 'test') with every TEST-side
+  // doc it near-duplicates: banded token-MinHash candidates restricted to
+  // cross-split bucket collisions, then q32's exact same-lang token-jaccard
+  // >= 0.8 verify — so every emitted pair is exactly validated (precision
+  // 1) and only the candidate surface is approximate, q60/q101's contract.
+  //
+  // Scale shape: identical to q101's miner — signatures from the shared
+  // session-cached sigTokenFrame, band-bucket equi-join (train side probes
+  // test side: the test split is ~10% of the corpus, so the build side is
+  // the small one), verification touches candidates only. No SQL oracle
+  // (banding isn't SQL-expressible) → rows-only + a SelfCheck entry that
+  // re-verifies every emitted pair against an exact recomputation and
+  // measures recall vs the exact cross-split pair set.
+  // ---------------------------------------------------------------------------
+  def q113NeardupContamination(spark: SparkSession, dir: String): DataFrame = {
+    val t = sigTokenFrame(spark, dir)
+    val split = Sampling.hashSplitCoin(col("doc_id"))
+    val trainBuckets = bandBuckets(t.filter(split =!= "test").select(col("doc_id"), col("sig")))
+    val testBuckets = bandBuckets(t.filter(split === "test").select(col("doc_id"), col("sig")))
+    val cand = trainBuckets
+      .as("l")
+      .join(testBuckets.as("r"), Seq("band", "key"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+    // q32's exact verify, jaccard kept for the report (verifyEdges drops it)
+    val a = t.select(col("lang").as("lang_a"), col("doc_id").as("doc_a"), col("toks").as("toks_a"), col("sz").as("sz_a"))
+    val b = t.select(col("lang").as("lang_b"), col("doc_id").as("doc_b"), col("toks").as("toks_b"), col("sz").as("sz_b"))
+    val inter = expr("sorted_intersect_count(toks_a, toks_b)").cast("double")
+    val j = inter / (col("sz_a") + col("sz_b") - inter)
+    cand
+      .join(a, "doc_a")
+      .join(b, "doc_b")
+      .filter(col("lang_a") === col("lang_b") && j >= 0.8)
+      .select(col("lang_a").as("lang"), col("doc_a"), col("doc_b"), round(j, 6).as("jaccard"))
+      .orderBy(col("lang"), col("doc_a"), col("doc_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_exact_dedup" -> (q29ExactDedup _),
     "q30_minhash_pairs" -> (q30MinhashPairs _),
@@ -931,7 +974,8 @@ object Dedup {
     "q102_lsh_cluster_canon" -> (q102LshClusterCanon _),
     "q106_leakage_safe_split" -> (q106LeakageSafeSplit _),
     "q107_lsh_safe_split" -> (q107LshSafeSplit _),
-    "q108_incremental_clusters" -> (q108IncrementalClusters _)
+    "q108_incremental_clusters" -> (q108IncrementalClusters _),
+    "q113_neardup_contamination" -> (q113NeardupContamination _)
   )
 
   /** q30/q31/q60/q101/q102/q107/q108 are hash-based LSH — not reproducible

@@ -1,6 +1,6 @@
 package graft.tools
 
-import graft.streaming.{StreamingCorpus, StreamingDupClusters, StreamingScd2}
+import graft.streaming.{StreamingCorpus, StreamingDupClusters, StreamingScd2, StreamingSpanDedup}
 
 /** CLI entry points for the incremental maintainers — one tick per
   * invocation (the cron / entrypoint shape; the file-stream variants run
@@ -9,6 +9,7 @@ import graft.streaming.{StreamingCorpus, StreamingDupClusters, StreamingScd2}
   *   bin/graft.sh scd2-maintain    <eventsDir> <historyDir>
   *   bin/graft.sh corpus-maintain  <docsDir>   <stateDir>
   *   bin/graft.sh cluster-maintain <docsDir>   <stateDir>
+  *   bin/graft.sh span-maintain    <docsDir>   <stateDir>
   */
 object Scd2MaintainMain {
   def main(args: Array[String]): Unit = {
@@ -59,6 +60,22 @@ object ClusterMaintainMain {
       val labels = StreamingDupClusters.readLabels(spark, args(1))
       val nClusters = labels.select("cluster").distinct().count()
       println(s"[cluster-maintain] delta_docs=$n labeled_docs=${labels.count()} clusters=$nClusters")
+    } finally spark.stop()
+  }
+}
+
+object SpanMaintainMain {
+  def main(args: Array[String]): Unit = {
+    if (args.length != 2) {
+      System.err.println("usage: SpanMaintainMain <docsDir> <stateDir>")
+      sys.exit(2)
+    }
+    val spark = graft.core.Sessions.local("graft-span-maintain")
+    try {
+      val (n, retro) = StreamingSpanDedup.tick(spark, args(0), args(1))
+      val stats = StreamingSpanDedup.readStats(spark, args(1))
+      val dup = stats.filter(org.apache.spark.sql.functions.col("dup_tokens") > 0).count()
+      println(s"[span-maintain] delta_docs=$n retro_recomputed=$retro tracked_docs=${stats.count()} docs_with_spans=$dup")
     } finally spark.stop()
   }
 }

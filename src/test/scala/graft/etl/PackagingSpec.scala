@@ -36,6 +36,23 @@ class PackagingSpec extends AnyFunSuite {
     }
   }
 
+  test("every graft.sh dispatch target resolves to a main on the classpath") {
+    // ISO-8859-1: decodes any byte sequence (the script holds UTF-8 arrows
+    // in comments and the test JVM's default charset is not pinned); the
+    // main= targets we grep are pure ASCII either way
+    val src = scala.io.Source.fromFile(new java.io.File(repoRoot, "bin/graft.sh"))(scala.io.Codec.ISO8859)
+    val targets =
+      try "main=(graft\\.[A-Za-z0-9.]+)".r.findAllMatchIn(src.mkString).map(_.group(1)).toSeq
+      finally src.close()
+    assert(targets.size >= 10, s"dispatch table looks truncated: $targets")
+    targets.foreach { cls =>
+      val m =
+        try Class.forName(cls + "$").getField("MODULE$").get(null).getClass.getMethod("main", classOf[Array[String]])
+        catch { case e: Throwable => fail(s"graft.sh target $cls unresolvable: $e") }
+      assert(m != null, s"$cls has no main")
+    }
+  }
+
   test("warehouse init SQL is the dialect's own DDL, in execution order") {
     val sql = DialectDump.initSql(PostgresDialect)
     // exactly the create_* prefix of the statement inventory, each

@@ -880,4 +880,32 @@ class CurationSpec extends SparkSpec {
     }
     info(s"sf0.001: ${rows.length} (lang, bucket) rows over ${perDocByLang.size} languages")
   }
+
+  test("q112 terciles=approx: the 100 TB path tracks exact buckets without a window sort") {
+    val exact = Curation.q112PerplexityBuckets(spark, sfDir).collect()
+    spark.conf.set(Curation.TercilesConf, "approx")
+    try {
+      val df = Curation.q112PerplexityBuckets(spark, sfDir)
+      // the knob's whole point: no per-language NTILE sort in the plan
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), "approx path must not plan a Window sort")
+      val approx = df.collect()
+      val exactN = exact.map(r => (r.getAs[String]("lang"), r.getAs[String]("bucket")) -> r.getAs[Long]("n_docs")).toMap
+      val perLang = exact.groupBy(_.getAs[String]("lang")).view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+      approx.foreach { r =>
+        val (lang, bucket) = (r.getAs[String]("lang"), r.getAs[String]("bucket"))
+        val drift = math.abs(r.getAs[Long]("n_docs") - exactN((lang, bucket))).toDouble / perLang(lang)
+        assert(drift <= 0.1, s"($lang,$bucket) bucket mass drifted $drift from exact")
+      }
+      // ordering semantics survive the approximation
+      approx.groupBy(_.getAs[String]("lang")).foreach { case (lang, bs) =>
+        val byB = bs.map(r => r.getAs[String]("bucket") -> r.getAs[Double]("mean_lp")).toMap
+        for (h <- byB.get("head"); t <- byB.get("tail"))
+          assert(h >= t, s"$lang head/tail mean order under approx")
+      }
+    } finally spark.conf.unset(Curation.TercilesConf)
+    spark.conf.set(Curation.TercilesConf, "nearly")
+    try intercept[IllegalArgumentException](Curation.q112PerplexityBuckets(spark, sfDir))
+    finally spark.conf.unset(Curation.TercilesConf)
+  }
 }

@@ -351,4 +351,71 @@ class DedupSpec extends SparkSpec {
     assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet ===
       full.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
   }
+
+  test("q113 planted cross-split contamination: train near-dup of a test doc is caught") {
+    import spark.implicits._
+    // re-derive the q49 coin single-node to PLANT ids on known sides of the
+    // split (the query must agree — coin drift would break this test)
+    def bucket(id: Long): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5").digest(id.toString.getBytes("UTF-8"))
+      Integer.parseInt(md.take(1).map("%02x".format(_)).mkString, 16)
+    }
+    val testId = (0L to 4096L).find(bucket(_) >= 230).get
+    val trainId = (0L to 4096L).find(i => bucket(i) < 230 && i != testId).get
+    val trainId2 = (0L to 4096L).find(i => bucket(i) < 230 && i != testId && i != trainId).get
+
+    val base = (1 to 30).map(i => s"t$i")
+    val near = base.drop(2) ++ Seq("x1", "x2") // j = 28/32 = 0.875 >= 0.8
+    val far = (1 to 30).map(i => s"z$i")
+    val dir = java.nio.file.Files.createTempDirectory("q113").toString
+    Seq(
+      (testId, base.mkString(" ")),   // the held-out doc
+      (trainId, near.mkString(" ")),  // its near-duplicate on the train side
+      (trainId2, far.mkString(" "))   // unrelated train doc
+    ).map { case (id, text) => (id, text, "en", "srcX", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write
+      .parquet(s"$dir/documents.parquet")
+
+    val out = Dedup.q113NeardupContamination(spark, dir).collect()
+    assert(out.length === 1, s"expected exactly the planted leak, got ${out.toSeq}")
+    val r = out.head
+    assert(r.getAs[Long]("doc_a") === trainId && r.getAs[Long]("doc_b") === testId)
+    assert(math.abs(r.getAs[Double]("jaccard") - 0.875) < 1e-9)
+  }
+
+  test("q113 at sf0.001: every pair crosses the split, is exactly verified, recall vs exact") {
+    val rep = Dedup.q113NeardupContamination(spark, sfDir).collect()
+    def bucket(id: Long): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5").digest(id.toString.getBytes("UTF-8"))
+      Integer.parseInt(md.take(1).map("%02x".format(_)).mkString, 16)
+    }
+    rep.foreach { r =>
+      assert(bucket(r.getAs[Long]("doc_a")) < 230, s"doc_a must be train/validation: $r")
+      assert(bucket(r.getAs[Long]("doc_b")) >= 230, s"doc_b must be test: $r")
+      val j = r.getAs[Double]("jaccard")
+      assert(j >= 0.8 && j <= 1.0, s"jaccard out of contract: $r")
+    }
+    // recall vs the exact cross-split pair set derived from q32's exact
+    // all-pairs miner (restricted to pairs straddling the split)
+    val exact = Dedup
+      .q32TokenJaccard(spark, sfDir)
+      .collect()
+      .flatMap { r =>
+        val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+        // q32 canonicalizes a < b; orient to (train, test) and keep only
+        // cross-split pairs
+        if (bucket(a) < 230 && bucket(b) >= 230) Some((a, b))
+        else if (bucket(b) < 230 && bucket(a) >= 230) Some((b, a))
+        else None
+      }
+      .toSet
+    val got = rep.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(got.subsetOf(exact), s"phantom pairs: ${got -- exact}")
+    if (exact.nonEmpty) {
+      val recall = got.size.toDouble / exact.size
+      assert(recall >= 0.8, s"recall $recall below floor (${got.size}/${exact.size})")
+      info(s"sf0.001: ${exact.size} exact cross-split leaks, recall $recall")
+    } else info("sf0.001: no cross-split near-dup pairs in this corpus")
+  }
 }

@@ -61,6 +61,35 @@ class StreamingSpanDedupSpec extends SparkSpec {
     assert(snap(StreamingSpanDedup.readStats(spark, stateDir)) === t2, "empty tick must not change the table")
   }
 
+  test("crash window between StateStore's two renames: .old fallback keeps pre-tick stats") {
+    import java.nio.file.{Files, Paths}
+    val dataDir = java.nio.file.Files.createTempDirectory("ssd_crash_data").toString
+    val stateDir = java.nio.file.Files.createTempDirectory("ssd_crash_state").toString
+    val u = (1 to 40).map(i => s"c$i")
+    writeDocs(dataDir, "overwrite", Seq(0L -> u, 1L -> (1 to 20).map(i => s"d$i")))
+    assert(StreamingSpanDedup.tick(spark, dataDir, stateDir)._1 === 2L)
+    val before = snap(StreamingSpanDedup.readStats(spark, stateDir))
+
+    // simulate a crash exactly between commit's retire (stats -> stats.old)
+    // and promote (stats.staging -> stats): stats is GONE, only .old remains
+    Files.move(Paths.get(stateDir, "stats"), Paths.get(stateDir, "stats.old"))
+    assert(
+      snap(StreamingSpanDedup.readStats(spark, stateDir)) === before,
+      "readStats must serve the retired .old copy during the crash window"
+    )
+
+    // the replayed tick (new docs landed meanwhile, incl. a copy of doc 0)
+    // must see full pre-tick state through the fallback and converge
+    writeDocs(dataDir, "append", Seq(2L -> u))
+    val (n, affected) = StreamingSpanDedup.tick(spark, dataDir, stateDir)
+    assert(n === 1L && affected === 1L, s"replay delta/affected ($n, $affected)")
+    assert(
+      snap(StreamingSpanDedup.readStats(spark, stateDir)) === snap(Curation.q110SpanDedup(spark, dataDir)),
+      "replay after the crash window must converge to the batch rebuild"
+    )
+    assert(!Files.exists(Paths.get(stateDir, "stats.old")), "a clean tick clears .old")
+  }
+
   test("randomized ingest sequence: maintained table equals the batch rebuild after every tick") {
     val rnd = new scala.util.Random(11)
     val vocab = (1 to 30).map(i => s"w$i")
