@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -76,6 +77,70 @@ object Multimodal {
       payload.foreach(b => h((b & 0xff) % FeatureDim) += 1f)
       val total = math.max(1f, payload.length.toFloat)
       h.map(_ / total)
+    }
+
+    /** Per-frame content fingerprints of the decoded "video": the payload
+      * sliced into one window per sampled frame (q38's 1 fps cadence ⇒
+      * F = ceil(duration/1000) frames), md5 per slice — the keyframe-
+      * fingerprint stand-in (a real codec would pHash each decoded
+      * keyframe). Tail windows past the payload produce no fingerprint, so
+      * no two videos can ever "share" an empty frame.
+      */
+    def frameFingerprints(payload: Array[Byte], durationMs: Long): Array[String] = {
+      val n = payload.length
+      val f = math.ceil(durationMs / 1000.0).toInt
+      if (n == 0 || f <= 0) return Array.empty
+      val w = math.max(1, math.ceil(n.toDouble / f).toInt)
+      (0 until f).iterator
+        .takeWhile(i => i * w < n)
+        .map { i =>
+          val end = math.min((i + 1) * w, n)
+          java.security.MessageDigest
+            .getInstance("MD5")
+            .digest(java.util.Arrays.copyOfRange(payload, i * w, end))
+            .map("%02x".format(_))
+            .mkString
+        }
+        .toArray
+    }
+
+    /** Per-window byte-sum energies of the decoded "audio" — fixed
+      * 50-byte windows, tail window shorter. The energy-envelope stand-in
+      * (a real codec would RMS decoded PCM windows).
+      */
+    val AudioWindowBytes = 50
+    def energyWindows(payload: Array[Byte]): Array[Long] = {
+      val n = payload.length
+      Array.tabulate(math.ceil(n.toDouble / AudioWindowBytes).toInt) { c =>
+        var s = 0L
+        var i = c * AudioWindowBytes
+        val end = math.min((c + 1) * AudioWindowBytes, n)
+        while (i < end) { s += payload(i) & 0xff; i += 1 }
+        s
+      }
+    }
+
+    /** 64-bit average-hash (aHash) of the decoded "image", returned as 8
+      * band bytes (ints 0-255): the payload is split into 64 equal-width
+      * cells, each cell's byte sum thresholded against the global mean —
+      * the classic perceptual-hash recipe with the fake codec's "pixels"
+      * being payload bytes. Returned banded (8 bits per band) because the
+      * near-dup miner buckets on band equality; total/64.0 is a power-of-2
+      * divide, so the threshold compare is EXACT in both engines.
+      */
+    def aHash(payload: Array[Byte]): Array[Int] = {
+      val n = payload.length
+      val w = math.ceil(n / 64.0).toInt
+      val cells = Array.tabulate(64) { c =>
+        var s = 0L
+        var i = c * w
+        val end = math.min((c + 1) * w, n)
+        while (i < end) { s += payload(i) & 0xff; i += 1 }
+        s
+      }
+      val total = cells.sum
+      val bits = cells.map(v => if (v.toDouble > total / 64.0) 1 else 0)
+      Array.tabulate(8)(b => (0 until 8).map(j => bits(b * 8 + j) << j).sum)
     }
   }
 
@@ -254,11 +319,272 @@ object Multimodal {
       )
       .orderBy(col("kind"))
 
+  // ---------------------------------------------------------------------------
+  // q114 — image near-duplicate mining by banded perceptual hash: the
+  // LAION-class image-dedup step (near-identical images under recompression
+  // / light edits), run over the codec seam like every media op. aHash per
+  // image from the batched fake decode (swap FakeCodec.aHash for a real
+  // pHash over decoded pixels — plan shape unchanged), then candidate pairs
+  // from BAND-BUCKET equality (8 bands x 8 bits) and an exact banded
+  // hamming verify at tau = 6.
+  //
+  // The banding here is PROVABLY COMPLETE, not approximate: two hashes
+  // within hamming distance 6 differ in at most 6 of 8 bands (pigeonhole),
+  // so they collide on at least one band bucket and every qualifying pair
+  // is surfaced. The plan is an LSH plan — bucket equi-join, verify touches
+  // candidates only, no all-pairs anywhere — yet the RESULT equals the
+  // exact all-pairs computation, which is why this LSH query can be fully
+  // oracle-gated (the DuckDB oracle does the O(n^2) hamming join outright;
+  // n = the image kind's share of the corpus at gate scale).
+  // ---------------------------------------------------------------------------
+  private val AHASH_TAU = 6
+
+  def q114ImageNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    val hashed = mediaTable(spark, dir)
+      .filter(col("kind") === lit("image") && length(col("payload")) >= 64)
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        // per-partition batched, the decode-stage shape: codec opens once
+        rows.grouped(DecodeBatchSize).flatMap(_.map(m => (m.media_id, FakeCodec.aHash(m.payload))))
+      }
+      .toDF("media_id", "bands")
+      .localCheckpoint()
+    val inst = hashed.select(col("media_id"), posexplode(col("bands")).as(Seq("band", "bv")))
+    val cand = inst
+      .as("l")
+      .join(inst.as("r"), Seq("band", "bv"))
+      .filter(col("l.media_id") < col("r.media_id"))
+      .select(col("l.media_id").as("media_a"), col("r.media_id").as("media_b"))
+      .distinct()
+    cand
+      .join(hashed.select(col("media_id").as("media_a"), col("bands").as("bands_a")), "media_a")
+      .join(hashed.select(col("media_id").as("media_b"), col("bands").as("bands_b")), "media_b")
+      .withColumn(
+        "hamming",
+        expr("CAST(aggregate(zip_with(bands_a, bands_b, (x, y) -> bit_count(x ^ y)), 0, (acc, v) -> acc + v) AS BIGINT)")
+      )
+      .filter(col("hamming") <= AHASH_TAU)
+      .select(col("media_a"), col("media_b"), col("hamming"))
+      .orderBy(col("media_a"), col("media_b"))
+  }
+
+  /** The aHash arithmetic replayed over the verified-ASCII corpus (bytes =
+    * codepoints, the q37/q39 contract), then the exact all-pairs hamming
+    * join the pigeonhole argument proves the banded plan equal to.
+    */
+  val q114Oracle: String =
+    """WITH img AS (
+      |  SELECT doc_id AS media_id, text,
+      |         octet_length(encode(text)) AS n,
+      |         CAST(ceil(octet_length(encode(text)) / 64.0) AS INT) AS w
+      |  FROM documents
+      |  WHERE ['image','audio','video'][(doc_id % 3 + 1)::INT] = 'image'
+      |    AND octet_length(encode(text)) >= 64),
+      |cells AS (
+      |  SELECT media_id,
+      |         list_transform(range(0, 64), c ->
+      |           coalesce(list_sum(list_transform(list_filter(range(c*w + 1, (c+1)*w + 1), i -> i <= n),
+      |                    i -> ascii(substring(text, i, 1)))), 0)) AS cells
+      |  FROM img),
+      |hb AS (
+      |  SELECT media_id,
+      |         list_transform(range(0, 8), b ->
+      |           list_sum(list_transform(range(0, 8), j ->
+      |             CASE WHEN cells[b*8 + j + 1] > list_sum(cells) / 64.0
+      |                  THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END))) AS bands
+      |  FROM cells)
+      |SELECT l.media_id AS media_a, r.media_id AS media_b,
+      |       CAST(list_sum(list_transform(range(1, 9), k -> bit_count(xor(l.bands[k], r.bands[k])))) AS BIGINT) AS hamming
+      |FROM hb l JOIN hb r ON l.media_id < r.media_id
+      |WHERE list_sum(list_transform(range(1, 9), k -> bit_count(xor(l.bands[k], r.bands[k])))) <= 6
+      |ORDER BY media_a, media_b""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q115 — video near-duplicate mining by frame-fingerprint containment: the
+  // keyframe-fingerprint recipe for video corpora (a re-encoded / trimmed
+  // copy shares most keyframe hashes with its source). Per-frame md5
+  // fingerprints from the batched codec seam (swap for per-keyframe pHash,
+  // plan unchanged), pairs from the fingerprint EQUI-JOIN (exact — no
+  // banding needed: a shared frame is a shared hash), kept when the shared
+  // count covers >= 50% of the smaller video's distinct fingerprints.
+  // Fully oracle-gated: the fingerprint is md5 over a payload slice, which
+  // DuckDB replays as md5(substring(text, ...)) under the verified-ASCII
+  // contract. Scale: shuffle keys are 32-byte hashes; a boilerplate frame
+  // shared by many videos fans out the join exactly like q71's shared
+  // chunks — the containment groupBy is map-side combined.
+  // ---------------------------------------------------------------------------
+  def q115VideoNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    val inst = mediaTable(spark, dir)
+      .filter(col("kind") === lit("video") && col("meta.duration_ms") > 0)
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.grouped(DecodeBatchSize).flatMap(_.flatMap { m =>
+          FakeCodec.frameFingerprints(m.payload, m.meta.duration_ms).map(fp => (m.media_id, fp))
+        })
+      }
+      .toDF("media_id", "fp")
+      .distinct() // containment is over DISTINCT fingerprints per video
+      .localCheckpoint()
+    val nf = inst.groupBy(col("media_id")).agg(count(lit(1)).as("nf"))
+    val sh = inst
+      .as("l")
+      .join(inst.as("r"), col("l.fp") === col("r.fp") && col("l.media_id") < col("r.media_id"))
+      .groupBy(col("l.media_id").as("media_a"), col("r.media_id").as("media_b"))
+      .agg(count(lit(1)).as("shared_frames"))
+    sh.join(nf.select(col("media_id").as("media_a"), col("nf").as("nf_a")), "media_a")
+      .join(nf.select(col("media_id").as("media_b"), col("nf").as("nf_b")), "media_b")
+      .filter(col("shared_frames").cast("double") / least(col("nf_a"), col("nf_b")) >= 0.5)
+      .select(
+        col("media_a"),
+        col("media_b"),
+        col("shared_frames"),
+        expr("floor(CAST(shared_frames AS DOUBLE) * 1e6 / least(nf_a, nf_b) + 5e-1) / 1e6").as("containment")
+      )
+      .orderBy(col("media_a"), col("media_b"))
+  }
+
+  val q115Oracle: String =
+    """WITH v AS (
+      |  SELECT doc_id AS media_id, text,
+      |         octet_length(encode(text)) AS n,
+      |         CAST(ceil((n_chars * 40) / 1000.0) AS INT) AS f
+      |  FROM documents
+      |  WHERE ['image','audio','video'][(doc_id % 3 + 1)::INT] = 'video'
+      |    AND n_chars * 40 > 0),
+      |wv AS (
+      |  SELECT media_id, text, n, f,
+      |         greatest(1, CAST(ceil(n / CAST(f AS DOUBLE)) AS INT)) AS w
+      |  FROM v WHERE n > 0),
+      |raw AS (
+      |  SELECT media_id,
+      |         unnest(list_transform(list_filter(range(0, f), i -> i * w < n),
+      |                i -> md5(substring(text, i*w + 1, w)))) AS fp
+      |  FROM wv),
+      |inst AS (SELECT DISTINCT media_id, fp FROM raw),
+      |nf AS (SELECT media_id, count(*) AS nf FROM inst GROUP BY 1),
+      |sh AS (
+      |  SELECT l.media_id AS media_a, r.media_id AS media_b, count(*) AS shared_frames
+      |  FROM inst l JOIN inst r ON l.fp = r.fp AND l.media_id < r.media_id
+      |  GROUP BY 1, 2)
+      |SELECT media_a, media_b,
+      |       CAST(shared_frames AS BIGINT) AS shared_frames,
+      |       floor(CAST(shared_frames AS DOUBLE) * 1e6 / least(a.nf, b.nf) + 5e-1) / 1e6 AS containment
+      |FROM sh JOIN nf a ON sh.media_a = a.media_id JOIN nf b ON sh.media_b = b.media_id
+      |WHERE CAST(shared_frames AS DOUBLE) / least(a.nf, b.nf) >= 0.5
+      |ORDER BY media_a, media_b""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q116 — audio activity segmentation: the VAD-shaped preprocessing a
+  // speech-data pipeline runs before transcription/filtering — an energy
+  // envelope per audio (50-byte windows from the batched codec seam; a real
+  // codec RMSes decoded PCM), windows marked ACTIVE when their energy
+  // exceeds the audio's mean, maximal runs of active windows merged into
+  // segments (the q110 gaps-and-islands machinery on window indexes). The
+  // active test is the integer cross-multiply `energy * n_windows > total`
+  // — no division anywhere, so both engines compare exact integers.
+  // Per-audio report: window/active/segment counts, longest segment,
+  // active fraction. Fully oracle-gated via ascii-sum replay.
+  // ---------------------------------------------------------------------------
+  def q116AudioActivity(spark: SparkSession, dir: String): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    val win = mediaTable(spark, dir)
+      .filter(col("kind") === lit("audio") && length(col("payload")) > 0)
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.grouped(DecodeBatchSize).flatMap(_.flatMap { m =>
+          FakeCodec.energyWindows(m.payload).zipWithIndex.map { case (e, i) => (m.media_id, i, e) }
+        })
+      }
+      .toDF("media_id", "idx", "energy")
+      .localCheckpoint()
+    val totals = win.groupBy(col("media_id")).agg(count(lit(1)).as("n_windows"), sum(col("energy")).as("total"))
+    val active = win
+      .join(totals, "media_id")
+      .withColumn("is_active", col("energy") * col("n_windows") > col("total"))
+    val wSeen = Window.partitionBy(col("media_id")).orderBy(col("idx")).rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window
+      .partitionBy(col("media_id"))
+      .orderBy(col("idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val segs = active
+      .filter(col("is_active"))
+      .withColumn("brk", when(col("idx") > coalesce(max(col("idx")).over(wSeen), lit(-2)) + 1, 1).otherwise(0))
+      .withColumn("seg", sum(col("brk")).over(wRun))
+      .groupBy(col("media_id"), col("seg"))
+      .agg(count(lit(1)).as("seg_len"))
+      .groupBy(col("media_id"))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(col("seg_len")).cast("long").as("n_active"),
+        max(col("seg_len")).cast("long").as("longest_segment")
+      )
+    totals
+      .join(segs, Seq("media_id"), "left")
+      .select(
+        col("media_id"),
+        col("n_windows"),
+        coalesce(col("n_active"), lit(0L)).as("n_active"),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        coalesce(col("longest_segment"), lit(0L)).as("longest_segment"),
+        expr("floor(CAST(coalesce(n_active, 0) AS DOUBLE) * 1e6 / n_windows + 5e-1) / 1e6").as("active_frac")
+      )
+      .orderBy(col("media_id"))
+  }
+
+  val q116Oracle: String =
+    """WITH a AS (
+      |  SELECT doc_id AS media_id, text, octet_length(encode(text)) AS n
+      |  FROM documents
+      |  WHERE ['image','audio','video'][(doc_id % 3 + 1)::INT] = 'audio'
+      |    AND octet_length(encode(text)) > 0),
+      |win AS (
+      |  SELECT media_id,
+      |         unnest(list_transform(range(0, CAST(ceil(n / 50.0) AS INT)), c -> c)) AS idx,
+      |         unnest(list_transform(range(0, CAST(ceil(n / 50.0) AS INT)), c ->
+      |           coalesce(list_sum(list_transform(list_filter(range(c*50 + 1, (c+1)*50 + 1), i -> i <= n),
+      |                    i -> ascii(substring(text, i, 1)))), 0))) AS energy
+      |  FROM a),
+      |tot AS (SELECT media_id, count(*) AS n_windows, sum(energy) AS total FROM win GROUP BY 1),
+      |act AS (
+      |  SELECT win.media_id, idx
+      |  FROM win JOIN tot USING (media_id)
+      |  WHERE energy * n_windows > total),
+      |brk AS (
+      |  SELECT media_id, idx,
+      |         CASE WHEN idx > coalesce(max(idx) OVER (PARTITION BY media_id ORDER BY idx
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1 THEN 1 ELSE 0 END AS b
+      |  FROM act),
+      |isl AS (
+      |  SELECT media_id, idx,
+      |         sum(b) OVER (PARTITION BY media_id ORDER BY idx
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+      |  FROM brk),
+      |segs AS (SELECT media_id, seg, count(*) AS seg_len FROM isl GROUP BY 1, 2),
+      |per AS (
+      |  SELECT media_id, count(*) AS n_segments, sum(seg_len) AS n_active, max(seg_len) AS longest_segment
+      |  FROM segs GROUP BY 1)
+      |SELECT tot.media_id,
+      |       CAST(n_windows AS BIGINT) AS n_windows,
+      |       CAST(coalesce(n_active, 0) AS BIGINT) AS n_active,
+      |       CAST(coalesce(n_segments, 0) AS BIGINT) AS n_segments,
+      |       CAST(coalesce(longest_segment, 0) AS BIGINT) AS longest_segment,
+      |       floor(CAST(coalesce(n_active, 0) AS DOUBLE) * 1e6 / n_windows + 5e-1) / 1e6 AS active_frac
+      |FROM tot LEFT JOIN per ON tot.media_id = per.media_id
+      |ORDER BY tot.media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_media_decode" -> (q37MediaDecode _),
     "q38_frame_sample" -> (q38FrameSample _),
     "q39_media_features" -> (q39MediaFeatures _),
-    "q65_media_resize" -> (q65MediaResize _)
+    "q65_media_resize" -> (q65MediaResize _),
+    "q114_image_neardup" -> (q114ImageNeardup _),
+    "q115_video_neardup" -> (q115VideoNeardup _),
+    "q116_audio_activity" -> (q116AudioActivity _)
   )
 
   /** The fake codec's "decode" is pure arithmetic on the payload's length
@@ -343,6 +669,9 @@ object Multimodal {
     "q37_media_decode" -> q37Oracle,
     "q38_frame_sample" -> q38Oracle,
     "q39_media_features" -> q39Oracle,
-    "q65_media_resize" -> q65Oracle
+    "q65_media_resize" -> q65Oracle,
+    "q114_image_neardup" -> q114Oracle,
+    "q115_video_neardup" -> q115Oracle,
+    "q116_audio_activity" -> q116Oracle
   )
 }

@@ -92,4 +92,138 @@ class MultimodalSpec extends SparkSpec {
     val again = Multimodal.q65MediaResize(spark, sfDir).collect()
     assert(summary.map(_.toString).sameElements(again.map(_.toString)))
   }
+
+  test("q114 image near-dup: banded plan equals the exact all-pairs hamming join") {
+    // independent replica: aHash re-derived from raw text bytes (not via
+    // FakeCodec), exact O(n^2) hamming, tau = 6 — this EXECUTES the
+    // pigeonhole-completeness claim: <= 6 differing bits across 8 bands
+    // leave >= 1 band equal, so banding must surface every qualifying pair
+    def aHash(bytes: Array[Byte]): Array[Int] = {
+      val n = bytes.length
+      val w = math.ceil(n / 64.0).toInt
+      val cells = Array.tabulate(64) { c =>
+        (c * w until math.min((c + 1) * w, n)).map(i => (bytes(i) & 0xff).toLong).sum
+      }
+      val total = cells.sum
+      val bits = cells.map(v => if (v.toDouble > total / 64.0) 1 else 0)
+      Array.tabulate(8)(b => (0 until 8).map(j => bits(b * 8 + j) << j).sum)
+    }
+    val imgs = graft.core.Tables
+      .documents(spark, sfDir)
+      .select("doc_id", "text")
+      .collect()
+      .collect {
+        case r if r.getAs[Long]("doc_id") % 3 == 0 && r.getAs[String]("text").getBytes("UTF-8").length >= 64 =>
+          r.getAs[Long]("doc_id") -> aHash(r.getAs[String]("text").getBytes("UTF-8"))
+      }
+    val expected = (for {
+      (a, ha) <- imgs
+      (b, hb) <- imgs
+      if a < b
+      d = ha.zip(hb).map { case (x, y) => Integer.bitCount(x ^ y) }.sum
+      if d <= 6
+    } yield (a, b, d.toLong)).toSet
+    val got = Multimodal
+      .q114ImageNeardup(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[Long]("media_a"), r.getAs[Long]("media_b"), r.getAs[Long]("hamming")))
+      .toSet
+    assert(got === expected, s"banded != exact (missing ${expected -- got}, phantom ${got -- expected})")
+    info(s"sf0.001: ${imgs.length} images, ${expected.size} near-dup pairs — banded plan exact")
+  }
+
+  test("q114 planted: a lightly-edited image pairs with its source") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q114").toString
+    val base = (1 to 100).map(i => ('a' + i % 26).toChar).mkString
+    val edited = base.updated(10, 'z').updated(11, 'z') // a couple of "pixels" touched
+    val far = (1 to 100).map(i => ('a' + (i * 17 + 5) % 26).toChar).mkString
+    // ids 0, 3, 6: all land in mediaTable's image kind (doc_id % 3 == 0)
+    Seq((0L, base), (3L, edited), (6L, far))
+      .map { case (id, text) => (id, text, "en", "srcX", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write
+      .parquet(s"$dir/documents.parquet")
+    val got = Multimodal
+      .q114ImageNeardup(spark, dir)
+      .collect()
+      .map(r => (r.getAs[Long]("media_a"), r.getAs[Long]("media_b")) -> r.getAs[Long]("hamming"))
+      .toMap
+    assert(got.contains((0L, 3L)), s"edited copy must pair with its source: $got")
+    assert(got((0L, 3L)) <= 6L)
+  }
+
+  test("q115 video near-dup: planted copies pair by frame containment; invariants at sf0.001") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q115").toString
+    // 100 chars, duration = 100*40 = 4000ms -> 4 frames of 25 chars
+    val base = (1 to 100).map(i => ('a' + i % 26).toChar).mkString
+    val threeQuarters = base.take(75) + (1 to 25).map(i => ('A' + i % 26).toChar).mkString
+    val unrelated = (1 to 100).map(i => ('a' + (i * 13 + 7) % 26).toChar).mkString
+    // ids 2, 5, 8: all land in mediaTable's video kind (doc_id % 3 == 2)
+    Seq((2L, base), (5L, base), (8L, threeQuarters), (11L, unrelated))
+      .map { case (id, text) => (id, text, "en", "srcX", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write
+      .parquet(s"$dir/documents.parquet")
+    val got = Multimodal
+      .q115VideoNeardup(spark, dir)
+      .collect()
+      .map(r => (r.getAs[Long]("media_a"), r.getAs[Long]("media_b")) -> ((r.getAs[Long]("shared_frames"), r.getAs[Double]("containment"))))
+      .toMap
+    assert(got((2L, 5L)) === ((4L, 1.0)), s"verbatim copy must share all 4 frames: $got")
+    assert(got((2L, 8L)) === ((3L, 0.75)) && got((5L, 8L)) === ((3L, 0.75)), s"3/4 overlap: $got")
+    assert(!got.keySet.exists(p => p._1 == 11L || p._2 == 11L), s"unrelated video must not pair: $got")
+
+    // corpus invariants: both sides video-kind, containment in [0.5, 1],
+    // shared <= min frame count
+    val rows = Multimodal.q115VideoNeardup(spark, sfDir).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("media_a") % 3 === 2L && r.getAs[Long]("media_b") % 3 === 2L)
+      val c = r.getAs[Double]("containment")
+      assert(c >= 0.5 && c <= 1.0, s"containment out of range: $r")
+      assert(r.getAs[Long]("shared_frames") >= 1L)
+    }
+    info(s"sf0.001: ${rows.length} video near-dup pairs")
+  }
+
+  test("q116 audio activity: planted loud/quiet envelope segments exactly; invariants at sf0.001") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q116").toString
+    // 50-char windows; '~' (126) loud, '!' (33) quiet. 6 windows:
+    // loud loud quiet loud quiet quiet -> active = {0,1,3}, segments
+    // [0..1] and [3..3]
+    val loud = "~" * 50
+    val quiet = "!" * 50
+    val audio = loud + loud + quiet + loud + quiet + quiet
+    val flat = "m" * 300 // constant energy: no window EXCEEDS the mean
+    // ids 1, 4: mediaTable's audio kind (doc_id % 3 == 1)
+    Seq((1L, audio), (4L, flat))
+      .map { case (id, text) => (id, text, "en", "srcX", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write
+      .parquet(s"$dir/documents.parquet")
+    val got = Multimodal
+      .q116AudioActivity(spark, dir)
+      .collect()
+      .map(r =>
+        r.getAs[Long]("media_id") ->
+          ((r.getAs[Long]("n_windows"), r.getAs[Long]("n_active"), r.getAs[Long]("n_segments"),
+            r.getAs[Long]("longest_segment"), r.getAs[Double]("active_frac")))
+      )
+      .toMap
+    assert(got(1L) === ((6L, 3L, 2L, 2L, 0.5)), s"planted envelope wrong: ${got(1L)}")
+    assert(got(4L) === ((6L, 0L, 0L, 0L, 0.0)), s"flat audio must have no active windows: ${got(4L)}")
+
+    val rows = Multimodal.q116AudioActivity(spark, sfDir).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("media_id") % 3 === 1L)
+      assert(r.getAs[Long]("n_active") <= r.getAs[Long]("n_windows"))
+      assert(r.getAs[Long]("longest_segment") <= r.getAs[Long]("n_active"))
+      assert(r.getAs[Long]("n_segments") <= r.getAs[Long]("n_active"))
+      val f = r.getAs[Double]("active_frac")
+      assert(f >= 0.0 && f < 1.0, s"active_frac must be below 1 (mean is strict): $r")
+    }
+    info(s"sf0.001: ${rows.length} audio tracks segmented")
+  }
 }
