@@ -551,20 +551,24 @@ object Dedup {
     * frame: same-language token Jaccard >= 0.8 — q32's predicate, touching
     * candidates only.
     */
+  /** Exact verify of candidate pairs: same language AND token-jaccard >=
+    * 0.8 (the q32 predicate). Emits (lang, doc_a, doc_b, jaccard) — the ONE
+    * implementation of the precision-1 verify that q101/q108, the streaming
+    * maintainer, and the q113 contamination screen all share; callers that
+    * only need the edge shape select (doc_a, doc_b).
+    */
   private[graft] def verifyEdges(t: DataFrame, candidates: DataFrame): DataFrame = {
     val a = t.select(col("lang").as("lang_a"), col("doc_id").as("doc_a"),
       col("toks").as("toks_a"), col("sz").as("sz_a"))
     val b = t.select(col("lang").as("lang_b"), col("doc_id").as("doc_b"),
       col("toks").as("toks_b"), col("sz").as("sz_b"))
     val inter = expr("sorted_intersect_count(toks_a, toks_b)").cast("double")
+    val j = inter / (col("sz_a") + col("sz_b") - inter)
     candidates
       .join(a, "doc_a")
       .join(b, "doc_b")
-      .filter(
-        col("lang_a") === col("lang_b") &&
-          inter / (col("sz_a") + col("sz_b") - inter) >= 0.8
-      )
-      .select(col("doc_a"), col("doc_b"))
+      .filter(col("lang_a") === col("lang_b") && j >= 0.8)
+      .select(col("lang_a").as("lang"), col("doc_a"), col("doc_b"), round(j, 6).as("jaccard"))
   }
 
   private def minhashPairGraphBuild(spark: SparkSession, dir: String): DataFrame = {
@@ -947,17 +951,134 @@ object Dedup {
       .join(testBuckets.as("r"), Seq("band", "key"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .distinct()
-    // q32's exact verify, jaccard kept for the report (verifyEdges drops it)
-    val a = t.select(col("lang").as("lang_a"), col("doc_id").as("doc_a"), col("toks").as("toks_a"), col("sz").as("sz_a"))
-    val b = t.select(col("lang").as("lang_b"), col("doc_id").as("doc_b"), col("toks").as("toks_b"), col("sz").as("sz_b"))
-    val inter = expr("sorted_intersect_count(toks_a, toks_b)").cast("double")
-    val j = inter / (col("sz_a") + col("sz_b") - inter)
-    cand
-      .join(a, "doc_a")
-      .join(b, "doc_b")
-      .filter(col("lang_a") === col("lang_b") && j >= 0.8)
-      .select(col("lang_a").as("lang"), col("doc_a"), col("doc_b"), round(j, 6).as("jaccard"))
-      .orderBy(col("lang"), col("doc_a"), col("doc_b"))
+    // the shared precision-1 verify — (doc_a, doc_b) here is (train, test)
+    // oriented, not id-canonicalized, and verifyEdges preserves that
+    verifyEdges(t, cand).orderBy(col("lang"), col("doc_a"), col("doc_b"))
+  }
+
+  // ---------------------------------------------------------------------------
+  // q117 — per-source dedup profile: the dashboard a curation operator reads
+  // before deciding drop-the-source vs dedup-the-rows — every duplication
+  // granularity the engine measures, rolled up per source in one frame:
+  // exact whole-doc redundancy (q29's fingerprint rule: non-survivor share),
+  // near-dup cluster membership (q61's exact jaccard>=0.8 components — the
+  // oracle-able contract; the q101 sub-quadratic path yields the same
+  // clusters at scale), mean cross-doc passage sharing (q71), and mean
+  // duplicated-span coverage (q110, over its >=8-token domain). Fractions
+  // aggregate the components' 6dp-rounded per-doc values as integer micros
+  // (merge-order-proof, the q105 rule). Composition cost: one fingerprint
+  // groupBy + the component queries (q61's edge frame is session-cached).
+  // ---------------------------------------------------------------------------
+  def q117DedupProfile(spark: SparkSession, dir: String): DataFrame = {
+    val fp = Tables
+      .balanced(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("source"), md5(normText).as("f"))
+    val fpg = fp.groupBy(col("f")).agg(min(col("doc_id")).as("mn"), count(lit(1)).as("n"))
+    val exacts = fp
+      .join(fpg, "f")
+      .select(
+        col("doc_id"),
+        col("source"),
+        when(col("n") > 1 && col("doc_id") =!= col("mn"), 1).otherwise(0).as("is_dup")
+      )
+    val clustered = q61DupClusters(spark, dir).select(col("doc_id"), lit(1).as("in_cluster"))
+    val pass = Curation
+      .q71PassageDedup(spark, dir)
+      .select(col("doc_id"), expr("CAST(round(shared_frac * 1e6, 0) AS BIGINT)").as("shared_micro"))
+    val span = Curation
+      .q110SpanDedup(spark, dir)
+      .select(col("doc_id"), expr("CAST(round(dup_frac * 1e6, 0) AS BIGINT)").as("dup_micro"))
+    exacts
+      .join(clustered, Seq("doc_id"), "left")
+      .join(pass, Seq("doc_id"), "left")
+      .join(span, Seq("doc_id"), "left")
+      .na
+      .fill(0, Seq("in_cluster"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        expr("floor(CAST(sum(is_dup) AS DOUBLE) * 1e6 / count(1) + 5e-1) / 1e6").as("exact_dup_frac"),
+        expr("floor(CAST(sum(in_cluster) AS DOUBLE) * 1e6 / count(1) + 5e-1) / 1e6").as("clustered_frac"),
+        expr("floor(CAST(sum(shared_micro) AS DOUBLE) / count(shared_micro) + 5e-1) / 1e6").as("passage_shared_mean"),
+        expr("floor(CAST(sum(dup_micro) AS DOUBLE) / count(dup_micro) + 5e-1) / 1e6").as("span_dup_mean")
+      )
+      .orderBy(col("source"))
+  }
+
+  /** Oracle: the q61 recursive-CTE cluster prefix (the q106 composition
+    * trick), plus renamed re-derivations of the q29 fingerprint rule, the
+    * q71 instance/frequency chain, and the q110 span chain — all joined
+    * onto documents and rolled up per source.
+    */
+  lazy val q117Oracle: String = {
+    val clusterCtes = q61Oracle.substring(0, q61Oracle.indexOf("\nSELECT l.node"))
+    s"""$clusterCtes,
+       |fp AS (
+       |  SELECT doc_id, source, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+       |  FROM documents),
+       |fpg AS (SELECT f, min(doc_id) AS mn, count(*) AS n FROM fp GROUP BY 1),
+       |exacts AS (
+       |  SELECT fp.doc_id, fp.source,
+       |         CASE WHEN g.n > 1 AND fp.doc_id <> g.mn THEN 1 ELSE 0 END AS is_dup
+       |  FROM fp JOIN fpg g ON fp.f = g.f),
+       |p_t AS (
+       |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+       |  FROM documents),
+       |p_seg AS (
+       |  SELECT doc_id,
+       |         unnest(list_transform(range(0, CAST(ceil(len(toks) / 16.0) AS INT)),
+       |                i -> md5(array_to_string(toks[i*16+1:i*16+16], ' ')))) AS seg_key
+       |  FROM p_t WHERE len(toks) >= 1),
+       |p_freq AS (
+       |  SELECT seg_key, count(*) AS n_docs
+       |  FROM (SELECT DISTINCT doc_id, seg_key FROM p_seg) GROUP BY 1),
+       |p_doc AS (
+       |  SELECT s.doc_id,
+       |         CAST(floor(sum(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END)::DOUBLE * 1e6 / count(*) + 5e-1) AS BIGINT) AS shared_micro
+       |  FROM p_seg s JOIN p_freq f USING (seg_key) GROUP BY 1),
+       |s_inst AS (
+       |  SELECT doc_id, len(toks) AS n_toks,
+       |         unnest(list_transform(range(1, len(toks) - 8 + 2), i -> i)) AS pos,
+       |         unnest(list_transform(range(1, len(toks) - 8 + 2),
+       |                i -> md5(array_to_string(toks[i:i+8-1], ' ')))) AS key
+       |  FROM p_t WHERE len(toks) >= 8),
+       |s_dupk AS (SELECT key FROM s_inst GROUP BY key HAVING count(*) >= 2),
+       |s_brk AS (
+       |  SELECT doc_id, pos, pos + 7 AS endpos,
+       |         CASE WHEN pos > coalesce(max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1 THEN 1 ELSE 0 END AS b
+       |  FROM s_inst JOIN s_dupk USING (key)),
+       |s_isl AS (
+       |  SELECT doc_id, pos, endpos,
+       |         sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |  FROM s_brk),
+       |s_spans AS (
+       |  SELECT doc_id, island, max(endpos) - min(pos) + 1 AS span_len
+       |  FROM s_isl GROUP BY 1, 2),
+       |s_sp AS (
+       |  SELECT doc_id, sum(span_len) AS dup_tokens
+       |  FROM s_spans WHERE span_len >= 16 GROUP BY 1),
+       |s_doc AS (
+       |  SELECT d.doc_id,
+       |         CAST(floor(CAST(coalesce(sp.dup_tokens, 0) AS DOUBLE) * 1e6 / d.n_tokens + 5e-1) AS BIGINT) AS dup_micro
+       |  FROM (SELECT doc_id, max(n_toks) AS n_tokens FROM s_inst GROUP BY 1) d
+       |  LEFT JOIN s_sp sp ON sp.doc_id = d.doc_id),
+       |j AS (
+       |  SELECT e.doc_id, e.source, e.is_dup,
+       |         CASE WHEN l.node IS NULL THEN 0 ELSE 1 END AS in_cluster,
+       |         p.shared_micro, sd.dup_micro
+       |  FROM exacts e
+       |  LEFT JOIN labels l ON l.node = e.doc_id
+       |  LEFT JOIN p_doc p ON p.doc_id = e.doc_id
+       |  LEFT JOIN s_doc sd ON sd.doc_id = e.doc_id)
+       |SELECT source,
+       |       count(*)::BIGINT AS n_docs,
+       |       floor(sum(is_dup)::DOUBLE * 1e6 / count(*) + 5e-1) / 1e6 AS exact_dup_frac,
+       |       floor(sum(in_cluster)::DOUBLE * 1e6 / count(*) + 5e-1) / 1e6 AS clustered_frac,
+       |       floor(CAST(sum(shared_micro) AS DOUBLE) / count(shared_micro) + 5e-1) / 1e6 AS passage_shared_mean,
+       |       floor(CAST(sum(dup_micro) AS DOUBLE) / count(dup_micro) + 5e-1) / 1e6 AS span_dup_mean
+       |FROM j GROUP BY source ORDER BY source""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -975,7 +1096,8 @@ object Dedup {
     "q106_leakage_safe_split" -> (q106LeakageSafeSplit _),
     "q107_lsh_safe_split" -> (q107LshSafeSplit _),
     "q108_incremental_clusters" -> (q108IncrementalClusters _),
-    "q113_neardup_contamination" -> (q113NeardupContamination _)
+    "q113_neardup_contamination" -> (q113NeardupContamination _),
+    "q117_dedup_profile" -> (q117DedupProfile _)
   )
 
   /** q30/q31/q60/q101/q102/q107/q108 are hash-based LSH — not reproducible
@@ -988,6 +1110,7 @@ object Dedup {
     "q33_embedding_neardup" -> q33Oracle,
     "q61_dup_clusters" -> q61Oracle,
     "q99_cluster_canon" -> q99Oracle,
-    "q106_leakage_safe_split" -> q106Oracle
+    "q106_leakage_safe_split" -> q106Oracle,
+    "q117_dedup_profile" -> q117Oracle
   )
 }

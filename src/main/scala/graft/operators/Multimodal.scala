@@ -331,11 +331,15 @@ object Multimodal {
   // The banding here is PROVABLY COMPLETE, not approximate: two hashes
   // within hamming distance 6 differ in at most 6 of 8 bands (pigeonhole),
   // so they collide on at least one band bucket and every qualifying pair
-  // is surfaced. The plan is an LSH plan — bucket equi-join, verify touches
-  // candidates only, no all-pairs anywhere — yet the RESULT equals the
-  // exact all-pairs computation, which is why this LSH query can be fully
-  // oracle-gated (the DuckDB oracle does the O(n^2) hamming join outright;
-  // n = the image kind's share of the corpus at gate scale).
+  // is surfaced — the RESULT equals the exact all-pairs computation, which
+  // is why this LSH query can be fully oracle-gated (the DuckDB oracle does
+  // the O(n^2) hamming join outright). Candidate-pruning honesty: a band
+  // key is only 8 bits (256 buckets), so on uniformly-hashed images the
+  // per-band self-join emits ~n^2/256 candidates — a 256x constant-factor
+  // prune, not an asymptotic one. A production deployment widens the hash
+  // (e.g. 256-bit pHash -> 16-bit bands = 65536 buckets, pigeonhole intact
+  // for tau < 16); the 64-bit fake keeps the oracle and gate cheap while
+  // exercising the identical plan shape.
   // ---------------------------------------------------------------------------
   private val AHASH_TAU = 6
 

@@ -10,8 +10,14 @@ import org.apache.spark.sql.types.{DoubleType, LongType, StructType}
 import graft.operators.Curation
 
 /** Live exact-substring monitoring: keeps the q110 per-doc span-dedup stats
-  * table current as documents land — O(delta + affected) per tick, never a
-  * corpus re-scan. The interesting property is RETROACTIVITY, the same
+  * table current as documents land — the RECOMPUTE set is O(delta +
+  * affected) per tick; the tokenize/hash work is never redone for old docs
+  * (their instances persist in the grams store). The per-tick state-scan
+  * cost is a separate axis: the key-probe joins below read the grams store
+  * (key-pruned, so only matching rows shuffle, but the scan I/O is
+  * O(state) on a flat layout — the 100 TB deployment buckets the store on
+  * `key`/`doc_id` so these probes prune to buckets). The interesting
+  * correctness property is RETROACTIVITY, the same
   * shape as StreamingCorpus's contamination flips: a landing document whose
   * k-grams were until now globally unique pushes those keys' corpus counts
   * across the >=2 threshold, which changes the dup flags — and therefore
@@ -44,8 +50,9 @@ import graft.operators.Curation
   *   - `watermark`         plain-text high-watermark sidecar
   *
   * At 100 TB the grams store would be BUCKETED on `key` (`sources/Layouts`
-  * — the three key-probes become zero-shuffle) with periodic slice
-  * compaction; the per-tick algorithm is unchanged. The maintained stats
+  * — the three key-probes become zero-shuffle bucket probes instead of
+  * full-store scans) with periodic slice compaction; the per-tick
+  * algorithm is unchanged. The maintained stats
   * table is spec-pinned EQUAL to the batch q110 after every tick — exact,
   * not approximate, because instance derivation and the island merge are
   * shared code (`spanGramInstances` / `spanStatsFrom`) and deterministic.

@@ -418,4 +418,52 @@ class DedupSpec extends SparkSpec {
       info(s"sf0.001: ${exact.size} exact cross-split leaks, recall $recall")
     } else info("sf0.001: no cross-split near-dup pairs in this corpus")
   }
+
+  test("q117 dedup profile: every aggregate recomputes from the standalone components") {
+    val docs = graft.core.Tables
+      .documents(spark, sfDir)
+      .select("doc_id", "source", "text")
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"), r.getAs[String]("text")))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val byFp = docs.groupBy { case (_, _, t) => md5hex(t.trim.toLowerCase.replaceAll("\\s+", " ")) }
+    val isDup = byFp.values.flatMap { g =>
+      val mn = g.map(_._1).min
+      g.map(d => d._1 -> (if (g.size > 1 && d._1 != mn) 1 else 0))
+    }.toMap
+    val inCluster = Dedup.q61DupClusters(spark, sfDir).collect().map(_.getLong(0)).toSet
+    val sharedMicro = Curation
+      .q71PassageDedup(spark, sfDir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> math.round(r.getAs[Double]("shared_frac") * 1e6))
+      .toMap
+    val dupMicro = Curation
+      .q110SpanDedup(spark, sfDir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> math.round(r.getAs[Double]("dup_frac") * 1e6))
+      .toMap
+    val expected = docs.groupBy(_._2).map { case (src, g) =>
+      val n = g.length
+      val ids = g.map(_._1)
+      def frac(s: Long): Double = math.floor(s.toDouble * 1e6 / n + 0.5) / 1e6
+      val pm = ids.flatMap(sharedMicro.get)
+      val sm = ids.flatMap(dupMicro.get)
+      src -> ((n.toLong, frac(ids.map(isDup(_).toLong).sum), frac(ids.count(inCluster).toLong),
+        math.floor(pm.sum.toDouble / pm.size + 0.5) / 1e6,
+        math.floor(sm.sum.toDouble / sm.size + 0.5) / 1e6))
+    }
+    val got = Dedup
+      .q117DedupProfile(spark, sfDir)
+      .collect()
+      .map(r =>
+        r.getAs[String]("source") ->
+          ((r.getAs[Long]("n_docs"), r.getAs[Double]("exact_dup_frac"), r.getAs[Double]("clustered_frac"),
+            r.getAs[Double]("passage_shared_mean"), r.getAs[Double]("span_dup_mean")))
+      )
+      .toMap
+    assert(got.keySet === expected.keySet, "source coverage differs")
+    got.foreach { case (src, v) => assert(v === expected(src), s"source $src diverged") }
+    info(s"sf0.001: ${got.size} sources profiled; ${isDup.values.sum} exact-dup docs, ${inCluster.size} clustered")
+  }
 }
