@@ -9,8 +9,8 @@ import graft.operators.{Curation, Dedup, TextOps, TrainExport}
   * reads before (and after) committing to a build: the q77 stage funnel,
   * per-language dynamic quality floors (q80), the cross-source mirror
   * matrix (q81), vocabulary growth (q82), duplicate-cluster canon
-  * decisions (q99), and the shard manifest (q83), rendered as one text
-  * page. Every number comes from the same oracle-gated queries the driver
+  * decisions (q99), the per-source dedup profile (q117), and the shard
+  * manifest (q83), rendered as one text page. Every number comes from the same oracle-gated queries the driver
   * checks — the report is a VIEW over the inventory, not a second
   * implementation.
   *
@@ -95,6 +95,14 @@ object CorpusReport {
         )
       }
       line(f"total dropped: ${canon.map(_.getLong(4)).sum}")
+    }
+
+    section("dedup profile (q117): duplication by granularity, per source")
+    Dedup.q117DedupProfile(spark, dir).collect().foreach { r =>
+      line(
+        f"${r.getString(0)}%-8s docs=${r.getLong(1)}%5d exact=${r.getDouble(2)}%8.6f " +
+          f"clustered=${r.getDouble(3)}%8.6f passage=${r.getDouble(4)}%8.6f span=${r.getDouble(5)}%8.6f"
+      )
     }
 
     section("train shards (q83): manifest")

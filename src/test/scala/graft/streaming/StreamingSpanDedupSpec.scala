@@ -90,6 +90,19 @@ class StreamingSpanDedupSpec extends SparkSpec {
     assert(!Files.exists(Paths.get(stateDir, "stats.old")), "a clean tick clears .old")
   }
 
+  test("real corpus at sf0.001: a cold first tick equals the batch q110 exactly") {
+    // the synthetic waves above exercise the logic; this run exercises the
+    // real corpus shapes (500 docs, genuine cross-doc span duplication —
+    // 41 docs carry qualifying spans at sf0.001)
+    val stateDir = java.nio.file.Files.createTempDirectory("ssd_sf_state").toString
+    val (n, affected) = StreamingSpanDedup.tick(spark, sfDir, stateDir)
+    assert(n === 500L && affected === 0L, s"cold tick ($n, $affected)")
+    assert(
+      snap(StreamingSpanDedup.readStats(spark, stateDir)) === snap(Curation.q110SpanDedup(spark, sfDir)),
+      "cold tick over the real corpus must equal the batch rebuild"
+    )
+  }
+
   test("randomized ingest sequence: maintained table equals the batch rebuild after every tick") {
     val rnd = new scala.util.Random(11)
     val vocab = (1 to 30).map(i => s"w$i")

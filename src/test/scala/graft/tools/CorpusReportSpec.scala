@@ -18,6 +18,7 @@ class CorpusReportSpec extends SparkSpec {
         "vocabulary growth (q82)",
         "curriculum stages (q86)",
         "duplicate clusters (q99)",
+        "dedup profile (q117)",
         "train shards (q83)"
       )
     ) assert(r.contains(header), s"missing section: $header\n$r")
