@@ -547,10 +547,6 @@ object Dedup {
         .localCheckpoint()
     }
 
-  /** Exact-verify a candidate pair frame (doc_a, doc_b) against the token
-    * frame: same-language token Jaccard >= 0.8 — q32's predicate, touching
-    * candidates only.
-    */
   /** Exact verify of candidate pairs: same language AND token-jaccard >=
     * 0.8 (the q32 predicate). Emits (lang, doc_a, doc_b, jaccard) — the ONE
     * implementation of the precision-1 verify that q101/q108, the streaming
@@ -970,16 +966,18 @@ object Dedup {
   // groupBy + the component queries (q61's edge frame is session-cached).
   // ---------------------------------------------------------------------------
   def q117DedupProfile(spark: SparkSession, dir: String): DataFrame = {
+    // is_dup derives from q29's OWN output (not a re-derivation of its
+    // rule), so a future change to the survivor rule flows through here
+    // structurally — the same dependency shape as q61DupClusters below
     val fp = Tables
       .balanced(Tables.documents(spark, dir))
-      .select(col("doc_id"), col("source"), md5(normText).as("f"))
-    val fpg = fp.groupBy(col("f")).agg(min(col("doc_id")).as("mn"), count(lit(1)).as("n"))
+      .select(col("doc_id"), col("source"), md5(normText).as("fingerprint"))
     val exacts = fp
-      .join(fpg, "f")
+      .join(q29ExactDedup(spark, dir), "fingerprint")
       .select(
         col("doc_id"),
         col("source"),
-        when(col("n") > 1 && col("doc_id") =!= col("mn"), 1).otherwise(0).as("is_dup")
+        when(col("n_copies") > 1 && col("doc_id") =!= col("survivor_doc_id"), 1).otherwise(0).as("is_dup")
       )
     val clustered = q61DupClusters(spark, dir).select(col("doc_id"), lit(1).as("in_cluster"))
     val pass = Curation
@@ -999,8 +997,13 @@ object Dedup {
         count(lit(1)).as("n_docs"),
         expr("floor(CAST(sum(is_dup) AS DOUBLE) * 1e6 / count(1) + 5e-1) / 1e6").as("exact_dup_frac"),
         expr("floor(CAST(sum(in_cluster) AS DOUBLE) * 1e6 / count(1) + 5e-1) / 1e6").as("clustered_frac"),
-        expr("floor(CAST(sum(shared_micro) AS DOUBLE) / count(shared_micro) + 5e-1) / 1e6").as("passage_shared_mean"),
-        expr("floor(CAST(sum(dup_micro) AS DOUBLE) / count(dup_micro) + 5e-1) / 1e6").as("span_dup_mean")
+        // coalesce 0: a source with no docs in a component's domain (e.g.
+        // all under 8 tokens for q110) reports 0 measured duplication, not
+        // a NULL that crashes row consumers
+        expr("coalesce(floor(CAST(sum(shared_micro) AS DOUBLE) / count(shared_micro) + 5e-1) / 1e6, 0e0)")
+          .as("passage_shared_mean"),
+        expr("coalesce(floor(CAST(sum(dup_micro) AS DOUBLE) / count(dup_micro) + 5e-1) / 1e6, 0e0)")
+          .as("span_dup_mean")
       )
       .orderBy(col("source"))
   }
@@ -1076,8 +1079,8 @@ object Dedup {
        |       count(*)::BIGINT AS n_docs,
        |       floor(sum(is_dup)::DOUBLE * 1e6 / count(*) + 5e-1) / 1e6 AS exact_dup_frac,
        |       floor(sum(in_cluster)::DOUBLE * 1e6 / count(*) + 5e-1) / 1e6 AS clustered_frac,
-       |       floor(CAST(sum(shared_micro) AS DOUBLE) / count(shared_micro) + 5e-1) / 1e6 AS passage_shared_mean,
-       |       floor(CAST(sum(dup_micro) AS DOUBLE) / count(dup_micro) + 5e-1) / 1e6 AS span_dup_mean
+       |       coalesce(floor(CAST(sum(shared_micro) AS DOUBLE) / count(shared_micro) + 5e-1) / 1e6, 0e0) AS passage_shared_mean,
+       |       coalesce(floor(CAST(sum(dup_micro) AS DOUBLE) / count(dup_micro) + 5e-1) / 1e6, 0e0) AS span_dup_mean
        |FROM j GROUP BY source ORDER BY source""".stripMargin
   }
 

@@ -427,7 +427,11 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"), r.getAs[String]("text")))
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val byFp = docs.groupBy { case (_, _, t) => md5hex(t.trim.toLowerCase.replaceAll("\\s+", " ")) }
+    // mirror SQL trim (strips SPACES only — Java String.trim also strips
+    // tabs/newlines and would hash a different string on edge whitespace)
+    val byFp = docs.groupBy { case (_, _, t) =>
+      md5hex(t.replaceAll("^ +| +$", "").toLowerCase.replaceAll("\\s+", " "))
+    }
     val isDup = byFp.values.flatMap { g =>
       val mn = g.map(_._1).min
       g.map(d => d._1 -> (if (g.size > 1 && d._1 != mn) 1 else 0))
@@ -449,9 +453,9 @@ class DedupSpec extends SparkSpec {
       def frac(s: Long): Double = math.floor(s.toDouble * 1e6 / n + 0.5) / 1e6
       val pm = ids.flatMap(sharedMicro.get)
       val sm = ids.flatMap(dupMicro.get)
+      def mean(xs: Seq[Long]): Double = if (xs.isEmpty) 0.0 else math.floor(xs.sum.toDouble / xs.size + 0.5) / 1e6
       src -> ((n.toLong, frac(ids.map(isDup(_).toLong).sum), frac(ids.count(inCluster).toLong),
-        math.floor(pm.sum.toDouble / pm.size + 0.5) / 1e6,
-        math.floor(sm.sum.toDouble / sm.size + 0.5) / 1e6))
+        mean(pm), mean(sm)))
     }
     val got = Dedup
       .q117DedupProfile(spark, sfDir)
@@ -465,5 +469,31 @@ class DedupSpec extends SparkSpec {
     assert(got.keySet === expected.keySet, "source coverage differs")
     got.foreach { case (src, v) => assert(v === expected(src), s"source $src diverged") }
     info(s"sf0.001: ${got.size} sources profiled; ${isDup.values.sum} exact-dup docs, ${inCluster.size} clustered")
+  }
+
+  test("q117 degenerate source: all docs below the span domain report 0.0, never NULL") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q117deg").toString
+    val big = (1 to 40).map(i => s"b$i").mkString(" ")
+    Seq(
+      (1L, "just four tiny tokens", "tiny"),
+      (2L, "other small words here", "tiny"), // < 8 tokens: outside q110's domain
+      (10L, big, "big"),
+      (11L, big, "big") // verbatim pair: every granularity fires
+    ).map { case (id, text, src) => (id, text, "en", src, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write
+      .parquet(s"$dir/documents.parquet")
+    val r = Dedup
+      .q117DedupProfile(spark, dir)
+      .collect()
+      .map(x =>
+        x.getAs[String]("source") ->
+          ((x.getAs[Long]("n_docs"), x.getAs[Double]("exact_dup_frac"), x.getAs[Double]("clustered_frac"),
+            x.getAs[Double]("passage_shared_mean"), x.getAs[Double]("span_dup_mean")))
+      )
+      .toMap
+    assert(r("tiny") === ((2L, 0.0, 0.0, 0.0, 0.0)), s"degenerate source must coalesce to 0.0: ${r("tiny")}")
+    assert(r("big") === ((2L, 0.5, 1.0, 1.0, 1.0)), s"verbatim pair fires every granularity: ${r("big")}")
   }
 }
