@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   * data), instead of trusting that the test suite ran elsewhere.
   *
   * Check shapes:
-  *   - precision checks (q30/q31/q60/q90/q101): every emitted row is
+  *   - precision checks (q30/q31/q60/q90/q101/q113): every emitted row is
   *     re-validated against an exact recomputation from the raw inputs —
   *     `violations` counts rows that fail; pass = 0 violations. These are
   *     O(result) or cluster-bounded joins, never corpus-quadratic.
