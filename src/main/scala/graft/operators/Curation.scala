@@ -1445,17 +1445,42 @@ object Curation {
   // deterministic and identical in both engines.
   //
   // Scale note: exact quartiles need a per-language sort, and partitioning
-  // by `lang` alone is skew-prone (one window partition per language). At
-  // 100 TB the same schedule comes from q50-style approx-quantile
-  // boundaries + a value-range assignment — no global sort, at the cost of
-  // value-ties landing in one bin. The exact NTILE form is the oracle-able
-  // contract the approximate path is validated against.
+  // by `lang` alone is skew-prone (one window partition per language), so
+  // `graft.curation.terciles=approx` (the shared q112 knob) SHIPS the
+  // 100 TB path here too: per-language approx-quantile boundaries + a
+  // broadcast value-range assignment — no window sort, ties land by VALUE
+  // not rank (the documented approx trade). The exact NTILE default is the
+  // oracle-gated contract; the spec pins the approx path's buckets close
+  // to it and its plan free of Window sorts.
   // ---------------------------------------------------------------------------
   def q86Curriculum(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("lang")).orderBy(col("prob"), col("doc_id"))
-    qualityScored(spark, dir)
+    val scored = qualityScored(spark, dir)
       .select(col("doc_id"), col("lang"), col("prob"), col("n_tokens"))
-      .withColumn("stage", ntile(4).over(w))
+    val staged = spark.conf.getOption(TercilesConf).map(_.trim.toLowerCase) match {
+      case Some("approx") =>
+        val bounds = scored
+          .groupBy(col("lang"))
+          .agg(expr("approx_percentile(prob, array(0.25, 0.5, 0.75), 10000)").as("q"))
+          .select(
+            col("lang"),
+            expr("element_at(q, 1)").as("b1"),
+            expr("element_at(q, 2)").as("b2"),
+            expr("element_at(q, 3)").as("b3")
+          )
+        scored
+          .join(broadcast(bounds), "lang")
+          .withColumn(
+            "stage",
+            lit(1) + (col("prob") > col("b1")).cast("int") + (col("prob") > col("b2")).cast("int") +
+              (col("prob") > col("b3")).cast("int")
+          )
+      case Some("exact") | None =>
+        val w = Window.partitionBy(col("lang")).orderBy(col("prob"), col("doc_id"))
+        scored.withColumn("stage", ntile(4).over(w))
+      case Some(other) =>
+        throw new IllegalArgumentException(s"$TercilesConf must be exact or approx, got '$other'")
+    }
+    staged
       .groupBy(col("lang"), col("stage"))
       .agg(
         count(lit(1)).as("n_docs"),

@@ -908,4 +908,31 @@ class CurationSpec extends SparkSpec {
     try intercept[IllegalArgumentException](Curation.q112PerplexityBuckets(spark, sfDir))
     finally spark.conf.unset(Curation.TercilesConf)
   }
+
+  test("q86 quartiles=approx: the 100 TB path tracks exact stages without a window sort") {
+    val exact = Curation.q86Curriculum(spark, sfDir).collect()
+    spark.conf.set(Curation.TercilesConf, "approx")
+    try {
+      val df = Curation.q86Curriculum(spark, sfDir)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), "approx path must not plan a Window sort")
+      val approx = df.collect()
+      val exactN = exact.map(r => (r.getAs[String]("lang"), r.getAs[Int]("stage")) -> r.getAs[Long]("n_docs")).toMap
+      val perLang = exact.groupBy(_.getAs[String]("lang")).view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+      approx.foreach { r =>
+        val (lang, stage) = (r.getAs[String]("lang"), r.getAs[Int]("stage"))
+        val drift = math.abs(r.getAs[Long]("n_docs") - exactN.getOrElse((lang, stage), 0L)).toDouble / perLang(lang)
+        assert(drift <= 0.15, s"($lang,$stage) stage mass drifted $drift from exact")
+      }
+      approx.groupBy(_.getAs[String]("lang")).foreach { case (lang, ss) =>
+        assert(ss.map(_.getAs[Long]("n_docs")).sum === perLang(lang), s"$lang doc conservation under approx")
+        // stage order still tracks quality: min_prob non-decreasing by stage
+        val byStage = ss.sortBy(_.getAs[Int]("stage")).map(_.getAs[Double]("min_prob"))
+        byStage.sliding(2).foreach {
+          case Array(a, b) => assert(b >= a - 1e-9, s"$lang stage quality order under approx")
+          case _           =>
+        }
+      }
+    } finally spark.conf.unset(Curation.TercilesConf)
+  }
 }
