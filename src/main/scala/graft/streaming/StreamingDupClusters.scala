@@ -95,23 +95,43 @@ object StreamingDupClusters {
     val oldLabels = readLabels(spark, stateDir)
     val updated = Dedup.applyEdgesToLabels(edges, oldLabels).localCheckpoint()
 
-    // label rewrite with no loss window: stage the new table, retire the
-    // old one to prev/ (rename, not delete), promote the stage, THEN drop
-    // prev and advance the watermark. A crash at any point leaves either
-    // current/ or prev/ holding a complete pre-tick table — readLabels
-    // falls back to prev/ when a crash struck between retire and promote —
-    // so the replayed tick always sees full pre-tick state. (A plain
-    // delete-current-then-move had a window where BOTH were gone and every
-    // cluster not touched by the delta would have been lost for good.)
+    // label rewrite with no loss window — stage the full new table, then
+    // the heal-first retire/promote rename dance (see promoteStagedLabels)
     updated.write.mode("overwrite").parquet(s"$stateDir/labels/stage")
-    val cur = Paths.get(stateDir, "labels", "current")
-    val prev = Paths.get(stateDir, "labels", "prev")
-    deleteRecursively(prev)
-    if (Files.exists(cur)) Files.move(cur, prev)
-    Files.move(Paths.get(stateDir, "labels", "stage"), cur)
-    deleteRecursively(prev)
+    promoteStagedLabels(stateDir)
     Files.writeString(Paths.get(stateDir, "state.json"), s"""{"max_doc_id": $hi}""")
     n
+  }
+
+  /** Promote a fully-written `labels/stage/` into `labels/current/` with no
+    * loss window: heal a prior crash first (cur missing + prev complete →
+    * restore prev to the canonical slot BEFORE any delete), then retire cur
+    * to prev, promote the stage, and only then drop prev. The heal is what
+    * makes a crash DURING a replayed promote safe: without it, the replay's
+    * first deleteRecursively(prev) removed the only on-disk copy, and a
+    * second crash before the stage move left neither current/ nor prev/ —
+    * the next tick would then apply its delta to an EMPTY table, silently
+    * dropping every cluster the delta didn't touch. With the heal, prev is
+    * only ever deleted while cur holds a complete table, so EVERY crash
+    * prefix leaves a complete table where [[readLabels]] looks.
+    *
+    * `failAfterStep` is a test-only crash injection: the promote throws
+    * after that many filesystem steps have completed, letting the spec
+    * assert the every-prefix invariant directly.
+    */
+  private[streaming] def promoteStagedLabels(stateDir: String, failAfterStep: Int = Int.MaxValue): Unit = {
+    val cur = Paths.get(stateDir, "labels", "current")
+    val prev = Paths.get(stateDir, "labels", "prev")
+    var done = 0
+    def step(): Unit = {
+      if (done >= failAfterStep) throw new IllegalStateException(s"injected crash after $done steps")
+      done += 1
+    }
+    if (!Files.exists(cur) && Files.exists(prev)) { step(); Files.move(prev, cur) }
+    step(); deleteRecursively(prev)
+    if (Files.exists(cur)) { step(); Files.move(cur, prev) }
+    step(); Files.move(Paths.get(stateDir, "labels", "stage"), cur)
+    step(); deleteRecursively(prev)
   }
 
   /** Current label table — empty with the right schema before first tick;

@@ -111,6 +111,34 @@ class StreamingDupClustersSpec extends SparkSpec {
     assert(!Files.exists(Paths.get(stateDir, "labels", "prev")), "a clean tick retires prev/")
   }
 
+  test("double crash: every crash prefix of a REPLAYED label promote keeps a complete table") {
+    import java.nio.file.{Files, Paths}
+    import spark.implicits._
+    val pre = Seq((0L, 0L, 2L), (1L, 0L, 2L))  // pre-tick table (prior crash left it in prev/)
+    val post = Seq((0L, 0L, 3L), (1L, 0L, 3L), (2L, 0L, 3L)) // replayed tick's staged result
+    def labels(stateDir: String): Set[(Long, Long)] =
+      StreamingDupClusters.readLabels(spark, stateDir).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (failAt <- 0 to 5) {
+      val stateDir = Files.createTempDirectory(s"sdc_dc$failAt").toString
+      pre.toDF("doc_id", "cluster", "cluster_size").write.parquet(s"$stateDir/labels/prev")
+      post.toDF("doc_id", "cluster", "cluster_size").write.parquet(s"$stateDir/labels/stage")
+      val crashed =
+        try { StreamingDupClusters.promoteStagedLabels(stateDir, failAt); false }
+        catch { case _: IllegalStateException => true }
+      val seen = labels(stateDir)
+      assert(
+        seen === pre.map(t => (t._1, t._2)).toSet || seen === post.map(t => (t._1, t._2)).toSet,
+        s"failAt=$failAt: crash prefix must leave the complete pre- or post-tick table, got $seen"
+      )
+      if (crashed) { // the next replay re-stages and promotes cleanly
+        post.toDF("doc_id", "cluster", "cluster_size").write.mode("overwrite").parquet(s"$stateDir/labels/stage")
+        StreamingDupClusters.promoteStagedLabels(stateDir)
+      }
+      assert(labels(stateDir) === post.map(t => (t._1, t._2)).toSet, s"failAt=$failAt: replay must converge")
+      assert(!Files.exists(Paths.get(stateDir, "labels", "prev")), s"failAt=$failAt: clean promote retires prev/")
+    }
+  }
+
   test("randomized ingest sequence: maintained table equals the exact rebuild after every tick") {
     val rnd = new scala.util.Random(7)
     val vocab = (1 to 12).map(i => s"w$i")
