@@ -16,6 +16,8 @@ import org.apache.spark.sql.SparkSession
   * session's artifact.
   */
 private[graft] final class SessionCache[V] {
+  SessionCache.register(this)
+
   private val m =
     new java.util.concurrent.ConcurrentHashMap[(Int, String), (SparkSession, V)]()
 
@@ -38,4 +40,35 @@ private[graft] final class SessionCache[V] {
     */
   def invalidate(spark: SparkSession, dir: String): Unit =
     m.remove((System.identityHashCode(spark), dir))
+
+  /** Drop every entry of THIS session whose dir key sits under `dirPrefix`
+    * (exact dir match plus derived keys like `dir@profile`).
+    */
+  private[graft] def invalidatePrefix(spark: SparkSession, dirPrefix: String): Unit = {
+    val it = m.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if ((e.getValue._1 eq spark) && e.getKey._2.startsWith(dirPrefix)) it.remove()
+    }
+  }
+}
+
+private[graft] object SessionCache {
+  // every cache lives in a package-level object (JVM lifetime), so a plain
+  // registry of strong references adds no retention beyond what already exists
+  private val registry = new java.util.concurrent.ConcurrentLinkedQueue[SessionCache[_]]()
+
+  private def register(c: SessionCache[_]): Unit = { registry.add(c); () }
+
+  /** Drop EVERY cache's entries for this session under `dirPrefix`. The
+    * streaming maintainer ticks call this after observing freshly-landed
+    * data in a dir: the documents table is append-only within a session,
+    * but once a tick has processed a delta, any batch artifact cached over
+    * the pre-append corpus (pair graphs, signatures, labels, LM counts, ANN
+    * indexes) is stale and must rebuild on next access — without this, a
+    * session mixing maintainer ticks and batch queries over the same dir
+    * silently served pre-append results forever.
+    */
+  private[graft] def invalidateAllFor(spark: SparkSession, dirPrefix: String): Unit =
+    registry.forEach(_.invalidatePrefix(spark, dirPrefix))
 }

@@ -184,6 +184,14 @@ object StreamingCorpus {
     StateStore.commit(testSh.unionByName(newTestSh), testShDir)
     StateStore.commit(keptEligSh, eligShDir)
     StateStore.writeWatermark(Paths.get(s"$stateDir/watermark"), newWatermark)
+    // corpus grew: batch artifacts cached over the pre-append corpus must
+    // rebuild on next access (same contract as StreamingDupClusters.tick).
+    // docsDir is the documents table path; invalidate its parent data dir
+    // so (session, dataDir)-keyed caches drop too.
+    graft.operators.SessionCache.invalidateAllFor(
+      spark,
+      Option(Paths.get(docsDir).getParent).map(_.toString).getOrElse(docsDir)
+    )
     TickOutcome("incremental", deltaStaged.count(), retro, newWatermark)
   }
 

@@ -31,7 +31,9 @@ import graft.operators.Dedup
   * The toks/buckets slices are APPEND-ONLY under names keyed by the
   * delta's first doc id (stable across a crashed tick's replay even when
   * more documents land in between), so a rerun overwrites its own files
-  * (idempotent) instead of duplicating rows. Candidates come from the
+  * (idempotent) instead of duplicating rows; SliceStore.maybeCompact folds
+  * accumulated slices into a `base/` table so per-tick listing and scan
+  * setup never grow with tick count. Candidates come from the
   * delta's band keys equi-joined against the persisted bucket table;
   * verification joins the persisted token sets of candidate docs only. At
   * 100 TB the bucket table would be stored BUCKETED on `key`
@@ -80,16 +82,15 @@ object StreamingDupClusters {
 
     // candidates: delta band keys probe the FULL persisted bucket table
     // (which now includes this slice) — new-new and new-old pairs only.
-    // recursiveFileLookup over the parent, not a glob: a glob path makes
-    // the reader probe it as a possible streaming-sink metadata dir and
-    // log a spurious FileNotFound warning per tick
-    val allBuckets =
-      spark.read.option("recursiveFileLookup", "true").parquet(s"$stateDir/buckets")
+    // SliceStore.read lists the compacted base + live slices explicitly, so
+    // tick cost stays O(delta + matching state) instead of growing with
+    // every historical slice's file count
+    val allBuckets = SliceStore.read(spark, s"$stateDir/buckets")
     val deltaBuckets = spark.read.parquet(s"$stateDir/buckets/$sliceName")
     val cand = Dedup.deltaCandidates(deltaBuckets, allBuckets)
 
     // verification reads candidate docs' token sets from persisted state
-    val allToks = spark.read.option("recursiveFileLookup", "true").parquet(s"$stateDir/toks")
+    val allToks = SliceStore.read(spark, s"$stateDir/toks")
     val edges = Dedup.verifyEdges(allToks, cand)
 
     val oldLabels = readLabels(spark, stateDir)
@@ -100,6 +101,14 @@ object StreamingDupClusters {
     updated.write.mode("overwrite").parquet(s"$stateDir/labels/stage")
     promoteStagedLabels(stateDir)
     Files.writeString(Paths.get(stateDir, "state.json"), s"""{"max_doc_id": $hi}""")
+    // the corpus under dataDir grew: any batch artifact this session cached
+    // over the pre-append corpus (pair graphs, signatures, ANN indexes, LM
+    // counts) must rebuild on its next access
+    graft.operators.SessionCache.invalidateAllFor(spark, dataDir)
+    // fold accumulated slices into the compacted base once enough piled up,
+    // so tick cost never grows with tick COUNT (only with state size)
+    SliceStore.maybeCompact(spark, s"$stateDir/toks", hi)
+    SliceStore.maybeCompact(spark, s"$stateDir/buckets", hi)
     n
   }
 

@@ -53,6 +53,10 @@ object StreamingIndexer {
       .option("checkpointLocation", s"$indexDir/_indexer_checkpoint")
       .foreachBatch { (_: DataFrame, _: Long) =>
         onTick(graft.tools.AnnBuild.run(maintainer, dataDir, indexDir, profiles))
+        // embeddings grew: persist* invalidates the maintainer clone's own
+        // index caches, but artifacts cached on the SERVING session over the
+        // pre-append table (planted corpora, in-session indexes) are stale too
+        graft.operators.SessionCache.invalidateAllFor(spark, dataDir)
       }
       .start()
   }

@@ -44,15 +44,17 @@ import graft.operators.Curation
   * ids), so redelivered or coalesced batches can never double-process.
   *
   * Persisted state under `stateDir`:
-  *   - `grams/delta_<lo>/` k-gram instance slices (doc_id, n_toks, key, pos)
+  *   - `grams/delta_<lo>/` k-gram instance slices (doc_id, n_toks, key, pos),
+  *                         periodically folded into `grams/base/` by
+  *                         SliceStore.maybeCompact so the per-tick listing
+  *                         and scan setup never grow with tick count
   *   - `stats/`            the maintained q110 output table (StateStore
   *                         two-rename commit, `.old` fallback on crash)
   *   - `watermark`         plain-text high-watermark sidecar
   *
   * At 100 TB the grams store would be BUCKETED on `key` (`sources/Layouts`
   * — the three key-probes become zero-shuffle bucket probes instead of
-  * full-store scans) with periodic slice compaction; the per-tick
-  * algorithm is unchanged. The maintained stats
+  * full-store scans); the per-tick algorithm is unchanged. The maintained stats
   * table is spec-pinned EQUAL to the batch q110 after every tick — exact,
   * not approximate, because instance derivation and the island merge are
   * shared code (`spanGramInstances` / `spanStatsFrom`) and deterministic.
@@ -85,7 +87,8 @@ object StreamingSpanDedup {
     val slicePath = s"$stateDir/grams/delta_$lo"
     Curation.spanGramInstances(spark, delta).write.mode("overwrite").parquet(slicePath)
     val deltaInst = spark.read.parquet(slicePath)
-    val allInst = spark.read.option("recursiveFileLookup", "true").parquet(s"$stateDir/grams")
+    // compacted base + live slices, listed explicitly (see SliceStore)
+    val allInst = SliceStore.read(spark, s"$stateDir/grams")
 
     // flip set: among the DELTA's keys, those whose corpus count reaches
     // >=2 only once the delta is included — global counts scoped to delta
@@ -127,6 +130,12 @@ object StreamingSpanDedup {
 
     StateStore.commit(newStats, s"$stateDir/stats")
     StateStore.writeWatermark(wmPath, hi)
+    // corpus grew: batch artifacts cached over the pre-append corpus must
+    // rebuild on next access (same contract as StreamingDupClusters.tick)
+    graft.operators.SessionCache.invalidateAllFor(spark, dataDir)
+    // fold accumulated gram slices once enough piled up — tick cost must
+    // never grow with tick COUNT, only with state size
+    SliceStore.maybeCompact(spark, s"$stateDir/grams", hi)
     (n, nAffected)
   }
 

@@ -69,6 +69,50 @@ class StateStoreSpec extends SparkSpec {
     }
   }
 
+  test("SliceStore: fold-at-threshold keeps contents exact; folded leftovers are excluded then GC'd") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("ss_slices").toString + "/fam"
+    def slice(lo: Long, rows: Seq[(Long, Long)]): Unit =
+      rows.toDF("k", "v").write.mode("overwrite").parquet(s"$dir/delta_$lo")
+    def readAll(): Set[(Long, Long)] =
+      SliceStore.read(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val a = Seq(0L -> 1L, 1L -> 1L)
+    val b = Seq(5L -> 2L)
+    val c = Seq(10L -> 3L)
+    slice(0, a); slice(5, b)
+    assert(readAll() === (a ++ b).toSet)
+
+    spark.conf.set("graft.stream.compactSlices", "2")
+    try {
+      assert(SliceStore.maybeCompact(spark, dir, coveredHi = 9L))
+      assert(readAll() === (a ++ b).toSet, "fold must not change contents")
+      assert(Files.isDirectory(Paths.get(s"$dir/base")))
+      assert(!Files.exists(Paths.get(s"$dir/delta_0")) && !Files.exists(Paths.get(s"$dir/delta_5")),
+        "folded slices must be GC'd")
+
+      // a folded slice left behind by a crash between promote and GC (lo <=
+      // covered) must be EXCLUDED from reads — no double-counted rows — and
+      // swept by the next compaction pass
+      slice(7, Seq(5L -> 2L))
+      assert(readAll() === (a ++ b).toSet, "leftover folded slice must not be re-read")
+      slice(10, c)
+      assert(readAll() === (a ++ b ++ c).toSet, "post-fold slices must be live")
+      assert(!SliceStore.maybeCompact(spark, dir, coveredHi = 10L), "1 live slice < threshold: no fold")
+      assert(!Files.exists(Paths.get(s"$dir/delta_7")), "dead slice swept even without a fold")
+
+      // base crash window: retired base.old serves reads with its coverage
+      Files.move(Paths.get(s"$dir/base"), Paths.get(s"$dir/base.old"))
+      assert(readAll() === (a ++ b ++ c).toSet, "base.old fallback must keep full contents")
+
+      // second fold from the crash-window state heals and stays exact
+      slice(20, Seq(20L -> 4L))
+      assert(SliceStore.maybeCompact(spark, dir, coveredHi = 20L))
+      assert(readAll() === (a ++ b ++ c ++ Seq(20L -> 4L)).toSet)
+      assert(Files.isDirectory(Paths.get(s"$dir/base")) && !Files.exists(Paths.get(s"$dir/base.old")))
+    } finally spark.conf.unset("graft.stream.compactSlices")
+  }
+
   test("plain commit cycle: overwrite semantics, no leftover side dirs") {
     import spark.implicits._
     val dir = Files.createTempDirectory("ss_plain").toString + "/t"

@@ -139,6 +139,52 @@ class StreamingDupClustersSpec extends SparkSpec {
     }
   }
 
+  test("a maintainer tick invalidates batch caches over the same dir: q101 sees the post-append corpus") {
+    val dataDir = java.nio.file.Files.createTempDirectory("sdc_inv_data").toString
+    val stateDir = java.nio.file.Files.createTempDirectory("sdc_inv_state").toString
+    val oldDocs = Seq[(Long, Seq[String])](0L -> aToks, 1L -> aToks)
+    writeDocs(dataDir, "overwrite", oldDocs)
+
+    // batch query first: populates the (session, dir) signature/edge caches
+    def q101Ids(): Set[Long] =
+      graft.operators.Dedup.q101LshDupClusters(spark, dataDir).collect().map(_.getLong(0)).toSet
+    assert(q101Ids() === Set(0L, 1L))
+
+    // new exact dups land and a maintainer tick processes them — the batch
+    // path must now rebuild from the grown corpus, not serve the cached
+    // pre-append frames
+    writeDocs(dataDir, "append", Seq[(Long, Seq[String])](2L -> dToks, 3L -> dToks))
+    // fresh state dir: the first tick drains ALL 4 docs (watermark unset)
+    assert(StreamingDupClusters.tick(spark, dataDir, stateDir) === 4L)
+    assert(q101Ids() === Set(0L, 1L, 2L, 3L), "post-tick batch q101 must include the landed dup pair")
+  }
+
+  test("slice compaction mid-stream: ticks stay exact across folds of toks/buckets state") {
+    val dataDir = java.nio.file.Files.createTempDirectory("sdc_cpt_data").toString
+    val stateDir = java.nio.file.Files.createTempDirectory("sdc_cpt_state").toString
+    spark.conf.set("graft.stream.compactSlices", "2")
+    try {
+      // 4 ticks: folds trigger after ticks 2 and 4; cross-tick merges must
+      // still see pre-fold docs' signatures through the compacted base
+      val batches = Seq(
+        Seq[(Long, Seq[String])](0L -> aToks, 1L -> bToks),
+        Seq[(Long, Seq[String])](2L -> aToks),          // merges with 0 (old-new, pre-fold)
+        Seq[(Long, Seq[String])](3L -> dToks),
+        Seq[(Long, Seq[String])](4L -> cToks, 5L -> dToks) // 4 bridges 0/1/2; 5 pairs with 3 via base
+      )
+      var landed = Vector.empty[(Long, Seq[String])]
+      for ((batch, i) <- batches.zipWithIndex) {
+        writeDocs(dataDir, if (i == 0) "overwrite" else "append", batch)
+        landed ++= batch
+        assert(StreamingDupClusters.tick(spark, dataDir, stateDir) === batch.size.toLong)
+        assert(readState(stateDir) === exactClusters(landed), s"tick ${i + 1} diverged after compaction")
+      }
+      import java.nio.file.{Files, Paths}
+      assert(Files.isDirectory(Paths.get(s"$stateDir/toks/base")), "toks slices must have folded")
+      assert(Files.isDirectory(Paths.get(s"$stateDir/buckets/base")), "bucket slices must have folded")
+    } finally spark.conf.unset("graft.stream.compactSlices")
+  }
+
   test("randomized ingest sequence: maintained table equals the exact rebuild after every tick") {
     val rnd = new scala.util.Random(7)
     val vocab = (1 to 12).map(i => s"w$i")

@@ -61,6 +61,30 @@ class StreamingSpanDedupSpec extends SparkSpec {
     assert(snap(StreamingSpanDedup.readStats(spark, stateDir)) === t2, "empty tick must not change the table")
   }
 
+  test("slice compaction mid-stream: retroactive flips still see pre-fold grams through the base") {
+    val dataDir = java.nio.file.Files.createTempDirectory("ssd_cpt_data").toString
+    val stateDir = java.nio.file.Files.createTempDirectory("ssd_cpt_state").toString
+    spark.conf.set("graft.stream.compactSlices", "2")
+    try {
+      val u = (1 to 40).map(i => s"u$i")
+      // ticks 1-2 land unique docs, fold after tick 2; tick 3's copy of the
+      // TICK-1 doc must flip it retroactively via the compacted base
+      writeDocs(dataDir, "overwrite", Seq(0L -> u))
+      assert(StreamingSpanDedup.tick(spark, dataDir, stateDir)._1 === 1L)
+      writeDocs(dataDir, "append", Seq(1L -> (1 to 20).map(i => s"v$i")))
+      assert(StreamingSpanDedup.tick(spark, dataDir, stateDir)._1 === 1L)
+      import java.nio.file.{Files, Paths}
+      assert(Files.isDirectory(Paths.get(s"$stateDir/grams/base")), "gram slices must have folded")
+      writeDocs(dataDir, "append", Seq(2L -> u))
+      val (n3, affected3) = StreamingSpanDedup.tick(spark, dataDir, stateDir)
+      assert(n3 === 1L && affected3 === 1L, s"post-fold tick delta/affected ($n3, $affected3)")
+      assert(
+        snap(StreamingSpanDedup.readStats(spark, stateDir)) === snap(Curation.q110SpanDedup(spark, dataDir)),
+        "post-fold tick must equal the batch rebuild"
+      )
+    } finally spark.conf.unset("graft.stream.compactSlices")
+  }
+
   test("crash window between StateStore's two renames: .old fallback keeps pre-tick stats") {
     import java.nio.file.{Files, Paths}
     val dataDir = java.nio.file.Files.createTempDirectory("ssd_crash_data").toString
