@@ -1698,11 +1698,15 @@ object Curation {
   // are exact 64-bit integer arithmetic — merge-order-proof, the q105 rule.
   //
   // Scale shape: one tokenize+explode staged to (doc, trigram) counts and
-  // reused by both consumers (corpus type counts, per-doc rollup); every
-  // join is keyed on word tuples (swap to xxhash64 keys at 100 TB — same
-  // note as q67); the three w2-keyed joins ride one exchange each over the
-  // TYPE table (O(unique trigrams), not instances); N1+(··) is the only
-  // broadcast — a 1-row scalar (q70 pattern). No driver traffic.
+  // reused by both consumers (corpus type counts, per-doc rollup). Every
+  // count table keys on per-word xxhash64 LONGs (each token hashed once,
+  // word strings dropped before the first shuffle — the q67 trade: ~4x
+  // fewer key bytes than strings through every exchange, and no word ever
+  // reaches an output column, so only a 64-bit hash collision between two
+  // vocab types could perturb counts); the three h2-keyed joins ride one
+  // exchange each over the TYPE table (O(unique trigrams), not instances);
+  // N1+(··) is the only broadcast — a 1-row scalar (q70 pattern). No
+  // driver traffic.
   // ---------------------------------------------------------------------------
   private val KN_PROB =
     "greatest(CAST(c3 AS DOUBLE) - 7.5e-1, 0e0)/c2 + 7.5e-1*n1p_12/c2*" +
@@ -1724,39 +1728,42 @@ object Curation {
       .balanced(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
       .withColumn("toks", expr(toksExpr))
       .filter(size(col("toks")) >= 3)
+      // hash every token ONCE, then window over the hash array — word
+      // strings never leave the scan stage
+      .withColumn("hs", expr("transform(toks, t -> xxhash64(t))"))
       .select(
         col("doc_id"),
         explode(
           expr(
-            "transform(sequence(1, size(toks) - 2), i -> struct(" +
-              "element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2, element_at(toks, i + 2) AS w3))"
+            "transform(sequence(1, size(hs) - 2), i -> struct(" +
+              "element_at(hs, i) AS h1, element_at(hs, i + 1) AS h2, element_at(hs, i + 2) AS h3))"
           )
         ).as("g")
       )
-      .select(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"), col("g.w3").as("w3"))
-      .groupBy(col("doc_id"), col("w1"), col("w2"), col("w3"))
+      .select(col("doc_id"), col("g.h1").as("h1"), col("g.h2").as("h2"), col("g.h3").as("h3"))
+      .groupBy(col("doc_id"), col("h1"), col("h2"), col("h3"))
       .agg(count(lit(1)).as("k"))
       .localCheckpoint()
-    val tri = docTri.groupBy(col("w1"), col("w2"), col("w3")).agg(sum(col("k")).as("c3"))
-    val ctx = tri.groupBy(col("w1"), col("w2")).agg(sum(col("c3")).as("c2"), count(lit(1)).as("n1p_12"))
+    val tri = docTri.groupBy(col("h1"), col("h2"), col("h3")).agg(sum(col("k")).as("c3"))
+    val ctx = tri.groupBy(col("h1"), col("h2")).agg(sum(col("c3")).as("c2"), count(lit(1)).as("n1p_12"))
     // m23 rows ARE the distinct (w2,w3) bigram types seen as trigram tails —
     // the single table the whole lower-order stack derives from
-    val m23 = tri.groupBy(col("w2"), col("w3")).agg(count(lit(1)).as("n1p_d23"))
-    val m2 = tri.groupBy(col("w2")).agg(count(lit(1)).as("n1p_d2d"))
-    val n2d = m23.groupBy(col("w2")).agg(count(lit(1)).as("n1p_2d"))
-    val c3t = m23.groupBy(col("w3")).agg(count(lit(1)).as("n1p_d3"))
+    val m23 = tri.groupBy(col("h2"), col("h3")).agg(count(lit(1)).as("n1p_d23"))
+    val m2 = tri.groupBy(col("h2")).agg(count(lit(1)).as("n1p_d2d"))
+    val n2d = m23.groupBy(col("h2")).agg(count(lit(1)).as("n1p_2d"))
+    val c3t = m23.groupBy(col("h3")).agg(count(lit(1)).as("n1p_d3"))
     val nbt = m23.agg(count(lit(1)).as("nbt"))
     val scored = tri
-      .join(ctx, Seq("w1", "w2"))
-      .join(m23, Seq("w2", "w3"))
-      .join(m2, Seq("w2"))
-      .join(n2d, Seq("w2"))
-      .join(c3t, Seq("w3"))
+      .join(ctx, Seq("h1", "h2"))
+      .join(m23, Seq("h2", "h3"))
+      .join(m2, Seq("h2"))
+      .join(n2d, Seq("h2"))
+      .join(c3t, Seq("h3"))
       .crossJoin(broadcast(nbt))
       .withColumn("lp_micro", expr(s"CAST(floor(ln($KN_PROB) * 1e6 + 5e-1) AS BIGINT)"))
-      .select(col("w1"), col("w2"), col("w3"), col("lp_micro"))
+      .select(col("h1"), col("h2"), col("h3"), col("lp_micro"))
     docTri
-      .join(scored, Seq("w1", "w2", "w3"))
+      .join(scored, Seq("h1", "h2", "h3"))
       .groupBy(col("doc_id"))
       .agg(sum(col("k")).as("n_tri"), sum(col("k") * col("lp_micro")).as("sum_lp_micro"))
       .select(

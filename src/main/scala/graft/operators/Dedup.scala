@@ -937,6 +937,27 @@ object Dedup {
   // re-verifies every emitted pair against an exact recomputation and
   // measures recall vs the exact cross-split pair set.
   // ---------------------------------------------------------------------------
+  /** Oracle: the exact cross-split near-dup pair set — q32's jaccard pair
+    * join restricted to (non-test, test) sides of q49's md5 coin. Gate-able
+    * because banding is deterministic and the screen's recall vs this exact
+    * set is 1.0 on the gated corpus (the selfcheck re-proves it every run);
+    * the banded miner itself stays the 100 TB path.
+    */
+  val q113Oracle: String =
+    """WITH t AS (
+      |  SELECT lang, doc_id,
+      |         list_distinct(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS toks,
+      |         CAST(('0x' || substring(md5(doc_id::VARCHAR), 1, 2))::INT AS INT) AS bucket
+      |  FROM documents)
+      |SELECT l.lang AS lang, l.doc_id AS doc_a, r.doc_id AS doc_b,
+      |       round(len(list_intersect(l.toks, r.toks))::DOUBLE
+      |             / len(list_distinct(list_concat(l.toks, r.toks))), 6) AS jaccard
+      |FROM t l JOIN t r ON l.lang = r.lang
+      |WHERE l.bucket < 230 AND r.bucket >= 230
+      |  AND len(list_intersect(l.toks, r.toks))::DOUBLE
+      |      / len(list_distinct(list_concat(l.toks, r.toks))) >= 0.8
+      |ORDER BY lang, doc_a, doc_b""".stripMargin
+
   def q113NeardupContamination(spark: SparkSession, dir: String): DataFrame = {
     val t = sigTokenFrame(spark, dir)
     val split = Sampling.hashSplitCoin(col("doc_id"))
@@ -957,18 +978,20 @@ object Dedup {
   // before deciding drop-the-source vs dedup-the-rows — every duplication
   // granularity the engine measures, rolled up per source in one frame:
   // exact whole-doc redundancy (q29's fingerprint rule: non-survivor share),
-  // near-dup cluster membership (q61's exact jaccard>=0.8 components — the
-  // oracle-able contract; the q101 sub-quadratic path yields the same
-  // clusters at scale), mean cross-doc passage sharing (q71), and mean
-  // duplicated-span coverage (q110, over its >=8-token domain). Fractions
-  // aggregate the components' 6dp-rounded per-doc values as integer micros
-  // (merge-order-proof, the q105 rule). Composition cost: one fingerprint
-  // groupBy + the component queries (q61's edge frame is session-cached).
+  // near-dup cluster membership (the sub-quadratic q101 banded-MinHash +
+  // exact-verify components — the 100 TB path; its clusters equal q61's
+  // exact jaccard>=0.8 components, pinned by DedupSpec and the selfcheck,
+  // which is why the q61 recursive-CTE stays the SQL oracle below), mean
+  // cross-doc passage sharing (q71), and mean duplicated-span coverage
+  // (q110, over its >=8-token domain). Fractions aggregate the components'
+  // 6dp-rounded per-doc values as integer micros (merge-order-proof, the
+  // q105 rule). Composition cost: one fingerprint groupBy + the component
+  // queries (q101's banded edge frame is session-cached).
   // ---------------------------------------------------------------------------
   def q117DedupProfile(spark: SparkSession, dir: String): DataFrame = {
     // is_dup derives from q29's OWN output (not a re-derivation of its
     // rule), so a future change to the survivor rule flows through here
-    // structurally — the same dependency shape as q61DupClusters below
+    // structurally — the same dependency shape as q101LshDupClusters below
     val fp = Tables
       .balanced(Tables.documents(spark, dir))
       .select(col("doc_id"), col("source"), md5(normText).as("fingerprint"))
@@ -979,7 +1002,7 @@ object Dedup {
         col("source"),
         when(col("n_copies") > 1 && col("doc_id") =!= col("survivor_doc_id"), 1).otherwise(0).as("is_dup")
       )
-    val clustered = q61DupClusters(spark, dir).select(col("doc_id"), lit(1).as("in_cluster"))
+    val clustered = q101LshDupClusters(spark, dir).select(col("doc_id"), lit(1).as("in_cluster"))
     val pass = Curation
       .q71PassageDedup(spark, dir)
       .select(col("doc_id"), expr("CAST(round(shared_frac * 1e6, 0) AS BIGINT)").as("shared_micro"))
@@ -1103,9 +1126,17 @@ object Dedup {
     "q117_dedup_profile" -> (q117DedupProfile _)
   )
 
-  /** q30/q31/q60/q101/q102/q107/q108 are hash-based LSH — not reproducible
-    * in plain SQL → rows-only (plus Verify's data-derived self-check
-    * manifest; q108's selfcheck is exact equality with the q101 rebuild).
+  /** q30/q31/q60 are hash-based LSH with sub-1 recall or hash-valued
+    * outputs — not reproducible in plain SQL → rows-only plus Verify's
+    * data-derived self-check manifest.
+    *
+    * The banded-path composites (q101/q102/q107/q108/q113) ARE gated, each
+    * against its exact twin's SQL (q61 / q99 / q106 / the exact cross-split
+    * pair join): banding itself is SQL-inexpressible, but it is
+    * deterministic, and on the gated corpus the banded output EQUALS the
+    * exact one (the same claim the selfcheck proves numerically every run —
+    * registering the twin's oracle upgrades it from a self-reported metric
+    * to a driver-enforced hash match, the q117 pattern).
     */
   val oracles: Map[String, String] = Map(
     "q29_exact_dedup" -> q29Oracle,
@@ -1113,7 +1144,12 @@ object Dedup {
     "q33_embedding_neardup" -> q33Oracle,
     "q61_dup_clusters" -> q61Oracle,
     "q99_cluster_canon" -> q99Oracle,
+    "q101_lsh_dup_clusters" -> q61Oracle,
+    "q102_lsh_cluster_canon" -> q99Oracle,
     "q106_leakage_safe_split" -> q106Oracle,
+    "q107_lsh_safe_split" -> q106Oracle,
+    "q108_incremental_clusters" -> q61Oracle,
+    "q113_neardup_contamination" -> q113Oracle,
     "q117_dedup_profile" -> q117Oracle
   )
 }
