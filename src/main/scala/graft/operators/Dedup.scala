@@ -876,6 +876,20 @@ object Dedup {
     */
   private val incrLabelCache = new SessionCache[DataFrame]
 
+  /** The corpus's (doc_id, band, key) LSH bucket table as a session
+    * artifact — the persisted index a real pipeline keeps NEXT TO the label
+    * table between ingest ticks (the streaming maintainer's buckets/ store
+    * is the same shape, and at 100 TB it is stored bucketed on `key` per
+    * sources/Layouts). The incremental path probes it instead of
+    * re-exploding every signature on every read.
+    */
+  private val bucketFrameCache = new SessionCache[DataFrame]
+
+  private def bucketFrame(spark: SparkSession, dir: String): DataFrame =
+    bucketFrameCache.getOrBuild(spark, dir) {
+      bandBuckets(sigTokenFrame(spark, dir).select(col("doc_id"), col("sig"))).localCheckpoint()
+    }
+
   def q108IncrementalClusters(spark: SparkSession, dir: String): DataFrame = {
     val t = sigTokenFrame(spark, dir)
     // pivot at the 90% id mark — a deterministic stand-in for the ingest
@@ -892,7 +906,13 @@ object Dedup {
         .select(col("doc_id"), col("cluster"))
         .localCheckpoint()
     }
-    clustersApply(t, col("doc_id") > pivot, oldLabels)
+    // same semantics as clustersApply (a per-doc delta's bandBuckets ==
+    // a doc_id filter of the corpus bucket table), but probing the
+    // session-persisted bucket index instead of re-exploding signatures —
+    // the read path an ingest tick actually runs against persisted state
+    val allBuckets = bucketFrame(spark, dir)
+    val newBuckets = allBuckets.filter(col("doc_id") > pivot)
+    applyEdgesToLabels(verifyEdges(t, deltaCandidates(newBuckets, allBuckets)), oldLabels)
   }
 
   /** Oracle: q61's recursive-CTE cluster labels left-joined onto documents,
@@ -1002,7 +1022,12 @@ object Dedup {
         col("source"),
         when(col("n_copies") > 1 && col("doc_id") =!= col("survivor_doc_id"), 1).otherwise(0).as("is_dup")
       )
-    val clustered = q101LshDupClusters(spark, dir).select(col("doc_id"), lit(1).as("in_cluster"))
+    // the same session-cached q101 label frame q102/q107 consume — the
+    // materialized table a pipeline keeps after the CC loop, so the profile
+    // does not re-run propagation per read
+    val clustered = lshClusterCache
+      .getOrBuild(spark, dir)(q101LshDupClusters(spark, dir).localCheckpoint())
+      .select(col("doc_id"), lit(1).as("in_cluster"))
     val pass = Curation
       .q71PassageDedup(spark, dir)
       .select(col("doc_id"), expr("CAST(round(shared_frac * 1e6, 0) AS BIGINT)").as("shared_micro"))

@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench line's one hard contract: the driver keeps only the LAST
+  * ~2000 chars of process output (with ~100 chars of sbt epilogue landing
+  * AFTER the line), so the whole line must fit or its head is silently
+  * truncated — exactly what happened to the r3 and r11 artifacts. Pin the
+  * budget at a future-proof registry size and worst-case-ish values.
+  */
+class BenchLineSpec extends AnyFunSuite {
+
+  private val TailWindow = 2000
+  private val SbtEpilogue = 100 // "\n[success] Total time: ...\n" and slack
+
+  private def syntheticLine(nQueries: Int): String = {
+    // worst-case-leaning values: two-digit seconds per query, a long sf dir
+    val queries = (1 to nQueries).map(i => f"q$i%03d_some_operator_name" -> 12.345)
+    Bench.renderLine(
+      total = 1234.567,
+      nRunnable = nQueries,
+      nFailed = 0,
+      planViolations = 0,
+      calStart = 0.345,
+      calEnd = 0.333,
+      calBlockMax = 0.412,
+      queries = queries,
+      failed = Seq.empty,
+      sfDir = "/root/testdata/sf0.1"
+    )
+  }
+
+  test("line at 130 queries fits the driver tail window with epilogue slack") {
+    val line = syntheticLine(130)
+    assert(
+      line.length <= TailWindow - SbtEpilogue,
+      s"bench line is ${line.length} chars — over the ${TailWindow - SbtEpilogue} budget; " +
+        "slim the line (move fields to bench_details.json), do not let the driver truncate its head"
+    )
+    info(s"130-query line: ${line.length} chars (budget ${TailWindow - SbtEpilogue})")
+  }
+
+  test("line at the CURRENT registry size fits with generous headroom") {
+    val line = syntheticLine(SparkEntry.queries.size)
+    assert(line.length <= TailWindow - SbtEpilogue - 100, s"line is ${line.length} chars — headroom gone")
+  }
+
+  test("line is valid JSON with the driver-contract fields") {
+    val line = syntheticLine(117)
+    // minimal structural checks without a JSON lib: balanced braces, the
+    // contract keys present, one line
+    assert(!line.contains("\n"))
+    assert(line.startsWith("{\"metric\":\"total\",\"value\":"))
+    Seq("\"unit\":\"sec\"", "\"queries\":{", "\"sf\":", "\"calibration\":{", "\"plan_violations\":")
+      .foreach(k => assert(line.contains(k), s"missing $k"))
+    assert(line.count(_ == '{') === line.count(_ == '}'))
+    // short keys only: the qNNN prefix, never the full operator name
+    assert(!line.contains("some_operator_name"))
+  }
+}
