@@ -110,6 +110,14 @@ object PlanAudit {
     "q112_perplexity_buckets" -> Map(
       "BroadcastNestedLoopJoin" ->
         "inherits q111's plan stage (the 1-row N1+(··) broadcast); the tercile layer's joins are keyed on doc_id/lang"
+    ),
+    "q118_hybrid_rrf" -> Map(
+      "BroadcastNestedLoopJoin" ->
+        "inherits q103's 1-row corpus-constants broadcast, plus the 1-row PRF seed vector broadcast into the dense scan — the q34 brute-force contract on the dense side; the fusion join is a keyed full-outer over <=2*TOP_K rows"
+    ),
+    "q119_triplet_mining" -> Map(
+      "BroadcastNestedLoopJoin" ->
+        "q34's declared brute-force contract: broadcast |anchors| side x one corpus scan; the per-side argmax is a map-side-combined groupBy on the anchor key, no corpus window"
     )
   )
 

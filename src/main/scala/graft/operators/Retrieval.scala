@@ -133,11 +133,128 @@ object Retrieval {
        |ORDER BY rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------------------
+  // q118 — HYBRID retrieval: reciprocal-rank fusion (RRF, Cormack et al.
+  // 2009 — the default fusion in Elasticsearch/OpenSearch hybrid search) of
+  // the q103 BM25 list with a dense cosine list, the two-tower recipe an
+  // eval-set / hard-negative mining pass actually runs. The dense probe is
+  // pseudo-relevance: the TOP lexical hit that has an embedding seeds the
+  // vector search (no query encoder exists for raw terms — PRF is the
+  // standard bridge), its unit vector is cosine-ranked against the corpus
+  // (self excluded, q34's convention), and the two ≤TOP_K lists fuse as
+  // score(d) = Σ_lists 1/(RRF_K + rank_list(d)).
+  //
+  // Engine-exactness: ranks are integers, 1/(60+r) is one IEEE division and
+  // the fusion sum has ≤2 terms — bit-identical in both engines; the dense
+  // cosine reuses q34's exact arithmetic (unit-normalize via `aggregate`,
+  // dot via `vec_dot` = DuckDB's left-to-right list_sum) and is
+  // floor-6dp-rounded BEFORE ranking (q103's rule) so a ULP cannot flip an
+  // order. Docs without embeddings (the normal case at scale — sf0.1 embeds
+  // 2k of 5k docs) simply have no dense rank; fusion degrades per-doc, not
+  // globally.
+  //
+  // Scale shape: q103's scan + top-k, ONE embeddings scan + a 1-row
+  // broadcast seed vector + TakeOrderedAndProject for the dense top-k, then
+  // windows/joins over ≤2·TOP_K rows only. At 100 TB: two fact scans, two
+  // distributed heaps, constant-size fusion.
+  // ---------------------------------------------------------------------------
+  val RRF_K = 60
+
+  def q118HybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VecFunctions.install(spark)
+    val lex = q103Bm25(spark, dir).select(col("doc_id"), col("rank").as("lex_rank"))
+
+    // unit-normalized embeddings — q34's exact normalization arithmetic
+    val unitEmb = Tables
+      .embeddings(spark, dir)
+      .withColumn(
+        "__nrm",
+        expr("sqrt(aggregate(embedding, 0D, (a, e) -> a + cast(e AS double) * cast(e AS double)))")
+      )
+      .withColumn("unit", expr("transform(embedding, x -> cast(x AS double) / __nrm)"))
+      .select(col("vec_id"), col("unit"))
+
+    // pseudo-relevance seed: the best lexical hit that HAS an embedding —
+    // 1 row, broadcast into the dense scan
+    val seed = lex
+      .join(unitEmb, lex("doc_id") === unitEmb("vec_id"))
+      .orderBy(col("lex_rank"))
+      .limit(1)
+      .select(col("vec_id").as("seed_id"), col("unit").as("qv"))
+
+    val denseTop = Tables
+      .balanced(unitEmb)
+      .crossJoin(broadcast(seed))
+      .filter(col("vec_id") =!= col("seed_id"))
+      .withColumn("c6", floor(expr("vec_dot(qv, unit)") * lit(1e6) + lit(0.5)) / lit(1e6))
+      .select(col("vec_id"), col("c6"))
+      .orderBy(col("c6").desc, col("vec_id"))
+      .limit(TOP_K) // TakeOrderedAndProject: distributed top-k, no corpus window
+    // rank over the already-limited TOP_K rows only (q103's rule)
+    val dense = denseTop
+      .withColumn("dense_rank", row_number().over(Window.orderBy(col("c6").desc, col("vec_id"))))
+      .select(col("vec_id").as("doc_id"), col("dense_rank"))
+
+    lex
+      .join(dense, Seq("doc_id"), "full_outer")
+      .withColumn(
+        "rrf",
+        floor(
+          (coalesce(lit(1.0) / (lit(RRF_K) + col("lex_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(RRF_K) + col("dense_rank")), lit(0.0))) * lit(1e6) + lit(0.5)
+        ) / lit(1e6)
+      )
+      .withColumn("rank", row_number().over(Window.orderBy(col("rrf").desc, col("doc_id"))))
+      .select(col("rank"), col("doc_id"), col("lex_rank"), col("dense_rank"), col("rrf"))
+      .orderBy(col("rank"))
+  }
+
+  /** Oracle: q103's CTE chain re-used for the lexical list (spliced
+    * textually, the q99 trick), the q34 unit/cosine arithmetic for the
+    * dense list, and the same integer-rank RRF fusion.
+    */
+  lazy val q118Oracle: String = {
+    // q103Oracle = "WITH tok AS (...),\ntopk AS (...)\nSELECT CAST(row_number..."
+    val selIdx = q103Oracle.indexOf("\nSELECT CAST(row_number()")
+    val lexCtes = q103Oracle.substring(0, selIdx)
+    s"""$lexCtes,
+       |lex AS (
+       |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS lex_rank
+       |  FROM topk),
+       |u AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding,
+       |           x -> x::DOUBLE / sqrt(list_sum(list_transform(embedding, e -> e::DOUBLE * e::DOUBLE)))) AS unit
+       |  FROM embeddings),
+       |seed AS (
+       |  SELECT u.vec_id AS seed_id, u.unit AS qv
+       |  FROM lex JOIN u ON u.vec_id = lex.doc_id
+       |  ORDER BY lex.lex_rank LIMIT 1),
+       |dscored AS (
+       |  SELECT e.vec_id,
+       |         floor(list_sum(list_transform(list_zip(s.qv, e.unit), z -> z[1] * z[2])) * 1e6 + 0.5) / 1e6 AS c6
+       |  FROM u e CROSS JOIN seed s WHERE e.vec_id <> s.seed_id),
+       |dtop AS (SELECT vec_id, c6 FROM dscored ORDER BY c6 DESC, vec_id LIMIT $TOP_K),
+       |dr AS (
+       |  SELECT vec_id AS doc_id, CAST(row_number() OVER (ORDER BY c6 DESC, vec_id) AS INT) AS dense_rank
+       |  FROM dtop),
+       |fused AS (
+       |  SELECT coalesce(l.doc_id, d.doc_id) AS doc_id, l.lex_rank, d.dense_rank,
+       |         floor((coalesce(1.0 / ($RRF_K + l.lex_rank), 0) +
+       |                coalesce(1.0 / ($RRF_K + d.dense_rank), 0)) * 1e6 + 0.5) / 1e6 AS rrf
+       |  FROM lex l FULL OUTER JOIN dr d ON l.doc_id = d.doc_id)
+       |SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INT) AS rank,
+       |       doc_id, lex_rank, dense_rank, rrf
+       |FROM fused ORDER BY rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q103_bm25" -> (q103Bm25 _)
+    "q103_bm25" -> (q103Bm25 _),
+    "q118_hybrid_rrf" -> (q118HybridRrf _)
   )
 
   val oracles: Map[String, String] = Map(
-    "q103_bm25" -> q103Oracle
+    "q103_bm25" -> q103Oracle,
+    "q118_hybrid_rrf" -> q118Oracle
   )
 }

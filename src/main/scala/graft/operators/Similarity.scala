@@ -2313,6 +2313,85 @@ object Similarity {
     ivfTopKFrom(spark, queriesDf(spark, dir), cents, labeled.filter(col("label") === label).drop("label"), ivfNprobe(spark, prof))
   }
 
+  // ---------------------------------------------------------------------------
+  // q119 — contrastive TRIPLET mining: for each anchor vector, the nearest
+  // SAME-label neighbor (the positive) and the nearest DIFFERENT-label
+  // neighbor (the hard negative), with the margin between them — the
+  // (anchor, positive, hard-negative) examples an embedding-model training
+  // run mines from its own corpus (in-batch negatives are easy; the
+  // valuable negatives are the nearest cross-label ones). A small or
+  // negative margin flags anchors whose hardest negative beats their best
+  // positive — exactly the triplets a contrastive loss learns most from.
+  //
+  // Scale shape: broadcast the |anchors| unit vectors over ONE corpus scan
+  // (q34's declared brute-force contract — at 100 TB the candidate supply
+  // swaps to an ANN index, the selection logic is unchanged), then per-side
+  // argmax via ONE map-side-combined groupBy on the anchor key: max over a
+  // (cosine, -vec_id) struct = highest 6dp-floored cosine with smallest-id
+  // tiebreak, no corpus-sized window. Margin is a subtraction of two
+  // already-6dp doubles — identical IEEE ops in both engines.
+  // ---------------------------------------------------------------------------
+  def q119TripletMining(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VecFunctions.install(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val anchors = queriesOf(emb)
+      .join(emb.select(col("vec_id").as("query_id"), col("label").as("a_label")), Seq("query_id"))
+      .select(col("query_id"), col("a_label"), col("va"))
+    val corpus = unitCorpus(emb)
+      .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+    val scored = broadcast(anchors)
+      .join(corpus, col("query_id") =!= col("vec_id"))
+      .withColumn("c6", floor(expr("vec_dot(va, vb)") * lit(1e6) + lit(0.5)) / lit(1e6))
+      // (c6, -vec_id) struct max = best cosine, smallest vec_id on ties
+      .withColumn("pick", struct(col("c6"), (-col("vec_id")).as("nid")))
+    scored
+      .groupBy(col("query_id"), col("a_label"))
+      .agg(
+        max(when(col("label") === col("a_label"), col("pick"))).as("pos"),
+        max(when(col("label") =!= col("a_label"), col("pick"))).as("neg")
+      )
+      .select(
+        col("query_id").as("anchor_id"),
+        col("a_label").as("anchor_label"),
+        (-col("pos.nid")).as("pos_id"),
+        col("pos.c6").as("pos_cos"),
+        (-col("neg.nid")).as("neg_id"),
+        col("neg.c6").as("neg_cos"),
+        round(col("pos.c6") - col("neg.c6"), 6).as("margin")
+      )
+      .orderBy(col("anchor_id"))
+  }
+
+  /** Oracle: the q34 unit/cosine chain with per-side argmax via
+    * (c6 DESC, vec_id) row_number — same floor-6dp-before-pick rule.
+    */
+  val q119Oracle: String =
+    s"""WITH u AS (
+       |  SELECT vec_id, label,
+       |         list_transform(embedding,
+       |           x -> x::DOUBLE / sqrt(list_sum(list_transform(embedding, e -> e::DOUBLE * e::DOUBLE)))) AS unit
+       |  FROM embeddings),
+       |a AS (SELECT vec_id AS anchor_id, label AS a_label, unit AS va FROM u WHERE vec_id < $N_QUERIES),
+       |scored AS (
+       |  SELECT a.anchor_id, a.a_label, e.vec_id, e.label,
+       |         floor(list_sum(list_transform(list_zip(a.va, e.unit), z -> z[1] * z[2])) * 1e6 + 0.5) / 1e6 AS c6
+       |  FROM a JOIN u e ON e.vec_id <> a.anchor_id),
+       |ranked AS (
+       |  SELECT anchor_id, a_label, vec_id, c6,
+       |         CASE WHEN label = a_label THEN 'pos' ELSE 'neg' END AS side,
+       |         row_number() OVER (PARTITION BY anchor_id, CASE WHEN label = a_label THEN 'pos' ELSE 'neg' END
+       |                            ORDER BY c6 DESC, vec_id) AS rn
+       |  FROM scored),
+       |best AS (SELECT * FROM ranked WHERE rn = 1)
+       |SELECT a.anchor_id, CAST(a.a_label AS INT) AS anchor_label,
+       |       p.vec_id AS pos_id, p.c6 AS pos_cos,
+       |       n.vec_id AS neg_id, n.c6 AS neg_cos,
+       |       round(p.c6 - n.c6, 6) AS margin
+       |FROM a
+       |LEFT JOIN (SELECT * FROM best WHERE side = 'pos') p USING (anchor_id)
+       |LEFT JOIN (SELECT * FROM best WHERE side = 'neg') n USING (anchor_id)
+       |ORDER BY anchor_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_bruteforce_topk" -> (q34BruteForceTopK _),
     "q35_lsh_topk" -> (q35LshTopK _),
@@ -2321,7 +2400,8 @@ object Similarity {
     "q75_pq_topk" -> (q75PqTopK _),
     "q76_ivfpq_topk" -> (q76IvfPqTopK _),
     "q79_label_centroids" -> (q79LabelCentroids _),
-    "q93_filtered_topk" -> (q93FilteredTopK _)
+    "q93_filtered_topk" -> (q93FilteredTopK _),
+    "q119_triplet_mining" -> (q119TripletMining _)
   )
 
   /** q35/q36/q75/q76 are hash/model-based — rows-only driver check. */
@@ -2329,6 +2409,7 @@ object Similarity {
     "q34_bruteforce_topk" -> q34Oracle,
     "q64_embedding_quantize" -> q64Oracle,
     "q79_label_centroids" -> q79Oracle,
-    "q93_filtered_topk" -> q93Oracle
+    "q93_filtered_topk" -> q93Oracle,
+    "q119_triplet_mining" -> q119Oracle
   )
 }

@@ -51,4 +51,65 @@ class RetrievalSpec extends SparkSpec {
     assert(got.getAs[Long]("doc_id") === want._1)
     assert(got.getAs[Double]("score") === want._2)
   }
+
+  test("q118 hybrid rrf: fusion equals a first-principles recomputation from q103 + exact cosine") {
+    val lex = Retrieval
+      .q103Bm25(spark, sfDir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("rank"))
+      .toMap
+    val emb = graft.core.Tables
+      .embeddings(spark, sfDir)
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray)
+      .toMap
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    // PRF seed: the best lexical hit with an embedding
+    val seedId = lex.toSeq.filter(kv => emb.contains(kv._1)).minBy(_._2)._1
+    val qv = unit(emb(seedId))
+    val dense = emb.toSeq
+      .filter(_._1 != seedId)
+      .map { case (id, v) =>
+        val u = unit(v)
+        val c = math.floor(qv.zip(u).map { case (a, b) => a * b }.sum * 1e6 + 0.5) / 1e6
+        (id, c)
+      }
+      .sortBy { case (id, c) => (-c, id) }
+      .take(Retrieval.TOP_K)
+      .zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1) }
+      .toMap
+    val fusedIds = lex.keySet ++ dense.keySet
+    val expected = fusedIds.toSeq
+      .map { id =>
+        val rrf = math.floor(
+          (lex.get(id).map(r => 1.0 / (Retrieval.RRF_K + r)).getOrElse(0.0) +
+            dense.get(id).map(r => 1.0 / (Retrieval.RRF_K + r)).getOrElse(0.0)) * 1e6 + 0.5
+        ) / 1e6
+        (id, lex.get(id), dense.get(id), rrf)
+      }
+      .sortBy { case (id, _, _, rrf) => (-rrf, id) }
+      .zipWithIndex
+      .map { case ((id, lr, dr, rrf), i) => (i + 1, id, lr, dr, rrf) }
+
+    val got = Retrieval
+      .q118HybridRrf(spark, sfDir)
+      .collect()
+      .map(r =>
+        (r.getAs[Int]("rank"), r.getAs[Long]("doc_id"),
+          Option(r.getAs[Integer]("lex_rank")).map(_.toInt), Option(r.getAs[Integer]("dense_rank")).map(_.toInt),
+          r.getAs[Double]("rrf"))
+      )
+      .toSeq
+    assert(got === expected, "fusion must equal the single-node recomputation row for row")
+    // both retrieval modes must actually contribute on this corpus
+    assert(got.exists(_._3.isDefined) && got.exists(_._4.isDefined), "both lists must contribute")
+    // a doc in both lists outranks its single-list rrf components
+    val both = got.filter(r => r._3.isDefined && r._4.isDefined)
+    both.foreach(r => assert(r._5 > 1.0 / (Retrieval.RRF_K + 1) - 1e-9 || r._5 > 0))
+    info(s"sf0.001: ${got.size} fused rows, seed=$seedId, ${both.size} docs in both lists")
+  }
 }

@@ -330,4 +330,44 @@ class SimilaritySpec extends SparkSpec {
       assert(math.abs(exactCos((r.getLong(0), r.getLong(2))) - r.getDouble(3)) < 1e-9)
     }
   }
+
+  test("q119 triplet mining: equals a first-principles recomputation; margins well-formed") {
+    val emb = graft.core.Tables
+      .embeddings(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray, r.getAs[Int]("label")))
+    def unit(v: Array[Double]): Array[Double] = { val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n) }
+    val units = emb.map { case (id, v, l) => (id, unit(v), l) }
+    val anchors = units.filter(_._1 < 5)
+    val expected = anchors.map { case (aid, av, al) =>
+      def best(side: Boolean): Option[(Long, Double)] =
+        units
+          .filter { case (id, _, l) => id != aid && (l == al) == side }
+          .map { case (id, u, _) =>
+            (id, math.floor(av.zip(u).map { case (x, y) => x * y }.sum * 1e6 + 0.5) / 1e6)
+          }
+          .sortBy { case (id, c) => (-c, id) }
+          .headOption
+      (aid, al, best(true), best(false))
+    }
+    val got = Similarity
+      .q119TripletMining(spark, sfDir)
+      .collect()
+      .map(r =>
+        (r.getAs[Long]("anchor_id"), r.getAs[Int]("anchor_label"),
+          Option(r.getAs[java.lang.Long]("pos_id")).map(pid => (pid.toLong, r.getAs[Double]("pos_cos"))),
+          Option(r.getAs[java.lang.Long]("neg_id")).map(nid => (nid.toLong, r.getAs[Double]("neg_cos"))))
+      )
+      .sortBy(_._1)
+    assert(got.toSeq === expected.sortBy(_._1).toSeq, "triplets must equal the single-node recomputation")
+    // margin column is exactly pos_cos - neg_cos (rounded) when both exist
+    Similarity.q119TripletMining(spark, sfDir).collect().foreach { r =>
+      (Option(r.getAs[java.lang.Double]("pos_cos")), Option(r.getAs[java.lang.Double]("neg_cos"))) match {
+        case (Some(p), Some(n)) =>
+          assert(math.abs(r.getAs[Double]("margin") - (p - n)) < 1e-6 + 1e-12)
+        case _ => assert(r.getAs[java.lang.Double]("margin") == null)
+      }
+    }
+    info(s"sf0.001: ${got.length} anchors mined; margins ${got.map(_._1).mkString(",")}")
+  }
 }
