@@ -149,6 +149,21 @@ private[streaming] object SliceStore {
     spark.read.parquet(paths: _*)
   }
 
+  /** Contents EXCLUDING the slice keyed `loExclusive` and above — "state as
+    * of the previous watermark". The anti-join guard for append-only
+    * accumulator families (corpus test-shingles, fp→canon): a tick derives
+    * its append as `delta MINUS readBelow(lo)`, so a crashed tick's replay
+    * never anti-joins against its own stale slice and overwrites it empty.
+    * Falls back to an empty frame of `schema` before the first slice lands.
+    */
+  def readBelow(spark: SparkSession, dir: String, loExclusive: Long, schema: StructType): DataFrame = {
+    val (pick, _, live, _) = layout(dir)
+    val paths = pick.map(_.toString).toSeq ++ live.collect { case (lo, p) if lo < loExclusive => p.toString }
+    if (paths.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.parquet(paths: _*)
+  }
+
   /** Fold live slices into the base once their count reaches the threshold;
     * `coveredHi` is the tick's ingest watermark (every live slice's ids are
     * <= it). Always GCs slices a crashed prior fold left behind. Returns

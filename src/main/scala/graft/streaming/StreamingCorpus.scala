@@ -86,11 +86,24 @@ object StreamingCorpus {
     val delta = all.filter(col("doc_id") > watermark)
     if (delta.isEmpty)
       return TickOutcome("noop", 0L, 0L, watermark)
+    // the delta's first ingest id keys this tick's append slices AND the
+    // "state as of the previous watermark" reads below — stable across a
+    // crashed tick's replay even when more documents land in between
+    val lo = delta.agg(min(col("doc_id"))).head().getLong(0)
 
     val sig = Curation.buildSignals(delta).localCheckpoint(true)
     val stages = StateStore.readTable(spark, stagesDir, stageSchema).localCheckpoint(true)
-    val fpCanon = StateStore.readTable(spark, fpDir, fpSchema).localCheckpoint(true)
-    val testSh = StateStore.readTable(spark, testShDir, testShSchema).localCheckpoint(true)
+    // the two APPEND-ONLY accumulators (fp→canon, test shingles) live as
+    // SliceStore families: each tick appends one slice instead of rewriting
+    // the whole table (O(delta) writes, not O(state)), with periodic
+    // compaction. readBelow(lo) — not read() — so a crashed tick's replay
+    // anti-joins against pre-tick state, never its own stale slice.
+    // stages/ and eligsh/ take in-place UPDATES (retro flips, delta
+    // replace) and stay stage-then-swap full rewrites; at 100 TB those
+    // become dynamic-partition overwrites keyed on doc_id range (retro
+    // flips touch old partitions sparsely), same commit discipline.
+    val fpCanon = SliceStore.readBelow(spark, fpDir, lo, fpSchema).localCheckpoint(true)
+    val testSh = SliceStore.readBelow(spark, testShDir, lo, testShSchema).localCheckpoint(true)
     val eligSh = StateStore.readTable(spark, eligShDir, eligShSchema).localCheckpoint(true)
 
     // --- test-shingle growth (delta test docs only) --------------------------
@@ -180,10 +193,14 @@ object StreamingCorpus {
       )
 
     StateStore.commit(updatedStages, stagesDir)
-    StateStore.commit(fpCanon.unionByName(newCanonRows), fpDir)
-    StateStore.commit(testSh.unionByName(newTestSh), testShDir)
+    // append-only families: one slice per tick, overwrite-idempotent under
+    // the stable delta_<lo> name (replay rewrites its own slice)
+    newCanonRows.write.mode("overwrite").parquet(s"$fpDir/delta_$lo")
+    newTestSh.write.mode("overwrite").parquet(s"$testShDir/delta_$lo")
     StateStore.commit(keptEligSh, eligShDir)
     StateStore.writeWatermark(Paths.get(s"$stateDir/watermark"), newWatermark)
+    SliceStore.maybeCompact(spark, fpDir, newWatermark)
+    SliceStore.maybeCompact(spark, testShDir, newWatermark)
     // corpus grew: batch artifacts cached over the pre-append corpus must
     // rebuild on next access (same contract as StreamingDupClusters.tick).
     // docsDir is the documents table path; invalidate its parent data dir

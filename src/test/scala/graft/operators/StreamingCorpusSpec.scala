@@ -65,6 +65,38 @@ class StreamingCorpusSpec extends SparkSpec {
     assert(StreamingCorpus.tick(spark, land, state).mode === "noop")
   }
 
+  test("slice compaction mid-stream: many small drops still equal the batch build") {
+    val docs = graft.core.Tables
+      .documents(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+      .sortBy(_._1)
+      .take(120)
+    val land = Files.createTempDirectory("sc_cpt_land").toString
+    val state = Files.createTempDirectory("sc_cpt_state").toString
+    val mirror = Files.createTempDirectory("sc_cpt_m").toString
+    spark.conf.set("graft.stream.compactSlices", "2")
+    try {
+      // 4 drops of 30 docs: the testsh/fpcanon slice families fold after
+      // drops 2 and 4; anti-joins must keep reading pre-tick state exactly
+      var landed = Seq.empty[(Long, String, String, String)]
+      for (drop <- docs.grouped(30)) {
+        writeDocs(land, drop)
+        landed ++= drop
+        assert(StreamingCorpus.tick(spark, land, state).nDelta === drop.length.toLong)
+      }
+      writeDocs(s"$mirror/documents.parquet", landed)
+      assert(
+        stagesCanon(StreamingCorpus.finalStages(spark, state)) ===
+          stagesCanon(Curation.corpusBuildStages(spark, mirror)),
+        "post-compaction maintained stages != batch build"
+      )
+      import java.nio.file.Paths
+      assert(Files.isDirectory(Paths.get(s"$state/testsh/base")), "testsh slices must have folded")
+      assert(Files.isDirectory(Paths.get(s"$state/fpcanon/base")), "fpcanon slices must have folded")
+    } finally spark.conf.unset("graft.stream.compactSlices")
+  }
+
   test("a late test-split doc retroactively contaminates an earlier eligible doc") {
     // ids with known md5 buckets: A trains (< 205), B lands in the test split (>= 230)
     val idA = (1L to 5000L).find(md5Bucket(_) < Curation.SplitKeepBucket).get
