@@ -26,6 +26,7 @@
 #   corpus-maintain one corpus-build maintenance tick  (graft.tools.CorpusMaintainMain)
 #   cluster-maintain one dup-cluster maintenance tick (graft.tools.ClusterMaintainMain)
 #   span-maintain   one span-dedup maintenance tick   (graft.tools.SpanMaintainMain)
+#   ingest-tick     ALL maintainers, one drop, one command (graft.tools.IngestTickMain)
 set -euo pipefail
 
 cd "$(dirname "$0")/.."
@@ -75,6 +76,7 @@ case "$cmd" in
   corpus-maintain) main=graft.tools.CorpusMaintainMain ;;
   cluster-maintain) main=graft.tools.ClusterMaintainMain ;;
   span-maintain)   main=graft.tools.SpanMaintainMain ;;
+  ingest-tick)     main=graft.tools.IngestTickMain ;;
   help|--help|-h)
     # print the header comment block (everything between the shebang and
     # the first non-comment line), stripping the leading '# '

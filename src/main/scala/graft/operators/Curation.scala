@@ -1054,7 +1054,7 @@ object Curation {
       .select(col("doc_id"), col("source"), col("n_tokens"), col("final_stage"))
   }
 
-  private[operators] def corpusBuildStages(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def corpusBuildStages(spark: SparkSession, dir: String): DataFrame = {
     val base = buildSignals(Tables.balanced(Tables.documents(spark, dir))).localCheckpoint()
 
     val canon = base

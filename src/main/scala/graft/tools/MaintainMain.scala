@@ -79,3 +79,69 @@ object SpanMaintainMain {
     } finally spark.stop()
   }
 }
+
+/** The composite per-drop maintenance pass: ONE invocation brings every
+  * incremental surface current after a data drop lands — the command a
+  * cron/orchestrator actually runs per ingest tick, instead of four. Order
+  * matters only for reporting; each maintainer derives its own delta from
+  * its own watermark, so a crash mid-pass resumes wherever it stopped and
+  * already-ticked maintainers no-op on the rerun.
+  *
+  *   bin/graft.sh ingest-tick <dataDir> <stateDir> [annProfile ...]
+  *
+  * Expects the standard layout under dataDir (`documents.parquet`, and
+  * optionally `embeddings.parquet` — the ANN append-refresh is skipped when
+  * absent). State lands under stateDir/{corpus,clusters,spans,ann}.
+  */
+object IngestTick {
+
+  final case class Outcome(
+      corpus: StreamingCorpus.TickOutcome,
+      clusterDelta: Long,
+      spanDelta: Long,
+      spanRetro: Long,
+      ann: Seq[(String, graft.operators.Similarity.PersistOutcome)]
+  )
+
+  def run(
+      spark: org.apache.spark.sql.SparkSession,
+      dataDir: String,
+      stateDir: String,
+      annProfiles: Seq[String] = Seq("fast")
+  ): Outcome = {
+    val corpus = StreamingCorpus.tick(spark, s"$dataDir/documents.parquet", s"$stateDir/corpus")
+    val clusterDelta = StreamingDupClusters.tick(spark, dataDir, s"$stateDir/clusters")
+    val (spanDelta, spanRetro) = StreamingSpanDedup.tick(spark, dataDir, s"$stateDir/spans")
+    val ann =
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(dataDir, "embeddings.parquet"))) {
+        // StreamingIndexer's discipline: refresh conf on a DEDICATED session
+        // clone, so a serving session's conf is never mutated mid-query
+        val m = spark.newSession()
+        m.conf.set(graft.operators.Similarity.IndexDirConf, s"$stateDir/ann")
+        m.conf.set(graft.operators.Similarity.RefreshConf, "append")
+        AnnBuild.run(m, dataDir, s"$stateDir/ann", annProfiles)
+      } else Seq.empty
+    Outcome(corpus, clusterDelta, spanDelta, spanRetro, ann)
+  }
+}
+
+object IngestTickMain {
+  def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println("usage: IngestTickMain <dataDir> <stateDir> [annProfile ...]")
+      sys.exit(2)
+    }
+    val profiles = if (args.length > 2) args.drop(2).toSeq else Seq("fast")
+    val spark = graft.core.Sessions.local("graft-ingest-tick")
+    try {
+      val o = IngestTick.run(spark, args(0), args(1), profiles)
+      println(
+        s"[ingest-tick] corpus mode=${o.corpus.mode} delta=${o.corpus.nDelta} retro=${o.corpus.retro} watermark=${o.corpus.watermark}"
+      )
+      println(s"[ingest-tick] clusters delta=${o.clusterDelta}")
+      println(s"[ingest-tick] spans delta=${o.spanDelta} retro=${o.spanRetro}")
+      if (o.ann.isEmpty) println("[ingest-tick] ann skipped (no embeddings.parquet)")
+      else o.ann.foreach { case (fam, out) => println(s"[ingest-tick] ann $fam -> $out") }
+    } finally spark.stop()
+  }
+}

@@ -1,0 +1,87 @@
+package graft.tools
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.operators.{Curation, Dedup}
+import graft.streaming.{StreamingCorpus, StreamingDupClusters, StreamingSpanDedup}
+
+/** The composite per-drop pass: after each ingest tick, EVERY maintained
+  * surface must equal its batch twin over the corpus landed so far — the
+  * whole point of the one-command entry.
+  */
+class IngestTickSpec extends SparkSpec {
+
+  private def copyHalf(srcDir: String, dstDir: String, table: String, idCol: String, firstHalf: Boolean): Unit = {
+    val df = spark.read.parquet(s"$srcDir/$table.parquet")
+    val mid = df.agg(org.apache.spark.sql.functions.expr(s"percentile($idCol, 0.5)")).head().getDouble(0)
+    val part =
+      if (firstHalf) df.filter(org.apache.spark.sql.functions.col(idCol) <= mid)
+      else df.filter(org.apache.spark.sql.functions.col(idCol) > mid)
+    part.write.mode("append").parquet(s"$dstDir/$table.parquet")
+  }
+
+  private def labelSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  private def statSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Long, Long)] =
+    df.collect()
+      .map(r =>
+        (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"), r.getAs[Long]("n_dup_spans"),
+          r.getAs[Long]("dup_tokens"), r.getAs[Long]("longest_span"))
+      )
+      .toSet
+
+  private def stageMap(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
+    df.collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+
+  test("ingest-tick: two drops; clusters, spans, corpus stages and ANN all current after each") {
+    val dataDir = Files.createTempDirectory("it_data").toString
+    val stateDir = Files.createTempDirectory("it_state").toString
+
+    for (first <- Seq(true, false)) {
+      copyHalf(sfDir, dataDir, "documents", "doc_id", first)
+      copyHalf(sfDir, dataDir, "embeddings", "vec_id", first)
+      val o = IngestTick.run(spark, dataDir, stateDir)
+      assert(o.corpus.mode === "incremental" && o.corpus.nDelta > 0)
+      assert(o.clusterDelta > 0 && o.spanDelta > 0)
+
+      // every maintained surface equals its batch twin over the landed corpus
+      assert(
+        labelSet(
+          spark.read
+            .parquet(s"$stateDir/clusters/labels/current")
+            .select("doc_id", "cluster", "cluster_size")
+        ) === labelSet(Dedup.q101LshDupClusters(spark, dataDir).select("doc_id", "cluster", "cluster_size")),
+        s"drop first=$first: maintained clusters != batch q101"
+      )
+      assert(
+        statSet(StreamingSpanDedup.readStats(spark, s"$stateDir/spans")) ===
+          statSet(Curation.q110SpanDedup(spark, dataDir)),
+        s"drop first=$first: maintained span stats != batch q110"
+      )
+      assert(
+        stageMap(StreamingCorpus.finalStages(spark, s"$stateDir/corpus")) ===
+          stageMap(Curation.corpusBuildStages(spark, dataDir)),
+        s"drop first=$first: maintained corpus stages != batch build"
+      )
+      // ANN: every family persisted something on drop 1; drop 2 must reuse
+      // geometry (Appended) or legitimately rebuild — never silently skip a
+      // GROWN corpus as Current
+      assert(o.ann.nonEmpty, "embeddings present: ann refresh must run")
+      o.ann.foreach { case (fam, out) =>
+        assert(out.wrote, s"drop first=$first: ann $fam did not write for a grown corpus ($out)")
+      }
+      if (!first)
+        assert(
+          o.ann.exists { case (_, out) => out.isInstanceOf[graft.operators.Similarity.Appended] },
+          s"append refresh: at least one family must extend in place, got ${o.ann}"
+        )
+    }
+
+    // redelivery: a tick with nothing new is a no-op everywhere
+    val o3 = IngestTick.run(spark, dataDir, stateDir)
+    assert(o3.corpus.mode === "noop" && o3.clusterDelta === 0L && o3.spanDelta === 0L)
+    info(s"two drops + noop tick verified against batch twins")
+  }
+}
