@@ -890,6 +890,36 @@ object Dedup {
       bandBuckets(sigTokenFrame(spark, dir).select(col("doc_id"), col("sig"))).localCheckpoint()
     }
 
+  /** Persist the corpus LSH bucket table BUCKETED on the (band, key) probe
+    * key — the 100 TB layout the scale notes promise, shipped: a delta
+    * probe against the persisted index then plans with the INDEX side
+    * scanning shuffle-free (its bucketed layout already satisfies the join
+    * distribution; only the delta-sized side exchanges — DedupSpec pins
+    * exactly one hashpartitioning Exchange in the probe plan). Rebuild
+    * cadence is the ann-build pattern (periodic full rewrite); the
+    * streaming maintainer's slice store carries the between-rebuild deltas.
+    */
+  def persistBucketIndex(
+      spark: SparkSession,
+      dir: String,
+      table: String,
+      path: String,
+      buckets: Int = 32
+  ): Unit =
+    graft.sources.Layouts.writeBucketed(bucketFrame(spark, dir), table, Seq("band", "key"), buckets, path)
+
+  /** Candidate pairs for a delta probing the PERSISTED bucket index —
+    * [[deltaCandidates]] with the big side supplied by the bucketed table.
+    */
+  def deltaCandidatesAgainstIndex(spark: SparkSession, table: String, newBuckets: DataFrame): DataFrame =
+    deltaCandidates(newBuckets, spark.table(table))
+
+  /** The delta's bucket rows for a probe — bandBuckets over the signature
+    * frame restricted to `doc_id > pivot` (the ingest-watermark shape).
+    */
+  def deltaBucketsAbove(spark: SparkSession, dir: String, pivot: Long): DataFrame =
+    bucketFrame(spark, dir).filter(col("doc_id") > pivot)
+
   def q108IncrementalClusters(spark: SparkSession, dir: String): DataFrame = {
     val t = sigTokenFrame(spark, dir)
     // pivot at the 90% id mark — a deterministic stand-in for the ingest
@@ -957,27 +987,6 @@ object Dedup {
   // re-verifies every emitted pair against an exact recomputation and
   // measures recall vs the exact cross-split pair set.
   // ---------------------------------------------------------------------------
-  /** Oracle: the exact cross-split near-dup pair set — q32's jaccard pair
-    * join restricted to (non-test, test) sides of q49's md5 coin. Gate-able
-    * because banding is deterministic and the screen's recall vs this exact
-    * set is 1.0 on the gated corpus (the selfcheck re-proves it every run);
-    * the banded miner itself stays the 100 TB path.
-    */
-  val q113Oracle: String =
-    """WITH t AS (
-      |  SELECT lang, doc_id,
-      |         list_distinct(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS toks,
-      |         CAST(('0x' || substring(md5(doc_id::VARCHAR), 1, 2))::INT AS INT) AS bucket
-      |  FROM documents)
-      |SELECT l.lang AS lang, l.doc_id AS doc_a, r.doc_id AS doc_b,
-      |       round(len(list_intersect(l.toks, r.toks))::DOUBLE
-      |             / len(list_distinct(list_concat(l.toks, r.toks))), 6) AS jaccard
-      |FROM t l JOIN t r ON l.lang = r.lang
-      |WHERE l.bucket < 230 AND r.bucket >= 230
-      |  AND len(list_intersect(l.toks, r.toks))::DOUBLE
-      |      / len(list_distinct(list_concat(l.toks, r.toks))) >= 0.8
-      |ORDER BY lang, doc_a, doc_b""".stripMargin
-
   def q113NeardupContamination(spark: SparkSession, dir: String): DataFrame = {
     val t = sigTokenFrame(spark, dir)
     val split = Sampling.hashSplitCoin(col("doc_id"))
@@ -1151,17 +1160,19 @@ object Dedup {
     "q117_dedup_profile" -> (q117DedupProfile _)
   )
 
-  /** q30/q31/q60 are hash-based LSH with sub-1 recall or hash-valued
+  /** q30/q31/q60/q113 are hash-based LSH with sub-1 recall or hash-valued
     * outputs — not reproducible in plain SQL → rows-only plus Verify's
     * data-derived self-check manifest.
     *
-    * The banded-path composites (q101/q102/q107/q108/q113) ARE gated, each
-    * against its exact twin's SQL (q61 / q99 / q106 / the exact cross-split
-    * pair join): banding itself is SQL-inexpressible, but it is
-    * deterministic, and on the gated corpus the banded output EQUALS the
-    * exact one (the same claim the selfcheck proves numerically every run —
-    * registering the twin's oracle upgrades it from a self-reported metric
-    * to a driver-enforced hash match, the q117 pattern).
+    * The banded CLUSTER composites (q101/q102/q107/q108) ARE gated, each
+    * against its exact twin's SQL (q61 / q99 / q106): banding itself is
+    * SQL-inexpressible, but it is deterministic, and cluster TRANSITIVITY
+    * repairs banding's missed edges — the equality with the exact clusters
+    * is measured EXACT at both sf0.01 and sf0.1 (the same claim the
+    * selfcheck proves numerically every run; registering the twin's oracle
+    * upgrades it from a self-reported metric to a driver-enforced hash
+    * match, the q117 pattern). The q113 pair SCREEN has no transitivity
+    * repair, so it stays selfcheck-gated (see the note at its exclusion).
     */
   val oracles: Map[String, String] = Map(
     "q29_exact_dedup" -> q29Oracle,
@@ -1174,7 +1185,13 @@ object Dedup {
     "q106_leakage_safe_split" -> q106Oracle,
     "q107_lsh_safe_split" -> q106Oracle,
     "q108_incremental_clusters" -> q61Oracle,
-    "q113_neardup_contamination" -> q113Oracle,
+    // q113 deliberately NOT oracle-gated: its banded screen's recall vs the
+    // exact cross-split pair set is 1.0 at the driver's sf0.01 gate but
+    // 0.999956 at sf0.1 (one borderline pair colliding in no band) — the
+    // honest LSH trade q60 documents. Unlike q101 (where cluster
+    // TRANSITIVITY repairs missed edges, measured exact at both scales), a
+    // pair SCREEN has no repair mechanism, so its gate stays the selfcheck
+    // (subset-of-exact precision 1 + recall vs the exact set).
     "q117_dedup_profile" -> q117Oracle
   )
 }

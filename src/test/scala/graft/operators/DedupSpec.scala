@@ -471,6 +471,32 @@ class DedupSpec extends SparkSpec {
     info(s"sf0.001: ${got.size} sources profiled; ${isDup.values.sum} exact-dup docs, ${inCluster.size} clustered")
   }
 
+  test("persisted bucket index: probe equals in-memory candidates; index side scans shuffle-free") {
+    val path = java.nio.file.Files.createTempDirectory("dedup_bidx").toString + "/t"
+    spark.sql("DROP TABLE IF EXISTS dedup_bidx_spec")
+    Dedup.persistBucketIndex(spark, sfDir, "dedup_bidx_spec", path)
+
+    // delta = top ~10% of ids, the ingest-watermark shape
+    val ids = graft.core.Tables.documents(spark, sfDir).agg(
+      org.apache.spark.sql.functions.expr("min(doc_id)"), org.apache.spark.sql.functions.expr("max(doc_id)")).head()
+    val pivot = ids.getLong(0) + (ids.getLong(1) - ids.getLong(0)) * 9 / 10
+    val delta = Dedup.deltaBucketsAbove(spark, sfDir, pivot)
+
+    val probed = Dedup.deltaCandidatesAgainstIndex(spark, "dedup_bidx_spec", delta)
+    val expected = Dedup.deltaCandidatesAgainstIndex(spark, "dedup_bidx_spec", delta) // plan handle for explain
+    val inMem = Dedup.deltaCandidates(delta, spark.read.parquet(path))
+    val got = probed.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === inMem.collect().map(r => (r.getLong(0), r.getLong(1))).toSet, "probe != in-memory candidates")
+    assert(got.nonEmpty, "delta should collide with some bucket")
+
+    // the whole point of the layout: the INDEX side scans shuffle-free —
+    // the only hashpartitioning Exchange in the plan is the delta side
+    val plan = expected.queryExecution.executedPlan.toString
+    val nExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(nExchanges <= 1, s"bucketed index probe must shuffle at most the delta side:\n$plan")
+    assert(plan.contains("Bucketed: true"), s"index scan must be bucketed:\n$plan")
+  }
+
   test("q117 degenerate source: all docs below the span domain report 0.0, never NULL") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("q117deg").toString
