@@ -989,9 +989,11 @@ object Dedup {
   // ---------------------------------------------------------------------------
   def q113NeardupContamination(spark: SparkSession, dir: String): DataFrame = {
     val t = sigTokenFrame(spark, dir)
+    // both sides filter the session-cached corpus bucket table (the coin is
+    // a pure doc_id expression) instead of re-exploding signatures per side
     val split = Sampling.hashSplitCoin(col("doc_id"))
-    val trainBuckets = bandBuckets(t.filter(split =!= "test").select(col("doc_id"), col("sig")))
-    val testBuckets = bandBuckets(t.filter(split === "test").select(col("doc_id"), col("sig")))
+    val trainBuckets = bucketFrame(spark, dir).filter(split =!= "test")
+    val testBuckets = bucketFrame(spark, dir).filter(split === "test")
     val cand = trainBuckets
       .as("l")
       .join(testBuckets.as("r"), Seq("band", "key"))
