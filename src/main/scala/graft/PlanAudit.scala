@@ -118,6 +118,10 @@ object PlanAudit {
     "q119_triplet_mining" -> Map(
       "BroadcastNestedLoopJoin" ->
         "q34's declared brute-force contract: broadcast |anchors| side x one corpus scan; the per-side argmax is a map-side-combined groupBy on the anchor key, no corpus window"
+    ),
+    "q120_retrieval_eval" -> Map(
+      "BroadcastNestedLoopJoin" ->
+        "inherits q118's plan stages (q103's 1-row corpus constants + the 1-row PRF seed), plus two more 1-row broadcasts (IDCG@10, n_rel) crossed onto the 3-row per-ranker aggregate — the q70 broadcast-scalar pattern"
     )
   )
 

@@ -48,7 +48,12 @@ object Retrieval {
   // ---------------------------------------------------------------------------
   // q103 — BM25 top-k retrieval for the fixed query-term set.
   // ---------------------------------------------------------------------------
-  def q103Bm25(spark: SparkSession, dir: String): DataFrame = {
+  /** q103's scoring pass BEFORE the top-k: every matching document with its
+    * floor-6dp BM25 score and matched-term count. Factored out so q120's
+    * graded qrels read the SAME arithmetic (rel = n_matched) instead of a
+    * near-duplicate scan that could drift from the ranker it judges.
+    */
+  private def bm25Scored(spark: SparkSession, dir: String): DataFrame = {
     // Per-doc stats in ONE text scan: document length + tf per query term as
     // pure projections over the tokenized array (no explode, no shuffle).
     val tfCols = QUERY_TERMS.zipWithIndex.map { case (t, i) =>
@@ -78,7 +83,7 @@ object Retrieval {
 
     val matched = QUERY_TERMS.indices.map(i => when(col(s"tf$i") > 0, 1).otherwise(0)).reduce(_ + _)
 
-    val scored = stats
+    stats
       .crossJoin(broadcast(consts))
       .withColumn("n_matched", matched)
       .filter(col("n_matched") > 0)
@@ -86,6 +91,10 @@ object Retrieval {
       // cannot flip order or value
       .withColumn("score", floor(termScore * lit(1e6) + lit(0.5)) / lit(1e6))
       .select(col("doc_id"), col("n_matched"), col("score"))
+  }
+
+  def q103Bm25(spark: SparkSession, dir: String): DataFrame = {
+    val scored = bm25Scored(spark, dir)
       .orderBy(col("score").desc, col("doc_id"))
       .limit(TOP_K) // TakeOrderedAndProject: distributed top-k, no global window
 
@@ -248,13 +257,129 @@ object Retrieval {
        |FROM fused ORDER BY rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------------------
+  // q120 — retrieval QUALITY EVAL: NDCG@10 / MRR / Recall@20 for each ranker
+  // the suite ships (q103's lexical BM25 list, q118's dense cosine list,
+  // q118's RRF fusion), judged against corpus-derived graded qrels — the
+  // measurement step every retrieval deployment runs before trusting a
+  // ranker for corpus slicing or eval-set mining. Qrels are deterministic
+  // and data-derived: rel(doc) = the count of distinct query terms the doc
+  // contains (1..4, q103's own n_matched), so the ground truth comes from
+  // the same tokenization the rankers see and the oracle can reproduce it
+  // exactly.
+  //
+  // Metrics (per ranker): NDCG@10 with gain 2^rel - 1 and the standard
+  // log2(rank+1) discount, normalized by the corpus-ideal IDCG@10 (top-10
+  // docs by rel desc, doc_id asc); MRR = 1/rank of the first rel>0 hit
+  // (0 when none); Recall@20 = rel>0 docs inside the top-20 / all rel>0
+  // docs. Engine-exactness: ranks are integers, 1/r and hits/n_rel are
+  // single IEEE divisions, and every emitted metric is floor-6dp-rounded;
+  // the <=10-term DCG sums leave sub-ULP slack far below the 1e-6 grid.
+  //
+  // Scale shape: ONE corpus scan for the qrels (the q103 stats pass),
+  // TakeOrderedAndProject for the ideal top-10, two 1-row broadcast
+  // constants (IDCG, n_rel), and every per-ranker aggregate runs over the
+  // <=3 x 2*TOP_K run rows. At 100 TB: one fact scan + constant-size math.
+  // ---------------------------------------------------------------------------
+  val NDCG_K = 10
+
+  def q120RetrievalEval(spark: SparkSession, dir: String): DataFrame = {
+    // one q118 build feeds all three run lists (<=2*TOP_K rows)
+    val fused = q118HybridRrf(spark, dir).localCheckpoint()
+    // graded qrels from q103's OWN scoring pass: rel = matched-term count
+    val rels = bm25Scored(spark, dir)
+      .select(col("doc_id"), col("n_matched").as("rel"))
+      .localCheckpoint() // narrow (doc_id, rel); feeds ideal, n_rel, and the run join
+
+    val gain = (pow(lit(2.0), col("rel")) - lit(1.0)) / log2(col("rank").cast("double") + lit(1.0))
+    // corpus-ideal DCG@10: top-10 docs by rel — TakeOrderedAndProject, then
+    // a window over those <=10 rows only
+    val ideal = rels
+      .orderBy(col("rel").desc, col("doc_id"))
+      .limit(NDCG_K)
+      .withColumn("rank", row_number().over(Window.orderBy(col("rel").desc, col("doc_id"))))
+      .agg(sum(gain).as("idcg"))
+    val nrel = rels.agg(count(lit(1)).as("n_rel"))
+
+    val runs = fused
+      .select(lit("hybrid").as("ranker"), col("rank"), col("doc_id"))
+      .unionByName(
+        fused
+          .filter(col("lex_rank").isNotNull)
+          .select(lit("lex").as("ranker"), col("lex_rank").as("rank"), col("doc_id"))
+      )
+      .unionByName(
+        fused
+          .filter(col("dense_rank").isNotNull)
+          .select(lit("dense").as("ranker"), col("dense_rank").as("rank"), col("doc_id"))
+      )
+
+    def f6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    runs
+      .join(rels, Seq("doc_id"), "left")
+      .withColumn("rel", coalesce(col("rel"), lit(0)))
+      .groupBy(col("ranker"))
+      .agg(
+        sum(when(col("rank") <= NDCG_K, gain).otherwise(lit(0.0))).as("dcg"),
+        max(when(col("rel") > 0, lit(1.0) / col("rank")).otherwise(lit(0.0))).as("rr"),
+        sum(when(col("rank") <= TOP_K && col("rel") > 0, 1L).otherwise(0L)).as("hits")
+      )
+      .crossJoin(broadcast(ideal))
+      .crossJoin(broadcast(nrel))
+      .select(
+        col("ranker"),
+        f6(col("dcg") / col("idcg")).as("ndcg10"),
+        f6(col("rr")).as("mrr"),
+        f6(col("hits").cast("double") / col("n_rel")).as("recall20")
+      )
+      .orderBy(col("ranker"))
+  }
+
+  /** Oracle: q118's CTE chain (which already carries q103's `scored` = the
+    * qrel source) extended with the ideal/IDCG, the three run lists, and
+    * the same floor-6dp metric arithmetic.
+    */
+  lazy val q120Oracle: String = {
+    val selIdx = q118Oracle.indexOf("\nSELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id)")
+    val chain = q118Oracle.substring(0, selIdx)
+    s"""$chain,
+       |hyb AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INT) AS rank, doc_id FROM fused),
+       |rels AS (SELECT doc_id, n_matched AS rel FROM scored),
+       |ideal AS (
+       |  SELECT sum((power(2, rel) - 1) / log2(rank + 1)) AS idcg FROM (
+       |    SELECT rel, CAST(row_number() OVER (ORDER BY rel DESC, doc_id) AS INT) AS rank
+       |    FROM (SELECT * FROM rels ORDER BY rel DESC, doc_id LIMIT $NDCG_K))),
+       |nrel AS (SELECT count(*) AS n_rel FROM rels),
+       |runs AS (
+       |  SELECT 'hybrid' AS ranker, rank, doc_id FROM hyb
+       |  UNION ALL SELECT 'lex' AS ranker, lex_rank AS rank, doc_id FROM fused WHERE lex_rank IS NOT NULL
+       |  UNION ALL SELECT 'dense' AS ranker, dense_rank AS rank, doc_id FROM fused WHERE dense_rank IS NOT NULL),
+       |m AS (
+       |  SELECT r.ranker,
+       |         sum(CASE WHEN r.rank <= $NDCG_K
+       |                  THEN (power(2, coalesce(q.rel, 0)) - 1) / log2(r.rank + 1) ELSE 0e0 END) AS dcg,
+       |         max(CASE WHEN coalesce(q.rel, 0) > 0 THEN 1e0 / r.rank ELSE 0e0 END) AS rr,
+       |         sum(CASE WHEN r.rank <= $TOP_K AND coalesce(q.rel, 0) > 0 THEN 1 ELSE 0 END) AS hits
+       |  FROM runs r LEFT JOIN rels q USING (doc_id)
+       |  GROUP BY r.ranker)
+       |SELECT ranker,
+       |       floor(dcg / idcg * 1e6 + 0.5) / 1e6 AS ndcg10,
+       |       floor(rr * 1e6 + 0.5) / 1e6 AS mrr,
+       |       floor(hits::DOUBLE / n_rel * 1e6 + 0.5) / 1e6 AS recall20
+       |FROM m CROSS JOIN ideal CROSS JOIN nrel
+       |ORDER BY ranker""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q103_bm25" -> (q103Bm25 _),
-    "q118_hybrid_rrf" -> (q118HybridRrf _)
+    "q118_hybrid_rrf" -> (q118HybridRrf _),
+    "q120_retrieval_eval" -> (q120RetrievalEval _)
   )
 
   val oracles: Map[String, String] = Map(
     "q103_bm25" -> q103Oracle,
-    "q118_hybrid_rrf" -> q118Oracle
+    "q118_hybrid_rrf" -> q118Oracle,
+    "q120_retrieval_eval" -> q120Oracle
   )
 }

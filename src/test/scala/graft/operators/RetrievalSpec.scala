@@ -112,4 +112,67 @@ class RetrievalSpec extends SparkSpec {
     both.foreach(r => assert(r._5 > 1.0 / (Retrieval.RRF_K + 1) - 1e-9 || r._5 > 0))
     info(s"sf0.001: ${got.size} fused rows, seed=$seedId, ${both.size} docs in both lists")
   }
+
+  test("q120 retrieval eval: metrics equal a first-principles recomputation from q118 + corpus qrels") {
+    // qrels: rel(doc) = count of DISTINCT query terms present (q103's n_matched)
+    val rels = graft.core.Tables
+      .documents(spark, sfDir)
+      .collect()
+      .map { r =>
+        val toks = r.getAs[String]("text").toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSet
+        r.getAs[Long]("doc_id") -> Retrieval.QUERY_TERMS.count(toks.contains)
+      }
+      .filter(_._2 > 0)
+      .toMap
+    val idcg = rels.toSeq
+      .sortBy { case (id, rel) => (-rel, id) }
+      .take(Retrieval.NDCG_K)
+      .zipWithIndex
+      .map { case ((_, rel), i) => (math.pow(2.0, rel) - 1) / (math.log(i + 2.0) / math.log(2.0)) }
+      .sum
+    val fused = Retrieval.q118HybridRrf(spark, sfDir).collect()
+    val lists: Map[String, Seq[(Long, Int)]] = Map(
+      "hybrid" -> fused.map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("rank")).toSeq,
+      "lex" -> fused.flatMap(r =>
+        Option(r.getAs[Integer]("lex_rank")).map(lr => r.getAs[Long]("doc_id") -> lr.toInt)
+      ).toSeq,
+      "dense" -> fused.flatMap(r =>
+        Option(r.getAs[Integer]("dense_rank")).map(dr => r.getAs[Long]("doc_id") -> dr.toInt)
+      ).toSeq
+    )
+    def f6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val expected = lists.map { case (ranker, l) =>
+      val dcg = l.collect {
+        case (id, r) if r <= Retrieval.NDCG_K =>
+          (math.pow(2.0, rels.getOrElse(id, 0).toDouble) - 1) / (math.log(r + 1.0) / math.log(2.0))
+      }.sum
+      val rr = l.collect { case (id, r) if rels.getOrElse(id, 0) > 0 => 1.0 / r }
+        .foldLeft(0.0)(math.max)
+      val hits = l.count { case (id, r) => r <= Retrieval.TOP_K && rels.getOrElse(id, 0) > 0 }
+      ranker -> ((f6(dcg / idcg), f6(rr), f6(hits.toDouble / rels.size)))
+    }
+    val got = Retrieval
+      .q120RetrievalEval(spark, sfDir)
+      .collect()
+      .map(r =>
+        r.getAs[String]("ranker") ->
+          ((r.getAs[Double]("ndcg10"), r.getAs[Double]("mrr"), r.getAs[Double]("recall20")))
+      )
+      .toMap
+    assert(got.keySet === Set("hybrid", "lex", "dense"))
+    expected.foreach { case (ranker, want) =>
+      // DCG sums are floating; the distributed sum may differ by sub-ULP
+      // slack before the 6dp floor, so compare at the emitted grid
+      val g = got(ranker)
+      assert(math.abs(g._1 - want._1) < 2e-6, s"$ranker ndcg10: got ${g._1}, want ${want._1}")
+      assert(g._2 === want._2, s"$ranker mrr")
+      assert(g._3 === want._3, s"$ranker recall20")
+    }
+    got.values.foreach { case (ndcg, mrr, rec) =>
+      assert(ndcg >= 0 && ndcg <= 1 + 1e-9)
+      assert(mrr >= 0 && mrr <= 1)
+      assert(rec >= 0 && rec <= 1)
+    }
+    info(s"sf0.001 metrics: $got")
+  }
 }
