@@ -371,15 +371,130 @@ object Retrieval {
        |ORDER BY ranker""".stripMargin
   }
 
+  // ---------------------------------------------------------------------------
+  // q121 — BITEXT MINING by margin scoring (Artetxe & Schwenk 2019's ratio
+  // margin, the CCMatrix/WikiMatrix recipe): for every non-English document,
+  // the best English translation candidate under
+  //   margin(x,y) = cos(x,y) / ((avgK(x over tgt-lang) + avgK(y over en))/2)
+  // with K = 4, kept when margin > 1.2 — the op that mines parallel training
+  // pairs for translation / cross-lingual models out of two monolingual
+  // sides. Margin (not raw cosine) is the published fix for hubness: a
+  // vector globally close to everything scores high cosine against all
+  // candidates, but its kNN average is equally inflated, so the RATIO stays
+  // near 1 and the hub is rejected.
+  //
+  // Determinism: cosines floor-6dp BEFORE any ranking (q103's rule); both
+  // kNN sets are chosen by (c6 desc, id asc) so they are identical across
+  // engines; the 4-term kNN averages and the margin division leave sub-ULP
+  // slack, and the margin is floor-6dp-rounded BEFORE the per-target
+  // argmax, so a libm ULP can flip neither the kNN set, the best-pair
+  // choice, nor an emitted value.
+  //
+  // Scale shape: the pair block is |en|x|foreign| per language — q34's
+  // DECLARED exhaustive-mining contract (broadcast en side x one foreign
+  // scan; at 100 TB the candidate generator swaps to the persisted IVF
+  // index (q36) exactly like production margin miners run FAISS, and the
+  // margin arithmetic downstream is unchanged). The two kNN-average passes
+  // are keyed windows over the pair frame (tgt_id / (src_id, lang)) —
+  // hash-partitioned shuffles, no global ordering; the final per-target
+  // argmax is one more keyed window over the already-scored frame.
+  // ---------------------------------------------------------------------------
+  val BITEXT_K = 4
+  val MARGIN_T = 1.2
+
+  def q121BitextMining(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VecFunctions.install(spark)
+    // embeddings with language, unit-normalized (q34/q118's exact arithmetic)
+    val emb = Tables
+      .embeddings(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang")), col("vec_id") === col("doc_id"))
+      .withColumn(
+        "__nrm",
+        expr("sqrt(aggregate(embedding, 0D, (a, e) -> a + cast(e AS double) * cast(e AS double)))")
+      )
+      .withColumn("unit", expr("transform(embedding, x -> cast(x AS double) / __nrm)"))
+      .select(col("vec_id"), col("lang"), col("unit"))
+
+    val src = emb.filter(col("lang") === "en").select(col("vec_id").as("src_id"), col("unit").as("su"))
+    val tgt = Tables
+      .balanced(emb.filter(col("lang") =!= "en"))
+      .select(col("vec_id").as("tgt_id"), col("lang"), col("unit").as("tu"))
+
+    // the declared mining block: every (en, foreign) cosine, floor-6dp
+    val pairs = tgt
+      .crossJoin(broadcast(src))
+      .withColumn("c6", floor(expr("vec_dot(su, tu)") * lit(1e6) + lit(0.5)) / lit(1e6))
+      .select(col("lang"), col("src_id"), col("tgt_id"), col("c6"))
+      .localCheckpoint() // one block build feeds both kNN passes + the margin join
+
+    // kNN averages: top-K by (c6 desc, id asc) on each side — keyed windows
+    val wTgt = Window.partitionBy(col("tgt_id")).orderBy(col("c6").desc, col("src_id"))
+    val avgTgt = pairs
+      .withColumn("rn", row_number().over(wTgt))
+      .filter(col("rn") <= BITEXT_K)
+      .groupBy(col("tgt_id"))
+      .agg(avg(col("c6")).as("avg_t"))
+    val wSrc = Window.partitionBy(col("src_id"), col("lang")).orderBy(col("c6").desc, col("tgt_id"))
+    val avgSrc = pairs
+      .withColumn("rn", row_number().over(wSrc))
+      .filter(col("rn") <= BITEXT_K)
+      .groupBy(col("src_id"), col("lang"))
+      .agg(avg(col("c6")).as("avg_s"))
+
+    val margined = pairs
+      .join(avgTgt, Seq("tgt_id"))
+      .join(avgSrc, Seq("src_id", "lang"))
+      // floor-6dp BEFORE the argmax: the ranked quantity is engine-exact
+      .withColumn("margin", floor(col("c6") / ((col("avg_t") + col("avg_s")) / 2) * lit(1e6) + lit(0.5)) / lit(1e6))
+
+    val wBest = Window.partitionBy(col("tgt_id")).orderBy(col("margin").desc, col("src_id"))
+    margined
+      .withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1 && col("margin") > MARGIN_T)
+      .select(col("lang"), col("tgt_id"), col("src_id"), col("c6"), col("margin"))
+      .orderBy(col("lang"), col("tgt_id"))
+  }
+
+  val q121Oracle: String =
+    s"""WITH e AS (
+       |  SELECT d.doc_id, d.lang,
+       |         list_transform(em.embedding,
+       |           x -> x::DOUBLE / sqrt(list_sum(list_transform(em.embedding, y -> y::DOUBLE * y::DOUBLE)))) AS u
+       |  FROM documents d JOIN embeddings em ON em.vec_id = d.doc_id),
+       |pairs AS (
+       |  SELECT t.lang, s.doc_id AS src_id, t.doc_id AS tgt_id,
+       |         floor(list_sum(list_transform(list_zip(s.u, t.u), z -> z[1] * z[2])) * 1e6 + 0.5) / 1e6 AS c6
+       |  FROM e s, e t WHERE s.lang = 'en' AND t.lang <> 'en'),
+       |atgt AS (
+       |  SELECT tgt_id, avg(c6) AS avg_t FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY tgt_id ORDER BY c6 DESC, src_id) AS rn FROM pairs)
+       |  WHERE rn <= $BITEXT_K GROUP BY tgt_id),
+       |asrc AS (
+       |  SELECT src_id, lang, avg(c6) AS avg_s FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY src_id, lang ORDER BY c6 DESC, tgt_id) AS rn FROM pairs)
+       |  WHERE rn <= $BITEXT_K GROUP BY src_id, lang),
+       |m AS (
+       |  SELECT p.lang, p.src_id, p.tgt_id, p.c6,
+       |         floor(p.c6 / ((a.avg_t + b.avg_s) / 2) * 1e6 + 0.5) / 1e6 AS margin
+       |  FROM pairs p
+       |  JOIN atgt a ON a.tgt_id = p.tgt_id
+       |  JOIN asrc b ON b.src_id = p.src_id AND b.lang = p.lang)
+       |SELECT lang, tgt_id, src_id, c6, margin FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY tgt_id ORDER BY margin DESC, src_id) AS rn FROM m)
+       |WHERE rn = 1 AND margin > $MARGIN_T
+       |ORDER BY lang, tgt_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q103_bm25" -> (q103Bm25 _),
     "q118_hybrid_rrf" -> (q118HybridRrf _),
-    "q120_retrieval_eval" -> (q120RetrievalEval _)
+    "q120_retrieval_eval" -> (q120RetrievalEval _),
+    "q121_bitext_mining" -> (q121BitextMining _)
   )
 
   val oracles: Map[String, String] = Map(
     "q103_bm25" -> q103Oracle,
     "q118_hybrid_rrf" -> q118Oracle,
-    "q120_retrieval_eval" -> q120Oracle
+    "q120_retrieval_eval" -> q120Oracle,
+    "q121_bitext_mining" -> q121Oracle
   )
 }

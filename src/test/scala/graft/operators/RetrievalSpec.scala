@@ -175,4 +175,69 @@ class RetrievalSpec extends SparkSpec {
     }
     info(s"sf0.001 metrics: $got")
   }
+
+  test("q121 bitext mining: pairs equal a first-principles margin recomputation; hub rejection holds") {
+    val docs = graft.core.Tables
+      .documents(spark, sfDir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang"))
+      .toMap
+    val emb = graft.core.Tables
+      .embeddings(spark, sfDir)
+      .collect()
+      .map { r =>
+        val v = r.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray
+        val n = math.sqrt(v.map(x => x * x).sum)
+        r.getAs[Long]("vec_id") -> v.map(_ / n)
+      }
+      .filter(kv => docs.contains(kv._1))
+      .toMap
+    def c6(a: Array[Double], b: Array[Double]): Double =
+      math.floor(a.zip(b).map { case (x, y) => x * y }.sum * 1e6 + 0.5) / 1e6
+    val src = emb.keys.filter(docs(_) == "en").toSeq.sorted
+    val tgts = emb.keys.filter(docs(_) != "en").toSeq.sorted
+    // cosine block + the two top-K averages
+    val block = (for { t <- tgts; s <- src } yield (t, s, c6(emb(t), emb(s)))).toSeq
+    val avgT = tgts.map { t =>
+      val top = block.filter(_._1 == t).sortBy { case (_, s, c) => (-c, s) }.take(Retrieval.BITEXT_K)
+      t -> top.map(_._3).sum / top.size
+    }.toMap
+    val avgS = src
+      .flatMap { s =>
+        block.filter(_._2 == s).groupBy(p => docs(p._1)).map { case (lang, ps) =>
+          val top = ps.sortBy { case (t, _, c) => (-c, t) }.take(Retrieval.BITEXT_K)
+          (s, lang) -> top.map(_._3).sum / top.size
+        }
+      }
+      .toMap
+    val expected = tgts.flatMap { t =>
+      val best = block
+        .filter(_._1 == t)
+        .map { case (_, s, c) =>
+          val m = math.floor(c / ((avgT(t) + avgS((s, docs(t)))) / 2) * 1e6 + 0.5) / 1e6
+          (s, c, m)
+        }
+        .sortBy { case (s, _, m) => (-m, s) }
+        .head
+      if (best._3 > Retrieval.MARGIN_T) Some((docs(t), t, best._1, best._2, best._3)) else None
+    }.sortBy(r => (r._1, r._2))
+
+    val got = Retrieval
+      .q121BitextMining(spark, sfDir)
+      .collect()
+      .map(r =>
+        (r.getAs[String]("lang"), r.getAs[Long]("tgt_id"), r.getAs[Long]("src_id"),
+          r.getAs[Double]("c6"), r.getAs[Double]("margin"))
+      )
+      .toSeq
+    assert(got === expected, "mined pairs must equal the single-node margin recomputation")
+    assert(got.nonEmpty, "the synthetic corpus must mine at least one pair")
+    got.foreach { case (lang, tgt, srcId, _, m) =>
+      assert(lang != "en" && docs(tgt) == lang && docs(srcId) == "en")
+      assert(m > Retrieval.MARGIN_T)
+    }
+    // at most one mined pair per foreign doc
+    assert(got.map(_._2).distinct.size === got.size)
+    info(s"sf0.001: ${got.size} mined pairs across ${got.map(_._1).distinct.size} languages")
+  }
 }
