@@ -20,6 +20,7 @@
 #   init-sql      write warehouse bootstrap DDL     (DialectDump --init-sql)
 #   ann-tune      ANN recall/scan-fraction sweep    (graft.tools.AnnTune)
 #   ann-build     persist/refresh/compact ANN indexes (graft.tools.AnnBuild)
+#   bm25-build    persist/refresh/compact the BM25 postings index (graft.tools.Bm25Build)
 #   train-export  write training shard files + manifest (graft.tools.TrainExportMain)
 #   corpus-report corpus health report (one text page) (graft.tools.CorpusReport)
 #   scd2-maintain   one SCD2-history maintenance tick  (graft.tools.Scd2MaintainMain)
@@ -70,6 +71,7 @@ case "$cmd" in
   init-sql)     main=graft.etl.DialectDump; set -- --init-sql "$@" ;;
   ann-tune)     main=graft.tools.AnnTune ;;
   ann-build)    main=graft.tools.AnnBuild ;;
+  bm25-build)   main=graft.tools.Bm25Build ;;
   train-export) main=graft.tools.TrainExportMain ;;
   corpus-report) main=graft.tools.CorpusReport ;;
   scd2-maintain)   main=graft.tools.Scd2MaintainMain ;;

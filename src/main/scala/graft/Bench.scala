@@ -149,6 +149,8 @@ object Bench {
     }
     // q111's per-doc KN table is session-cached (q112 terciles it)
     phase("q111_kn_build")(operators.Curation.q111KnTrigram(spark, sfDir))
+    // q122's inverted index (postings + corpus consts) is session-cached
+    phase("q122_build")(operators.Retrieval.buildBm25Index(spark, sfDir))
 
     // repeat each query and report the MEDIAN: single-shot timings on a
     // shared box fold scheduler noise into query cost (observed up to 10x

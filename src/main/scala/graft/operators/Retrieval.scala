@@ -45,6 +45,28 @@ object Retrieval {
 
   private def toks: Column = expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')")
 
+  /** The fixed-order BM25 score over columns (tf$i, df$i, n_docs, avgdl,
+    * dl) — idf in the +1 (Lucene) form so it is always positive; everything
+    * stays inside whole-stage codegen. ONE expression shared by q103's
+    * corpus-scan path and q122's inverted-index path, so the two produce
+    * bit-identical doubles (a re-derived copy could drift by an ULP and
+    * flip a 6dp floor).
+    */
+  private def bm25TermScore: Column = QUERY_TERMS.indices
+    .map { i =>
+      val tf = col(s"tf$i").cast("double")
+      val idf = expr(s"ln(1e0 + (cast(n_docs AS double) - df$i + 5e-1) / (df$i + 5e-1))")
+      idf * (tf * lit(K1 + 1)) /
+        (tf + lit(K1) * (lit(1 - B) + lit(B) * col("dl").cast("double") / col("avgdl")))
+    }
+    .reduce(_ + _)
+
+  /** Matched-query-term count over the tf$i columns (shared like
+    * [[bm25TermScore]]).
+    */
+  private def bm25Matched: Column =
+    QUERY_TERMS.indices.map(i => when(col(s"tf$i") > 0, 1).otherwise(0)).reduce(_ + _)
+
   // ---------------------------------------------------------------------------
   // q103 — BM25 top-k retrieval for the fixed query-term set.
   // ---------------------------------------------------------------------------
@@ -70,26 +92,13 @@ object Retrieval {
     val aggCols = count(lit(1)).as("n_docs") +: avg(col("dl")).as("avgdl") +: dfCols
     val consts = stats.agg(aggCols.head, aggCols.tail: _*)
 
-    // Per-term BM25 contribution; idf in the +1 (Lucene) form so it is
-    // always positive. Everything stays inside whole-stage codegen.
-    val termScore = QUERY_TERMS.indices
-      .map { i =>
-        val tf = col(s"tf$i").cast("double")
-        val idf = expr(s"ln(1e0 + (cast(n_docs AS double) - df$i + 5e-1) / (df$i + 5e-1))")
-        idf * (tf * lit(K1 + 1)) /
-          (tf + lit(K1) * (lit(1 - B) + lit(B) * col("dl").cast("double") / col("avgdl")))
-      }
-      .reduce(_ + _)
-
-    val matched = QUERY_TERMS.indices.map(i => when(col(s"tf$i") > 0, 1).otherwise(0)).reduce(_ + _)
-
     stats
       .crossJoin(broadcast(consts))
-      .withColumn("n_matched", matched)
+      .withColumn("n_matched", bm25Matched)
       .filter(col("n_matched") > 0)
       // floor-form 6dp round BEFORE ranking (q62 rule): cross-engine ln ULPs
       // cannot flip order or value
-      .withColumn("score", floor(termScore * lit(1e6) + lit(0.5)) / lit(1e6))
+      .withColumn("score", floor(bm25TermScore * lit(1e6) + lit(0.5)) / lit(1e6))
       .select(col("doc_id"), col("n_matched"), col("score"))
   }
 
@@ -484,17 +493,215 @@ object Retrieval {
        |WHERE rn = 1 AND margin > $MARGIN_T
        |ORDER BY lang, tgt_id""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q122 — BM25 served from a PERSISTED INVERTED INDEX. q103 is the scan
+  // path: one pass over the corpus per query batch, the right shape when
+  // retrieval runs once per curation sweep. This is the serve path: the
+  // corpus is tokenized ONCE into a posting-list table
+  //   postings(term, doc_id, tf, dl)   bucketed + sorted by term
+  // plus corpus-stats slices (n_docs, dl_sum — exact LONGs), committed
+  // under the same sidecar-last / data-fingerprint protocol as the ANN
+  // index families (Similarity.scala's persistFamilyFor). A query then
+  // probes `term IN (query terms)` — Spark prunes to the matching BUCKETS
+  // (SelectedBucketsCount in the plan) and never touches `documents` — and
+  // per-term df falls out of the probe itself (count of postings rows per
+  // term), so the only extra artifact beyond postings is the 1-row corpus
+  // totals. At 100 TB this is the difference between a corpus scan per
+  // query and a few-bucket read: the Lucene/Elasticsearch architecture,
+  // expressed as a bucketed parquet table.
+  //
+  // Exactness: tf/df/dl/n_docs are the same integers q103 derives, avgdl
+  // is the same exact division (dl_sum < 2^53 so the double sum is exact
+  // in both paths), and the score expression is SHARED ([[bm25TermScore]])
+  // — q122's output is bit-identical to q103's, which is why it carries
+  // q103's full DuckDB oracle rather than a weaker self-check.
+  //
+  // Refresh: `graft.bm25.refresh=append` extends the index for an
+  // append-only corpus change — delta postings land as new bucket files,
+  // a delta (n_docs, dl_sum) slice lands beside them, sidecar last. df
+  // needs no maintenance at all (derived from the probe), which is what
+  // makes BM25 append-friendly where e.g. a materialized-idf design would
+  // need a full vocab rewrite per tick.
+  // ---------------------------------------------------------------------------
+  val Bm25IndexDirConf = "graft.bm25.indexDir"
+  val Bm25RefreshConf = "graft.bm25.refresh"
+  private val BM25_BUCKETS = 16
+
+  private def bm25Spec = Similarity.IndexSpec(BM25_BUCKETS, Seq("term"), "bm25:tok1")
+  private def bm25Path(indexDir: String, dir: String) = s"$indexDir/bm25_${Similarity.indexKey(dir)}"
+  private[operators] def bm25Table(dir: String) = s"graft_bm25_${Similarity.indexKey(dir)}"
+  private def bm25StatsPath(path: String) = s"${path}_stats"
+
+  private def docSource(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+
+  /** The corpus tokenized once: (doc_id, toks) — the staging frame both the
+    * postings build and the corpus-stats build read.
+    */
+  private def bm25TokFrame(docs: DataFrame): DataFrame =
+    Tables.balanced(docs).withColumn("toks", toks).select(col("doc_id"), col("toks"))
+
+  /** Posting lists from a tokenized frame: (term, doc_id, tf, dl), one row
+    * per distinct (term, doc) — tf and dl are the exact integers q103's
+    * array-filter projections produce.
+    */
+  private def bm25PostingsOf(tok: DataFrame): DataFrame =
+    tok
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"), explode(col("toks")).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+
+  /** One corpus-stats slice: (n_docs, dl_sum) as exact LONGs. Slices are
+    * append-only; readers SUM them, so an append tick writes a delta slice
+    * instead of rewriting totals.
+    */
+  private def bm25StatsSliceOf(tok: DataFrame): DataFrame =
+    tok.agg(
+      count(lit(1)).as("n_docs"),
+      coalesce(sum(size(col("toks")).cast("long")), lit(0L)).as("dl_sum")
+    )
+
+  /** 1-row corpus constants (n_docs, avgdl) from summed stats slices.
+    * avgdl = dl_sum/n_docs with both operands exact longs — the same
+    * double q103's avg(dl) computes (partial sums < 2^53 are exact).
+    */
+  private def bm25ConstsFrom(statsSlices: DataFrame): DataFrame =
+    statsSlices
+      .agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"), coalesce(sum(col("dl_sum")), lit(0L)).as("dl_sum"))
+      .select(col("n_docs"), (col("dl_sum").cast("double") / col("n_docs").cast("double")).as("avgdl"))
+
+  private val bm25Cache = new SessionCache[(DataFrame, DataFrame)]()
+
+  /** Resolve the (postings, 1-row consts) pair: session cache → persisted
+    * bucketed table (when `graft.bm25.indexDir` is set and the sidecar
+    * matches the current documents fingerprint — a stale index is never
+    * served) → in-session build staged off one tokenize pass.
+    */
+  private def resolveBm25(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    bm25Cache.getOrBuild(spark, dir) {
+      val persisted = spark.conf
+        .getOption(Bm25IndexDirConf)
+        .filter(_.nonEmpty)
+        .flatMap { ix =>
+          val path = bm25Path(ix, dir)
+          Similarity
+            .resolvePersistedFor(spark, docSource(spark, dir), "doc_id", bm25Table(dir), path, bm25Spec)
+            .map(postings => (postings, bm25ConstsFrom(spark.read.parquet(bm25StatsPath(path))).localCheckpoint()))
+        }
+      persisted.getOrElse {
+        val tok = bm25TokFrame(docSource(spark, dir)).localCheckpoint()
+        (bm25PostingsOf(tok).localCheckpoint(), bm25ConstsFrom(bm25StatsSliceOf(tok)).localCheckpoint())
+      }
+    }
+
+  /** Force the index build (bench phase hook — mirrors buildLshIndex). */
+  def buildBm25Index(spark: SparkSession, dir: String): Unit = { resolveBm25(spark, dir); () }
+
+  /** Materialize the BM25 index under `indexDir` with the shared ANN-family
+    * contract: idempotent ([[Similarity.Current]] on a matching sidecar),
+    * `graft.bm25.refresh=append` extends an append-only change
+    * ([[Similarity.Appended]] — bit-identical to a rebuild: postings of old
+    * docs don't change and df/consts are derived, not frozen), anything
+    * else rebuilds from source ([[Similarity.Rebuilt]]), sidecar committed
+    * last.
+    */
+  def persistBm25Index(spark: SparkSession, dir: String, indexDir: String): Similarity.PersistOutcome = {
+    val path = bm25Path(indexDir, dir)
+    val table = bm25Table(dir)
+    val statsDir = bm25StatsPath(path)
+    Similarity.persistFamilyFor(
+      spark,
+      docSource(spark, dir),
+      "doc_id",
+      Bm25RefreshConf,
+      table,
+      path,
+      bm25Spec,
+      invalidate = () => bm25Cache.invalidate(spark, dir),
+      computeDeltaRows = delta => bm25PostingsOf(bm25TokFrame(delta.select(col("doc_id"), col("text")))),
+      rebuild = () => {
+        Similarity.deletePath(spark, statsDir)
+        val tok = bm25TokFrame(docSource(spark, dir)).localCheckpoint()
+        graft.sources.Layouts.writeBucketed(bm25PostingsOf(tok), table, Seq("term"), BM25_BUCKETS, path)
+        bm25StatsSliceOf(tok).write.mode("overwrite").parquet(statsDir)
+      },
+      onAppend = delta =>
+        bm25StatsSliceOf(bm25TokFrame(delta.select(col("doc_id"), col("text"))))
+          .write
+          .mode("append")
+          .parquet(statsDir)
+    )
+  }
+
+  def persistBm25Index(spark: SparkSession, dir: String): Similarity.PersistOutcome =
+    persistBm25Index(
+      spark,
+      dir,
+      spark.conf.getOption(Bm25IndexDirConf).filter(_.nonEmpty).getOrElse {
+        throw new IllegalStateException(s"set $Bm25IndexDirConf or pass indexDir explicitly")
+      }
+    )
+
+  /** Geometry-free compaction of accumulated append files (one file set per
+    * bucket) — the maintenance pass between rebuilds, same contract as the
+    * ANN families'.
+    */
+  def compactBm25Index(spark: SparkSession, dir: String, indexDir: String): Boolean = {
+    val path = bm25Path(indexDir, dir)
+    Similarity.compactFamilyFor(
+      spark,
+      Similarity.fingerprintOf(docSource(spark, dir), "doc_id"),
+      bm25Table(dir),
+      path,
+      bm25Spec,
+      () => bm25Cache.invalidate(spark, dir)
+    )
+  }
+
+  def q122Bm25Indexed(spark: SparkSession, dir: String): DataFrame = {
+    val (postings, consts) = resolveBm25(spark, dir)
+    // bucket-pruned probe: only the query terms' buckets are read; staged
+    // once for the df aggregate and the per-doc pivot
+    val probe = postings.filter(col("term").isin(QUERY_TERMS: _*)).localCheckpoint()
+    val dfCols = QUERY_TERMS.indices
+      .map(i => sum(when(col("term") === QUERY_TERMS(i), 1L).otherwise(0L)).as(s"df$i"))
+    val dfRow = probe.agg(dfCols.head, dfCols.tail: _*)
+    val tfCols = QUERY_TERMS.indices
+      .map(i => sum(when(col("term") === QUERY_TERMS(i), col("tf")).otherwise(0L)).as(s"tf$i"))
+    // pivot back to the FIXED tf$i columns so the shared score expression
+    // sums terms in the same order as q103 (a groupBy-sum of per-term
+    // contributions would merge in partition order and could drift an ULP)
+    val piv = probe.groupBy(col("doc_id"), col("dl")).agg(tfCols.head, tfCols.tail: _*)
+    val scored = piv
+      .crossJoin(broadcast(consts.crossJoin(dfRow)))
+      .withColumn("n_matched", bm25Matched)
+      .filter(col("n_matched") > 0)
+      .withColumn("score", floor(bm25TermScore * lit(1e6) + lit(0.5)) / lit(1e6))
+      .select(col("doc_id"), col("n_matched"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(TOP_K)
+    scored
+      .withColumn("rank", row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+      .select(col("rank"), col("doc_id"), col("n_matched"), col("score"))
+      .orderBy(col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q103_bm25" -> (q103Bm25 _),
     "q118_hybrid_rrf" -> (q118HybridRrf _),
     "q120_retrieval_eval" -> (q120RetrievalEval _),
-    "q121_bitext_mining" -> (q121BitextMining _)
+    "q121_bitext_mining" -> (q121BitextMining _),
+    "q122_bm25_indexed" -> (q122Bm25Indexed _)
   )
 
   val oracles: Map[String, String] = Map(
     "q103_bm25" -> q103Oracle,
     "q118_hybrid_rrf" -> q118Oracle,
     "q120_retrieval_eval" -> q120Oracle,
-    "q121_bitext_mining" -> q121Oracle
+    "q121_bitext_mining" -> q121Oracle,
+    // bit-identical to q103 by construction (shared integers + shared score
+    // expression), so the index path carries the full scan-path oracle
+    "q122_bm25_indexed" -> q103Oracle
   )
 }

@@ -1522,7 +1522,7 @@ object Similarity {
     * one profile can never satisfy a read under another (sidecar mismatch
     * → rebuild), even if paths were somehow crossed.
     */
-  private final case class IndexSpec(buckets: Int, keys: Seq[String], params: String)
+  private[operators] final case class IndexSpec(buckets: Int, keys: Seq[String], params: String)
   private def lshSpec(prof: AnnProfile) =
     IndexSpec(LSH_BUCKETS, Seq("t", "b"), s"lsh:t${prof.lshTables}:p${prof.lshPlanes}")
   private def ivfSpec(prof: AnnProfile) = IndexSpec(IVF_BUCKETS, Seq("cluster"), s"ivf:c${prof.ivfC}")
@@ -1532,7 +1532,7 @@ object Similarity {
   private def ivfPqSpec = IndexSpec(IVF_BUCKETS, Seq("cluster"), s"ivfpq:c$C:m$PQ_M:k$PQ_K")
 
   /** Stable cross-JVM key for a data dir (first 8 md5 hex chars). */
-  private def indexKey(dir: String): String =
+  private[operators] def indexKey(dir: String): String =
     java.security.MessageDigest
       .getInstance("MD5")
       .digest(dir.getBytes("UTF-8"))
@@ -1575,20 +1575,25 @@ object Similarity {
     * and what turns "md5 of the path" into an identity that actually
     * changes when the data does.
     */
-  private def dataFingerprint(spark: SparkSession, dir: String): (Long, Long) = {
-    val r = Tables
-      .embeddings(spark, dir)
-      .agg(count(lit(1)), max(col("vec_id")))
-      .collect()(0)
+  private def dataFingerprint(spark: SparkSession, dir: String): (Long, Long) =
+    fingerprintOf(Tables.embeddings(spark, dir), "vec_id")
+
+  /** Generalized fingerprint over any source table with a monotone LONG id
+    * column — lets other index families (Retrieval's BM25 postings index
+    * over `documents`) reuse this file's persist/serve/append machinery
+    * instead of growing a parallel copy.
+    */
+  private[operators] def fingerprintOf(source: DataFrame, idCol: String): (Long, Long) = {
+    val r = source.agg(count(lit(1)), max(col(idCol))).collect()(0)
     (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))
   }
 
-  private final case class Sidecar(buckets: Int, keys: Seq[String], rows: Long, maxId: Long, params: String)
+  private[operators] final case class Sidecar(buckets: Int, keys: Seq[String], rows: Long, maxId: Long, params: String)
 
   /** Sidecar marker: bucket spec + data fingerprint + index params, written
     * LAST so its presence means the index files are complete.
     */
-  private def writeSidecar(spark: SparkSession, dataPath: String, spec: IndexSpec, fp: (Long, Long)): Unit = {
+  private[operators] def writeSidecar(spark: SparkSession, dataPath: String, spec: IndexSpec, fp: (Long, Long)): Unit = {
     val (fs, p) = hadoopPath(spark, s"$dataPath/_graft_index.json")
     val out = fs.create(p, true)
     try out.write(
@@ -1598,12 +1603,12 @@ object Similarity {
     finally out.close()
   }
 
-  private def deleteSidecar(spark: SparkSession, dataPath: String): Unit = {
+  private[operators] def deleteSidecar(spark: SparkSession, dataPath: String): Unit = {
     val (fs, p) = hadoopPath(spark, s"$dataPath/_graft_index.json")
     if (fs.exists(p)) fs.delete(p, false)
   }
 
-  private def readSidecar(spark: SparkSession, dataPath: String): Option[Sidecar] = {
+  private[operators] def readSidecar(spark: SparkSession, dataPath: String): Option[Sidecar] = {
     val (fs, p) = hadoopPath(spark, s"$dataPath/_graft_index.json")
     if (!fs.exists(p)) None
     else {
@@ -1639,10 +1644,21 @@ object Similarity {
       dataPath: String,
       spec: IndexSpec
   ): Option[DataFrame] =
+    resolvePersistedFor(spark, Tables.embeddings(spark, dir), "vec_id", table, dataPath, spec)
+
+  /** Source-generalized persisted-index resolution (see [[fingerprintOf]]). */
+  private[operators] def resolvePersistedFor(
+      spark: SparkSession,
+      source: DataFrame,
+      idCol: String,
+      table: String,
+      dataPath: String,
+      spec: IndexSpec
+  ): Option[DataFrame] =
     readSidecar(spark, dataPath)
       .filter { s =>
         s.buckets == spec.buckets && s.keys == spec.keys && s.params == spec.params && {
-          val (rows, maxId) = dataFingerprint(spark, dir)
+          val (rows, maxId) = fingerprintOf(source, idCol)
           s.rows == rows && s.maxId == maxId
         }
       }
@@ -1656,7 +1672,7 @@ object Similarity {
     * footers); refresh the cached file listing when the table is already
     * known (it may have been re-persisted by another session).
     */
-  private def registerBucketedTable(
+  private[operators] def registerBucketedTable(
       spark: SparkSession,
       table: String,
       dataPath: String,
@@ -1693,17 +1709,24 @@ object Similarity {
       spark: SparkSession,
       dir: String,
       s: Sidecar
+  ): Option[(DataFrame, (Long, Long), Long)] =
+    appendOnlyDeltaFor(Tables.embeddings(spark, dir), "vec_id", s)
+
+  /** Source-generalized append-only delta (see [[fingerprintOf]]). */
+  private[operators] def appendOnlyDeltaFor(
+      source: DataFrame,
+      idCol: String,
+      s: Sidecar
   ): Option[(DataFrame, (Long, Long), Long)] = {
-    val emb = Tables.embeddings(spark, dir)
-    val r = emb
-      .agg(count(lit(1)), max(col("vec_id")), count(when(col("vec_id") <= s.maxId, 1)))
+    val r = source
+      .agg(count(lit(1)), max(col(idCol)), count(when(col(idCol) <= s.maxId, 1)))
       .collect()(0)
     val total = r.getLong(0)
     val maxId = if (r.isNullAt(1)) -1L else r.getLong(1)
     if (maxId > s.maxId && r.getLong(2) == s.rows)
       Some(
         (
-          emb.filter(col("vec_id") > s.maxId && col("vec_id") <= maxId),
+          source.filter(col(idCol) > s.maxId && col(idCol) <= maxId),
           (total, maxId),
           total - s.rows
         )
@@ -1715,12 +1738,13 @@ object Similarity {
     * the session opted into append refresh — the precondition for trying
     * [[appendOnlyDelta]] instead of a rebuild.
     */
-  private def appendableSidecar(
+  private[operators] def appendableSidecar(
       spark: SparkSession,
       path: String,
-      spec: IndexSpec
+      spec: IndexSpec,
+      refreshConf: String = RefreshConf
   ): Option[Sidecar] =
-    if (spark.conf.get(RefreshConf, "rebuild") != "append") None
+    if (spark.conf.get(refreshConf, "rebuild") != "append") None
     else
       readSidecar(spark, path).filter(s =>
         s.buckets == spec.buckets && s.keys == spec.keys && s.params == spec.params
@@ -1741,7 +1765,8 @@ object Similarity {
       path: String,
       spec: IndexSpec,
       fp: (Long, Long),
-      invalidate: () => Unit
+      invalidate: () => Unit,
+      onAppend: () => Unit = () => ()
   ): Unit = {
     deleteSidecar(spark, path)
     invalidate()
@@ -1751,6 +1776,10 @@ object Similarity {
     registerBucketedTable(spark, table, path, spec.buckets, spec.keys)
     graft.sources.Layouts.appendBucketed(deltaRows, table, spec.keys, spec.buckets)
     spark.catalog.refreshTable(table)
+    // family-specific append-time extras (e.g. BM25's corpus-stats slice)
+    // land BEFORE the sidecar: a crash mid-extra leaves no sidecar, readers
+    // build fresh
+    onAppend()
     writeSidecar(spark, path, spec, fp)
   }
 
@@ -1773,8 +1802,20 @@ object Similarity {
       path: String,
       spec: IndexSpec,
       invalidate: () => Unit
+  ): Boolean =
+    compactFamilyFor(spark, dataFingerprint(spark, dir), table, path, spec, invalidate)
+
+  /** Source-generalized compaction: caller supplies the current source
+    * fingerprint (see [[fingerprintOf]]); everything else is unchanged.
+    */
+  private[operators] def compactFamilyFor(
+      spark: SparkSession,
+      fp: (Long, Long),
+      table: String,
+      path: String,
+      spec: IndexSpec,
+      invalidate: () => Unit
   ): Boolean = {
-    val fp = dataFingerprint(spark, dir)
     if (!sidecarCurrent(spark, path, spec, fp)) false
     else {
       val (fs, p) = hadoopPath(spark, path)
@@ -1878,13 +1919,47 @@ object Similarity {
       invalidate: () => Unit,
       computeDeltaRows: DataFrame => DataFrame,
       rebuild: () => Unit
+  ): PersistOutcome =
+    persistFamilyFor(
+      spark,
+      Tables.embeddings(spark, dir),
+      "vec_id",
+      RefreshConf,
+      table,
+      path,
+      spec,
+      invalidate,
+      computeDeltaRows,
+      rebuild
+    )
+
+  /** Source-generalized persist orchestration (see [[fingerprintOf]]):
+    * same Current / Appended / Rebuilt contract over any source table with
+    * a monotone LONG id. `onAppend` runs with the RAW delta rows after the
+    * bucketed append and before the sidecar commit — the hook a family
+    * uses to extend non-bucketed artifacts (BM25's corpus-stats slices)
+    * under the same crash-safety envelope.
+    */
+  private[operators] def persistFamilyFor(
+      spark: SparkSession,
+      source: DataFrame,
+      idCol: String,
+      refreshConf: String,
+      table: String,
+      path: String,
+      spec: IndexSpec,
+      invalidate: () => Unit,
+      computeDeltaRows: DataFrame => DataFrame,
+      rebuild: () => Unit,
+      onAppend: DataFrame => Unit = _ => ()
   ): PersistOutcome = {
-    val fp = dataFingerprint(spark, dir)
+    val fp = fingerprintOf(source, idCol)
     if (sidecarCurrent(spark, path, spec, fp)) Current
     else
-      appendableSidecar(spark, path, spec).flatMap(s => appendOnlyDelta(spark, dir, s)) match {
+      appendableSidecar(spark, path, spec, refreshConf)
+        .flatMap(s => appendOnlyDeltaFor(source, idCol, s)) match {
         case Some((delta, snapFp, nNew)) =>
-          appendToIndex(spark, computeDeltaRows(delta), table, path, spec, snapFp, invalidate)
+          appendToIndex(spark, computeDeltaRows(delta), table, path, spec, snapFp, invalidate, () => onAppend(delta))
           Appended(nNew)
         case None =>
           deleteSidecar(spark, path)
@@ -1900,7 +1975,7 @@ object Similarity {
   /** True when the sidecar at `dataPath` already describes exactly this
     * spec over exactly this data — the idempotent-persist fast path.
     */
-  private def sidecarCurrent(
+  private[operators] def sidecarCurrent(
       spark: SparkSession,
       dataPath: String,
       spec: IndexSpec,
@@ -1911,7 +1986,7 @@ object Similarity {
         s.rows == fp._1 && s.maxId == fp._2
     )
 
-  private def deletePath(spark: SparkSession, p: String): Unit = {
+  private[operators] def deletePath(spark: SparkSession, p: String): Unit = {
     val (fs, path) = hadoopPath(spark, p)
     if (fs.exists(path)) fs.delete(path, true)
   }

@@ -100,7 +100,8 @@ object IngestTick {
       clusterDelta: Long,
       spanDelta: Long,
       spanRetro: Long,
-      ann: Seq[(String, graft.operators.Similarity.PersistOutcome)]
+      ann: Seq[(String, graft.operators.Similarity.PersistOutcome)],
+      bm25: graft.operators.Similarity.PersistOutcome
   )
 
   def run(
@@ -121,7 +122,13 @@ object IngestTick {
         m.conf.set(graft.operators.Similarity.RefreshConf, "append")
         AnnBuild.run(m, dataDir, s"$stateDir/ann", annProfiles)
       } else Seq.empty
-    Outcome(corpus, clusterDelta, spanDelta, spanRetro, ann)
+    val bm25 = {
+      // same dedicated-session discipline as the ANN refresh
+      val m = spark.newSession()
+      m.conf.set(graft.operators.Retrieval.Bm25RefreshConf, "append")
+      graft.operators.Retrieval.persistBm25Index(m, dataDir, s"$stateDir/bm25")
+    }
+    Outcome(corpus, clusterDelta, spanDelta, spanRetro, ann, bm25)
   }
 }
 
@@ -142,6 +149,7 @@ object IngestTickMain {
       println(s"[ingest-tick] spans delta=${o.spanDelta} retro=${o.spanRetro}")
       if (o.ann.isEmpty) println("[ingest-tick] ann skipped (no embeddings.parquet)")
       else o.ann.foreach { case (fam, out) => println(s"[ingest-tick] ann $fam -> $out") }
+      println(s"[ingest-tick] bm25 -> ${o.bm25}")
     } finally spark.stop()
   }
 }

@@ -77,6 +77,17 @@ class IngestTickSpec extends SparkSpec {
           o.ann.exists { case (_, out) => out.isInstanceOf[graft.operators.Similarity.Appended] },
           s"append refresh: at least one family must extend in place, got ${o.ann}"
         )
+      // BM25 postings: drop 1 rebuilds, drop 2 (grown corpus, monotone ids)
+      // appends; the served ranking equals the scan path over the landed data
+      assert(o.bm25.wrote, s"drop first=$first: bm25 did not write for a grown corpus (${o.bm25})")
+      if (!first) assert(o.bm25.isInstanceOf[graft.operators.Similarity.Appended], s"got ${o.bm25}")
+      val serve = spark.newSession()
+      serve.conf.set(graft.operators.Retrieval.Bm25IndexDirConf, s"$stateDir/bm25")
+      assert(
+        graft.operators.Retrieval.q122Bm25Indexed(serve, dataDir).collect().toSeq ===
+          graft.operators.Retrieval.q103Bm25(spark.newSession(), dataDir).collect().toSeq,
+        s"drop first=$first: maintained bm25 index != scan path"
+      )
     }
 
     // redelivery: a tick with nothing new is a no-op everywhere
