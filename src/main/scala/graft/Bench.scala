@@ -151,6 +151,8 @@ object Bench {
     phase("q111_kn_build")(operators.Curation.q111KnTrigram(spark, sfDir))
     // q122's inverted index (postings + corpus consts) is session-cached
     phase("q122_build")(operators.Retrieval.buildBm25Index(spark, sfDir))
+    // q123's Lloyd centroids are session-cached (T distributed passes)
+    phase("q123_centroids")(operators.Cartography.q123CorpusTopics(spark, sfDir))
 
     // repeat each query and report the MEDIAN: single-shot timings on a
     // shared box fold scheduler noise into query cost (observed up to 10x

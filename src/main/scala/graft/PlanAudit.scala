@@ -130,6 +130,10 @@ object PlanAudit {
     "q122_bm25_indexed" -> Map(
       "BroadcastNestedLoopJoin" ->
         "q103's 1-row broadcast corpus constants (n_docs, avgdl, per-term df from the probe) crossed onto the per-doc pivot rows — the q62 broadcast-scalar pattern; the corpus itself is never scanned (bucket-pruned postings probe)"
+    ),
+    "q123_corpus_topics" -> Map(
+      "BroadcastNestedLoopJoin" ->
+        "1-row broadcast corpus total crossed onto the <=K cluster profile rows — the q70 broadcast-scalar pattern; assignment itself is a pure projection against K literal centroids (no join)"
     )
   )
 

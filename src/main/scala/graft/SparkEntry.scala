@@ -34,6 +34,7 @@ object SparkEntry {
       operators.Privacy.queries ++
       operators.BloomPrune.queries ++
       operators.Retrieval.queries ++
+      operators.Cartography.queries ++
       operators.Importance.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -56,5 +57,6 @@ object SparkEntry {
       operators.Privacy.oracles ++
       operators.BloomPrune.oracles ++
       operators.Retrieval.oracles ++
+      operators.Cartography.oracles ++
       operators.Importance.oracles
 }

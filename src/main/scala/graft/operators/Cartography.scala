@@ -1,0 +1,222 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Corpus cartography — the "what is IN this corpus" map a curator draws
+  * before deciding mixtures, dedup thresholds, or collection priorities:
+  * k-means over the embedding column, then a per-cluster profile (size,
+  * corpus share, dominant language, mean squared distance). This is the
+  * clustering stage SemDeDup (q90) and IVF (q36) train privately, promoted
+  * to a first-class, ORACLE-GATED query — which neither of those can be:
+  * their trainers run on bounded driver samples (`Similarity.scala:657`)
+  * precisely because float k-means is not reproducible across engines.
+  *
+  * What makes this one exact, engine to engine:
+  *   - components are floor-rounded to INTEGER MICROS once, up front
+  *     (`floor(x*1e6 + 0.5)` — the house 6dp rule applied to inputs);
+  *     every distance is then exact 64-bit integer arithmetic
+  *     (|x| ≤ ~0.6 ⇒ per-dim diff ≤ ~1.2e6 micros ⇒ 64-dim squared sums
+  *     ≤ ~1e14, far inside Long; at ~1e5+ rows per cluster swap the
+  *     distance SUMS to DECIMAL — the q111 integer-micro note applies),
+  *   - seeds are the K vectors with the smallest md5(vec_id) (the q49
+  *     coin: md5 is md5 everywhere), vec_id tiebreak,
+  *   - ties in assignment break to the smaller cluster id,
+  *   - centroid update is exact FLOOR DIVISION of integer sums (empty
+  *     cluster keeps its centroid), so after every iteration both engines
+  *     hold bit-identical integer centroids,
+  *   - a FIXED iteration count (the declared-bounded-loop contract q94's
+  *     BPE trainer set; each iteration is one distributed pass).
+  *
+  * Scale shape: the points frame is staged once (localCheckpoint) and each
+  * Lloyd iteration is ONE linear scan — assignment is a pure projection
+  * against K literal centroids (whole-stage codegen, no join, no shuffle),
+  * and the update is a posexplode → (cluster, dim) partial-agg whose
+  * result is K×DIM rows collected to the driver (bounded, like q94's
+  * argmax row). At 100 TB that is T linear passes + a 512-row collect per
+  * pass — the textbook distributed k-means plan.
+  *
+  * The DuckDB oracle replays the SAME fixed iterations as a generated CTE
+  * chain (the q94 generated-oracle trick): seed CTE → T × (assign CTE +
+  * centroid CTE) → profile. Floor division is written as
+  * floor(s/n) over doubles in the oracle: per-(cluster, dim) sums stay
+  * ≤ ~1.2e9 (exact in double), and the true quotient is ≥ 1/n away from
+  * any non-attained integer while the division error is ≤ ~1e-10, so the
+  * floor agrees with Spark's exact Math.floorDiv.
+  */
+object Cartography {
+
+  val K = 8
+  val ITERS = 3
+  private val DIM = 64
+
+  /** Embedding components as integer micros — the one rounding step; all
+    * k-means arithmetic downstream is exact.
+    */
+  private def microsExpr: Column =
+    expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT))")
+
+  private def points(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .balanced(Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")))
+      .select(col("vec_id"), microsExpr.as("xm"))
+
+  /** Exact squared distance to one literal centroid (integer micros). */
+  private def distTo(cm: Array[Long]): Column =
+    expr(
+      s"aggregate(zip_with(xm, array(${cm.mkString("L, ")}L), (a, b) -> (a - b) * (a - b)), 0L, (acc, v) -> acc + v)"
+    )
+
+  /** (dist2, cluster) of the nearest centroid — array_min over
+    * struct(dist, id) is lexicographic, so ties break to the smaller id.
+    */
+  private def nearest(cents: Seq[Array[Long]]): Column =
+    array_min(array(cents.zipWithIndex.map { case (cm, j) =>
+      struct(distTo(cm).as("d2"), lit(j).as("cluster"))
+    }: _*))
+
+  /** Seeds, then ITERS exact Lloyd updates. Each update is one distributed
+    * pass; the K×DIM integer sums collected per pass are the bounded
+    * driver state (q94's contract).
+    */
+  private def finalCentroids(pts: DataFrame): Seq[Array[Long]] = {
+    var cents: Seq[Array[Long]] = pts
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(K)
+      .collect()
+      .map(_.getSeq[Long](1).toArray)
+      .toSeq
+    for (_ <- 1 to ITERS) {
+      val sums = pts
+        .withColumn("n", nearest(cents))
+        .select(col("n.cluster").as("cluster"), posexplode(col("xm")).as(Seq("d", "v")))
+        .groupBy(col("cluster"), col("d"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("cnt"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+        .toMap
+      cents = cents.zipWithIndex.map { case (old, j) =>
+        if (!sums.contains((j, 0))) old // empty cluster keeps its centroid
+        else Array.tabulate(DIM) { d =>
+          val (s, n) = sums((j, d))
+          Math.floorDiv(s, n)
+        }
+      }
+    }
+    cents
+  }
+
+  private val centroidCache = new SessionCache[Seq[Array[Long]]]()
+
+  def q123CorpusTopics(spark: SparkSession, dir: String): DataFrame = {
+    val pts = points(spark, dir).localCheckpoint() // staged once for T+1 passes
+    val cents = centroidCache.getOrBuild(spark, dir)(finalCentroids(pts))
+    val assigned = pts
+      .withColumn("n", nearest(cents))
+      .select(col("vec_id"), col("n.cluster").as("cluster"), col("n.d2").as("d2"))
+      .join(
+        Tables.documents(spark, dir).select(col("doc_id"), col("lang")),
+        col("vec_id") === col("doc_id")
+      )
+      .localCheckpoint() // one assignment pass feeds sizes, lang mix, total
+    val sizes = assigned
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("d2")).as("sd"))
+    val topLang = assigned
+      .groupBy(col("cluster"), col("lang"))
+      .agg(count(lit(1)).as("ln"))
+      .withColumn(
+        "rn",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("cluster"))
+            .orderBy(col("ln").desc, col("lang"))
+        )
+      )
+      .filter(col("rn") === 1)
+      .select(col("cluster"), col("lang").as("top_lang"), col("ln"))
+    val total = assigned.agg(count(lit(1)).as("total")) // 1 row -> broadcast
+    sizes
+      .join(topLang, Seq("cluster"))
+      .crossJoin(broadcast(total))
+      .select(
+        col("cluster"),
+        col("n_vecs"),
+        (floor(col("n_vecs").cast("double") / col("total") * lit(1e6) + lit(0.5)) / lit(1e6)).as("share"),
+        col("top_lang"),
+        (floor(col("ln").cast("double") / col("n_vecs") * lit(1e6) + lit(0.5)) / lit(1e6)).as("top_lang_share"),
+        // mean squared distance back in original units: micros² → /1e12,
+        // then the 6dp floor (the two collapse into one /1e6 inside floor)
+        (floor(col("sd").cast("double") / col("n_vecs") / lit(1e6) + lit(0.5)) / lit(1e6)).as("msd")
+      )
+      .orderBy(col("cluster"))
+  }
+
+  /** The generated Lloyd CTE chain (q94's generated-oracle pattern): same
+    * seeds, same integer arithmetic, same fixed iterations.
+    */
+  val q123Oracle: String = {
+    val zipDist =
+      "list_sum(list_transform(list_zip(p.xm, c.cm), z -> (z[1] - z[2]) * (z[1] - z[2])))"
+    def assignCte(t: Int) =
+      s"""a$t AS (
+         |  SELECT vec_id, xm, cluster, d2 FROM (
+         |    SELECT vec_id, xm, cluster, d2,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+         |    FROM (SELECT p.vec_id, p.xm, c.cluster, $zipDist AS d2
+         |          FROM m p, c${t - 1} c))
+         |  WHERE rn = 1)""".stripMargin
+    def updateCte(t: Int) =
+      s"""s$t AS (
+         |  SELECT cluster, d, CAST(sum(xm[d + 1]) AS BIGINT) AS s, count(*) AS n
+         |  FROM a$t, range($DIM) t(d) GROUP BY cluster, d),
+         |c$t AS (
+         |  SELECT c.cluster,
+         |         CASE WHEN nz.cluster IS NULL THEN c.cm
+         |              ELSE (SELECT list(CAST(floor(CAST(s2.s AS DOUBLE) / s2.n) AS BIGINT) ORDER BY s2.d)
+         |                    FROM s$t s2 WHERE s2.cluster = c.cluster)
+         |         END AS cm
+         |  FROM c${t - 1} c LEFT JOIN (SELECT DISTINCT cluster FROM s$t) nz ON nz.cluster = c.cluster)""".stripMargin
+    val iters = (1 to ITERS).map(t => s"${assignCte(t)},\n${updateCte(t)}").mkString(",\n")
+    s"""WITH m AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS xm
+       |  FROM embeddings),
+       |c0 AS (
+       |  SELECT rn - 1 AS cluster, xm AS cm FROM (
+       |    SELECT xm, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM m)
+       |  WHERE rn <= $K),
+       |$iters,
+       |af AS (
+       |  SELECT vec_id, cluster, d2 FROM (
+       |    SELECT vec_id, cluster, d2,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+       |    FROM (SELECT p.vec_id, c.cluster, $zipDist AS d2
+       |          FROM m p, c$ITERS c))
+       |  WHERE rn = 1),
+       |j AS (SELECT af.vec_id, af.cluster, af.d2, d.lang FROM af JOIN documents d ON d.doc_id = af.vec_id),
+       |g AS (SELECT cluster, count(*) AS n_vecs, CAST(sum(d2) AS BIGINT) AS sd FROM j GROUP BY cluster),
+       |l AS (SELECT cluster, lang, count(*) AS ln FROM j GROUP BY cluster, lang),
+       |lt AS (SELECT cluster, lang AS top_lang, ln FROM (
+       |         SELECT cluster, lang, ln, row_number() OVER (PARTITION BY cluster ORDER BY ln DESC, lang) AS rn FROM l)
+       |       WHERE rn = 1),
+       |tot AS (SELECT count(*) AS total FROM j)
+       |SELECT g.cluster, g.n_vecs,
+       |       floor(CAST(g.n_vecs AS DOUBLE) / total * 1e6 + 0.5) / 1e6 AS share,
+       |       lt.top_lang,
+       |       floor(CAST(lt.ln AS DOUBLE) / g.n_vecs * 1e6 + 0.5) / 1e6 AS top_lang_share,
+       |       floor(CAST(g.sd AS DOUBLE) / g.n_vecs / 1e6 + 0.5) / 1e6 AS msd
+       |FROM g JOIN lt ON lt.cluster = g.cluster, tot
+       |ORDER BY g.cluster""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q123_corpus_topics" -> (q123CorpusTopics _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q123_corpus_topics" -> q123Oracle
+  )
+}

@@ -1,0 +1,105 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** q123 — the corpus topic map must equal a single-node replay of the whole
+  * algorithm from first principles (seeds → 3 exact integer Lloyd updates →
+  * profile), because the entire point of the integer-micro design is that
+  * the distributed run is bit-reproducible anywhere.
+  */
+class CartographySpec extends SparkSpec {
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest
+      .getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x")
+      .mkString
+
+  test("q123 equals a single-node integer-micro Lloyd replay; msd non-increasing over iterations") {
+    val docs = graft.core.Tables
+      .documents(spark, sfDir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang"))
+      .toMap
+    val pts: Seq[(Long, Array[Long])] = graft.core.Tables
+      .embeddings(spark, sfDir)
+      .collect()
+      .map { r =>
+        val xm = r
+          .getAs[Seq[Float]]("embedding")
+          .map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong)
+          .toArray
+        r.getAs[Long]("vec_id") -> xm
+      }
+      .toSeq
+      .filter(p => docs.contains(p._1))
+
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def assign(cents: Seq[Array[Long]]): Map[Long, (Int, Long)] =
+      pts.map { case (id, xm) =>
+        val (dist, j) = cents.zipWithIndex.map { case (c, j) => (d2(xm, c), j) }.min
+        id -> (j, dist)
+      }.toMap
+
+    // seeds: K smallest by (md5(vec_id), vec_id)
+    var cents: Seq[Array[Long]] = pts
+      .sortBy { case (id, _) => (md5hex(id.toString), id) }
+      .take(Cartography.K)
+      .map(_._2)
+    val msdPerIter = scala.collection.mutable.ArrayBuffer[Double]()
+    for (_ <- 1 to Cartography.ITERS) {
+      val a = assign(cents)
+      msdPerIter += a.values.map(_._2).sum.toDouble / a.size
+      val byCluster = pts.groupBy(p => a(p._1)._1)
+      cents = cents.zipWithIndex.map { case (old, j) =>
+        byCluster.get(j).fold(old) { members =>
+          Array.tabulate(64)(d => Math.floorDiv(members.map(_._2(d)).sum, members.size.toLong))
+        }
+      }
+    }
+    val fin = assign(cents)
+    msdPerIter += fin.values.map(_._2).sum.toDouble / fin.size
+    assert(
+      msdPerIter.sliding(2).forall(w => w(1) <= w(0) + 1e-9),
+      s"Lloyd must not diverge: $msdPerIter"
+    )
+
+    // expected profile
+    val total = fin.size
+    val expected = fin.toSeq
+      .groupBy(_._2._1)
+      .toSeq
+      .map { case (cluster, rows) =>
+        val n = rows.size
+        val sd = rows.map(_._2._2).sum
+        val (topLang, ln) =
+          rows.groupBy(r => docs(r._1)).map { case (l, rs) => (l, rs.size) }.toSeq.sortBy { case (l, c) => (-c, l) }.head
+        (cluster, n.toLong,
+          math.floor(n.toDouble / total * 1e6 + 0.5) / 1e6,
+          topLang,
+          math.floor(ln.toDouble / n * 1e6 + 0.5) / 1e6,
+          math.floor(sd.toDouble / n / 1e6 + 0.5) / 1e6)
+      }
+      .sortBy(_._1)
+
+    val got = Cartography
+      .q123CorpusTopics(spark, sfDir)
+      .collect()
+      .map(r =>
+        (r.getAs[Int]("cluster"), r.getAs[Long]("n_vecs"), r.getAs[Double]("share"),
+          r.getAs[String]("top_lang"), r.getAs[Double]("top_lang_share"), r.getAs[Double]("msd"))
+      )
+      .toSeq
+    assert(got === expected, "distributed k-means profile must equal the single-node replay")
+    assert(got.map(_._2).sum === total.toLong)
+    info(s"sf0.001: ${got.size} clusters, msd trajectory ${msdPerIter.mkString(" -> ")}")
+  }
+
+  test("q123 is deterministic across fresh sessions") {
+    val a = Cartography.q123CorpusTopics(spark.newSession(), sfDir).collect().toSeq.map(_.toSeq)
+    val b = Cartography.q123CorpusTopics(spark.newSession(), sfDir).collect().toSeq.map(_.toSeq)
+    assert(a === b)
+  }
+}
