@@ -134,6 +134,10 @@ object PlanAudit {
     "q123_corpus_topics" -> Map(
       "BroadcastNestedLoopJoin" ->
         "1-row broadcast corpus total crossed onto the <=K cluster profile rows — the q70 broadcast-scalar pattern; assignment itself is a pure projection against K literal centroids (no join)"
+    ),
+    "q124_moore_lewis" -> Map(
+      "BroadcastNestedLoopJoin" ->
+        "1-row broadcast vocabulary size V joined onto per-bigram-type rows — the q78 pattern; all count joins are keyed on xxhash64 token keys"
     )
   )
 

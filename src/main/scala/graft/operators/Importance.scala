@@ -135,11 +135,135 @@ object Importance {
        |GROUP BY db.doc_id, db.source
        |ORDER BY db.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q124 — Moore-Lewis cross-entropy-difference selection (Moore & Lewis
+  // 2010, "Intelligent Selection of Language Model Training Data"): score
+  // every document by the per-token log-likelihood RATIO between an
+  // in-domain LM (trained on the q105 target slice, source = 'src0') and
+  // the general LM (trained on the whole corpus), select where the ratio
+  // favors in-domain. This is the LM-based selector one rung above q105's
+  // bag-of-hashed-unigrams DSIR: a SEQUENCE model, so a document of
+  // in-domain words in out-of-domain ORDER now scores low — the exact gap
+  // DSIR's bag-of-words view cannot see. The pairing mirrors the published
+  // lineage (DSIR's own paper benchmarks against Moore-Lewis).
+  //
+  // Models: add-k bigram LMs (k = 0.5, q78's constant) over the SHARED
+  // full-corpus vocabulary V, p_M(w2|w1) = (c_M(w1w2)+k)/(c_M(w1)+kV) —
+  // add-k handles bigrams/contexts unseen in-domain (c=0), which is the
+  // case q111's trained-on-itself KN contract never has to face and why
+  // the simpler smoother is the right tool here.
+  //
+  // Determinism: the per-bigram-TYPE log ratio is ONE expression string
+  // shared verbatim with the oracle ([[ML_LR]]) and floor-rounded to
+  // integer micros; per-doc sums are exact 64-bit integer arithmetic
+  // (q105/q111's merge-order-proof rule — deliberately stronger than
+  // q78's 4dp-floored double average).
+  //
+  // Scale shape: ONE tokenize+explode staged to (doc, source, w1-key,
+  // bigram-key) counts and reused by all five consumers (two general
+  // count tables, two in-domain count tables, the per-doc rollup); Spark
+  // keys every join on per-token xxhash64 LONGs while the oracle groups by
+  // the words themselves — the q111 trade (hashes never reach output, so
+  // only a 64-bit vocab collision could perturb counts); V is the q78
+  // 1-row broadcast. Type-level scoring runs over O(unique bigrams), not
+  // instances.
+  // ---------------------------------------------------------------------------
+  /** The Moore-Lewis per-type log ratio over columns (c12i, c1i, c12g,
+    * c1g, v) — shared verbatim with the oracle so libm is the only
+    * divergence channel, and the micro floor absorbs that.
+    */
+  private val ML_LR =
+    "ln((CAST(c12i AS DOUBLE) + 5e-1) / (CAST(c1i AS DOUBLE) + 5e-1 * v)) - " +
+      "ln((CAST(c12g AS DOUBLE) + 5e-1) / (CAST(c1g AS DOUBLE) + 5e-1 * v))"
+
+  def q124MooreLewis(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables
+      .balanced(Tables.documents(spark, dir).select(col("doc_id"), col("source"), col("text")))
+      .withColumn("toks", expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')"))
+    val g = docs
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("source"), col("toks"), explode(expr("sequence(1, size(toks) - 1)")).as("i"))
+      .select(
+        col("doc_id"),
+        col("source"),
+        xxhash64(expr("element_at(toks, i)")).as("w1k"),
+        xxhash64(expr("concat(element_at(toks, i), ' ', element_at(toks, i + 1))")).as("bgk")
+      )
+      .groupBy(col("doc_id"), col("source"), col("w1k"), col("bgk"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // one explode feeds all four count tables + rollup
+
+    val c12g = g.groupBy(col("bgk")).agg(sum(col("c")).as("c12g"))
+    val c1g = g.groupBy(col("w1k")).agg(sum(col("c")).as("c1g"))
+    val inD = g.filter(col("source") === TARGET_SOURCE)
+    val c12i = inD.groupBy(col("bgk")).agg(sum(col("c")).as("c12i"))
+    val c1i = inD.groupBy(col("w1k")).agg(sum(col("c")).as("c1i"))
+    val vocab = docs
+      .select(explode(col("toks")).as("tok"))
+      .agg(countDistinct(col("tok")).cast("double").as("v"))
+
+    val scored = g
+      .select(col("w1k"), col("bgk"))
+      .distinct()
+      .join(c12g, Seq("bgk"))
+      .join(c1g, Seq("w1k"))
+      .join(c12i, Seq("bgk"), "left")
+      .join(c1i, Seq("w1k"), "left")
+      .withColumn("c12i", coalesce(col("c12i"), lit(0L)))
+      .withColumn("c1i", coalesce(col("c1i"), lit(0L)))
+      .crossJoin(broadcast(vocab))
+      .withColumn("lr_micro", expr(s"CAST(floor(($ML_LR) * 1e6 + 5e-1) AS BIGINT)"))
+      .select(col("w1k"), col("bgk"), col("lr_micro"))
+
+    g.join(scored, Seq("w1k", "bgk"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("c")).as("n_bigrams"), sum(col("c") * col("lr_micro")).as("lr_sum_micro"))
+      .select(
+        col("doc_id"),
+        col("source"),
+        col("n_bigrams"),
+        expr("floor(CAST(lr_sum_micro AS DOUBLE) / n_bigrams + 5e-1) / 1e6").as("avg_log_ratio"),
+        when(col("lr_sum_micro") > 0, 1).otherwise(0).as("selected")
+      )
+      .orderBy(col("doc_id"))
+  }
+
+  val q124Oracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |bg AS (
+       |  SELECT doc_id, source, toks[i] AS w1, toks[i] || ' ' || toks[i+1] AS bgr
+       |  FROM (SELECT doc_id, source, toks, unnest(range(1, len(toks))) AS i FROM t WHERE len(toks) >= 2)),
+       |g AS (SELECT doc_id, source, w1, bgr, count(*) AS c FROM bg GROUP BY 1, 2, 3, 4),
+       |c12gt AS (SELECT bgr, sum(c)::BIGINT AS c12g FROM g GROUP BY 1),
+       |c1gt AS (SELECT w1, sum(c)::BIGINT AS c1g FROM g GROUP BY 1),
+       |c12it AS (SELECT bgr, sum(c)::BIGINT AS c12i FROM g WHERE source = '$TARGET_SOURCE' GROUP BY 1),
+       |c1it AS (SELECT w1, sum(c)::BIGINT AS c1i FROM g WHERE source = '$TARGET_SOURCE' GROUP BY 1),
+       |vv AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v FROM (SELECT unnest(toks) AS tok FROM t)),
+       |sc AS (
+       |  SELECT w1, bgr, CAST(floor(($ML_LR) * 1e6 + 5e-1) AS BIGINT) AS lr_micro FROM (
+       |    SELECT ty.w1, ty.bgr, c12gt.c12g, c1gt.c1g,
+       |           coalesce(c12it.c12i, 0) AS c12i, coalesce(c1it.c1i, 0) AS c1i, vv.v
+       |    FROM (SELECT DISTINCT w1, bgr FROM g) ty
+       |    JOIN c12gt USING (bgr) JOIN c1gt USING (w1)
+       |    LEFT JOIN c12it USING (bgr) LEFT JOIN c1it USING (w1), vv))
+       |SELECT g.doc_id, g.source,
+       |       sum(c)::BIGINT AS n_bigrams,
+       |       floor(CAST(CAST(sum(c * lr_micro) AS BIGINT) AS DOUBLE) / sum(c) + 5e-1) / 1e6 AS avg_log_ratio,
+       |       CAST(CASE WHEN sum(c * lr_micro) > 0 THEN 1 ELSE 0 END AS INT) AS selected
+       |FROM g JOIN sc USING (w1, bgr)
+       |GROUP BY g.doc_id, g.source
+       |ORDER BY g.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q105_dsir_weights" -> (q105DsirWeights _)
+    "q105_dsir_weights" -> (q105DsirWeights _),
+    "q124_moore_lewis" -> (q124MooreLewis _)
   )
 
   val oracles: Map[String, String] = Map(
-    "q105_dsir_weights" -> q105Oracle
+    "q105_dsir_weights" -> q105Oracle,
+    "q124_moore_lewis" -> q124Oracle
   )
 }

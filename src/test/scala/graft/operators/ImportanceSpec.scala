@@ -85,4 +85,88 @@ class ImportanceSpec extends SparkSpec {
       .toMap
     a.foreach(r => assert(r.getAs[Long]("n_tokens") === toks(r.getAs[Long]("doc_id"))))
   }
+
+  test("q124 moore-lewis: planted corpus — word ORDER separates docs DSIR scores identically; exact replica") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ml").toString
+    // in-domain (src0) speaks "a b a b ..." (bigrams ab/ba); the raw
+    // remainder speaks the SAME unigrams in blocks "a a ... b b ..."
+    // (bigrams aa/bb). Probes 5 and 6 carry the SAME bag of words — a
+    // bag-of-words selector cannot tell them apart — but probe 5 uses the
+    // in-domain ORDER and probe 6 the raw order.
+    val ab = ("a b " * 100).trim
+    val blocks = (("a " * 100).trim + " " + ("b " * 100).trim)
+    val corpus: Seq[(Long, String, String)] = Seq(
+      (1L, "src0", ab),
+      (2L, "src0", ab),
+      (3L, "srcX", blocks),
+      (4L, "srcX", blocks),
+      (5L, "srcX", ("a b " * 10).trim),
+      (6L, "srcX", (("a " * 10).trim + " " + ("b " * 10).trim))
+    )
+    corpus
+      .map { case (id, src, text) => (id, text, "en", src, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write
+      .parquet(s"$dir/documents.parquet")
+
+    // single-node replica of the exact production arithmetic
+    val toksOf = corpus.map { case (id, _, t) => id -> t.split("[^a-z0-9]+").filter(_.nonEmpty) }.toMap
+    val srcOf = corpus.map { case (id, s, _) => id -> s }.toMap
+    val bigrams = toksOf.view.mapValues(t => t.sliding(2).map(w => (w(0), w(0) + " " + w(1))).toSeq).toMap
+    def counts(ids: Seq[Long]): (Map[String, Long], Map[String, Long]) = {
+      val all = ids.flatMap(bigrams(_))
+      (
+        all.groupBy(_._2).view.mapValues(_.size.toLong).toMap,
+        all.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      )
+    }
+    val (c12g, c1g) = counts(corpus.map(_._1))
+    val (c12i, c1i) = counts(corpus.filter(_._2 == "src0").map(_._1))
+    val v = toksOf.values.flatten.toSet.size.toDouble
+    def lrMicro(w1: String, bg: String): Long = {
+      val lr = math.log((c12i.getOrElse(bg, 0L) + 0.5) / (c1i.getOrElse(w1, 0L) + 0.5 * v)) -
+        math.log((c12g(bg) + 0.5) / (c1g(w1) + 0.5 * v))
+      math.floor(lr * 1e6 + 0.5).toLong
+    }
+    val expected = corpus.map(_._1).map { id =>
+      val bs = bigrams(id)
+      val sum = bs.map { case (w1, bg) => lrMicro(w1, bg) }.sum
+      val n = bs.size.toLong
+      (id, srcOf(id), n, math.floor(sum.toDouble / n + 0.5) / 1e6, if (sum > 0) 1 else 0)
+    }
+
+    val got = Importance
+      .q124MooreLewis(spark, dir)
+      .collect()
+      .map(r =>
+        (r.getAs[Long]("doc_id"), r.getAs[String]("source"), r.getAs[Long]("n_bigrams"),
+          r.getAs[Double]("avg_log_ratio"), r.getAs[Int]("selected"))
+      )
+      .toSeq
+    assert(got === expected, "q124 must equal the single-node Moore-Lewis replica exactly")
+    val sel = got.map(r => r._1 -> r._5).toMap
+    assert(sel(1L) === 1 && sel(2L) === 1, "in-domain docs must be selected")
+    assert(sel(3L) === 0 && sel(4L) === 0, "raw-order bulk must not be selected")
+    assert(sel(5L) === 1, "in-domain ORDER probe must be selected")
+    assert(sel(6L) === 0, "same bag of words in raw ORDER must not be selected — the signal DSIR cannot see")
+  }
+
+  test("q124 moore-lewis: sf0.001 coverage + determinism; target source selects at a higher rate") {
+    val a = Importance.q124MooreLewis(spark, sfDir).collect()
+    val b = Importance.q124MooreLewis(spark, sfDir).collect()
+    assert(a.sameElements(b), "scores must be bit-deterministic across runs")
+    val eligible = graft.core.Tables
+      .documents(spark, sfDir)
+      .collect()
+      .count(_.getAs[String]("text").toLowerCase.split("[^a-z0-9]+").count(_.nonEmpty) >= 2)
+    assert(a.length === eligible, "every >=2-token doc scored exactly once")
+    val byTgt = a.groupBy(_.getAs[String]("source") == Importance.TARGET_SOURCE)
+    def rate(rows: Array[org.apache.spark.sql.Row]) =
+      rows.count(_.getAs[Int]("selected") == 1).toDouble / rows.length
+    assert(
+      rate(byTgt(true)) > rate(byTgt(false)),
+      s"target slice must look more in-domain: ${rate(byTgt(true))} vs ${rate(byTgt(false))}"
+    )
+  }
 }
