@@ -304,6 +304,35 @@ object SelfCheck {
       )
     }
 
+    // -- q125: IVF-candidate bitext mining vs the exact q121 miner ----------
+    check("q125_bitext_mining_ivf") {
+      val ivf = operators.Retrieval.q125BitextMiningIvf(spark, sfDir).localCheckpoint()
+      val exact = operators.Retrieval.q121BitextMining(spark, sfDir).localCheckpoint()
+      val n = ivf.count()
+      // structural: one pair per target, margin above the keep threshold
+      val dupTgt = n - ivf.select(col("tgt_id")).distinct().count()
+      val badMargin = ivf.filter(col("margin") <= operators.Retrieval.MARGIN_T).count()
+      // cosines must be bit-identical to the exact miner's on every common
+      // pair — the index restricts the candidate SET, never the arithmetic
+      val c6Mismatch = ivf
+        .select(col("tgt_id"), col("src_id"), col("c6").as("c6_ivf"))
+        .join(exact.select(col("tgt_id"), col("src_id"), col("c6")), Seq("tgt_id", "src_id"))
+        .filter(col("c6_ivf") =!= col("c6"))
+        .count()
+      val want = exact.count()
+      val hit = ivf
+        .select(col("tgt_id"), col("src_id"))
+        .join(exact.select(col("tgt_id"), col("src_id")), Seq("tgt_id", "src_id"))
+        .count()
+      val recall = if (want == 0) -1.0 else hit.toDouble / want
+      Result(
+        "mined-pair recall vs exact q121; one-per-target, margin>T, shared c6",
+        recall,
+        dupTgt + badMargin + c6Mismatch,
+        dupTgt + badMargin + c6Mismatch == 0L && (want == 0L || recall >= 0.9)
+      )
+    }
+
     out.toSeq
   }
 }

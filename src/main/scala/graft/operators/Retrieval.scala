@@ -411,10 +411,12 @@ object Retrieval {
   val BITEXT_K = 4
   val MARGIN_T = 1.2
 
-  def q121BitextMining(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.VecFunctions.install(spark)
-    // embeddings with language, unit-normalized (q34/q118's exact arithmetic)
-    val emb = Tables
+  /** Embeddings with language, unit-normalized (q34/q118's exact
+    * arithmetic) — shared by q121's exhaustive block and q125's
+    * IVF-candidate block so cosines are bit-identical across the two.
+    */
+  private def unitEmb(spark: SparkSession, dir: String): DataFrame =
+    Tables
       .embeddings(spark, dir)
       .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang")), col("vec_id") === col("doc_id"))
       .withColumn(
@@ -424,18 +426,12 @@ object Retrieval {
       .withColumn("unit", expr("transform(embedding, x -> cast(x AS double) / __nrm)"))
       .select(col("vec_id"), col("lang"), col("unit"))
 
-    val src = emb.filter(col("lang") === "en").select(col("vec_id").as("src_id"), col("unit").as("su"))
-    val tgt = Tables
-      .balanced(emb.filter(col("lang") =!= "en"))
-      .select(col("vec_id").as("tgt_id"), col("lang"), col("unit").as("tu"))
-
-    // the declared mining block: every (en, foreign) cosine, floor-6dp
-    val pairs = tgt
-      .crossJoin(broadcast(src))
-      .withColumn("c6", floor(expr("vec_dot(su, tu)") * lit(1e6) + lit(0.5)) / lit(1e6))
-      .select(col("lang"), col("src_id"), col("tgt_id"), col("c6"))
-      .localCheckpoint() // one block build feeds both kNN passes + the margin join
-
+  /** The margin-mining tail shared by q121 (exhaustive pair block) and
+    * q125 (IVF-candidate pair block): kNN averages as keyed windows over
+    * the supplied (lang, src_id, tgt_id, c6) frame, ratio margin floor-6dp
+    * BEFORE the per-target argmax, keep at margin > [[MARGIN_T]].
+    */
+  private def marginMine(pairs: DataFrame): DataFrame = {
     // kNN averages: top-K by (c6 desc, id asc) on each side — keyed windows
     val wTgt = Window.partitionBy(col("tgt_id")).orderBy(col("c6").desc, col("src_id"))
     val avgTgt = pairs
@@ -462,6 +458,24 @@ object Retrieval {
       .filter(col("rn") === 1 && col("margin") > MARGIN_T)
       .select(col("lang"), col("tgt_id"), col("src_id"), col("c6"), col("margin"))
       .orderBy(col("lang"), col("tgt_id"))
+  }
+
+  def q121BitextMining(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VecFunctions.install(spark)
+    val emb = unitEmb(spark, dir)
+    val src = emb.filter(col("lang") === "en").select(col("vec_id").as("src_id"), col("unit").as("su"))
+    val tgt = Tables
+      .balanced(emb.filter(col("lang") =!= "en"))
+      .select(col("vec_id").as("tgt_id"), col("lang"), col("unit").as("tu"))
+
+    // the declared mining block: every (en, foreign) cosine, floor-6dp
+    val pairs = tgt
+      .crossJoin(broadcast(src))
+      .withColumn("c6", floor(expr("vec_dot(su, tu)") * lit(1e6) + lit(0.5)) / lit(1e6))
+      .select(col("lang"), col("src_id"), col("tgt_id"), col("c6"))
+      .localCheckpoint() // one block build feeds both kNN passes + the margin join
+
+    marginMine(pairs)
   }
 
   val q121Oracle: String =
@@ -492,6 +506,66 @@ object Retrieval {
        |  SELECT *, row_number() OVER (PARTITION BY tgt_id ORDER BY margin DESC, src_id) AS rn FROM m)
        |WHERE rn = 1 AND margin > $MARGIN_T
        |ORDER BY lang, tgt_id""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q125 — bitext mining over IVF CANDIDATES: the 100 TB path q121's
+  // comment declares, shipped. q121's pair block is |en|×|foreign| per
+  // language — the declared exhaustive ground-truth contract (q34's). This
+  // variant generates candidates from the q36 IVF index instead: each
+  // foreign vector probes its BITEXT_NPROBE nearest cells and meets only
+  // the English vectors assigned there (a keyed equi-join on cluster — the
+  // production FAISS-miner architecture of the CCMatrix pipeline), then the
+  // margin arithmetic runs UNCHANGED on the candidate block: cosines come
+  // from the same [[unitEmb]] frame (bit-identical to q121's for any pair
+  // both consider — the index only restricts the SET), kNN averages and the
+  // per-target argmax are [[marginMine]] verbatim.
+  //
+  // The approximation is honest and selfcheck-gated (the q35/q60 contract):
+  // kNN averages over candidates can drift a marginal pair (and admit a
+  // few sub-threshold ones — avg over a restricted set can only drop, so
+  // margins inflate), so the gate is mined-pair recall vs the exact q121
+  // set (floor 0.9) plus structural checks (one pair per target,
+  // margin > T, c6 equal to q121's on every common pair).
+  // BITEXT_NPROBE = 12 of the toy C=16 cells: cross-lingual best-matches
+  // sit at modest cosine, far less cell-concentrated than q36's same-point
+  // neighbors, so mining needs much deeper probes than top-k serving's
+  // nprobe=4 (measured: recall 0.69 at 6, 0.90 at 10, 0.94 at 12). At real
+  // corpora C grows ~sqrt(N) and the probed fraction falls with it.
+  // ---------------------------------------------------------------------------
+  val BITEXT_NPROBE = 12
+
+  def q125BitextMiningIvf(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VecFunctions.install(spark)
+    val (cents, corpus) = Similarity.buildIvfIndex(spark, dir) // (vec_id, vb, cluster)
+    val fn = Similarity.installCentroidRanks(spark, cents)
+    val emb = unitEmb(spark, dir)
+    val src = emb.filter(col("lang") === "en").select(col("vec_id").as("src_id"), col("unit").as("su"))
+    val enCells = corpus.select(col("vec_id").as("src_id"), col("cluster"))
+
+    // probe cells in RAW space (the trained quantizer's geometry, q36's
+    // rule); each (tgt, src) pair appears at most once — an en vector
+    // lives in exactly one cell and the probed cells are distinct
+    val tgtProbes = Tables
+      .balanced(Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")))
+      .select(
+        col("vec_id").as("tgt_id"),
+        expr(s"slice($fn(transform(embedding, x -> cast(x AS double))), 1, $BITEXT_NPROBE)").as("cells")
+      )
+      .join(
+        emb.filter(col("lang") =!= "en").select(col("vec_id").as("tgt_id"), col("lang"), col("unit").as("tu")),
+        Seq("tgt_id")
+      )
+      .select(col("tgt_id"), col("lang"), col("tu"), explode(col("cells")).as("cluster"))
+
+    val candidates = tgtProbes
+      .join(enCells, Seq("cluster")) // keyed equi-join: only co-cell pairs
+      .join(src, Seq("src_id"))
+      .withColumn("c6", floor(expr("vec_dot(su, tu)") * lit(1e6) + lit(0.5)) / lit(1e6))
+      .select(col("lang"), col("src_id"), col("tgt_id"), col("c6"))
+      .localCheckpoint() // one candidate build feeds both kNN passes + the margin join
+
+    marginMine(candidates)
+  }
 
   // ---------------------------------------------------------------------------
   // q122 — BM25 served from a PERSISTED INVERTED INDEX. q103 is the scan
@@ -692,7 +766,8 @@ object Retrieval {
     "q118_hybrid_rrf" -> (q118HybridRrf _),
     "q120_retrieval_eval" -> (q120RetrievalEval _),
     "q121_bitext_mining" -> (q121BitextMining _),
-    "q122_bm25_indexed" -> (q122Bm25Indexed _)
+    "q122_bm25_indexed" -> (q122Bm25Indexed _),
+    "q125_bitext_mining_ivf" -> (q125BitextMiningIvf _)
   )
 
   val oracles: Map[String, String] = Map(

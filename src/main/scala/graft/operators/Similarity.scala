@@ -615,7 +615,7 @@ object Similarity {
   /** Register (or find) the session function bound to this centroid table
     * and return its name — callers splice the name into their expressions.
     */
-  private def installCentroidRanks(spark: SparkSession, cs: Array[Array[Double]]): String =
+  private[operators] def installCentroidRanks(spark: SparkSession, cs: Array[Array[Double]]): String =
     centroidBindings.synchronized {
       val list = centroidBindings.computeIfAbsent(
         spark,

@@ -240,4 +240,31 @@ class RetrievalSpec extends SparkSpec {
     assert(got.map(_._2).distinct.size === got.size)
     info(s"sf0.001: ${got.size} mined pairs across ${got.map(_._1).distinct.size} languages")
   }
+
+  test("q125 ivf-candidate mining: recall >= 0.9 vs exact q121, shared cosines, one pair per target") {
+    val exact = Retrieval
+      .q121BitextMining(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[Long]("tgt_id"), r.getAs[Long]("src_id")) -> r.getAs[Double]("c6"))
+      .toMap
+    val ivf = Retrieval
+      .q125BitextMiningIvf(spark, sfDir)
+      .collect()
+      .map(r =>
+        (r.getAs[Long]("tgt_id"), r.getAs[Long]("src_id"), r.getAs[Double]("c6"), r.getAs[Double]("margin"))
+      )
+      .toSeq
+    assert(ivf.nonEmpty)
+    assert(ivf.map(_._1).distinct.size === ivf.size, "one mined pair per foreign doc")
+    ivf.foreach { case (_, _, _, m) => assert(m > Retrieval.MARGIN_T) }
+    // cosines bit-identical on common pairs: the index restricts the SET,
+    // never the arithmetic
+    ivf.foreach { case (t, s, c6, _) =>
+      exact.get((t, s)).foreach(e => assert(e === c6, s"c6 drift on ($t, $s)"))
+    }
+    val hit = ivf.count { case (t, s, _, _) => exact.contains((t, s)) }
+    val recall = hit.toDouble / exact.size
+    assert(recall >= 0.9, s"mined-pair recall $recall vs exact ${exact.size}")
+    info(s"sf0.001: ivf mined ${ivf.size}, exact ${exact.size}, recall $recall")
+  }
 }
