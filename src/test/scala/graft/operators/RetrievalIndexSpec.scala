@@ -103,6 +103,37 @@ class RetrievalIndexSpec extends SparkSpec {
     assert(Retrieval.persistBm25Index(session(indexDir, None), dataDir, indexDir) === Similarity.Rebuilt)
   }
 
+  test("compaction folds append files to one set per bucket; serve unchanged") {
+    val indexDir = Files.createTempDirectory("bm25idx").toString
+    val dataDir = Files.createTempDirectory("bm25data").toString
+    writeRows(dataDir, 200)
+    assert(Retrieval.persistBm25Index(session(indexDir, Some("append")), dataDir, indexDir) === Similarity.Rebuilt)
+    for (n <- Seq(300, 400, 500)) {
+      writeRows(dataDir, n)
+      assert(
+        Retrieval
+          .persistBm25Index(session(indexDir, Some("append")), dataDir, indexDir)
+          .isInstanceOf[Similarity.Appended],
+        s"grow to $n must append"
+      )
+    }
+    // three appends accumulated multi-file buckets
+    def dataFiles() = new java.io.File(indexDir)
+      .listFiles()
+      .filter(_.getName.startsWith("bm25_"))
+      .filterNot(_.getName.endsWith("_stats"))
+      .head
+      .listFiles()
+      .count(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    val before = dataFiles()
+    val served0 = rowsOf(Retrieval.q122Bm25Indexed(session(indexDir, None), dataDir))
+    assert(Retrieval.compactBm25Index(spark.newSession(), dataDir, indexDir), "multi-file buckets must compact")
+    assert(dataFiles() < before, s"file count must drop (was $before)")
+    assert(!Retrieval.compactBm25Index(spark.newSession(), dataDir, indexDir), "already compact")
+    val served1 = rowsOf(Retrieval.q122Bm25Indexed(session(indexDir, None), dataDir))
+    assert(served1 === served0, "compaction must not change served results")
+  }
+
   test("a stale index (non-append data change) is never served") {
     val indexDir = Files.createTempDirectory("bm25idx").toString
     val dataDir = Files.createTempDirectory("bm25data").toString
