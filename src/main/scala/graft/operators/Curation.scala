@@ -1883,7 +1883,127 @@ object Curation {
        |       max(avg_lp) AS max_lp
        |FROM lb GROUP BY lang, b ORDER BY lang, bucket""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q126 — quality-model evaluation as a query: exact ROC-AUC of the q84
+  // logistic score predicting the q72 rule-battery outcome (label 1 =
+  // 'pass'), per language plus an 'all' row. This is the eval loop a
+  // curator runs before trusting a classifier to replace the rule battery
+  // (the DataComp/fasttext-filter workflow: score → AUC against the
+  // incumbent signal → ship or retrain) — done as ONE distributed query,
+  // not a notebook.
+  //
+  // Exact AUC without a pair join: AUC with ties is the rank-sum statistic
+  //   U = Σ_pos (#neg below + ½·#neg tied)  over the score order.
+  // Group by (lang, prob) — prob is already floor-6dp, a FINITE grid — and
+  // the doubled statistic  2U = Σ_groups np·(2·cumNegBelow + nn)  is pure
+  // 64-bit integer arithmetic over a cumulative window on the per-score
+  // aggregate (|langs| × |distinct probs| rows, NOT the corpus), so both
+  // engines compute the identical integer before the single guarded
+  // division, floor-6dp. Degenerate groups (no positives or no negatives)
+  // emit NULL — the honest "AUC undefined" answer.
+  //
+  // Scale shape: one corpus scan for features (qualityScored) + one for
+  // labels (funnelSignals) joined on doc_id; everything after the
+  // (lang, prob) aggregation is window-over-hundreds-of-rows. The 'all'
+  // row re-aggregates the per-score frame, never the corpus.
+  // ---------------------------------------------------------------------------
+  def q126QualityAuc(spark: SparkSession, dir: String): DataFrame = {
+    val scored = qualityScored(spark, dir).select(col("doc_id"), col("lang"), col("prob"))
+    val labels = funnelSignals(Tables.balanced(Tables.documents(spark, dir)))
+      .select(col("doc_id"), when(col("reason") === "pass", 1L).otherwise(0L).as("y"))
+    val perScore = scored
+      .join(labels, Seq("doc_id"))
+      .groupBy(col("lang"), col("prob"))
+      .agg(sum(col("y")).as("np"), sum(lit(1L) - col("y")).as("nn"))
+      .localCheckpoint() // per-score counts feed the per-lang AND 'all' branches
+    val both = perScore.unionByName(
+      perScore
+        .groupBy(col("prob"))
+        .agg(sum(col("np")).as("np"), sum(col("nn")).as("nn"))
+        .withColumn("lang", lit("all"))
+        .select(col("lang"), col("prob"), col("np"), col("nn"))
+    )
+    val w = Window
+      .partitionBy(col("lang"))
+      .orderBy(col("prob"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    both
+      .withColumn("cum_nn", coalesce(sum(col("nn")).over(w), lit(0L)))
+      .withColumn("u2", col("np") * (lit(2L) * col("cum_nn") + col("nn")))
+      .groupBy(col("lang"))
+      .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"), sum(col("u2")).as("u2"))
+      .withColumn(
+        "auc",
+        when(
+          col("n_pos") > 0 && col("n_neg") > 0,
+          floor(col("u2").cast("double") / (lit(2d) * col("n_pos") * col("n_neg")) * lit(1e6) + lit(0.5)) / lit(1e6)
+        )
+      )
+      .select(col("lang"), col("n_pos"), col("n_neg"), col("auc"))
+      .orderBy(col("lang"))
+  }
+
+  val q126Oracle: String = {
+    val langList = TargetLangs.map(l => s"'$l'").mkString(", ")
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, lang, string_split(norm, ' ') AS toks,
+       |         len(string_split(norm, ' ')) AS n_tokens,
+       |         len(replace(norm, ' ', '')) AS letters,
+       |         len(regexp_replace(norm, '[a-z0-9 ]', '', 'g'))::DOUBLE
+       |           / greatest(len(norm), 1) AS symbol_ratio
+       |  FROM d),
+       |lab AS (
+       |  SELECT doc_id,
+       |         CASE WHEN CASE WHEN lang NOT IN ($langList) THEN 'lang_filter'
+       |              WHEN n_tokens < $MIN_TOKENS THEN 'too_short'
+       |              WHEN n_tokens > $MAX_TOKENS THEN 'too_long'
+       |              WHEN letters::DOUBLE / n_tokens < 2 OR letters::DOUBLE / n_tokens > 12 THEN 'word_len'
+       |              WHEN symbol_ratio > 0.25 THEN 'symbol_ratio'
+       |              WHEN floor((CASE WHEN n_tokens >= 2 THEN
+       |                      1.0 - len(list_distinct(list_transform(range(1, n_tokens),
+       |                            i -> toks[i] || ' ' || toks[i+1])))::DOUBLE / (n_tokens - 1)
+       |                    ELSE 0 END) * 1e6 + 5e-1) / 1e6 > 0.2 THEN 'repetition'
+       |              ELSE 'pass' END = 'pass' THEN 1 ELSE 0 END AS y
+       |  FROM s),
+       |g AS (
+       |  SELECT s.doc_id, s.lang, s.toks,
+       |         list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS grams
+       |  FROM s WHERE len(toks) >= 2),
+       |f AS (
+       |  SELECT doc_id, lang,
+       |    floor(least(1e0, len(toks)::DOUBLE / 80e0) * 1e6 + 5e-1) / 1e6 AS f_len,
+       |    floor(len(regexp_extract_all(array_to_string(toks, ' '), '\\b(the|a|of|and|to|in|is|it|that|for)\\b'))::DOUBLE
+       |          / len(toks) * 1e6 + 5e-1) / 1e6 AS f_stop,
+       |    floor((1.0 - len(list_distinct(grams))::DOUBLE / len(grams)) * 1e6 + 5e-1) / 1e6 AS f_rep
+       |  FROM g),
+       |p AS (
+       |  SELECT doc_id, lang,
+       |         floor(1e0 / (1e0 + exp(-($QM_BIAS + $QM_W_LEN * f_len + $QM_W_STOP * f_stop + $QM_W_REP * f_rep))) * 1e6 + 5e-1) / 1e6 AS prob
+       |  FROM f),
+       |ps AS (
+       |  SELECT p.lang, p.prob, CAST(sum(y) AS BIGINT) AS np, CAST(sum(1 - y) AS BIGINT) AS nn
+       |  FROM p JOIN lab USING (doc_id) GROUP BY 1, 2),
+       |bothg AS (
+       |  SELECT lang, prob, np, nn FROM ps
+       |  UNION ALL
+       |  SELECT 'all' AS lang, prob, CAST(sum(np) AS BIGINT), CAST(sum(nn) AS BIGINT) FROM ps GROUP BY prob),
+       |u AS (
+       |  SELECT lang, np, nn,
+       |         np * (2 * coalesce(sum(nn) OVER (PARTITION BY lang ORDER BY prob
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + nn) AS u2
+       |  FROM bothg)
+       |SELECT lang, CAST(sum(np) AS BIGINT) AS n_pos, CAST(sum(nn) AS BIGINT) AS n_neg,
+       |       CASE WHEN sum(np) > 0 AND sum(nn) > 0
+       |            THEN floor(CAST(sum(u2) AS DOUBLE) / (2 * sum(np) * sum(nn)) * 1e6 + 0.5) / 1e6
+       |       END AS auc
+       |FROM u GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q126_quality_auc" -> (q126QualityAuc _),
     "q66_context_pack" -> (q66ContextPack _),
     "q67_contamination" -> (q67Contamination _),
     "q68_repetition" -> (q68Repetition _),
@@ -1906,6 +2026,7 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "q126_quality_auc" -> q126Oracle,
     "q66_context_pack" -> q66Oracle,
     "q67_contamination" -> q67Oracle,
     "q68_repetition" -> q68Oracle,

@@ -935,4 +935,53 @@ class CurationSpec extends SparkSpec {
       }
     } finally spark.conf.unset(Curation.TercilesConf)
   }
+
+  test("q126 quality AUC equals the naive pairwise definition; all-row aggregates the languages") {
+    // ground truth from the operators themselves (prob, pass-label per doc),
+    // then AUC by the O(n^2) textbook definition: P(score_pos > score_neg)
+    // + 0.5 P(tie) — the window rank-sum in the query must match exactly
+    val probs = Curation
+      .q84QualityModel(spark, sfDir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("prob"))
+      .toMap
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val reasons = Curation
+      .funnelSignals(docs)
+      .select("doc_id", "reason")
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("reason"))
+      .toMap
+    val langOf = docs.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang")).toMap
+    val rows = probs.toSeq.map { case (id, p) => (langOf(id), p, reasons(id) == "pass") }
+    def naiveAuc(xs: Seq[(Double, Boolean)]): Option[Double] = {
+      val pos = xs.filter(_._2).map(_._1)
+      val neg = xs.filterNot(_._2).map(_._1)
+      if (pos.isEmpty || neg.isEmpty) None
+      else {
+        val u2 = (for (p <- pos; n <- neg) yield if (p > n) 2L else if (p == n) 1L else 0L).sum
+        Some(math.floor(u2.toDouble / (2d * pos.size * neg.size) * 1e6 + 0.5) / 1e6)
+      }
+    }
+    val expected = (rows.groupBy(_._1).toSeq :+ ("all" -> rows))
+      .map { case (lang, xs) =>
+        val pn = xs.map(x => (x._2, x._3))
+        (lang, pn.count(_._2).toLong, pn.count(!_._2).toLong, naiveAuc(pn))
+      }
+      .sortBy(_._1)
+
+    val got = Curation
+      .q126QualityAuc(spark, sfDir)
+      .collect()
+      .map(r =>
+        (r.getAs[String]("lang"), r.getAs[Long]("n_pos"), r.getAs[Long]("n_neg"),
+          if (r.isNullAt(3)) None else Some(r.getAs[Double]("auc")))
+      )
+      .toSeq
+    assert(got === expected, "window rank-sum AUC must equal the naive pairwise definition")
+    val all = got.find(_._1 == "all").get
+    assert(all._2 + all._3 === rows.size.toLong)
+    all._4.foreach(a => assert(a > 0.5 && a <= 1.0, s"the model must beat chance on its own rule battery: $a"))
+    info(s"sf0.001 AUC rows: ${got.map(r => s"${r._1}=${r._4.map(_.toString).getOrElse("null")}").mkString(", ")}")
+  }
 }
