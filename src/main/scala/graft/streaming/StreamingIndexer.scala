@@ -60,4 +60,36 @@ object StreamingIndexer {
       }
       .start()
   }
+
+  /** The lexical sibling: keeps the persisted BM25 postings index current
+    * as DOCUMENT files land. Identical contract — the file stream is a
+    * change signal, each tick re-derives the delta from the sidecar
+    * fingerprint (redelivery → `Current`, coalesced drops → one append,
+    * non-append change → full rebuild), and BM25's append is EXACT (df and
+    * corpus constants are derived at query time, nothing is frozen).
+    */
+  def startBm25(
+      spark: SparkSession,
+      dataDir: String,
+      indexDir: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      onTick: Similarity.PersistOutcome => Unit = _ => ()
+  ): StreamingQuery = {
+    val docsPath = s"$dataDir/documents.parquet"
+    val schema = spark.read.parquet(docsPath).schema
+    val maintainer = spark.newSession()
+    maintainer.conf.set(graft.operators.Retrieval.Bm25IndexDirConf, indexDir)
+    maintainer.conf.set(graft.operators.Retrieval.Bm25RefreshConf, "append")
+    spark.readStream
+      .schema(schema)
+      .parquet(docsPath)
+      .writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", s"$indexDir/_bm25_indexer_checkpoint")
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        onTick(graft.operators.Retrieval.persistBm25Index(maintainer, dataDir, indexDir))
+        graft.operators.SessionCache.invalidateAllFor(spark, dataDir)
+      }
+      .start()
+  }
 }

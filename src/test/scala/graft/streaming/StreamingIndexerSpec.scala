@@ -59,4 +59,33 @@ class StreamingIndexerSpec extends SparkSpec {
     assert(Similarity.buildLshIndex(s2, dataDir).select("vec_id").distinct().count() === 50L)
     assert(Similarity.buildPqIndex(s2, dataDir)._2.count() === 50L)
   }
+
+  test("bm25 ticks append newly landed document files; served == scan path; redelivery no-op") {
+    import graft.operators.Retrieval
+    val indexDir = Files.createTempDirectory("bm25idx").toString
+    val dataDir = Files.createTempDirectory("bm25data").toString
+    val src = graft.core.Tables.documents(spark, sfDir)
+    src.filter(col("doc_id") < 300).write.mode("overwrite").parquet(s"$dataDir/documents.parquet")
+    assert(Retrieval.persistBm25Index(spark.newSession(), dataDir, indexDir) === Similarity.Rebuilt)
+
+    val outcomes = scala.collection.mutable.Buffer.empty[Similarity.PersistOutcome]
+    StreamingIndexer.startBm25(spark, dataDir, indexDir, onTick = outcomes += _).awaitTermination()
+    assert(outcomes.lastOption.contains(Similarity.Current), s"already-indexed docs must tick to Current: $outcomes")
+
+    src
+      .filter(col("doc_id") >= 300 && col("doc_id") < 450)
+      .write
+      .mode("append")
+      .parquet(s"$dataDir/documents.parquet")
+    StreamingIndexer.startBm25(spark, dataDir, indexDir, onTick = outcomes += _).awaitTermination()
+    assert(outcomes.lastOption.contains(Similarity.Appended(150)), s"tick must append exactly the landed docs: $outcomes")
+
+    // a cold session serves exactly what the scan path computes over the grown corpus
+    val serve = spark.newSession()
+    serve.conf.set(Retrieval.Bm25IndexDirConf, indexDir)
+    assert(
+      Retrieval.q122Bm25Indexed(serve, dataDir).collect().toSeq ===
+        Retrieval.q103Bm25(spark.newSession(), dataDir).collect().toSeq
+    )
+  }
 }
