@@ -138,6 +138,10 @@ object PlanAudit {
     "q124_moore_lewis" -> Map(
       "BroadcastNestedLoopJoin" ->
         "1-row broadcast vocabulary size V joined onto per-bigram-type rows — the q78 pattern; all count joins are keyed on xxhash64 token keys"
+    ),
+    "q127_heavy_hitters" -> Map(
+      "BroadcastNestedLoopJoin" ->
+        "1-row broadcast bigram total N crossed onto the <=k exact candidate counts — the q70 broadcast-scalar pattern; the sketch pass itself is one scan with k-bounded state, no vocabulary shuffle"
     )
   )
 

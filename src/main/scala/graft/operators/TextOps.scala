@@ -828,7 +828,78 @@ object TextOps {
       selects.mkString("\nUNION ALL\n") + "\nORDER BY rank"
   }
 
+  // ---------------------------------------------------------------------------
+  // q127 — frequent-bigram heavy hitters via a mergeable Misra–Gries sketch
+  // + exact verify: every corpus bigram whose exact count exceeds N/K_MG
+  // (the boilerplate/template-phrase detector — the frequent n-grams a
+  // curator reviews for "this phrase is navigation chrome, strip it").
+  //
+  // Two passes, zero sketch error in the OUTPUT:
+  //   1. ONE scan through the k-counter Misra–Gries aggregate
+  //      (`functions/FreqSketch` — k-bounded state per partition, k-sized
+  //      merges, NO vocabulary-sized shuffle). The MG guarantee makes the
+  //      surviving counter keys a SUPERSET of every bigram with true count
+  //      > N/k, whatever the data or merge order.
+  //   2. An exact count of the ≤k candidates only (semi-join against a
+  //      broadcast candidate list), filtered on the EXACT threshold
+  //      K_MG·count > N — integer arithmetic, no rational rounding.
+  // That makes the result identical to "GROUP BY all bigrams HAVING
+  // k·count > N" — the DuckDB oracle — while the distributed plan never
+  // shuffles the bigram type table: the q88 bloom-prune trade applied to
+  // frequency mining. At 100 TB pass 1 is scan + k-sized merges; pass 2
+  // touches only candidate keys.
+  // ---------------------------------------------------------------------------
+  val K_MG = 2048
+
+  def q127HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val bg = Tables
+      .balanced(Tables.documents(spark, dir).select(col("text")))
+      .select(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(
+        explode(
+          expr("transform(sequence(1, size(toks) - 1), i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))")
+        ).as("bg")
+      )
+      .localCheckpoint() // one tokenize feeds the sketch pass AND the exact pass
+
+    val mg = udaf(graft.functions.FreqSketch.misraGries(K_MG))
+    // <= K_MG candidate strings — bounded driver state (the q94 contract)
+    val candidates = bg
+      .agg(mg(col("bg")).as("summary"))
+      .select(explode(expr("map_keys(summary)")).as("bg"))
+      .collect()
+      .map(_.getString(0))
+
+    val total = bg.agg(count(lit(1)).as("n_total")) // 1 row -> broadcast
+    bg.filter(col("bg").isin(candidates.toSeq: _*))
+      .groupBy(col("bg").as("gram"))
+      .agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      // the EXACT qualifying test, integer-only: k*n > N
+      .filter(col("n") * lit(K_MG.toLong) > col("n_total"))
+      .withColumn("ppm", floor(col("n").cast("double") * lit(1e6) / col("n_total") + lit(0.5)).cast("long"))
+      .select(col("gram"), col("n"), col("ppm"))
+      .orderBy(col("n").desc, col("gram"))
+  }
+
+  val q127Oracle: String =
+    s"""WITH t AS (
+       |  SELECT string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+       |  FROM documents),
+       |bg AS (
+       |  SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS gram
+       |  FROM t WHERE len(toks) >= 2),
+       |tot AS (SELECT count(*) AS n_total FROM bg)
+       |SELECT gram, CAST(count(*) AS BIGINT) AS n,
+       |       CAST(floor(count(*)::DOUBLE * 1e6 / n_total + 0.5) AS BIGINT) AS ppm
+       |FROM bg, tot
+       |GROUP BY gram, n_total
+       |HAVING count(*) * $K_MG > n_total
+       |ORDER BY n DESC, gram""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q127_heavy_hitters" -> (q127HeavyHitters _),
     "q25_lang_id" -> (q25LangId _),
     "q26_quality_score" -> (q26QualityScore _),
     "q27_token_counts" -> (q27TokenCounts _),
@@ -844,6 +915,7 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q127_heavy_hitters" -> q127Oracle,
     "q25_lang_id" -> q25Oracle,
     "q26_quality_score" -> q26Oracle,
     "q27_token_counts" -> q27Oracle,

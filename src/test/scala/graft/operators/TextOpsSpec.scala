@@ -306,4 +306,32 @@ class TextOpsSpec extends SparkSpec {
       assert(tokens >= nWords && tokens < nChars, s"$src tokens=$tokens outside ($nWords, $nChars)")
     }
   }
+
+  test("q127 heavy hitters equals the exact HAVING over all bigrams; sketch never misses a qualifier") {
+    val docs = graft.core.Tables.documents(spark, sfDir).collect().map(_.getAs[String]("text"))
+    val bigrams = docs.toSeq
+      .map(t => t.trim.toLowerCase.replaceAll("\\s+", " ").split(" ").toSeq)
+      .filter(_.size >= 2)
+      .flatMap(ts => ts.sliding(2).map(w => w(0) + " " + w(1)))
+    val n = bigrams.size.toLong
+    val expected = bigrams
+      .groupBy(identity)
+      .view
+      .mapValues(_.size.toLong)
+      .toSeq
+      .filter { case (_, c) => c * TextOps.K_MG > n }
+      .map { case (g, c) => (g, c, math.floor(c.toDouble * 1e6 / n + 0.5).toLong) }
+      .sortBy { case (g, c, _) => (-c, g) }
+
+    val got = TextOps
+      .q127HeavyHitters(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[String]("gram"), r.getAs[Long]("n"), r.getAs[Long]("ppm")))
+      .toSeq
+    assert(got === expected, "sketch-candidates + exact verify must equal the exact HAVING")
+    assert(got.nonEmpty)
+    val again = TextOps.q127HeavyHitters(spark, sfDir).collect().map(_.toSeq).toSeq
+    assert(again === got.map(t => Seq[Any](t._1, t._2, t._3)), "deterministic across runs")
+    info(s"sf0.001: ${got.size} heavy hitters over $n bigrams (threshold > ${n / TextOps.K_MG})")
+  }
 }
