@@ -72,8 +72,12 @@ object Bench {
   }
 
   private def jNum(v: Double): String = f"$v%.3f"
-  // line-compact per-query seconds: 2 decimals (details keep 3)
-  private def jNum2(v: Double): String = f"$v%.2f"
+  // line-compact per-query seconds: ~2 significant figures (details keep
+  // 3 decimals) — at 130 registry queries the fixed-2-decimal form costs
+  // ~3 chars/query of the driver's 1900-char tail window for precision
+  // the details file already carries
+  private def jNum2(v: Double): String =
+    if (v >= 10) f"$v%.0f" else if (v >= 1) f"$v%.1f" else f"$v%.2f"
   private def jTime(v: Double): String = if (v < 0) "null" else jNum(v)
   private def jTime2(v: Double): String = if (v < 0) "null" else jNum2(v)
   private def jMap(entries: Iterable[(String, String)]): String =
