@@ -257,13 +257,108 @@ object Importance {
        |GROUP BY g.doc_id, g.source
        |ORDER BY g.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q128 — per-source distribution drift: Jensen–Shannon divergence between
+  // each source's hashed-unigram distribution and the corpus-wide mix —
+  // the ingest-monitoring op (is src3's text drifting away from the blend
+  // the mixture plan was tuned on?) that closes the loop q105/q124 open:
+  // they SELECT against a target; this WATCHES the sources themselves.
+  // JS (symmetric, bounded by ln 2) over the q105 histogram machinery:
+  // md5 64-bucket unigram counts, add-1 smoothing, m = (p+q)/2.
+  //
+  // Determinism: per-bucket JS terms are computed from exact integer
+  // counts through ONE expression string shared verbatim with the oracle
+  // ([[JS_TERM]]), floor-rounded to integer micros, and summed as 64-bit
+  // integers (≤ 64 terms/source) — the q105 rule. `drifted` flags
+  // js > DRIFT_T nats.
+  //
+  // Scale shape: ONE tokenize+explode staged to (source, bucket) counts
+  // (≤ |sources|×64 rows after the first aggregation); everything after
+  // the corpus scan is arithmetic over that broadcast-sized frame.
+  // ---------------------------------------------------------------------------
+  val DRIFT_T = 0.05
+
+  /** Half-sum JS term over columns (pn, pt, qn, qt) = per-bucket source
+    * count/total and corpus count/total, add-1 smoothed — shared verbatim
+    * with the oracle.
+    */
+  private val JS_TERM = {
+    val p = s"((CAST(pn AS DOUBLE) + 1e0) / (CAST(pt AS DOUBLE) + $N_BUCKETS))"
+    val q = s"((CAST(qn AS DOUBLE) + 1e0) / (CAST(qt AS DOUBLE) + $N_BUCKETS))"
+    s"5e-1 * ($p * ln($p / (($p + $q) / 2e0)) + $q * ln($q / (($p + $q) / 2e0)))"
+  }
+
+  def q128SourceDrift(spark: SparkSession, dir: String): DataFrame = {
+    val sb = Tables
+      .balanced(Tables.documents(spark, dir).select(col("source"), col("text")))
+      .select(
+        col("source"),
+        explode(expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')")).as("term")
+      )
+      .withColumn("bucket", (conv(substring(md5(col("term")), 1, 4), 16, 10).cast("int") % N_BUCKETS))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("pn"))
+      .localCheckpoint() // one tokenize feeds per-source and corpus histograms
+
+    val corpus = sb.groupBy(col("bucket")).agg(sum(col("pn")).as("qn"))
+    val corpusTot = sb.agg(sum(col("pn")).as("qt")) // 1 row -> broadcast
+    val srcTot = sb.groupBy(col("source")).agg(sum(col("pn")).as("pt"))
+
+    // dense (source × bucket) grid so zero-count buckets still contribute
+    // their smoothed term — crossJoin of two broadcast-sized frames
+    val grid = srcTot
+      .crossJoin(broadcast(corpus))
+      .join(sb, Seq("source", "bucket"), "left")
+      .withColumn("pn", coalesce(col("pn"), lit(0L)))
+      .crossJoin(broadcast(corpusTot))
+      .withColumn("t_micro", expr(s"CAST(floor(($JS_TERM) * 1e6 + 5e-1) AS BIGINT)"))
+
+    grid
+      .groupBy(col("source"))
+      .agg(max(col("pt")).as("n_tokens"), sum(col("t_micro")).as("js_micro"))
+      .select(
+        col("source"),
+        col("n_tokens"),
+        (col("js_micro").cast("double") / lit(1e6)).as("js"),
+        when(col("js_micro") > (DRIFT_T * 1e6).toLong, 1).otherwise(0).as("drifted")
+      )
+      .orderBy(col("source"))
+  }
+
+  val q128Oracle: String =
+    s"""WITH tok AS (
+       |  SELECT source,
+       |         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
+       |  FROM documents),
+       |sb AS (
+       |  SELECT source,
+       |         CAST(('0x' || substring(md5(term), 1, 4)) AS INT) % $N_BUCKETS AS bucket,
+       |         CAST(count(*) AS BIGINT) AS pn
+       |  FROM tok GROUP BY 1, 2),
+       |corpus AS (SELECT bucket, sum(pn)::BIGINT AS qn FROM sb GROUP BY 1),
+       |ctot AS (SELECT sum(pn)::BIGINT AS qt FROM sb),
+       |stot AS (SELECT source, sum(pn)::BIGINT AS pt FROM sb GROUP BY 1),
+       |grid AS (
+       |  SELECT stot.source, corpus.bucket, coalesce(sb.pn, 0) AS pn, stot.pt, corpus.qn, ctot.qt
+       |  FROM stot CROSS JOIN corpus
+       |  LEFT JOIN sb ON sb.source = stot.source AND sb.bucket = corpus.bucket
+       |  CROSS JOIN ctot),
+       |terms AS (
+       |  SELECT source, pt, CAST(floor(($JS_TERM) * 1e6 + 5e-1) AS BIGINT) AS t_micro FROM grid)
+       |SELECT source, CAST(max(pt) AS BIGINT) AS n_tokens,
+       |       (CAST(sum(t_micro) AS BIGINT))::DOUBLE / 1e6 AS js,
+       |       CAST(CASE WHEN sum(t_micro) > ${(DRIFT_T * 1e6).toLong} THEN 1 ELSE 0 END AS INT) AS drifted
+       |FROM terms GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q105_dsir_weights" -> (q105DsirWeights _),
-    "q124_moore_lewis" -> (q124MooreLewis _)
+    "q124_moore_lewis" -> (q124MooreLewis _),
+    "q128_source_drift" -> (q128SourceDrift _)
   )
 
   val oracles: Map[String, String] = Map(
     "q105_dsir_weights" -> q105Oracle,
-    "q124_moore_lewis" -> q124Oracle
+    "q124_moore_lewis" -> q124Oracle,
+    "q128_source_drift" -> q128Oracle
   )
 }

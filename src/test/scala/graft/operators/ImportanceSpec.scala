@@ -169,4 +169,56 @@ class ImportanceSpec extends SparkSpec {
       s"target slice must look more in-domain: ${rate(byTgt(true))} vs ${rate(byTgt(false))}"
     )
   }
+
+  test("q128 source drift: vocab-disjoint source drifts, corpus-like source does not; exact replica") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("drift").toString
+    // srcA and srcB share the corpus-dominant vocabulary; srcZ speaks a
+    // disjoint one — JS(srcZ || corpus) must cross the threshold while the
+    // majority sources stay under it
+    val base = ("alpha beta gamma delta " * 50).trim
+    val alien = ("zulu yankee xray whiskey " * 50).trim
+    val corpus: Seq[(Long, String, String)] =
+      (1L to 8L).map(i => (i, "srcA", base)) ++ (9L to 16L).map(i => (i, "srcB", base)) :+ ((17L, "srcZ", alien))
+    corpus
+      .map { case (id, src, text) => (id, text, "en", src, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write
+      .parquet(s"$dir/documents.parquet")
+
+    // single-node replica of the exact production arithmetic
+    def bucket(t: String): Int = {
+      val h = java.security.MessageDigest.getInstance("MD5").digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      Integer.parseInt(h.substring(0, 4), 16) % Importance.N_BUCKETS
+    }
+    val toks = corpus.flatMap { case (_, src, text) =>
+      text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).map(t => (src, bucket(t)))
+    }
+    val bySrcBucket = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val srcTot = toks.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val byBucket = toks.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val qt = toks.size.toLong
+    val expected = srcTot.keys.toSeq.sorted.map { src =>
+      val pt = srcTot(src)
+      val jsMicro = byBucket.keys.toSeq.map { b =>
+        val pn = bySrcBucket.getOrElse((src, b), 0L)
+        val qn = byBucket(b)
+        val p = (pn + 1.0) / (pt + Importance.N_BUCKETS)
+        val q = (qn + 1.0) / (qt + Importance.N_BUCKETS)
+        val m = (p + q) / 2.0
+        math.floor(0.5 * (p * math.log(p / m) + q * math.log(q / m)) * 1e6 + 0.5).toLong
+      }.sum
+      (src, pt, jsMicro.toDouble / 1e6, if (jsMicro > (Importance.DRIFT_T * 1e6).toLong) 1 else 0)
+    }
+
+    val got = Importance
+      .q128SourceDrift(spark, dir)
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_tokens"), r.getAs[Double]("js"), r.getAs[Int]("drifted")))
+      .toSeq
+    assert(got === expected, "q128 must equal the single-node JS replica exactly")
+    val flags = got.map(r => r._1 -> r._4).toMap
+    assert(flags("srcZ") === 1, "vocab-disjoint source must be flagged as drifted")
+    assert(flags("srcA") === 0 && flags("srcB") === 0, "corpus-dominant sources must not be flagged")
+  }
 }
