@@ -241,6 +241,11 @@ object Retrieval {
   lazy val q118Oracle: String = {
     // q103Oracle = "WITH tok AS (...),\ntopk AS (...)\nSELECT CAST(row_number..."
     val selIdx = q103Oracle.indexOf("\nSELECT CAST(row_number()")
+    require(
+      selIdx >= 0,
+      "q118Oracle splices q103Oracle's CTE chain by its final-SELECT header — " +
+        "the header was reworded; update this splice anchor with it"
+    )
     val lexCtes = q103Oracle.substring(0, selIdx)
     s"""$lexCtes,
        |lex AS (
@@ -357,6 +362,11 @@ object Retrieval {
     */
   lazy val q120Oracle: String = {
     val selIdx = q118Oracle.indexOf("\nSELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id)")
+    require(
+      selIdx >= 0,
+      "q120Oracle splices q118Oracle's CTE chain by its final-SELECT header — " +
+        "the header was reworded; update this splice anchor with it"
+    )
     val chain = q118Oracle.substring(0, selIdx)
     s"""$chain,
        |hyb AS (
@@ -551,18 +561,22 @@ object Retrieval {
 
     // probe cells in RAW space (the trained quantizer's geometry, q36's
     // rule); each (tgt, src) pair appears at most once — an en vector
-    // lives in exactly one cell and the probed cells are distinct
+    // lives in exactly one cell and the probed cells are distinct. The
+    // foreign-only join runs BEFORE the centroid-rank projection so the
+    // per-row C-distance sort is never spent on English vectors the join
+    // would discard.
     val tgtProbes = Tables
-      .balanced(Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")))
-      .select(
-        col("vec_id").as("tgt_id"),
-        expr(s"slice($fn(transform(embedding, x -> cast(x AS double))), 1, $BITEXT_NPROBE)").as("cells")
-      )
+      .balanced(Tables.embeddings(spark, dir).select(col("vec_id").as("tgt_id"), col("embedding")))
       .join(
         emb.filter(col("lang") =!= "en").select(col("vec_id").as("tgt_id"), col("lang"), col("unit").as("tu")),
         Seq("tgt_id")
       )
-      .select(col("tgt_id"), col("lang"), col("tu"), explode(col("cells")).as("cluster"))
+      .select(
+        col("tgt_id"),
+        col("lang"),
+        col("tu"),
+        explode(expr(s"slice($fn(transform(embedding, x -> cast(x AS double))), 1, $BITEXT_NPROBE)")).as("cluster")
+      )
 
     val candidates = tgtProbes
       .join(enCells, Seq("cluster")) // keyed equi-join: only co-cell pairs
