@@ -153,6 +153,8 @@ object Bench {
     }
     // q111's per-doc KN table is session-cached (q112 terciles it)
     phase("q111_kn_build")(operators.Curation.q111KnTrigram(spark, sfDir))
+    // q103/q118/q120's shared scoring frame is session-cached
+    phase("q103_scored")(operators.Retrieval.buildBm25Scored(spark, sfDir))
     // q122's inverted index (postings + corpus consts) is session-cached
     phase("q122_build")(operators.Retrieval.buildBm25Index(spark, sfDir))
     // q123's Lloyd centroids are session-cached (T distributed passes)

@@ -139,10 +139,6 @@ object PlanAudit {
       "BroadcastNestedLoopJoin" ->
         "1-row broadcast vocabulary size V joined onto per-bigram-type rows — the q78 pattern; all count joins are keyed on xxhash64 token keys"
     ),
-    "q127_heavy_hitters" -> Map(
-      "BroadcastNestedLoopJoin" ->
-        "1-row broadcast bigram total N crossed onto the <=k exact candidate counts — the q70 broadcast-scalar pattern; the sketch pass itself is one scan with k-bounded state, no vocabulary shuffle"
-    ),
     "q128_source_drift" -> Map(
       "BroadcastNestedLoopJoin" ->
         "dense-grid construction over two BOUNDED frames (|sources| x 64 histogram buckets) plus the 1-row corpus total — all broadcast-sized by construction, never corpus-scaled"

@@ -807,11 +807,6 @@ object Dedup {
   // bridge-merge) and the q108 selfcheck re-proves equality on every
   // Verify run from the run's own data.
   // ---------------------------------------------------------------------------
-  /** Apply a delta to an existing label table. `t` is the full signature
-    * frame (old + new docs), `isNew` marks the delta, `oldLabels` is the
-    * (doc_id, cluster) state from the previous run. Returns the same
-    * (doc_id, cluster, cluster_size) contract as clustersFrom.
-    */
   /** Candidate pairs touching >= 1 delta doc: the delta's band keys probe
     * the full bucket table, so new-new pairs surface too (both directions —
     * least/greatest + distinct canonicalizes). Shared by the q108 batch
@@ -829,6 +824,11 @@ object Dedup {
       )
       .distinct()
 
+  /** Apply a delta to an existing label table. `t` is the full signature
+    * frame (old + new docs), `isNew` marks the delta, `oldLabels` is the
+    * (doc_id, cluster) state from the previous run. Returns the same
+    * (doc_id, cluster, cluster_size) contract as clustersFrom.
+    */
   private[operators] def clustersApply(t: DataFrame, isNew: Column, oldLabels: DataFrame): DataFrame = {
     val allBuckets = bandBuckets(t.select(col("doc_id"), col("sig")))
     val newBuckets = bandBuckets(t.filter(isNew).select(col("doc_id"), col("sig")))

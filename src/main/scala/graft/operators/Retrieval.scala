@@ -78,9 +78,17 @@ object Retrieval {
     * near-duplicate scan that could drift from the ranker it judges.
     * Session-cached: q103, q118's lexical leg, and q120's qrels all read
     * this frame, and each used to pay its own corpus scan + checkpoint.
+    * Same contract as knCache/the index caches: the documents table is
+    * immutable within a session run, and the streaming maintainer ticks
+    * call SessionCache.invalidateAllFor after landing data.
     */
   private def bm25Scored(spark: SparkSession, dir: String): DataFrame =
     scoredCache.getOrBuild(spark, dir)(bm25ScoredFresh(spark, dir))
+
+  /** Force the shared scoring frame (bench phase hook — the cold corpus
+    * scan + checkpoint is a NAMED number, not q103's hidden first repeat).
+    */
+  def buildBm25Scored(spark: SparkSession, dir: String): Unit = { bm25Scored(spark, dir); () }
 
   private def bm25ScoredFresh(spark: SparkSession, dir: String): DataFrame = {
     // Per-doc stats in ONE text scan: document length + tf per query term as
@@ -705,6 +713,15 @@ object Retrieval {
     val path = bm25Path(indexDir, dir)
     val table = bm25Table(dir)
     val statsDir = bm25StatsPath(path)
+    // computeDeltaRows and onAppend both consume the delta within one
+    // persist call — stage its tokenized frame once for both (the rebuild
+    // path's shape), instead of tokenizing the delta twice
+    var deltaTok: Option[DataFrame] = None
+    def tokOf(delta: DataFrame): DataFrame = deltaTok.getOrElse {
+      val t = bm25TokFrame(delta.select(col("doc_id"), col("text"))).localCheckpoint()
+      deltaTok = Some(t)
+      t
+    }
     Similarity.persistFamilyFor(
       spark,
       docSource(spark, dir),
@@ -714,18 +731,14 @@ object Retrieval {
       path,
       bm25Spec,
       invalidate = () => bm25Cache.invalidate(spark, dir),
-      computeDeltaRows = delta => bm25PostingsOf(bm25TokFrame(delta.select(col("doc_id"), col("text")))),
+      computeDeltaRows = delta => bm25PostingsOf(tokOf(delta)),
       rebuild = () => {
         Similarity.deletePath(spark, statsDir)
         val tok = bm25TokFrame(docSource(spark, dir)).localCheckpoint()
         graft.sources.Layouts.writeBucketed(bm25PostingsOf(tok), table, Seq("term"), BM25_BUCKETS, path)
         bm25StatsSliceOf(tok).write.mode("overwrite").parquet(statsDir)
       },
-      onAppend = delta =>
-        bm25StatsSliceOf(bm25TokFrame(delta.select(col("doc_id"), col("text"))))
-          .write
-          .mode("append")
-          .parquet(statsDir)
+      onAppend = delta => bm25StatsSliceOf(tokOf(delta)).write.mode("append").parquet(statsDir)
     )
   }
 

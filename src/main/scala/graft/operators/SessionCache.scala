@@ -28,10 +28,27 @@ private[graft] final class SessionCache[V] {
 
   def getOrBuild(spark: SparkSession, dir: String)(build: => V): V = {
     sweepStopped()
-    m.compute(
-      (System.identityHashCode(spark), dir),
-      (_, v) => if (v != null && (v._1 eq spark)) v else (spark, build)
-    )._2
+    val key = (System.identityHashCode(spark), dir)
+    val cur = m.get(key)
+    if (cur != null && (cur._1 eq spark)) cur._2
+    else {
+      // build OUTSIDE the map's bin lock: builds run whole Spark jobs
+      // (minutes), and a build that re-enters getOrBuild — a composite
+      // artifact building a sub-artifact on the same cache — would throw
+      // ConcurrentHashMap's "Recursive update" from inside compute().
+      // Two threads racing the same key may both build; the artifacts are
+      // deterministic, the first committed entry wins, the loser's work is
+      // discarded — safe, just not deduplicated.
+      val v = build
+      val prev = m.putIfAbsent(key, (spark, v))
+      if (prev != null && (prev._1 eq spark)) prev._2
+      else {
+        // a stale entry from a dead session whose identity hash recurred:
+        // replace rather than serve another session's artifact
+        if (prev != null) m.put(key, (spark, v))
+        v
+      }
+    }
   }
 
   /** Drop this session's entry so the next access rebuilds — used when the

@@ -1678,7 +1678,20 @@ object Similarity {
       dataPath: String,
       buckets: Int,
       keys: Seq[String]
-  ): Unit =
+  ): Unit = {
+    // the table NAME keys on the data dir only, so an existing entry may
+    // still point at a DIFFERENT index dir's files (built there earlier in
+    // this session); refresh alone would then serve the old location's
+    // postings under the new location's validated sidecar — re-point by
+    // drop+recreate (metadata-only for an external table)
+    val mismatched = spark.catalog.tableExists(table) && {
+      val loc = spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+        .location
+      val want = hadoopPath(spark, dataPath)._2.toUri.getPath
+      new org.apache.hadoop.fs.Path(loc).toUri.getPath != want
+    }
+    if (mismatched) spark.sql(s"DROP TABLE IF EXISTS `$table`")
     if (!spark.catalog.tableExists(table)) {
       val schemaDdl = spark.read.parquet(dataPath).schema.toDDL
       val keyList = keys.map(k => s"`$k`").mkString(", ")
@@ -1688,6 +1701,7 @@ object Similarity {
           s"LOCATION '$dataPath'"
       )
     } else spark.catalog.refreshTable(table)
+  }
 
   /** The (delta rows, fingerprint-to-commit, new-row count) when the
     * current data is an APPEND-ONLY extension of what `s` indexed — every

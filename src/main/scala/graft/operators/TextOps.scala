@@ -840,9 +840,10 @@ object TextOps {
   //      merges, NO vocabulary-sized shuffle). The MG guarantee makes the
   //      surviving counter keys a SUPERSET of every bigram with true count
   //      > N/k, whatever the data or merge order.
-  //   2. An exact count of the ≤k candidates only (semi-join against a
-  //      broadcast candidate list), filtered on the EXACT threshold
-  //      K_MG·count > N — integer arithmetic, no rational rounding.
+  //   2. An exact count of the ≤k candidates only (an IN-set filter over
+  //      the candidate keys — optimizer turns it into an O(1) hash probe),
+  //      kept on the EXACT threshold K_MG·count > N — integer arithmetic,
+  //      no rational rounding.
   // That makes the result identical to "GROUP BY all bigrams HAVING
   // k·count > N" — the DuckDB oracle — while the distributed plan never
   // shuffles the bigram type table: the q88 bloom-prune trade applied to
@@ -852,7 +853,10 @@ object TextOps {
   val K_MG = 2048
 
   def q127HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
-    val bg = Tables
+    // a def, not a checkpointed val: materializing the per-INSTANCE bigram
+    // frame would be a corpus-sized write, defeating the sketch's whole
+    // bounded-state story — each pass re-runs the cheap tokenize instead
+    def bg: DataFrame = Tables
       .balanced(Tables.documents(spark, dir).select(col("text")))
       .select(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ").as("toks"))
       .filter(size(col("toks")) >= 2)
@@ -861,24 +865,21 @@ object TextOps {
           expr("transform(sequence(1, size(toks) - 1), i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))")
         ).as("bg")
       )
-      .localCheckpoint() // one tokenize feeds the sketch pass AND the exact pass
 
     val mg = udaf(graft.functions.FreqSketch.misraGries(K_MG))
-    // <= K_MG candidate strings — bounded driver state (the q94 contract)
-    val candidates = bg
-      .agg(mg(col("bg")).as("summary"))
-      .select(explode(expr("map_keys(summary)")).as("bg"))
-      .collect()
-      .map(_.getString(0))
+    // ONE sketch-pass aggregate returns the <=K_MG candidate summary AND
+    // the stream length together — bounded driver state (the q94 contract)
+    val row = bg.agg(mg(col("bg")).as("summary"), count(lit(1)).as("n_total")).collect()(0)
+    val candidates = row.getAs[Map[String, Long]]("summary").keys.toSeq
+    val nTotal = row.getAs[Long]("n_total")
 
-    val total = bg.agg(count(lit(1)).as("n_total")) // 1 row -> broadcast
-    bg.filter(col("bg").isin(candidates.toSeq: _*))
+    bg.filter(col("bg").isin(candidates: _*))
       .groupBy(col("bg").as("gram"))
       .agg(count(lit(1)).as("n"))
-      .crossJoin(broadcast(total))
-      // the EXACT qualifying test, integer-only: k*n > N
-      .filter(col("n") * lit(K_MG.toLong) > col("n_total"))
-      .withColumn("ppm", floor(col("n").cast("double") * lit(1e6) / col("n_total") + lit(0.5)).cast("long"))
+      // the EXACT qualifying test, integer-only: k*n > N (N is a bounded
+      // driver scalar from the sketch pass — no broadcast join needed)
+      .filter(col("n") * lit(K_MG.toLong) > lit(nTotal))
+      .withColumn("ppm", floor(col("n").cast("double") * lit(1e6) / lit(nTotal) + lit(0.5)).cast("long"))
       .select(col("gram"), col("n"), col("ppm"))
       .orderBy(col("n").desc, col("gram"))
   }

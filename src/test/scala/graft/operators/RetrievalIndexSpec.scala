@@ -134,6 +134,27 @@ class RetrievalIndexSpec extends SparkSpec {
     assert(served1 === served0, "compaction must not change served results")
   }
 
+  test("switching index dirs re-points the catalog table — never the old location's postings") {
+    val dirA = Files.createTempDirectory("bm25idxA").toString
+    val dirB = Files.createTempDirectory("bm25idxB").toString
+    val dataDir = Files.createTempDirectory("bm25data").toString
+    writeRows(dataDir, 300)
+    val s = session(dirA, None)
+    assert(Retrieval.persistBm25Index(s, dataDir, dirA) === Similarity.Rebuilt)
+    assert(Retrieval.q122Bm25Indexed(s, dataDir).collect().nonEmpty) // table now bound to dirA
+
+    // corpus changes; a FRESH index lands at dirB and the session switches
+    writeRows(dataDir, 500)
+    assert(Retrieval.persistBm25Index(s, dataDir, dirB) === Similarity.Rebuilt)
+    s.conf.set(Retrieval.Bm25IndexDirConf, dirB)
+    val served = rowsOf(Retrieval.q122Bm25Indexed(s, dataDir))
+    val computed = rowsOf(Retrieval.q103Bm25(spark.newSession(), dataDir))
+    assert(
+      served === computed,
+      "dirB's validated sidecar must serve dirB's files — a refresh-only register would keep reading dirA"
+    )
+  }
+
   test("a stale index (non-append data change) is never served") {
     val indexDir = Files.createTempDirectory("bm25idx").toString
     val dataDir = Files.createTempDirectory("bm25data").toString
