@@ -155,9 +155,11 @@ object Cartography {
   }
 
   /** The generated Lloyd CTE chain (q94's generated-oracle pattern): same
-    * seeds, same integer arithmetic, same fixed iterations.
+    * seeds, same integer arithmetic, same fixed iterations — ends at `af`
+    * (the final (vec_id, cluster, d2) assignment), shared by the q123
+    * profile and the q129 outlier screen.
     */
-  val q123Oracle: String = {
+  private val lloydCtes: String = {
     val zipDist =
       "list_sum(list_transform(list_zip(p.xm, c.cm), z -> (z[1] - z[2]) * (z[1] - z[2])))"
     def assignCte(t: Int) =
@@ -195,7 +197,11 @@ object Cartography {
        |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
        |    FROM (SELECT p.vec_id, c.cluster, $zipDist AS d2
        |          FROM m p, c$ITERS c))
-       |  WHERE rn = 1),
+       |  WHERE rn = 1)""".stripMargin
+  }
+
+  val q123Oracle: String =
+    s"""$lloydCtes,
        |j AS (SELECT af.vec_id, af.cluster, af.d2, d.lang FROM af JOIN documents d ON d.doc_id = af.vec_id),
        |g AS (SELECT cluster, count(*) AS n_vecs, CAST(sum(d2) AS BIGINT) AS sd FROM j GROUP BY cluster),
        |l AS (SELECT cluster, lang, count(*) AS ln FROM j GROUP BY cluster, lang),
@@ -210,13 +216,93 @@ object Cartography {
        |       floor(CAST(g.sd AS DOUBLE) / g.n_vecs / 1e6 + 0.5) / 1e6 AS msd
        |FROM g JOIN lt ON lt.cluster = g.cluster, tot
        |ORDER BY g.cluster""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q129 — embedding-space outlier pruning: per-vector distance to the
+  // assigned q123 centroid, flagged when it sits more than Z standard
+  // deviations above its CLUSTER's mean squared distance — the
+  // prune-the-fringe pass curation pipelines run after clustering (garbled
+  // text, off-distribution scrapes, and encoder failures land far from
+  // every topic centroid; DataComp/SemDeDup-style pipelines drop them
+  // before training). Per-cluster (not global) stats so a small tight
+  // topic doesn't mask a loose one.
+  //
+  // Determinism: the z-test is EXACT 128-bit integer arithmetic — no mean,
+  // no sqrt. With n, s = Σd2, ss = Σd2² per cluster, "d2 > mean + Z·σ" is
+  // algebraically n·d2 − s > 0 AND (n·d2 − s)² > Z²·(n·ss − s²), every
+  // term an integer. d2 ≤ ~64·(1.2e6)² ≈ 9.2e13 ⇒ ss-sums and both
+  // square sides stay ≤ ~1e35 at sf scale — inside 128 bits but past
+  // BIGINT, so the arithmetic runs in DECIMAL(38,0) on the Spark side and
+  // HUGEINT in the oracle (the same 128-bit integers, spelled per engine;
+  // [[zTestSql]] is otherwise one shared template). At ~1e9 rows/cluster
+  // (n·d2 − s)² nears 1e38 — re-derive the bound or split the square as
+  // the q111 integer-micro note prescribes.
+  //
+  // Scale shape: centroids are the q123 session-cached bounded driver
+  // state; assignment is the same no-shuffle projection; the stats frame
+  // is K rows (broadcast); the verdict is a second linear pass. Clusters
+  // with n < MIN_N have no meaningful variance and are never flagged.
+  // ---------------------------------------------------------------------------
+  private val MIN_N = 4
+  private val ZSQ = 4 // Z = 2 standard deviations
+
+  /** The integer z-test over (n, d2, s, ss) — one template shared with the
+    * oracle; `big` spells the engine's 128-bit integer cast.
+    */
+  private def zTestSql(big: String => String): String = {
+    val lhs = s"(${big("n")} * ${big("d2")} - ${big("s")})"
+    s"CAST(CASE WHEN n >= $MIN_N AND $lhs > ${big("0")} AND $lhs * $lhs > " +
+      s"${big(ZSQ.toString)} * (${big("n")} * ${big("ss")} - ${big("s")} * ${big("s")}) " +
+      "THEN 1 ELSE 0 END AS INT)"
   }
 
+  def q129EmbeddingOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val pts = points(spark, dir).localCheckpoint() // staged once for T+1 passes
+    val cents = centroidCache.getOrBuild(spark, dir)(finalCentroids(pts))
+    val assigned = pts
+      .withColumn("n", nearest(cents))
+      .select(col("vec_id"), col("n.cluster").as("cluster"), col("n.d2").as("d2"))
+      .localCheckpoint() // one assignment pass feeds stats and verdicts
+    val stats = assigned
+      .groupBy(col("cluster"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("d2").cast("decimal(19,0)")).as("s"),
+        sum(expr("CAST(d2 AS DECIMAL(19,0)) * CAST(d2 AS DECIMAL(19,0))")).as("ss")
+      )
+    assigned
+      .join(broadcast(stats), Seq("cluster")) // K rows -> broadcast
+      .withColumn("outlier", expr(zTestSql(x => s"CAST($x AS DECIMAL(38,0))")))
+      .select(
+        col("vec_id"),
+        col("cluster"),
+        // micros² → original units with the 6dp floor (q123's msd collapse)
+        (floor(col("d2").cast("double") / lit(1e6) + lit(0.5)) / lit(1e6)).as("sq_dist"),
+        col("outlier")
+      )
+      .orderBy(col("vec_id"))
+  }
+
+  val q129Oracle: String =
+    s"""$lloydCtes,
+       |st AS (
+       |  SELECT cluster, count(*) AS n,
+       |         sum(CAST(d2 AS HUGEINT)) AS s,
+       |         sum(CAST(d2 AS HUGEINT) * CAST(d2 AS HUGEINT)) AS ss
+       |  FROM af GROUP BY cluster)
+       |SELECT af.vec_id, af.cluster,
+       |       floor(CAST(af.d2 AS DOUBLE) / 1e6 + 0.5) / 1e6 AS sq_dist,
+       |       ${zTestSql(x => s"CAST($x AS HUGEINT)")} AS outlier
+       |FROM af JOIN st USING (cluster)
+       |ORDER BY af.vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q123_corpus_topics" -> (q123CorpusTopics _)
+    "q123_corpus_topics" -> (q123CorpusTopics _),
+    "q129_embedding_outliers" -> (q129EmbeddingOutliers _)
   )
 
   val oracles: Map[String, String] = Map(
-    "q123_corpus_topics" -> q123Oracle
+    "q123_corpus_topics" -> q123Oracle,
+    "q129_embedding_outliers" -> q129Oracle
   )
 }

@@ -168,18 +168,69 @@ object Sampling {
       |WHERE rn <= 5
       |ORDER BY lang, doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q130 — per-source quality cap (the RefinedWeb/C4 per-domain cap): keep
+  // at most CAP docs per source, ranked by q26's quality score. Unchecked,
+  // one over-represented crawl domain dominates the mixture no matter what
+  // the source-level plan (q70/q109) says — the cap is the doc-level
+  // enforcement those plans assume. Output is the full per-doc verdict
+  // (rank + kept flag), the form the corpus-build join consumes.
+  //
+  // Determinism: the rank orders by (quality_score DESC, doc_id) — q26's
+  // oracle-shared arithmetic plus a total tiebreak, so both engines agree
+  // on every rank, not just the kept set.
+  //
+  // Scale shape: one scan + one hash-partitioned window keyed by source
+  // (sort-based, streaming row_number — no per-group memory). A mega-source
+  // serializes its partition's sort into one task; when emitting only the
+  // kept rows at 100 TB, pre-prune with a per-source percentile_approx
+  // score threshold (keep ~2×CAP survivors), then rank the survivors —
+  // the full-verdict form here is the oracle-gated contract.
+  // ---------------------------------------------------------------------------
+  val SOURCE_CAP = 15
+
+  def q130SourceCap(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .balanced(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("source"), TextOps.q26ScoreCol.as("quality_score"))
+      .withColumn(
+        "rk",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("source"))
+            .orderBy(col("quality_score").desc, col("doc_id"))
+        )
+      )
+      .withColumn("kept", when(col("rk") <= SOURCE_CAP, 1).otherwise(0))
+      .orderBy(col("doc_id"))
+
+  val q130Oracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |         ${TextOps.q26ScoreSql} AS quality_score
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id, source, quality_score,
+       |         CAST(row_number() OVER (PARTITION BY source ORDER BY quality_score DESC, doc_id) AS INT) AS rk
+       |  FROM t)
+       |SELECT doc_id, source, quality_score, rk,
+       |       CAST(CASE WHEN rk <= $SOURCE_CAP THEN 1 ELSE 0 END AS INT) AS kept
+       |FROM r ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q48_stratified_sample" -> (q48StratifiedSample _),
     "q49_hash_split" -> (q49HashSplit _),
-    "q51_bottomk_sample" -> (q51BottomKSample _)
+    "q51_bottomk_sample" -> (q51BottomKSample _),
+    "q130_source_cap" -> (q130SourceCap _)
   )
 
-  /** q49/q51 are deterministic → exact oracle; q48's RNG is checked via
-    * its envelope form (exact totals + verdict columns).
+  /** q49/q51/q130 are deterministic → exact oracle; q48's RNG is checked
+    * via its envelope form (exact totals + verdict columns).
     */
   val oracles: Map[String, String] = Map(
     "q48_stratified_sample" -> q48Oracle,
     "q49_hash_split" -> q49Oracle,
-    "q51_bottomk_sample" -> q51Oracle
+    "q51_bottomk_sample" -> q51Oracle,
+    "q130_source_cap" -> q130Oracle
   )
 }

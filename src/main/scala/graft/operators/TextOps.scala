@@ -96,6 +96,29 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** q26's quality score as a reusable (Column, SQL-snippet) pair — q130
+    * ranks per-source caps by it. Both spellings are q26's verbatim
+    * arithmetic (same round-then-use order), so composition inherits q26's
+    * oracle guarantees.
+    */
+  private[operators] def q26ScoreCol: Column = {
+    val toks = size(split(trim(col("text")), "\\s+"))
+    val swr = round(wordHits(col("text"), enStop).cast("double") / greatest(toks, lit(1)).cast("double"), 6)
+    round(
+      least(lit(40), toks.cast("double") / 2)
+        + least(lit(30), swr * 100)
+        + lit(30) * when(col("n_chars").between(100, 500), 1.0).otherwise(0.5),
+      4
+    )
+  }
+
+  private[operators] val q26ScoreSql: String = {
+    val toks = "len(string_split_regex(trim(text), '\\s+'))"
+    s"""round(least(40, $toks::DOUBLE / 2)
+       |      + least(30, round(${sqlHits(enStop)}::DOUBLE / greatest($toks, 1), 6) * 100)
+       |      + 30 * (CASE WHEN n_chars BETWEEN 100 AND 500 THEN 1.0 ELSE 0.5 END), 4)""".stripMargin
+  }
+
   val q26Oracle: String =
     s"""WITH t AS (
        |  SELECT doc_id, n_chars,

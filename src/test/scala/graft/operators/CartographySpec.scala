@@ -102,4 +102,66 @@ class CartographySpec extends SparkSpec {
     val b = Cartography.q123CorpusTopics(spark.newSession(), sfDir).collect().toSeq.map(_.toSeq)
     assert(a === b)
   }
+
+  test("q129 equals a single-node exact z-test replay AND float mean+2sigma semantics") {
+    val pts: Seq[(Long, Array[Long])] = graft.core.Tables
+      .embeddings(spark, sfDir)
+      .collect()
+      .map { r =>
+        val xm = r
+          .getAs[Seq[Float]]("embedding")
+          .map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong)
+          .toArray
+        r.getAs[Long]("vec_id") -> xm
+      }
+      .toSeq
+
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def assign(cents: Seq[Array[Long]]): Map[Long, (Int, Long)] =
+      pts.map { case (id, xm) =>
+        val (dist, j) = cents.zipWithIndex.map { case (c, j) => (d2(xm, c), j) }.min
+        id -> (j, dist)
+      }.toMap
+
+    var cents: Seq[Array[Long]] = pts
+      .sortBy { case (id, _) => (md5hex(id.toString), id) }
+      .take(Cartography.K)
+      .map(_._2)
+    for (_ <- 1 to Cartography.ITERS) {
+      val a = assign(cents)
+      val byCluster = pts.groupBy(p => a(p._1)._1)
+      cents = cents.zipWithIndex.map { case (old, j) =>
+        byCluster.get(j).fold(old) { members =>
+          Array.tabulate(64)(d => Math.floorDiv(members.map(_._2(d)).sum, members.size.toLong))
+        }
+      }
+    }
+    val fin = assign(cents)
+
+    // expected verdicts: exact BigInt z-test per cluster, cross-checked
+    // against the float mean + 2*sigma reading it encodes
+    val byCluster = fin.toSeq.groupBy(_._2._1)
+    val expected = fin.toSeq.map { case (id, (cluster, dist)) =>
+      val ds = byCluster(cluster).map(_._2._2)
+      val n = BigInt(ds.size)
+      val s = ds.map(BigInt(_)).sum
+      val ss = ds.map(d => BigInt(d) * BigInt(d)).sum
+      val lhs = n * BigInt(dist) - s
+      val exact = ds.size >= 4 && lhs > 0 && lhs * lhs > 4 * (n * ss - s * s)
+      val mean = s.toDouble / ds.size
+      val sigma = math.sqrt(math.max(ss.toDouble / ds.size - mean * mean, 0.0))
+      val float = ds.size >= 4 && dist.toDouble > mean + 2 * sigma
+      assert(exact === float, s"integer z-test must encode mean+2sigma (vec $id)")
+      (id, cluster, math.floor(dist.toDouble / 1e6 + 0.5) / 1e6, if (exact) 1 else 0)
+    }.sortBy(_._1)
+
+    val got = Cartography
+      .q129EmbeddingOutliers(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cluster"), r.getAs[Double]("sq_dist"), r.getAs[Int]("outlier")))
+      .toSeq
+    assert(got === expected, "distributed outlier screen must equal the single-node replay")
+    info(s"sf0.001: ${got.size} vectors, ${got.count(_._4 == 1)} outliers")
+  }
 }

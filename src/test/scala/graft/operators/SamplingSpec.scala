@@ -81,4 +81,31 @@ class SamplingSpec extends SparkSpec {
     assert(bySplit.keySet === Set("train", "validation", "test"))
     assert(bySplit("train").toDouble / n > 0.7, "train should dominate")
   }
+
+  test("q130 source cap: kept == top-CAP by (q26 score desc, doc_id), ranks a permutation per source") {
+    val rows = Sampling
+      .q130SourceCap(spark, sfDir)
+      .collect()
+      .map(r =>
+        (r.getAs[Long]("doc_id"), r.getAs[String]("source"), r.getAs[Double]("quality_score"),
+          r.getAs[Int]("rk"), r.getAs[Int]("kept"))
+      )
+      .toSeq
+    assert(rows.size === graft.core.Tables.documents(spark, sfDir).count().toInt, "every doc gets a verdict")
+    rows.groupBy(_._2).foreach { case (src, grp) =>
+      // ranks are exactly 1..n and agree with the declared total order
+      assert(grp.map(_._4).sorted === (1 to grp.size).toSeq, s"$src ranks must be a permutation")
+      val byOrder = grp.sortBy(g => (-g._3, g._1))
+      assert(byOrder.map(_._4) === (1 to grp.size).toSeq, s"$src rank order must be (score DESC, doc_id)")
+      assert(grp.count(_._5 == 1) === math.min(Sampling.SOURCE_CAP, grp.size), s"$src kept count")
+      assert(grp.forall(g => (g._5 == 1) === (g._4 <= Sampling.SOURCE_CAP)), s"$src kept == rank <= CAP")
+    }
+    // the score column is q26's: spot-check equality on the shared doc ids
+    val q26 = TextOps
+      .q26QualityScore(spark, sfDir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality_score"))
+      .toMap
+    rows.foreach { case (id, _, score, _, _) => assert(score === q26(id), s"doc $id score must be q26's") }
+  }
 }
