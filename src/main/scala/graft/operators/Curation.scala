@@ -2002,8 +2002,122 @@ object Curation {
        |FROM u GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  // ---------------------------------------------------------------------------
+  // q131 — quality-signal rank agreement: exact Spearman correlation between
+  // the q26 rule-battery score and the q69 unigram-LM score, per language
+  // plus an 'all' row — the signal-triage question (do the cheap rules and
+  // the LM proxy rank the same docs high?) a curator answers before picking
+  // which filter to spend compute on, the same eval family as q126 (which
+  // compares a score against BINARY labels; this compares two CONTINUOUS
+  // signals).
+  //
+  // Determinism: ranks are the (value ASC, doc_id ASC) permutation — the id
+  // tiebreak makes the order total, so both engines hold identical integer
+  // ranks (tie-averaged rho is a different estimator; this one is exact).
+  // rho = 1 − 6·Σd²/(n(n²−1)) evaluated as ONE oracle-shared expression:
+  // rho_micro = floor(u/b + ½) computed as floor((2u+b)/(2b)) — u,b exact
+  // integers in doubles (n³ ≤ 2^53 up to ~2e17 rows/stratum; past that,
+  // the q111 DECIMAL note applies), and the quotient sits ≥ 1/(2b) from any
+  // non-attained integer vs ~1e-10 division error, so the floor is exact
+  // (q123's floor-div argument). n ≤ 1 emits NULL (rho undefined).
+  //
+  // Scale shape: NO corpus-wide rank window. Each rank decomposes as
+  //   rank = (Σ counts of strictly-smaller values) + row_number within the
+  //   tie block —
+  // the cumulative window runs over the per-(stratum, value) AGGREGATE
+  // (finite grid: q26 scores step in 0.25s, q69 is floor-4dp — the q126
+  // trick), and the only row-level window partitions by (stratum, value):
+  // bounded tie blocks, never a stratum-wide sort. The oracle uses plain
+  // row_number (the declared semantics); the decomposition equals it by
+  // construction, spec-pinned.
+  // ---------------------------------------------------------------------------
+  private val RHO_EXPR = {
+    val nd = "(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - 1e0))"
+    s"CASE WHEN n > 1 THEN floor((($nd - 6e0 * CAST(sum_d2 AS DOUBLE)) * 2e6 + $nd) / (2e0 * $nd)) / 1e6 END"
+  }
+
+  def q131SignalAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val rules = Tables
+      .balanced(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("lang"), TextOps.q26ScoreCol.as("qs"))
+    val lm = q69UnigramLogprob(spark, dir).select(col("doc_id"), col("avg_neg_logprob").as("lp"))
+    val joined = rules.join(lm, Seq("doc_id"))
+    val strata = joined
+      .select(col("doc_id"), col("lang").as("g"), col("qs"), col("lp"))
+      .unionByName(joined.select(col("doc_id"), lit("all").as("g"), col("qs"), col("lp")))
+      .localCheckpoint() // one join feeds both strata and both rank sides
+
+    // rank by (v, doc_id) WITHOUT a stratum-wide window: cumulative count of
+    // smaller values (window over the value-grid aggregate) + position
+    // within the tie block (window over (g, v) — bounded partitions)
+    def ranked(v: String, rname: String): DataFrame = {
+      val pre = strata
+        .groupBy(col("g"), col(v))
+        .agg(count(lit(1)).as("c"))
+        .withColumn(
+          "cum",
+          sum(col("c")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("g")).orderBy(col(v))
+          ) - col("c")
+        )
+      strata
+        .select(col("g"), col(v), col("doc_id"))
+        .join(pre, Seq("g", v))
+        .withColumn(
+          "tie_rn",
+          row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("g"), col(v)).orderBy(col("doc_id"))
+          )
+        )
+        .select(col("g"), col("doc_id"), (col("cum") + col("tie_rn")).as(rname))
+    }
+
+    ranked("qs", "ra")
+      .join(ranked("lp", "rb"), Seq("g", "doc_id"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(expr("(ra - rb) * (ra - rb)")).as("sum_d2"))
+      .select(col("g").as("lang"), col("n"), col("sum_d2"), expr(RHO_EXPR).as("rho"))
+      .orderBy(col("lang"))
+  }
+
+  /** Oracle: q69's CTE chain spliced verbatim (the q99 pattern), q26's
+    * score arithmetic inline, plain row_number ranks (the semantics the
+    * decomposed Spark plan reproduces exactly), the shared [[RHO_EXPR]].
+    */
+  lazy val q131Oracle: String = {
+    val q69body = q69Oracle.stripPrefix("WITH ")
+    val selIdx = q69body.indexOf("\nSELECT doc_id")
+    require(
+      selIdx > 0 && q69body.endsWith("FROM scored ORDER BY doc_id"),
+      "q131Oracle splices q69Oracle by its final-SELECT header — the header was reworded; update this splice anchor"
+    )
+    val q69Ctes = q69body.substring(0, selIdx)
+    val q69Select = q69body.substring(selIdx + 1).stripSuffix(" ORDER BY doc_id")
+    s"""WITH $q69Ctes,
+       |lm AS (
+       |$q69Select),
+       |rq AS (
+       |  SELECT doc_id, lang,
+       |         ${TextOps.q26ScoreSql} AS qs
+       |  FROM documents),
+       |s0 AS (
+       |  SELECT rq.doc_id, rq.lang AS g, rq.qs, lm.avg_neg_logprob AS lp
+       |  FROM rq JOIN lm USING (doc_id)),
+       |strata AS (
+       |  SELECT * FROM s0
+       |  UNION ALL
+       |  SELECT doc_id, 'all' AS g, qs, lp FROM s0),
+       |ra AS (SELECT g, doc_id, CAST(row_number() OVER (PARTITION BY g ORDER BY qs, doc_id) AS BIGINT) AS ra FROM strata),
+       |rb AS (SELECT g, doc_id, CAST(row_number() OVER (PARTITION BY g ORDER BY lp, doc_id) AS BIGINT) AS rb FROM strata),
+       |dd AS (SELECT ra.g, ra.ra - rb.rb AS d FROM ra JOIN rb ON ra.g = rb.g AND ra.doc_id = rb.doc_id),
+       |ag AS (SELECT g, count(*) AS n, CAST(sum(d * d) AS BIGINT) AS sum_d2 FROM dd GROUP BY g)
+       |SELECT g AS lang, n, sum_d2, $RHO_EXPR AS rho
+       |FROM ag ORDER BY lang""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q126_quality_auc" -> (q126QualityAuc _),
+    "q131_signal_agreement" -> (q131SignalAgreement _),
     "q66_context_pack" -> (q66ContextPack _),
     "q67_contamination" -> (q67Contamination _),
     "q68_repetition" -> (q68Repetition _),
@@ -2027,6 +2141,7 @@ object Curation {
 
   val oracles: Map[String, String] = Map(
     "q126_quality_auc" -> q126Oracle,
+    "q131_signal_agreement" -> q131Oracle,
     "q66_context_pack" -> q66Oracle,
     "q67_contamination" -> q67Oracle,
     "q68_repetition" -> q68Oracle,

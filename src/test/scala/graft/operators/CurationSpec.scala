@@ -984,4 +984,60 @@ class CurationSpec extends SparkSpec {
     all._4.foreach(a => assert(a > 0.5 && a <= 1.0, s"the model must beat chance on its own rule battery: $a"))
     info(s"sf0.001 AUC rows: ${got.map(r => s"${r._1}=${r._4.map(_.toString).getOrElse("null")}").mkString(", ")}")
   }
+
+  test("q131 Spearman equals the textbook permutation-rank definition; decomposed ranks == window ranks") {
+    // ground truth from the operators themselves: q26 score + q69 LM score
+    // per doc, permutation ranks by (value, doc_id), rho by the textbook
+    // formula in exact BigInt — the decomposed no-stratum-window plan in
+    // the query must reproduce it bit-for-bit
+    import org.apache.spark.sql.functions.col
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val qs = docs
+      .select(col("doc_id"), col("lang"), TextOps.q26ScoreCol.as("qs"))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"), r.getAs[Double]("qs")))
+    val lp = Curation
+      .q69UnigramLogprob(spark, sfDir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("avg_neg_logprob"))
+      .toMap
+    val rows = qs.map { case (id, lang, q) => (id, lang, q, lp(id)) }.toSeq
+
+    def rhoOf(xs: Seq[(Long, Double, Double)]): (Long, Long, Option[Double]) = {
+      val ra = xs.sortBy(x => (x._2, x._1)).zipWithIndex.map { case (x, i) => x._1 -> (i + 1L) }.toMap
+      val rb = xs.sortBy(x => (x._3, x._1)).zipWithIndex.map { case (x, i) => x._1 -> (i + 1L) }.toMap
+      val sd2 = xs.map(x => { val d = ra(x._1) - rb(x._1); BigInt(d) * BigInt(d) }).sum
+      val n = xs.size.toLong
+      val rho =
+        if (n <= 1) None
+        else {
+          val b = BigInt(n) * (BigInt(n) * BigInt(n) - 1)
+          val u = (b - 6 * sd2) * 1000000
+          // floor((2u+b)/(2b)) in exact integers (BigDecimal floor division)
+          val num = 2 * u + b
+          val den = 2 * b
+          val q = (BigDecimal(num) / BigDecimal(den)).setScale(0, BigDecimal.RoundingMode.FLOOR)
+          Some(q.toDouble / 1e6)
+        }
+      (n, sd2.toLong, rho)
+    }
+    val expected = (rows.groupBy(_._2).toSeq :+ ("all" -> rows))
+      .map { case (lang, xs) =>
+        val (n, sd2, rho) = rhoOf(xs.map(x => (x._1, x._3, x._4)))
+        (lang, n, sd2, rho)
+      }
+      .sortBy(_._1)
+
+    val got = Curation
+      .q131SignalAgreement(spark, sfDir)
+      .collect()
+      .map(r =>
+        (r.getAs[String]("lang"), r.getAs[Long]("n"), r.getAs[Long]("sum_d2"),
+          if (r.isNullAt(3)) None else Some(r.getAs[Double]("rho")))
+      )
+      .toSeq
+    assert(got === expected, "decomposed-rank Spearman must equal the single-node permutation-rank replay")
+    got.flatMap(_._4).foreach(r => assert(r >= -1.0 && r <= 1.0, s"rho out of range: $r"))
+    info(s"sf0.001 rho rows: ${got.map(r => s"${r._1}=${r._4.map(_.toString).getOrElse("null")}").mkString(", ")}")
+  }
 }
