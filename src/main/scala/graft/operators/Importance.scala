@@ -288,9 +288,13 @@ object Importance {
     s"5e-1 * ($p * ln($p / (($p + $q) / 2e0)) + $q * ln($q / (($p + $q) / 2e0)))"
   }
 
-  def q128SourceDrift(spark: SparkSession, dir: String): DataFrame = {
-    val sb = Tables
-      .balanced(Tables.documents(spark, dir).select(col("source"), col("text")))
+  /** Per-(source, bucket) hashed-unigram counts from a (source, text) frame
+    * — q128's first aggregation, shared with the StreamingDriftWatch
+    * maintainer, whose whole O(delta) claim is that THESE counts are
+    * additive across ingest slices.
+    */
+  private[graft] def sourceBucketCounts(docs: DataFrame): DataFrame =
+    docs
       .select(
         col("source"),
         explode(expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')")).as("term")
@@ -298,8 +302,12 @@ object Importance {
       .withColumn("bucket", (conv(substring(md5(col("term")), 1, 4), 16, 10).cast("int") % N_BUCKETS))
       .groupBy(col("source"), col("bucket"))
       .agg(count(lit(1)).as("pn"))
-      .localCheckpoint() // one tokenize feeds per-source and corpus histograms
 
+  /** The drift table from a (source, bucket, pn) counts frame — q128's
+    * arithmetic after the first aggregation, shared with the maintainer's
+    * serve path so streaming == batch holds by construction.
+    */
+  private[graft] def driftFromCounts(sb: DataFrame): DataFrame = {
     val corpus = sb.groupBy(col("bucket")).agg(sum(col("pn")).as("qn"))
     val corpusTot = sb.agg(sum(col("pn")).as("qt")) // 1 row -> broadcast
     val srcTot = sb.groupBy(col("source")).agg(sum(col("pn")).as("pt"))
@@ -324,6 +332,13 @@ object Importance {
       )
       .orderBy(col("source"))
   }
+
+  def q128SourceDrift(spark: SparkSession, dir: String): DataFrame =
+    driftFromCounts(
+      sourceBucketCounts(
+        Tables.balanced(Tables.documents(spark, dir).select(col("source"), col("text")))
+      ).localCheckpoint() // one tokenize feeds per-source and corpus histograms
+    )
 
   val q128Oracle: String =
     s"""WITH tok AS (

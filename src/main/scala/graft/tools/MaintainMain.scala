@@ -1,6 +1,6 @@
 package graft.tools
 
-import graft.streaming.{StreamingCorpus, StreamingDupClusters, StreamingScd2, StreamingSpanDedup}
+import graft.streaming.{StreamingCorpus, StreamingDriftWatch, StreamingDupClusters, StreamingScd2, StreamingSpanDedup}
 
 /** CLI entry points for the incremental maintainers — one tick per
   * invocation (the cron / entrypoint shape; the file-stream variants run
@@ -91,7 +91,7 @@ object SpanMaintainMain {
   *
   * Expects the standard layout under dataDir (`documents.parquet`, and
   * optionally `embeddings.parquet` — the ANN append-refresh is skipped when
-  * absent). State lands under stateDir/{corpus,clusters,spans,ann}.
+  * absent). State lands under stateDir/{corpus,clusters,spans,drift,ann}.
   */
 object IngestTick {
 
@@ -100,6 +100,7 @@ object IngestTick {
       clusterDelta: Long,
       spanDelta: Long,
       spanRetro: Long,
+      driftDelta: Long,
       ann: Seq[(String, graft.operators.Similarity.PersistOutcome)],
       bm25: graft.operators.Similarity.PersistOutcome
   )
@@ -113,6 +114,7 @@ object IngestTick {
     val corpus = StreamingCorpus.tick(spark, s"$dataDir/documents.parquet", s"$stateDir/corpus")
     val clusterDelta = StreamingDupClusters.tick(spark, dataDir, s"$stateDir/clusters")
     val (spanDelta, spanRetro) = StreamingSpanDedup.tick(spark, dataDir, s"$stateDir/spans")
+    val driftDelta = StreamingDriftWatch.tick(spark, dataDir, s"$stateDir/drift")
     val ann =
       if (java.nio.file.Files.exists(java.nio.file.Paths.get(dataDir, "embeddings.parquet"))) {
         // StreamingIndexer's discipline: refresh conf on a DEDICATED session
@@ -128,7 +130,7 @@ object IngestTick {
       m.conf.set(graft.operators.Retrieval.Bm25RefreshConf, "append")
       graft.operators.Retrieval.persistBm25Index(m, dataDir, s"$stateDir/bm25")
     }
-    Outcome(corpus, clusterDelta, spanDelta, spanRetro, ann, bm25)
+    Outcome(corpus, clusterDelta, spanDelta, spanRetro, driftDelta, ann, bm25)
   }
 }
 
@@ -147,6 +149,7 @@ object IngestTickMain {
       )
       println(s"[ingest-tick] clusters delta=${o.clusterDelta}")
       println(s"[ingest-tick] spans delta=${o.spanDelta} retro=${o.spanRetro}")
+      println(s"[ingest-tick] drift delta=${o.driftDelta}")
       if (o.ann.isEmpty) println("[ingest-tick] ann skipped (no embeddings.parquet)")
       else o.ann.foreach { case (fam, out) => println(s"[ingest-tick] ann $fam -> $out") }
       println(s"[ingest-tick] bm25 -> ${o.bm25}")

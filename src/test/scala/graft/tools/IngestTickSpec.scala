@@ -65,6 +65,12 @@ class IngestTickSpec extends SparkSpec {
           stageMap(Curation.corpusBuildStages(spark, dataDir)),
         s"drop first=$first: maintained corpus stages != batch build"
       )
+      assert(o.driftDelta > 0, s"drop first=$first: drift tick must see the delta")
+      assert(
+        graft.streaming.StreamingDriftWatch.driftTable(spark, s"$stateDir/drift").collect().toSeq.map(_.toSeq) ===
+          graft.operators.Importance.q128SourceDrift(spark, dataDir).collect().toSeq.map(_.toSeq),
+        s"drop first=$first: maintained drift table != batch q128"
+      )
       // ANN: every family persisted something on drop 1; drop 2 must reuse
       // geometry (Appended) or legitimately rebuild — never silently skip a
       // GROWN corpus as Current
@@ -92,7 +98,7 @@ class IngestTickSpec extends SparkSpec {
 
     // redelivery: a tick with nothing new is a no-op everywhere
     val o3 = IngestTick.run(spark, dataDir, stateDir)
-    assert(o3.corpus.mode === "noop" && o3.clusterDelta === 0L && o3.spanDelta === 0L)
+    assert(o3.corpus.mode === "noop" && o3.clusterDelta === 0L && o3.spanDelta === 0L && o3.driftDelta === 0L)
     info(s"two drops + noop tick verified against batch twins")
   }
 }
