@@ -107,11 +107,82 @@ object TrainExport {
       .partitionBy("shard")
       .parquet(outDir)
 
+  // ---------------------------------------------------------------------------
+  // q132 — the multi-epoch shuffle plan: per-epoch salted permutations with
+  // explicit within-shard POSITIONS. q83/write fix ONE deterministic global
+  // shuffle; multi-epoch training wants each epoch reshuffled (repeated
+  // data order correlates gradient noise across epochs) yet still
+  // reproducible and resumable — a loader restarted at (epoch, shard, pos)
+  // must find the same document there on any engine, any day. Salting the
+  // md5 key with the epoch gives E independent permutations from the same
+  // corpus with zero RNG state; shard membership reshuffles per epoch too.
+  //
+  // Scale shape: NO shard-wide rank window. pos decomposes exactly as
+  // q131's rank: cumulative counts over the (epoch, shard, 4-hex-prefix)
+  // AGGREGATE (≤ E×SHARDS×65536 rows — the explicit coarse grid standing in
+  // for q131's natural value grid, since md5 keys are unique) + row_number
+  // within a prefix's tie block (≈ corpus/(SHARDS×65536) rows — bounded).
+  // The oracle uses the plain window (the declared semantics); the
+  // decomposition equals it by construction, spec-pinned.
+  // ---------------------------------------------------------------------------
+  val EPOCHS = 2
+
+  def q132EpochShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = Tables
+      .balanced(Tables.documents(spark, dir).select(col("doc_id")))
+      .select(col("doc_id"), explode(expr(s"sequence(0, ${EPOCHS - 1})")).as("epoch"))
+      .withColumn("order_key", md5(concat(lit(SEED + ":"), col("epoch"), lit(":"), col("doc_id").cast("string"))))
+      .withColumn(
+        "shard",
+        (conv(substring(col("order_key"), 1, 7), 16, 10).cast("long") % N_SHARDS).cast("int")
+      )
+      .withColumn("pfx", substring(col("order_key"), 1, 4))
+      .localCheckpoint() // one keying pass feeds the grid aggregate and the tie blocks
+
+    val grid = keyed
+      .groupBy(col("epoch"), col("shard"), col("pfx"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn(
+        "cum",
+        sum(col("c")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("epoch"), col("shard")).orderBy(col("pfx"))
+        ) - col("c")
+      )
+
+    keyed
+      .join(grid, Seq("epoch", "shard", "pfx"))
+      .withColumn(
+        "tie_rn",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("epoch"), col("shard"), col("pfx"))
+            .orderBy(col("order_key"), col("doc_id"))
+        )
+      )
+      .select(col("epoch"), col("doc_id"), col("shard"), (col("cum") + col("tie_rn")).as("pos"))
+      .orderBy(col("epoch"), col("doc_id"))
+  }
+
+  val q132Oracle: String =
+    s"""WITH k AS (
+       |  SELECT CAST(e.range AS INT) AS epoch, doc_id,
+       |         md5('$SEED:' || e.range::VARCHAR || ':' || doc_id::VARCHAR) AS order_key
+       |  FROM documents CROSS JOIN range($EPOCHS) e)
+       |SELECT epoch, doc_id,
+       |       CAST(('0x' || substring(order_key, 1, 7))::INT % $N_SHARDS AS INT) AS shard,
+       |       CAST(row_number() OVER (
+       |         PARTITION BY epoch, ('0x' || substring(order_key, 1, 7))::INT % $N_SHARDS
+       |         ORDER BY order_key, doc_id) AS BIGINT) AS pos
+       |FROM k
+       |ORDER BY epoch, doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q83_shard_plan" -> (q83ShardPlan _)
+    "q83_shard_plan" -> (q83ShardPlan _),
+    "q132_epoch_shuffle" -> (q132EpochShuffle _)
   )
 
   val oracles: Map[String, String] = Map(
-    "q83_shard_plan" -> q83Oracle
+    "q83_shard_plan" -> q83Oracle,
+    "q132_epoch_shuffle" -> q132Oracle
   )
 }

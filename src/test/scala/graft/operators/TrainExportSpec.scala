@@ -87,4 +87,38 @@ class TrainExportSpec extends SparkSpec {
     assert(exported.length === exported.distinct.length, "a doc exported twice")
     assert(exported.toSet === kept, "exported set != q77 kept set")
   }
+
+  test("q132 epoch shuffle: decomposed pos == window rank; epochs are distinct permutations") {
+    val got = TrainExport
+      .q132EpochShuffle(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[Int]("epoch"), r.getAs[Long]("doc_id"), r.getAs[Int]("shard"), r.getAs[Long]("pos")))
+      .toSeq
+
+    // single-node replay of the declared semantics: per-epoch md5 keys,
+    // shard = first-7-hex % N, pos = plain rank by (key, doc_id) in shard
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val ids = graft.core.Tables.documents(spark, sfDir).select("doc_id").collect().map(_.getLong(0)).toSeq
+    val expected = (0 until TrainExport.EPOCHS)
+      .flatMap { e =>
+        val keyed = ids.map { id =>
+          val k = md5hex(s"${TrainExport.SEED}:$e:$id")
+          (id, k, (java.lang.Long.parseLong(k.take(7), 16) % TrainExport.N_SHARDS).toInt)
+        }
+        keyed.groupBy(_._3).toSeq.flatMap { case (shard, grp) =>
+          grp.sortBy(g => (g._2, g._1)).zipWithIndex.map { case ((id, _, _), i) => (e, id, shard, i + 1L) }
+        }
+      }
+      .sortBy(t => (t._1, t._2))
+    assert(got === expected, "distributed epoch shuffle must equal the single-node rank replay")
+
+    // every (epoch, shard) position set is exactly 1..n
+    got.groupBy(t => (t._1, t._3)).foreach { case (k, grp) =>
+      assert(grp.map(_._4).sorted === (1L to grp.size).toSeq, s"$k positions must be a permutation")
+    }
+    // the epoch salt actually reshuffles: epoch 0 and 1 differ somewhere
+    val byEpoch = got.groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3, t._4)).toSet)
+    assert(byEpoch(0) !== byEpoch(1), "epoch salt must produce a different permutation")
+  }
 }
