@@ -217,12 +217,18 @@ object Dedup {
       .select(col("lang"), col("doc_id"), col("toks"), col("sz"))
   }
 
-  private[operators] def tokenJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def tokenJaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    tokenJaccardPairsAt(spark, dir, 0.8)
+
+  /** The exact pair miner at an arbitrary jaccard floor — q32 at 0.8, the
+    * q133 threshold sweep at its grid minimum.
+    */
+  private[operators] def tokenJaccardPairsAt(spark: SparkSession, dir: String, minJac: Double): DataFrame = {
     val docs = tokenSets(spark, dir)
     // ALL predicates live in the join condition, cheap-first: generated code
     // evaluates conjuncts left-to-right, so the integer size-ratio prune
-    // (jaccard <= min(sz)/max(sz), hence jaccard >= 0.8 ⇒ sizes within
-    // 0.8×) rejects most pairs before the merge runs. A separate .filter
+    // (jaccard <= min(sz)/max(sz), hence jaccard >= minJac ⇒ sizes within
+    // minJac×) rejects most pairs before the merge runs. A separate .filter
     // would be pushed by Catalyst and PREPENDED to the join condition —
     // putting the expensive work first for every pair (measured 105 s vs
     // 44 s at sf0.1 even with array_intersect; ~7 s with the merge).
@@ -234,9 +240,9 @@ object Dedup {
         docs.as("r"),
         col("l.lang") === col("r.lang") &&
           col("l.doc_id") < col("r.doc_id") &&
-          col("l.sz") * 0.8 <= col("r.sz") &&
-          col("r.sz") * 0.8 <= col("l.sz") &&
-          jaccard >= 0.8
+          col("l.sz") * minJac <= col("r.sz") &&
+          col("r.sz") * minJac <= col("l.sz") &&
+          jaccard >= minJac
       )
       .select(
         col("l.lang").as("lang"),
@@ -1143,6 +1149,99 @@ object Dedup {
        |FROM j GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // ---------------------------------------------------------------------------
+  // q133 — dedup threshold sweep: what does tightening (or loosening) the
+  // jaccard floor COST? For each τ in the grid: surviving near-dup pairs,
+  // docs a keep-smaller-id rule would drop, and the token mass that rule
+  // removes — the curve a curator reads before committing to 0.8 (too low
+  // deletes real data, too high ships duplicates; RefinedWeb/Gopher both
+  // publish exactly this sensitivity analysis). One quadratic pass at the
+  // GRID MINIMUM feeds all five thresholds; the drop rule is the simple
+  // deterministic "a doc with any smaller-id neighbor at τ drops" (the
+  // pairwise form of q102's canon — no per-τ clustering, so the sweep
+  // stays one aggregation).
+  //
+  // Boundary discipline: the join floor is RAW jaccard >= min(τ) (q32's
+  // rule), the per-τ filter is on the ROUNDED 6dp value — both spelled
+  // identically in the oracle, so a pair that rounds onto a grid point
+  // lands on the same side in both engines.
+  //
+  // Scale shape: the pair supply is the declared-exact q32 family (the
+  // 100 TB path swaps in q101's banded candidates tuned for the grid
+  // minimum); the τ fan-out is an explode over a 5-element literal — a
+  // Generate, NOT a join — and everything downstream aggregates
+  // (tau, doc)-keyed frames. Corpus token totals ride one 1-row broadcast.
+  // ---------------------------------------------------------------------------
+  val SWEEP_TAUS: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
+
+  def q133ThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = tokenJaccardPairsAt(spark, dir, SWEEP_TAUS.min)
+      .select(col("doc_b"), col("jaccard"))
+      .localCheckpoint() // the one quadratic pass feeds all five thresholds
+    val tokens = Tables
+      .balanced(Tables.documents(spark, dir))
+      .select(col("doc_id"), size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      .localCheckpoint() // feeds dropped-token sums and the corpus total
+    val total = tokens.agg(sum(col("n_tokens")).as("total_tokens")) // 1 row -> broadcast
+
+    val fanned = pairs
+      .withColumn("tau", explode(typedLit(SWEEP_TAUS)))
+      .filter(col("jaccard") >= col("tau"))
+    val nPairs = fanned.groupBy(col("tau")).agg(count(lit(1)).as("n_pairs"))
+    val drops = fanned
+      .select(col("tau"), col("doc_b"))
+      .distinct()
+      .join(tokens, col("doc_b") === col("doc_id"))
+      .groupBy(col("tau"))
+      .agg(count(lit(1)).as("n_dropped_docs"), sum(col("n_tokens")).as("n_dropped_tokens"))
+
+    // a τ no pair survives must still emit its zero row
+    spark
+      .range(1)
+      .select(explode(typedLit(SWEEP_TAUS)).as("tau"))
+      .join(nPairs, Seq("tau"), "left")
+      .join(drops, Seq("tau"), "left")
+      .crossJoin(broadcast(total))
+      .select(
+        col("tau"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_dropped_docs"), lit(0L)).as("n_dropped_docs"),
+        coalesce(col("n_dropped_tokens"), lit(0L)).as("n_dropped_tokens"),
+        (floor(coalesce(col("n_dropped_tokens"), lit(0L)).cast("double") / col("total_tokens") * lit(1e6) + lit(0.5)) / lit(1e6))
+          .as("drop_frac")
+      )
+      .orderBy(col("tau"))
+  }
+
+  val q133Oracle: String = {
+    val tauList = SWEEP_TAUS.map(t => s"${t}e0").mkString(", ")
+    val jac =
+      "len(list_intersect(l.toks, r.toks))::DOUBLE / len(list_distinct(list_concat(l.toks, r.toks)))"
+    s"""WITH t AS (
+       |  SELECT lang, doc_id,
+       |         list_distinct(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS toks,
+       |         len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+       |  FROM documents),
+       |p AS (
+       |  SELECT round($jac, 6) AS j, r.doc_id AS doc_b
+       |  FROM t l JOIN t r ON l.lang = r.lang AND l.doc_id < r.doc_id
+       |  WHERE $jac >= ${SWEEP_TAUS.min}),
+       |taus AS (SELECT unnest([$tauList]) AS tau),
+       |f AS (SELECT tau, j, doc_b FROM taus JOIN p ON p.j >= taus.tau),
+       |np AS (SELECT tau, count(*) AS n_pairs FROM f GROUP BY tau),
+       |dd AS (SELECT tau, doc_b FROM f GROUP BY tau, doc_b),
+       |dt AS (SELECT tau, count(*) AS n_dropped_docs, CAST(sum(t.n_tokens) AS BIGINT) AS n_dropped_tokens
+       |       FROM dd JOIN t ON t.doc_id = dd.doc_b GROUP BY tau),
+       |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM t)
+       |SELECT taus.tau,
+       |       CAST(coalesce(np.n_pairs, 0) AS BIGINT) AS n_pairs,
+       |       CAST(coalesce(dt.n_dropped_docs, 0) AS BIGINT) AS n_dropped_docs,
+       |       CAST(coalesce(dt.n_dropped_tokens, 0) AS BIGINT) AS n_dropped_tokens,
+       |       floor(CAST(coalesce(dt.n_dropped_tokens, 0) AS DOUBLE) / total_tokens * 1e6 + 0.5) / 1e6 AS drop_frac
+       |FROM taus LEFT JOIN np USING (tau) LEFT JOIN dt USING (tau) CROSS JOIN tot
+       |ORDER BY tau""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_exact_dedup" -> (q29ExactDedup _),
     "q30_minhash_pairs" -> (q30MinhashPairs _),
@@ -1159,7 +1258,8 @@ object Dedup {
     "q107_lsh_safe_split" -> (q107LshSafeSplit _),
     "q108_incremental_clusters" -> (q108IncrementalClusters _),
     "q113_neardup_contamination" -> (q113NeardupContamination _),
-    "q117_dedup_profile" -> (q117DedupProfile _)
+    "q117_dedup_profile" -> (q117DedupProfile _),
+    "q133_threshold_sweep" -> (q133ThresholdSweep _)
   )
 
   /** q30/q31/q60/q113 are hash-based LSH with sub-1 recall or hash-valued
@@ -1194,6 +1294,7 @@ object Dedup {
     // TRANSITIVITY repairs missed edges, measured exact at both scales), a
     // pair SCREEN has no repair mechanism, so its gate stays the selfcheck
     // (subset-of-exact precision 1 + recall vs the exact set).
-    "q117_dedup_profile" -> q117Oracle
+    "q117_dedup_profile" -> q117Oracle,
+    "q133_threshold_sweep" -> q133Oracle
   )
 }

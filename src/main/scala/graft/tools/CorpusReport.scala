@@ -3,14 +3,16 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Curation, Dedup, TextOps, TrainExport}
+import graft.operators.{Cartography, Curation, Dedup, Importance, TextOps, TrainExport}
 
 /** One-command corpus health report — the diagnostic battery a curator
   * reads before (and after) committing to a build: the q77 stage funnel,
   * per-language dynamic quality floors (q80), the cross-source mirror
   * matrix (q81), vocabulary growth (q82), duplicate-cluster canon
-  * decisions (q99), the per-source dedup profile (q117), and the shard
-  * manifest (q83), rendered as one text page. Every number comes from the same oracle-gated queries the driver
+  * decisions (q99), the per-source dedup profile (q117), source drift vs
+  * the corpus mix (q128), quality-model AUC + signal agreement (q126/q131),
+  * the embedding topic map with its outlier counts (q123/q129), and the
+  * shard manifest (q83), rendered as one text page. Every number comes from the same oracle-gated queries the driver
   * checks — the report is a VIEW over the inventory, not a second
   * implementation.
   *
@@ -102,6 +104,38 @@ object CorpusReport {
       line(
         f"${r.getString(0)}%-8s docs=${r.getLong(1)}%5d exact=${r.getDouble(2)}%8.6f " +
           f"clustered=${r.getDouble(3)}%8.6f passage=${r.getDouble(4)}%8.6f span=${r.getDouble(5)}%8.6f"
+      )
+    }
+
+    section("source drift (q128): JS divergence vs the corpus mix")
+    Importance.q128SourceDrift(spark, dir).collect().foreach { r =>
+      line(
+        f"${r.getString(0)}%-8s tokens=${r.getLong(1)}%8d js=${r.getDouble(2)}%8.6f" +
+          (if (r.getInt(3) == 1) "  DRIFTED" else "")
+      )
+    }
+
+    section("quality signals: model AUC vs rules (q126), rank agreement rules~LM (q131)")
+    val auc = Curation.q126QualityAuc(spark, dir).collect().map(r =>
+      r.getString(0) -> (if (r.isNullAt(3)) "null" else f"${r.getDouble(3)}%.4f")).toMap
+    val rho = Curation.q131SignalAgreement(spark, dir).collect().map(r =>
+      r.getString(0) -> (if (r.isNullAt(3)) "null" else f"${r.getDouble(3)}%.4f")).toMap
+    (auc.keySet ++ rho.keySet).toSeq.sorted.foreach { lang =>
+      line(f"$lang%-4s auc=${auc.getOrElse(lang, "-")}%-7s rho=${rho.getOrElse(lang, "-")}%-7s")
+    }
+
+    section("embedding topic map (q123) with outlier counts (q129)")
+    val outliers = Cartography
+      .q129EmbeddingOutliers(spark, dir)
+      .groupBy(col("cluster"))
+      .agg(sum(col("outlier")).as("n_out"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+      .toMap
+    Cartography.q123CorpusTopics(spark, dir).collect().foreach { r =>
+      line(
+        f"cluster=${r.getInt(0)} vecs=${r.getLong(1)}%5d share=${r.getDouble(2)}%7.4f " +
+          f"top_lang=${r.getString(3)}%-4s msd=${r.getDouble(5)}%9.4f outliers=${outliers.getOrElse(r.getInt(0), 0L)}"
       )
     }
 

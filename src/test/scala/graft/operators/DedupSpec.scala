@@ -522,4 +522,45 @@ class DedupSpec extends SparkSpec {
     assert(r("tiny") === ((2L, 0.0, 0.0, 0.0, 0.0)), s"degenerate source must coalesce to 0.0: ${r("tiny")}")
     assert(r("big") === ((2L, 0.5, 1.0, 1.0, 1.0)), s"verbatim pair fires every granularity: ${r("big")}")
   }
+
+  test("q133 threshold sweep equals a single-node replay; pair counts monotone in tau") {
+    val docs = graft.core.Tables
+      .documents(spark, sfDir)
+      .collect()
+      .map { r =>
+        val text = r.getAs[String]("text")
+        (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+          text.trim.toLowerCase.split("\\s+").toSet, text.trim.split("\\s+").length.toLong)
+      }
+      .toSeq
+    def round6(j: Double): Double =
+      BigDecimal(j).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pairs = for {
+      (_, grp) <- docs.groupBy(_._2).toSeq
+      a <- grp
+      b <- grp
+      if a._1 < b._1
+      j = a._3.intersect(b._3).size.toDouble / a._3.union(b._3).size
+      if j >= 0.5
+    } yield (b._1, round6(j))
+    assert(pairs.nonEmpty, "test corpus should contain sub-0.8 near-dups for the sweep to see")
+    val tokOf = docs.map(d => d._1 -> d._4).toMap
+    val totalTokens = docs.map(_._4).sum
+    val expected = Dedup.SWEEP_TAUS.map { tau =>
+      val f = pairs.filter(_._2 >= tau)
+      val droppedIds = f.map(_._1).distinct
+      val droppedToks = droppedIds.map(tokOf).sum
+      (tau, f.size.toLong, droppedIds.size.toLong, droppedToks,
+        math.floor(droppedToks.toDouble / totalTokens * 1e6 + 0.5) / 1e6)
+    }
+
+    val got = Dedup
+      .q133ThresholdSweep(spark, sfDir)
+      .collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSeq
+    assert(got === expected, "distributed sweep must equal the single-node replay")
+    assert(got.map(_._2).sliding(2).forall(w => w(1) <= w(0)), "pair count must be non-increasing in tau")
+    info(s"sf0.001 sweep: ${got.map(g => s"tau=${g._1}: pairs=${g._2} drop_frac=${g._5}").mkString(", ")}")
+  }
 }

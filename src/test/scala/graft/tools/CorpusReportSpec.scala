@@ -19,9 +19,15 @@ class CorpusReportSpec extends SparkSpec {
         "curriculum stages (q86)",
         "duplicate clusters (q99)",
         "dedup profile (q117)",
+        "source drift (q128)",
+        "quality signals: model AUC vs rules (q126), rank agreement rules~LM (q131)",
+        "embedding topic map (q123) with outlier counts (q129)",
         "train shards (q83)"
       )
     ) assert(r.contains(header), s"missing section: $header\n$r")
+    assert(r.contains("js="), "drift rows must render")
+    assert(r.contains("rho="), "agreement rows must render")
+    assert(r.contains("outliers="), "topic rows must render")
     // per-source rows actually rendered (src0..src19 exist at every SF)
     assert(r.contains("src0"), r.take(500))
     // all 8 shards in the manifest
