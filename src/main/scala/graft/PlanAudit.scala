@@ -142,6 +142,10 @@ object PlanAudit {
     "q128_source_drift" -> Map(
       "BroadcastNestedLoopJoin" ->
         "dense-grid construction over two BOUNDED frames (|sources| x 64 histogram buckets) plus the 1-row corpus total — all broadcast-sized by construction, never corpus-scaled"
+    ),
+    "q133_threshold_sweep" -> Map(
+      "BroadcastNestedLoopJoin" ->
+        "1-row broadcast corpus token total crossed onto the 5-row tau grid — the q70 broadcast-scalar pattern; the pair supply is the declared-exact q32 family and every per-tau rollup is a keyed aggregate"
     )
   )
 
