@@ -146,6 +146,10 @@ object PlanAudit {
     "q133_threshold_sweep" -> Map(
       "BroadcastNestedLoopJoin" ->
         "1-row broadcast corpus token total crossed onto the 5-row tau grid — the q70 broadcast-scalar pattern; the pair supply is the declared-exact q32 family and every per-tau rollup is a keyed aggregate"
+    ),
+    "q136_knn_purity" -> Map(
+      "BroadcastNestedLoopJoin" ->
+        "q34's declared brute-force contract: broadcast all-anchors side x one corpus scan (IVF candidates replace it at 100 TB); top-5 is a window keyed per anchor, purity a keyed aggregate"
     )
   )
 

@@ -1353,6 +1353,92 @@ object Curation {
       |ORDER BY src_a, src_b""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // q134 — sketch-estimated source similarity: the 100 TB path of q81's
+  // exact overlap matrix. q81 self-joins the full per-(source, shingle)
+  // distinct set — exact, but the join's input is corpus-sized and the
+  // shared-shingle key space grows with the corpus. Here each source is
+  // compressed to a fixed H-component MinHash signature (component h = min
+  // over the source's shingles of md5("h:" || shingle) — the classic
+  // Broder estimator), and the pair comparison runs over |sources| x H
+  // rows total: the corpus is touched ONCE and nothing corpus-sized is
+  // ever joined. matching-component fraction is an unbiased estimate of
+  // the pairwise shingle-set Jaccard (stderr ~ sqrt(J(1-J)/H), ~6% at
+  // H=64) — the fidelity a curator needs to rank source pairs for the
+  // q81-style drop-vs-dedup decision, at a vanishing fraction of its cost.
+  //
+  // Determinism: min-of-md5 over lowercase-hex strings — both engines
+  // order ASCII hex identically, so every signature component (and hence
+  // the estimate) is bit-reproducible and the query stays ORACLE-GATED
+  // even though it is an approximation of q81 (the approximation is a
+  // deterministic function of the corpus). The hash is pinned to md5 (no
+  // q67-style knob): unlike q81's bucket key, the hash VALUE defines the
+  // output here.
+  //
+  // Scale shape: one scan + one distinct; the H mins are H aggregate
+  // expressions over ONE groupBy(source) pass (map-side combined, no
+  // H-way row explosion); signatures (|sources| x H rows) broadcast into
+  // the pair join. CurationSpec pins the estimate against q81's exact
+  // containment-free Jaccard on the same corpus.
+  // ---------------------------------------------------------------------------
+  val SKETCH_H = 64
+
+  def q134SourceSketch(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables
+      .balanced(Tables.documents(spark, dir))
+      .withColumn("toks", expr(toksExpr))
+      .filter(size(col("toks")) >= 8)
+      .select(
+        col("source"),
+        explode(expr("transform(sequence(1, size(toks) - 7), i -> array_join(slice(toks, i, 8), ' '))"))
+          .as("shingle")
+      )
+      .distinct()
+    val mins = (0 until SKETCH_H).map(h => min(md5(concat(lit(s"$h:"), col("shingle")))).as(s"c$h"))
+    val sig = sh
+      .groupBy(col("source"))
+      .agg(mins.head, mins.tail: _*)
+      .localCheckpoint() // |sources| x H cells — the corpus is never touched again
+    val long = sig.selectExpr(
+      "source",
+      s"stack($SKETCH_H, ${(0 until SKETCH_H).map(h => s"$h, c$h").mkString(", ")}) AS (h, comp)"
+    )
+    long
+      .as("a")
+      .join(broadcast(long.as("b")), col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(sum(when(col("a.comp") === col("b.comp"), 1L).otherwise(0L)).as("n_match"))
+      .select(
+        col("src_a"),
+        col("src_b"),
+        col("n_match"),
+        lit(SKETCH_H.toLong).as("n_hashes"),
+        expr(s"floor(cast(n_match AS double) * 1e6 / $SKETCH_H + 5e-1) / 1e6").as("jaccard_est")
+      )
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val q134Oracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+       |  FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT source,
+       |         unnest(list_transform(range(1, len(toks) - 6), i -> array_to_string(toks[i:i+7], ' '))) AS shingle
+       |  FROM t),
+       |sig AS (
+       |  SELECT source, h.range AS h, min(md5(h.range::VARCHAR || ':' || shingle)) AS comp
+       |  FROM sh CROSS JOIN range($SKETCH_H) h GROUP BY 1, 2),
+       |m AS (
+       |  SELECT a.source AS src_a, b.source AS src_b,
+       |         sum(CASE WHEN a.comp = b.comp THEN 1 ELSE 0 END) AS n_match
+       |  FROM sig a JOIN sig b ON a.h = b.h AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT src_a, src_b, CAST(n_match AS BIGINT) AS n_match,
+       |       CAST($SKETCH_H AS BIGINT) AS n_hashes,
+       |       floor(CAST(n_match AS DOUBLE) * 1e6 / $SKETCH_H + 5e-1) / 1e6 AS jaccard_est
+       |FROM m ORDER BY src_a, src_b""".stripMargin
+
+  // ---------------------------------------------------------------------------
   // q84 — model-based quality score: a fixed-weight logistic blend of three
   // per-doc signals (length saturation, stopword ratio, bigram repetition).
   // This is the "quality classifier" slot of a curation stack — the
@@ -2130,6 +2216,7 @@ object Curation {
     "q77_corpus_build" -> (q77CorpusBuild _),
     "q78_bigram_lm" -> (q78BigramLm _),
     "q81_source_overlap" -> (q81SourceOverlap _),
+    "q134_source_sketch" -> (q134SourceSketch _),
     "q84_quality_model" -> (q84QualityModel _),
     "q86_curriculum" -> (q86Curriculum _),
     "q100_epoch_plan" -> (q100EpochPlan _),
@@ -2154,6 +2241,7 @@ object Curation {
     "q77_corpus_build" -> q77Oracle,
     "q78_bigram_lm" -> q78Oracle,
     "q81_source_overlap" -> q81Oracle,
+    "q134_source_sketch" -> q134Oracle,
     "q84_quality_model" -> q84Oracle,
     "q86_curriculum" -> q86Oracle,
     "q100_epoch_plan" -> q100Oracle,

@@ -2481,6 +2481,74 @@ object Similarity {
        |LEFT JOIN (SELECT * FROM best WHERE side = 'neg') n USING (anchor_id)
        |ORDER BY anchor_id""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q136 — kNN label purity: for every vector, the fraction of its k=5
+  // exact nearest neighbors (cosine) sharing its label — the
+  // cleanlab/dataset-cartography label-noise diagnostic: a vector whose
+  // neighborhood votes against its own label (purity <= 0.2) is either
+  // mislabeled or sits on a class boundary, and both are exactly the
+  // examples a curator re-audits before training a classifier on the
+  // corpus. Complements q79 (centroid cohesion — a class-level average
+  // that cannot localize which vectors are wrong) and q126 (AUC of an
+  // external score — no embedding geometry).
+  //
+  // Scale shape: the all-anchors x corpus block is q34's declared
+  // brute-force contract (at 100 TB the candidate supply swaps to the IVF
+  // index, the purity logic is unchanged); top-5 is a row_number window
+  // over each anchor's candidate rows — keyed by anchor, never
+  // corpus-wide. Cosines floor-6dp before ranking (q62 rule) with
+  // smallest-vec_id tiebreak, so the neighbor set — hence every purity —
+  // is engine-exact and the query is fully oracle-gated.
+  // ---------------------------------------------------------------------------
+  val PURITY_K = 5
+
+  def q136KnnPurity(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VecFunctions.install(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val corpus = unitCorpus(emb).join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+    val anchors = corpus.select(col("vec_id").as("anchor_id"), col("vb").as("va"), col("label").as("a_label"))
+    val w = Window.partitionBy(col("anchor_id")).orderBy(col("c6").desc, col("vec_id"))
+    broadcast(anchors)
+      .join(corpus, col("anchor_id") =!= col("vec_id"))
+      .withColumn("c6", floor(expr("vec_dot(va, vb)") * lit(1e6) + lit(0.5)) / lit(1e6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= PURITY_K)
+      .groupBy(col("anchor_id"), col("a_label"))
+      .agg(sum(when(col("label") === col("a_label"), 1L).otherwise(0L)).as("n_same_label"))
+      .select(
+        col("anchor_id").as("vec_id"),
+        col("a_label").as("label"),
+        col("n_same_label"),
+        expr(s"cast(n_same_label AS double) / ${PURITY_K}e0").as("purity"),
+        (col("n_same_label") <= 1L).as("suspect")
+      )
+      .orderBy(col("vec_id"))
+  }
+
+  /** Oracle: the q119 unit/cosine chain with a rn<=K window and the same
+    * floor-6dp-before-rank + smallest-id tiebreak rule.
+    */
+  val q136Oracle: String =
+    s"""WITH u AS (
+       |  SELECT vec_id, label,
+       |         list_transform(embedding,
+       |           x -> x::DOUBLE / sqrt(list_sum(list_transform(embedding, e -> e::DOUBLE * e::DOUBLE)))) AS unit
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT a.vec_id AS anchor_id, a.label AS a_label, e.vec_id AS n_id, e.label AS n_label,
+       |         floor(list_sum(list_transform(list_zip(a.unit, e.unit), z -> z[1] * z[2])) * 1e6 + 0.5) / 1e6 AS c6
+       |  FROM u a JOIN u e ON e.vec_id <> a.vec_id),
+       |topk AS (
+       |  SELECT anchor_id, a_label, n_label FROM (
+       |    SELECT anchor_id, a_label, n_label,
+       |           row_number() OVER (PARTITION BY anchor_id ORDER BY c6 DESC, n_id) AS rn
+       |    FROM scored) WHERE rn <= $PURITY_K)
+       |SELECT anchor_id AS vec_id, CAST(a_label AS INT) AS label,
+       |       CAST(sum(CASE WHEN n_label = a_label THEN 1 ELSE 0 END) AS BIGINT) AS n_same_label,
+       |       CAST(sum(CASE WHEN n_label = a_label THEN 1 ELSE 0 END) AS DOUBLE) / ${PURITY_K}e0 AS purity,
+       |       sum(CASE WHEN n_label = a_label THEN 1 ELSE 0 END) <= 1 AS suspect
+       |FROM topk GROUP BY 1, 2 ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_bruteforce_topk" -> (q34BruteForceTopK _),
     "q35_lsh_topk" -> (q35LshTopK _),
@@ -2490,7 +2558,8 @@ object Similarity {
     "q76_ivfpq_topk" -> (q76IvfPqTopK _),
     "q79_label_centroids" -> (q79LabelCentroids _),
     "q93_filtered_topk" -> (q93FilteredTopK _),
-    "q119_triplet_mining" -> (q119TripletMining _)
+    "q119_triplet_mining" -> (q119TripletMining _),
+    "q136_knn_purity" -> (q136KnnPurity _)
   )
 
   /** q35/q36/q75/q76 are hash/model-based — rows-only driver check. */
@@ -2499,6 +2568,7 @@ object Similarity {
     "q64_embedding_quantize" -> q64Oracle,
     "q79_label_centroids" -> q79Oracle,
     "q93_filtered_topk" -> q93Oracle,
-    "q119_triplet_mining" -> q119Oracle
+    "q119_triplet_mining" -> q119Oracle,
+    "q136_knn_purity" -> q136Oracle
   )
 }

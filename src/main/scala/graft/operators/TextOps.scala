@@ -194,6 +194,90 @@ object TextOps {
       |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // q135 — character-entropy gibberish score: per-doc Shannon entropy (nats)
+  // of the normalized character distribution — the signal that separates
+  // natural prose (~2.8-3.1 nats for English-like char unigrams) from the
+  // two failure modes the word-level signals miss: repeated-character /
+  // boilerplate runs (entropy collapses toward 0) and key-mash / encoded
+  // noise (entropy climbs toward ln(alphabet)). CCNet/C4-class pipelines
+  // run exactly this class of cheap character-statistics filter before any
+  // LM-based scoring; q26's ratios and q68's bigram repetition both operate
+  // on word tokens and are blind to intra-word garbage.
+  //
+  // Exactness: H = ln(n) - (Σ c·ln(c))/n is computed as integer micros —
+  // per distinct character, floor(c * ln(c) * 1e6 + 5e-1) (the ONE shared
+  // expression string below), summed as 64-bit integers, subtracted from
+  // the same-floored n·ln(n) term, floor-divided by n — so both engines
+  // agree bit-for-bit modulo ln()'s final ulp (q62's already-green
+  // exposure). Verdict thresholds compare the integer micros directly.
+  //
+  // Scale shape: pure per-row projection — the char counts come from
+  // array_distinct + filter over the in-row char array (alphabet-bounded,
+  // all codegen'd), the entropy from one aggregate() fold; NO shuffle
+  // anywhere but the presentation sort. The cheapest possible 100 TB plan:
+  // one scan, embarrassingly parallel.
+  // ---------------------------------------------------------------------------
+  private val ENT_TERM = "floor(c * ln(c) * 1e6 + 5e-1)"
+  private val ENT_LOW_MICRO = 2000000L // < 2.0 nats: repetitive / boilerplate
+  private val ENT_HIGH_MICRO = 3500000L // > 3.5 nats: key-mash / encoded noise
+
+  def q135CharEntropy(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .balanced(Tables.documents(spark, dir))
+      .withColumn("norm", lower(trim(col("text"))))
+      .withColumn("n", length(col("norm")).cast("long"))
+      .withColumn("chs", expr("filter(split(norm, ''), c -> c != '')"))
+      .withColumn("n_distinct", size(array_distinct(col("chs"))).cast("long"))
+      .withColumn(
+        "s",
+        expr(s"aggregate(transform(array_distinct(chs), ch -> cast(size(filter(chs, x -> x = ch)) AS bigint)), 0L, (acc, c) -> acc + ${ENT_TERM})")
+      )
+      .withColumn(
+        "ent_micro",
+        when(col("n") === 0L, lit(0L))
+          .otherwise(expr("(floor(n * ln(n) * 1e6 + 5e-1) - s) div n"))
+      )
+      .select(
+        col("doc_id"),
+        col("n").as("n_chars_norm"),
+        col("n_distinct").as("n_distinct_chars"),
+        (col("ent_micro") / lit(1e6)).as("entropy_nats"),
+        when(col("n") === 0L, lit("empty"))
+          .when(col("ent_micro") < ENT_LOW_MICRO, lit("low"))
+          .when(col("ent_micro") > ENT_HIGH_MICRO, lit("high"))
+          .otherwise(lit("ok"))
+          .as("verdict")
+      )
+      .orderBy(col("doc_id"))
+
+  val q135Oracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, lower(trim(text)) AS norm FROM documents),
+       |ch AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(norm) + 1), i -> norm[i:i])) AS ch
+       |  FROM d),
+       |cnt AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT doc_id, count(*) AS n_distinct,
+       |         sum(CAST(${ENT_TERM} AS BIGINT)) AS s
+       |  FROM cnt GROUP BY 1),
+       |base AS (SELECT doc_id, len(norm) AS n FROM d),
+       |ent AS (
+       |  SELECT b.doc_id, b.n, coalesce(a.n_distinct, 0) AS n_distinct,
+       |         CASE WHEN b.n = 0 THEN 0
+       |              ELSE (CAST(floor(b.n * ln(b.n) * 1e6 + 5e-1) AS BIGINT) - a.s) // b.n
+       |         END AS ent_micro
+       |  FROM base b LEFT JOIN agg a USING (doc_id))
+       |SELECT doc_id, CAST(n AS BIGINT) AS n_chars_norm,
+       |       CAST(n_distinct AS BIGINT) AS n_distinct_chars,
+       |       ent_micro / 1e6 AS entropy_nats,
+       |       CASE WHEN n = 0 THEN 'empty'
+       |            WHEN ent_micro < $ENT_LOW_MICRO THEN 'low'
+       |            WHEN ent_micro > $ENT_HIGH_MICRO THEN 'high'
+       |            ELSE 'ok' END AS verdict
+       |FROM ent ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------------
   // q54 — fuzzy matching via edit distance: near-duplicate part names within
   // levenshtein <= 2, weighted by how many parts carry each name. Two scale
   // patterns compose here:
@@ -928,6 +1012,7 @@ object TextOps {
     "q26_quality_score" -> (q26QualityScore _),
     "q27_token_counts" -> (q27TokenCounts _),
     "q28_fingerprint" -> (q28Fingerprint _),
+    "q135_char_entropy" -> (q135CharEntropy _),
     "q54_fuzzy_names" -> (q54FuzzyNames _),
     "q62_tfidf" -> (q62TfIdf _),
     "q80_dynamic_threshold" -> (q80DynamicThreshold _),
@@ -944,6 +1029,7 @@ object TextOps {
     "q26_quality_score" -> q26Oracle,
     "q27_token_counts" -> q27Oracle,
     "q28_fingerprint" -> q28Oracle,
+    "q135_char_entropy" -> q135Oracle,
     "q54_fuzzy_names" -> q54Oracle,
     "q62_tfidf" -> q62Oracle,
     "q80_dynamic_threshold" -> q80Oracle,

@@ -619,6 +619,48 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("q134 source sketch: equals a single-node MinHash recomputation; estimate tracks exact jaccard") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = graft.core.Tables
+      .documents(spark, sfDir)
+      .select("source", "text")
+      .collect()
+      .map { r =>
+        val toks = r.getString(1).toLowerCase.trim.replaceAll("\\s+", " ").split(" ")
+        val sh =
+          if (toks.length < 8) Set.empty[String]
+          else (0 to toks.length - 8).map(i => toks.slice(i, i + 8).mkString(" ")).toSet
+        (r.getString(0), sh)
+      }
+    val bySrc = docs.groupBy(_._1).map { case (s2, rs) => (s2, rs.map(_._2).reduce(_ ++ _)) }.filter(_._2.nonEmpty)
+    val sigs = bySrc.map { case (src, set) =>
+      src -> (0 until Curation.SKETCH_H).map(h => set.map(x => md5hex(s"$h:$x")).min)
+    }
+    val expected = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+    } yield ((a, b), sigs(a).zip(sigs(b)).count { case (x, y) => x == y }.toLong)).toMap
+    val rows = Curation.q134SourceSketch(spark, sfDir).collect()
+    val got = rows.map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(got.keySet === expected.keySet, "source pair set")
+    expected.foreach { case (k, m) => assert(got(k) === m, s"pair $k match count") }
+    rows.foreach { r =>
+      val (a, b, m, h, est) = (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(h === Curation.SKETCH_H.toLong)
+      assert(math.abs(est - math.floor(m.toDouble * 1e6 / h + 0.5) / 1e6) < 1e-12)
+      // the estimate must track the exact shingle-set jaccard within the
+      // H=64 binomial envelope (stderr ~ sqrt(J(1-J)/64) <= 0.0625; 4 sigma)
+      val exact = (bySrc(a) & bySrc(b)).size.toDouble / (bySrc(a) | bySrc(b)).size
+      assert(math.abs(est - exact) <= 0.25, s"pair ($a,$b): est $est vs exact $exact")
+    }
+    val worst = rows.map { r =>
+      val exact = (bySrc(r.getString(0)) & bySrc(r.getString(1))).size.toDouble /
+        (bySrc(r.getString(0)) | bySrc(r.getString(1))).size
+      math.abs(r.getDouble(4) - exact)
+    }.max
+    info(f"sf0.001: ${rows.length} pairs, worst |est-exact| = $worst%.4f")
+  }
+
   test("q84 quality model: probs recompute exactly from the rounded features") {
     val rows = Curation.q84QualityModel(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -370,4 +370,32 @@ class SimilaritySpec extends SparkSpec {
     }
     info(s"sf0.001: ${got.length} anchors mined; margins ${got.map(_._1).mkString(",")}")
   }
+
+  test("q136 knn purity: equals a first-principles top-5 recomputation") {
+    val emb = graft.core.Tables
+      .embeddings(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray, r.getAs[Int]("label")))
+    def unit(v: Array[Double]): Array[Double] = { val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n) }
+    val units = emb.map { case (id, v, l) => (id, unit(v), l) }
+    val expected = units
+      .map { case (aid, av, al) =>
+        val top = units
+          .filter(_._1 != aid)
+          .map { case (id, u, l) => (id, l, math.floor(av.zip(u).map { case (x, y) => x * y }.sum * 1e6 + 0.5) / 1e6) }
+          .sortBy { case (id, _, c) => (-c, id) }
+          .take(Similarity.PURITY_K)
+        val same = top.count(_._2 == al).toLong
+        (aid, al, same, same.toDouble / Similarity.PURITY_K, same <= 1)
+      }
+      .sortBy(_._1)
+    val got = Similarity
+      .q136KnnPurity(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"), r.getAs[Long]("n_same_label"), r.getAs[Double]("purity"), r.getAs[Boolean]("suspect")))
+      .sortBy(_._1)
+    assert(got.toSeq === expected.toSeq, "purities must equal the single-node recomputation")
+    val suspects = got.count(_._5)
+    info(s"sf0.001: ${got.length} vectors, $suspects suspect (purity <= 1/${Similarity.PURITY_K})")
+  }
 }

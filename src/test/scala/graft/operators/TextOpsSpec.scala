@@ -334,4 +334,41 @@ class TextOpsSpec extends SparkSpec {
     assert(again === got.map(t => Seq[Any](t._1, t._2, t._3)), "deterministic across runs")
     info(s"sf0.001: ${got.size} heavy hitters over $n bigrams (threshold > ${n / TextOps.K_MG})")
   }
+
+  test("q135 char entropy: equals a single-node integer-micro recomputation; bounded by ln(alphabet)") {
+    val expected = graft.core.Tables
+      .documents(spark, sfDir)
+      .select("doc_id", "text")
+      .collect()
+      .map { r =>
+        val norm = r.getString(1).trim.toLowerCase
+        val n = norm.length.toLong
+        val counts = norm.groupBy(identity).map(_._2.size.toLong)
+        val s = counts.map(c => math.floor(c * math.log(c.toDouble) * 1e6 + 0.5).toLong).sum
+        val entMicro =
+          if (n == 0) 0L else (math.floor(n * math.log(n.toDouble) * 1e6 + 0.5).toLong - s) / n
+        val verdict =
+          if (n == 0) "empty"
+          else if (entMicro < 2000000L) "low"
+          else if (entMicro > 3500000L) "high"
+          else "ok"
+        (r.getLong(0), n, counts.size.toLong, entMicro / 1e6, verdict)
+      }
+      .sortBy(_._1)
+    val got = TextOps
+      .q135CharEntropy(spark, sfDir)
+      .collect()
+      .map(r =>
+        (r.getAs[Long]("doc_id"), r.getAs[Long]("n_chars_norm"), r.getAs[Long]("n_distinct_chars"),
+          r.getAs[Double]("entropy_nats"), r.getAs[String]("verdict"))
+      )
+      .sortBy(_._1)
+    assert(got.toSeq === expected.toSeq, "entropies must equal the single-node recomputation")
+    // Shannon bound: H <= ln(n_distinct) (uniform maximum), modulo the
+    // per-term micro rounding slack
+    got.filter(_._3 >= 1).foreach { case (id, _, k, ent, _) =>
+      assert(ent >= 0 && ent <= math.log(k.toDouble) + 1e-5, s"doc $id entropy $ent vs alphabet $k")
+    }
+    info(s"sf0.001: verdicts ${got.groupBy(_._5).view.mapValues(_.length).toMap}")
+  }
 }
