@@ -8,11 +8,12 @@ import graft.operators.{Cartography, Curation, Dedup, Importance, TextOps, Train
 /** One-command corpus health report — the diagnostic battery a curator
   * reads before (and after) committing to a build: the q77 stage funnel,
   * per-language dynamic quality floors (q80), the cross-source mirror
-  * matrix (q81), vocabulary growth (q82), duplicate-cluster canon
+  * matrix (q81) with its sketch-estimated twin (q134), vocabulary growth
+  * (q82), char-entropy verdicts (q135), duplicate-cluster canon
   * decisions (q99), the per-source dedup profile (q117), source drift vs
   * the corpus mix (q128), quality-model AUC + signal agreement (q126/q131),
-  * the embedding topic map with its outlier counts (q123/q129), and the
-  * shard manifest (q83), rendered as one text page. Every number comes from the same oracle-gated queries the driver
+  * the embedding topic map with its outlier counts (q123/q129), kNN label
+  * purity (q136), and the shard manifest (q83), rendered as one text page. Every number comes from the same oracle-gated queries the driver
   * checks — the report is a VIEW over the inventory, not a second
   * implementation.
   *
@@ -69,6 +70,25 @@ object CorpusReport {
           f"containment=${r.getDouble(5)}%7.4f"
       )
     }
+
+    section("source similarity sketch (q134): top pairs by estimated jaccard")
+    val sketch = Curation.q134SourceSketch(spark, dir).collect().sortBy(-_.getDouble(4))
+    if (sketch.isEmpty) line("no source pairs")
+    sketch.take(5).foreach { r =>
+      line(
+        f"${r.getString(0)}%-8s ~ ${r.getString(1)}%-8s match=${r.getLong(2)}%2d/${r.getLong(3)} " +
+          f"jaccard_est=${r.getDouble(4)}%7.4f"
+      )
+    }
+
+    section("char entropy (q135): verdict distribution")
+    TextOps
+      .q135CharEntropy(spark, dir)
+      .groupBy(col("verdict"))
+      .agg(count(lit(1)).as("n"), avg(col("entropy_nats")).as("mean_ent"))
+      .orderBy(col("verdict"))
+      .collect()
+      .foreach(r => line(f"${r.getString(0)}%-6s docs=${r.getLong(1)}%5d mean_entropy=${r.getDouble(2)}%7.4f nats"))
 
     section("vocabulary growth (q82): type-token ratio per source")
     TextOps.q82VocabGrowth(spark, dir).collect().foreach { r =>
@@ -138,6 +158,24 @@ object CorpusReport {
           f"top_lang=${r.getString(3)}%-4s msd=${r.getDouble(5)}%9.4f outliers=${outliers.getOrElse(r.getInt(0), 0L)}"
       )
     }
+
+    section("label purity (q136): per-label kNN agreement")
+    graft.operators.Similarity
+      .q136KnnPurity(spark, dir)
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n"),
+        avg(col("purity")).as("mean_purity"),
+        sum(when(col("suspect"), 1L).otherwise(0L)).as("n_suspect")
+      )
+      .orderBy(col("label"))
+      .collect()
+      .foreach { r =>
+        line(
+          f"label=${r.getInt(0)}%2d vecs=${r.getLong(1)}%5d mean_purity=${r.getDouble(2)}%6.4f " +
+            f"suspect=${r.getLong(3)}%5d"
+        )
+      }
 
     section("train shards (q83): manifest")
     TrainExport.q83ShardPlan(spark, dir).collect().foreach { r =>

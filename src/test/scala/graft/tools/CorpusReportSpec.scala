@@ -15,6 +15,9 @@ class CorpusReportSpec extends SparkSpec {
         "curation build (q77)",
         "dynamic quality floors (q80)",
         "source overlap (q81)",
+        "source similarity sketch (q134)",
+        "char entropy (q135)",
+        "label purity (q136)",
         "vocabulary growth (q82)",
         "curriculum stages (q86)",
         "duplicate clusters (q99)",
@@ -28,6 +31,9 @@ class CorpusReportSpec extends SparkSpec {
     assert(r.contains("js="), "drift rows must render")
     assert(r.contains("rho="), "agreement rows must render")
     assert(r.contains("outliers="), "topic rows must render")
+    assert(r.contains("jaccard_est="), "sketch rows must render")
+    assert(r.contains("mean_entropy="), "entropy rows must render")
+    assert(r.contains("mean_purity="), "purity rows must render")
     // per-source rows actually rendered (src0..src19 exist at every SF)
     assert(r.contains("src0"), r.take(500))
     // all 8 shards in the manifest
