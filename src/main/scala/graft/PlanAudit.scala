@@ -150,6 +150,10 @@ object PlanAudit {
     "q136_knn_purity" -> Map(
       "BroadcastNestedLoopJoin" ->
         "q34's declared brute-force contract: broadcast all-anchors side x one corpus scan (IVF candidates replace it at 100 TB); top-5 is a window keyed per anchor, purity a keyed aggregate"
+    ),
+    "q137_ingest_saturation" -> Map(
+      "BroadcastNestedLoopJoin" ->
+        "1-row broadcast max_id joined onto per-doc rows (the q69 broadcast-scalar pattern) to derive the ingest bucket; both rollups are keyed aggregates and the cumulative window runs over <= 20 post-agg rows"
     )
   )
 

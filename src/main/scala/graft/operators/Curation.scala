@@ -1366,13 +1366,19 @@ object Curation {
   // H=64) — the fidelity a curator needs to rank source pairs for the
   // q81-style drop-vs-dedup decision, at a vanishing fraction of its cost.
   //
-  // Determinism: min-of-md5 over lowercase-hex strings — both engines
-  // order ASCII hex identically, so every signature component (and hence
-  // the estimate) is bit-reproducible and the query stays ORACLE-GATED
-  // even though it is an approximation of q81 (the approximation is a
-  // deterministic function of the corpus). The hash is pinned to md5 (no
-  // q67-style knob): unlike q81's bucket key, the hash VALUE defines the
-  // output here.
+  // Determinism + cost: the permutations are the CLASSIC construction —
+  // ONE md5 per shingle supplies a uniform base integer x (first 15 hex
+  // digits, reduced mod the Mersenne prime p = 2^31-1), and component h is
+  // min over shingles of the affine permutation (a_h·x + b_h) mod p with
+  // fixed published multipliers. One cryptographic hash per shingle + H
+  // integer mul/mods (all inside one codegen'd aggregate) instead of H
+  // md5s — the first cut of this query hashed 64× per shingle and was the
+  // most expensive query in the whole bench (5.1 s at sf0.1); this form is
+  // ~64× lighter in hashing. a_h < p and x < p keep every product under
+  // 2^62, so the arithmetic is exact in both engines' checked 64-bit
+  // integers and the query stays ORACLE-GATED even though it is an
+  // approximation of q81 (the approximation is a deterministic function of
+  // the corpus).
   //
   // Scale shape: one scan + one distinct; the H mins are H aggregate
   // expressions over ONE groupBy(source) pass (map-side combined, no
@@ -1381,6 +1387,13 @@ object Curation {
   // containment-free Jaccard on the same corpus.
   // ---------------------------------------------------------------------------
   val SKETCH_H = 64
+  val SKETCH_P = 2147483647L // 2^31 - 1
+  // Fixed affine permutation constants, Knuth-multiplier spaced: published
+  // literals (inlined into BOTH engines' expressions), not runtime RNG.
+  private[operators] val sketchA: IndexedSeq[Long] =
+    (0 until SKETCH_H).map(h => ((BigInt(h) + 1) * BigInt(2654435761L) mod BigInt(SKETCH_P)).toLong)
+  private[operators] val sketchB: IndexedSeq[Long] =
+    (0 until SKETCH_H).map(h => ((BigInt(h) * BigInt(40503) + 7) mod BigInt(SKETCH_P)).toLong)
 
   def q134SourceSketch(spark: SparkSession, dir: String): DataFrame = {
     val sh = Tables
@@ -1393,7 +1406,10 @@ object Curation {
           .as("shingle")
       )
       .distinct()
-    val mins = (0 until SKETCH_H).map(h => min(md5(concat(lit(s"$h:"), col("shingle")))).as(s"c$h"))
+      .withColumn("x", expr(s"cast(conv(substring(md5(shingle), 1, 15), 16, 10) AS bigint) % $SKETCH_P"))
+    val mins = (0 until SKETCH_H).map(h =>
+      min(expr(s"(${sketchA(h)}L * x + ${sketchB(h)}L) % $SKETCH_P")).as(s"c$h")
+    )
     val sig = sh
       .groupBy(col("source"))
       .agg(mins.head, mins.tail: _*)
@@ -1425,9 +1441,13 @@ object Curation {
        |  SELECT DISTINCT source,
        |         unnest(list_transform(range(1, len(toks) - 6), i -> array_to_string(toks[i:i+7], ' '))) AS shingle
        |  FROM t),
+       |shx AS (
+       |  SELECT source, ('0x' || substring(md5(shingle), 1, 15))::BIGINT % $SKETCH_P AS x FROM sh),
        |sig AS (
-       |  SELECT source, h.range AS h, min(md5(h.range::VARCHAR || ':' || shingle)) AS comp
-       |  FROM sh CROSS JOIN range($SKETCH_H) h GROUP BY 1, 2),
+       |  SELECT source, h.range AS h,
+       |         min((list_extract([${sketchA.mkString(", ")}], h.range::INT + 1) * x
+       |              + list_extract([${sketchB.mkString(", ")}], h.range::INT + 1)) % $SKETCH_P) AS comp
+       |  FROM shx CROSS JOIN range($SKETCH_H) h GROUP BY 1, 2),
        |m AS (
        |  SELECT a.source AS src_a, b.source AS src_b,
        |         sum(CASE WHEN a.comp = b.comp THEN 1 ELSE 0 END) AS n_match

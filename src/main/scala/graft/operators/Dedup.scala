@@ -1242,6 +1242,86 @@ object Dedup {
        |ORDER BY tau""".stripMargin
   }
 
+  // ---------------------------------------------------------------------------
+  // q137 — ingest-saturation curve: per ingest-order segment (monotone
+  // doc_ids are the landing order — the StreamingCorpus contract), how much
+  // of the segment is NOVEL, i.e. its exact fingerprint (q29's md5 key)
+  // never appeared in any earlier document. This is the crawl-snapshot
+  // saturation monitor (C4/Gopher-class pipelines publish exactly this
+  // curve): a collector reads falling per-segment novelty — and a
+  // flattening cumulative-distinct curve — as "this source is mined out,
+  // further crawls mostly re-fetch what we have".
+  //
+  // Segments are a FIXED count (20 ingest-order quantile buckets of the
+  // id range), not fixed-size blocks: the cumulative window then runs over
+  // <= 20 post-agg rows at ANY corpus size, never a corpus-scaled frame.
+  // A doc's novelty needs no per-doc join: bucket is monotone in doc_id,
+  // so each fingerprint contributes exactly one novel doc in min(bucket) —
+  // the novel-per-bucket table falls out of the same fp aggregation q29
+  // runs, and per-bucket totals are a second keyed aggregate. Integer
+  // bucket arithmetic ((doc_id * 20) div (max_id + 1)) is exact in both
+  // engines.
+  // ---------------------------------------------------------------------------
+  val SAT_BUCKETS = 20
+
+  def q137IngestSaturation(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables
+      .balanced(Tables.documents(spark, dir))
+      .select(col("doc_id"), md5(normText).as("fp"))
+    val maxId = docs.agg(max(col("doc_id")).as("max_id")) // 1 row -> broadcast
+    val bucketed = docs
+      .crossJoin(broadcast(maxId))
+      .withColumn("bucket", expr(s"(doc_id * $SAT_BUCKETS) div (max_id + 1)"))
+    val perBucket = bucketed.groupBy(col("bucket")).agg(count(lit(1)).as("n_docs"))
+    val novel = bucketed
+      .groupBy(col("fp"))
+      .agg(min(col("bucket")).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_novel"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    perBucket
+      .join(novel, Seq("bucket"), "left")
+      .withColumn("n_novel", coalesce(col("n_novel"), lit(0L)))
+      .withColumn("cum_docs", sum(col("n_docs")).over(w))
+      .withColumn("cum_novel", sum(col("n_novel")).over(w))
+      .select(
+        col("bucket").cast("int").as("bucket"),
+        col("n_docs"),
+        col("n_novel"),
+        expr("floor(cast(n_novel AS double) * 1e6 / cast(n_docs AS double) + 5e-1) / 1e6").as("novelty_frac"),
+        col("cum_docs"),
+        col("cum_novel"),
+        expr("floor(cast(cum_novel AS double) * 1e6 / cast(cum_docs AS double) + 5e-1) / 1e6")
+          .as("cum_novelty_frac")
+      )
+      .orderBy(col("bucket"))
+  }
+
+  val q137Oracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+       |  FROM documents),
+       |mx AS (SELECT max(doc_id) AS max_id FROM d),
+       |b AS (SELECT doc_id, fp, (doc_id * $SAT_BUCKETS) // (max_id + 1) AS bucket
+       |      FROM d CROSS JOIN mx),
+       |per AS (SELECT bucket, count(*) AS n_docs FROM b GROUP BY 1),
+       |fb AS (SELECT fp, min(bucket) AS bucket FROM b GROUP BY 1),
+       |nv AS (SELECT bucket, count(*) AS n_novel FROM fb GROUP BY 1),
+       |j AS (SELECT per.bucket, per.n_docs, coalesce(nv.n_novel, 0) AS n_novel
+       |      FROM per LEFT JOIN nv USING (bucket))
+       |SELECT CAST(bucket AS INT) AS bucket, CAST(n_docs AS BIGINT) AS n_docs,
+       |       CAST(n_novel AS BIGINT) AS n_novel,
+       |       floor(CAST(n_novel AS DOUBLE) * 1e6 / CAST(n_docs AS DOUBLE) + 5e-1) / 1e6 AS novelty_frac,
+       |       CAST(sum(n_docs) OVER w AS BIGINT) AS cum_docs,
+       |       CAST(sum(n_novel) OVER w AS BIGINT) AS cum_novel,
+       |       floor(CAST(sum(n_novel) OVER w AS DOUBLE) * 1e6 / CAST(sum(n_docs) OVER w AS DOUBLE) + 5e-1) / 1e6
+       |         AS cum_novelty_frac
+       |FROM j
+       |WINDOW w AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_exact_dedup" -> (q29ExactDedup _),
     "q30_minhash_pairs" -> (q30MinhashPairs _),
@@ -1259,7 +1339,8 @@ object Dedup {
     "q108_incremental_clusters" -> (q108IncrementalClusters _),
     "q113_neardup_contamination" -> (q113NeardupContamination _),
     "q117_dedup_profile" -> (q117DedupProfile _),
-    "q133_threshold_sweep" -> (q133ThresholdSweep _)
+    "q133_threshold_sweep" -> (q133ThresholdSweep _),
+    "q137_ingest_saturation" -> (q137IngestSaturation _)
   )
 
   /** q30/q31/q60/q113 are hash-based LSH with sub-1 recall or hash-valued
@@ -1295,6 +1376,7 @@ object Dedup {
     // pair SCREEN has no repair mechanism, so its gate stays the selfcheck
     // (subset-of-exact precision 1 + recall vs the exact set).
     "q117_dedup_profile" -> q117Oracle,
-    "q133_threshold_sweep" -> q133Oracle
+    "q133_threshold_sweep" -> q133Oracle,
+    "q137_ingest_saturation" -> q137Oracle
   )
 }

@@ -13,7 +13,8 @@ import graft.operators.{Cartography, Curation, Dedup, Importance, TextOps, Train
   * decisions (q99), the per-source dedup profile (q117), source drift vs
   * the corpus mix (q128), quality-model AUC + signal agreement (q126/q131),
   * the embedding topic map with its outlier counts (q123/q129), kNN label
-  * purity (q136), and the shard manifest (q83), rendered as one text page. Every number comes from the same oracle-gated queries the driver
+  * purity (q136), the ingest-saturation curve (q137), and the shard
+  * manifest (q83), rendered as one text page. Every number comes from the same oracle-gated queries the driver
   * checks — the report is a VIEW over the inventory, not a second
   * implementation.
   *
@@ -156,6 +157,14 @@ object CorpusReport {
       line(
         f"cluster=${r.getInt(0)} vecs=${r.getLong(1)}%5d share=${r.getDouble(2)}%7.4f " +
           f"top_lang=${r.getString(3)}%-4s msd=${r.getDouble(5)}%9.4f outliers=${outliers.getOrElse(r.getInt(0), 0L)}"
+      )
+    }
+
+    section("ingest saturation (q137): novelty per ingest segment")
+    Dedup.q137IngestSaturation(spark, dir).collect().foreach { r =>
+      line(
+        f"bucket=${r.getInt(0)}%2d docs=${r.getLong(1)}%5d novel=${r.getLong(2)}%5d " +
+          f"novelty=${r.getDouble(3)}%6.4f cum_novelty=${r.getDouble(6)}%6.4f"
       )
     }
 

@@ -635,7 +635,10 @@ class CurationSpec extends SparkSpec {
       }
     val bySrc = docs.groupBy(_._1).map { case (s2, rs) => (s2, rs.map(_._2).reduce(_ ++ _)) }.filter(_._2.nonEmpty)
     val sigs = bySrc.map { case (src, set) =>
-      src -> (0 until Curation.SKETCH_H).map(h => set.map(x => md5hex(s"$h:$x")).min)
+      val xs = set.map(sh => java.lang.Long.parseLong(md5hex(sh).substring(0, 15), 16) % Curation.SKETCH_P)
+      src -> (0 until Curation.SKETCH_H).map(h =>
+        xs.map(x => (Curation.sketchA(h) * x + Curation.sketchB(h)) % Curation.SKETCH_P).min
+      )
     }
     val expected = (for {
       a <- sigs.keys; b <- sigs.keys if a < b

@@ -563,4 +563,37 @@ class DedupSpec extends SparkSpec {
     assert(got.map(_._2).sliding(2).forall(w => w(1) <= w(0)), "pair count must be non-increasing in tau")
     info(s"sf0.001 sweep: ${got.map(g => s"tau=${g._1}: pairs=${g._2} drop_frac=${g._5}").mkString(", ")}")
   }
+
+  test("q137 ingest saturation: equals a single-node replay; curves conserve and bound") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = graft.core.Tables
+      .documents(spark, sfDir)
+      .select("doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), md5hex(r.getString(1).trim.toLowerCase.replaceAll("\\s+", " "))))
+    val maxId = docs.map(_._1).max
+    val bucketOf = docs.map { case (id, fp) => (id, fp, id * Dedup.SAT_BUCKETS / (maxId + 1)) }
+    val perBucket = bucketOf.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val novelPer = bucketOf.groupBy(_._2).map { case (_, rs) => rs.map(_._3).min }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val buckets = perBucket.keys.toSeq.sorted
+    var (cd, cn) = (0L, 0L)
+    val expected = buckets.map { b =>
+      val (nd, nn) = (perBucket(b), novelPer.getOrElse(b, 0L))
+      cd += nd; cn += nn
+      (b.toInt, nd, nn, math.floor(nn.toDouble * 1e6 / nd + 0.5) / 1e6, cd, cn,
+        math.floor(cn.toDouble * 1e6 / cd + 0.5) / 1e6)
+    }
+    val got = Dedup
+      .q137IngestSaturation(spark, sfDir)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4), r.getLong(5), r.getDouble(6)))
+      .toSeq
+    assert(got === expected, "saturation curve must equal the single-node replay")
+    assert(got.map(_._2).sum === docs.length.toLong, "buckets partition the corpus")
+    assert(got.last._6 === docs.map(_._2).distinct.length.toLong, "final cum_novel = distinct fingerprints")
+    assert(got.forall(g => g._3 <= g._2), "novel <= docs per bucket")
+    info(s"sf0.001: ${got.length} buckets, final cum novelty ${got.last._7}")
+  }
 }

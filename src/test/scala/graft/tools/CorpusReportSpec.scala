@@ -17,6 +17,7 @@ class CorpusReportSpec extends SparkSpec {
         "source overlap (q81)",
         "source similarity sketch (q134)",
         "char entropy (q135)",
+        "ingest saturation (q137)",
         "label purity (q136)",
         "vocabulary growth (q82)",
         "curriculum stages (q86)",
