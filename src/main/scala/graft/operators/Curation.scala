@@ -1395,9 +1395,16 @@ object Curation {
   private[operators] val sketchB: IndexedSeq[Long] =
     (0 until SKETCH_H).map(h => ((BigInt(h) * BigInt(40503) + 7) mod BigInt(SKETCH_P)).toLong)
 
-  def q134SourceSketch(spark: SparkSession, dir: String): DataFrame = {
-    val sh = Tables
-      .balanced(Tables.documents(spark, dir))
+  /** Long-form H-component signatures (source, h, comp) for any
+    * (source, text) frame: the wide 64-min aggregate, stacked AFTER
+    * aggregation so the shuffle never carries H-way exploded rows.
+    * MIN-MERGEABLE by construction — the signature of a union of doc sets
+    * is the per-(source, h) min of the parts' signatures — which is the
+    * whole design of the [[graft.streaming.StreamingSourceSketch]]
+    * maintainer: delta slices fold into state with one min.
+    */
+  private[graft] def sourceSketchSignatures(docs: DataFrame): DataFrame = {
+    val sh = docs
       .withColumn("toks", expr(toksExpr))
       .filter(size(col("toks")) >= 8)
       .select(
@@ -1410,14 +1417,20 @@ object Curation {
     val mins = (0 until SKETCH_H).map(h =>
       min(expr(s"(${sketchA(h)}L * x + ${sketchB(h)}L) % $SKETCH_P")).as(s"c$h")
     )
-    val sig = sh
-      .groupBy(col("source"))
+    sh.groupBy(col("source"))
       .agg(mins.head, mins.tail: _*)
-      .localCheckpoint() // |sources| x H cells — the corpus is never touched again
-    val long = sig.selectExpr(
-      "source",
-      s"stack($SKETCH_H, ${(0 until SKETCH_H).map(h => s"$h, c$h").mkString(", ")}) AS (h, comp)"
-    )
+      .selectExpr(
+        "source",
+        s"stack($SKETCH_H, ${(0 until SKETCH_H).map(h => s"$h, c$h").mkString(", ")}) AS (h, comp)"
+      )
+  }
+
+  /** The pair-compare tail over any (source, h, comp) signature frame —
+    * shared by batch q134 and the streaming maintainer's serve path so the
+    * two spec-pinned-equal routes cannot drift.
+    */
+  private[graft] def sketchPairsFromSignatures(longSig: DataFrame): DataFrame = {
+    val long = longSig.localCheckpoint() // |sources| x H rows — the supply is never re-derived
     long
       .as("a")
       .join(broadcast(long.as("b")), col("a.h") === col("b.h") && col("a.source") < col("b.source"))
@@ -1432,6 +1445,9 @@ object Curation {
       )
       .orderBy(col("src_a"), col("src_b"))
   }
+
+  def q134SourceSketch(spark: SparkSession, dir: String): DataFrame =
+    sketchPairsFromSignatures(sourceSketchSignatures(Tables.balanced(Tables.documents(spark, dir))))
 
   val q134Oracle: String =
     s"""WITH t AS (

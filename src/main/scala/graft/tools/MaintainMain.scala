@@ -1,6 +1,6 @@
 package graft.tools
 
-import graft.streaming.{StreamingCorpus, StreamingDriftWatch, StreamingDupClusters, StreamingScd2, StreamingSpanDedup}
+import graft.streaming.{StreamingCorpus, StreamingDriftWatch, StreamingDupClusters, StreamingScd2, StreamingSourceSketch, StreamingSpanDedup}
 
 /** CLI entry points for the incremental maintainers — one tick per
   * invocation (the cron / entrypoint shape; the file-stream variants run
@@ -91,7 +91,7 @@ object SpanMaintainMain {
   *
   * Expects the standard layout under dataDir (`documents.parquet`, and
   * optionally `embeddings.parquet` — the ANN append-refresh is skipped when
-  * absent). State lands under stateDir/{corpus,clusters,spans,drift,ann}.
+  * absent). State lands under stateDir/{corpus,clusters,spans,drift,sketch,ann}.
   */
 object IngestTick {
 
@@ -101,6 +101,7 @@ object IngestTick {
       spanDelta: Long,
       spanRetro: Long,
       driftDelta: Long,
+      sketchDelta: Long,
       ann: Seq[(String, graft.operators.Similarity.PersistOutcome)],
       bm25: graft.operators.Similarity.PersistOutcome
   )
@@ -115,6 +116,7 @@ object IngestTick {
     val clusterDelta = StreamingDupClusters.tick(spark, dataDir, s"$stateDir/clusters")
     val (spanDelta, spanRetro) = StreamingSpanDedup.tick(spark, dataDir, s"$stateDir/spans")
     val driftDelta = StreamingDriftWatch.tick(spark, dataDir, s"$stateDir/drift")
+    val sketchDelta = StreamingSourceSketch.tick(spark, dataDir, s"$stateDir/sketch")
     val ann =
       if (java.nio.file.Files.exists(java.nio.file.Paths.get(dataDir, "embeddings.parquet"))) {
         // StreamingIndexer's discipline: refresh conf on a DEDICATED session
@@ -130,7 +132,7 @@ object IngestTick {
       m.conf.set(graft.operators.Retrieval.Bm25RefreshConf, "append")
       graft.operators.Retrieval.persistBm25Index(m, dataDir, s"$stateDir/bm25")
     }
-    Outcome(corpus, clusterDelta, spanDelta, spanRetro, driftDelta, ann, bm25)
+    Outcome(corpus, clusterDelta, spanDelta, spanRetro, driftDelta, sketchDelta, ann, bm25)
   }
 }
 
@@ -150,6 +152,7 @@ object IngestTickMain {
       println(s"[ingest-tick] clusters delta=${o.clusterDelta}")
       println(s"[ingest-tick] spans delta=${o.spanDelta} retro=${o.spanRetro}")
       println(s"[ingest-tick] drift delta=${o.driftDelta}")
+      println(s"[ingest-tick] sketch delta=${o.sketchDelta}")
       if (o.ann.isEmpty) println("[ingest-tick] ann skipped (no embeddings.parquet)")
       else o.ann.foreach { case (fam, out) => println(s"[ingest-tick] ann $fam -> $out") }
       println(s"[ingest-tick] bm25 -> ${o.bm25}")
