@@ -333,6 +333,30 @@ object SelfCheck {
       )
     }
 
+    // -- q138: IVF-candidate kNN purity vs the exact q136 -------------------
+    check("q138_knn_purity_ivf") {
+      val ivf = operators.Similarity.q138KnnPurityIvf(spark, sfDir).localCheckpoint()
+      val exact = operators.Similarity.q136KnnPurity(spark, sfDir).localCheckpoint()
+      val want = exact.count()
+      val joined = ivf
+        .select(col("vec_id"), col("n_same_label").as("ns_ivf"))
+        .join(exact.select(col("vec_id"), col("n_same_label").as("ns_exact")), Seq("vec_id"))
+        .localCheckpoint()
+      // coverage: a cell layout that strands anchors must not pass silently
+      val missing = want - joined.count()
+      // agreement: purity within one neighbor of the exact diagnostic — the
+      // probe restricts candidates, so small drifts are expected; verdict-
+      // flipping drifts are not
+      val agree = joined.filter(expr("abs(ns_ivf - ns_exact) <= 1")).count()
+      val agreeFrac = if (want == 0) -1.0 else agree.toDouble / want
+      Result(
+        "per-vector purity agreement (within one neighbor) vs exact q136; full anchor coverage",
+        agreeFrac,
+        missing,
+        missing == 0L && (want == 0L || agreeFrac >= 0.9)
+      )
+    }
+
     out.toSeq
   }
 }

@@ -2502,15 +2502,15 @@ object Similarity {
   // ---------------------------------------------------------------------------
   val PURITY_K = 5
 
-  def q136KnnPurity(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.VecFunctions.install(spark)
-    val emb = Tables.embeddings(spark, dir)
-    val corpus = unitCorpus(emb).join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
-    val anchors = corpus.select(col("vec_id").as("anchor_id"), col("vb").as("va"), col("label").as("a_label"))
+  /** Per-anchor top-K purity tail over any scored candidate frame
+    * (anchor_id, a_label, vec_id, label, c6) — shared by exact q136 and
+    * the IVF-candidate q138 so the two spec-compared paths use one
+    * selection-and-rollup arithmetic and the index can only restrict the
+    * candidate SET (the q125 discipline).
+    */
+  private def purityFromScored(scored: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("anchor_id")).orderBy(col("c6").desc, col("vec_id"))
-    broadcast(anchors)
-      .join(corpus, col("anchor_id") =!= col("vec_id"))
-      .withColumn("c6", floor(expr("vec_dot(va, vb)") * lit(1e6) + lit(0.5)) / lit(1e6))
+    scored
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= PURITY_K)
       .groupBy(col("anchor_id"), col("a_label"))
@@ -2523,6 +2523,62 @@ object Similarity {
         (col("n_same_label") <= 1L).as("suspect")
       )
       .orderBy(col("vec_id"))
+  }
+
+  def q136KnnPurity(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VecFunctions.install(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val corpus = unitCorpus(emb).join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+    val anchors = corpus.select(col("vec_id").as("anchor_id"), col("vb").as("va"), col("label").as("a_label"))
+    purityFromScored(
+      broadcast(anchors)
+        .join(corpus, col("anchor_id") =!= col("vec_id"))
+        .withColumn("c6", floor(expr("vec_dot(va, vb)") * lit(1e6) + lit(0.5)) / lit(1e6))
+        .select(col("anchor_id"), col("a_label"), col("vec_id"), col("label"), col("c6"))
+    )
+  }
+
+  // ---------------------------------------------------------------------------
+  // q138 — kNN label purity over IVF CANDIDATES: q136's declared 100 TB
+  // path, shipped (the q125 discipline applied to the purity diagnostic).
+  // Each anchor probes its PURITY_NPROBE nearest IVF cells in raw space
+  // (the trained quantizer's geometry, q36's rule) and meets only the
+  // co-cell vectors via a keyed cluster equi-join — never the all-pairs
+  // block — then the SAME purityFromScored tail selects top-5 and rolls up,
+  // so the index restricts the candidate set, never the arithmetic.
+  //
+  // The approximation is honest and selfcheck-gated: per-vector purity
+  // agreement (within one neighbor) vs the exact q136 at floor 0.9, plus
+  // full anchor coverage — a cell layout that dropped anchors or drifted
+  // purities past a neighbor would fail the gate, not ship silently.
+  // ---------------------------------------------------------------------------
+  val PURITY_NPROBE = 4
+
+  def q138KnnPurityIvf(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VecFunctions.install(spark)
+    val (cents, corpus) = buildIvfIndex(spark, dir) // (vec_id, vb, cluster)
+    val fn = installCentroidRanks(spark, cents)
+    val emb = Tables.embeddings(spark, dir)
+    val labels = emb.select(col("vec_id"), col("label"))
+    val probes = Tables
+      .balanced(emb.select(col("vec_id").as("anchor_id"), col("embedding")))
+      .select(
+        col("anchor_id"),
+        explode(expr(s"slice($fn(transform(embedding, x -> cast(x AS double))), 1, $PURITY_NPROBE)"))
+          .as("cluster")
+      )
+    val anchorSide = corpus
+      .select(col("vec_id").as("anchor_id"), col("vb").as("va"))
+      .join(labels.select(col("vec_id").as("anchor_id"), col("label").as("a_label")), Seq("anchor_id"))
+    purityFromScored(
+      probes
+        .join(corpus, Seq("cluster")) // keyed equi-join: only co-cell pairs
+        .filter(col("vec_id") =!= col("anchor_id"))
+        .join(anchorSide, Seq("anchor_id"))
+        .join(labels, Seq("vec_id"))
+        .withColumn("c6", floor(expr("vec_dot(va, vb)") * lit(1e6) + lit(0.5)) / lit(1e6))
+        .select(col("anchor_id"), col("a_label"), col("vec_id"), col("label"), col("c6"))
+    )
   }
 
   /** Oracle: the q119 unit/cosine chain with a rn<=K window and the same
@@ -2559,7 +2615,8 @@ object Similarity {
     "q79_label_centroids" -> (q79LabelCentroids _),
     "q93_filtered_topk" -> (q93FilteredTopK _),
     "q119_triplet_mining" -> (q119TripletMining _),
-    "q136_knn_purity" -> (q136KnnPurity _)
+    "q136_knn_purity" -> (q136KnnPurity _),
+    "q138_knn_purity_ivf" -> (q138KnnPurityIvf _)
   )
 
   /** q35/q36/q75/q76 are hash/model-based — rows-only driver check. */

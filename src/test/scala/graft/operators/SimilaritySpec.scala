@@ -398,4 +398,24 @@ class SimilaritySpec extends SparkSpec {
     val suspects = got.count(_._5)
     info(s"sf0.001: ${got.length} vectors, $suspects suspect (purity <= 1/${Similarity.PURITY_K})")
   }
+
+  test("q138 IVF purity: full coverage, well-formed, agrees with exact q136 within a neighbor") {
+    val exact = Similarity
+      .q136KnnPurity(spark, sfDir)
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("n_same_label"))
+      .toMap
+    val ivf = Similarity.q138KnnPurityIvf(spark, sfDir).collect()
+    assert(ivf.map(_.getAs[Long]("vec_id")).toSet === exact.keySet, "every anchor must be covered")
+    ivf.foreach { r =>
+      val (ns, p, s2) = (r.getAs[Long]("n_same_label"), r.getAs[Double]("purity"), r.getAs[Boolean]("suspect"))
+      assert(ns >= 0 && ns <= Similarity.PURITY_K)
+      assert(math.abs(p - ns.toDouble / Similarity.PURITY_K) < 1e-12)
+      assert(s2 === (ns <= 1))
+    }
+    val agree = ivf.count(r => math.abs(r.getAs[Long]("n_same_label") - exact(r.getAs[Long]("vec_id"))) <= 1)
+    val frac = agree.toDouble / exact.size
+    info(f"sf0.001: purity agreement vs exact = $frac%.3f at nprobe ${Similarity.PURITY_NPROBE}")
+    assert(frac >= 0.9, s"agreement collapsed: $frac")
+  }
 }
