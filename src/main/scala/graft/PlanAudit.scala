@@ -154,6 +154,10 @@ object PlanAudit {
     "q137_ingest_saturation" -> Map(
       "BroadcastNestedLoopJoin" ->
         "1-row broadcast max_id joined onto per-doc rows (the q69 broadcast-scalar pattern) to derive the ingest bucket; both rollups are keyed aggregates and the cumulative window runs over <= 20 post-agg rows"
+    ),
+    "q139_length_buckets" -> Map(
+      "BroadcastNestedLoopJoin" ->
+        "1-row broadcast global-max token count crossed onto the <= ~40 length-bucket aggregate rows — the q70 broadcast-scalar pattern"
     )
   )
 

@@ -176,13 +176,83 @@ object TrainExport {
        |FROM k
        |ORDER BY epoch, doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q139 — length-bucketed batching audit: per power-of-two length bucket,
+  // doc/token mass and the PADDING WASTE under two batching policies —
+  // pad-to-bucket-cap (the dynamic/length-bucketed batching every serious
+  // loader runs) vs pad-to-global-max (the naive fixed-shape batch). The
+  // delta between the two waste fractions is the exact compute a trainer
+  // recovers by bucketing its batches by sequence length; the per-bucket
+  // rows tell the loader author which buckets matter and where a cap
+  // would truncate. Sequence packing (q66) is the zero-waste alternative
+  // for pretraining; bucketed padding is what SFT/seq2seq loaders that
+  // cannot split documents actually run — both belong in the inventory.
+  //
+  // Exactness: the bucket is PURE INTEGER arithmetic — bucket =
+  // length(bin(n-1)) (the binary bit-length, i.e. ceil(log2 n) without
+  // touching float log), cap = 1 << bucket — so no libm call decides a
+  // boundary; waste fractions are the usual floor-micro rule over exact
+  // 64-bit sums. Global max rides a 1-row broadcast (the q69 pattern).
+  //
+  // Scale shape: one scan -> one bounded groupBy (<= ~40 buckets ever);
+  // the window-free cumulative story of q137 doesn't even arise.
+  // ---------------------------------------------------------------------------
+  def q139LengthBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables
+      .balanced(Tables.documents(spark, dir))
+      .select(size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      .withColumn("bucket", expr("CASE WHEN n_tokens <= 1 THEN 0 ELSE length(bin(n_tokens - 1)) END").cast("int"))
+    val globalMax = docs.agg(max(col("n_tokens")).as("max_tokens")) // 1 row -> broadcast
+    docs
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+      .withColumn("cap", expr("cast(shiftleft(1L, bucket) AS bigint)"))
+      .crossJoin(broadcast(globalMax))
+      .select(
+        col("bucket"),
+        col("cap"),
+        col("n_docs"),
+        col("total_tokens"),
+        expr("floor(cast(n_docs * cap - total_tokens AS double) * 1e6 / cast(n_docs * cap AS double) + 5e-1) / 1e6")
+          .as("bucket_pad_frac"),
+        expr(
+          "floor(cast(n_docs * max_tokens - total_tokens AS double) * 1e6 / cast(n_docs * max_tokens AS double) + 5e-1) / 1e6"
+        ).as("global_pad_frac")
+      )
+      .orderBy(col("bucket"))
+  }
+
+  val q139Oracle: String =
+    """WITH d AS (
+      |  SELECT len(string_split_regex(trim(text), '\s+')) AS n_tokens FROM documents),
+      |b AS (
+      |  SELECT n_tokens,
+      |         CASE WHEN n_tokens <= 1 THEN 0 ELSE length(bin(n_tokens - 1)) END AS bucket
+      |  FROM d),
+      |mx AS (SELECT max(n_tokens) AS max_tokens FROM d),
+      |g AS (
+      |  SELECT bucket, count(*) AS n_docs, sum(n_tokens) AS total_tokens
+      |  FROM b GROUP BY 1)
+      |SELECT CAST(bucket AS INT) AS bucket,
+      |       CAST(1::BIGINT << bucket AS BIGINT) AS cap,
+      |       CAST(n_docs AS BIGINT) AS n_docs,
+      |       CAST(total_tokens AS BIGINT) AS total_tokens,
+      |       floor(CAST(n_docs * (1::BIGINT << bucket) - total_tokens AS DOUBLE) * 1e6
+      |             / CAST(n_docs * (1::BIGINT << bucket) AS DOUBLE) + 5e-1) / 1e6 AS bucket_pad_frac,
+      |       floor(CAST(n_docs * max_tokens - total_tokens AS DOUBLE) * 1e6
+      |             / CAST(n_docs * max_tokens AS DOUBLE) + 5e-1) / 1e6 AS global_pad_frac
+      |FROM g CROSS JOIN mx
+      |ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q83_shard_plan" -> (q83ShardPlan _),
-    "q132_epoch_shuffle" -> (q132EpochShuffle _)
+    "q132_epoch_shuffle" -> (q132EpochShuffle _),
+    "q139_length_buckets" -> (q139LengthBuckets _)
   )
 
   val oracles: Map[String, String] = Map(
     "q83_shard_plan" -> q83Oracle,
-    "q132_epoch_shuffle" -> q132Oracle
+    "q132_epoch_shuffle" -> q132Oracle,
+    "q139_length_buckets" -> q139Oracle
   )
 }

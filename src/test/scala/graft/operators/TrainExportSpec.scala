@@ -121,4 +121,39 @@ class TrainExportSpec extends SparkSpec {
     val byEpoch = got.groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3, t._4)).toSet)
     assert(byEpoch(0) !== byEpoch(1), "epoch salt must produce a different permutation")
   }
+
+  test("q139 length buckets: equals a single-node replay; buckets partition and bound") {
+    val lens = graft.core.Tables
+      .documents(spark, sfDir)
+      .select("text")
+      .collect()
+      .map(r => r.getString(0).trim.split("\\s+").length.toLong)
+    val maxTok = lens.max
+    def bucketOf(n: Long): Int =
+      if (n <= 1) 0 else java.lang.Long.toBinaryString(n - 1).length
+    val expected = lens
+      .groupBy(bucketOf)
+      .toSeq
+      .map { case (b, grp) =>
+        val (nd, tt) = (grp.length.toLong, grp.sum)
+        val cap = 1L << b
+        (b, cap, nd, tt,
+          math.floor((nd * cap - tt).toDouble * 1e6 / (nd * cap) + 0.5) / 1e6,
+          math.floor((nd * maxTok - tt).toDouble * 1e6 / (nd * maxTok) + 0.5) / 1e6)
+      }
+      .sortBy(_._1)
+    val got = TrainExport
+      .q139LengthBuckets(spark, sfDir)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))
+      .toSeq
+    assert(got === expected, "bucket audit must equal the single-node replay")
+    assert(got.map(_._3).sum === lens.length.toLong, "buckets partition the corpus")
+    got.foreach { case (b, cap, nd, tt, bp, _) =>
+      assert(tt <= nd * cap, s"bucket $b token mass exceeds its padded capacity")
+      assert(bp >= 0 && bp < 1, s"bucket $b pad frac out of range")
+    }
+    info(s"sf0.001: ${got.length} buckets, bucketed-vs-global pad fracs " +
+      got.map(g => f"${g._1}:${g._5}%.3f/${g._6}%.3f").mkString(" "))
+  }
 }
