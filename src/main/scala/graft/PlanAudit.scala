@@ -153,7 +153,7 @@ object PlanAudit {
     ),
     "q137_ingest_saturation" -> Map(
       "BroadcastNestedLoopJoin" ->
-        "1-row broadcast max_id joined onto per-doc rows (the q69 broadcast-scalar pattern) to derive the ingest bucket; both rollups are keyed aggregates and the cumulative window runs over <= 20 post-agg rows"
+        "1-row broadcast id-range (min_id, max_id) joined onto per-doc rows (the q69 broadcast-scalar pattern) to derive the ingest bucket; both rollups are keyed aggregates and the cumulative window runs over <= 20 post-agg rows"
     ),
     "q139_length_buckets" -> Map(
       "BroadcastNestedLoopJoin" ->

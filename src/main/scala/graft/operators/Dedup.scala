@@ -1253,14 +1253,17 @@ object Dedup {
   // further crawls mostly re-fetch what we have".
   //
   // Segments are a FIXED count (20 ingest-order quantile buckets of the
-  // id range), not fixed-size blocks: the cumulative window then runs over
-  // <= 20 post-agg rows at ANY corpus size, never a corpus-scaled frame.
-  // A doc's novelty needs no per-doc join: bucket is monotone in doc_id,
-  // so each fingerprint contributes exactly one novel doc in min(bucket) —
-  // the novel-per-bucket table falls out of the same fp aggregation q29
-  // runs, and per-bucket totals are a second keyed aggregate. Integer
-  // bucket arithmetic ((doc_id * 20) div (max_id + 1)) is exact in both
-  // engines.
+  // OCCUPIED id range [min_id, max_id] — anchoring at min_id, not 0, so a
+  // downstream corpus slice whose ids start high still spreads over all 20
+  // segments instead of collapsing into the last one), not fixed-size
+  // blocks: the cumulative window then runs over <= 20 post-agg rows at
+  // ANY corpus size, never a corpus-scaled frame. A doc's novelty needs no
+  // per-doc join: bucket is monotone in doc_id, so each fingerprint
+  // contributes exactly one novel doc in min(bucket) — the
+  // novel-per-bucket table falls out of the same fp aggregation q29 runs,
+  // and per-bucket totals are a second keyed aggregate. Integer bucket
+  // arithmetic (((doc_id - min_id) * 20) div (max_id - min_id + 1)) is
+  // exact in both engines.
   // ---------------------------------------------------------------------------
   val SAT_BUCKETS = 20
 
@@ -1268,10 +1271,10 @@ object Dedup {
     val docs = Tables
       .balanced(Tables.documents(spark, dir))
       .select(col("doc_id"), md5(normText).as("fp"))
-    val maxId = docs.agg(max(col("doc_id")).as("max_id")) // 1 row -> broadcast
+    val idRange = docs.agg(min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id")) // 1 row -> broadcast
     val bucketed = docs
-      .crossJoin(broadcast(maxId))
-      .withColumn("bucket", expr(s"(doc_id * $SAT_BUCKETS) div (max_id + 1)"))
+      .crossJoin(broadcast(idRange))
+      .withColumn("bucket", expr(s"((doc_id - min_id) * $SAT_BUCKETS) div (max_id - min_id + 1)"))
     val perBucket = bucketed.groupBy(col("bucket")).agg(count(lit(1)).as("n_docs"))
     val novel = bucketed
       .groupBy(col("fp"))
@@ -1303,8 +1306,8 @@ object Dedup {
     s"""WITH d AS (
        |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
        |  FROM documents),
-       |mx AS (SELECT max(doc_id) AS max_id FROM d),
-       |b AS (SELECT doc_id, fp, (doc_id * $SAT_BUCKETS) // (max_id + 1) AS bucket
+       |mx AS (SELECT min(doc_id) AS min_id, max(doc_id) AS max_id FROM d),
+       |b AS (SELECT doc_id, fp, ((doc_id - min_id) * $SAT_BUCKETS) // (max_id - min_id + 1) AS bucket
        |      FROM d CROSS JOIN mx),
        |per AS (SELECT bucket, count(*) AS n_docs FROM b GROUP BY 1),
        |fb AS (SELECT fp, min(bucket) AS bucket FROM b GROUP BY 1),

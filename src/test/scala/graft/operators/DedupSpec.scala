@@ -572,8 +572,10 @@ class DedupSpec extends SparkSpec {
       .select("doc_id", "text")
       .collect()
       .map(r => (r.getLong(0), md5hex(r.getString(1).trim.toLowerCase.replaceAll("\\s+", " "))))
-    val maxId = docs.map(_._1).max
-    val bucketOf = docs.map { case (id, fp) => (id, fp, id * Dedup.SAT_BUCKETS / (maxId + 1)) }
+    val (minId, maxId) = (docs.map(_._1).min, docs.map(_._1).max)
+    val bucketOf = docs.map { case (id, fp) =>
+      (id, fp, (id - minId) * Dedup.SAT_BUCKETS / (maxId - minId + 1))
+    }
     val perBucket = bucketOf.groupBy(_._3).view.mapValues(_.length.toLong).toMap
     val novelPer = bucketOf.groupBy(_._2).map { case (_, rs) => rs.map(_._3).min }
       .groupBy(identity).view.mapValues(_.size.toLong).toMap

@@ -72,6 +72,17 @@ class StreamingSourceSketchSpec extends SparkSpec {
     java.nio.file.Files.writeString(wmPath, """{"max_doc_id": 2}""")
     assert(StreamingSourceSketch.tick(spark, dataDir, stateDir) === 3L, "replay must re-process the uncovered delta")
     assert(served(stateDir) === batch(dataDir), "a replayed tick must overwrite, never double-count")
+
+    // a sidecar that EXISTS but does not parse must fail the tick loudly —
+    // defaulting to "everything is new" would write a full-corpus slice
+    // keyed at the global min id (dead under a compacted base's _covered
+    // watermark, so GC'd) while jumping the watermark to the global max:
+    // silent permanent loss. The template refuses instead.
+    val goodSidecar = java.nio.file.Files.readString(wmPath)
+    java.nio.file.Files.writeString(wmPath, """{"max_doc""") // torn mid-write
+    intercept[IllegalStateException](StreamingSourceSketch.tick(spark, dataDir, stateDir))
+    java.nio.file.Files.writeString(wmPath, goodSidecar)
+    assert(StreamingSourceSketch.tick(spark, dataDir, stateDir) === 0L, "restored sidecar resumes cleanly")
   }
 
   test("slice compaction folds signature slices without changing the served table") {

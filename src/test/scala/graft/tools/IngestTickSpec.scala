@@ -71,6 +71,12 @@ class IngestTickSpec extends SparkSpec {
           graft.operators.Importance.q128SourceDrift(spark, dataDir).collect().toSeq.map(_.toSeq),
         s"drop first=$first: maintained drift table != batch q128"
       )
+      assert(o.sketchDelta > 0, s"drop first=$first: sketch tick must see the delta")
+      assert(
+        graft.streaming.StreamingSourceSketch.sketchTable(spark, s"$stateDir/sketch").collect().toSeq.map(_.toSeq) ===
+          Curation.q134SourceSketch(spark, dataDir).collect().toSeq.map(_.toSeq),
+        s"drop first=$first: maintained sketch table != batch q134"
+      )
       // ANN: every family persisted something on drop 1; drop 2 must reuse
       // geometry (Appended) or legitimately rebuild — never silently skip a
       // GROWN corpus as Current
@@ -98,7 +104,10 @@ class IngestTickSpec extends SparkSpec {
 
     // redelivery: a tick with nothing new is a no-op everywhere
     val o3 = IngestTick.run(spark, dataDir, stateDir)
-    assert(o3.corpus.mode === "noop" && o3.clusterDelta === 0L && o3.spanDelta === 0L && o3.driftDelta === 0L)
+    assert(
+      o3.corpus.mode === "noop" && o3.clusterDelta === 0L && o3.spanDelta === 0L &&
+        o3.driftDelta === 0L && o3.sketchDelta === 0L
+    )
     info(s"two drops + noop tick verified against batch twins")
   }
 }
