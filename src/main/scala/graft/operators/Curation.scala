@@ -2237,7 +2237,116 @@ object Curation {
        |FROM ag ORDER BY lang""".stripMargin
   }
 
+  // ---------------------------------------------------------------------------
+  // q140 — blocklist screen: the C4 "bad words" stage (Raffel et al. 2020
+  // §2.2 drop any page containing a phrase from a fixed list; RefinedWeb and
+  // FineWeb run the same literal-phrase screen before any model-based
+  // scoring). Per source: how many documents a PHRASE blocklist would drop,
+  // the token mass that goes with them, and the modal offending phrase —
+  // the dashboard read before committing to a list (a phrase that nukes 40%
+  // of one source is usually a false positive on that source's register).
+  //
+  // Matching is exact whole-token phrase containment: the normalized text is
+  // padded with one space on each side and a phrase p hits iff ' p ' is a
+  // substring — token-boundary-safe without any per-token join, and the
+  // same `contains` primitive in both engines. The matched set per doc is
+  // `filter(BLOCKLIST, ...)` over the literal array, so matching is a pure
+  // codegen'd projection against broadcast-sized constants.
+  //
+  // Scale shape: ONE corpus-scale aggregation. posexplode_outer(matched)
+  // emits one row per matched phrase plus a NULL marker row for clean docs;
+  // grouping that by (source, phrase) yields a finite grid (≤ |sources| ×
+  // (|blocklist|+1) rows) carrying everything downstream needs: the NULL
+  // group counts clean docs, pos=0 rows count each blocked doc exactly once
+  // (first matched phrase), per-phrase rows count phrase incidence. The
+  // per-source rollup and the modal-phrase window then run over the grid,
+  // never the corpus (the q131 finite-grid discipline).
+  // ---------------------------------------------------------------------------
+  private[graft] val BlockPhrases: Seq[String] = Seq(
+    "big big", "big scan", "customer stream", "hash hash",
+    "slow merge", "slow query", "slow slow", "stream stream"
+  )
+
+  def q140BlocklistScreen(spark: SparkSession, dir: String): DataFrame = {
+    val phraseArr = s"array(${BlockPhrases.map(p => s"'$p'").mkString(", ")})"
+    val grid = Tables
+      .balanced(Tables.documents(spark, dir))
+      .withColumn("norm", expr("regexp_replace(lower(trim(text)), '\\\\s+', ' ')"))
+      .withColumn("n_tokens", size(split(col("norm"), " ")).cast("long"))
+      .withColumn(
+        "matched",
+        expr(s"filter($phraseArr, p -> contains(concat(' ', norm, ' '), concat(' ', p, ' ')))")
+      )
+      .select(col("source"), col("n_tokens"), posexplode_outer(col("matched")).as(Seq("pos", "phrase")))
+      .groupBy(col("source"), col("phrase"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("pos") === 0, lit(1L)).otherwise(lit(0L))).as("n_first"),
+        sum(when(col("pos") === 0, col("n_tokens")).otherwise(lit(0L))).as("first_tokens")
+      )
+    val perSource = grid
+      .groupBy(col("source"))
+      .agg(
+        sum(when(col("phrase").isNull, col("n_rows")).otherwise(col("n_first"))).as("n_docs"),
+        sum(col("n_first")).as("n_blocked"),
+        sum(col("first_tokens")).as("blocked_tokens")
+      )
+    val top = grid
+      .filter(col("phrase").isNotNull)
+      .withColumn(
+        "rk",
+        row_number().over(Window.partitionBy(col("source")).orderBy(col("n_rows").desc, col("phrase").asc))
+      )
+      .filter(col("rk") === 1)
+      .select(col("source"), col("phrase").as("top_phrase"), col("n_rows").as("top_phrase_docs"))
+    perSource
+      .join(top, Seq("source"), "left")
+      .withColumn(
+        "blocked_share",
+        expr("floor(cast(n_blocked AS double) * 1e6 / cast(n_docs AS double) + 5e-1) / 1e6")
+      )
+      .select(
+        col("source"), col("n_docs"), col("n_blocked"), col("blocked_share"),
+        col("blocked_tokens"), col("top_phrase"), col("top_phrase_docs")
+      )
+      .orderBy(col("source"))
+  }
+
+  /** Oracle states the same semantics directly (per-source totals from the
+    * doc frame, phrase incidence from a plain unnest — the gate compares
+    * values, not plan mechanics).
+    */
+  val q140Oracle: String = {
+    val phraseList = BlockPhrases.map(p => s"'$p'").mkString(", ")
+    s"""WITH d AS (
+       |  SELECT source,
+       |         regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+       |  FROM documents),
+       |m AS (
+       |  SELECT source,
+       |         CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_tokens,
+       |         list_filter([$phraseList], p -> contains(' ' || norm || ' ', ' ' || p || ' ')) AS matched
+       |  FROM d),
+       |per AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(CASE WHEN len(matched) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked,
+       |         CAST(sum(CASE WHEN len(matched) > 0 THEN n_tokens ELSE 0 END) AS BIGINT) AS blocked_tokens
+       |  FROM m GROUP BY 1),
+       |px AS (SELECT source, unnest(matched) AS phrase FROM m),
+       |pc AS (SELECT source, phrase, CAST(count(*) AS BIGINT) AS n_docs_p FROM px GROUP BY 1, 2),
+       |top AS (
+       |  SELECT source, phrase, n_docs_p,
+       |         row_number() OVER (PARTITION BY source ORDER BY n_docs_p DESC, phrase) AS rk
+       |  FROM pc)
+       |SELECT per.source, per.n_docs, per.n_blocked,
+       |       floor(CAST(per.n_blocked AS DOUBLE) * 1e6 / CAST(per.n_docs AS DOUBLE) + 5e-1) / 1e6 AS blocked_share,
+       |       per.blocked_tokens, top.phrase AS top_phrase, top.n_docs_p AS top_phrase_docs
+       |FROM per LEFT JOIN (SELECT * FROM top WHERE rk = 1) top USING (source)
+       |ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q140_blocklist_screen" -> (q140BlocklistScreen _),
     "q126_quality_auc" -> (q126QualityAuc _),
     "q131_signal_agreement" -> (q131SignalAgreement _),
     "q66_context_pack" -> (q66ContextPack _),
@@ -2263,6 +2372,7 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "q140_blocklist_screen" -> q140Oracle,
     "q126_quality_auc" -> q126Oracle,
     "q131_signal_agreement" -> q131Oracle,
     "q66_context_pack" -> q66Oracle,

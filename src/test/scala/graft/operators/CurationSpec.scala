@@ -1085,4 +1085,47 @@ class CurationSpec extends SparkSpec {
     got.flatMap(_._4).foreach(r => assert(r >= -1.0 && r <= 1.0, s"rho out of range: $r"))
     info(s"sf0.001 rho rows: ${got.map(r => s"${r._1}=${r._4.map(_.toString).getOrElse("null")}").mkString(", ")}")
   }
+
+  test("q140 blocklist screen: equals a single-node phrase-containment replay") {
+    val docs = graft.core.Tables
+      .documents(spark, sfDir)
+      .select("source", "text")
+      .collect()
+      .map { r =>
+        val norm = r.getString(1).toLowerCase.trim.replaceAll("\\s+", " ")
+        val padded = s" $norm "
+        val matched = Curation.BlockPhrases.filter(p => padded.contains(s" $p "))
+        (r.getString(0), norm.split(" ", -1).length.toLong, matched)
+      }
+    val expected = docs
+      .groupBy(_._1)
+      .map { case (src, rs) =>
+        val blocked = rs.filter(_._3.nonEmpty)
+        val phraseCounts = rs.flatMap(_._3).groupBy(identity).map { case (p, xs) => (p, xs.size.toLong) }
+        val top = phraseCounts.toSeq.sortBy { case (p, c) => (-c, p) }.headOption
+        (src, (rs.length.toLong, blocked.length.toLong, blocked.map(_._2).sum, top))
+      }
+    val rows = Curation.q140BlocklistScreen(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).toSet === expected.keySet, "source set")
+    rows.foreach { r =>
+      val (nDocs, nBlocked, exTokens, exTop) = expected(r.getString(0))
+      assert(r.getAs[Long]("n_docs") === nDocs, s"${r.getString(0)} n_docs")
+      assert(r.getAs[Long]("n_blocked") === nBlocked, s"${r.getString(0)} n_blocked")
+      assert(r.getAs[Long]("blocked_tokens") === exTokens, s"${r.getString(0)} blocked_tokens")
+      assert(
+        math.abs(r.getAs[Double]("blocked_share") - nBlocked.toDouble / nDocs) < 2e-6,
+        s"${r.getString(0)} blocked_share"
+      )
+      exTop match {
+        case Some((p, c)) =>
+          assert(r.getAs[String]("top_phrase") === p, s"${r.getString(0)} top_phrase")
+          assert(r.getAs[Long]("top_phrase_docs") === c, s"${r.getString(0)} top_phrase_docs")
+        case None =>
+          assert(r.isNullAt(r.fieldIndex("top_phrase")), s"${r.getString(0)} expected NULL top_phrase")
+      }
+    }
+    val totalBlocked = rows.map(_.getAs[Long]("n_blocked")).sum
+    assert(totalBlocked > 0, "blocklist must hit the corpus or the screen tests nothing")
+    info(s"sf0.001: $totalBlocked blocked docs across ${rows.length} sources")
+  }
 }
