@@ -158,6 +158,10 @@ object PlanAudit {
     "q139_length_buckets" -> Map(
       "BroadcastNestedLoopJoin" ->
         "1-row broadcast global-max token count crossed onto the <= ~40 length-bucket aggregate rows — the q70 broadcast-scalar pattern"
+    ),
+    "q141_embedding_drift" -> Map(
+      "BroadcastNestedLoopJoin" ->
+        "two 1-row broadcast scalars (vec_id range onto per-vector rows to derive the ingest bucket; corpus-norm onto the <= 20-row bucket rollup) — the q69 broadcast-scalar pattern; the only corpus-scale stage is the (bucket, pos) keyed aggregate"
     )
   )
 

@@ -296,13 +296,110 @@ object Cartography {
        |FROM af JOIN st USING (cluster)
        |ORDER BY af.vec_id""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q141 — embedding-space ingest drift: per ingest-order segment (q137's 20
+  // fixed id-range buckets over vec_id), the cosine of the segment's
+  // centroid to the corpus centroid. The embedding-space complement to
+  // q128's token-histogram drift: a crawl whose later snapshots shift topic
+  // or register moves the segment centroid off the corpus axis even when
+  // the token mix looks stable, and this is the cheapest whole-corpus read
+  // of that shift (one scan, 20-row result) before anyone pays for
+  // clustering (q123) or outlier pruning (q129).
+  //
+  // Exactness without a single float sum: cosine is scale-invariant, so
+  // centroids are never divided out — the query compares integer-micro
+  // component SUMS (the q123 micros, summed exactly per (bucket, pos)).
+  // Dot products and norms are DECIMAL(38,0)/HUGEINT integer algebra; the
+  // only doubles are the final sqrt/divide over identical exact integers,
+  // collapsed by the 6dp floor (the q123/q131 exact-floor-over-double
+  // argument). The verdict compares the floored micro integer, never a
+  // double.
+  //
+  // Scale shape: one posexplode → (bucket, pos) partial-agg — the q123
+  // update-pass shape — onto a 20×DIM grid; corpus sums, norms, and the
+  // per-bucket rollup all run over the grid. Nothing corpus-sized is
+  // joined; the id-range and corpus-norm scalars ride the q69 1-row
+  // broadcast pattern.
+  // ---------------------------------------------------------------------------
+  private val DRIFT_BUCKETS = 20 // q137's segment convention
+  private val DRIFT_COS_MICRO = 200000L // cos < 0.2: segment centroid off-axis
+
+  def q141EmbeddingDrift(spark: SparkSession, dir: String): DataFrame = {
+    val pts = points(spark, dir)
+    val idRange = pts.agg(min(col("vec_id")).as("min_id"), max(col("vec_id")).as("max_id")) // 1 row -> broadcast
+    val grid = pts
+      .crossJoin(broadcast(idRange))
+      .withColumn("bucket", expr(s"((vec_id - min_id) * $DRIFT_BUCKETS) div (max_id - min_id + 1)"))
+      .select(col("bucket"), posexplode(col("xm")).as(Seq("pos", "m")))
+      .groupBy(col("bucket"), col("pos"))
+      .agg(sum(col("m")).as("s"), count(lit(1)).as("cnt"))
+      .localCheckpoint() // <= DRIFT_BUCKETS x DIM rows feed three grid passes
+    val corpus = grid.groupBy(col("pos")).agg(sum(col("s")).as("cp"))
+    val nb = corpus.agg(
+      sum(expr("CAST(cp AS DECIMAL(19,0)) * CAST(cp AS DECIMAL(19,0))")).as("nb2")
+    ) // 1 row -> broadcast
+    val per = grid
+      .join(broadcast(corpus), Seq("pos"))
+      .groupBy(col("bucket"))
+      .agg(
+        sum(when(col("pos") === 0, col("cnt"))).as("n_vecs"),
+        sum(expr("CAST(s AS DECIMAL(19,0)) * CAST(cp AS DECIMAL(19,0))")).as("dot"),
+        sum(expr("CAST(s AS DECIMAL(19,0)) * CAST(s AS DECIMAL(19,0))")).as("na2")
+      )
+    per
+      .crossJoin(broadcast(nb))
+      .withColumn(
+        "cos_micro",
+        expr(
+          "CAST(floor(CAST(dot AS DOUBLE) / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE))) * 1e6 + 5e-1) AS BIGINT)"
+        )
+      )
+      .select(
+        col("bucket"),
+        col("n_vecs"),
+        (col("cos_micro") / lit(1e6)).as("cos_to_corpus"),
+        when(col("cos_micro") < DRIFT_COS_MICRO, lit("drifted")).otherwise(lit("ok")).as("verdict")
+      )
+      .orderBy(col("bucket"))
+  }
+
+  val q141Oracle: String =
+    s"""WITH mx AS (SELECT min(vec_id) AS min_id, max(vec_id) AS max_id FROM embeddings),
+       |b AS (
+       |  SELECT vec_id, ((vec_id - min_id) * $DRIFT_BUCKETS) // (max_id - min_id + 1) AS bucket, embedding
+       |  FROM embeddings CROSS JOIN mx),
+       |e0 AS (
+       |  SELECT bucket,
+       |         list_transform(range(1, len(embedding) + 1),
+       |                        i -> {'pos': i - 1, 'm': CAST(floor(embedding[i]::DOUBLE * 1e6 + 5e-1) AS BIGINT)}) AS pm
+       |  FROM b),
+       |e AS (SELECT bucket, unnest(pm, recursive := true) FROM e0),
+       |g AS (SELECT bucket, pos, sum(m) AS s, count(*) AS cnt FROM e GROUP BY 1, 2),
+       |c AS (SELECT pos, sum(s) AS cp FROM g GROUP BY 1),
+       |nb AS (SELECT sum(CAST(cp AS HUGEINT) * CAST(cp AS HUGEINT)) AS nb2 FROM c),
+       |per AS (
+       |  SELECT g.bucket,
+       |         sum(CASE WHEN g.pos = 0 THEN g.cnt END) AS n_vecs,
+       |         sum(CAST(g.s AS HUGEINT) * CAST(c.cp AS HUGEINT)) AS dot,
+       |         sum(CAST(g.s AS HUGEINT) * CAST(g.s AS HUGEINT)) AS na2
+       |  FROM g JOIN c USING (pos) GROUP BY 1),
+       |fin AS (
+       |  SELECT bucket, CAST(n_vecs AS BIGINT) AS n_vecs,
+       |         CAST(floor(CAST(dot AS DOUBLE) / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE))) * 1e6 + 5e-1) AS BIGINT) AS cos_micro
+       |  FROM per CROSS JOIN nb)
+       |SELECT bucket, n_vecs, cos_micro / 1e6 AS cos_to_corpus,
+       |       CASE WHEN cos_micro < $DRIFT_COS_MICRO THEN 'drifted' ELSE 'ok' END AS verdict
+       |FROM fin ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q123_corpus_topics" -> (q123CorpusTopics _),
-    "q129_embedding_outliers" -> (q129EmbeddingOutliers _)
+    "q129_embedding_outliers" -> (q129EmbeddingOutliers _),
+    "q141_embedding_drift" -> (q141EmbeddingDrift _)
   )
 
   val oracles: Map[String, String] = Map(
     "q123_corpus_topics" -> q123Oracle,
-    "q129_embedding_outliers" -> q129Oracle
+    "q129_embedding_outliers" -> q129Oracle,
+    "q141_embedding_drift" -> q141Oracle
   )
 }

@@ -164,4 +164,36 @@ class CartographySpec extends SparkSpec {
     assert(got === expected, "distributed outlier screen must equal the single-node replay")
     info(s"sf0.001: ${got.size} vectors, ${got.count(_._4 == 1)} outliers")
   }
+
+  test("q141 equals a single-node integer-micro centroid-cosine replay") {
+    val vecs = graft.core.Tables
+      .embeddings(spark, sfDir)
+      .select("vec_id", "embedding")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong).toArray))
+    val (minId, maxId) = (vecs.map(_._1).min, vecs.map(_._1).max)
+    val byBucket = vecs.groupBy { case (id, _) => (id - minId) * 20 / (maxId - minId + 1) }
+    val corpus = vecs.map(_._2).transpose.map(_.sum)
+    val nb2 = corpus.map(c => BigInt(c) * BigInt(c)).sum
+    val expected = byBucket.toSeq
+      .map { case (bucket, rs) =>
+        val s = rs.map(_._2).transpose.map(_.sum)
+        val dot = s.zip(corpus).map { case (a, b) => BigInt(a) * BigInt(b) }.sum
+        val na2 = s.map(a => BigInt(a) * BigInt(a)).sum
+        val cosMicro =
+          math.floor(dot.toDouble / (math.sqrt(na2.toDouble) * math.sqrt(nb2.toDouble)) * 1e6 + 0.5).toLong
+        (bucket, rs.length.toLong, cosMicro / 1e6, if (cosMicro < 200000L) "drifted" else "ok")
+      }
+      .sortBy(_._1)
+    val got = Cartography
+      .q141EmbeddingDrift(spark, sfDir)
+      .collect()
+      .map(r =>
+        (r.getAs[Long]("bucket"), r.getAs[Long]("n_vecs"), r.getAs[Double]("cos_to_corpus"), r.getAs[String]("verdict"))
+      )
+      .toSeq
+    assert(got === expected, "distributed drift table must equal the single-node replay")
+    assert(got.map(_._2).sum === vecs.length.toLong, "segments must partition the corpus")
+    info(s"sf0.001: cos range [${got.map(_._3).min}, ${got.map(_._3).max}], ${got.count(_._4 == "drifted")} drifted")
+  }
 }
