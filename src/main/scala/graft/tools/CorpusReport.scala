@@ -13,7 +13,8 @@ import graft.operators.{Cartography, Curation, Dedup, Importance, TextOps, Train
   * decisions (q99), the per-source dedup profile (q117), source drift vs
   * the corpus mix (q128), quality-model AUC + signal agreement (q126/q131),
   * the embedding topic map with its outlier counts (q123/q129), kNN label
-  * purity (q136), the ingest-saturation curve (q137), and the shard
+  * purity (q136), the ingest-saturation curve (q137), the phrase
+  * blocklist screen (q140), embedding ingest drift (q141), and the shard
   * manifest (q83), rendered as one text page. Every number comes from the same oracle-gated queries the driver
   * checks — the report is a VIEW over the inventory, not a second
   * implementation.
@@ -165,6 +166,25 @@ object CorpusReport {
       line(
         f"bucket=${r.getInt(0)}%2d docs=${r.getLong(1)}%5d novel=${r.getLong(2)}%5d " +
           f"novelty=${r.getDouble(3)}%6.4f cum_novelty=${r.getDouble(6)}%6.4f"
+      )
+    }
+
+    section("blocklist screen (q140): per-source phrase-blocklist impact")
+    Curation.q140BlocklistScreen(spark, dir).collect().foreach { r =>
+      val top =
+        if (r.isNullAt(5)) "-"
+        else s"${r.getString(5)} (${r.getLong(6)})"
+      line(
+        f"${r.getString(0)}%-8s blocked=${r.getLong(2)}%4d/${r.getLong(1)}%-5d " +
+          f"share=${r.getDouble(3)}%6.4f tokens=${r.getLong(4)}%7d top=$top"
+      )
+    }
+
+    section("embedding ingest drift (q141): segment centroid vs corpus")
+    Cartography.q141EmbeddingDrift(spark, dir).collect().foreach { r =>
+      line(
+        f"bucket=${r.getLong(0)}%2d vecs=${r.getLong(1)}%5d cos=${r.getDouble(2)}%8.4f" +
+          (if (r.getString(3) == "drifted") "  DRIFTED" else "")
       )
     }
 
