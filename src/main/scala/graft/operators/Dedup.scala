@@ -1150,6 +1150,64 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------------------
+  // q142 — cross-source syndication matrix: for each source pair, how many
+  // duplicate CLUSTERS span both, and how many docs each side contributes
+  // to those shared clusters. The cluster-confirmed duplication-flow view
+  // of "which sources mirror each other": q81 estimates shingle-set overlap
+  // and q134 sketches it, but neither says whether the overlap is actual
+  // whole-document syndication — this reads it straight off the q101
+  // near-dup clusters (the 100 TB label frame q102/q107/q117 already
+  // consume from the session cache).
+  //
+  // Scale shape: labels ⋈ sources is a doc_id equi-join; the per-(cluster,
+  // source) rollup bounds each cluster to <= |sources| rows, so the pair
+  // stage is a cluster-keyed equi-join over that bounded frame — never an
+  // all-pairs join over docs. Oracle composes the q61 recursive-CTE
+  // cluster prefix (valid because q101 == q61 is spec- and
+  // selfcheck-pinned, the q117 argument).
+  // ---------------------------------------------------------------------------
+  def q142SyndicationMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val labels = lshClusterCache
+      .getOrBuild(spark, dir)(q101LshDupClusters(spark, dir).localCheckpoint())
+      .select(col("doc_id"), col("cluster"))
+    val src = Tables.balanced(Tables.documents(spark, dir)).select(col("doc_id"), col("source"))
+    val cs = labels
+      .join(src, "doc_id")
+      .groupBy(col("cluster"), col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    val a = cs.select(col("cluster"), col("source").as("source_a"), col("n_docs").as("da"))
+    val b = cs.select(col("cluster"), col("source").as("source_b"), col("n_docs").as("db"))
+    a.join(b, Seq("cluster"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(
+        count(lit(1)).as("n_clusters"),
+        sum(col("da")).as("docs_a"),
+        sum(col("db")).as("docs_b")
+      )
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  /** Oracle: the q61 recursive-CTE cluster prefix (the q117 composition),
+    * then the same bounded (cluster, source) rollup and pair join.
+    */
+  lazy val q142Oracle: String = {
+    val clusterCtes = q61Oracle.substring(0, q61Oracle.indexOf("\nSELECT l.node"))
+    s"""$clusterCtes,
+       |cs AS (
+       |  SELECT l.cluster, d.source, count(*) AS n_docs
+       |  FROM labels l JOIN documents d ON l.node = d.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT a.source AS source_a, b.source AS source_b,
+       |       CAST(count(*) AS BIGINT) AS n_clusters,
+       |       CAST(sum(a.n_docs) AS BIGINT) AS docs_a,
+       |       CAST(sum(b.n_docs) AS BIGINT) AS docs_b
+       |FROM cs a JOIN cs b ON a.cluster = b.cluster AND a.source < b.source
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------------
   // q133 — dedup threshold sweep: what does tightening (or loosening) the
   // jaccard floor COST? For each τ in the grid: surviving near-dup pairs,
   // docs a keep-smaller-id rule would drop, and the token mass that rule
@@ -1342,6 +1400,7 @@ object Dedup {
     "q108_incremental_clusters" -> (q108IncrementalClusters _),
     "q113_neardup_contamination" -> (q113NeardupContamination _),
     "q117_dedup_profile" -> (q117DedupProfile _),
+    "q142_syndication_matrix" -> (q142SyndicationMatrix _),
     "q133_threshold_sweep" -> (q133ThresholdSweep _),
     "q137_ingest_saturation" -> (q137IngestSaturation _)
   )
@@ -1379,6 +1438,7 @@ object Dedup {
     // pair SCREEN has no repair mechanism, so its gate stays the selfcheck
     // (subset-of-exact precision 1 + recall vs the exact set).
     "q117_dedup_profile" -> q117Oracle,
+    "q142_syndication_matrix" -> q142Oracle,
     "q133_threshold_sweep" -> q133Oracle,
     "q137_ingest_saturation" -> q137Oracle
   )

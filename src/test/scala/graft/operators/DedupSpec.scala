@@ -598,4 +598,37 @@ class DedupSpec extends SparkSpec {
     assert(got.forall(g => g._3 <= g._2), "novel <= docs per bucket")
     info(s"sf0.001: ${got.length} buckets, final cum novelty ${got.last._7}")
   }
+
+  test("q142 syndication matrix recomputes from the q101 labels") {
+    val labels = Dedup
+      .q101LshDupClusters(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster")))
+    val srcOf = graft.core.Tables
+      .documents(spark, sfDir)
+      .select("doc_id", "source")
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    val cs = labels
+      .groupBy { case (id, c) => (c, srcOf(id)) }
+      .map { case ((c, s), rs) => (c, s, rs.length.toLong) }
+    val expected = (for {
+      (c1, s1, d1) <- cs; (c2, s2, d2) <- cs if c1 == c2 && s1 < s2
+    } yield ((s1, s2), (d1, d2)))
+      .groupBy(_._1)
+      .map { case (k, xs) => (k, (xs.size.toLong, xs.map(_._2._1).sum, xs.map(_._2._2).sum)) }
+    val got = Dedup
+      .q142SyndicationMatrix(spark, sfDir)
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got === expected, "matrix must equal the single-node pair recomputation")
+    got.foreach { case ((a, b), (nc, da, db)) =>
+      assert(a < b, "pairs are ordered")
+      assert(da >= nc && db >= nc, "each shared cluster contributes >= 1 doc per side")
+    }
+    assert(got.nonEmpty, "the dup-dense corpus must produce cross-source clusters or the matrix tests nothing")
+    info(s"sf0.001: ${got.size} syndicating source pairs")
+  }
 }
