@@ -121,6 +121,16 @@ object CorpusReport {
       line(f"total dropped: ${canon.map(_.getLong(4)).sum}")
     }
 
+    section("syndication matrix (q142): top source pairs by shared dup clusters")
+    val synd = Dedup.q142SyndicationMatrix(spark, dir).collect().sortBy(-_.getLong(2))
+    if (synd.isEmpty) line("no cross-source dup clusters")
+    synd.take(5).foreach { r =>
+      line(
+        f"${r.getString(0)}%-8s ~ ${r.getString(1)}%-8s clusters=${r.getLong(2)}%4d " +
+          f"docs=${r.getLong(3)}%4d/${r.getLong(4)}%-4d"
+      )
+    }
+
     section("dedup profile (q117): duplication by granularity, per source")
     Dedup.q117DedupProfile(spark, dir).collect().foreach { r =>
       line(
