@@ -2345,8 +2345,115 @@ object Curation {
        |ORDER BY source""".stripMargin
   }
 
+  // ---------------------------------------------------------------------------
+  // q143 — quality-model calibration curve: per fixed-width q84-probability
+  // bucket, the observed q72 rule-battery pass rate next to the bucket's
+  // mean predicted probability — the reliability diagram that answers the
+  // question q126's AUC cannot: the model may RANK documents correctly
+  // (high AUC) while its probabilities are systematically off, and any
+  // pipeline that thresholds on prob (q86's curriculum, q84's own keep
+  // rule) inherits that bias. Calibration-vs-discrimination is the
+  // standard eval split; this is the calibration half.
+  //
+  // Exactness: buckets come from the probability's exact MICRO integer
+  // (floor(prob*1e6 + 0.5) recovers q84's 6dp-floored micro from the
+  // double exactly — the error of m/1e6 as a double is far below 0.5), so
+  // no boundary doc can land in different buckets across engines;
+  // pass-rate and mean-prob are floored micro integers and the verdict
+  // compares their integer difference.
+  //
+  // Scale shape: two projections over the corpus (the shared q84 feature
+  // chain and the q72 rule signals), one doc_id equi-join, one keyed
+  // aggregate onto <= 10 rows. Fixed-width buckets need no corpus-wide
+  // window — the whole point of not using deciles (q86's NTILE trade).
+  // ---------------------------------------------------------------------------
+  private val CAL_GAP_MICRO = 200000L // |pass_rate - mean_prob| > 0.2: off
+
+  def q143QualityCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val scored = qualityScored(spark, dir)
+      .select(col("doc_id"), expr("CAST(floor(prob * 1e6 + 5e-1) AS BIGINT)").as("prob_micro"))
+    val rules = funnelSignals(Tables.balanced(Tables.documents(spark, dir)))
+      .select(col("doc_id"), when(col("reason") === "pass", lit(1L)).otherwise(lit(0L)).as("is_pass"))
+    scored
+      .join(rules, "doc_id")
+      .withColumn("bucket", expr("least(prob_micro div 100000, 9)"))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("is_pass")).as("n_pass"),
+        expr("CAST(floor(CAST(sum(is_pass) AS DOUBLE) * 1e6 / count(1) + 5e-1) AS BIGINT)").as("pass_micro"),
+        expr("CAST(floor(CAST(sum(prob_micro) AS DOUBLE) / count(1) + 5e-1) AS BIGINT)").as("mean_micro")
+      )
+      .select(
+        col("bucket"),
+        col("n_docs"),
+        col("n_pass"),
+        (col("pass_micro") / lit(1e6)).as("pass_rate"),
+        (col("mean_micro") / lit(1e6)).as("mean_prob"),
+        ((col("pass_micro") - col("mean_micro")) / lit(1e6)).as("gap"),
+        when(abs(col("pass_micro") - col("mean_micro")) > CAL_GAP_MICRO, lit("miscalibrated"))
+          .otherwise(lit("ok"))
+          .as("verdict")
+      )
+      .orderBy(col("bucket"))
+  }
+
+  /** Oracle: q84's feature/logit CTE chain spliced verbatim (the q131
+    * splice pattern) for the probability, q72's rule expressions for the
+    * pass signal, joined per doc and bucketed on the micro integer.
+    */
+  lazy val q143Oracle: String = {
+    val chain = q84Oracle.substring(0, q84Oracle.indexOf("\nSELECT doc_id"))
+    val langList = TargetLangs.map(l => s"'$l'").mkString(", ")
+    s"""$chain,
+       |sc AS (
+       |  SELECT doc_id, CAST(floor(1e0 / (1e0 + exp(-zz)) * 1e6 + 5e-1) AS BIGINT) AS prob_micro
+       |  FROM z),
+       |rd AS (
+       |  SELECT doc_id, lang,
+       |         regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+       |  FROM documents),
+       |rs AS (
+       |  SELECT doc_id, lang,
+       |         string_split(norm, ' ') AS toks,
+       |         len(string_split(norm, ' ')) AS n_tokens,
+       |         len(replace(norm, ' ', '')) AS letters,
+       |         len(regexp_replace(norm, '[a-z0-9 ]', '', 'g'))::DOUBLE
+       |           / greatest(len(norm), 1) AS symbol_ratio
+       |  FROM rd),
+       |rr AS (
+       |  SELECT doc_id,
+       |         CASE WHEN lang NOT IN ($langList) THEN 0
+       |              WHEN n_tokens < $MIN_TOKENS THEN 0
+       |              WHEN n_tokens > $MAX_TOKENS THEN 0
+       |              WHEN letters::DOUBLE / n_tokens < 2 OR letters::DOUBLE / n_tokens > 12 THEN 0
+       |              WHEN symbol_ratio > 0.25 THEN 0
+       |              WHEN floor((CASE WHEN n_tokens >= 2 THEN
+       |                      1.0 - len(list_distinct(list_transform(range(1, n_tokens),
+       |                            i -> toks[i] || ' ' || toks[i+1])))::DOUBLE / (n_tokens - 1)
+       |                    ELSE 0 END) * 1e6 + 5e-1) / 1e6 > 0.2 THEN 0
+       |              ELSE 1 END AS is_pass
+       |  FROM rs),
+       |j AS (
+       |  SELECT least(sc.prob_micro // 100000, 9) AS bucket, sc.prob_micro, rr.is_pass
+       |  FROM sc JOIN rr USING (doc_id)),
+       |ag AS (
+       |  SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(is_pass) AS BIGINT) AS n_pass,
+       |         CAST(floor(CAST(sum(is_pass) AS DOUBLE) * 1e6 / count(*) + 5e-1) AS BIGINT) AS pass_micro,
+       |         CAST(floor(CAST(sum(prob_micro) AS DOUBLE) / count(*) + 5e-1) AS BIGINT) AS mean_micro
+       |  FROM j GROUP BY 1)
+       |SELECT bucket, n_docs, n_pass,
+       |       pass_micro / 1e6 AS pass_rate,
+       |       mean_micro / 1e6 AS mean_prob,
+       |       (pass_micro - mean_micro) / 1e6 AS gap,
+       |       CASE WHEN abs(pass_micro - mean_micro) > $CAL_GAP_MICRO THEN 'miscalibrated' ELSE 'ok' END AS verdict
+       |FROM ag ORDER BY bucket""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q140_blocklist_screen" -> (q140BlocklistScreen _),
+    "q143_quality_calibration" -> (q143QualityCalibration _),
     "q126_quality_auc" -> (q126QualityAuc _),
     "q131_signal_agreement" -> (q131SignalAgreement _),
     "q66_context_pack" -> (q66ContextPack _),
@@ -2373,6 +2480,7 @@ object Curation {
 
   val oracles: Map[String, String] = Map(
     "q140_blocklist_screen" -> q140Oracle,
+    "q143_quality_calibration" -> q143Oracle,
     "q126_quality_auc" -> q126Oracle,
     "q131_signal_agreement" -> q131Oracle,
     "q66_context_pack" -> q66Oracle,

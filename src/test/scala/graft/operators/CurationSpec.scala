@@ -1128,4 +1128,51 @@ class CurationSpec extends SparkSpec {
     assert(totalBlocked > 0, "blocklist must hit the corpus or the screen tests nothing")
     info(s"sf0.001: $totalBlocked blocked docs across ${rows.length} sources")
   }
+
+  test("q143 calibration: equals a single-node micro-integer replay of bucket/pass-rate/verdict") {
+    import org.apache.spark.sql.functions.col
+    // the same two building blocks the query composes, replayed driver-side
+    val probs = Curation
+      .qualityScored(spark, sfDir)
+      .select(col("doc_id"), col("prob"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> math.floor(r.getAs[Double]("prob") * 1e6 + 0.5).toLong)
+      .toMap
+    val passes = Curation
+      .funnelSignals(graft.core.Tables.balanced(graft.core.Tables.documents(spark, sfDir)))
+      .select(col("doc_id"), col("reason"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> (if (r.getAs[String]("reason") == "pass") 1L else 0L))
+      .toMap
+    val joined = probs.keySet.intersect(passes.keySet).toSeq
+    assert(joined.nonEmpty, "scored∩ruled docs must be non-empty")
+    val expected = joined
+      .map(id => (math.min(probs(id) / 100000L, 9L), probs(id), passes(id)))
+      .groupBy(_._1)
+      .map { case (bucket, xs) =>
+        val n = xs.size.toLong
+        val nPass = xs.map(_._3).sum
+        val passMicro = math.floor(nPass.toDouble * 1e6 / n + 0.5).toLong
+        val meanMicro = math.floor(xs.map(_._2).sum.toDouble / n + 0.5).toLong
+        bucket -> (n, nPass, passMicro, meanMicro)
+      }
+    val rows = Curation.q143QualityCalibration(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("bucket")).toSet === expected.keySet, "bucket set")
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      val (n, nPass, passMicro, meanMicro) = expected(b)
+      assert(r.getAs[Long]("n_docs") === n, s"bucket $b n_docs")
+      assert(r.getAs[Long]("n_pass") === nPass, s"bucket $b n_pass")
+      assert(r.getAs[Double]("pass_rate") === passMicro / 1e6, s"bucket $b pass_rate")
+      assert(r.getAs[Double]("mean_prob") === meanMicro / 1e6, s"bucket $b mean_prob")
+      assert(r.getAs[Double]("gap") === (passMicro - meanMicro) / 1e6, s"bucket $b gap")
+      val wantVerdict = if (math.abs(passMicro - meanMicro) > 200000L) "miscalibrated" else "ok"
+      assert(r.getAs[String]("verdict") === wantVerdict, s"bucket $b verdict")
+      // mean predicted prob must actually live inside its bucket's range
+      assert(meanMicro >= b * 100000L && meanMicro <= math.min((b + 1) * 100000L, 1000000L),
+        s"bucket $b mean_prob outside bucket bounds")
+    }
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === joined.size.toLong, "every joined doc in exactly one bucket")
+    info(s"sf0.001 buckets: ${rows.map(r => s"${r.getAs[Long]("bucket")}:${r.getAs[String]("verdict")}").mkString(" ")}")
+  }
 }
