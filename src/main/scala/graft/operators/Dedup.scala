@@ -1383,7 +1383,136 @@ object Dedup {
        |WINDOW w AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
        |ORDER BY bucket""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q144 — winnowing fingerprint near-dup pairs: the MOSS local-fingerprint
+  // scheme (Schleimer, Wilkerson & Aiken, SIGMOD 2003). Per document, hash
+  // every WIN_K-token k-gram, slide a window of WIN_W consecutive k-gram
+  // hashes, and SELECT the rightmost minimal hash of each window (robust
+  // winnowing). The selected (hash) set is the document's fingerprint, with
+  // the paper's guarantee: any two documents sharing a contiguous token run
+  // of length >= WIN_K + WIN_W - 1 share at least one fingerprint — unlike
+  // MinHash (q30, a GLOBAL set-similarity sketch), winnowing is a LOCAL
+  // scheme that catches a long verbatim span inside otherwise-unrelated
+  // documents, at ~2/(WIN_W+1) of q110's every-position cost. The pair
+  // report joins documents on shared fingerprints and scores asymmetric
+  // containment per side (shared / |fp|), MOSS's plagiarism-direction view.
+  //
+  // Rightmost-minimum selection is made engine-exact by encoding each gram
+  // as `md5hex || lpad(1000000 - pos, 7, '0')` — a fixed-width string whose
+  // lexicographic MIN is (min hash, max pos), so one windowed min() picks
+  // the winnow fingerprint with no argmin gymnastics; both engines compute
+  // the identical string. Window starts are clamped to pos <=
+  // greatest(m - WIN_W + 1, 1) so short documents (m < WIN_W grams) winnow
+  // their single truncated window and no phantom end-of-doc windows fire.
+  //
+  // Scale shape: the gram table is one row per token position (the q110
+  // blow-up, linear); selection is one doc_id-partitioned window (docs are
+  // bounded, partitions balanced); fingerprints appearing in > WIN_MAXDF
+  // docs are dropped before pairing (MOSS's "ignore extremely common
+  // fingerprints" rule — boilerplate hits everything and says nothing), so
+  // each surviving fp key fans out <= WIN_MAXDF^2/2 pairs and the pair
+  // stage is a bounded bucket equi-join, never all-pairs. Positions are
+  // safe in 7 digits: the corpus token cap (q72's MAX_TOKENS = 5000) keeps
+  // pos < 1e6 by a wide margin.
+  // ---------------------------------------------------------------------------
+  private val WIN_K = 8
+  private val WIN_W = 4
+  private val WIN_MAXDF = 100
+
+  /** Distinct (doc_id, fp) winnowing fingerprints per document. */
+  private[graft] def winnowFingerprints(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos")).rowsBetween(0, WIN_W - 1)
+    Tables
+      .balanced(Tables.documents(spark, dir))
+      .withColumn("norm_text", normText)
+      .withColumn("toks", split(col("norm_text"), " "))
+      .filter(size(col("toks")) >= WIN_K)
+      .withColumn("m", size(col("toks")) - WIN_K + 1)
+      .select(
+        col("doc_id"),
+        col("m"),
+        explode(
+          expr(
+            s"transform(sequence(1, size(toks) - $WIN_K + 1), " +
+              s"i -> struct(concat(md5(array_join(slice(toks, i, $WIN_K), ' ')), " +
+              s"lpad(cast(1000000 - i AS string), 7, '0')) AS enc, i AS pos))"
+          )
+        ).as("g")
+      )
+      .select(col("doc_id"), col("m"), col("g.enc").as("enc"), col("g.pos").as("pos"))
+      .withColumn("wmin", min(col("enc")).over(w))
+      .filter(col("pos") <= greatest(col("m") - WIN_W + 1, lit(1)))
+      .select(col("doc_id"), substring(col("wmin"), 1, 32).as("fp"))
+      .distinct()
+  }
+
+  def q144WinnowPairs(spark: SparkSession, dir: String): DataFrame = {
+    // one fingerprint build feeds the df cap, both pair sides, and the
+    // per-doc totals
+    val fps = winnowFingerprints(spark, dir).localCheckpoint()
+    val kept = fps
+      .join(
+        fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= WIN_MAXDF).select(col("fp")),
+        "fp"
+      )
+    val perDoc = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+    kept.as("a")
+      .join(kept.as("b"), col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .join(perDoc.select(col("doc_id").as("doc_a"), col("n_fp").as("fp_a")), "doc_a")
+      .join(perDoc.select(col("doc_id").as("doc_b"), col("n_fp").as("fp_b")), "doc_b")
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        col("shared_fps"),
+        col("fp_a"),
+        col("fp_b"),
+        expr("floor(cast(shared_fps AS double) * 1e6 / cast(fp_a AS double) + 5e-1) / 1e6")
+          .as("containment_a"),
+        expr("floor(cast(shared_fps AS double) * 1e6 / cast(fp_b AS double) + 5e-1) / 1e6")
+          .as("containment_b")
+      )
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val q144Oracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, len(toks) - $WIN_K + 1 AS m,
+       |         unnest(list_transform(range(1, len(toks) - $WIN_K + 2), i -> i)) AS pos,
+       |         unnest(list_transform(range(1, len(toks) - $WIN_K + 2),
+       |                i -> md5(array_to_string(toks[i:i+$WIN_K-1], ' '))
+       |                     || lpad(CAST(1000000 - i AS VARCHAR), 7, '0'))) AS enc
+       |  FROM t WHERE len(toks) >= $WIN_K),
+       |wm AS (
+       |  SELECT doc_id, m, pos,
+       |         min(enc) OVER (PARTITION BY doc_id ORDER BY pos
+       |               ROWS BETWEEN CURRENT ROW AND ${WIN_W - 1} FOLLOWING) AS wmin
+       |  FROM g),
+       |fp AS (
+       |  SELECT DISTINCT doc_id, substr(wmin, 1, 32) AS fp
+       |  FROM wm WHERE pos <= greatest(m - $WIN_W + 1, 1)),
+       |rare AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= $WIN_MAXDF),
+       |k AS (SELECT doc_id, fp.fp FROM fp JOIN rare USING (fp)),
+       |pd AS (SELECT doc_id, count(*) AS n_fp FROM k GROUP BY 1),
+       |sh AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_fps
+       |  FROM k a JOIN k b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, CAST(shared_fps AS BIGINT) AS shared_fps,
+       |       CAST(pa.n_fp AS BIGINT) AS fp_a, CAST(pb.n_fp AS BIGINT) AS fp_b,
+       |       floor(CAST(shared_fps AS DOUBLE) * 1e6 / pa.n_fp + 5e-1) / 1e6 AS containment_a,
+       |       floor(CAST(shared_fps AS DOUBLE) * 1e6 / pb.n_fp + 5e-1) / 1e6 AS containment_b
+       |FROM sh JOIN pd pa ON pa.doc_id = sh.doc_a JOIN pd pb ON pb.doc_id = sh.doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q144_winnow_pairs" -> (q144WinnowPairs _),
     "q29_exact_dedup" -> (q29ExactDedup _),
     "q30_minhash_pairs" -> (q30MinhashPairs _),
     "q31_simhash_pairs" -> (q31SimhashPairs _),
@@ -1420,6 +1549,7 @@ object Dedup {
     * repair, so it stays selfcheck-gated (see the note at its exclusion).
     */
   val oracles: Map[String, String] = Map(
+    "q144_winnow_pairs" -> q144Oracle,
     "q29_exact_dedup" -> q29Oracle,
     "q32_token_jaccard" -> q32Oracle,
     "q33_embedding_neardup" -> q33Oracle,

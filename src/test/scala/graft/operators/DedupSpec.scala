@@ -631,4 +631,58 @@ class DedupSpec extends SparkSpec {
     assert(got.nonEmpty, "the dup-dense corpus must produce cross-source clusters or the matrix tests nothing")
     info(s"sf0.001: ${got.size} syndicating source pairs")
   }
+
+  test("q144 winnowing: equals a single-node replay; shared >=11-token runs guarantee a shared fingerprint") {
+    val K = 8; val W = 4; val MAXDF = 100
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = graft.core.Tables
+      .documents(spark, sfDir)
+      .select("doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.trim.replaceAll("\\s+", " ").split(" ", -1))
+      .filter(_._2.length >= K)
+
+    // replay: rightmost-min winnowing via the same fixed-width encoding
+    val fpSets: Map[Long, Set[String]] = docs.map { case (id, toks) =>
+      val m = toks.length - K + 1
+      val enc = (1 to m).map(i => md5hex(toks.slice(i - 1, i - 1 + K).mkString(" ")) + f"${1000000 - i}%07d")
+      val lastStart = math.max(m - W + 1, 1)
+      val fps = (1 to lastStart).map(j => enc.slice(j - 1, math.min(j - 1 + W, m)).min.substring(0, 32)).toSet
+      id -> fps
+    }.toMap
+    val df = fpSets.values.toSeq.flatten.groupBy(identity).map { case (f, xs) => f -> xs.size }
+    val keptSets = fpSets.map { case (id, fps) => id -> fps.filter(df(_) <= MAXDF) }
+    val ids = keptSets.keys.toSeq.sorted
+    val expected = (for {
+      a <- ids; b <- ids if a < b
+      shared = keptSets(a).intersect(keptSets(b)).size.toLong if shared >= 1
+    } yield {
+      val (na, nb) = (keptSets(a).size.toLong, keptSets(b).size.toLong)
+      (a, b, shared, na, nb,
+        math.floor(shared * 1e6 / na + 0.5) / 1e6, math.floor(shared * 1e6 / nb + 0.5) / 1e6)
+    }).toSet
+    val got = Dedup
+      .q144WinnowPairs(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6)))
+      .toSet
+    assert(got === expected, "winnow pair report must equal the single-node replay")
+    assert(got.nonEmpty, "the dup-dense corpus must share fingerprints or the report tests nothing")
+
+    // the SIGMOD'03 guarantee: docs sharing a contiguous run of >= W+K-1
+    // tokens share a fingerprint (checked pre-cap: the df cap is a declared
+    // pairing filter, not part of the selection theorem)
+    val runGrams = docs.map { case (id, toks) =>
+      id -> (0 to toks.length - (K + W - 1)).map(i => toks.slice(i, i + K + W - 1).mkString(" ")).toSet
+    }
+    val longRunPairs = for {
+      (a, ga) <- runGrams; (b, gb) <- runGrams if a < b && ga.intersect(gb).nonEmpty
+    } yield (a, b)
+    longRunPairs.foreach { case (a, b) =>
+      assert(fpSets(a).intersect(fpSets(b)).nonEmpty, s"guarantee violated for pair ($a,$b)")
+    }
+    assert(longRunPairs.nonEmpty, "planted dups must share >=11-token runs or the guarantee tests nothing")
+    info(s"sf0.001: ${got.size} winnow pairs, ${longRunPairs.size} guarantee-checked long-run pairs")
+  }
 }
