@@ -2451,7 +2451,131 @@ object Curation {
        |FROM ag ORDER BY bucket""".stripMargin
   }
 
+  // ---------------------------------------------------------------------------
+  // q147 — DoReMi-style domain reweighting (Xie et al. 2023, "DoReMi",
+  // lite): per source the token-weighted mean proxy loss (q69's unigram
+  // NLL), the EXCESS loss over the corpus mean (clipped at 0 — DoReMi's
+  // group-DRO signal: domains the proxy finds hardest carry learnable
+  // headroom), and the exponentiated-gradient mixture weight
+  // softmax(α·excess) smoothed toward uniform — next to each source's
+  // natural token share and an up/down-weight verdict. This is the
+  // loss-aware counterweight to q109's size-only temperature mixing: two
+  // sources of equal mass get different weights when one is already easy
+  // for the proxy. With a FIXED proxy loss the T-step EG update has the
+  // closed form used here (softmax of the scaled excess); the full method
+  // retrains the proxy between steps — that loop lives outside any query
+  // engine, while each step's reweighting IS this query.
+  //
+  // Engine-exactness: q69's per-doc NLL is already 4dp-floored, so the
+  // per-source token-weighted sums are exact integer arithmetic over
+  // n_tokens·nll_e4; excess, softmax numerators (exp floored to micro
+  // BEFORE the normalizing sum, so Z is an exact integer too) and final
+  // weights are all integer-micro via expression strings shared with the
+  // oracle (exp agreement is load-bearing in q84 already).
+  //
+  // Scale shape: one corpus scan through the q69 chain (its cost), one
+  // groupBy(source) onto dozens of rows, then 1-row broadcast corpus/Z
+  // constants — nothing after the per-source rollup touches corpus-sized
+  // data.
+  // ---------------------------------------------------------------------------
+  private val DOREMI_ALPHA = "5e0"
+  private val DOREMI_SMOOTH = "1e-1" // final = (1-c)·softmax + c·uniform
+
+  def q147DoremiWeights(spark: SparkSession, dir: String): DataFrame = {
+    val perDoc = q69UnigramLogprob(spark, dir)
+      .withColumn("nll_e4", expr("CAST(floor(avg_neg_logprob * 1e4 + 5e-1) AS BIGINT)"))
+      .select(col("doc_id"), col("n_tokens"), col("nll_e4"))
+    val per = perDoc
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(expr("n_tokens * nll_e4")).as("wsum_e4")
+      )
+      .withColumn(
+        "mean_nll_micro",
+        expr("CAST(floor(CAST(wsum_e4 AS double) * 1e2 / n_tokens + 5e-1) AS BIGINT)")
+      )
+    val corpus = per
+      .agg(sum(col("n_tokens")).as("tot_tokens"), sum(col("wsum_e4")).as("tot_e4"), count(lit(1)).as("n_sources"))
+      .withColumn(
+        "corpus_micro",
+        expr("CAST(floor(CAST(tot_e4 AS double) * 1e2 / tot_tokens + 5e-1) AS BIGINT)")
+      )
+    val ex = per
+      .crossJoin(broadcast(corpus))
+      .withColumn("excess_micro", expr("greatest(mean_nll_micro - corpus_micro, 0)"))
+      .withColumn("e_micro", expr(s"CAST(floor(exp($DOREMI_ALPHA * excess_micro / 1e6) * 1e6 + 5e-1) AS BIGINT)"))
+    ex.crossJoin(broadcast(ex.agg(sum(col("e_micro")).as("z"))))
+      .withColumn(
+        "w_micro",
+        expr(s"CAST(floor(((1e0 - $DOREMI_SMOOTH) * e_micro / z + $DOREMI_SMOOTH / n_sources) * 1e6 + 5e-1) AS BIGINT)")
+      )
+      .withColumn("nat_micro", expr("CAST(floor(CAST(n_tokens AS double) * 1e6 / tot_tokens + 5e-1) AS BIGINT)"))
+      .select(
+        col("source"),
+        col("n_docs"),
+        col("n_tokens"),
+        (col("mean_nll_micro") / lit(1e6)).as("mean_nll"),
+        (col("excess_micro") / lit(1e6)).as("excess"),
+        (col("nat_micro") / lit(1e6)).as("natural_share"),
+        (col("w_micro") / lit(1e6)).as("doremi_weight"),
+        when(col("w_micro") > col("nat_micro"), lit("upweight"))
+          .when(col("w_micro") < col("nat_micro"), lit("downweight"))
+          .otherwise(lit("hold"))
+          .as("verdict")
+      )
+      .orderBy(col("source"))
+  }
+
+  /** Oracle: q69's CTE chain spliced verbatim for the per-doc NLL, then the
+    * same integer-micro rollup/softmax expressions.
+    */
+  lazy val q147Oracle: String = {
+    val chain = q69Oracle.substring(0, q69Oracle.indexOf("\nSELECT doc_id"))
+    s"""$chain,
+       |pd AS (
+       |  SELECT doc_id, n_tokens,
+       |         CAST(floor((ln((SELECT tt FROM tot)) - avg_ln_f) * 1e4 + 5e-1) AS BIGINT) AS nll_e4
+       |  FROM scored),
+       |per AS (
+       |  SELECT source, count(*) AS n_docs, CAST(sum(pd.n_tokens) AS BIGINT) AS n_tokens,
+       |         CAST(sum(pd.n_tokens * nll_e4) AS BIGINT) AS wsum_e4
+       |  FROM pd JOIN documents d ON d.doc_id = pd.doc_id GROUP BY 1),
+       |pm AS (
+       |  SELECT *, CAST(floor(CAST(wsum_e4 AS DOUBLE) * 1e2 / n_tokens + 5e-1) AS BIGINT) AS mean_nll_micro
+       |  FROM per),
+       |cm AS (
+       |  SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens, count(*) AS n_sources,
+       |         CAST(floor(CAST(sum(wsum_e4) AS DOUBLE) * 1e2 / sum(n_tokens) + 5e-1) AS BIGINT) AS corpus_micro
+       |  FROM per),
+       |ex AS (
+       |  SELECT pm.*, cm.tot_tokens, cm.n_sources,
+       |         greatest(mean_nll_micro - corpus_micro, 0) AS excess_micro
+       |  FROM pm CROSS JOIN cm),
+       |ee AS (
+       |  SELECT *, CAST(floor(exp($DOREMI_ALPHA * excess_micro / 1e6) * 1e6 + 5e-1) AS BIGINT) AS e_micro
+       |  FROM ex),
+       |z AS (SELECT CAST(sum(e_micro) AS BIGINT) AS z FROM ee),
+       |fin AS (
+       |  SELECT ee.*, z.z,
+       |         CAST(floor(((1e0 - $DOREMI_SMOOTH) * e_micro / z + $DOREMI_SMOOTH / n_sources) * 1e6 + 5e-1) AS BIGINT) AS w_micro,
+       |         CAST(floor(CAST(n_tokens AS DOUBLE) * 1e6 / tot_tokens + 5e-1) AS BIGINT) AS nat_micro
+       |  FROM ee CROSS JOIN z)
+       |SELECT source, n_docs, n_tokens,
+       |       mean_nll_micro / 1e6 AS mean_nll,
+       |       excess_micro / 1e6 AS excess,
+       |       nat_micro / 1e6 AS natural_share,
+       |       w_micro / 1e6 AS doremi_weight,
+       |       CASE WHEN w_micro > nat_micro THEN 'upweight'
+       |            WHEN w_micro < nat_micro THEN 'downweight'
+       |            ELSE 'hold' END AS verdict
+       |FROM fin ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q147_doremi_weights" -> (q147DoremiWeights _),
     "q140_blocklist_screen" -> (q140BlocklistScreen _),
     "q143_quality_calibration" -> (q143QualityCalibration _),
     "q126_quality_auc" -> (q126QualityAuc _),
@@ -2479,6 +2603,7 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "q147_doremi_weights" -> q147Oracle,
     "q140_blocklist_screen" -> q140Oracle,
     "q143_quality_calibration" -> q143Oracle,
     "q126_quality_auc" -> q126Oracle,

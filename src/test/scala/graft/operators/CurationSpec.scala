@@ -1175,4 +1175,48 @@ class CurationSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_docs")).sum === joined.size.toLong, "every joined doc in exactly one bucket")
     info(s"sf0.001 buckets: ${rows.map(r => s"${r.getAs[Long]("bucket")}:${r.getAs[String]("verdict")}").mkString(" ")}")
   }
+
+  test("q147 DoReMi weights: equals a single-node EG replay over q69's NLL; weights a smoothed distribution") {
+    val nll = Curation
+      .q69UnigramLogprob(spark, sfDir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("n_tokens"), math.floor(r.getAs[Double]("avg_neg_logprob") * 1e4 + 0.5).toLong))
+      .toMap
+    val srcOf = graft.core.Tables
+      .documents(spark, sfDir)
+      .select("doc_id", "source")
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    val per = nll.toSeq.groupBy(x => srcOf(x._1)).map { case (src, xs) =>
+      val nTok = xs.map(_._2._1).sum
+      val wsum = xs.map { case (_, (n, e4)) => n * e4 }.sum
+      (src, xs.size.toLong, nTok, math.floor(wsum.toDouble * 1e2 / nTok + 0.5).toLong)
+    }.toSeq
+    val totTok = per.map(_._3).sum
+    val totE4 = nll.values.map { case (n, e4) => n * e4 }.sum
+    val corpus = math.floor(totE4.toDouble * 1e2 / totTok + 0.5).toLong
+    val withE = per.map { case (src, nd, nt, mm) =>
+      val excess = math.max(mm - corpus, 0L)
+      (src, nd, nt, mm, excess, math.floor(math.exp(5.0 * excess / 1e6) * 1e6 + 0.5).toLong)
+    }
+    val z = withE.map(_._6).sum
+    val nSources = withE.size
+    val expected = withE.map { case (src, nd, nt, mm, excess, e) =>
+      val w = math.floor((0.9 * e / z + 0.1 / nSources) * 1e6 + 0.5).toLong
+      val nat = math.floor(nt.toDouble * 1e6 / totTok + 0.5).toLong
+      val verdict = if (w > nat) "upweight" else if (w < nat) "downweight" else "hold"
+      (src, nd, nt, mm / 1e6, excess / 1e6, nat / 1e6, w / 1e6, verdict)
+    }.toSet
+    val got = Curation
+      .q147DoremiWeights(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getString(7)))
+      .toSet
+    assert(got === expected, "weights must equal the single-node EG replay")
+    val wsum = got.toSeq.map(_._7).sum
+    assert(math.abs(wsum - 1.0) < nSources * 1e-6 + 1e-9, s"weights must sum to 1 within micro rounding, got $wsum")
+    assert(got.exists(_._5 > 0), "some source must carry excess loss or the reweighting tests nothing")
+    info(s"sf0.001: ${got.size} sources, weight sum $wsum")
+  }
 }
