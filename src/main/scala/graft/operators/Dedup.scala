@@ -1511,7 +1511,116 @@ object Dedup {
        |FROM sh JOIN pd pa ON pa.doc_id = sh.doc_a JOIN pd pb ON pb.doc_id = sh.doc_b
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q146 — LSH band-shape planner: the S-curve tuning table read BEFORE
+  // committing K=16 minhash components to a band shape. For every
+  // factorization K = r·b (rows-per-band × bands), a pair with true
+  // jaccard j becomes an LSH candidate with probability p = 1-(1-j^r)^b
+  // (the standard banding S-curve, Leskovec/Rajaraman/Ullman ch.3) —
+  // steeper r trades recall at the τ=0.8 verify threshold against
+  // near-miss candidate mass (the exact-verify workload). This planner
+  // evaluates every shape against the CORPUS'S OWN observed pair-jaccard
+  // distribution (the q133 exact pass at j >= 0.5), not a textbook prior:
+  // expected candidate recall over the true (j >= τ) pairs, expected
+  // candidate fraction over the near-misses (0.5 <= j < τ), and a verdict
+  // at the 0.95 recall floor — the numbers that justify (or indict) the
+  // r=2, b=8 shape q30/q101 ship.
+  //
+  // Engine-exactness: every exponent in the grid is a power of two, so
+  // j^r and (1-j^r)^b are REPEATED-SQUARING multiplication chains — one
+  // generated expression string shared verbatim with the oracle, no libm
+  // pow — and each pair's p is floored to integer micros before the
+  // rollup, so the per-shape sums are exact 64-bit arithmetic (the q105
+  // merge-order rule).
+  //
+  // Scale shape: reuses the one declared quadratic pass q133 already
+  // stages (the session-cached exact miner at the grid minimum — at
+  // 100 TB feed the q101 banded+verified pair frame instead); the shape
+  // fan-out is an explode over a 5-element literal and the rollup lands
+  // on 5 rows.
+  // ---------------------------------------------------------------------------
+  private val LSH_PLAN_TAU = 0.8
+  private val LSH_GRID: Seq[(Int, Int)] = Seq((1, 16), (2, 8), (4, 4), (8, 2), (16, 1))
+
+  /** x^e for power-of-two e as an explicit squaring chain — identical
+    * IEEE-double multiplication order in both engines.
+    */
+  private def powChain(x: String, e: Int): String =
+    if (e == 1) x else { val h = powChain(x, e / 2); s"($h * $h)" }
+
+  /** floor-micro'd candidate probability 1-(1-j^r)^b, branching on the
+    * exploded (r, b) columns; generated once, spliced into both engines.
+    */
+  private def lshPCase: String =
+    LSH_GRID
+      .map { case (r, b) =>
+        s"WHEN r = $r AND b = $b THEN CAST(floor((1e0 - ${powChain(s"(1e0 - ${powChain("j", r)})", b)}) * 1e6 + 5e-1) AS BIGINT)"
+      }
+      .mkString("CASE ", " ", " END")
+
+  def q146LshPlan(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = tokenJaccardPairsAt(spark, dir, SWEEP_TAUS.min)
+      .select(col("jaccard").as("j"))
+    pairs
+      .withColumn("cfg", explode(typedLit(LSH_GRID)))
+      .select(col("j"), col("cfg._1").as("r"), col("cfg._2").as("b"))
+      .withColumn("p_micro", expr(lshPCase))
+      .withColumn("is_true", (col("j") >= LSH_PLAN_TAU).cast("int"))
+      .groupBy(col("r"), col("b"))
+      .agg(
+        sum(col("is_true")).as("n_true_pairs"),
+        sum(when(col("is_true") === 1, col("p_micro"))).as("true_sum"),
+        (count(lit(1)) - sum(col("is_true"))).as("n_nearmiss_pairs"),
+        sum(when(col("is_true") === 0, col("p_micro"))).as("near_sum")
+      )
+      .select(
+        col("r"),
+        col("b"),
+        col("n_true_pairs"),
+        expr("floor(cast(true_sum AS double) / n_true_pairs + 5e-1) / 1e6").as("expected_recall"),
+        col("n_nearmiss_pairs"),
+        expr("floor(cast(near_sum AS double) / n_nearmiss_pairs + 5e-1) / 1e6").as("nearmiss_candidate_frac"),
+        expr("CASE WHEN floor(cast(true_sum AS double) / n_true_pairs + 5e-1) >= 950000 THEN 'ok' ELSE 'below_floor' END")
+          .as("verdict")
+      )
+      .orderBy(col("r"))
+  }
+
+  lazy val q146Oracle: String = {
+    val jac =
+      "len(list_intersect(l.toks, r.toks))::DOUBLE / len(list_distinct(list_concat(l.toks, r.toks)))"
+    val grid = LSH_GRID.map { case (r, b) => s"{'r': $r, 'b': $b}" }.mkString(", ")
+    s"""WITH t AS (
+       |  SELECT lang, doc_id,
+       |         list_distinct(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS toks
+       |  FROM documents),
+       |p AS (
+       |  SELECT round($jac, 6) AS j
+       |  FROM t l JOIN t r ON l.lang = r.lang AND l.doc_id < r.doc_id
+       |  WHERE $jac >= ${SWEEP_TAUS.min}),
+       |cfg AS (SELECT unnest([$grid], recursive := true)),
+       |f AS (
+       |  SELECT r, b, j, $lshPCase AS p_micro,
+       |         CASE WHEN j >= $LSH_PLAN_TAU THEN 1 ELSE 0 END AS is_true
+       |  FROM p CROSS JOIN cfg),
+       |ag AS (
+       |  SELECT r, b,
+       |         CAST(sum(is_true) AS BIGINT) AS n_true_pairs,
+       |         CAST(sum(CASE WHEN is_true = 1 THEN p_micro END) AS BIGINT) AS true_sum,
+       |         CAST(count(*) - sum(is_true) AS BIGINT) AS n_nearmiss_pairs,
+       |         CAST(sum(CASE WHEN is_true = 0 THEN p_micro END) AS BIGINT) AS near_sum
+       |  FROM f GROUP BY 1, 2)
+       |SELECT r, b, n_true_pairs,
+       |       floor(CAST(true_sum AS DOUBLE) / n_true_pairs + 5e-1) / 1e6 AS expected_recall,
+       |       n_nearmiss_pairs,
+       |       floor(CAST(near_sum AS DOUBLE) / n_nearmiss_pairs + 5e-1) / 1e6 AS nearmiss_candidate_frac,
+       |       CASE WHEN floor(CAST(true_sum AS DOUBLE) / n_true_pairs + 5e-1) >= 950000
+       |            THEN 'ok' ELSE 'below_floor' END AS verdict
+       |FROM ag ORDER BY r""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q146_lsh_plan" -> (q146LshPlan _),
     "q144_winnow_pairs" -> (q144WinnowPairs _),
     "q29_exact_dedup" -> (q29ExactDedup _),
     "q30_minhash_pairs" -> (q30MinhashPairs _),
@@ -1549,6 +1658,7 @@ object Dedup {
     * repair, so it stays selfcheck-gated (see the note at its exclusion).
     */
   val oracles: Map[String, String] = Map(
+    "q146_lsh_plan" -> q146Oracle,
     "q144_winnow_pairs" -> q144Oracle,
     "q29_exact_dedup" -> q29Oracle,
     "q32_token_jaccard" -> q32Oracle,

@@ -685,4 +685,34 @@ class DedupSpec extends SparkSpec {
     assert(longRunPairs.nonEmpty, "planted dups must share >=11-token runs or the guarantee tests nothing")
     info(s"sf0.001: ${got.size} winnow pairs, ${longRunPairs.size} guarantee-checked long-run pairs")
   }
+
+  test("q146 LSH planner: equals the textbook S-curve replayed over the exact pair set; steeper r trades recall for precision") {
+    // the planner's own feed: the exact miner at the sweep-grid minimum
+    val pairs = Dedup
+      .tokenJaccardPairsAt(spark, sfDir, Dedup.SWEEP_TAUS.min)
+      .collect()
+      .map(_.getAs[Double]("jaccard"))
+      .toSeq
+    val grid = Seq((1, 16), (2, 8), (4, 4), (8, 2), (16, 1))
+    def powi(x: Double, e: Int): Double = if (e == 1) x else { val h = powi(x, e / 2); h * h }
+    val expected = grid.map { case (r, b) =>
+      val pm = pairs.map(j => (j, math.floor((1.0 - powi(1.0 - powi(j, r), b)) * 1e6 + 0.5).toLong))
+      val (t, n) = pm.partition(_._1 >= 0.8)
+      (r, b, t.size.toLong,
+        math.floor(t.map(_._2).sum.toDouble / t.size + 0.5) / 1e6,
+        n.size.toLong,
+        math.floor(n.map(_._2).sum.toDouble / n.size + 0.5) / 1e6)
+    }
+    val got = Dedup
+      .q146LshPlan(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[Int]("r"), r.getAs[Int]("b"), r.getLong(2), r.getDouble(3), r.getLong(4), r.getDouble(5)))
+      .toSeq
+      .sortBy(_._1)
+    assert(got === expected, "planner must equal the single-node S-curve replay")
+    // S-curve shape: recall and near-miss candidate mass both fall as r steepens
+    assert(got.map(_._4) === got.map(_._4).sorted.reverse, "expected_recall monotone non-increasing in r")
+    assert(got.map(_._6) === got.map(_._6).sorted.reverse, "nearmiss mass monotone non-increasing in r")
+    info(s"sf0.001: shipped (r=2,b=8) recall ${got.find(_._1 == 2).get._4}")
+  }
 }
