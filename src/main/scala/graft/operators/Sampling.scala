@@ -217,7 +217,186 @@ object Sampling {
        |       CAST(CASE WHEN rk <= $SOURCE_CAP THEN 1 ELSE 0 END AS INT) AS kept
        |FROM r ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q145 — quality-WEIGHTED sampling without replacement (Efraimidis &
+  // Spirakis 2006, A-Res): per language keep the SAMPLE_K docs with the
+  // largest key u^(1/w) — equivalently ln(u)/w, rank-identical and
+  // numerically tamer — where u is a per-doc uniform and w the q26 quality
+  // score. This is the standard one-pass reservoir scheme for "sample the
+  // corpus proportional to quality": inclusion odds scale with w, yet the
+  // draw is exactly without replacement, and the key is a pure per-row
+  // projection so the sample is reproducible anywhere the hash exists —
+  // unlike rand()-seeded samplers, re-running on a re-partitioned corpus
+  // returns byte-identical picks. Complements q48 (uniform stratified),
+  // q51 (unweighted bottom-k) and q130 (hard top-by-score cap): A-Res keeps
+  // a stochastic mix biased toward quality instead of deterministically
+  // clipping everything below a rank.
+  //
+  // Engine-exactness: u = (first 12 md5 hex of a salted doc_id + 1) /
+  // (16^12 + 1) in (0,1); the key is floored to integer micros via ONE
+  // expression string shared with the oracle (ln agreement between engines
+  // is already load-bearing in q84/q111), and the rank orders by
+  // (key_micro DESC, doc_id) — a total order both engines replay.
+  //
+  // Scale shape: one scan + one per-lang window (sort-based streaming
+  // row_number, the q130 plan). At 100 TB, pre-prune with a per-lang
+  // approx-quantile key threshold (keep ~2×K survivors) before ranking —
+  // same note as q130; the full-rank form here is the oracle-gated
+  // contract.
+  // ---------------------------------------------------------------------------
+  val SAMPLE_K = 25
+
+  def q145WeightedSample(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .balanced(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("lang"), TextOps.q26ScoreCol.as("weight"))
+      .withColumn(
+        "h",
+        conv(substring(md5(concat(lit("ws:"), col("doc_id").cast("string"))), 1, 12), 16, 10).cast("bigint")
+      )
+      .withColumn("key_micro", expr("CAST(floor(ln((h + 1) / 281474976710657e0) / weight * 1e6 + 5e-1) AS BIGINT)"))
+      .withColumn(
+        "rank",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("lang"))
+            .orderBy(col("key_micro").desc, col("doc_id"))
+        ).cast("long")
+      )
+      .filter(col("rank") <= SAMPLE_K)
+      .select(
+        col("lang"),
+        col("rank"),
+        col("doc_id"),
+        col("weight"),
+        (col("key_micro") / lit(1e6)).as("sample_key")
+      )
+      .orderBy(col("lang"), col("rank"))
+
+  val q145Oracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, ${TextOps.q26ScoreSql} AS weight
+       |  FROM documents),
+       |k AS (
+       |  SELECT doc_id, lang, weight,
+       |         CAST(floor(ln((('0x' || substring(md5('ws:' || doc_id::VARCHAR), 1, 12))::BIGINT + 1)
+       |               / 281474976710657e0) / weight * 1e6 + 5e-1) AS BIGINT) AS key_micro
+       |  FROM t),
+       |r AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY lang ORDER BY key_micro DESC, doc_id) AS BIGINT) AS rank
+       |  FROM k)
+       |SELECT lang, rank, doc_id, weight, key_micro / 1e6 AS sample_key
+       |FROM r WHERE rank <= $SAMPLE_K
+       |ORDER BY lang, rank""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q148 — shard REBALANCE plan under rendezvous hashing (Thaler & Ravishankar
+  // 1998, HRW): what fraction of the corpus moves when the shard fleet grows
+  // N -> N+1, under HRW (assign each doc to argmax_s md5(doc_id:s)) vs the
+  // naive doc_id mod N. The operational question behind every re-shard of a
+  // 100 TB bucketed layout: HRW moves only the docs the NEW shard wins
+  // (~1/(N+1), and every moved doc lands ON the new shard — zero
+  // shard-to-shard churn), while mod-N reassigns almost everything. The
+  // report measures both on the corpus itself, plus the post-grow balance
+  // (most-loaded shard vs ideal), so the migration cost and the resulting
+  // skew are read off one table before committing to a scheme.
+  //
+  // Engine-exactness: the HRW argmax is the q144 encode-min trick in
+  // reverse — max over `md5hex || lpad(shard, 2)` strings, ties impossible
+  // (md5 equality across shards of one doc); everything else is integer
+  // counting with micro-floored fractions.
+  //
+  // Scale shape: the per-doc assignment is a pure projection (a transform
+  // over an N+1-element literal — no explode, no join); the scheme fan-out
+  // is a 2-element explode; two keyed aggregates land on <= 2·(N+1) rows.
+  // ---------------------------------------------------------------------------
+  val SHARDS_BEFORE = 8
+
+  private def hrwExpr(n: Int): String =
+    s"CAST(substring(array_max(transform(sequence(0, ${n - 1}), " +
+      "s -> concat(md5(concat(cast(doc_id AS string), ':', cast(s AS string))), " +
+      "lpad(cast(s AS string), 2, '0')))), 33, 2) AS INT)"
+
+  def q148ShardRebalance(spark: SparkSession, dir: String): DataFrame = {
+    val n = SHARDS_BEFORE
+    val assigned = Tables
+      .balanced(Tables.documents(spark, dir).select(col("doc_id")))
+      .withColumn("hrw_b", expr(hrwExpr(n)))
+      .withColumn("hrw_a", expr(hrwExpr(n + 1)))
+      .withColumn("mod_b", expr(s"CAST(doc_id % $n AS INT)"))
+      .withColumn("mod_a", expr(s"CAST(doc_id % ${n + 1} AS INT)"))
+      .select(
+        explode(
+          array(
+            struct(lit("hrw").as("scheme"), col("hrw_b").as("s_before"), col("hrw_a").as("s_after")),
+            struct(lit("mod").as("scheme"), col("mod_b").as("s_before"), col("mod_a").as("s_after"))
+          )
+        ).as("x")
+      )
+      .select(col("x.scheme").as("scheme"), col("x.s_before").as("s_before"), col("x.s_after").as("s_after"))
+      .localCheckpoint()
+    val stats = assigned
+      .groupBy(col("scheme"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum((col("s_before") =!= col("s_after")).cast("long")).as("n_moved"),
+        sum((col("s_before") =!= col("s_after") && col("s_after") === n).cast("long")).as("moved_to_new")
+      )
+    val load = assigned
+      .groupBy(col("scheme"), col("s_after"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("scheme"))
+      .agg(max(col("c")).as("max_load"))
+    stats
+      .join(load, "scheme")
+      .select(
+        col("scheme"),
+        col("n_docs"),
+        col("n_moved"),
+        expr("floor(cast(n_moved AS double) * 1e6 / n_docs + 5e-1) / 1e6").as("moved_frac"),
+        expr("floor(cast(moved_to_new AS double) * 1e6 / greatest(n_moved, 1) + 5e-1) / 1e6")
+          .as("moved_to_new_frac"),
+        expr(s"floor(cast(max_load AS double) * ${n + 1} * 1e6 / n_docs + 5e-1) / 1e6")
+          .as("max_load_factor")
+      )
+      .orderBy(col("scheme"))
+  }
+
+  val q148Oracle: String = {
+    val n = SHARDS_BEFORE
+    def hrw(m: Int): String =
+      s"CAST(substr(list_max(list_transform(range(0, $m), " +
+        s"s -> md5(doc_id::VARCHAR || ':' || s::VARCHAR) || lpad(s::VARCHAR, 2, '0'))), 33, 2) AS INT)"
+    s"""WITH a AS (
+       |  SELECT doc_id,
+       |         ${hrw(n)} AS hrw_b,
+       |         ${hrw(n + 1)} AS hrw_a,
+       |         CAST(doc_id % $n AS INT) AS mod_b,
+       |         CAST(doc_id % ${n + 1} AS INT) AS mod_a
+       |  FROM documents),
+       |f AS (
+       |  SELECT 'hrw' AS scheme, hrw_b AS s_before, hrw_a AS s_after FROM a
+       |  UNION ALL
+       |  SELECT 'mod' AS scheme, mod_b AS s_before, mod_a AS s_after FROM a),
+       |st AS (
+       |  SELECT scheme, count(*) AS n_docs,
+       |         CAST(sum(CASE WHEN s_before <> s_after THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+       |         CAST(sum(CASE WHEN s_before <> s_after AND s_after = $n THEN 1 ELSE 0 END) AS BIGINT) AS moved_to_new
+       |  FROM f GROUP BY 1),
+       |ld AS (
+       |  SELECT scheme, CAST(max(c) AS BIGINT) AS max_load
+       |  FROM (SELECT scheme, s_after, count(*) AS c FROM f GROUP BY 1, 2) GROUP BY 1)
+       |SELECT st.scheme, st.n_docs, st.n_moved,
+       |       floor(CAST(n_moved AS DOUBLE) * 1e6 / n_docs + 5e-1) / 1e6 AS moved_frac,
+       |       floor(CAST(moved_to_new AS DOUBLE) * 1e6 / greatest(n_moved, 1) + 5e-1) / 1e6 AS moved_to_new_frac,
+       |       floor(CAST(max_load AS DOUBLE) * ${n + 1} * 1e6 / n_docs + 5e-1) / 1e6 AS max_load_factor
+       |FROM st JOIN ld USING (scheme)
+       |ORDER BY scheme""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q148_shard_rebalance" -> (q148ShardRebalance _),
+    "q145_weighted_sample" -> (q145WeightedSample _),
     "q48_stratified_sample" -> (q48StratifiedSample _),
     "q49_hash_split" -> (q49HashSplit _),
     "q51_bottomk_sample" -> (q51BottomKSample _),
@@ -228,6 +407,8 @@ object Sampling {
     * via its envelope form (exact totals + verdict columns).
     */
   val oracles: Map[String, String] = Map(
+    "q148_shard_rebalance" -> q148Oracle,
+    "q145_weighted_sample" -> q145Oracle,
     "q48_stratified_sample" -> q48Oracle,
     "q49_hash_split" -> q49Oracle,
     "q51_bottomk_sample" -> q51Oracle,

@@ -108,4 +108,86 @@ class SamplingSpec extends SparkSpec {
       .toMap
     rows.foreach { case (id, _, score, _, _) => assert(score === q26(id), s"doc $id score must be q26's") }
   }
+
+  test("q145 weighted sample: equals an A-Res single-node replay; sample is quality-biased vs uniform") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val q26 = TextOps
+      .q26QualityScore(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("quality_score")))
+      .toMap
+    val langs = graft.core.Tables
+      .documents(spark, sfDir)
+      .select("doc_id", "lang")
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val keyed = langs.map { case (id, lang) =>
+      val h = java.lang.Long.parseLong(md5hex(s"ws:$id").substring(0, 12), 16)
+      val keyMicro = math.floor(math.log((h + 1) / 281474976710657e0) / q26(id) * 1e6 + 0.5).toLong
+      (lang, id, q26(id), keyMicro)
+    }
+    val expected = keyed
+      .groupBy(_._1)
+      .toSeq
+      .flatMap { case (lang, grp) =>
+        grp.sortBy(g => (-g._4, g._2)).take(Sampling.SAMPLE_K).zipWithIndex.map { case ((_, id, w, km), i) =>
+          (lang, (i + 1).toLong, id, w, km / 1e6)
+        }
+      }
+      .toSet
+    val got = Sampling
+      .q145WeightedSample(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toSet
+    assert(got === expected, "sample must equal the A-Res single-node replay")
+
+    // weighting must bias the draw: the sampled mean quality beats the
+    // corpus mean in every language (deterministic given this corpus)
+    keyed.groupBy(_._1).foreach { case (lang, grp) =>
+      val corpusMean = grp.map(_._3).sum / grp.size
+      val picked = got.filter(_._1 == lang).map(_._4)
+      val sampleMean = picked.sum / picked.size
+      assert(sampleMean > corpusMean, s"$lang: weighted sample mean $sampleMean must exceed corpus mean $corpusMean")
+    }
+    info(s"sf0.001: ${got.size} sampled docs across ${got.map(_._1).toSet.size} languages")
+  }
+
+  test("q148 shard rebalance: equals a single-node HRW replay; HRW is monotone-consistent, mod-N is not") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val n = Sampling.SHARDS_BEFORE
+    def hrw(id: Long, m: Int): Int =
+      (0 until m).map(s => (md5hex(s"$id:$s") + f"$s%02d", s)).max._2
+    val ids = graft.core.Tables.documents(spark, sfDir).select("doc_id").collect().map(_.getLong(0))
+
+    // the HRW consistency theorem: growing the fleet never reassigns a doc
+    // except TO the new shard
+    val hrwPairs = ids.map(id => (hrw(id, n), hrw(id, n + 1)))
+    hrwPairs.foreach { case (b, a) => assert(a == b || a == n, "HRW moved a doc shard-to-shard") }
+
+    val modPairs = ids.map(id => ((id % n).toInt, (id % (n + 1)).toInt))
+    def rowFor(scheme: String, pairs: Array[(Int, Int)]) = {
+      val moved = pairs.count { case (b, a) => b != a }.toLong
+      val toNew = pairs.count { case (b, a) => b != a && a == n }.toLong
+      val maxLoad = pairs.groupBy(_._2).values.map(_.length).max.toLong
+      (scheme, pairs.length.toLong, moved,
+        math.floor(moved * 1e6 / pairs.length + 0.5) / 1e6,
+        math.floor(toNew * 1e6 / math.max(moved, 1L) + 0.5) / 1e6,
+        math.floor(maxLoad.toDouble * (n + 1) * 1e6 / pairs.length + 0.5) / 1e6)
+    }
+    val expected = Set(rowFor("hrw", hrwPairs), rowFor("mod", modPairs))
+    val got = Sampling
+      .q148ShardRebalance(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toSet
+    assert(got === expected, "rebalance report must equal the single-node replay")
+    val hrwRow = got.find(_._1 == "hrw").get
+    val modRow = got.find(_._1 == "mod").get
+    assert(hrwRow._4 < modRow._4, "HRW must move less than mod-N")
+    assert(hrwRow._5 === 1.0, "every HRW move lands on the new shard")
+    info(s"sf0.001: hrw moved ${hrwRow._4}, mod moved ${modRow._4}")
+  }
 }
