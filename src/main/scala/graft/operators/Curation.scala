@@ -2574,7 +2574,107 @@ object Curation {
        |FROM fin ORDER BY source""".stripMargin
   }
 
+  // ---------------------------------------------------------------------------
+  // q149 — repetition-budget plan (Muennighoff et al. 2023, "Scaling
+  // Data-Constrained Language Models"): per source, how many effective
+  // tokens E epochs over its UNIQUE mass actually buy. The paper's fit:
+  // the k-th epoch of the same data is worth (1-δ)^(k-1) fresh tokens
+  // (δ = 1/R*, R* ≈ 15), so E epochs yield U·(1-(1-δ)^E)/δ effective
+  // tokens — the geometric closed form used here. Unique mass U is the
+  // token sum of q29's exact-dedup survivors (repeating a duplicate is
+  // repetition even at E=1). The output grid (source × E ∈ {1,2,4,8,16})
+  // is the table a data-constrained run reads to decide where re-reading
+  // still buys model quality and where it has flattened: effective tokens,
+  // efficiency vs tokens read, and a diminished verdict below 50%.
+  //
+  // Engine-exactness: every per-E multiplier (1-(1-δ)^E)/δ is a COMPILE-TIME
+  // constant — computed once in Scala by repeated squaring and embedded as
+  // the same integer-micro literal in both engines, so no runtime pow
+  // exists anywhere; U is an exact integer sum and the projections floor
+  // to micros through the shared expressions.
+  //
+  // Scale shape: one corpus scan into the q29 fingerprint aggregate (the
+  // survivors frame), one groupBy(source), then a 5-element literal
+  // explode over per-source rows — everything after the rollup is
+  // |sources|×5 rows.
+  // ---------------------------------------------------------------------------
+  private val REP_EPOCHS = Seq(1, 2, 4, 8, 16)
+  private val REP_RSTAR = 15.0
+
+  /** floor-micro'd (1-(1-1/R*)^E)/(1/R*) per grid epoch — exact repeated
+    * squaring at build time, shared as literals with the oracle.
+    */
+  private val repFactorMicro: Map[Int, Long] = {
+    val delta = 1.0 / REP_RSTAR
+    def powi(x: Double, e: Int): Double = if (e == 1) x else { val h = powi(x, e / 2); h * h }
+    REP_EPOCHS.map(e => e -> math.floor((1.0 - powi(1.0 - delta, e)) / delta * 1e6 + 0.5).toLong).toMap
+  }
+
+  private def repFactorCase: String =
+    REP_EPOCHS.map(e => s"WHEN epochs = $e THEN ${repFactorMicro(e)}").mkString("CASE ", " ", " END")
+
+  def q149RepetitionBudget(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables
+      .balanced(Tables.documents(spark, dir))
+      .select(
+        col("doc_id"),
+        col("source"),
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens")
+      )
+    val keepers = docs.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+    docs
+      .join(keepers, Seq("fp", "doc_id")) // survivors only: first corpus occurrence
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("unique_docs"), sum(col("n_tokens")).as("unique_tokens"))
+      .withColumn("epochs", explode(typedLit(REP_EPOCHS)))
+      .withColumn("factor_micro", expr(repFactorCase))
+      .select(
+        col("source"),
+        col("epochs"),
+        col("unique_docs"),
+        col("unique_tokens"),
+        (col("unique_tokens") * col("epochs")).as("tokens_read"),
+        expr("CAST(floor(CAST(unique_tokens AS double) * factor_micro / 1e6 + 5e-1) AS BIGINT)")
+          .as("effective_tokens"),
+        expr(
+          "floor(floor(CAST(unique_tokens AS double) * factor_micro / 1e6 + 5e-1) * 1e6" +
+            " / (unique_tokens * epochs) + 5e-1) / 1e6"
+        ).as("efficiency"),
+        expr(
+          "CASE WHEN floor(floor(CAST(unique_tokens AS double) * factor_micro / 1e6 + 5e-1) * 1e6" +
+            " / (unique_tokens * epochs) + 5e-1) < 500000 THEN 'diminished' ELSE 'ok' END"
+        ).as("verdict")
+      )
+      .orderBy(col("source"), col("epochs"))
+  }
+
+  val q149Oracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+       |         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |k AS (SELECT fp, min(doc_id) AS doc_id FROM d GROUP BY 1),
+       |u AS (
+       |  SELECT source, count(*) AS unique_docs, CAST(sum(n_tokens) AS BIGINT) AS unique_tokens
+       |  FROM d JOIN k USING (fp, doc_id) GROUP BY 1),
+       |g AS (
+       |  SELECT u.*, e.epochs, $repFactorCase AS factor_micro
+       |  FROM u CROSS JOIN (SELECT unnest([${REP_EPOCHS.mkString(", ")}]) AS epochs) e)
+       |SELECT source, CAST(epochs AS INT) AS epochs, unique_docs, unique_tokens,
+       |       CAST(unique_tokens * epochs AS BIGINT) AS tokens_read,
+       |       CAST(floor(CAST(unique_tokens AS DOUBLE) * factor_micro / 1e6 + 5e-1) AS BIGINT)
+       |         AS effective_tokens,
+       |       floor(floor(CAST(unique_tokens AS DOUBLE) * factor_micro / 1e6 + 5e-1) * 1e6
+       |             / (unique_tokens * epochs) + 5e-1) / 1e6 AS efficiency,
+       |       CASE WHEN floor(floor(CAST(unique_tokens AS DOUBLE) * factor_micro / 1e6 + 5e-1) * 1e6
+       |                 / (unique_tokens * epochs) + 5e-1) < 500000 THEN 'diminished' ELSE 'ok' END
+       |         AS verdict
+       |FROM g ORDER BY source, epochs""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q149_repetition_budget" -> (q149RepetitionBudget _),
     "q147_doremi_weights" -> (q147DoremiWeights _),
     "q140_blocklist_screen" -> (q140BlocklistScreen _),
     "q143_quality_calibration" -> (q143QualityCalibration _),
@@ -2603,6 +2703,7 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "q149_repetition_budget" -> q149Oracle,
     "q147_doremi_weights" -> q147Oracle,
     "q140_blocklist_screen" -> q140Oracle,
     "q143_quality_calibration" -> q143Oracle,

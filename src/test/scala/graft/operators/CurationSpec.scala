@@ -1219,4 +1219,48 @@ class CurationSpec extends SparkSpec {
     assert(got.exists(_._5 > 0), "some source must carry excess loss or the reweighting tests nothing")
     info(s"sf0.001: ${got.size} sources, weight sum $wsum")
   }
+
+  test("q149 repetition budget: equals a single-node replay; geometric decay curve is sane") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = graft.core.Tables
+      .documents(spark, sfDir)
+      .select("doc_id", "source", "text")
+      .collect()
+      .map { r =>
+        val norm = r.getString(2).toLowerCase.trim.replaceAll("\\s+", " ")
+        (r.getLong(0), r.getString(1), md5hex(norm), r.getString(2).trim.split("\\s+").length.toLong)
+      }
+    val keeper = docs.groupBy(_._3).map { case (_, xs) => xs.map(_._1).min }.toSet
+    val perSrc = docs.filter(d => keeper(d._1)).groupBy(_._2).map { case (src, xs) =>
+      src -> (xs.length.toLong, xs.map(_._4).sum)
+    }
+    val epochs = Seq(1, 2, 4, 8, 16)
+    val delta = 1.0 / 15.0
+    def powi(x: Double, e: Int): Double = if (e == 1) x else { val h = powi(x, e / 2); h * h }
+    val expected = (for {
+      (src, (nd, u)) <- perSrc.toSeq; e <- epochs
+    } yield {
+      val f = math.floor((1.0 - powi(1.0 - delta, e)) / delta * 1e6 + 0.5).toLong
+      val eff = math.floor(u.toDouble * f / 1e6 + 0.5).toLong
+      val effy = math.floor(eff * 1e6 / (u * e) + 0.5) / 1e6
+      (src, e, nd, u, u * e, eff, effy, if (effy < 0.5) "diminished" else "ok")
+    }).toSet
+    val got = Curation
+      .q149RepetitionBudget(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6), r.getString(7)))
+      .toSet
+    assert(got === expected, "budget must equal the single-node replay")
+    // curve shape per source: effective tokens rise with E, efficiency falls,
+    // E=1 is exactly break-even
+    got.groupBy(_._1).foreach { case (src, rows) =>
+      val byE = rows.toSeq.sortBy(_._2)
+      assert(byE.map(_._6) === byE.map(_._6).sorted, s"$src effective tokens must be non-decreasing in E")
+      assert(byE.map(_._7) === byE.map(_._7).sorted.reverse, s"$src efficiency must be non-increasing in E")
+      assert(byE.head._7 === 1.0, s"$src E=1 must be break-even")
+      assert(byE.last._6 <= 15L * byE.last._4, s"$src effective tokens must respect the R*=15 ceiling")
+    }
+    info(s"sf0.001: ${got.size} grid rows over ${got.map(_._1).toSet.size} sources")
+  }
 }
