@@ -1006,7 +1006,171 @@ object TextOps {
        |HAVING count(*) * $K_MG > n_total
        |ORDER BY n DESC, gram""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q150 — distinct-n diversity audit: per source and n ∈ {1,2,3}, the
+  // distinct-n-gram count over the total n-gram mass (Li et al. 2016's
+  // distinct-n; distinct-1 is the classic type-token ratio). The standard
+  // mode-collapse detector for SYNTHETIC or templated data feeds: a
+  // generator stuck on few patterns shows normal unigram diversity but a
+  // cratered distinct-2/distinct-3, which no per-doc quality rule (q26/q72)
+  // or dedup pass (exact/near) catches because every document is globally
+  // unique. Grams are md5-keyed (collision-free 16-byte keys — at 100 TB
+  // the distinct-count shuffle moves hashes, never gram strings).
+  //
+  // Scale shape: the gram instance table is the q110 linear blow-up × 3
+  // (once per n); count + distinct-count per (source, n) is one
+  // map-side-combined aggregate pair on the (source, n, key) grid. Output
+  // is |sources|×3 rows.
+  // ---------------------------------------------------------------------------
+  private val DIVERSITY_NS = Seq(1, 2, 3)
+  private val DIVERSITY_FLOOR_MICRO = 300000L // distinct-2 below 0.3: collapsed
+
+  def q150DistinctN(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables
+      .balanced(Tables.documents(spark, dir))
+      .withColumn("toks", split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " "))
+      .select(col("source"), col("toks"))
+    val grams = DIVERSITY_NS
+      .map { n =>
+        base
+          .filter(size(col("toks")) >= n)
+          .select(
+            col("source"),
+            lit(n).as("n"),
+            explode(
+              expr(s"transform(sequence(1, size(toks) - $n + 1), i -> md5(array_join(slice(toks, i, $n), ' ')))")
+            ).as("key")
+          )
+      }
+      .reduce(_.unionByName(_))
+    grams
+      .groupBy(col("source"), col("n"))
+      .agg(count(lit(1)).as("total_grams"), countDistinct(col("key")).as("distinct_grams"))
+      .select(
+        col("source"),
+        col("n"),
+        col("total_grams"),
+        col("distinct_grams"),
+        expr("floor(cast(distinct_grams AS double) * 1e6 / total_grams + 5e-1) / 1e6").as("distinct_ratio"),
+        expr(
+          s"CASE WHEN n = 2 AND floor(cast(distinct_grams AS double) * 1e6 / total_grams + 5e-1) < $DIVERSITY_FLOOR_MICRO" +
+            " THEN 'collapsed' ELSE 'ok' END"
+        ).as("verdict")
+      )
+      .orderBy(col("source"), col("n"))
+  }
+
+  val q150Oracle: String =
+    s"""WITH t AS (
+       |  SELECT source, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+       |  FROM documents),
+       |g AS (
+       |  ${DIVERSITY_NS
+        .map(n =>
+          s"SELECT source, $n AS n, unnest(list_transform(range(1, len(toks) - $n + 2), " +
+            s"i -> md5(array_to_string(toks[i:i+$n-1], ' ')))) AS key FROM t WHERE len(toks) >= $n"
+        )
+        .mkString("\n  UNION ALL\n  ")}),
+       |ag AS (
+       |  SELECT source, n, count(*) AS total_grams, count(DISTINCT key) AS distinct_grams
+       |  FROM g GROUP BY 1, 2)
+       |SELECT source, CAST(n AS INT) AS n,
+       |       CAST(total_grams AS BIGINT) AS total_grams,
+       |       CAST(distinct_grams AS BIGINT) AS distinct_grams,
+       |       floor(CAST(distinct_grams AS DOUBLE) * 1e6 / total_grams + 5e-1) / 1e6 AS distinct_ratio,
+       |       CASE WHEN n = 2 AND floor(CAST(distinct_grams AS DOUBLE) * 1e6 / total_grams + 5e-1)
+       |                 < $DIVERSITY_FLOOR_MICRO THEN 'collapsed' ELSE 'ok' END AS verdict
+       |FROM ag ORDER BY source, n""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q151 — Zipf-fit audit: per source, the OLS slope of ln(freq) on
+  // ln(rank) over the top ZIPF_K terms — natural language sits near the
+  // Zipf exponent -1 (Zipf 1949; Piantadosi 2014 for the modern reading),
+  // while key-mash noise flattens toward 0 and templated boilerplate
+  // steepens past ~-1.5, so the slope is a one-number corpus-health probe
+  // orthogonal to the per-doc signals (q135's entropy is within-doc; this
+  // is the SOURCE's rank-frequency law). Regression inputs are per-rank
+  // (ln rank, ln freq) pairs floored to integer micros, so the OLS sums
+  // are exact 64-bit arithmetic and the closed-form slope
+  // (k·Σxy − Σx·Σy)/(k·Σxx − Σx²) is engine-identical; ranks total-order
+  // by (freq DESC, term).
+  //
+  // Scale shape: one term-frequency aggregate, a per-source top-K window
+  // over the (source, term) grid (row_number, streaming sort — at 100 TB
+  // swap for a per-source TakeOrdered), then the regression collapses to
+  // one row per source.
+  // ---------------------------------------------------------------------------
+  private val ZIPF_K = 100
+
+  def q151ZipfFit(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables
+      .balanced(Tables.documents(spark, dir))
+      .select(col("source"), explode(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")).as("term"))
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("freq"))
+    val ranked = tf
+      .withColumn(
+        "rank",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("source"))
+            .orderBy(col("freq").desc, col("term"))
+        )
+      )
+      .filter(col("rank") <= ZIPF_K)
+      .withColumn("x", expr("CAST(floor(ln(rank) * 1e6 + 5e-1) AS BIGINT)"))
+      .withColumn("y", expr("CAST(floor(ln(freq) * 1e6 + 5e-1) AS BIGINT)"))
+    ranked
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("k"),
+        sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(expr("x * y")).as("sxy"),
+        sum(expr("x * x")).as("sxx")
+      )
+      .select(
+        col("source"),
+        col("k"),
+        expr("floor(CAST(k * sxy - sx * sy AS double) * 1e6 / CAST(k * sxx - sx * sx AS double) + 5e-1) / 1e6")
+          .as("zipf_slope"),
+        expr(
+          "CASE WHEN floor(CAST(k * sxy - sx * sy AS double) * 1e6 / CAST(k * sxx - sx * sx AS double) + 5e-1)" +
+            " BETWEEN -1500000 AND -700000 THEN 'zipfian' ELSE 'anomalous' END"
+        ).as("verdict")
+      )
+      .orderBy(col("source"))
+  }
+
+  val q151Oracle: String =
+    s"""WITH inst AS (
+       |  SELECT source, unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS term
+       |  FROM documents),
+       |tf AS (SELECT source, term, count(*) AS freq FROM inst GROUP BY 1, 2),
+       |rk AS (
+       |  SELECT source, freq,
+       |         row_number() OVER (PARTITION BY source ORDER BY freq DESC, term) AS rank
+       |  FROM tf),
+       |xy AS (
+       |  SELECT source,
+       |         CAST(floor(ln(rank) * 1e6 + 5e-1) AS BIGINT) AS x,
+       |         CAST(floor(ln(freq) * 1e6 + 5e-1) AS BIGINT) AS y
+       |  FROM rk WHERE rank <= $ZIPF_K),
+       |ag AS (
+       |  SELECT source, count(*) AS k,
+       |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |         CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+       |  FROM xy GROUP BY 1)
+       |SELECT source, CAST(k AS BIGINT) AS k,
+       |       floor(CAST(k * sxy - sx * sy AS DOUBLE) * 1e6 / CAST(k * sxx - sx * sx AS DOUBLE) + 5e-1) / 1e6
+       |         AS zipf_slope,
+       |       CASE WHEN floor(CAST(k * sxy - sx * sy AS DOUBLE) * 1e6 / CAST(k * sxx - sx * sx AS DOUBLE) + 5e-1)
+       |                 BETWEEN -1500000 AND -700000 THEN 'zipfian' ELSE 'anomalous' END AS verdict
+       |FROM ag ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q150_distinct_n" -> (q150DistinctN _),
+    "q151_zipf_fit" -> (q151ZipfFit _),
     "q127_heavy_hitters" -> (q127HeavyHitters _),
     "q25_lang_id" -> (q25LangId _),
     "q26_quality_score" -> (q26QualityScore _),
@@ -1024,6 +1188,8 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q150_distinct_n" -> q150Oracle,
+    "q151_zipf_fit" -> q151Oracle,
     "q127_heavy_hitters" -> q127Oracle,
     "q25_lang_id" -> q25Oracle,
     "q26_quality_score" -> q26Oracle,

@@ -371,4 +371,74 @@ class TextOpsSpec extends SparkSpec {
     }
     info(s"sf0.001: verdicts ${got.groupBy(_._5).view.mapValues(_.length).toMap}")
   }
+
+  test("q150 distinct-n: equals a single-node replay; ratios rise with n and are bounded by 1") {
+    val docs = graft.core.Tables
+      .documents(spark, sfDir)
+      .select("source", "text")
+      .collect()
+      .map(r => r.getString(0) -> r.getString(1).toLowerCase.trim.replaceAll("\\s+", " ").split(" ", -1))
+    val expected = (for {
+      n <- Seq(1, 2, 3)
+      (src, grams) <- docs
+        .filter(_._2.length >= n)
+        .flatMap { case (s, toks) => (0 to toks.length - n).map(i => (s, toks.slice(i, i + n).mkString(" "))) }
+        .groupBy(_._1)
+    } yield {
+      val total = grams.length.toLong
+      val distinct = grams.map(_._2).distinct.length.toLong
+      val ratioMicro = math.floor(distinct * 1e6 / total + 0.5).toLong
+      val verdict = if (n == 2 && ratioMicro < 300000L) "collapsed" else "ok"
+      (src, n, total, distinct, ratioMicro / 1e6, verdict)
+    }).toSet
+    val got = TextOps
+      .q150DistinctN(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getString(5)))
+      .toSet
+    assert(got === expected, "distinct-n must equal the single-node replay")
+    got.groupBy(_._1).foreach { case (src, rows) =>
+      val byN = rows.toSeq.sortBy(_._2).map(_._5)
+      assert(byN === byN.sorted, s"$src distinct-n must rise with n on natural-ish data")
+      assert(byN.forall(r => r > 0 && r <= 1.0), s"$src ratios in (0,1]")
+    }
+    info(s"sf0.001: ${got.size} rows; distinct-2 range ${got.filter(_._2 == 2).map(_._5).min}..${got.filter(_._2 == 2).map(_._5).max}")
+  }
+
+  test("q151 Zipf fit: equals a single-node OLS replay; uniform word-soup reads anomalous") {
+    val docs = graft.core.Tables
+      .documents(spark, sfDir)
+      .select("source", "text")
+      .collect()
+      .map(r => r.getString(0) -> r.getString(1).toLowerCase.trim.replaceAll("\\s+", " ").split(" ", -1))
+    val expected = docs
+      .flatMap { case (s, toks) => toks.map(s -> _) }
+      .groupBy(_._1)
+      .map { case (src, terms) =>
+        val tf = terms.map(_._2).groupBy(identity).map { case (t, xs) => (t, xs.length.toLong) }
+        val top = tf.toSeq.sortBy { case (t, f) => (-f, t) }.take(100).zipWithIndex
+        val xy = top.map { case ((_, f), i) =>
+          (math.floor(math.log(i + 1.0) * 1e6 + 0.5).toLong, math.floor(math.log(f.toDouble) * 1e6 + 0.5).toLong)
+        }
+        val k = xy.size.toLong
+        val (sx, sy) = (xy.map(_._1).sum, xy.map(_._2).sum)
+        val sxy = xy.map { case (x, y) => x * y }.sum
+        val sxx = xy.map { case (x, _) => x * x }.sum
+        val slopeMicro = math.floor((k * sxy - sx * sy).toDouble * 1e6 / (k * sxx - sx * sx).toDouble + 0.5).toLong
+        val verdict = if (slopeMicro >= -1500000L && slopeMicro <= -700000L) "zipfian" else "anomalous"
+        (src, k, slopeMicro / 1e6, verdict)
+      }
+      .toSet
+    val got = TextOps
+      .q151ZipfFit(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+      .toSet
+    assert(got === expected, "Zipf fit must equal the single-node OLS replay")
+    // the synthetic corpus draws words near-uniformly: every source must be
+    // flagged, which is the detector doing its job
+    assert(got.forall(_._4 == "anomalous"), "uniform word-soup must read anomalous")
+    assert(got.forall(r => r._3 < 0), "slopes still negative (rank-frequency always decreases)")
+    info(s"sf0.001: slope range ${got.map(_._3).min}..${got.map(_._3).max}")
+  }
 }
