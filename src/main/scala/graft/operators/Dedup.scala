@@ -1420,11 +1420,17 @@ object Dedup {
   private val WIN_MAXDF = 100
 
   /** Distinct (doc_id, fp) winnowing fingerprints per document. */
-  private[graft] def winnowFingerprints(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def winnowFingerprints(spark: SparkSession, dir: String): DataFrame =
+    winnowFingerprintsOf(Tables.balanced(Tables.documents(spark, dir)))
+
+  /** Winnowing over ANY (doc_id, text) frame — fingerprinting is per-doc
+    * LOCAL (no cross-doc state), so the streaming maintainer winnows each
+    * delta with the same code and the union of slices IS the batch table.
+    */
+  private[graft] def winnowFingerprintsOf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos")).rowsBetween(0, WIN_W - 1)
-    Tables
-      .balanced(Tables.documents(spark, dir))
+    docs
       .withColumn("norm_text", normText)
       .withColumn("toks", split(col("norm_text"), " "))
       .filter(size(col("toks")) >= WIN_K)
@@ -1447,16 +1453,24 @@ object Dedup {
       .distinct()
   }
 
-  def q144WinnowPairs(spark: SparkSession, dir: String): DataFrame = {
+  /** The rare-fingerprint table (MOSS df cap applied) over any fingerprint
+    * frame — shared by the batch q144/q152 and the streaming maintainer's
+    * served reports.
+    */
+  private[graft] def winnowRare(fps: DataFrame): DataFrame =
+    fps.join(
+      fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= WIN_MAXDF).select(col("fp")),
+      "fp"
+    )
+
+  def q144WinnowPairs(spark: SparkSession, dir: String): DataFrame =
+    winnowPairsFrom(winnowFingerprints(spark, dir).localCheckpoint())
+
+  private[graft] def winnowPairsFrom(fps: DataFrame): DataFrame = {
     // one fingerprint build feeds the df cap, both pair sides, and the
     // per-doc totals
-    val fps = winnowFingerprints(spark, dir).localCheckpoint()
-    val kept = fps
-      .join(
-        fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
-          .filter(col("df") <= WIN_MAXDF).select(col("fp")),
-        "fp"
-      )
+    val kept = winnowRare(fps)
     val perDoc = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
     kept.as("a")
       .join(kept.as("b"), col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
@@ -1619,7 +1633,59 @@ object Dedup {
        |FROM ag ORDER BY r""".stripMargin
   }
 
+  // ---------------------------------------------------------------------------
+  // q152 — verbatim-span contamination screen over the WINNOW index: train
+  // docs (q49's md5 coin) sharing >= 1 rare winnowing fingerprint with any
+  // test doc, with the shared-fp and test-doc counts per offender. The
+  // third leg of the decontamination triad: q67 catches exact 8-gram
+  // overlap at full gram-index cost, q113 catches NEAR-duplicates via
+  // MinHash, and this screen catches verbatim runs >= WIN_K+WIN_W-1 tokens
+  // (the SIGMOD'03 guarantee) from an index 2/(WIN_W+1) the size of the
+  // full gram table — the economics that matter when the screen runs on
+  // every ingest tick at 100 TB. The df cap (q144's MOSS rule) keeps
+  // boilerplate fingerprints from flagging everything; the fingerprint
+  // table is per-doc local state, so an incremental tick just winnows the
+  // delta and probes — no cross-doc rebuild (the q108 bucket-probe shape,
+  // but stateless).
+  //
+  // Oracle: q144's CTE chain through the rare-capped fingerprint table,
+  // plus q49's coin and the cross-split equi-join.
+  // ---------------------------------------------------------------------------
+  def q152WinnowContamination(spark: SparkSession, dir: String): DataFrame =
+    winnowContaminationFrom(winnowFingerprints(spark, dir).localCheckpoint())
+
+  private[graft] def winnowContaminationFrom(fps: DataFrame): DataFrame = {
+    val kept = winnowRare(fps)
+      .withColumn("split", Sampling.hashSplitCoin(col("doc_id")))
+    kept
+      .filter(col("split") === "train")
+      .select(col("doc_id"), col("fp"))
+      .join(kept.filter(col("split") === "test").select(col("doc_id").as("test_doc"), col("fp")), "fp")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("fp")).as("n_shared_fps"), countDistinct(col("test_doc")).as("n_test_docs"))
+      .orderBy(col("doc_id"))
+  }
+
+  lazy val q152Oracle: String = {
+    // chain is already margin-stripped — concatenate, don't re-stripMargin
+    // (a second strip would eat the `||` continuation lines inside it)
+    val chain = q144Oracle.substring(0, q144Oracle.indexOf("\npd AS"))
+    chain + "\n" +
+      """coin AS (
+        |  SELECT doc_id,
+        |         CASE WHEN b < 205 THEN 'train' WHEN b < 230 THEN 'validation' ELSE 'test' END AS split
+        |  FROM (SELECT doc_id, ('0x' || substring(md5(doc_id::VARCHAR), 1, 2))::INT AS b FROM documents)),
+        |tr AS (SELECT k.doc_id, k.fp FROM k JOIN coin USING (doc_id) WHERE split = 'train'),
+        |te AS (SELECT k.doc_id AS test_doc, k.fp FROM k JOIN coin USING (doc_id) WHERE split = 'test')
+        |SELECT tr.doc_id,
+        |       CAST(count(DISTINCT tr.fp) AS BIGINT) AS n_shared_fps,
+        |       CAST(count(DISTINCT te.test_doc) AS BIGINT) AS n_test_docs
+        |FROM tr JOIN te USING (fp)
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q152_winnow_contamination" -> (q152WinnowContamination _),
     "q146_lsh_plan" -> (q146LshPlan _),
     "q144_winnow_pairs" -> (q144WinnowPairs _),
     "q29_exact_dedup" -> (q29ExactDedup _),
@@ -1658,6 +1724,7 @@ object Dedup {
     * repair, so it stays selfcheck-gated (see the note at its exclusion).
     */
   val oracles: Map[String, String] = Map(
+    "q152_winnow_contamination" -> q152Oracle,
     "q146_lsh_plan" -> q146Oracle,
     "q144_winnow_pairs" -> q144Oracle,
     "q29_exact_dedup" -> q29Oracle,

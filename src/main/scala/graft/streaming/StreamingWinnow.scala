@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.operators.Dedup
+
+/** Live winnowing-fingerprint index: keeps q144/q152's MOSS fingerprint
+  * table current as document files land, at O(delta) per tick — so the
+  * verbatim-span contamination screen (q152) runs against a maintained
+  * index on every ingest drop instead of re-winnowing the corpus.
+  *
+  * Why this maintainer is trivially exact (the [[StreamingDriftWatch]]
+  * argument, one step simpler): winnowing is per-document LOCAL — a doc's
+  * fingerprints depend on nothing outside the doc — so the state algebra is
+  * plain set union. Each tick winnows only the delta with the SAME
+  * [[Dedup.winnowFingerprintsOf]] the batch query runs and appends the
+  * (doc_id, fp) rows as a slice; the union of slices IS the batch
+  * fingerprint table by construction. The corpus-dependent parts (the MOSS
+  * df cap, the pair join, the split screen) are recomputed AT SERVE TIME
+  * from the maintained table through the same shared code as the batch
+  * queries — a fingerprint that turns common retroactively is capped at the
+  * next read with no repair machinery (contrast StreamingSpanDedup's
+  * retroactive flips, which this design makes unnecessary here).
+  *
+  * The tick/watermark/crash protocol is [[SliceMaintainer]]'s, shared with
+  * the drift and sketch maintainers. State is ~2/(W+1) of the gram table —
+  * the winnowing economics that make an every-tick screen affordable at
+  * 100 TB.
+  */
+object StreamingWinnow {
+
+  /** One maintenance tick; returns the number of delta docs processed
+    * (0 = no-op tick). Callable directly (cron cadence) — `start` wires it
+    * to a file stream.
+    */
+  def tick(spark: SparkSession, dataDir: String, stateDir: String): Long =
+    SliceMaintainer.tick(
+      spark,
+      dataDir,
+      stateDir,
+      "fp",
+      delta => Dedup.winnowFingerprintsOf(delta.select(org.apache.spark.sql.functions.col("doc_id"), org.apache.spark.sql.functions.col("text")))
+    )
+
+  /** The maintained fingerprint table — equal to the batch
+    * [[Dedup.winnowFingerprints]] over every document the ticks have
+    * covered (per-doc locality makes the union exact; spec-pinned anyway).
+    */
+  def fpTable(spark: SparkSession, stateDir: String): DataFrame =
+    SliceStore.read(spark, s"$stateDir/fp")
+
+  /** q144's pair report served from the maintained index. */
+  def pairReport(spark: SparkSession, stateDir: String): DataFrame =
+    Dedup.winnowPairsFrom(fpTable(spark, stateDir).localCheckpoint())
+
+  /** q152's contamination screen served from the maintained index. */
+  def contamination(spark: SparkSession, stateDir: String): DataFrame =
+    Dedup.winnowContaminationFrom(fpTable(spark, stateDir).localCheckpoint())
+
+  /** Wire the tick to a file stream over the documents landing path. */
+  def start(
+      spark: SparkSession,
+      dataDir: String,
+      stateDir: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      onTick: Long => Unit = _ => ()
+  ): StreamingQuery =
+    SliceMaintainer.start(spark, dataDir, stateDir, "_winnow_checkpoint", trigger, onTick, () => tick(spark, dataDir, stateDir))
+}

@@ -715,4 +715,45 @@ class DedupSpec extends SparkSpec {
     assert(got.map(_._6) === got.map(_._6).sorted.reverse, "nearmiss mass monotone non-increasing in r")
     info(s"sf0.001: shipped (r=2,b=8) recall ${got.find(_._1 == 2).get._4}")
   }
+
+  test("q152 winnow contamination: equals a single-node replay of fingerprints x q49 coin") {
+    val K = 8; val W = 4; val MAXDF = 100
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def coin(id: Long): String = {
+      val b = Integer.parseInt(md5hex(id.toString).substring(0, 2), 16)
+      if (b < 205) "train" else if (b < 230) "validation" else "test"
+    }
+    val docs = graft.core.Tables
+      .documents(spark, sfDir)
+      .select("doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.trim.replaceAll("\\s+", " ").split(" ", -1))
+      .filter(_._2.length >= K)
+    val fpSets = docs.map { case (id, toks) =>
+      val m = toks.length - K + 1
+      val enc = (1 to m).map(i => md5hex(toks.slice(i - 1, i - 1 + K).mkString(" ")) + f"${1000000 - i}%07d")
+      id -> (1 to math.max(m - W + 1, 1)).map(j => enc.slice(j - 1, math.min(j - 1 + W, m)).min.substring(0, 32)).toSet
+    }.toMap
+    val df = fpSets.values.toSeq.flatten.groupBy(identity).map { case (f, xs) => f -> xs.size }
+    val kept = fpSets.map { case (id, fps) => id -> fps.filter(df(_) <= MAXDF) }
+    val testFps = kept.filter { case (id, _) => coin(id) == "test" }
+    val expected = kept
+      .filter { case (id, _) => coin(id) == "train" }
+      .flatMap { case (id, fps) =>
+        val sharedFps = fps.filter(f => testFps.values.exists(_.contains(f)))
+        val testDocs = testFps.collect { case (tid, tfps) if tfps.intersect(fps).nonEmpty => tid }
+        if (sharedFps.nonEmpty) Some((id, sharedFps.size.toLong, testDocs.size.toLong)) else None
+      }
+      .toSet
+    val got = Dedup
+      .q152WinnowContamination(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got === expected, "contamination screen must equal the single-node replay")
+    got.foreach { case (id, _, _) => assert(coin(id) == "train", "only train docs may be flagged") }
+    assert(got.nonEmpty, "the dup-dense corpus must contaminate across the split or the screen tests nothing")
+    info(s"sf0.001: ${got.size} contaminated train docs")
+  }
 }

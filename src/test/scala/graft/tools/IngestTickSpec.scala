@@ -77,6 +77,13 @@ class IngestTickSpec extends SparkSpec {
           Curation.q134SourceSketch(spark, dataDir).collect().toSeq.map(_.toSeq),
         s"drop first=$first: maintained sketch table != batch q134"
       )
+      assert(o.winnowDelta > 0, s"drop first=$first: winnow tick must see the delta")
+      assert(
+        graft.streaming.StreamingWinnow
+          .fpTable(spark, s"$stateDir/winnow").collect().toSeq.map(_.toSeq).sortBy(_.mkString("|")) ===
+          Dedup.winnowFingerprints(spark, dataDir).collect().toSeq.map(_.toSeq).sortBy(_.mkString("|")),
+        s"drop first=$first: maintained winnow index != batch fingerprints"
+      )
       // ANN: every family persisted something on drop 1; drop 2 must reuse
       // geometry (Appended) or legitimately rebuild — never silently skip a
       // GROWN corpus as Current
@@ -106,7 +113,7 @@ class IngestTickSpec extends SparkSpec {
     val o3 = IngestTick.run(spark, dataDir, stateDir)
     assert(
       o3.corpus.mode === "noop" && o3.clusterDelta === 0L && o3.spanDelta === 0L &&
-        o3.driftDelta === 0L && o3.sketchDelta === 0L
+        o3.driftDelta === 0L && o3.sketchDelta === 0L && o3.winnowDelta === 0L
     )
     info(s"two drops + noop tick verified against batch twins")
   }
