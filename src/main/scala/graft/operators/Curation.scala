@@ -1706,7 +1706,12 @@ object Curation {
     * the corpus-derived dup keys; the streaming maintainer feeds the
     * maintained counts table — same machinery, so they cannot drift.
     */
-  private[graft] def spanStatsFrom(inst: DataFrame, dupKeys: DataFrame): DataFrame = {
+  /** The maximal duplicated-coverage intervals per doc (gaps-and-islands
+    * merge over the dup-marked windows), BEFORE the SPAN_MIN floor — shared
+    * by the q110 rollup and the q154 mask export so the two views of the
+    * same spans cannot drift.
+    */
+  private[graft] def spanIslandsFrom(inst: DataFrame, dupKeys: DataFrame): DataFrame = {
     val wSeen = Window
       .partitionBy(col("doc_id"))
       .orderBy(col("pos"))
@@ -1715,7 +1720,7 @@ object Curation {
       .partitionBy(col("doc_id"))
       .orderBy(col("pos"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val spans = inst
+    inst
       .join(dupKeys.select(col("key")), "key")
       .select(col("doc_id"), col("pos"), (col("pos") + SPAN_K - 1).as("endpos"))
       // new island when this window starts past the furthest coverage so
@@ -1723,7 +1728,15 @@ object Curation {
       .withColumn("brk", when(col("pos") > coalesce(max(col("endpos")).over(wSeen), lit(-1)) + 1, 1).otherwise(0))
       .withColumn("island", sum(col("brk")).over(wRun))
       .groupBy(col("doc_id"), col("island"))
-      .agg((max(col("endpos")) - min(col("pos")) + 1).as("span_len"))
+      .agg(
+        min(col("pos")).as("start_pos"),
+        max(col("endpos")).as("end_pos"),
+        (max(col("endpos")) - min(col("pos")) + 1).as("span_len")
+      )
+  }
+
+  private[graft] def spanStatsFrom(inst: DataFrame, dupKeys: DataFrame): DataFrame = {
+    val spans = spanIslandsFrom(inst, dupKeys)
       .filter(col("span_len") >= SPAN_MIN)
       .groupBy(col("doc_id"))
       .agg(
@@ -1757,6 +1770,59 @@ object Curation {
       .filter(col("n_occ") >= 2)
       .select(col("key"))
     spanStatsFrom(inst, dupKeys).orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------------------
+  // q154 — duplicated-span LOSS-MASK export: q110's maximal duplicated
+  // intervals as the per-doc (start, end) token ranges a training loader
+  // masks from the loss — the actionable artifact behind q110's per-doc
+  // rollup (Lee et al.'s dedup line of work ends in exactly this: don't
+  // just REPORT repeated substrings, stop training on them). One row per
+  // qualifying span with a per-doc span index, the join-ready shape the
+  // q83/q132 export layer consumes alongside the text.
+  //
+  // Same machinery as q110 (shared spanIslandsFrom — the two views cannot
+  // drift), one extra per-doc window to index spans; positions are
+  // 1-based token offsets into the q110-normalized token stream.
+  // ---------------------------------------------------------------------------
+  def q154SpanMaskExport(spark: SparkSession, dir: String): DataFrame = {
+    val inst = spanGramInstances(spark, Tables.documents(spark, dir)).localCheckpoint()
+    val dupKeys = inst
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2)
+      .select(col("key"))
+    spanIslandsFrom(inst, dupKeys)
+      .filter(col("span_len") >= SPAN_MIN)
+      .withColumn(
+        "span_idx",
+        row_number().over(Window.partitionBy(col("doc_id")).orderBy(col("start_pos"))).cast("long")
+      )
+      .select(
+        col("doc_id"),
+        col("span_idx"),
+        col("start_pos").cast("long").as("start_pos"),
+        col("end_pos").cast("long").as("end_pos"),
+        col("span_len").cast("long").as("span_len")
+      )
+      .orderBy(col("doc_id"), col("span_idx"))
+  }
+
+  lazy val q154Oracle: String = {
+    // chain is already margin-stripped — concatenate, don't re-stripMargin
+    val chain = q110Oracle.substring(0, q110Oracle.indexOf("\nspans AS"))
+    chain + "\n" +
+      s"""ms AS (
+         |  SELECT doc_id, island, min(pos) AS start_pos, max(endpos) AS end_pos,
+         |         max(endpos) - min(pos) + 1 AS span_len
+         |  FROM isl GROUP BY 1, 2),
+         |f AS (
+         |  SELECT doc_id, start_pos, end_pos, span_len,
+         |         row_number() OVER (PARTITION BY doc_id ORDER BY start_pos) AS span_idx
+         |  FROM ms WHERE span_len >= $SPAN_MIN)
+         |SELECT doc_id, CAST(span_idx AS BIGINT) AS span_idx, CAST(start_pos AS BIGINT) AS start_pos,
+         |       CAST(end_pos AS BIGINT) AS end_pos, CAST(span_len AS BIGINT) AS span_len
+         |FROM f ORDER BY doc_id, span_idx""".stripMargin
   }
 
   val q110Oracle: String =
@@ -2673,7 +2739,97 @@ object Curation {
        |         AS verdict
        |FROM g ORDER BY source, epochs""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q153 — corpus constraint audit: the Deequ/dbt-tests-style data-quality
+  // gate as one query — a declared battery of table invariants (id
+  // uniqueness, non-empty text, n_chars consistency, language whitelist,
+  // id sign, source presence, whitespace normalization) each reported as
+  // (checked, violations, fraction, verdict). This is the CI gate a corpus
+  // PIPELINE runs between stages — distinct from the per-doc quality
+  // filters (q26/q72, which judge content) in that it judges the TABLE
+  // CONTRACT: a single violation means an upstream writer broke schema
+  // semantics, not that a document is low-quality. The language whitelist
+  // deliberately covers only the curation-target langs, so the zh slice
+  // reads as a firing detector (out-of-scope rows a target-lang pipeline
+  // must route away, the q72 lang rule's table-level mirror).
+  //
+  // Scale shape: ONE corpus scan computes every row-level violation count
+  // as conditional sums in a single aggregate (uniqueness rides the same
+  // pass as count - count(distinct)); the per-constraint rows are an
+  // explode over the 1-row result. Nothing after the scan is corpus-sized.
+  // ---------------------------------------------------------------------------
+  def q153ConstraintAudit(spark: SparkSession, dir: String): DataFrame = {
+    val langList = TargetLangs.map(l => s"'$l'").mkString(", ")
+    val agg = Tables
+      .balanced(Tables.documents(spark, dir))
+      .agg(
+        count(lit(1)).as("n"),
+        expr("count(*) - count(DISTINCT doc_id)").as("v_unique"),
+        expr("sum(CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END)").as("v_empty"),
+        expr("sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)").as("v_chars"),
+        expr(s"sum(CASE WHEN lang NOT IN ($langList) THEN 1 ELSE 0 END)").as("v_lang"),
+        expr("sum(CASE WHEN doc_id < 0 THEN 1 ELSE 0 END)").as("v_id_sign"),
+        expr("sum(CASE WHEN source IS NULL OR length(trim(source)) = 0 THEN 1 ELSE 0 END)").as("v_source"),
+        expr("sum(CASE WHEN text <> regexp_replace(trim(text), '\\\\s+', ' ') THEN 1 ELSE 0 END)")
+          .as("v_ws")
+      )
+    agg
+      .select(
+        col("n"),
+        explode(
+          array(
+            struct(lit("unique_doc_id").as("constraint"), col("v_unique").as("v")),
+            struct(lit("non_empty_text").as("constraint"), col("v_empty").as("v")),
+            struct(lit("n_chars_matches_text").as("constraint"), col("v_chars").as("v")),
+            struct(lit("lang_whitelisted").as("constraint"), col("v_lang").as("v")),
+            struct(lit("doc_id_non_negative").as("constraint"), col("v_id_sign").as("v")),
+            struct(lit("source_present").as("constraint"), col("v_source").as("v")),
+            struct(lit("text_whitespace_normalized").as("constraint"), col("v_ws").as("v"))
+          )
+        ).as("c")
+      )
+      .select(
+        col("c.constraint").as("constraint"),
+        col("n").as("n_checked"),
+        col("c.v").as("n_violations"),
+        expr("floor(cast(c.v AS double) * 1e6 / n + 5e-1) / 1e6").as("violation_frac"),
+        expr("CASE WHEN c.v = 0 THEN 'pass' ELSE 'fail' END").as("verdict")
+      )
+      .orderBy(col("constraint"))
+  }
+
+  val q153Oracle: String = {
+    val langList = TargetLangs.map(l => s"'$l'").mkString(", ")
+    s"""WITH a AS (
+       |  SELECT count(*) AS n,
+       |         count(*) - count(DISTINCT doc_id) AS v_unique,
+       |         sum(CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END) AS v_empty,
+       |         sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS v_chars,
+       |         sum(CASE WHEN lang NOT IN ($langList) THEN 1 ELSE 0 END) AS v_lang,
+       |         sum(CASE WHEN doc_id < 0 THEN 1 ELSE 0 END) AS v_id_sign,
+       |         sum(CASE WHEN source IS NULL OR length(trim(source)) = 0 THEN 1 ELSE 0 END) AS v_source,
+       |         sum(CASE WHEN text <> regexp_replace(trim(text), '\\s+', ' ', 'g') THEN 1 ELSE 0 END) AS v_ws
+       |  FROM documents),
+       |u AS (
+       |  SELECT n, unnest([
+       |    {'constraint': 'unique_doc_id', 'v': v_unique},
+       |    {'constraint': 'non_empty_text', 'v': v_empty},
+       |    {'constraint': 'n_chars_matches_text', 'v': v_chars},
+       |    {'constraint': 'lang_whitelisted', 'v': v_lang},
+       |    {'constraint': 'doc_id_non_negative', 'v': v_id_sign},
+       |    {'constraint': 'source_present', 'v': v_source},
+       |    {'constraint': 'text_whitespace_normalized', 'v': v_ws}
+       |  ], recursive := true)
+       |  FROM a)
+       |SELECT "constraint", CAST(n AS BIGINT) AS n_checked, CAST(v AS BIGINT) AS n_violations,
+       |       floor(CAST(v AS DOUBLE) * 1e6 / n + 5e-1) / 1e6 AS violation_frac,
+       |       CASE WHEN v = 0 THEN 'pass' ELSE 'fail' END AS verdict
+       |FROM u ORDER BY "constraint"""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q154_span_mask_export" -> (q154SpanMaskExport _),
+    "q153_constraint_audit" -> (q153ConstraintAudit _),
     "q149_repetition_budget" -> (q149RepetitionBudget _),
     "q147_doremi_weights" -> (q147DoremiWeights _),
     "q140_blocklist_screen" -> (q140BlocklistScreen _),
@@ -2703,6 +2859,8 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "q154_span_mask_export" -> q154Oracle,
+    "q153_constraint_audit" -> q153Oracle,
     "q149_repetition_budget" -> q149Oracle,
     "q147_doremi_weights" -> q147Oracle,
     "q140_blocklist_screen" -> q140Oracle,

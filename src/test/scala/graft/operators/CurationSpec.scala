@@ -1263,4 +1263,83 @@ class CurationSpec extends SparkSpec {
     }
     info(s"sf0.001: ${got.size} grid rows over ${got.map(_._1).toSet.size} sources")
   }
+
+  test("q153 constraint audit: clean corpus passes all but the lang whitelist; planted violations each fire") {
+    val got = Curation
+      .q153ConstraintAudit(spark, sfDir)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getString(4)))
+      .toMap
+    assert(got.size === 7, "seven declared constraints")
+    val n = graft.core.Tables.documents(spark, sfDir).count()
+    assert(got.values.forall(_._1 == n), "every constraint checks every row")
+    // the generator's corpus is contract-clean except the out-of-scope lang slice
+    got.foreach { case (c, (_, v, verdict)) =>
+      if (c == "lang_whitelisted") assert(v > 0 && verdict == "fail", "zh slice must fire the whitelist")
+      else assert(v === 0L && verdict == "pass", s"$c must pass on the generator corpus")
+    }
+
+    // planted corpus: one violation per detector, each must count exactly
+    val dir = java.nio.file.Files.createTempDirectory("audit_data").toString
+    import spark.implicits._
+    Seq(
+      (0L, "good clean text", "en", "src0", 15L),
+      (0L, "dup id text here", "en", "src0", 16L), // unique_doc_id x1 (one extra copy)
+      (1L, "   ", "en", "src0", 3L), // non_empty_text x1 (and ws-normalized fires too: '   ' != '')
+      (2L, "chars off", "en", "src0", 999L), // n_chars_matches_text x1
+      (3L, "bad lang text", "zz", "src0", 13L), // lang_whitelisted x1
+      (-4L, "negative id", "en", "src0", 11L), // doc_id_non_negative x1
+      (5L, "no source", "en", "", 9L), // source_present x1
+      (6L, "double  space", "en", "src0", 13L) // text_whitespace_normalized x1
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val planted = Curation
+      .q153ConstraintAudit(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(2))
+      .toMap
+    assert(planted("unique_doc_id") === 1L)
+    assert(planted("non_empty_text") === 1L)
+    assert(planted("n_chars_matches_text") === 1L)
+    assert(planted("lang_whitelisted") === 1L)
+    assert(planted("doc_id_non_negative") === 1L)
+    assert(planted("source_present") === 1L)
+    assert(planted("text_whitespace_normalized") >= 1L)
+    info(s"planted: ${planted.toSeq.sortBy(_._1).mkString(", ")}")
+  }
+
+  test("q154 span masks: aggregate exactly to q110's rollup; spans disjoint, ordered, contiguous-indexed") {
+    val masks = Curation
+      .q154SpanMaskExport(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val rollup = Curation
+      .q110SpanDedup(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_dup_spans"), r.getAs[Long]("dup_tokens"), r.getAs[Long]("longest_span")))
+      .toMap
+    // the export and the rollup are two views of the same islands: per doc
+    // the masks must aggregate to exactly q110's numbers
+    val byDoc = masks.groupBy(_._1)
+    byDoc.foreach { case (id, spans) =>
+      val (nSpans, dupToks, longest) = rollup(id)
+      assert(spans.length.toLong === nSpans, s"doc $id span count")
+      assert(spans.map(_._5).sum === dupToks, s"doc $id masked token mass")
+      assert(spans.map(_._5).max === longest, s"doc $id longest span")
+      val ordered = spans.sortBy(_._2)
+      assert(ordered.map(_._2) === (1L to spans.length).toSeq.toArray.toSeq, s"doc $id span_idx contiguous from 1")
+      // maximal islands are disjoint AND non-adjacent (adjacency would have merged)
+      ordered.toSeq.sliding(2).foreach {
+        case Seq(a, b) => assert(b._3 > a._4 + 1, s"doc $id spans must be disjoint and non-adjacent")
+        case _ =>
+      }
+      ordered.foreach { case (_, _, s, e, len) =>
+        assert(e - s + 1 === len && len >= 16, s"doc $id span geometry")
+      }
+    }
+    // every rollup doc with spans appears in the export and vice versa
+    assert(byDoc.keySet === rollup.filter(_._2._1 > 0).keySet, "doc coverage must match the rollup")
+    assert(masks.nonEmpty, "the dup-dense corpus must produce masks or the export tests nothing")
+    info(s"sf0.001: ${masks.length} mask spans over ${byDoc.size} docs")
+  }
 }
