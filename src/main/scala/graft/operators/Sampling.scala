@@ -246,15 +246,26 @@ object Sampling {
   // ---------------------------------------------------------------------------
   val SAMPLE_K = 25
 
-  def q145WeightedSample(spark: SparkSession, dir: String): DataFrame =
-    Tables
-      .balanced(Tables.documents(spark, dir))
+  /** The A-Res keyed frame over ANY (doc_id, lang, text, n_chars) docs —
+    * keys are per-doc deterministic projections, so the streaming
+    * maintainer keys each delta with the same code and top-K merges
+    * losslessly (max-mergeability: topK(A ∪ B) = topK(topK(A) ∪ topK(B))).
+    */
+  private[graft] def aresKeyed(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), col("lang"), TextOps.q26ScoreCol.as("weight"))
       .withColumn(
         "h",
         conv(substring(md5(concat(lit("ws:"), col("doc_id").cast("string"))), 1, 12), 16, 10).cast("bigint")
       )
       .withColumn("key_micro", expr("CAST(floor(ln((h + 1) / 281474976710657e0) / weight * 1e6 + 5e-1) AS BIGINT)"))
+      .select(col("doc_id"), col("lang"), col("weight"), col("key_micro"))
+
+  /** Per-lang top-K selection + ranking over any keyed frame — q145's tail,
+    * shared with the streaming maintainer's slice prune and serve path.
+    */
+  private[graft] def aresTopK(keyed: DataFrame): DataFrame =
+    keyed
       .withColumn(
         "rank",
         row_number().over(
@@ -264,6 +275,9 @@ object Sampling {
         ).cast("long")
       )
       .filter(col("rank") <= SAMPLE_K)
+
+  def q145WeightedSample(spark: SparkSession, dir: String): DataFrame =
+    aresTopK(aresKeyed(Tables.balanced(Tables.documents(spark, dir))))
       .select(
         col("lang"),
         col("rank"),

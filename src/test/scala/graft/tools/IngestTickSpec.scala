@@ -77,6 +77,12 @@ class IngestTickSpec extends SparkSpec {
           Curation.q134SourceSketch(spark, dataDir).collect().toSeq.map(_.toSeq),
         s"drop first=$first: maintained sketch table != batch q134"
       )
+      assert(o.sampleDelta > 0, s"drop first=$first: sample tick must see the delta")
+      assert(
+        graft.streaming.StreamingSample.sampleTable(spark, s"$stateDir/sample").collect().toSeq.map(_.toSeq) ===
+          graft.operators.Sampling.q145WeightedSample(spark, dataDir).collect().toSeq.map(_.toSeq),
+        s"drop first=$first: maintained reservoir != batch q145"
+      )
       assert(o.winnowDelta > 0, s"drop first=$first: winnow tick must see the delta")
       assert(
         graft.streaming.StreamingWinnow
@@ -113,7 +119,7 @@ class IngestTickSpec extends SparkSpec {
     val o3 = IngestTick.run(spark, dataDir, stateDir)
     assert(
       o3.corpus.mode === "noop" && o3.clusterDelta === 0L && o3.spanDelta === 0L &&
-        o3.driftDelta === 0L && o3.sketchDelta === 0L && o3.winnowDelta === 0L
+        o3.driftDelta === 0L && o3.sketchDelta === 0L && o3.winnowDelta === 0L && o3.sampleDelta === 0L
     )
     info(s"two drops + noop tick verified against batch twins")
   }
