@@ -103,6 +103,10 @@ object PlanAudit {
       "BroadcastNestedLoopJoin" ->
         "1-row broadcast totals (corpus tokens + temperature mass) joined onto per-source rows — the q70/q100 broadcast-scalar pattern"
     ),
+    "q147_doremi_weights" -> Map(
+      "BroadcastNestedLoopJoin" ->
+        "two 1-row broadcast scalars (corpus NLL/totals, softmax Z) joined onto per-source rows — the q70/q100 broadcast-scalar pattern; the corpus-side NLL join is keyed on doc_id (q69's plan)"
+    ),
     "q111_kn_trigram" -> Map(
       "BroadcastNestedLoopJoin" ->
         "1-row broadcast scalar (N1+(··), the bigram-type total) joined onto per-trigram-type rows — the q70 broadcast-scalar pattern; every other join is keyed on word tuples"

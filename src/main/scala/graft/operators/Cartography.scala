@@ -391,15 +391,144 @@ object Cartography {
        |       CASE WHEN cos_micro < $DRIFT_COS_MICRO THEN 'drifted' ELSE 'ok' END AS verdict
        |FROM fin ORDER BY bucket""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q155 — class cohesion/confusion audit: per label, the EXACT mean
+  // pairwise cosine within the class next to the highest mean cosine to any
+  // OTHER class — the label-quality screen run before training a
+  // classifier head or trusting labels as supervision. The aggregate
+  // complement of q136's per-vector kNN purity: q136 localizes which
+  // vectors sit on the wrong side of a boundary, this reads whether the
+  // class structure exists at all and which pair of labels is confusable
+  // (margin <= 0 means some other class is, on average, as close as the
+  // class itself — the classic mislabeled/duplicate-class signature).
+  //
+  // The centroid identity does all the work: over unit vectors, the mean
+  // pairwise cosine within A is (||Σu||² − Σ||u||²)/(n(n−1)) and between
+  // A,B is (Σu_A · Σu_B)/(n_A·n_B) — so the WHOLE audit needs only
+  // per-(label, pos) component sums, never a pair join over vectors.
+  // Exactness: unit components are floored to integer micros per vector
+  // (one rounding step, shared expression), all sums/dots are exact
+  // DECIMAL(38)/HUGEINT integer algebra, and the final means collapse
+  // through the q123 floor-over-double argument.
+  //
+  // Scale shape: one scan builds the unit frame; everything after runs on
+  // the |labels|×DIM grid (pair stage = grid self-join on pos, |labels|²×DIM
+  // rows). Nothing corpus-sized is joined — at 1e9 vectors the audit's
+  // post-scan state is a few thousand rows.
+  // ---------------------------------------------------------------------------
+  def q155ClassCohesion(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Tables
+      .balanced(Tables.embeddings(spark, dir).select(col("vec_id"), col("label"), col("embedding")))
+      .select(col("label"), microsExpr.as("xm"))
+      .withColumn("n2", expr("aggregate(xm, 0L, (acc, v) -> acc + v * v)"))
+      .withColumn(
+        "um",
+        expr("transform(xm, v -> CAST(floor(CAST(v AS double) * 1e6 / sqrt(CAST(n2 AS double)) + 5e-1) AS BIGINT))")
+      )
+      .withColumn("u2", expr("aggregate(um, 0L, (acc, v) -> acc + v * v)"))
+    val per = pts
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), sum(expr("CAST(u2 AS DECIMAL(19,0))")).as("su2"))
+      .localCheckpoint()
+    val grid = pts
+      .select(col("label"), posexplode(col("um")).as(Seq("pos", "u")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("u")).as("s"))
+      .localCheckpoint() // |labels| x DIM rows feed the norm and pair passes
+    val intra = grid
+      .groupBy(col("label"))
+      .agg(sum(expr("CAST(s AS DECIMAL(19,0)) * CAST(s AS DECIMAL(19,0))")).as("s2"))
+      .join(per, "label")
+      .withColumn(
+        "intra_micro",
+        expr("CAST(floor(CAST(s2 - su2 AS double) / (n * (n - 1)) / 1e6 + 5e-1) AS BIGINT)")
+      )
+    val cross = grid.as("a")
+      .join(grid.as("b"), col("a.pos") === col("b.pos") && col("a.label") =!= col("b.label"))
+      .groupBy(col("a.label").as("label"), col("b.label").as("other"))
+      .agg(sum(expr("CAST(a.s AS DECIMAL(19,0)) * CAST(b.s AS DECIMAL(19,0))")).as("dot"))
+      .join(per.select(col("label"), col("n").as("na")), "label")
+      .join(per.select(col("label").as("other"), col("n").as("nb")), "other")
+      .withColumn("cross_micro", expr("CAST(floor(CAST(dot AS double) / (na * nb) / 1e6 + 5e-1) AS BIGINT)"))
+      .withColumn(
+        "rk",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("label"))
+            .orderBy(col("cross_micro").desc, col("other"))
+        )
+      )
+      .filter(col("rk") === 1)
+    intra
+      .join(cross.select(col("label"), col("other"), col("cross_micro")), "label")
+      .select(
+        col("label"),
+        col("n").as("n_vecs"),
+        (col("intra_micro") / lit(1e6)).as("intra_cos"),
+        col("other").as("nearest_other_label"),
+        (col("cross_micro") / lit(1e6)).as("nearest_other_cos"),
+        ((col("intra_micro") - col("cross_micro")) / lit(1e6)).as("margin"),
+        when(col("intra_micro") > col("cross_micro"), lit("cohesive")).otherwise(lit("confusable")).as("verdict")
+      )
+      .orderBy(col("label"))
+  }
+
+  val q155Oracle: String =
+    s"""WITH e0 AS (
+       |  SELECT label,
+       |         list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1e6 + 0.5) AS BIGINT)) AS xm
+       |  FROM embeddings),
+       |e1 AS (SELECT label, xm, list_sum(list_transform(xm, v -> v * v)) AS n2 FROM e0),
+       |e2 AS (
+       |  SELECT label,
+       |         list_transform(xm, v -> CAST(floor(CAST(v AS DOUBLE) * 1e6 / sqrt(CAST(n2 AS DOUBLE)) + 5e-1) AS BIGINT)) AS um
+       |  FROM e1),
+       |e3 AS (SELECT label, um, list_sum(list_transform(um, v -> v * v)) AS u2 FROM e2),
+       |per AS (SELECT label, count(*) AS n, sum(CAST(u2 AS HUGEINT)) AS su2 FROM e3 GROUP BY 1),
+       |ex AS (
+       |  SELECT label, unnest(list_transform(range(1, len(um) + 1),
+       |                       i -> {'pos': i - 1, 'u': um[i]}), recursive := true)
+       |  FROM e3),
+       |g AS (SELECT label, pos, sum(u) AS s FROM ex GROUP BY 1, 2),
+       |na AS (
+       |  SELECT g.label, sum(CAST(s AS HUGEINT) * CAST(s AS HUGEINT)) AS s2
+       |  FROM g GROUP BY 1),
+       |intra AS (
+       |  SELECT na.label, per.n,
+       |         CAST(floor(CAST(s2 - su2 AS DOUBLE) / (n * (n - 1)) / 1e6 + 5e-1) AS BIGINT) AS intra_micro
+       |  FROM na JOIN per USING (label)),
+       |cr AS (
+       |  SELECT a.label AS label, b.label AS other,
+       |         sum(CAST(a.s AS HUGEINT) * CAST(b.s AS HUGEINT)) AS dot
+       |  FROM g a JOIN g b ON a.pos = b.pos AND a.label <> b.label
+       |  GROUP BY 1, 2),
+       |cm AS (
+       |  SELECT cr.label, cr.other,
+       |         CAST(floor(CAST(dot AS DOUBLE) / (pa.n * pb.n) / 1e6 + 5e-1) AS BIGINT) AS cross_micro
+       |  FROM cr JOIN per pa ON pa.label = cr.label JOIN per pb ON pb.label = cr.other),
+       |w AS (
+       |  SELECT *, row_number() OVER (PARTITION BY label ORDER BY cross_micro DESC, other) AS rk
+       |  FROM cm)
+       |SELECT i.label, CAST(i.n AS BIGINT) AS n_vecs,
+       |       intra_micro / 1e6 AS intra_cos,
+       |       w.other AS nearest_other_label,
+       |       cross_micro / 1e6 AS nearest_other_cos,
+       |       (intra_micro - cross_micro) / 1e6 AS margin,
+       |       CASE WHEN intra_micro > cross_micro THEN 'cohesive' ELSE 'confusable' END AS verdict
+       |FROM intra i JOIN w ON w.label = i.label AND w.rk = 1
+       |ORDER BY i.label""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q123_corpus_topics" -> (q123CorpusTopics _),
     "q129_embedding_outliers" -> (q129EmbeddingOutliers _),
-    "q141_embedding_drift" -> (q141EmbeddingDrift _)
+    "q141_embedding_drift" -> (q141EmbeddingDrift _),
+    "q155_class_cohesion" -> (q155ClassCohesion _)
   )
 
   val oracles: Map[String, String] = Map(
     "q123_corpus_topics" -> q123Oracle,
     "q129_embedding_outliers" -> q129Oracle,
-    "q141_embedding_drift" -> q141Oracle
+    "q141_embedding_drift" -> q141Oracle,
+    "q155_class_cohesion" -> q155Oracle
   )
 }

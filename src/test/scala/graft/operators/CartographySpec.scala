@@ -196,4 +196,47 @@ class CartographySpec extends SparkSpec {
     assert(got.map(_._2).sum === vecs.length.toLong, "segments must partition the corpus")
     info(s"sf0.001: cos range [${got.map(_._3).min}, ${got.map(_._3).max}], ${got.count(_._4 == "drifted")} drifted")
   }
+
+  test("q155 cohesion: equals the BRUTE pairwise means (the centroid identity, executed); synthetic labels read confusable") {
+    val vecs = graft.core.Tables
+      .embeddings(spark, sfDir)
+      .select("label", "embedding")
+      .collect()
+      .map { r =>
+        val xm = r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong).toArray
+        val n2 = xm.map(v => v * v).sum
+        val um = xm.map(v => math.floor(v.toDouble * 1e6 / math.sqrt(n2.toDouble) + 0.5).toLong)
+        (r.getInt(0), um)
+      }
+    val byLabel = vecs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def dot(a: Array[Long], b: Array[Long]): Long = a.indices.map(i => a(i) * b(i)).sum
+    // brute-force mean pairwise cosines — NOT the centroid identity the
+    // query uses, so equality here executes the identity as a theorem
+    val intraMicro = byLabel.map { case (l, us) =>
+      val pairs = for (i <- us.indices; j <- us.indices if i < j) yield dot(us(i), us(j))
+      l -> math.floor(pairs.map(BigInt(_)).sum.toDouble / pairs.length / 1e6 + 0.5).toLong
+    }
+    val crossMicro = for {
+      (a, ua) <- byLabel; (b, ub) <- byLabel if a != b
+    } yield {
+      val s = ua.flatMap(x => ub.map(y => BigInt(dot(x, y)))).sum
+      ((a, b), math.floor(s.toDouble / (ua.length.toLong * ub.length) / 1e6 + 0.5).toLong)
+    }
+    val expected = byLabel.keys.map { l =>
+      val (worstL, worstC) = crossMicro.collect { case ((a, b), c) if a == l => (b, c) }
+        .toSeq.sortBy { case (b, c) => (-c, b) }.head
+      (l, byLabel(l).length.toLong, intraMicro(l) / 1e6, worstL, worstC / 1e6,
+        (intraMicro(l) - worstC) / 1e6, if (intraMicro(l) > worstC) "cohesive" else "confusable")
+    }.toSet
+    val got = Cartography
+      .q155ClassCohesion(spark, sfDir)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getInt(3), r.getDouble(4), r.getDouble(5), r.getString(6)))
+      .toSet
+    assert(got === expected, "centroid-trick audit must equal the brute pairwise means")
+    // the synthetic embeddings are near-orthogonal noise: class structure
+    // must be absent, and the audit must SAY so
+    assert(got.count(_._7 == "confusable") >= got.size / 2, "random labels must read mostly confusable")
+    info(s"sf0.001: ${got.size} labels, ${got.count(_._7 == "confusable")} confusable")
+  }
 }
