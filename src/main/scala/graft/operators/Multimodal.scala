@@ -581,6 +581,52 @@ object Multimodal {
       |FROM tot LEFT JOIN per ON tot.media_id = per.media_id
       |ORDER BY tot.media_id""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q156 — image duplicate CLUSTERS: connected components over q114's
+  // verified near-dup pair graph, through the SAME parametrized propagation
+  // loop the text dedup stack uses (Dedup.clustersFrom — q61/q101/q108's
+  // machinery, one more edge supply). The LAION-class image-dedup pipeline
+  // ends here: mine pairs (q114), close them transitively, keep one
+  // representative per component — a re-encoded image chain (A~B~C where
+  // A,C differ by >6 bits) lands in ONE cluster, which the pair list alone
+  // cannot say. Cluster label = min media_id, the q61 convention.
+  //
+  // Oracle: q114's banding is pigeonhole-complete (its plan EQUALS exact
+  // all-pairs), so the cluster oracle is q114's pair CTEs + the q61
+  // recursive walk — fully hash-gated, no selfcheck needed.
+  // ---------------------------------------------------------------------------
+  def q156ImageDupClusters(spark: SparkSession, dir: String): DataFrame =
+    Dedup
+      .clustersFrom(
+        q114ImageNeardup(spark, dir)
+          .select(col("media_a").as("doc_a"), col("media_b").as("doc_b"))
+      )
+      .select(col("doc_id").as("media_id"), col("cluster"), col("cluster_size"))
+      .orderBy(col("cluster"), col("media_id"))
+
+  lazy val q156Oracle: String = {
+    // q114's chain through the hb CTE (already margin-stripped — concatenate)
+    val chain = q114Oracle.substring(0, q114Oracle.indexOf("\nSELECT l.media_id")).stripPrefix("WITH ")
+    "WITH RECURSIVE " + chain + ",\n" +
+      """pairs AS (
+        |  SELECT l.media_id AS doc_a, r.media_id AS doc_b
+        |  FROM hb l JOIN hb r ON l.media_id < r.media_id
+        |  WHERE list_sum(list_transform(range(1, 9), k -> bit_count(xor(l.bands[k], r.bands[k])))) <= 6),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL
+        |  SELECT doc_b, doc_a FROM pairs),
+        |walk(node, label) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node),
+        |labels AS (SELECT node, min(label) AS cluster FROM walk GROUP BY node),
+        |sizes AS (SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size FROM labels GROUP BY cluster)
+        |SELECT l.node AS media_id, l.cluster AS cluster, s.cluster_size
+        |FROM labels l JOIN sizes s USING (cluster)
+        |ORDER BY cluster, media_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_media_decode" -> (q37MediaDecode _),
     "q38_frame_sample" -> (q38FrameSample _),
@@ -588,7 +634,8 @@ object Multimodal {
     "q65_media_resize" -> (q65MediaResize _),
     "q114_image_neardup" -> (q114ImageNeardup _),
     "q115_video_neardup" -> (q115VideoNeardup _),
-    "q116_audio_activity" -> (q116AudioActivity _)
+    "q116_audio_activity" -> (q116AudioActivity _),
+    "q156_image_dup_clusters" -> (q156ImageDupClusters _)
   )
 
   /** The fake codec's "decode" is pure arithmetic on the payload's length
@@ -676,6 +723,7 @@ object Multimodal {
     "q65_media_resize" -> q65Oracle,
     "q114_image_neardup" -> q114Oracle,
     "q115_video_neardup" -> q115Oracle,
-    "q116_audio_activity" -> q116Oracle
+    "q116_audio_activity" -> q116Oracle,
+    "q156_image_dup_clusters" -> q156Oracle
   )
 }

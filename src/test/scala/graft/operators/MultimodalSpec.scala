@@ -226,4 +226,30 @@ class MultimodalSpec extends SparkSpec {
     }
     info(s"sf0.001: ${rows.length} audio tracks segmented")
   }
+
+  test("q156 image clusters: equal a union-find closure of q114's pair graph") {
+    val pairs = Multimodal
+      .q114ImageNeardup(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "the dup-dense corpus must mine image pairs or the clusters test nothing")
+    // single-node union-find over the same edges
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = { val p = parent.getOrElseUpdate(x, x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    pairs.foreach { case (a, b) => val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+    val comps = parent.keys.toSeq.groupBy(find)
+    val expected = comps.toSeq.flatMap { case (_, members) =>
+      val label = members.min
+      members.map(m => (m, label, members.size.toLong))
+    }.toSet
+    val got = Multimodal
+      .q156ImageDupClusters(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got === expected, "clusters must equal the union-find closure")
+    // transitivity actually fires: some component must be larger than a pair
+    // OR every pair is isolated — report which
+    info(s"sf0.001: ${comps.size} clusters, max size ${comps.values.map(_.size).max}")
+  }
 }
