@@ -14,8 +14,13 @@ import graft.operators.{Cartography, Curation, Dedup, Importance, TextOps, Train
   * the corpus mix (q128), quality-model AUC + signal agreement (q126/q131),
   * the embedding topic map with its outlier counts (q123/q129), kNN label
   * purity (q136), the ingest-saturation curve (q137), the phrase
-  * blocklist screen (q140), embedding ingest drift (q141), and the shard
-  * manifest (q83), rendered as one text page. Every number comes from the same oracle-gated queries the driver
+  * blocklist screen (q140), embedding ingest drift (q141), quality-model
+  * calibration (q143), the LSH band planner (q146), DoReMi mixture
+  * weights (q147), the repetition budget (q149), distinct-n diversity
+  * (q150), the Zipf fit (q151), the winnow contamination screen (q152),
+  * the constraint audit (q153), class cohesion (q155), image dup
+  * clusters (q156), and the shard manifest (q83), rendered as one text
+  * page. Every number comes from the same oracle-gated queries the driver
   * checks — the report is a VIEW over the inventory, not a second
   * implementation.
   *
@@ -215,6 +220,79 @@ object CorpusReport {
             f"suspect=${r.getLong(3)}%5d"
         )
       }
+
+    section("quality-model calibration (q143): pass rate vs predicted, per prob bucket")
+    Curation.q143QualityCalibration(spark, dir).collect().foreach { r =>
+      line(
+        f"bucket=${r.getLong(0)} docs=${r.getLong(1)}%5d pass_rate=${r.getDouble(3)}%6.4f " +
+          f"mean_prob=${r.getDouble(4)}%6.4f gap=${r.getDouble(5)}%+7.4f" +
+          (if (r.getString(6) == "miscalibrated") "  MISCALIBRATED" else "")
+      )
+    }
+
+    section("LSH band planner (q146): expected recall per K=16 shape")
+    Dedup.q146LshPlan(spark, dir).collect().foreach { r =>
+      line(
+        f"r=${r.getInt(0)}%2d b=${r.getInt(1)}%2d recall=${r.getDouble(3)}%8.6f " +
+          f"nearmiss_mass=${r.getDouble(5)}%8.6f ${r.getString(6)}"
+      )
+    }
+
+    section("DoReMi weights (q147): excess proxy loss -> mixture weight, per source")
+    Curation.q147DoremiWeights(spark, dir).collect().foreach { r =>
+      line(
+        f"${r.getString(0)}%-8s nll=${r.getDouble(3)}%8.4f excess=${r.getDouble(4)}%8.6f " +
+          f"natural=${r.getDouble(5)}%8.6f doremi=${r.getDouble(6)}%8.6f ${r.getString(7)}"
+      )
+    }
+
+    section("repetition budget (q149): effective tokens at 4 epochs, per source")
+    Curation.q149RepetitionBudget(spark, dir).filter(col("epochs") === 4).collect().foreach { r =>
+      line(
+        f"${r.getString(0)}%-8s unique=${r.getLong(3)}%8d read=${r.getLong(4)}%8d " +
+          f"effective=${r.getLong(5)}%8d efficiency=${r.getDouble(6)}%6.4f ${r.getString(7)}"
+      )
+    }
+
+    section("distinct-n diversity (q150): distinct-2 per source (collapse detector)")
+    TextOps.q150DistinctN(spark, dir).filter(col("n") === 2).collect().foreach { r =>
+      line(
+        f"${r.getString(0)}%-8s grams=${r.getLong(2)}%7d distinct=${r.getLong(3)}%7d " +
+          f"ratio=${r.getDouble(4)}%6.4f" + (if (r.getString(5) == "collapsed") "  COLLAPSED" else "")
+      )
+    }
+
+    section("Zipf fit (q151): rank-frequency slope per source")
+    TextOps.q151ZipfFit(spark, dir).collect().foreach { r =>
+      line(f"${r.getString(0)}%-8s k=${r.getLong(1)}%3d slope=${r.getDouble(2)}%+8.4f ${r.getString(3)}")
+    }
+
+    section("constraint audit (q153): table-contract battery")
+    Curation.q153ConstraintAudit(spark, dir).collect().foreach { r =>
+      line(
+        f"${r.getString(0)}%-28s violations=${r.getLong(2)}%5d (${100 * r.getDouble(3)}%5.1f%%) ${r.getString(4)}"
+      )
+    }
+
+    section("class cohesion (q155): intra vs nearest-other cosine, per label")
+    Cartography.q155ClassCohesion(spark, dir).collect().foreach { r =>
+      line(
+        f"label=${r.getInt(0)}%2d vecs=${r.getLong(1)}%5d intra=${r.getDouble(2)}%+8.5f " +
+          f"vs label ${r.getInt(3)}%2d at ${r.getDouble(4)}%+8.5f margin=${r.getDouble(5)}%+8.5f ${r.getString(6)}"
+      )
+    }
+
+    section("winnow contamination (q152) / image dup clusters (q156): screen summaries")
+    val contam = Dedup.q152WinnowContamination(spark, dir).collect()
+    line(s"q152: ${contam.length} train docs share a rare winnow fingerprint with the test split")
+    contam.take(5).foreach { r =>
+      line(f"  doc=${r.getLong(0)}%6d shared_fps=${r.getLong(1)}%3d test_docs=${r.getLong(2)}%3d")
+    }
+    val iclusters = graft.operators.Multimodal.q156ImageDupClusters(spark, dir).collect()
+    line(
+      s"q156: ${iclusters.map(_.getLong(1)).distinct.length} image dup clusters over " +
+        s"${iclusters.length} images, max size ${if (iclusters.isEmpty) 0 else iclusters.map(_.getLong(2)).max}"
+    )
 
     section("train shards (q83): manifest")
     TrainExport.q83ShardPlan(spark, dir).collect().foreach { r =>
