@@ -107,6 +107,10 @@ object PlanAudit {
       "BroadcastNestedLoopJoin" ->
         "two 1-row broadcast scalars (corpus NLL/totals, softmax Z) joined onto per-source rows — the q70/q100 broadcast-scalar pattern; the corpus-side NLL join is keyed on doc_id (q69's plan)"
     ),
+    "q157_fertility_drift" -> Map(
+      "BroadcastNestedLoopJoin" ->
+        "1-row broadcast scalars (id range, corpus fertility totals) — the q137/q141 pattern; the corpus-side tokenize join is a BHJ on the word"
+    ),
     "q111_kn_trigram" -> Map(
       "BroadcastNestedLoopJoin" ->
         "1-row broadcast scalar (N1+(··), the bigram-type total) joined onto per-trigram-type rows — the q70 broadcast-scalar pattern; every other join is keyed on word tuples"

@@ -1168,9 +1168,93 @@ object TextOps {
        |                 BETWEEN -1500000 AND -700000 THEN 'zipfian' ELSE 'anomalous' END AS verdict
        |FROM ag ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q157 — tokenizer FERTILITY DRIFT across ingest segments: per q137
+  // id-range bucket, pieces-per-word under the q94-trained BPE vocabulary
+  // next to the corpus average — the "tokenizer rot" monitor. A vocabulary
+  // trained on an old snapshot compresses new data progressively worse as
+  // the corpus drifts (new domains, new jargon), and rising fertility is
+  // the direct cost signal: more pieces per word = more compute per token
+  // of information. This is the production dial behind "when do we
+  // retrain the tokenizer" — read per ingest segment, not per source
+  // (q98's view), because rot is a TIME phenomenon.
+  //
+  // Scale shape: the tokenizer is the session-scoped artifact q98 already
+  // builds (vocabulary-bounded word → piece-count map, broadcast); the
+  // corpus pays one scan exploded to words joined against that broadcast —
+  // q98's exact plan — plus the 1-row id-range and corpus-total scalars.
+  // ---------------------------------------------------------------------------
+  private val FERT_BUCKETS = 20 // q137's segment convention
+  private val FERT_DRIFT_MICRO = 50000L // fertility > corpus + 5%: rotting
+
+  def q157FertilityDrift(spark: SparkSession, dir: String): DataFrame = {
+    val trained = trainedTokenizer.getOrBuild(spark, dir)(bpeTrainState(spark, dir, BPE_MERGES)._2)
+    val wordTokens = trained.select(array_join(col("syms"), "").as("w"), size(col("syms")).as("n_pieces"))
+    val docs = Tables.balanced(Tables.documents(spark, dir))
+    val idRange = docs.agg(min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id")) // 1 row -> broadcast
+    val per = docs
+      .crossJoin(broadcast(idRange))
+      .withColumn("bucket", expr(s"((doc_id - min_id) * $FERT_BUCKETS) div (max_id - min_id + 1)"))
+      .select(
+        col("bucket"),
+        explode(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")).as("w")
+      )
+      .filter(length(col("w")) >= 1)
+      .join(broadcast(wordTokens), Seq("w"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_pieces")).as("n_pieces"))
+    per
+      .crossJoin(broadcast(per.agg(sum(col("n_words")).as("tw"), sum(col("n_pieces")).as("tp"))))
+      .withColumn("fert_micro", expr("CAST(floor(CAST(n_pieces AS double) * 1e6 / n_words + 5e-1) AS BIGINT)"))
+      .withColumn("corpus_micro", expr("CAST(floor(CAST(tp AS double) * 1e6 / tw + 5e-1) AS BIGINT)"))
+      .select(
+        col("bucket").cast("int").as("bucket"),
+        col("n_words"),
+        col("n_pieces"),
+        (col("fert_micro") / lit(1e6)).as("fertility"),
+        (col("corpus_micro") / lit(1e6)).as("corpus_fertility"),
+        ((col("fert_micro") - col("corpus_micro")) / lit(1e6)).as("drift"),
+        when(col("fert_micro") - col("corpus_micro") > FERT_DRIFT_MICRO, lit("rotting"))
+          .otherwise(lit("ok"))
+          .as("verdict")
+      )
+      .orderBy(col("bucket"))
+  }
+
+  /** q94's training chain + the tokenize-join (q98's splice), bucketed on
+    * ingest order. Concatenated, not re-stripMargin'd (the chain holds
+    * `||` continuation lines a second strip would eat).
+    */
+  lazy val q157Oracle: String = {
+    val chain = q94Oracle.substring(0, q94Oracle.indexOf("\nSELECT 1 AS rank"))
+    chain + ",\n" +
+      s"""wordtok AS MATERIALIZED (
+         |  SELECT array_to_string(syms, '') AS w, len(syms) AS n_pieces FROM words$BPE_MERGES),
+         |mx AS (SELECT min(doc_id) AS min_id, max(doc_id) AS max_id FROM documents),
+         |docw AS (
+         |  SELECT ((doc_id - min_id) * $FERT_BUCKETS) // (max_id - min_id + 1) AS bucket,
+         |         unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS w
+         |  FROM documents CROSS JOIN mx),
+         |per AS (
+         |  SELECT bucket, count(*) AS n_words, CAST(sum(t.n_pieces) AS BIGINT) AS n_pieces
+         |  FROM docw d JOIN wordtok t USING (w) WHERE len(d.w) >= 1 GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_words) AS BIGINT) AS tw, CAST(sum(n_pieces) AS BIGINT) AS tp FROM per),
+         |fin AS (
+         |  SELECT bucket, n_words, n_pieces,
+         |         CAST(floor(CAST(n_pieces AS DOUBLE) * 1e6 / n_words + 5e-1) AS BIGINT) AS fert_micro,
+         |         CAST(floor(CAST(tp AS DOUBLE) * 1e6 / tw + 5e-1) AS BIGINT) AS corpus_micro
+         |  FROM per CROSS JOIN tot)
+         |SELECT CAST(bucket AS INT) AS bucket, CAST(n_words AS BIGINT) AS n_words, n_pieces,
+         |       fert_micro / 1e6 AS fertility, corpus_micro / 1e6 AS corpus_fertility,
+         |       (fert_micro - corpus_micro) / 1e6 AS drift,
+         |       CASE WHEN fert_micro - corpus_micro > $FERT_DRIFT_MICRO THEN 'rotting' ELSE 'ok' END AS verdict
+         |FROM fin ORDER BY bucket""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q150_distinct_n" -> (q150DistinctN _),
     "q151_zipf_fit" -> (q151ZipfFit _),
+    "q157_fertility_drift" -> (q157FertilityDrift _),
     "q127_heavy_hitters" -> (q127HeavyHitters _),
     "q25_lang_id" -> (q25LangId _),
     "q26_quality_score" -> (q26QualityScore _),
@@ -1190,6 +1274,7 @@ object TextOps {
   val oracles: Map[String, String] = Map(
     "q150_distinct_n" -> q150Oracle,
     "q151_zipf_fit" -> q151Oracle,
+    "q157_fertility_drift" -> q157Oracle,
     "q127_heavy_hitters" -> q127Oracle,
     "q25_lang_id" -> q25Oracle,
     "q26_quality_score" -> q26Oracle,

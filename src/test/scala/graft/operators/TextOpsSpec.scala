@@ -441,4 +441,28 @@ class TextOpsSpec extends SparkSpec {
     assert(got.forall(r => r._3 < 0), "slopes still negative (rank-frequency always decreases)")
     info(s"sf0.001: slope range ${got.map(_._3).min}..${got.map(_._3).max}")
   }
+
+  test("q157 fertility drift: buckets partition q98's word mass; corpus fertility is the cross-view constant") {
+    val rows = TextOps
+      .q157FertilityDrift(spark, sfDir)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getString(6)))
+    // the same corpus through q98's per-source view
+    val q98 = TextOps.q98BpeApply(spark, sfDir).collect()
+    val (tw, tp) = (q98.map(_.getAs[Long]("total_words")).sum, q98.map(_.getAs[Long]("total_tokens")).sum)
+    assert(rows.map(_._2).sum === tw, "buckets must partition exactly the words q98 tokenizes")
+    assert(rows.map(_._3).sum === tp, "bucket piece mass must sum to q98's total")
+    val corpusFert = math.floor(tp.toDouble * 1e6 / tw + 0.5) / 1e6
+    rows.foreach { case (b, nw, np, fert, corpus, drift, verdict) =>
+      assert(corpus === corpusFert, s"bucket $b corpus fertility must be the one cross-view constant")
+      assert(fert === math.floor(np.toDouble * 1e6 / nw + 0.5) / 1e6, s"bucket $b fertility arithmetic")
+      assert(math.abs(drift - (fert - corpus)) < 1e-9, s"bucket $b drift")
+      val wantVerdict = if (math.round(fert * 1e6) - math.round(corpus * 1e6) > 50000L) "rotting" else "ok"
+      assert(verdict === wantVerdict, s"bucket $b verdict")
+    }
+    // drift is zero-sum in the word-weighted sense: Σ n_w·(fert−corpus) ≈ 0
+    val weighted = rows.map { case (_, nw, _, f, c, _, _) => nw * (f - c) }.sum
+    assert(math.abs(weighted) < rows.length * 1e-6 * tw, "word-weighted drift must net out")
+    info(s"sf0.001: corpus fertility $corpusFert, ${rows.count(_._7 == "rotting")} rotting buckets")
+  }
 }
