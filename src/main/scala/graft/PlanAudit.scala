@@ -111,6 +111,10 @@ object PlanAudit {
       "BroadcastNestedLoopJoin" ->
         "1-row broadcast scalars (id range, corpus fertility totals) — the q137/q141 pattern; the corpus-side tokenize join is a BHJ on the word"
     ),
+    "q158_data_budget_plan" -> Map(
+      "BroadcastNestedLoopJoin" ->
+        "1-row broadcast totals (corpus tokens + temperature mass) onto per-source rows — the q109 broadcast-scalar pattern; the survivor/raw joins are keyed (fp+doc_id, source)"
+    ),
     "q111_kn_trigram" -> Map(
       "BroadcastNestedLoopJoin" ->
         "1-row broadcast scalar (N1+(··), the bigram-type total) joined onto per-trigram-type rows — the q70 broadcast-scalar pattern; every other join is keyed on word tuples"

@@ -2827,7 +2827,136 @@ object Curation {
        |FROM u ORDER BY "constraint"""".stripMargin
   }
 
+  // ---------------------------------------------------------------------------
+  // q158 — the composed DATA-BUDGET PLAN: one table answering "can each
+  // source actually supply the share the mixture asks of it, and at what
+  // repetition cost?" — q109's temperature share sets each source's token
+  // TARGET out of a budget (BUDGET_X × the corpus's raw token mass),
+  // q29-unique mass says how much FRESH data the source holds, and q149's
+  // data-constrained decay converts the implied epochs into effective
+  // tokens. The verdict is the planning decision: 'fresh' (target fits in
+  // one pass), 'repeat_ok' (repetition needed but still ≥50% efficient
+  // under the R*=15 decay), 'over_budgeted' (the mixture over-asks — shift
+  // weight or collect more). This is where the mixing, dedup, and scaling
+  // queries stop being separate diagnostics and become one decision table.
+  //
+  // Engine-exactness: q109's exact sqrt-mass weights (DECIMAL micro sums),
+  // integer survivor masses, and floor-micro'd targets/epochs/yields via
+  // expression strings shared with the oracle; the continuous-epoch decay
+  // (1-δ)^E = exp(E·ln(14/15)) leans on the ln/exp agreement q84/q69
+  // already rely on.
+  //
+  // Scale shape: one scan feeds the per-source raw mass AND the q29
+  // survivor aggregate; everything after runs on per-source rows with
+  // 1-row broadcast totals.
+  // ---------------------------------------------------------------------------
+  private val BUDGET_X = "2e0" // token budget = 2 x corpus raw mass
+
+  def q158DataBudgetPlan(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables
+      .balanced(Tables.documents(spark, dir))
+      .select(
+        col("doc_id"),
+        col("source"),
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_toks")
+      )
+      .localCheckpoint() // one scan feeds raw mass + survivors
+    val raw = docs
+      .groupBy(col("source"))
+      .agg(sum(col("n_toks")).as("n_tokens"))
+      .withColumn("w_micro", expr("cast(floor(sqrt(cast(n_tokens AS double)) * 1e6 + 5e-1) AS decimal(28,0))"))
+    val uniq = docs
+      .join(docs.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id")), Seq("fp", "doc_id"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_toks")).as("unique_tokens"))
+    val totals = raw.agg(sum(col("n_tokens")).as("corpus_tokens"), sum(col("w_micro")).as("temp_mass"))
+    raw
+      .join(uniq, "source")
+      .crossJoin(broadcast(totals))
+      .withColumn("temp", expr("cast(w_micro AS double) / cast(temp_mass AS double)"))
+      .withColumn(
+        "target_tokens",
+        expr(s"CAST(floor($BUDGET_X * cast(corpus_tokens AS double) * temp + 5e-1) AS BIGINT)")
+      )
+      .withColumn(
+        "epochs_micro",
+        expr("CAST(floor(cast(target_tokens AS double) * 1e6 / unique_tokens + 5e-1) AS BIGINT)")
+      )
+      .withColumn(
+        "effective_tokens",
+        expr(
+          "CAST(floor(cast(unique_tokens AS double) * 15e0 * " +
+            "(1e0 - exp(cast(target_tokens AS double) / unique_tokens * ln(14e0 / 15e0))) + 5e-1) AS BIGINT)"
+        )
+      )
+      .withColumn(
+        "eff_micro",
+        expr("CAST(floor(cast(effective_tokens AS double) * 1e6 / target_tokens + 5e-1) AS BIGINT)")
+      )
+      .select(
+        col("source"),
+        expr("floor(temp * 1e6 + 5e-1) / 1e6").as("temp_share"),
+        col("unique_tokens"),
+        col("target_tokens"),
+        (col("epochs_micro") / lit(1e6)).as("epochs_needed"),
+        col("effective_tokens"),
+        (col("eff_micro") / lit(1e6)).as("efficiency"),
+        expr(
+          "CASE WHEN epochs_micro <= 1000000 THEN 'fresh' " +
+            "WHEN epochs_micro <= 15000000 AND eff_micro >= 500000 THEN 'repeat_ok' " +
+            "ELSE 'over_budgeted' END"
+        ).as("verdict")
+      )
+      .orderBy(col("source"))
+  }
+
+  val q158Oracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+       |         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_toks
+       |  FROM documents),
+       |raw AS (
+       |  SELECT source, CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+       |         CAST(floor(sqrt(sum(n_toks)::DOUBLE) * 1e6 + 5e-1) AS DECIMAL(28,0)) AS w_micro
+       |  FROM d GROUP BY 1),
+       |k AS (SELECT fp, min(doc_id) AS doc_id FROM d GROUP BY 1),
+       |u AS (
+       |  SELECT source, CAST(sum(n_toks) AS BIGINT) AS unique_tokens
+       |  FROM d JOIN k USING (fp, doc_id) GROUP BY 1),
+       |tot AS (
+       |  SELECT CAST(sum(n_tokens) AS BIGINT) AS corpus_tokens, sum(w_micro) AS temp_mass FROM raw),
+       |j AS (
+       |  SELECT raw.source, raw.w_micro, u.unique_tokens, tot.corpus_tokens, tot.temp_mass,
+       |         CAST(raw.w_micro AS DOUBLE) / CAST(tot.temp_mass AS DOUBLE) AS temp
+       |  FROM raw JOIN u USING (source) CROSS JOIN tot),
+       |t AS (
+       |  SELECT *, CAST(floor($BUDGET_X * CAST(corpus_tokens AS DOUBLE) * temp + 5e-1) AS BIGINT) AS target_tokens
+       |  FROM j),
+       |e AS (
+       |  SELECT *,
+       |         CAST(floor(CAST(target_tokens AS DOUBLE) * 1e6 / unique_tokens + 5e-1) AS BIGINT) AS epochs_micro,
+       |         CAST(floor(CAST(unique_tokens AS DOUBLE) * 15e0 *
+       |              (1e0 - exp(CAST(target_tokens AS DOUBLE) / unique_tokens * ln(14e0 / 15e0))) + 5e-1) AS BIGINT)
+       |           AS effective_tokens
+       |  FROM t),
+       |f AS (
+       |  SELECT *, CAST(floor(CAST(effective_tokens AS DOUBLE) * 1e6 / target_tokens + 5e-1) AS BIGINT) AS eff_micro
+       |  FROM e)
+       |SELECT source,
+       |       floor(temp * 1e6 + 5e-1) / 1e6 AS temp_share,
+       |       unique_tokens, target_tokens,
+       |       epochs_micro / 1e6 AS epochs_needed,
+       |       effective_tokens,
+       |       eff_micro / 1e6 AS efficiency,
+       |       CASE WHEN epochs_micro <= 1000000 THEN 'fresh'
+       |            WHEN epochs_micro <= 15000000 AND eff_micro >= 500000 THEN 'repeat_ok'
+       |            ELSE 'over_budgeted' END AS verdict
+       |FROM f ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q158_data_budget_plan" -> (q158DataBudgetPlan _),
     "q154_span_mask_export" -> (q154SpanMaskExport _),
     "q153_constraint_audit" -> (q153ConstraintAudit _),
     "q149_repetition_budget" -> (q149RepetitionBudget _),
@@ -2859,6 +2988,7 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "q158_data_budget_plan" -> q158Oracle,
     "q154_span_mask_export" -> q154Oracle,
     "q153_constraint_audit" -> q153Oracle,
     "q149_repetition_budget" -> q149Oracle,

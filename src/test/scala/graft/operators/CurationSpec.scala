@@ -1342,4 +1342,43 @@ class CurationSpec extends SparkSpec {
     assert(masks.nonEmpty, "the dup-dense corpus must produce masks or the export tests nothing")
     info(s"sf0.001: ${masks.length} mask spans over ${byDoc.size} docs")
   }
+
+  test("q158 budget plan: temp shares are q109's, targets spend the declared budget, decay math replays") {
+    val plan = Curation
+      .q158DataBudgetPlan(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getLong(5), r.getDouble(6), r.getString(7)))
+    // cross-view: the share column IS q109's temperature share
+    val q109 = Curation
+      .q109TemperatureMix(spark, sfDir)
+      .collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("temp_share"))
+      .toMap
+    plan.foreach { case (src, share, _, _, _, _, _, _) => assert(share === q109(src), s"$src share must be q109's") }
+    // the budget is spent: targets sum to 2x corpus raw mass within per-source rounding
+    val corpusTokens = graft.core.Tables
+      .documents(spark, sfDir)
+      .select(org.apache.spark.sql.functions.expr("CAST(size(split(trim(text), '\\\\s+')) AS BIGINT)").as("n"))
+      .collect()
+      .map(_.getLong(0))
+      .sum
+    val budget = 2L * corpusTokens
+    assert(math.abs(plan.map(_._4).sum - budget) <= plan.length.toLong, s"targets must spend the budget $budget")
+    // decay math replays per source
+    plan.foreach { case (src, _, u, target, epochs, eff, effy, verdict) =>
+      val em = math.floor(target.toDouble * 1e6 / u + 0.5).toLong
+      assert(epochs === em / 1e6, s"$src epochs")
+      val expEff = math.floor(u.toDouble * 15.0 * (1.0 - math.exp(target.toDouble / u * math.log(14.0 / 15.0))) + 0.5).toLong
+      assert(eff === expEff, s"$src effective tokens")
+      val effm = math.floor(eff.toDouble * 1e6 / target + 0.5).toLong
+      assert(effy === effm / 1e6, s"$src efficiency")
+      val want =
+        if (em <= 1000000L) "fresh"
+        else if (em <= 15000000L && effm >= 500000L) "repeat_ok"
+        else "over_budgeted"
+      assert(verdict === want, s"$src verdict")
+      assert(eff <= target && eff <= 15L * u + 1, s"$src yield bounded by target and the R* ceiling")
+    }
+    info(s"sf0.001: ${plan.length} sources, verdicts ${plan.groupBy(_._8).view.mapValues(_.length).toMap}")
+  }
 }
