@@ -426,9 +426,14 @@ object Cartography {
         expr("transform(xm, v -> CAST(floor(CAST(v AS double) * 1e6 / sqrt(CAST(n2 AS double)) + 5e-1) AS BIGINT))")
       )
       .withColumn("u2", expr("aggregate(um, 0L, (acc, v) -> acc + v * v)"))
+    // labels with a single vector have no intra pair: n*(n-1) = 0 would
+    // divide by zero (Spark's non-ANSI null vs DuckDB's CAST error fail
+    // ASYMMETRICALLY, so the row must not reach the division in either
+    // engine) — drop singletons from the audit up front
     val per = pts
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n"), sum(expr("CAST(u2 AS DECIMAL(19,0))")).as("su2"))
+      .filter(col("n") > 1)
       .localCheckpoint()
     val grid = pts
       .select(col("label"), posexplode(col("um")).as(Seq("pos", "u")))
@@ -484,7 +489,7 @@ object Cartography {
        |         list_transform(xm, v -> CAST(floor(CAST(v AS DOUBLE) * 1e6 / sqrt(CAST(n2 AS DOUBLE)) + 5e-1) AS BIGINT)) AS um
        |  FROM e1),
        |e3 AS (SELECT label, um, list_sum(list_transform(um, v -> v * v)) AS u2 FROM e2),
-       |per AS (SELECT label, count(*) AS n, sum(CAST(u2 AS HUGEINT)) AS su2 FROM e3 GROUP BY 1),
+       |per AS (SELECT label, count(*) AS n, sum(CAST(u2 AS HUGEINT)) AS su2 FROM e3 GROUP BY 1 HAVING count(*) > 1),
        |ex AS (
        |  SELECT label, unnest(list_transform(range(1, len(um) + 1),
        |                       i -> {'pos': i - 1, 'u': um[i]}), recursive := true)

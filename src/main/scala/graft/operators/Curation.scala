@@ -2672,7 +2672,13 @@ object Curation {
     */
   private val repFactorMicro: Map[Int, Long] = {
     val delta = 1.0 / REP_RSTAR
-    def powi(x: Double, e: Int): Double = if (e == 1) x else { val h = powi(x, e / 2); h * h }
+    // halving-only chain: correct ONLY for power-of-two e (e=3 would fold
+    // to x^2) — guard loudly, because a wrong factor would be embedded as
+    // the SAME literal in both engines and the oracle gate could never see it
+    def powi(x: Double, e: Int): Double = {
+      require(Integer.bitCount(e) == 1, s"powi supports power-of-two exponents only, got $e")
+      if (e == 1) x else { val h = powi(x, e / 2); h * h }
+    }
     REP_EPOCHS.map(e => e -> math.floor((1.0 - powi(1.0 - delta, e)) / delta * 1e6 + 0.5).toLong).toMap
   }
 

@@ -1559,8 +1559,13 @@ object Dedup {
   /** x^e for power-of-two e as an explicit squaring chain — identical
     * IEEE-double multiplication order in both engines.
     */
-  private def powChain(x: String, e: Int): String =
+  private def powChain(x: String, e: Int): String = {
+    // halving-only chain: correct ONLY for power-of-two e (e=3 would fold
+    // to x^2) — guard loudly, because a wrong expression would be spliced
+    // identically into both engines and the oracle gate could never see it
+    require(Integer.bitCount(e) == 1, s"powChain supports power-of-two exponents only, got $e")
     if (e == 1) x else { val h = powChain(x, e / 2); s"($h * $h)" }
+  }
 
   /** floor-micro'd candidate probability 1-(1-j^r)^b, branching on the
     * exploded (r, b) columns; generated once, spliced into both engines.
@@ -1671,9 +1676,9 @@ object Dedup {
     // (a second strip would eat the `||` continuation lines inside it)
     val chain = q144Oracle.substring(0, q144Oracle.indexOf("\npd AS"))
     chain + "\n" +
-      """coin AS (
+      s"""coin AS (
         |  SELECT doc_id,
-        |         CASE WHEN b < 205 THEN 'train' WHEN b < 230 THEN 'validation' ELSE 'test' END AS split
+        |         CASE WHEN b < ${Sampling.SPLIT_TRAIN_LT} THEN 'train' WHEN b < ${Sampling.SPLIT_VALIDATION_LT} THEN 'validation' ELSE 'test' END AS split
         |  FROM (SELECT doc_id, ('0x' || substring(md5(doc_id::VARCHAR), 1, 2))::INT AS b FROM documents)),
         |tr AS (SELECT k.doc_id, k.fp FROM k JOIN coin USING (doc_id) WHERE split = 'train'),
         |te AS (SELECT k.doc_id AS test_doc, k.fp FROM k JOIN coin USING (doc_id) WHERE split = 'test')

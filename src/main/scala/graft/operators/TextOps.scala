@@ -1200,17 +1200,28 @@ object TextOps {
         explode(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")).as("w")
       )
       .filter(length(col("w")) >= 1)
-      .join(broadcast(wordTokens), Seq("w"))
+      // LEFT join: out-of-vocab words (the primary driver of tokenizer rot
+      // — new jargon the trained vocab never saw) must be COUNTED, not
+      // silently dropped by an inner join. Fertility stays an in-vocab
+      // measure (pieces per tokenizable word); oov_frac carries the
+      // new-jargon mass per bucket so a rotting segment shows in BOTH dials
+      .join(broadcast(wordTokens), Seq("w"), "left")
       .groupBy(col("bucket"))
-      .agg(count(lit(1)).as("n_words"), sum(col("n_pieces")).as("n_pieces"))
+      .agg(
+        count(lit(1)).as("n_all"),
+        count(col("n_pieces")).as("n_words"), // non-null = in-vocab
+        sum(col("n_pieces")).as("n_pieces")
+      )
     per
       .crossJoin(broadcast(per.agg(sum(col("n_words")).as("tw"), sum(col("n_pieces")).as("tp"))))
       .withColumn("fert_micro", expr("CAST(floor(CAST(n_pieces AS double) * 1e6 / n_words + 5e-1) AS BIGINT)"))
       .withColumn("corpus_micro", expr("CAST(floor(CAST(tp AS double) * 1e6 / tw + 5e-1) AS BIGINT)"))
+      .withColumn("oov_micro", expr("CAST(floor(CAST(n_all - n_words AS double) * 1e6 / n_all + 5e-1) AS BIGINT)"))
       .select(
         col("bucket").cast("int").as("bucket"),
         col("n_words"),
         col("n_pieces"),
+        (col("oov_micro") / lit(1e6)).as("oov_frac"),
         (col("fert_micro") / lit(1e6)).as("fertility"),
         (col("corpus_micro") / lit(1e6)).as("corpus_fertility"),
         ((col("fert_micro") - col("corpus_micro")) / lit(1e6)).as("drift"),
@@ -1236,15 +1247,18 @@ object TextOps {
          |         unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS w
          |  FROM documents CROSS JOIN mx),
          |per AS (
-         |  SELECT bucket, count(*) AS n_words, CAST(sum(t.n_pieces) AS BIGINT) AS n_pieces
-         |  FROM docw d JOIN wordtok t USING (w) WHERE len(d.w) >= 1 GROUP BY 1),
+         |  SELECT bucket, count(*) AS n_all, count(t.n_pieces) AS n_words,
+         |         CAST(sum(t.n_pieces) AS BIGINT) AS n_pieces
+         |  FROM docw d LEFT JOIN wordtok t USING (w) WHERE len(d.w) >= 1 GROUP BY 1),
          |tot AS (SELECT CAST(sum(n_words) AS BIGINT) AS tw, CAST(sum(n_pieces) AS BIGINT) AS tp FROM per),
          |fin AS (
          |  SELECT bucket, n_words, n_pieces,
          |         CAST(floor(CAST(n_pieces AS DOUBLE) * 1e6 / n_words + 5e-1) AS BIGINT) AS fert_micro,
-         |         CAST(floor(CAST(tp AS DOUBLE) * 1e6 / tw + 5e-1) AS BIGINT) AS corpus_micro
+         |         CAST(floor(CAST(tp AS DOUBLE) * 1e6 / tw + 5e-1) AS BIGINT) AS corpus_micro,
+         |         CAST(floor(CAST(n_all - n_words AS DOUBLE) * 1e6 / n_all + 5e-1) AS BIGINT) AS oov_micro
          |  FROM per CROSS JOIN tot)
          |SELECT CAST(bucket AS INT) AS bucket, CAST(n_words AS BIGINT) AS n_words, n_pieces,
+         |       oov_micro / 1e6 AS oov_frac,
          |       fert_micro / 1e6 AS fertility, corpus_micro / 1e6 AS corpus_fertility,
          |       (fert_micro - corpus_micro) / 1e6 AS drift,
          |       CASE WHEN fert_micro - corpus_micro > $FERT_DRIFT_MICRO THEN 'rotting' ELSE 'ok' END AS verdict

@@ -446,23 +446,34 @@ class TextOpsSpec extends SparkSpec {
     val rows = TextOps
       .q157FertilityDrift(spark, sfDir)
       .collect()
-      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getString(6)))
-    // the same corpus through q98's per-source view
+      .map(r =>
+        (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getString(7))
+      )
+    // the same corpus through q98's per-source view (q98 joins INNER, so
+    // its word mass is exactly q157's in-vocab n_words)
     val q98 = TextOps.q98BpeApply(spark, sfDir).collect()
     val (tw, tp) = (q98.map(_.getAs[Long]("total_words")).sum, q98.map(_.getAs[Long]("total_tokens")).sum)
     assert(rows.map(_._2).sum === tw, "buckets must partition exactly the words q98 tokenizes")
     assert(rows.map(_._3).sum === tp, "bucket piece mass must sum to q98's total")
     val corpusFert = math.floor(tp.toDouble * 1e6 / tw + 0.5) / 1e6
-    rows.foreach { case (b, nw, np, fert, corpus, drift, verdict) =>
+    rows.foreach { case (b, nw, np, oov, fert, corpus, drift, verdict) =>
       assert(corpus === corpusFert, s"bucket $b corpus fertility must be the one cross-view constant")
       assert(fert === math.floor(np.toDouble * 1e6 / nw + 0.5) / 1e6, s"bucket $b fertility arithmetic")
+      // self-trained corpus: the word → pieces map covers every distinct
+      // word of THIS corpus by construction, so oov_frac is exactly 0 here;
+      // it becomes nonzero precisely when a session-cached tokenizer
+      // (trained on an older snapshot) meets newer ingest — the rot signal
+      assert(oov === 0.0, s"bucket $b oov_frac must be 0 when the tokenizer was trained on this very corpus")
       assert(math.abs(drift - (fert - corpus)) < 1e-9, s"bucket $b drift")
       val wantVerdict = if (math.round(fert * 1e6) - math.round(corpus * 1e6) > 50000L) "rotting" else "ok"
       assert(verdict === wantVerdict, s"bucket $b verdict")
     }
     // drift is zero-sum in the word-weighted sense: Σ n_w·(fert−corpus) ≈ 0
-    val weighted = rows.map { case (_, nw, _, f, c, _, _) => nw * (f - c) }.sum
+    val weighted = rows.map { case (_, nw, _, _, f, c, _, _) => nw * (f - c) }.sum
     assert(math.abs(weighted) < rows.length * 1e-6 * tw, "word-weighted drift must net out")
-    info(s"sf0.001: corpus fertility $corpusFert, ${rows.count(_._7 == "rotting")} rotting buckets")
+    info(
+      s"sf0.001: corpus fertility $corpusFert, oov range ${rows.map(_._4).min}..${rows.map(_._4).max}, " +
+        s"${rows.count(_._8 == "rotting")} rotting buckets"
+    )
   }
 }
