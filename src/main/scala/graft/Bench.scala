@@ -87,6 +87,56 @@ object Bench {
   // in bench_details.json and README.
   private def shortKey(name: String): String = name.takeWhile(_ != '_')
 
+  /** Floor re-measure selection (round 13): queries whose kept median
+    * exceeds `factor` x their committed idle floor. This is the defense
+    * against the one load mode r12 proved spread + block probes + the
+    * loaded-threshold cannot see: a plateau that covers ALL repeats of a
+    * query but sits under the probe threshold (q78 shipped at 8.7 s vs a
+    * 1.51 s idle floor with a tight spread and a clean block probe). The
+    * factor is 2.5x — far above idle round-to-round drift (observed
+    * < 1.3x on unchanged queries), far below the 4-6x a plateau causes.
+    * Unknown names (new queries with no committed floor yet) never flag;
+    * most-expensive-first under the cap, since large medians move the
+    * total most.
+    */
+  private[graft] def floorSuspects(
+      kept: Seq[(String, Double)],
+      floors: Map[String, Double],
+      factor: Double,
+      cap: Int
+  ): Seq[String] =
+    kept
+      .collect { case (n, m) if m > 0 && floors.get(n).exists(f => f > 0 && m > factor * f) => (n, m) }
+      .sortBy(-_._2)
+      .take(cap)
+      .map(_._1)
+
+  /** Committed per-query idle medians: `{"floors": {"<full query name>":
+    * seconds}}`, refreshed each round by copying the idle run's
+    * bench_floors_candidate.json (written beside bench_details.json) over
+    * bench_floors.json. Missing/unreadable file → empty map (the layer
+    * disarms, it never breaks the bench).
+    */
+  private[graft] def loadFloors(path: String): Map[String, Double] =
+    try {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(new java.io.File(path))
+      val fl = if (node == null) null else node.get("floors")
+      if (fl == null) Map.empty
+      else {
+        val it = fl.fields()
+        val b = Map.newBuilder[String, Double]
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getValue.isNumber) b += e.getKey -> e.getValue.asDouble()
+        }
+        b.result()
+      }
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] floors unavailable ($path): ${e.getMessage}")
+        Map.empty
+    }
+
   /** The one-line driver artifact. Budget: the driver's tail window keeps
     * the last ~2000 chars and sbt appends ~100 after the line, so the
     * WHOLE line must stay under ~1900 chars at full registry size —
@@ -159,6 +209,8 @@ object Bench {
     phase("q122_build")(operators.Retrieval.buildBm25Index(spark, sfDir))
     // q123's Lloyd centroids are session-cached (T distributed passes)
     phase("q123_centroids")(operators.Cartography.q123CorpusTopics(spark, sfDir))
+    // q159's trained quality weights are session-cached (T+1 GD passes)
+    phase("q159_train")(operators.Curation.qualityTrained(spark, sfDir))
 
     // repeat each query and report the MEDIAN: single-shot timings on a
     // shared box fold scheduler noise into query cost (observed up to 10x
@@ -241,11 +293,54 @@ object Bench {
     // when the re-measure wins, its WHOLE triple replaces the stalled one —
     // keeping the first pass's [lo,hi] under a re-measured median would put
     // the reported value outside its own reported spread
-    val results = firstPass.map { case (name, (med, lo, hi)) =>
+    val merged = firstPass.map { case (name, (med, lo, hi)) =>
       secondPass.get(name) match {
         case Some((m2, lo2, hi2)) if m2 < med => name -> (m2, lo2, hi2)
         case _                                => name -> (med, lo, hi)
       }
+    }
+
+    // floor re-measure — the fourth sensing layer, against the one load
+    // mode r12 proved the other three cannot see (an all-repeat plateau
+    // under the probe threshold: q78 8.7 s shipped vs 1.51 s idle floor).
+    // Any query whose KEPT median exceeds FloorFactor x its committed idle
+    // floor (bench_floors.json) gets up to FloorTries fresh passes, lower
+    // median always wins (load only inflates — min-of-medians never invents
+    // speed). Guard probe first: if the box is STILL loaded when this pass
+    // would start, re-measuring now cannot repair anything — skip, and let
+    // floor_exceeded + calibration make the artifact self-describing. Same
+    // 30-suspect cap as the block pass, largest medians first.
+    val FloorFactor = 2.5
+    val FloorTries = 2
+    val floorsPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FLOORS", "bench_floors.json")
+    val floors = loadFloors(floorsPath)
+    val finalByName = scala.collection.mutable.LinkedHashMap(merged: _*)
+    val floorRemeasured = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    val fSuspects =
+      floorSuspects(merged.map { case (n, (m, _, _)) => n -> m }, floors, FloorFactor, 30)
+    val floorCal = if (fSuspects.isEmpty) -1.0 else sec(calibrationProbe(spark))
+    val floorSkippedLoaded = fSuspects.nonEmpty && floorCal > loadedThreshold
+    if (!floorSkippedLoaded) fSuspects.foreach { name =>
+      val floor = floors(name)
+      var tries = 0
+      var attempts = List.empty[Double]
+      var stop = false
+      while (!stop && tries < FloorTries) {
+        val r2 = timeQuery(name, fnByName(name))
+        tries += 1
+        if (r2._1 >= 0) {
+          attempts = attempts :+ r2._1
+          if (r2._1 < finalByName(name)._1) finalByName(name) = r2
+          if (finalByName(name)._1 <= FloorFactor * floor) stop = true
+        } else stop = true
+      }
+      floorRemeasured(name) = attempts
+    }
+    val results = merged.map { case (n, _) => n -> finalByName(n) }
+    // still above floor after the pass (or the pass was skipped): listed so
+    // a reader knows exactly which numbers to distrust before comparing
+    val floorExceeded = results.collect {
+      case (n, (m, _, _)) if m > 0 && floors.get(n).exists(f => f > 0 && m > FloorFactor * f) => n
     }
     val failed = results.collect { case (name, (v, _, _)) if v < 0 => name }
 
@@ -404,6 +499,12 @@ object Bench {
          |"remeasured":${jMap(remeasured.map { case (k, (first, second)) =>
           k -> s"""{"first":${jNum(first)},"second":${jNum(second)},"kept":${jNum(math.min(first, second))}}"""
         })},
+         |"floors_loaded":${floors.size},
+         |"floor_cal_s":${jTime(floorCal)},"floor_skipped_loaded":$floorSkippedLoaded,
+         |"floor_remeasured":${jMap(floorRemeasured.map { case (k, at) =>
+          k -> at.map(jNum).mkString("[", ",", "]")
+        })},
+         |"floor_exceeded":${floorExceeded.map("\"" + _ + "\"").mkString("[", ",", "]")},
          |"phases":${jMap(phases.map { case (k, v) => k -> jNum(v) })},
          |"quality":${jMap(quality.map { case (k, v) => k -> jNum(v) })},
          |"quality_curves":${curves.mkString("[", ",", "]")},
@@ -413,6 +514,20 @@ object Bench {
     try
       java.nio.file.Files.write(detailsPath, details.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] details write failed: ${e.getMessage}") }
+
+    // candidate floors for the NEXT round: this run's final per-query
+    // medians in exactly bench_floors.json's shape — refreshing the
+    // committed floors after an idle-clean run is one copy, no hand edits
+    try {
+      val cand =
+        s"""{"source":"$sfDir run, total ${jNum(total)} s, cal ${jNum(calStart)}/${jNum(calEnd)}/${jNum(calBlockMax)}",
+           |"factor":2.5,
+           |"floors":${jMap(results.collect { case (k, (v, _, _)) if v >= 0 => k -> jNum(v) })}}""".stripMargin
+      val candPath =
+        if (detailsPath.getParent == null) java.nio.file.Paths.get("bench_floors_candidate.json")
+        else detailsPath.getParent.resolve("bench_floors_candidate.json")
+      java.nio.file.Files.write(candPath, cand.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Throwable => System.err.println(s"[bench] floors candidate write failed: ${e.getMessage}") }
 
     println(
       renderLine(

@@ -2961,7 +2961,280 @@ object Curation {
        |            ELSE 'over_budgeted' END AS verdict
        |FROM f ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q159 — TRAINED quality model: fixed-T integer-micro logistic regression
+  // of the q72 rule-battery outcome (pass = 1) on q84's feature vector.
+  // q84 scores with PUBLISHED literal weights — the one "model" in the
+  // pipeline that wasn't learned from the data. This closes that gap with
+  // the engine's own exactness machinery: q123's declared-bounded-loop
+  // (T distributed passes, ONE bounded driver row collected per pass) plus
+  // a generated DuckDB CTE chain that replays every gradient step, so even
+  // the TRAINING RUN is hash-gated against an independent engine.
+  //
+  // Exactness, step by step:
+  //   - features enter as the q84 6dp-floored values converted to INTEGER
+  //     MICROS (floor(f*1e6 + 0.5) recovers the exact micro — the q143
+  //     recovery trick); the label is y ∈ {0, 1} from q72's battery,
+  //   - weights are integer micros; the logit is exact 64-bit integer
+  //     arithmetic in PICO units (w0·1e6 + Σ wj·fj ≤ ~4e13, inside both
+  //     Long and the 2^53 double window for the one /1e12 conversion),
+  //   - σ(z) is floor-6dp'd to p_m immediately (exp's final ulp is the
+  //     same already-load-bearing exposure as q84/q62),
+  //   - per-row residual products (p_m − y_m)·f_jm ≤ 1e12 sum in
+  //     DECIMAL(38)/HUGEINT (exact at any corpus size),
+  //   - the update w ← w − (LR·S_j) / (n·1e6) uses TRUNCATING integer
+  //     division — BigInt./ on the driver and DuckDB's // both truncate
+  //     toward zero, verified — so after every iteration both engines hold
+  //     bit-identical integer weights,
+  //   - T is fixed (declared-bounded loop, q94/q123's contract).
+  //
+  // Scale shape: the feature frame is staged once (localCheckpoint); each
+  // iteration is ONE linear scan producing ONE aggregate row (4 gradient
+  // sums + n + correct count) — no shuffle beyond the final partial-agg
+  // merge, no weight broadcast needed (weights are plan literals). At
+  // 100 TB: T+1 linear passes + T+1 one-row collects, the textbook
+  // distributed GD plan.
+  //
+  // Output: the full training trace — weights AFTER each iteration and the
+  // train accuracy OF those weights — so the artifact is the audit record
+  // ("did the loss move, when did it plateau"), not just four numbers.
+  // ---------------------------------------------------------------------------
+  private[operators] val QT_LR = 16L // integer learning rate (exact micro update)
+  private[operators] val QT_ITERS = 8 // declared-bounded loop, q123's contract
+
+  /** Per-doc training frame: q84's features as integer micros + q72's
+    * label. One corpus scan per side, doc_id equi-join (q126's shape).
+    */
+  private[operators] def qtFrame(spark: SparkSession, dir: String): DataFrame =
+    qualityScored(spark, dir)
+      .select(
+        col("doc_id"),
+        expr("CAST(floor(f_len * 1e6 + 5e-1) AS BIGINT)").as("f1"),
+        expr("CAST(floor(f_stop * 1e6 + 5e-1) AS BIGINT)").as("f2"),
+        expr("CAST(floor(f_rep * 1e6 + 5e-1) AS BIGINT)").as("f3")
+      )
+      .join(
+        funnelSignals(Tables.balanced(Tables.documents(spark, dir)))
+          .select(col("doc_id"), when(col("reason") === "pass", 1L).otherwise(0L).as("y")),
+        Seq("doc_id")
+      )
+
+  /** The p_m expression at weights (w0..w3): pico-unit integer logit →
+    * double once → floor-6dp'd sigmoid. `w` renders each weight — Scala
+    * literals for the driver loop, column references for the oracle.
+    */
+  private def qtPmExpr(w: Int => String): String = {
+    val zp = s"(${w(0)} * 1000000 + ${w(1)} * f1 + ${w(2)} * f2 + ${w(3)} * f3)"
+    s"CAST(floor(1e0 / (1e0 + exp(-(CAST($zp AS DOUBLE) / 1e12))) * 1e6 + 5e-1) AS BIGINT)"
+  }
+
+  /** (iter, weights-after-iter in micros, train_acc of those weights) for
+    * iter 0..QT_ITERS. Session-cached: training runs once per (session,
+    * dir); q159 reports the trace, q160 evaluates the final weights.
+    */
+  private val qtTrace = new SessionCache[Seq[(Int, Array[Long], Double)]]
+
+  private[graft] def qualityTrained(spark: SparkSession, dir: String): Seq[(Int, Array[Long], Double)] =
+    qtTrace.getOrBuild(spark, dir) {
+      val feat = qtFrame(spark, dir).localCheckpoint() // staged once for T+1 passes
+      var w = Array(0L, 0L, 0L, 0L)
+      val trace = scala.collection.mutable.ArrayBuffer[(Int, Array[Long], Double)]()
+      for (t <- 1 to QT_ITERS + 1) {
+        val pm = qtPmExpr(j => s"${w(j)}L")
+        val row = feat
+          .select(expr(pm).as("pm"), col("f1"), col("f2"), col("f3"), col("y"))
+          .agg(
+            sum(expr("CAST(pm - y * 1000000 AS DECIMAL(38,0))")).as("r0"),
+            sum(expr("CAST((pm - y * 1000000) * f1 AS DECIMAL(38,0))")).as("s1"),
+            sum(expr("CAST((pm - y * 1000000) * f2 AS DECIMAL(38,0))")).as("s2"),
+            sum(expr("CAST((pm - y * 1000000) * f3 AS DECIMAL(38,0))")).as("s3"),
+            count(lit(1)).as("n"),
+            sum(expr("CASE WHEN (pm >= 500000) = (y = 1) THEN 1L ELSE 0L END")).as("ncorr")
+          )
+          .collect()(0) // ONE bounded row per pass — q123's driver-state contract
+        val n = row.getAs[Long]("n")
+        val acc = math.floor((row.getAs[Long]("ncorr") * 1000000L).toDouble / n + 0.5) / 1e6
+        trace += ((t - 1, w.clone(), acc))
+        if (t <= QT_ITERS) {
+          val den = BigInt(n) * 1000000L
+          // bias gradient = residual sum × the constant feature 1e6 micros
+          val sums = Array(
+            BigInt(row.getAs[java.math.BigDecimal]("r0").toBigInteger) * 1000000L,
+            BigInt(row.getAs[java.math.BigDecimal]("s1").toBigInteger),
+            BigInt(row.getAs[java.math.BigDecimal]("s2").toBigInteger),
+            BigInt(row.getAs[java.math.BigDecimal]("s3").toBigInteger)
+          )
+          // BigInt./ truncates toward zero — exactly DuckDB's // (verified)
+          w = Array.tabulate(4)(j => w(j) - ((BigInt(QT_LR) * sums(j)) / den).toLong)
+        }
+      }
+      trace.toSeq
+    }
+
+  def q159QualityTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    qualityTrained(spark, dir)
+      .map { case (it, w, acc) => (it, w(0) / 1e6, w(1) / 1e6, w(2) / 1e6, w(3) / 1e6, acc) }
+      .toDF("iter", "w_bias", "w_len", "w_stop", "w_rep", "train_acc")
+      .orderBy(col("iter"))
+  }
+
+  /** Shared oracle chain: features+label (q126's extraction, micro-cast) →
+    * w0 = 0 → T × (per-row p_m CTE + gradient/accuracy aggregate CTE +
+    * weight-update CTE). Each stage is MATERIALIZED (referenced twice:
+    * by the next stage and by the final trace/eval select). Ends at
+    * w$QT_ITERS + g CTEs g1..g(T+1); q159 reads the trace, q160 appends
+    * its AUC comparison.
+    */
+  private lazy val qtOracleChain: String = {
+    val langList = TargetLangs.map(l => s"'$l'").mkString(", ")
+    val head =
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, lang, string_split(norm, ' ') AS toks,
+         |         len(string_split(norm, ' ')) AS n_tokens,
+         |         len(replace(norm, ' ', '')) AS letters,
+         |         len(regexp_replace(norm, '[a-z0-9 ]', '', 'g'))::DOUBLE
+         |           / greatest(len(norm), 1) AS symbol_ratio
+         |  FROM d),
+         |lab AS (
+         |  SELECT doc_id,
+         |         CASE WHEN CASE WHEN lang NOT IN ($langList) THEN 'lang_filter'
+         |              WHEN n_tokens < $MIN_TOKENS THEN 'too_short'
+         |              WHEN n_tokens > $MAX_TOKENS THEN 'too_long'
+         |              WHEN letters::DOUBLE / n_tokens < 2 OR letters::DOUBLE / n_tokens > 12 THEN 'word_len'
+         |              WHEN symbol_ratio > 0.25 THEN 'symbol_ratio'
+         |              WHEN floor((CASE WHEN n_tokens >= 2 THEN
+         |                      1.0 - len(list_distinct(list_transform(range(1, n_tokens),
+         |                            i -> toks[i] || ' ' || toks[i+1])))::DOUBLE / (n_tokens - 1)
+         |                    ELSE 0 END) * 1e6 + 5e-1) / 1e6 > 0.2 THEN 'repetition'
+         |              ELSE 'pass' END = 'pass' THEN 1 ELSE 0 END AS y
+         |  FROM s),
+         |g AS (
+         |  SELECT s.doc_id, s.toks,
+         |         list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS grams
+         |  FROM s WHERE len(toks) >= 2),
+         |f0 AS (
+         |  SELECT doc_id,
+         |    CAST(floor(least(1e0, len(toks)::DOUBLE / 80e0) * 1e6 + 5e-1) AS BIGINT) AS f1,
+         |    CAST(floor(len(regexp_extract_all(array_to_string(toks, ' '), '\\b(the|a|of|and|to|in|is|it|that|for)\\b'))::DOUBLE / len(toks) * 1e6 + 5e-1) AS BIGINT) AS f2,
+         |    CAST(floor((1.0 - len(list_distinct(grams))::DOUBLE / len(grams)) * 1e6 + 5e-1) AS BIGINT) AS f3
+         |  FROM g),
+         |ft AS MATERIALIZED (SELECT f0.doc_id, f1, f2, f3, y FROM f0 JOIN lab USING (doc_id)),
+         |w0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+         |              CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3)""".stripMargin
+    val pmCols = qtPmExpr(j => s"w$j")
+    def iterCtes(t: Int): String = {
+      val pg =
+        s"""p$t AS MATERIALIZED (SELECT f1, f2, f3, y, $pmCols AS pm FROM ft CROSS JOIN w${t - 1}),
+           |g$t AS MATERIALIZED (
+           |  SELECT CAST(sum(CAST(pm - y * 1000000 AS HUGEINT)) * 1000000 AS HUGEINT) AS s0,
+           |         CAST(sum(CAST(pm - y * 1000000 AS HUGEINT) * f1) AS HUGEINT) AS s1,
+           |         CAST(sum(CAST(pm - y * 1000000 AS HUGEINT) * f2) AS HUGEINT) AS s2,
+           |         CAST(sum(CAST(pm - y * 1000000 AS HUGEINT) * f3) AS HUGEINT) AS s3,
+           |         count(*) AS n,
+           |         CAST(sum(CASE WHEN (pm >= 500000) = (y = 1) THEN 1 ELSE 0 END) AS BIGINT) AS ncorr
+           |  FROM p$t)""".stripMargin
+      if (t > QT_ITERS) pg // the T+1'th pass only evaluates the final weights
+      else
+        pg + ",\n" +
+          s"""w$t AS MATERIALIZED (
+             |  SELECT CAST(w0 - ($QT_LR * s0) // (n * 1000000) AS BIGINT) AS w0,
+             |         CAST(w1 - ($QT_LR * s1) // (n * 1000000) AS BIGINT) AS w1,
+             |         CAST(w2 - ($QT_LR * s2) // (n * 1000000) AS BIGINT) AS w2,
+             |         CAST(w3 - ($QT_LR * s3) // (n * 1000000) AS BIGINT) AS w3
+             |  FROM w${t - 1} CROSS JOIN g$t)""".stripMargin
+    }
+    head + ",\n" + (1 to QT_ITERS + 1).map(iterCtes).mkString(",\n")
+  }
+
+  lazy val q159Oracle: String = {
+    val rows = (0 to QT_ITERS).map { t =>
+      s"""SELECT CAST($t AS INT) AS iter, w0 / 1e6 AS w_bias, w1 / 1e6 AS w_len,
+         |       w2 / 1e6 AS w_stop, w3 / 1e6 AS w_rep,
+         |       floor(ncorr * 1e6 / n + 0.5) / 1e6 AS train_acc
+         |FROM w$t CROSS JOIN g${t + 1}""".stripMargin
+    }
+    qtOracleChain + "\n" + rows.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY iter")
+  }
+
+  // ---------------------------------------------------------------------------
+  // q160 — trained-vs-fixed quality model AUC: the q126 exact rank-sum
+  // statistic for BOTH the q159-trained weights and q84's published fixed
+  // weights, over the same corpus and label — the ship/retrain decision row
+  // ("did training actually buy ranking power?"). The trained model's
+  // weights enter the Spark plan as session-cached literals; the oracle
+  // re-DERIVES them through the full q159 gradient replay, so a pass means
+  // DuckDB independently reproduced the training AND the evaluation.
+  //
+  // Scale shape: ONE corpus scan scores both models (two projections of the
+  // same row); everything after the (model, p_m) aggregation is a window
+  // over a few hundred rows (q126's shape, doubled).
+  // ---------------------------------------------------------------------------
+  def q160QualityTrainAuc(spark: SparkSession, dir: String): DataFrame = {
+    val wT = qualityTrained(spark, dir).last._2
+    val pmTrained = qtPmExpr(j => s"${wT(j)}L")
+    // the fixed model on the same micro features: fj/1e6 recovers q84's
+    // 6dp double exactly, and the left-assoc z chain matches q84's
+    val zFixed = s"($QM_BIAS + $QM_W_LEN * (f1 / 1e6) + $QM_W_STOP * (f2 / 1e6) + $QM_W_REP * (f3 / 1e6))"
+    val pmFixed = s"CAST(floor(1e0 / (1e0 + exp(-$zFixed)) * 1e6 + 5e-1) AS BIGINT)"
+    val scored = qtFrame(spark, dir)
+      .select(expr(pmTrained).as("trained"), expr(pmFixed).as("fixed"), col("y"))
+      .localCheckpoint() // one corpus pass feeds both models' rank sums
+    def per(model: String): DataFrame = scored
+      .groupBy(col(model).as("pm"))
+      .agg(sum(col("y")).as("np"), sum(lit(1L) - col("y")).as("nn"))
+      .withColumn("model", lit(model))
+    val both = per("trained").unionByName(per("fixed"))
+    val w = Window
+      .partitionBy(col("model"))
+      .orderBy(col("pm"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    both
+      .withColumn("cum_nn", coalesce(sum(col("nn")).over(w), lit(0L)))
+      .withColumn("u2", col("np") * (lit(2L) * col("cum_nn") + col("nn")))
+      .groupBy(col("model"))
+      .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"), sum(col("u2")).as("u2"))
+      .withColumn(
+        "auc",
+        when(
+          col("n_pos") > 0 && col("n_neg") > 0,
+          floor(col("u2").cast("double") / (lit(2d) * col("n_pos") * col("n_neg")) * lit(1e6) + lit(0.5)) / lit(1e6)
+        )
+      )
+      .select(col("model"), col("n_pos"), col("n_neg"), col("auc"))
+      .orderBy(col("model"))
+  }
+
+  lazy val q160Oracle: String = {
+    val pmTrained = qtPmExpr(j => s"w$j")
+    val zFixed = s"($QM_BIAS + $QM_W_LEN * (f1 / 1e6) + $QM_W_STOP * (f2 / 1e6) + $QM_W_REP * (f3 / 1e6))"
+    val pmFixed = s"CAST(floor(1e0 / (1e0 + exp(-$zFixed)) * 1e6 + 5e-1) AS BIGINT)"
+    qtOracleChain + ",\n" +
+      s"""sc AS (SELECT $pmTrained AS trained, $pmFixed AS fixed, y FROM ft CROSS JOIN w$QT_ITERS),
+         |ps AS (
+         |  SELECT 'trained' AS model, trained AS pm, CAST(sum(y) AS BIGINT) AS np, CAST(sum(1 - y) AS BIGINT) AS nn
+         |  FROM sc GROUP BY 2
+         |  UNION ALL
+         |  SELECT 'fixed' AS model, fixed AS pm, CAST(sum(y) AS BIGINT) AS np, CAST(sum(1 - y) AS BIGINT) AS nn
+         |  FROM sc GROUP BY 2),
+         |u AS (
+         |  SELECT model, np, nn,
+         |         np * (2 * coalesce(sum(nn) OVER (PARTITION BY model ORDER BY pm
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + nn) AS u2
+         |  FROM ps)
+         |SELECT model, CAST(sum(np) AS BIGINT) AS n_pos, CAST(sum(nn) AS BIGINT) AS n_neg,
+         |       CASE WHEN sum(np) > 0 AND sum(nn) > 0
+         |            THEN floor(CAST(sum(u2) AS DOUBLE) / (2 * sum(np) * sum(nn)) * 1e6 + 0.5) / 1e6
+         |       END AS auc
+         |FROM u GROUP BY model ORDER BY model""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q159_quality_train" -> (q159QualityTrain _),
+    "q160_quality_train_auc" -> (q160QualityTrainAuc _),
     "q158_data_budget_plan" -> (q158DataBudgetPlan _),
     "q154_span_mask_export" -> (q154SpanMaskExport _),
     "q153_constraint_audit" -> (q153ConstraintAudit _),
@@ -2994,6 +3267,8 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "q159_quality_train" -> q159Oracle,
+    "q160_quality_train_auc" -> q160Oracle,
     "q158_data_budget_plan" -> q158Oracle,
     "q154_span_mask_export" -> q154Oracle,
     "q153_constraint_audit" -> q153Oracle,

@@ -45,6 +45,37 @@ class BenchLineSpec extends AnyFunSuite {
     assert(line.length <= TailWindow - SbtEpilogue - 100, s"line is ${line.length} chars — headroom gone")
   }
 
+  test("floor suspects: flags only committed-floor breaches, most expensive first, capped, new queries exempt") {
+    val floors = Map("q1_a" -> 1.0, "q2_b" -> 0.5, "q3_c" -> 2.0, "q5_zero" -> 0.0)
+    val kept = Seq(
+      "q1_a" -> 2.4, // 2.4x floor — under the 2.5x factor, must NOT flag
+      "q2_b" -> 1.3, // 2.6x floor — flags
+      "q3_c" -> 8.0, // 4x floor — flags, and is the most expensive
+      "q4_new" -> 99.0, // no committed floor (new this round) — exempt
+      "q5_zero" -> 9.0, // floor 0 (degenerate) — exempt, no divide-by-zero flagging
+      "q6_fail" -> -1.0 // failed query — exempt
+    )
+    val got = Bench.floorSuspects(kept, floors, 2.5, 30)
+    assert(got === Seq("q3_c", "q2_b"), "exactly the two breaches, largest median first")
+    assert(Bench.floorSuspects(kept, floors, 2.5, 1) === Seq("q3_c"), "cap keeps the most expensive")
+    assert(Bench.floorSuspects(kept, Map.empty, 2.5, 30).isEmpty, "no floors file -> layer disarms")
+  }
+
+  test("committed bench_floors.json parses and covers the prior-round registry") {
+    val floors = Bench.loadFloors("bench_floors.json")
+    assert(floors.nonEmpty, "committed floors must load (refresh from bench_floors_candidate.json each round)")
+    assert(floors.values.forall(v => v > 0 && v < 300), "floors are per-query seconds, sane range")
+    // every floor key is a registered query (a renamed query would leave a
+    // stale floor that can never fire); new queries may lack floors until
+    // the next refresh, so the subset runs in THIS direction only
+    val unknown = floors.keySet -- SparkEntry.queries.keySet
+    assert(unknown.isEmpty, s"stale floor keys for unregistered queries: $unknown")
+  }
+
+  test("floors loader survives a missing file") {
+    assert(Bench.loadFloors("/nonexistent/bench_floors.json").isEmpty)
+  }
+
   test("line is valid JSON with the driver-contract fields") {
     val line = syntheticLine(117)
     // minimal structural checks without a JSON lib: balanced braces, the

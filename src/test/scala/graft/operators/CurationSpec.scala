@@ -1381,4 +1381,76 @@ class CurationSpec extends SparkSpec {
     }
     info(s"sf0.001: ${plan.length} sources, verdicts ${plan.groupBy(_._8).view.mapValues(_.length).toMap}")
   }
+
+  test("q159 trained quality model: single-node integer replay reproduces the full gradient trace bit-for-bit") {
+    val rows = Curation
+      .qtFrame(spark, sfDir)
+      .select("f1", "f2", "f3", "y")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // the distributed loop, replayed serially: pico-unit integer logits,
+    // floor-6dp sigmoid, exact residual sums, truncating-division update
+    def pm(w: Array[Long], f: (Long, Long, Long, Long)): Long = {
+      val zp = w(0) * 1000000L + w(1) * f._1 + w(2) * f._2 + w(3) * f._3
+      math.floor(1.0 / (1.0 + math.exp(-(zp.toDouble / 1e12))) * 1e6 + 0.5).toLong
+    }
+    var w = Array(0L, 0L, 0L, 0L)
+    val trace = scala.collection.mutable.ArrayBuffer[(Int, Array[Long], Double)]()
+    for (t <- 1 to Curation.QT_ITERS + 1) {
+      var s0, ncorr = BigInt(0)
+      var s1, s2, s3 = BigInt(0)
+      rows.foreach { f =>
+        val p = pm(w, f)
+        val d = p - f._4 * 1000000L
+        s0 += d; s1 += BigInt(d) * f._1; s2 += BigInt(d) * f._2; s3 += BigInt(d) * f._3
+        if ((p >= 500000L) == (f._4 == 1L)) ncorr += 1
+      }
+      val n = rows.length.toLong
+      trace += ((t - 1, w.clone(), math.floor((ncorr.toLong * 1000000L).toDouble / n + 0.5) / 1e6))
+      if (t <= Curation.QT_ITERS) {
+        val den = BigInt(n) * 1000000L
+        val sums = Array(s0 * 1000000L, s1, s2, s3)
+        w = Array.tabulate(4)(j => w(j) - ((BigInt(Curation.QT_LR) * sums(j)) / den).toLong)
+      }
+    }
+    val got = Curation
+      .q159QualityTrain(spark, sfDir)
+      .collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(got.length === Curation.QT_ITERS + 1, "trace rows: init + one per iteration")
+    got.zip(trace).foreach { case ((it, wb, wl, ws, wr, acc), (eit, ew, eacc)) =>
+      assert(it === eit)
+      assert((wb, wl, ws, wr) === ((ew(0) / 1e6, ew(1) / 1e6, ew(2) / 1e6, ew(3) / 1e6)), s"iter $it weights")
+      assert(acc === eacc, s"iter $it accuracy")
+    }
+    val wFinal = trace.last._2
+    assert(wFinal.exists(_ != 0L), "training moved the weights")
+    info(s"sf0.001: final weights ${wFinal.map(_ / 1e6).mkString("[", ", ", "]")}, acc ${trace.last._3}")
+  }
+
+  test("q160 trained-vs-fixed AUC: training buys ranking power; fixed row cross-checks q126's 'all' row") {
+    val rows = Curation
+      .q160QualityTrainAuc(spark, sfDir)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(rows.keySet === Set("fixed", "trained"))
+    val (fixedAuc, trainedAuc) = (rows("fixed")._3, rows("trained")._3)
+    assert(
+      trainedAuc > fixedAuc,
+      s"in-sample, the trained weights must rank at least as well as the published guess ($trainedAuc vs $fixedAuc)"
+    )
+    // the fixed model's rank-sum here IS q126's 'all' row: same corpus,
+    // same label, and the micro grid is a monotone relabeling of q126's
+    // 6dp prob grid, so np/nn per distinct score — hence U — are identical
+    val q126All = Curation
+      .q126QualityAuc(spark, sfDir)
+      .filter("lang = 'all'")
+      .collect()(0)
+    assert(rows("fixed")._1 === q126All.getAs[Long]("n_pos"))
+    assert(rows("fixed")._2 === q126All.getAs[Long]("n_neg"))
+    assert(fixedAuc === q126All.getAs[Double]("auc"), "fixed AUC must equal q126's all-row")
+    info(s"sf0.001: trained $trainedAuc vs fixed $fixedAuc")
+  }
 }
