@@ -627,7 +627,142 @@ object Multimodal {
         |ORDER BY cluster, media_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------------
+  // q161 — IMAGE–TEXT ALIGNMENT screen: the CLIP-style mismatched-pair
+  // filter every VLM data pipeline runs before training (LAION/DataComp's
+  // core curation step — drop pairs whose image and caption don't agree).
+  // The multimodal pillar had unimodal dedup (q114–q116, q156) but no
+  // CROSS-modal op; this closes it. Pairs are (image features, text
+  // embedding) keyed by id: image features through the codec seam (q39's
+  // extractFeatures — swap FakeCodec for a real vision tower, plan shape
+  // unchanged), text embeddings from the embeddings table folded 64→16 by
+  // position mod 16 (the deterministic stand-in for a projection head —
+  // a learned adapter would replace the fold, not the plan). Score =
+  // exact unit-cosine in integer micros (q155's arithmetic, per-pair);
+  // pairs below ALIGN_FLOOR flag as mismatched, rolled up per source —
+  // the "which collection's captions are junk" table.
+  //
+  // Exactness: float32 histogram division is mirrored with FLOAT casts
+  // (q39's proven construct); everything after the one micro-floor per
+  // component is 64-bit integer arithmetic except the unit-normalize
+  // sqrt and the final /1e6 (both correctly-rounded IEEE in both
+  // engines, the q155 exposure).
+  //
+  // Scale shape: one media scan through the batched decode, one
+  // embeddings scan, two narrow groupBys (16 rows per doc), one doc_id
+  // equi-join — no pair explosion anywhere (the screen is per-PAIR, not
+  // pairwise). At 100 TB the decode stage dominates and parallelizes by
+  // partition; everything downstream is fixed-width per doc.
+  // ---------------------------------------------------------------------------
+  private val ALIGN_FLOOR_MICRO = 200000L // cos < 0.2 -> mismatched
+  private val ALIGN_REVIEW_FRAC_MICRO = 500000L // >50% flagged -> review the source
+
+  /** Exact unit-cosine per doc over LONG-FORM integer-micro vectors
+    * (doc_id, pos, v): each side unit-normalized to micros (q155's
+    * recipe), then one (doc_id, pos) equi-join and a per-doc sum. Factored
+    * over plain frames so the spec can plant aligned/orthogonal pairs.
+    * Zero vectors drop (no cosine exists); absent positions contribute 0
+    * on both engines (the text side always carries all 16 positions, so
+    * the inner join never loses image mass).
+    */
+  private[operators] def alignCosMicro(img: DataFrame, txt: DataFrame): DataFrame = {
+    def unit(df: DataFrame, out: String): DataFrame = {
+      val n2 = df.groupBy(col("doc_id")).agg(sum(expr("v * v")).as("n2")).filter(col("n2") > 0)
+      df.join(n2, "doc_id")
+        .select(
+          col("doc_id"),
+          col("pos"),
+          expr("CAST(floor(CAST(v AS DOUBLE) * 1e6 / sqrt(CAST(n2 AS DOUBLE)) + 5e-1) AS BIGINT)").as(out)
+        )
+    }
+    unit(img, "ua")
+      .join(unit(txt, "ub"), Seq("doc_id", "pos"))
+      .groupBy(col("doc_id"))
+      .agg(expr("CAST(floor(CAST(sum(ua * ub) AS DOUBLE) / 1e6 + 5e-1) AS BIGINT)").as("align_micro"))
+  }
+
+  def q161ImageTextAlign(spark: SparkSession, dir: String): DataFrame = {
+    val img = extractFeatures(mediaTable(spark, dir).filter(col("kind") === "image"))
+      .select(col("media_id").as("doc_id"), posexplode(col("features")).as(Seq("pos", "f")))
+      .select(col("doc_id"), col("pos"), expr("CAST(floor(CAST(f AS DOUBLE) * 1e6 + 5e-1) AS BIGINT)").as("v"))
+    val txt = Tables
+      .balanced(Tables.embeddings(spark, dir))
+      .select(col("vec_id").as("doc_id"), posexplode(col("embedding")).as(Seq("j", "x")))
+      .select(
+        col("doc_id"),
+        (col("j") % 16).as("pos"),
+        expr("CAST(floor(CAST(x AS DOUBLE) * 1e6 + 5e-1) AS BIGINT)").as("v")
+      )
+      .groupBy(col("doc_id"), col("pos"))
+      .agg(sum(col("v")).as("v"))
+    alignCosMicro(img, txt)
+      .join(Tables.balanced(Tables.documents(spark, dir)).select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("align_micro") < ALIGN_FLOOR_MICRO, 1L).otherwise(0L)).as("n_flagged"),
+        sum(col("align_micro")).as("sa"),
+        min(col("align_micro")).as("mn")
+      )
+      .select(
+        col("source"),
+        col("n_pairs"),
+        col("n_flagged"),
+        expr("floor(CAST(n_flagged AS DOUBLE) * 1e6 / n_pairs + 5e-1) / 1e6").as("flag_frac"),
+        expr("floor(CAST(sa AS DOUBLE) / n_pairs + 5e-1) / 1e6").as("mean_align"),
+        (col("mn") / lit(1e6)).as("min_align"),
+        expr(
+          s"CASE WHEN floor(CAST(n_flagged AS DOUBLE) * 1e6 / n_pairs + 5e-1) > $ALIGN_REVIEW_FRAC_MICRO THEN 'review' ELSE 'ok' END"
+        ).as("verdict")
+      )
+      .orderBy(col("source"))
+  }
+
+  val q161Oracle: String =
+    s"""WITH img AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+       |chars AS (
+       |  SELECT doc_id, unicode(t.x) % 16 AS pos
+       |  FROM img, unnest(string_split(text, '')) AS t(x)
+       |  WHERE length(text) > 0),
+       |hist AS (SELECT doc_id, pos, count(*)::FLOAT AS cnt FROM chars GROUP BY 1, 2),
+       |fm AS (
+       |  SELECT h.doc_id, h.pos,
+       |         CAST(floor(CAST(CAST(h.cnt / greatest(octet_length(encode(i.text)), 1)::FLOAT AS FLOAT) AS DOUBLE) * 1e6 + 5e-1) AS BIGINT) AS v
+       |  FROM hist h JOIN img i USING (doc_id)),
+       |tm AS (
+       |  SELECT vec_id AS doc_id, CAST(u.i % 16 AS INT) AS pos,
+       |         CAST(sum(CAST(floor(embedding[u.i + 1]::DOUBLE * 1e6 + 5e-1) AS BIGINT)) AS BIGINT) AS v
+       |  FROM embeddings, unnest(range(len(embedding))) AS u(i) GROUP BY 1, 2),
+       |fn AS (SELECT doc_id, sum(v * v) AS n2 FROM fm GROUP BY 1 HAVING sum(v * v) > 0),
+       |tn AS (SELECT doc_id, sum(v * v) AS n2 FROM tm GROUP BY 1 HAVING sum(v * v) > 0),
+       |ua AS (
+       |  SELECT fm.doc_id, fm.pos,
+       |         CAST(floor(CAST(fm.v AS DOUBLE) * 1e6 / sqrt(CAST(fn.n2 AS DOUBLE)) + 5e-1) AS BIGINT) AS u
+       |  FROM fm JOIN fn USING (doc_id)),
+       |ub AS (
+       |  SELECT tm.doc_id, tm.pos,
+       |         CAST(floor(CAST(tm.v AS DOUBLE) * 1e6 / sqrt(CAST(tn.n2 AS DOUBLE)) + 5e-1) AS BIGINT) AS u
+       |  FROM tm JOIN tn USING (doc_id)),
+       |cosv AS (
+       |  SELECT ua.doc_id,
+       |         CAST(floor(CAST(sum(ua.u * ub.u) AS DOUBLE) / 1e6 + 5e-1) AS BIGINT) AS align_micro
+       |  FROM ua JOIN ub ON ua.doc_id = ub.doc_id AND ua.pos = ub.pos
+       |  GROUP BY 1),
+       |r AS (
+       |  SELECT d.source, count(*) AS n_pairs,
+       |         CAST(sum(CASE WHEN align_micro < $ALIGN_FLOOR_MICRO THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       |         CAST(sum(align_micro) AS BIGINT) AS sa, min(align_micro) AS mn
+       |  FROM cosv JOIN documents d USING (doc_id) GROUP BY 1)
+       |SELECT source, CAST(n_pairs AS BIGINT) AS n_pairs, n_flagged,
+       |       floor(CAST(n_flagged AS DOUBLE) * 1e6 / n_pairs + 5e-1) / 1e6 AS flag_frac,
+       |       floor(CAST(sa AS DOUBLE) / n_pairs + 5e-1) / 1e6 AS mean_align,
+       |       mn / 1e6 AS min_align,
+       |       CASE WHEN floor(CAST(n_flagged AS DOUBLE) * 1e6 / n_pairs + 5e-1) > $ALIGN_REVIEW_FRAC_MICRO THEN 'review' ELSE 'ok' END AS verdict
+       |FROM r ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q161_image_text_align" -> (q161ImageTextAlign _),
     "q37_media_decode" -> (q37MediaDecode _),
     "q38_frame_sample" -> (q38FrameSample _),
     "q39_media_features" -> (q39MediaFeatures _),
@@ -717,6 +852,7 @@ object Multimodal {
       |FROM norms GROUP BY kind ORDER BY kind""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q161_image_text_align" -> q161Oracle,
     "q37_media_decode" -> q37Oracle,
     "q38_frame_sample" -> q38Oracle,
     "q39_media_features" -> q39Oracle,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 /** Multimodal plumbing invariants at sf0.001: the FAKE codec's outputs are
   * pinned against direct JVM recomputation (the part no SQL oracle covers),
@@ -251,5 +252,59 @@ class MultimodalSpec extends SparkSpec {
     // transitivity actually fires: some component must be larger than a pair
     // OR every pair is isolated — report which
     info(s"sf0.001: ${comps.size} clusters, max size ${comps.values.map(_.size).max}")
+  }
+
+  test("q161 alignment: planted pairs — same-direction reads cos 1, orthogonal fires, anti-parallel reads cos -1") {
+    val spark0 = spark
+    import spark0.implicits._
+    // doc 1: text = 3x the image vector (same direction -> unit cos exactly 1)
+    // doc 2: disjoint support (the text side carries every position, as the
+    //        real fold does) -> cos exactly 0, the mismatch the screen exists for
+    // doc 3: anti-parallel -> cos exactly -1 (sign machinery, not just magnitude)
+    val img = Seq(
+      (1L, 0, 600000L), (1L, 1, 800000L),
+      (2L, 0, 1000000L),
+      (3L, 0, 600000L), (3L, 1, 800000L)
+    ).toDF("doc_id", "pos", "v")
+    val txt = Seq(
+      (1L, 0, 1800000L), (1L, 1, 2400000L),
+      (2L, 0, 0L), (2L, 1, 1000000L),
+      (3L, 0, -600000L), (3L, 1, -800000L)
+    ).toDF("doc_id", "pos", "v")
+    val got = Multimodal
+      .alignCosMicro(img, txt)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(got(1L) === 1000000L, "same direction must score exactly 1.0")
+    assert(got(2L) === 0L, "orthogonal pair must score exactly 0 — under any positive floor, it fires")
+    assert(got(3L) === -1000000L, "anti-parallel must score exactly -1.0")
+    // zero vector: no cosine exists -> the doc drops rather than divides by 0
+    val zero = Multimodal
+      .alignCosMicro(Seq((9L, 0, 0L)).toDF("doc_id", "pos", "v"), Seq((9L, 0, 1L)).toDF("doc_id", "pos", "v"))
+      .count()
+    assert(zero === 0L)
+  }
+
+  test("q161 rollup: pairs cover exactly the image-kind docs with text and an embedding; flags match the floor") {
+    val rows = Multimodal.q161ImageTextAlign(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val nImgWithEmb = graft.core.Tables
+      .documents(spark, sfDir)
+      .filter("doc_id % 3 = 0 AND length(text) > 0")
+      .join(graft.core.Tables.embeddings(spark, sfDir).select("vec_id"), col("doc_id") === col("vec_id"))
+      .count()
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum === nImgWithEmb, "every image with a caption embedding scores once")
+    rows.foreach { r =>
+      val (n, fl) = (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_flagged"))
+      assert(fl >= 0 && fl <= n)
+      assert(r.getAs[Double]("flag_frac") === math.floor(fl.toDouble * 1e6 / n + 0.5) / 1e6)
+      assert(r.getAs[Double]("min_align") <= r.getAs[Double]("mean_align"))
+      val wantVerdict = if (math.floor(fl.toDouble * 1e6 / n + 0.5) > 500000d) "review" else "ok"
+      assert(r.getAs[String]("verdict") === wantVerdict)
+    }
+    val flagged = rows.map(_.getAs[Long]("n_flagged")).sum
+    assert(flagged > 0, "the near-uniform corpus must contain below-floor pairs or the screen is vacuous here")
+    info(s"sf0.001: ${rows.length} sources, $flagged/${nImgWithEmb} flagged")
   }
 }
