@@ -1423,11 +1423,11 @@ object Dedup {
   private[graft] def winnowFingerprints(spark: SparkSession, dir: String): DataFrame =
     winnowFingerprintsOf(Tables.balanced(Tables.documents(spark, dir)))
 
-  /** Winnowing over ANY (doc_id, text) frame — fingerprinting is per-doc
-    * LOCAL (no cross-doc state), so the streaming maintainer winnows each
-    * delta with the same code and the union of slices IS the batch table.
+  /** The selected (doc_id, wmin) winnow encodings over ANY (doc_id, text)
+    * frame — the shared core of the fp-set view (q144/q152/streaming) and
+    * the position-carrying view (q162's run profile).
     */
-  private[graft] def winnowFingerprintsOf(docs: DataFrame): DataFrame = {
+  private def winnowSelectedEnc(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos")).rowsBetween(0, WIN_W - 1)
     docs
@@ -1449,9 +1449,30 @@ object Dedup {
       .select(col("doc_id"), col("m"), col("g.enc").as("enc"), col("g.pos").as("pos"))
       .withColumn("wmin", min(col("enc")).over(w))
       .filter(col("pos") <= greatest(col("m") - WIN_W + 1, lit(1)))
+      .select(col("doc_id"), col("wmin"))
+  }
+
+  /** Winnowing over ANY (doc_id, text) frame — fingerprinting is per-doc
+    * LOCAL (no cross-doc state), so the streaming maintainer winnows each
+    * delta with the same code and the union of slices IS the batch table.
+    */
+  private[graft] def winnowFingerprintsOf(docs: DataFrame): DataFrame =
+    winnowSelectedEnc(docs)
       .select(col("doc_id"), substring(col("wmin"), 1, 32).as("fp"))
       .distinct()
-  }
+
+  /** Position-carrying fingerprints: the selected gram's position decodes
+    * from the enc suffix (1e6 - pos, the same fixed-width field the
+    * rightmost-min trick encodes), so the run profile costs no extra pass.
+    */
+  private[graft] def winnowFingerprintPositions(docs: DataFrame): DataFrame =
+    winnowSelectedEnc(docs)
+      .select(
+        col("doc_id"),
+        substring(col("wmin"), 1, 32).as("fp"),
+        (lit(1000000) - substring(col("wmin"), 33, 7).cast("int")).as("fpos")
+      )
+      .distinct()
 
   /** The rare-fingerprint table (MOSS df cap applied) over any fingerprint
     * frame — shared by the batch q144/q152 and the streaming maintainer's
@@ -1524,6 +1545,114 @@ object Dedup {
        |       floor(CAST(shared_fps AS DOUBLE) * 1e6 / pb.n_fp + 5e-1) / 1e6 AS containment_b
        |FROM sh JOIN pd pa ON pa.doc_id = sh.doc_a JOIN pd pb ON pb.doc_id = sh.doc_b
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q162 — VERBATIM-RUN PROFILE over winnow fingerprints: per source, the
+  // distribution of each document's LONGEST shared verbatim run. q110/q144
+  // report coverage and pair counts but not "how long are the longest
+  // clones" — the signal that separates boilerplate (short runs,
+  // everywhere) from mirrored articles (long runs, few places), which
+  // decides whether the fix is a span mask (q154) or a doc drop (q102).
+  //
+  // Method: the winnow selection already encodes each selected gram's
+  // POSITION in the enc suffix (1e6 - pos), so positions are free — no
+  // extra pass. Matching positions per (doc, partner) come from the same
+  // df-capped fingerprint equi-join q144 ships (bounded fan-out, never
+  // all-pairs); a shared verbatim span selects fingerprints with gaps
+  // <= WIN_W (the winnowing window guarantee), so GAPS-AND-ISLANDS with
+  // break > WIN_W reassembles each span: run_len = last - first + WIN_K
+  // tokens. Per doc, the max island over all partners; per source, a
+  // power-of-two length histogram plus the longest run observed.
+  //
+  // Scale shape: one winnow pass (linear), the df-capped pair join
+  // (bounded), one (doc, partner)-partitioned window over matched
+  // positions (each partition is one pair's shared-fp list, small by the
+  // df cap), two narrow rollups. Everything is the q144 plan plus windows
+  // over already-bounded frames.
+  // ---------------------------------------------------------------------------
+  /** (doc_id, max_run): each doc's longest verbatim run against any
+    * partner — factored over a plain (doc_id, text) frame so the spec can
+    * plant a known shared span and check the measured length against the
+    * SIGMOD'03 winnowing bounds.
+    */
+  private[graft] def verbatimRunsFrom(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fpp = winnowFingerprintPositions(docs).localCheckpoint() // one winnow pass feeds df cap + both sides
+    val rare = fpp
+      .groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") <= WIN_MAXDF)
+      .select(col("fp"))
+    val kept = fpp.join(rare, "fp")
+    val matches = kept.as("a")
+      .join(kept.as("b"), col("a.fp") === col("b.fp") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("partner"), col("a.fpos").as("pos"))
+      .distinct()
+    val wOrd = Window.partitionBy(col("doc_id"), col("partner")).orderBy(col("pos"))
+    matches
+      .withColumn("prev", lag(col("pos"), 1).over(wOrd))
+      .withColumn("brk", when(col("pos") - col("prev") > WIN_W, 1L).otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("partner"), col("island"))
+      .agg((max(col("pos")) - min(col("pos")) + lit(WIN_K)).as("run_len"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("run_len")).as("max_run"))
+  }
+
+  def q162VerbatimRunProfile(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.balanced(Tables.documents(spark, dir))
+    verbatimRunsFrom(docs)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .withColumn(
+        "bucket",
+        expr(
+          "CASE WHEN max_run < 16 THEN 'a_lt16' WHEN max_run < 32 THEN 'b_16_31' " +
+            "WHEN max_run < 64 THEN 'c_32_63' WHEN max_run < 128 THEN 'd_64_127' ELSE 'e_ge128' END"
+        )
+      )
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), max(col("max_run")).as("longest_run"))
+      .orderBy(col("source"), col("bucket"))
+  }
+
+  /** q144's chain through the windowed-min CTE (already margin-stripped —
+    * concatenate, don't re-stripMargin), then the position-decoding
+    * fingerprint view and the islands walk.
+    */
+  lazy val q162Oracle: String = {
+    val chain = q144Oracle.substring(0, q144Oracle.indexOf("\nfp AS"))
+    chain + "\n" +
+      s"""fpp AS (
+         |  SELECT DISTINCT doc_id, substr(wmin, 1, 32) AS fp,
+         |         1000000 - CAST(substr(wmin, 33, 7) AS INT) AS fpos
+         |  FROM wm WHERE pos <= greatest(m - $WIN_W + 1, 1)),
+         |rare AS (SELECT fp FROM fpp GROUP BY fp HAVING count(DISTINCT doc_id) <= $WIN_MAXDF),
+         |k2 AS (SELECT fpp.doc_id, fpp.fp, fpp.fpos FROM fpp JOIN rare USING (fp)),
+         |m2 AS (
+         |  SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS partner, a.fpos AS pos
+         |  FROM k2 a JOIN k2 b ON a.fp = b.fp AND a.doc_id <> b.doc_id),
+         |lg AS (
+         |  SELECT doc_id, partner, pos,
+         |         lag(pos) OVER (PARTITION BY doc_id, partner ORDER BY pos) AS prev
+         |  FROM m2),
+         |isl AS (
+         |  SELECT doc_id, partner, pos,
+         |         sum(CASE WHEN pos - prev > $WIN_W THEN 1 ELSE 0 END)
+         |           OVER (PARTITION BY doc_id, partner ORDER BY pos
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         |  FROM lg),
+         |runs AS (
+         |  SELECT doc_id, partner, island, CAST(max(pos) - min(pos) + $WIN_K AS INT) AS run_len
+         |  FROM isl GROUP BY 1, 2, 3),
+         |longest AS (SELECT doc_id, max(run_len) AS max_run FROM runs GROUP BY 1)
+         |SELECT d.source,
+         |       CASE WHEN max_run < 16 THEN 'a_lt16' WHEN max_run < 32 THEN 'b_16_31'
+         |            WHEN max_run < 64 THEN 'c_32_63' WHEN max_run < 128 THEN 'd_64_127'
+         |            ELSE 'e_ge128' END AS bucket,
+         |       count(*) AS n_docs, max(max_run) AS longest_run
+         |FROM longest JOIN documents d USING (doc_id)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
 
   // ---------------------------------------------------------------------------
   // q146 — LSH band-shape planner: the S-curve tuning table read BEFORE
@@ -1690,6 +1819,7 @@ object Dedup {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q162_verbatim_run_profile" -> (q162VerbatimRunProfile _),
     "q152_winnow_contamination" -> (q152WinnowContamination _),
     "q146_lsh_plan" -> (q146LshPlan _),
     "q144_winnow_pairs" -> (q144WinnowPairs _),
@@ -1732,6 +1862,7 @@ object Dedup {
     "q152_winnow_contamination" -> q152Oracle,
     "q146_lsh_plan" -> q146Oracle,
     "q144_winnow_pairs" -> q144Oracle,
+    "q162_verbatim_run_profile" -> q162Oracle,
     "q29_exact_dedup" -> q29Oracle,
     "q32_token_jaccard" -> q32Oracle,
     "q33_embedding_neardup" -> q33Oracle,

@@ -756,4 +756,39 @@ class DedupSpec extends SparkSpec {
     assert(got.nonEmpty, "the dup-dense corpus must contaminate across the split or the screen tests nothing")
     info(s"sf0.001: ${got.size} contaminated train docs")
   }
+
+  test("q162 verbatim runs: a planted shared span measures within the winnowing bounds; disjoint docs never pair") {
+    val spark0 = spark
+    import spark0.implicits._
+    val K = 8; val W = 4
+    // a planted 40-token span shared verbatim between two otherwise-disjoint
+    // documents (unique vocab per flank, so no accidental gram collisions)
+    val shared = (1 to 40).map(i => s"sh$i").mkString(" ")
+    val docs = Seq(
+      (1L, (1 to 20).map(i => s"ax$i").mkString(" ") + " " + shared + " " + (1 to 20).map(i => s"ay$i").mkString(" ")),
+      (2L, (1 to 15).map(i => s"bx$i").mkString(" ") + " " + shared + " " + (1 to 25).map(i => s"by$i").mkString(" ")),
+      (3L, (1 to 60).map(i => s"cz$i").mkString(" ")) // no shared content at all
+    ).toDF("doc_id", "text")
+    val runs = Dedup.verbatimRunsFrom(docs).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(!runs.contains(3L), "a doc sharing nothing must not appear in the run profile")
+    // SIGMOD'03 bounds: within a shared span of L tokens, the first selected
+    // fingerprint sits within the first winnow window and the last within the
+    // last, so the measured run is within [L - 2(W-1), L]
+    val L = 40
+    Seq(1L, 2L).foreach { d =>
+      assert(runs.contains(d), s"doc $d shares an 11+-token run — winnowing guarantees a shared fingerprint")
+      assert(runs(d) >= L - 2 * (W - 1) && runs(d) <= L, s"doc $d measured ${runs(d)}, outside [${L - 2 * (W - 1)}, $L]")
+    }
+    // bucket rollup at the corpus scale stays consistent with the per-doc frame
+    val prof = Dedup.q162VerbatimRunProfile(spark, sfDir).collect()
+    assert(prof.nonEmpty)
+    val corpus = Dedup
+      .verbatimRunsFrom(graft.core.Tables.documents(spark, sfDir))
+      .collect()
+      .map(_.getInt(1))
+    assert(prof.map(_.getAs[Long]("n_docs")).sum === corpus.length.toLong, "buckets partition the profiled docs")
+    assert(prof.map(_.getAs[Int]("longest_run")).max === corpus.max, "the global longest run survives the rollup")
+    assert(corpus.forall(_ >= K), s"no run can be shorter than one $K-gram")
+    info(s"sf0.001: planted runs ${runs(1L)}/${runs(2L)}, corpus longest ${corpus.max}")
+  }
 }
