@@ -135,10 +135,6 @@ object PlanAudit {
       "BroadcastNestedLoopJoin" ->
         "inherits q118's plan stages (q103's 1-row corpus constants + the 1-row PRF seed), plus two more 1-row broadcasts (IDCG@10, n_rel) crossed onto the 3-row per-ranker aggregate — the q70 broadcast-scalar pattern"
     ),
-    "q121_bitext_mining" -> Map(
-      "BroadcastNestedLoopJoin" ->
-        "q34's declared exhaustive-mining contract: broadcast en side x one foreign-side scan builds the margin block (IVF candidates replace it at 100 TB); every downstream kNN/argmax pass is a keyed window or keyed join on tgt_id/src_id"
-    ),
     "q122_bm25_indexed" -> Map(
       "BroadcastNestedLoopJoin" ->
         "q103's 1-row broadcast corpus constants (n_docs, avgdl, per-term df from the probe) crossed onto the per-doc pivot rows — the q62 broadcast-scalar pattern; the corpus itself is never scanned (bucket-pruned postings probe)"

@@ -424,14 +424,15 @@ object Retrieval {
   // argmax, so a libm ULP can flip neither the kNN set, the best-pair
   // choice, nor an emitted value.
   //
-  // Scale shape: the pair block is |en|x|foreign| per language — q34's
-  // DECLARED exhaustive-mining contract (broadcast en side x one foreign
-  // scan; at 100 TB the candidate generator swaps to the persisted IVF
-  // index (q36) exactly like production margin miners run FAISS, and the
-  // margin arithmetic downstream is unchanged). The two kNN-average passes
-  // are keyed windows over the pair frame (tgt_id / (src_id, lang)) —
-  // hash-partitioned shuffles, no global ordering; the final per-target
-  // argmax is one more keyed window over the already-scored frame.
+  // Scale shape: the pair block is |en|x|foreign| per language — an
+  // exhaustive contract that CANNOT scale, which is why this function is
+  // NOT a registry entry (r13, the q61→q101 demotion pattern): the shipped
+  // mining query is q125 (IVF candidates, sub-quadratic), and this exact
+  // miner survives only as its ground truth — the SelfCheck recall floor
+  // (>= 0.9) and RetrievalSpec's first-principles replay both measure q125
+  // against it. The two kNN-average passes are keyed windows over the pair
+  // frame (tgt_id / (src_id, lang)); the final per-target argmax is one
+  // more keyed window over the already-scored frame.
   // ---------------------------------------------------------------------------
   val BITEXT_K = 4
   val MARGIN_T = 1.2
@@ -502,35 +503,6 @@ object Retrieval {
 
     marginMine(pairs)
   }
-
-  val q121Oracle: String =
-    s"""WITH e AS (
-       |  SELECT d.doc_id, d.lang,
-       |         list_transform(em.embedding,
-       |           x -> x::DOUBLE / sqrt(list_sum(list_transform(em.embedding, y -> y::DOUBLE * y::DOUBLE)))) AS u
-       |  FROM documents d JOIN embeddings em ON em.vec_id = d.doc_id),
-       |pairs AS (
-       |  SELECT t.lang, s.doc_id AS src_id, t.doc_id AS tgt_id,
-       |         floor(list_sum(list_transform(list_zip(s.u, t.u), z -> z[1] * z[2])) * 1e6 + 0.5) / 1e6 AS c6
-       |  FROM e s, e t WHERE s.lang = 'en' AND t.lang <> 'en'),
-       |atgt AS (
-       |  SELECT tgt_id, avg(c6) AS avg_t FROM (
-       |    SELECT *, row_number() OVER (PARTITION BY tgt_id ORDER BY c6 DESC, src_id) AS rn FROM pairs)
-       |  WHERE rn <= $BITEXT_K GROUP BY tgt_id),
-       |asrc AS (
-       |  SELECT src_id, lang, avg(c6) AS avg_s FROM (
-       |    SELECT *, row_number() OVER (PARTITION BY src_id, lang ORDER BY c6 DESC, tgt_id) AS rn FROM pairs)
-       |  WHERE rn <= $BITEXT_K GROUP BY src_id, lang),
-       |m AS (
-       |  SELECT p.lang, p.src_id, p.tgt_id, p.c6,
-       |         floor(p.c6 / ((a.avg_t + b.avg_s) / 2) * 1e6 + 0.5) / 1e6 AS margin
-       |  FROM pairs p
-       |  JOIN atgt a ON a.tgt_id = p.tgt_id
-       |  JOIN asrc b ON b.src_id = p.src_id AND b.lang = p.lang)
-       |SELECT lang, tgt_id, src_id, c6, margin FROM (
-       |  SELECT *, row_number() OVER (PARTITION BY tgt_id ORDER BY margin DESC, src_id) AS rn FROM m)
-       |WHERE rn = 1 AND margin > $MARGIN_T
-       |ORDER BY lang, tgt_id""".stripMargin
 
   // ---------------------------------------------------------------------------
   // q125 — bitext mining over IVF CANDIDATES: the 100 TB path q121's
@@ -799,7 +771,10 @@ object Retrieval {
     "q103_bm25" -> (q103Bm25 _),
     "q118_hybrid_rrf" -> (q118HybridRrf _),
     "q120_retrieval_eval" -> (q120RetrievalEval _),
-    "q121_bitext_mining" -> (q121BitextMining _),
+    // bitext mining's registry entry is the sub-quadratic IVF plan (q125);
+    // the exact q121 miner is its ground-truth twin — SelfCheck recall
+    // floor + RetrievalSpec replay — not a shipped query (r13, the
+    // q61→q101 demotion pattern; closes the last mining BNLJ whitelist)
     "q122_bm25_indexed" -> (q122Bm25Indexed _),
     "q125_bitext_mining_ivf" -> (q125BitextMiningIvf _)
   )
@@ -808,7 +783,6 @@ object Retrieval {
     "q103_bm25" -> q103Oracle,
     "q118_hybrid_rrf" -> q118Oracle,
     "q120_retrieval_eval" -> q120Oracle,
-    "q121_bitext_mining" -> q121Oracle,
     // bit-identical to q103 by construction (shared integers + shared score
     // expression), so the index path carries the full scan-path oracle
     "q122_bm25_indexed" -> q103Oracle

@@ -184,14 +184,37 @@ object Similarity {
 
   val Fast: AnnProfile = AnnProfile("fast", lshTables = 6, lshPlanes = 6, lshProbes = 1, ivfC = 16, ivfNprobe = 4)
 
-  /** Sweep-chosen (tools.AnnTune, sf0.01/sf0.1 uniform corpus): P=4 makes
-    * 16 buckets/table (~6% of the corpus each), T=8 tables x (1+2) probes
-    * reach ~0.8 scanned fraction -> uniform recall >= 0.9 for LSH; IVF gets
-    * there by probing 13 of 16 cells. See the quality_curves block in
-    * bench_details.json for the measured recall/fraction grid.
+  /** Sweep-chosen (tools.AnnTune, sf0.001/0.01/0.1 uniform corpus; r13
+    * re-sweep over a wider structural grid). The r12 preset bought uniform
+    * recall 0.94 with an ~0.80 scanned fraction — barely better than brute
+    * force; the re-sweep found strictly better operating points on both
+    * families:
+    *   - LSH T=16 x P=6 with 3 margin-ranked probes: uniform recall 0.94
+    *     at ~0.63-0.65 scanned at every SF (was 0.94 at ~0.80).
+    *   - IVF C=64 (finer quantizer — cell ranking by centroid distance
+    *     concentrates true neighbors far better than C=16), nprobe=28:
+    *     uniform recall 0.94 at 0.445 scanned at sf0.1 — and the trend
+    *     improves with n, so at real corpus sizes the same constant buys
+    *     more. Corpora at toy scale (<= [[QualitySmallCorpusN]] vectors)
+    *     are over-quantized at C=64 (cells of ~8 points) and take the
+    *     widened [[QualityNprobeSmall]] instead so the >= 0.9 floor holds
+    *     there too — the FAISS practice of sizing nprobe to the corpus.
+    * See the quality_curves block in bench_details.json for the measured
+    * recall/fraction grid re-taken every round.
     */
   val Quality: AnnProfile =
-    AnnProfile("quality", lshTables = 8, lshPlanes = 4, lshProbes = 2, ivfC = 16, ivfNprobe = 13)
+    AnnProfile("quality", lshTables = 16, lshPlanes = 6, lshProbes = 3, ivfC = 64, ivfNprobe = 28)
+
+  /** Below this corpus size the quality IVF preset widens its probes:
+    * measured at n=500, nprobe=28 reads recall 0.86-0.88 (over-quantized
+    * cells) while 40 restores 0.94; above it the headline constant wins
+    * (n=2000: 0.94 at 0.445 scanned).
+    */
+  val QualitySmallCorpusN = 1024L
+  val QualityNprobeSmall = 40
+
+  private[operators] def qualityNprobeFor(corpusN: Long): Int =
+    if (corpusN <= QualitySmallCorpusN) QualityNprobeSmall else Quality.ivfNprobe
 
   val ProfileConf = "graft.ann.profile"
 
@@ -773,7 +796,17 @@ object Similarity {
     graft.functions.VecFunctions.install(spark)
     val prof = annProfile(spark)
     val (cents, corpus) = buildIvfIndexWith(spark, dir, prof)
-    ivfTopKFrom(spark, queriesDf(spark, dir), cents, corpus, ivfNprobe(spark, prof))
+    // quality sizes nprobe to the corpus (over-quantized toy corpora take
+    // the widened constant); the conf override and the C clamp still win
+    val base =
+      if (prof.name == Quality.name) qualityNprobeFor(corpus.count()) else prof.ivfNprobe
+    val np = spark.conf
+      .getOption(IvfNprobeConf)
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .getOrElse(base)
+      .max(1)
+      .min(prof.ivfC)
+    ivfTopKFrom(spark, queriesDf(spark, dir), cents, corpus, np)
   }
 
   // ---------------------------------------------------------------------------

@@ -89,8 +89,8 @@ object AnnTune {
     // quantity that actually buys recall on cluster-free data.
     println("-- structural sweep (uniform corpus): lsh tables/planes/probes --")
     for {
-      (t, p) <- Seq((6, 6), (8, 5), (8, 4), (12, 4))
-      m <- Seq(1, 2, 3)
+      (t, p) <- Seq((6, 6), (8, 5), (8, 4), (12, 4), (12, 5), (16, 5), (16, 6))
+      m <- Seq(1, 2, 3, 4)
     } {
       val prof = Similarity.sweepProfile(t, p)
       val r = recall(topkSet(Similarity.lshTopKWith(spark, sfDir, prof, m)), exactU)
@@ -99,8 +99,8 @@ object AnnTune {
     }
     println("-- structural sweep (uniform corpus): ivf c/nprobe --")
     for {
-      c <- Seq(8, 16, 32)
-      np <- Seq(c / 2, (c * 3) / 4, (c * 7) / 8)
+      c <- Seq(8, 16, 32, 64)
+      np <- Seq(c / 4, c * 3 / 8, c / 2, (c * 3) / 4, (c * 7) / 8).distinct.filter(_ >= 1)
     } {
       val prof = Similarity.sweepProfile(Similarity.Fast.lshTables, Similarity.Fast.lshPlanes, c)
       val r = recall(topkSet(Similarity.ivfTopKWith(spark, sfDir, prof, np)), exactU)

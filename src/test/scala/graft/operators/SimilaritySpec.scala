@@ -120,11 +120,12 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("quality profile: uniform-corpus recall@10 >= 0.9 for both ANN families") {
-    // the preset's contract (AnnTune-swept: t=8/p=4/m=2 LSH, nprobe=13/16
-    // IVF — measured uniform recall 1.00/0.96/0.94 LSH and 0.98/0.96/0.94
-    // IVF at sf0.001/0.01/0.1): on cluster-free data recall is BOUGHT with
-    // scanned fraction (~0.8 here), and this floor pins that the quality
-    // preset actually delivers what fast deliberately does not
+    // the preset's contract (AnnTune-swept r13: t=16/p=6/m=3 LSH, C=64 IVF
+    // at nprobe 28 large / 40 small-corpus — measured uniform recall
+    // 0.94/0.94/0.94 LSH at ~0.63 scanned and 0.94/0.94/0.94 IVF at
+    // 0.67/0.68/0.445 scanned, sf0.001/0.01/0.1): on cluster-free data
+    // recall is BOUGHT with scanned fraction, and this floor pins that the
+    // quality preset actually delivers what fast deliberately does not
     val brute = Similarity.q34BruteForceTopK(spark, sfDir).collect()
     val trueTop = byQuery(brute).view.mapValues(_.map(_.getLong(2)).toSet).toMap
     spark.conf.set(Similarity.ProfileConf, "quality")
