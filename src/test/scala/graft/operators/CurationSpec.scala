@@ -347,6 +347,23 @@ class CurationSpec extends SparkSpec {
     } finally spark.conf.unset(Curation.KeyHashConf)
   }
 
+  test("keyhash conf end-to-end: the COMPOSED pipelines (q77 corpus build, q117 dedup profile) identical under both key modes") {
+    // q67/q71 pin the per-query invariance; this pins the composition — the
+    // 100 TB key mode must survive the full build (dedup -> funnel -> pack
+    // -> shard) and the cross-component profile (q29 x q101 x q71 x q110)
+    // with byte-identical output, because the key is only ever shuffle
+    // plumbing that no output column keeps
+    def snap(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq.sorted
+    val md77 = snap(Curation.q77CorpusBuild(spark, sfDir))
+    val md117 = snap(Dedup.q117DedupProfile(spark, sfDir))
+    spark.conf.set(Curation.KeyHashConf, "xxhash64")
+    try {
+      assert(snap(Curation.q77CorpusBuild(spark, sfDir)) === md77, "q77 composed build diverged under xxhash64")
+      assert(snap(Dedup.q117DedupProfile(spark, sfDir)) === md117, "q117 composed profile diverged under xxhash64")
+    } finally spark.conf.unset(Curation.KeyHashConf)
+  }
+
   test("q73 novelty: crafted corpus gets the exact attribution accounting") {
     // 10 copies 20 verbatim; 30 shares half its bigram stream with 10; 40
     // is all-new; 50 is one token (no bigrams — excluded)
