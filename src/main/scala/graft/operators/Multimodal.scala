@@ -10,15 +10,21 @@ import graft.core.Tables
   * typed metadata, with decode / feature-extract / resize / frame-sample as
   * per-partition batch operators.
   *
-  * ==== STUB NOTICE ====
-  * This container ships no media codecs, so `FakeCodec` below is a
-  * DETERMINISTIC FAKE decode (arithmetic on payload bytes). Everything
-  * around it — the schema, the typed Dataset plumbing, the
-  * mapPartitions-with-batching execution shape, the partitioning — is real
-  * and tested; swapping `FakeCodec` for JNI/ffmpeg/jpeg bindings changes no
-  * plan shape. In PySpark the same seam is `mapInPandas` with an Arrow
-  * batch per decode call; `mapPartitions` + `Iterator.grouped` is the JVM
-  * equivalent (one codec instance per partition, amortized across a batch).
+  * ==== CODEC NOTICE (was: STUB NOTICE) ====
+  * Every operator calls the `Codec` seam, which decodes REAL containers
+  * with the JDK's pure-Java codecs (PNG/JPEG via javax.imageio, WAV/PCM
+  * via javax.sound — r13; MultimodalSpec drives real image and audio bytes
+  * through decode / features / aHash / energy end-to-end) and falls
+  * through to `FakeCodec` — a DETERMINISTIC FAKE (arithmetic on payload
+  * bytes) — for anything else, including the synthetic UTF-8 corpus the
+  * oracle gates run on. VIDEO remains honestly stubbed: the JDK ships no
+  * MP4/MKV demuxer, so frame fingerprints stay fake until an ffmpeg
+  * binding exists in the environment. The schema, typed Dataset plumbing,
+  * mapPartitions-with-batching execution shape, and partitioning are
+  * identical on both paths. In PySpark the same seam is `mapInPandas`
+  * with an Arrow batch per decode call; `mapPartitions` +
+  * `Iterator.grouped` is the JVM equivalent (one codec instance per
+  * partition, amortized across a batch).
   *
   * Scale notes:
   *   - Payloads stay distributed; nothing media-sized ever reaches the
@@ -144,6 +150,147 @@ object Multimodal {
     }
   }
 
+  /** REAL codecs via the JDK — zero external dependencies: javax.imageio
+    * decodes PNG/JPEG, javax.sound.sampled decodes WAV/PCM (r13: the
+    * "real media codecs" carry-item, unblocked for images and audio;
+    * video stays honestly stubbed — the JDK ships no MP4/MKV demuxer).
+    *
+    * Dispatch is by container magic bytes, and the sniff is restricted to
+    * signatures that are PROVABLY impossible as leading bytes of valid
+    * UTF-8 text (PNG's 0x89 is a continuation byte, JPEG's 0xFF is never
+    * valid in UTF-8), so the synthetic corpus — UTF-8 payloads — can never
+    * take the real path and every oracle-gated query's output is
+    * bit-unchanged. WAV's "RIFF" sniff IS possible ASCII, so the audio
+    * path additionally requires a successful strict parse (a text doc
+    * starting "RIFF" throws UnsupportedAudioFileException and falls
+    * through). Decoding is deterministic: the JDK's PNG/JPEG inverse
+    * transforms and WAV PCM framing are fixed pure-Java code paths.
+    */
+  object RealCodec {
+    private def isPng(p: Array[Byte]): Boolean =
+      p.length > 8 && (p(0) & 0xff) == 0x89 && p(1) == 'P'.toByte && p(2) == 'N'.toByte && p(3) == 'G'.toByte
+    private def isJpeg(p: Array[Byte]): Boolean =
+      p.length > 3 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8
+    private def isRiffWave(p: Array[Byte]): Boolean =
+      p.length > 12 && p(0) == 'R'.toByte && p(1) == 'I'.toByte && p(2) == 'F'.toByte && p(3) == 'F'.toByte &&
+        p(8) == 'W'.toByte && p(9) == 'A'.toByte && p(10) == 'V'.toByte && p(11) == 'E'.toByte
+
+    private def read(p: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      if (!isPng(p) && !isJpeg(p)) None
+      else
+        try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p)))
+        catch { case _: Exception => None }
+
+    /** 0-255 luminance, ITU-R BT.601 integer form — exact integer math. */
+    private def luma(rgb: Int): Int = {
+      val r = (rgb >> 16) & 0xff
+      val g = (rgb >> 8) & 0xff
+      val b = rgb & 0xff
+      (r * 299 + g * 587 + b * 114) / 1000
+    }
+
+    /** Real decode: true dims + total luminance (the byte-sum analogue). */
+    def decode(p: Array[Byte]): Option[(Int, Int, Long)] = read(p).map { img =>
+      var sum = 0L
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) { sum += luma(img.getRGB(x, y)); x += 1 }
+        y += 1
+      }
+      (img.getWidth, img.getHeight, sum)
+    }
+
+    /** Real feature vector: 16-bucket luminance histogram, L1-normalized —
+      * the same shape/normalization contract as the fake's byte histogram.
+      */
+    def features(p: Array[Byte]): Option[Array[Float]] = read(p).map { img =>
+      val h = new Array[Float](FeatureDim)
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) { h(luma(img.getRGB(x, y)) * FeatureDim / 256) += 1f; x += 1 }
+        y += 1
+      }
+      val total = math.max(1f, (img.getWidth.toLong * img.getHeight).toFloat)
+      h.map(_ / total)
+    }
+
+    /** Real 64-bit average hash — the classic perceptual-hash recipe over
+      * actual pixels: 8x8 block-mean luminance grid thresholded against the
+      * global mean, banded 8 bits/byte (the fake's exact output shape, so
+      * the q114 banded miner runs unchanged on real images). The threshold
+      * is the exact cross-multiply cellSum*N > totalSum*cellN — no division
+      * ever computed, so the bit pattern is integer-deterministic.
+      */
+    def aHash(p: Array[Byte]): Option[Array[Int]] = read(p).map { img =>
+      val (w, h) = (img.getWidth, img.getHeight)
+      val sums = new Array[Long](64)
+      val counts = new Array[Long](64)
+      var y = 0
+      while (y < h) {
+        val cy = math.min(7, y * 8 / h)
+        var x = 0
+        while (x < w) {
+          val c = cy * 8 + math.min(7, x * 8 / w)
+          sums(c) += luma(img.getRGB(x, y))
+          counts(c) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val (totalSum, totalN) = (sums.sum, counts.sum)
+      val bits = Array.tabulate(64)(c => if (sums(c) * totalN > totalSum * counts(c)) 1 else 0)
+      Array.tabulate(8)(b => (0 until 8).map(j => bits(b * 8 + j) << j).sum)
+    }
+
+    /** Real audio energy envelope: WAV decoded to 16-bit signed PCM, energy
+      * = sum of |sample| >> 8 per [[FakeCodec.AudioWindowBytes]]-sample
+      * window (the >>8 keeps the magnitude scale comparable to the fake's
+      * byte sums). Unsupported encodings fall through to the fake.
+      */
+    def energyWindows(p: Array[Byte]): Option[Array[Long]] =
+      if (!isRiffWave(p)) None
+      else
+        try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(p))
+          val f = ais.getFormat
+          if (
+            f.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            f.getSampleSizeInBits != 16
+          ) None
+          else {
+            val bytes = ais.readAllBytes()
+            val n = bytes.length / 2
+            val samples = Array.tabulate(n) { i =>
+              val lo = if (f.isBigEndian) bytes(2 * i + 1) else bytes(2 * i)
+              val hi = if (f.isBigEndian) bytes(2 * i) else bytes(2 * i + 1)
+              ((hi.toInt << 8) | (lo & 0xff)).toShort.toInt
+            }
+            val win = FakeCodec.AudioWindowBytes
+            Some(Array.tabulate(math.ceil(n.toDouble / win).toInt) { c =>
+              var s = 0L
+              var i = c * win
+              val end = math.min((c + 1) * win, n)
+              while (i < end) { s += math.abs(samples(i)) >> 8; i += 1 }
+              s
+            })
+          }
+        } catch { case _: Exception => None }
+  }
+
+  /** The codec seam every media operator calls: a payload that IS a real
+    * container decodes for real (JDK codecs); anything else takes the
+    * deterministic fake — one pipeline, both worlds, no configuration.
+    */
+  object Codec {
+    def decode(p: Array[Byte]): (Int, Int, Long) = RealCodec.decode(p).getOrElse(FakeCodec.decode(p))
+    def features(p: Array[Byte]): Array[Float] = RealCodec.features(p).getOrElse(FakeCodec.features(p))
+    def aHash(p: Array[Byte]): Array[Int] = RealCodec.aHash(p).getOrElse(FakeCodec.aHash(p))
+    def energyWindows(p: Array[Byte]): Array[Long] =
+      RealCodec.energyWindows(p).getOrElse(FakeCodec.energyWindows(p))
+  }
+
   /** Synthetic media table derived deterministically from `documents`:
     * payload = utf-8 text bytes, kind by doc_id mod 3, declared metadata from
     * simple arithmetic. (The plumbing target; payloads are opaque from here.)
@@ -178,7 +325,7 @@ object Multimodal {
       // per-partition: real bindings would open the codec here, once
       rows.grouped(DecodeBatchSize).flatMap { batch =>
         batch.map { m =>
-          val (w, h, sum) = FakeCodec.decode(m.payload)
+          val (w, h, sum) = Codec.decode(m.payload)
           DecodedMedia(m.media_id, m.kind, w, h, m.payload.length.toLong, sum)
         }
       }
@@ -192,7 +339,7 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.grouped(DecodeBatchSize).flatMap {
-        _.map(m => MediaFeatures(m.media_id, m.kind, FakeCodec.features(m.payload)))
+        _.map(m => MediaFeatures(m.media_id, m.kind, Codec.features(m.payload)))
       }
     }
   }
@@ -209,7 +356,7 @@ object Multimodal {
     media.mapPartitions { rows =>
       rows.grouped(DecodeBatchSize).flatMap {
         _.map { m =>
-          val (w, h, _) = FakeCodec.decode(m.payload)
+          val (w, h, _) = Codec.decode(m.payload)
           val scale = math.min(1.0, math.min(targetW.toDouble / w, targetH.toDouble / h))
           val ow = math.max(1, math.round(w * scale).toInt)
           val oh = math.max(1, math.round(h * scale).toInt)
@@ -351,7 +498,7 @@ object Multimodal {
       .as[MediaRow]
       .mapPartitions { rows =>
         // per-partition batched, the decode-stage shape: codec opens once
-        rows.grouped(DecodeBatchSize).flatMap(_.map(m => (m.media_id, FakeCodec.aHash(m.payload))))
+        rows.grouped(DecodeBatchSize).flatMap(_.map(m => (m.media_id, Codec.aHash(m.payload))))
       }
       .toDF("media_id", "bands")
       .localCheckpoint()
@@ -501,7 +648,7 @@ object Multimodal {
       .as[MediaRow]
       .mapPartitions { rows =>
         rows.grouped(DecodeBatchSize).flatMap(_.flatMap { m =>
-          FakeCodec.energyWindows(m.payload).zipWithIndex.map { case (e, i) => (m.media_id, i, e) }
+          Codec.energyWindows(m.payload).zipWithIndex.map { case (e, i) => (m.media_id, i, e) }
         })
       }
       .toDF("media_id", "idx", "energy")

@@ -254,6 +254,79 @@ class MultimodalSpec extends SparkSpec {
     info(s"sf0.001: ${comps.size} clusters, max size ${comps.values.map(_.size).max}")
   }
 
+  test("real codec: actual PNG/JPEG bytes decode for real — true dims, luminance histogram, JPEG near-dup within the q114 radius") {
+    import java.awt.image.BufferedImage
+    def img(f: (Int, Int) => Int): BufferedImage = {
+      val b = new BufferedImage(64, 48, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 48; x <- 0 until 64) b.setRGB(x, y, f(x, y))
+      b
+    }
+    def enc(b: BufferedImage, fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(b, fmt, bos), s"JDK must carry a $fmt writer")
+      bos.toByteArray
+    }
+    // high-contrast checkerboard aligned to the 8x8 hash grid (cells of
+    // 8x6 px, uniformly 20 or 235): every cell mean sits far from the
+    // global mean, so JPEG quantization noise cannot flip a hash bit
+    def rgb(v: Int) = (v << 16) | (v << 8) | v
+    val structured = img((x, y) => rgb(if ((x / 8 + y / 6) % 2 == 0) 20 else 235))
+    val inverted = img((x, y) => rgb(if ((x / 8 + y / 6) % 2 == 0) 235 else 20))
+    val png = enc(structured, "png")
+    val jpg = enc(structured, "jpg")
+    val pngInv = enc(inverted, "png")
+    val (w, h, lum) = Multimodal.Codec.decode(png)
+    assert((w, h) === ((64, 48)), "real container dims, not the fake's content-derived ones")
+    assert(lum > 0)
+    val f = Multimodal.Codec.features(png)
+    assert(math.abs(f.sum - 1f) < 1e-3, "histogram L1-normalized")
+    assert(f(1) > 0.3f && f(14) > 0.3f, "mass lands in the dark and bright luminance buckets")
+    def ham(a: Array[Int], b: Array[Int]) = a.zip(b).map { case (x, y) => Integer.bitCount(x ^ y) }.sum
+    val hp = Multimodal.Codec.aHash(png)
+    assert(ham(hp, Multimodal.Codec.aHash(jpg)) <= 6, "JPEG re-encode must stay within q114's near-dup radius")
+    assert(ham(hp, Multimodal.Codec.aHash(pngInv)) > 50, "the inverted image must be far")
+    // the same real bytes flow through the distributed pipeline unchanged
+    val spark0 = spark
+    import spark0.implicits._
+    val ds = spark.createDataset(
+      Seq(Multimodal.MediaRow(1L, "image", png, Multimodal.MediaMeta("png", 64, 48, 0L)))
+    )
+    val dec = Multimodal.decode(ds).collect()(0)
+    assert((dec.width, dec.height) === ((64, 48)))
+    // fall-through: text bytes take the fake path bit-for-bit (the sniff
+    // can never fire on valid UTF-8 — 0x89/0xFF are not legal lead bytes)
+    val txt = "just some document text, definitely not a PNG".getBytes("UTF-8")
+    assert(Multimodal.Codec.aHash(txt) === Multimodal.FakeCodec.aHash(txt))
+    assert(Multimodal.Codec.decode(txt) === Multimodal.FakeCodec.decode(txt))
+    assert(Multimodal.Codec.features(txt) === Multimodal.FakeCodec.features(txt))
+  }
+
+  test("real codec: actual WAV bytes decode for real — loud/silent windows exact; RIFF-prefixed text falls through") {
+    import javax.sound.sampled._
+    val n = 200
+    val samples = Array.tabulate(n)(i => if (i < 100) (if (i % 2 == 0) 12000 else -12000) else 0)
+    val pcm = new Array[Byte](n * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      pcm(2 * i) = (s & 0xff).toByte; pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+      AudioFileFormat.Type.WAVE,
+      bos
+    )
+    val wav = bos.toByteArray
+    val e = Multimodal.Codec.energyWindows(wav)
+    assert(e.length === 4, "200 samples / 50-sample windows")
+    assert(e(0) === 50L * (12000 >> 8) && e(1) === e(0), "loud windows carry the exact square-wave energy")
+    assert(e(2) === 0L && e(3) === 0L, "silence reads zero")
+    // a text doc that happens to spell RIFF....WAVE still falls through:
+    // the strict parser rejects it and the fake path serves it
+    val riffText = "RIFFxxxxWAVE format chunk? no, just prose that lied about its container".getBytes("UTF-8")
+    assert(Multimodal.Codec.energyWindows(riffText) === Multimodal.FakeCodec.energyWindows(riffText))
+  }
+
   test("q161 alignment: planted pairs — same-direction reads cos 1, orthogonal fires, anti-parallel reads cos -1") {
     val spark0 = spark
     import spark0.implicits._
