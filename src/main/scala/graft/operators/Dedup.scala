@@ -1575,7 +1575,17 @@ object Dedup {
     * plant a known shared span and check the measured length against the
     * SIGMOD'03 winnowing bounds.
     */
-  private[graft] def verbatimRunsFrom(docs: DataFrame): DataFrame = {
+  private[graft] def verbatimRunsFrom(docs: DataFrame): DataFrame =
+    verbatimRunPairs(docs)
+      .groupBy(col("doc_id"))
+      .agg(max(col("run_len")).as("max_run"))
+
+  /** The island level UNDER the per-doc max: every (doc, partner,
+    * island) verbatim run with its token length — q162 maxes it per doc;
+    * q163 keeps the partner so the runs can be restricted to pairs that
+    * CROSS the train/test split.
+    */
+  private[graft] def verbatimRunPairs(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val fpp = winnowFingerprintPositions(docs).localCheckpoint() // one winnow pass feeds df cap + both sides
     val rare = fpp
@@ -1595,8 +1605,6 @@ object Dedup {
       .withColumn("island", sum(col("brk")).over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy(col("doc_id"), col("partner"), col("island"))
       .agg((max(col("pos")) - min(col("pos")) + lit(WIN_K)).as("run_len"))
-      .groupBy(col("doc_id"))
-      .agg(max(col("run_len")).as("max_run"))
   }
 
   def q162VerbatimRunProfile(spark: SparkSession, dir: String): DataFrame = {
@@ -1619,7 +1627,10 @@ object Dedup {
     * concatenate, don't re-stripMargin), then the position-decoding
     * fingerprint view and the islands walk.
     */
-  lazy val q162Oracle: String = {
+  /** q162's CTE chain through the per-(doc, partner, island) `runs` table —
+    * shared with q163, which restricts the runs to split-crossing pairs.
+    */
+  private lazy val q162RunChain: String = {
     val chain = q144Oracle.substring(0, q144Oracle.indexOf("\nfp AS"))
     chain + "\n" +
       s"""fpp AS (
@@ -1643,8 +1654,18 @@ object Dedup {
          |  FROM lg),
          |runs AS (
          |  SELECT doc_id, partner, island, CAST(max(pos) - min(pos) + $WIN_K AS INT) AS run_len
-         |  FROM isl GROUP BY 1, 2, 3),
-         |longest AS (SELECT doc_id, max(run_len) AS max_run FROM runs GROUP BY 1)
+         |  FROM isl GROUP BY 1, 2, 3)""".stripMargin
+  }
+
+  /** The run table as a standalone query — q163 nests it as a derived
+    * table (its own WITH scope, so CTE names can never collide).
+    */
+  private lazy val q162RunsSql: String =
+    q162RunChain + "\nSELECT doc_id, partner, run_len FROM runs"
+
+  lazy val q162Oracle: String = {
+    q162RunChain + ",\n" +
+      s"""longest AS (SELECT doc_id, max(run_len) AS max_run FROM runs GROUP BY 1)
          |SELECT d.source,
          |       CASE WHEN max_run < 16 THEN 'a_lt16' WHEN max_run < 32 THEN 'b_16_31'
          |            WHEN max_run < 64 THEN 'c_32_63' WHEN max_run < 128 THEN 'd_64_127'
@@ -1652,6 +1673,136 @@ object Dedup {
          |       count(*) AS n_docs, max(max_run) AS longest_run
          |FROM longest JOIN documents d USING (doc_id)
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------------
+  // q163 — CONTAMINATION DEPTH profile: the decontamination DECISION table,
+  // unifying the three exact evidence legs per offending train doc in one
+  // frame (the q117 composition pattern applied to eval leakage):
+  //   ngram_hits     q67's exact 8-gram overlap count with the test split
+  //                  (breadth: how many distinct shingles leak),
+  //   near_dup_test  exact same-lang jaccard >= 0.8 partners in the test
+  //                  split (q32's declared-exact pair contract crossed with
+  //                  the q49 coin — whole-doc duplication of a test doc),
+  //   max_run        the LONGEST verbatim run shared with any test doc
+  //                  (q162's islands restricted to split-crossing pairs —
+  //                  depth: Lee et al.'s "how long is the clone" signal),
+  // and the ACTION the evidence dictates, first-match: a near-dup of a
+  // test doc is dropped; a >= 50-token verbatim run is span-masked
+  // (q154's machinery); remaining n-gram leaks go to review. The three
+  // legs answer different questions (breadth / identity / depth) and a
+  // curator today reads them from three reports; this is the one table.
+  //
+  // Scale shape: leg 1 is q67's plan (hashed-shingle equi-join); leg 2 is
+  // the DECLARED exact pair contract at audit scale (the shipped screens
+  // are q113's banded MinHash — this leg exists because exactness is what
+  // makes the row a decision, not a candidate); leg 3 reuses q162's
+  // df-capped bounded pair join. Rollups are per-doc keyed aggregates;
+  // the final assembly is three left joins on the union of offenders.
+  // ---------------------------------------------------------------------------
+  private val RUN_BLOCK = 50 // >= 50-token verbatim run -> mask, the Lee et al. convention
+
+  def q163ContaminationDepth(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.balanced(Tables.documents(spark, dir))
+    val coin = docs
+      .select(
+        col("doc_id"),
+        conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10).cast("int").as("b")
+      )
+      .localCheckpoint() // tiny (doc_id, bucket) frame feeds all three legs
+    val trainLt = Sampling.SPLIT_TRAIN_LT
+    val valLt = Sampling.SPLIT_VALIDATION_LT
+    val legA = Curation
+      .q67Contamination(spark, dir)
+      .select(col("doc_id"), col("n_hits").as("ngram_hits"))
+    val pairs = tokenJaccardPairs(spark, dir)
+      .select(col("doc_a"), col("doc_b"))
+      .join(coin.select(col("doc_id").as("doc_a"), col("b").as("ba")), "doc_a")
+      .join(coin.select(col("doc_id").as("doc_b"), col("b").as("bb")), "doc_b")
+    val legB = pairs
+      .filter(col("ba") < trainLt && col("bb") >= valLt)
+      .select(col("doc_a").as("doc_id"))
+      .unionByName(
+        pairs.filter(col("bb") < trainLt && col("ba") >= valLt).select(col("doc_b").as("doc_id"))
+      )
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("near_dup_test"))
+    val legC = verbatimRunPairs(docs)
+      .join(coin.select(col("doc_id"), col("b").as("bt")), "doc_id")
+      .join(coin.select(col("doc_id").as("partner"), col("b").as("bp")), "partner")
+      .filter(col("bt") < trainLt && col("bp") >= valLt)
+      .groupBy(col("doc_id"))
+      .agg(max(col("run_len")).as("max_run"))
+    val offenders = legA
+      .select("doc_id")
+      .unionByName(legB.select("doc_id"))
+      .unionByName(legC.select("doc_id"))
+      .distinct()
+    offenders
+      .join(legA, Seq("doc_id"), "left")
+      .join(legB, Seq("doc_id"), "left")
+      .join(legC, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("ngram_hits"), lit(0L)).as("ngram_hits"),
+        coalesce(col("near_dup_test"), lit(0L)).as("near_dup_test"),
+        coalesce(col("max_run"), lit(0)).as("max_run")
+      )
+      .withColumn(
+        "action",
+        expr(
+          s"CASE WHEN near_dup_test > 0 THEN 'drop' WHEN max_run >= $RUN_BLOCK THEN 'mask_spans' ELSE 'review_ngrams' END"
+        )
+      )
+      .orderBy(col("doc_id"))
+  }
+
+  /** Each leg's existing oracle nested as a derived table (its own WITH
+    * scope — no CTE renaming needed), crossed with the q49 coin. Built by
+    * CONCATENATING the already-margin-stripped leg SQL between freshly
+    * stripped bridge pieces — never re-stripMargin'ing spliced text (the
+    * q144 chain holds `||`-leading continuation lines a second strip
+    * would eat).
+    */
+  lazy val q163Oracle: String = {
+    val head =
+      """WITH coin AS (
+        |  SELECT doc_id, ('0x' || substring(md5(doc_id::VARCHAR), 1, 2))::INT AS b FROM documents),
+        |a AS (SELECT doc_id, n_hits AS ngram_hits FROM (""".stripMargin
+    val mid =
+      s""")),
+         |p AS (SELECT doc_a, doc_b FROM (""".stripMargin
+    val bridge =
+      s""")),
+         |b0 AS (
+         |  SELECT p.doc_a AS doc_id FROM p
+         |  JOIN coin ca ON ca.doc_id = p.doc_a JOIN coin cb ON cb.doc_id = p.doc_b
+         |  WHERE ca.b < ${Sampling.SPLIT_TRAIN_LT} AND cb.b >= ${Sampling.SPLIT_VALIDATION_LT}
+         |  UNION ALL
+         |  SELECT p.doc_b FROM p
+         |  JOIN coin ca ON ca.doc_id = p.doc_a JOIN coin cb ON cb.doc_id = p.doc_b
+         |  WHERE cb.b < ${Sampling.SPLIT_TRAIN_LT} AND ca.b >= ${Sampling.SPLIT_VALIDATION_LT}),
+         |b AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS near_dup_test FROM b0 GROUP BY 1),
+         |rr AS (SELECT doc_id, partner, run_len FROM (""".stripMargin
+    val tail =
+      s""")),
+         |c AS (
+         |  SELECT rr.doc_id, CAST(max(run_len) AS INT) AS max_run
+         |  FROM rr
+         |  JOIN coin ct ON ct.doc_id = rr.doc_id JOIN coin cp ON cp.doc_id = rr.partner
+         |  WHERE ct.b < ${Sampling.SPLIT_TRAIN_LT} AND cp.b >= ${Sampling.SPLIT_VALIDATION_LT}
+         |  GROUP BY 1),
+         |u AS (SELECT doc_id FROM a UNION SELECT doc_id FROM b UNION SELECT doc_id FROM c)
+         |SELECT u.doc_id,
+         |       CAST(coalesce(a.ngram_hits, 0) AS BIGINT) AS ngram_hits,
+         |       CAST(coalesce(b.near_dup_test, 0) AS BIGINT) AS near_dup_test,
+         |       CAST(coalesce(c.max_run, 0) AS INT) AS max_run,
+         |       CASE WHEN coalesce(b.near_dup_test, 0) > 0 THEN 'drop'
+         |            WHEN coalesce(c.max_run, 0) >= $RUN_BLOCK THEN 'mask_spans'
+         |            ELSE 'review_ngrams' END AS action
+         |FROM u LEFT JOIN a USING (doc_id) LEFT JOIN b USING (doc_id) LEFT JOIN c USING (doc_id)
+         |ORDER BY u.doc_id""".stripMargin
+    head + "\n" + Curation.q67Oracle + "\n" + mid + "\n" + q32Oracle + "\n" + bridge + "\n" + q162RunsSql + "\n" + tail
   }
 
   // ---------------------------------------------------------------------------
@@ -1820,6 +1971,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q162_verbatim_run_profile" -> (q162VerbatimRunProfile _),
+    "q163_contamination_depth" -> (q163ContaminationDepth _),
     "q152_winnow_contamination" -> (q152WinnowContamination _),
     "q146_lsh_plan" -> (q146LshPlan _),
     "q144_winnow_pairs" -> (q144WinnowPairs _),
@@ -1863,6 +2015,7 @@ object Dedup {
     "q146_lsh_plan" -> q146Oracle,
     "q144_winnow_pairs" -> q144Oracle,
     "q162_verbatim_run_profile" -> q162Oracle,
+    "q163_contamination_depth" -> q163Oracle,
     "q29_exact_dedup" -> q29Oracle,
     "q32_token_jaccard" -> q32Oracle,
     "q33_embedding_neardup" -> q33Oracle,

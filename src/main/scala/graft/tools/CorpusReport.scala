@@ -19,7 +19,10 @@ import graft.operators.{Cartography, Curation, Dedup, Importance, TextOps, Train
   * weights (q147), the repetition budget (q149), distinct-n diversity
   * (q150), the Zipf fit (q151), the winnow contamination screen (q152),
   * the constraint audit (q153), class cohesion (q155), image dup
-  * clusters (q156), and the shard manifest (q83), rendered as one text
+  * clusters (q156), the trained quality model trace + trained-vs-fixed
+  * AUC (q159/q160), the image-text alignment screen (q161), the
+  * verbatim-run length profile (q162), and the shard manifest (q83),
+  * rendered as one text
   * page. Every number comes from the same oracle-gated queries the driver
   * checks — the report is a VIEW over the inventory, not a second
   * implementation.
@@ -293,6 +296,33 @@ object CorpusReport {
       s"q156: ${iclusters.map(_.getLong(1)).distinct.length} image dup clusters over " +
         s"${iclusters.length} images, max size ${if (iclusters.isEmpty) 0 else iclusters.map(_.getLong(2)).max}"
     )
+
+    section("trained quality model (q159/q160): gradient trace tail + AUC vs fixed weights")
+    val trace = Curation.q159QualityTrain(spark, dir).collect()
+    trace.takeRight(3).foreach { r =>
+      line(
+        f"iter=${r.getInt(0)}%2d w=[${r.getDouble(1)}%+7.4f ${r.getDouble(2)}%+7.4f " +
+          f"${r.getDouble(3)}%+7.4f ${r.getDouble(4)}%+7.4f] acc=${r.getDouble(5)}%6.4f"
+      )
+    }
+    Curation.q160QualityTrainAuc(spark, dir).collect().foreach { r =>
+      line(f"${r.getString(0)}%8s: auc=${r.getDouble(3)}%6.4f (pos=${r.getLong(1)} neg=${r.getLong(2)})")
+    }
+
+    section("image-text alignment (q161): mismatched-pair screen, per source")
+    graft.operators.Multimodal.q161ImageTextAlign(spark, dir).collect().foreach { r =>
+      line(
+        f"${r.getString(0)}%12s pairs=${r.getLong(1)}%5d flagged=${r.getLong(2)}%5d " +
+          f"(${r.getDouble(3)}%6.4f) mean=${r.getDouble(4)}%+8.5f min=${r.getDouble(5)}%+8.5f ${r.getString(6)}"
+      )
+    }
+
+    section("verbatim runs (q162): longest-clone length buckets, per source")
+    graft.operators.Dedup.q162VerbatimRunProfile(spark, dir).collect().foreach { r =>
+      line(
+        f"${r.getString(0)}%12s ${r.getString(1)}%-9s docs=${r.getLong(2)}%5d longest=${r.getInt(3)}%5d tokens"
+      )
+    }
 
     section("train shards (q83): manifest")
     TrainExport.q83ShardPlan(spark, dir).collect().foreach { r =>

@@ -791,4 +791,67 @@ class DedupSpec extends SparkSpec {
     assert(corpus.forall(_ >= K), s"no run can be shorter than one $K-gram")
     info(s"sf0.001: planted runs ${runs(1L)}/${runs(2L)}, corpus longest ${corpus.max}")
   }
+
+  test("q163 contamination depth: every column equals its source leg recomposed; actions follow the evidence") {
+    def bucket(id: Long): Int = {
+      val h = java.security.MessageDigest
+        .getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .take(1)
+        .map("%02x".format(_))
+        .mkString
+      Integer.parseInt(h, 16)
+    }
+    val rows = Dedup
+      .q163ContaminationDepth(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3), r.getString(4))))
+      .toMap
+    assert(rows.nonEmpty, "the dup-dense corpus must contaminate across the split or the table tests nothing")
+    // leg 1: ngram_hits is exactly q67's n_hits per doc
+    val q67 = graft.operators.Curation
+      .q67Contamination(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(2))
+      .toMap
+    q67.foreach { case (d, h) => assert(rows(d)._1 === h, s"doc $d ngram_hits != q67") }
+    assert(rows.count(_._2._1 > 0) === q67.size, "exactly q67's offenders carry ngram hits")
+    // leg 2: near_dup_test recomposed from q32's pair set x the coin
+    val q32 = Dedup.q32TokenJaccard(spark, sfDir).collect().map(r => (r.getLong(1), r.getLong(2)))
+    val expB = q32
+      .flatMap { case (a, b) =>
+        Seq(
+          if (bucket(a) < 205 && bucket(b) >= 230) Some(a) else None,
+          if (bucket(b) < 205 && bucket(a) >= 230) Some(b) else None
+        ).flatten
+      }
+      .groupBy(identity)
+      .view
+      .mapValues(_.size.toLong)
+      .toMap
+    expB.foreach { case (d, n) => assert(rows(d)._2 === n, s"doc $d near_dup_test != q32 x coin") }
+    assert(rows.count(_._2._2 > 0) === expB.size)
+    // leg 3: max_run recomposed from the run table x the coin
+    val runPairs = Dedup
+      .verbatimRunPairs(graft.core.Tables.documents(spark, sfDir))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    val expC = runPairs
+      .filter { case (d, p, _) => bucket(d) < 205 && bucket(p) >= 230 }
+      .groupBy(_._1)
+      .view
+      .mapValues(_.map(_._3).max)
+      .toMap
+    expC.foreach { case (d, m) => assert(rows(d)._3 === m, s"doc $d max_run != runs x coin") }
+    // actions follow the evidence, first-match
+    rows.foreach { case (d, (_, nd, mr, action)) =>
+      val want = if (nd > 0) "drop" else if (mr >= 50) "mask_spans" else "review_ngrams"
+      assert(action === want, s"doc $d action")
+    }
+    info(
+      s"sf0.001: ${rows.size} offenders — " +
+        s"${rows.count(_._2._4 == "drop")} drop, ${rows.count(_._2._4 == "mask_spans")} mask, " +
+        s"${rows.count(_._2._4 == "review_ngrams")} review"
+    )
+  }
 }
