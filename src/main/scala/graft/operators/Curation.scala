@@ -3232,9 +3232,77 @@ object Curation {
          |FROM u GROUP BY model ORDER BY model""".stripMargin
   }
 
+  // ---------------------------------------------------------------------------
+  // q164 — TRAINED quality model APPLIED: the per-source keep/drop ledger
+  // under the q159-trained weights next to q84's fixed ones — the "ship the
+  // trained model" step that closes train (q159) → eval (q160) → apply.
+  // A curator reads this to see what switching models actually DOES to the
+  // corpus: keep counts per source under each model, how often they agree,
+  // and each model's mean probability — before flipping q86's curriculum or
+  // q77's build over to the learned weights.
+  //
+  // Scale shape: ONE corpus scan scores both models (q160's frame, one
+  // more source join), one groupBy(source); the oracle re-derives the
+  // trained weights through the full q159 gradient replay.
+  // ---------------------------------------------------------------------------
+  def q164QualityApply(spark: SparkSession, dir: String): DataFrame = {
+    val wT = qualityTrained(spark, dir).last._2
+    val pmTrained = qtPmExpr(j => s"${wT(j)}L")
+    val zFixed = s"($QM_BIAS + $QM_W_LEN * (f1 / 1e6) + $QM_W_STOP * (f2 / 1e6) + $QM_W_REP * (f3 / 1e6))"
+    val pmFixed = s"CAST(floor(1e0 / (1e0 + exp(-$zFixed)) * 1e6 + 5e-1) AS BIGINT)"
+    qtFrame(spark, dir)
+      .join(
+        Tables.balanced(Tables.documents(spark, dir)).select(col("doc_id"), col("source")),
+        Seq("doc_id")
+      )
+      .select(col("source"), expr(pmTrained).as("pt"), expr(pmFixed).as("pf"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("pt") >= 500000L, 1L).otherwise(0L)).as("keep_trained"),
+        sum(when(col("pf") >= 500000L, 1L).otherwise(0L)).as("keep_fixed"),
+        sum(when((col("pt") >= 500000L) === (col("pf") >= 500000L), 1L).otherwise(0L)).as("agree"),
+        sum(col("pt")).as("spt"),
+        sum(col("pf")).as("spf")
+      )
+      .select(
+        col("source"),
+        col("n_docs"),
+        col("keep_trained"),
+        col("keep_fixed"),
+        expr("floor(CAST(agree AS DOUBLE) * 1e6 / n_docs + 5e-1) / 1e6").as("agree_frac"),
+        expr("floor(CAST(spt AS DOUBLE) / n_docs + 5e-1) / 1e6").as("mean_prob_trained"),
+        expr("floor(CAST(spf AS DOUBLE) / n_docs + 5e-1) / 1e6").as("mean_prob_fixed")
+      )
+      .orderBy(col("source"))
+  }
+
+  lazy val q164Oracle: String = {
+    val pmTrained = qtPmExpr(j => s"w$j")
+    val zFixed = s"($QM_BIAS + $QM_W_LEN * (f1 / 1e6) + $QM_W_STOP * (f2 / 1e6) + $QM_W_REP * (f3 / 1e6))"
+    val pmFixed = s"CAST(floor(1e0 / (1e0 + exp(-$zFixed)) * 1e6 + 5e-1) AS BIGINT)"
+    qtOracleChain + ",\n" +
+      s"""sc AS (
+         |  SELECT d.source, $pmTrained AS pt, $pmFixed AS pf
+         |  FROM ft CROSS JOIN w$QT_ITERS JOIN documents d ON d.doc_id = ft.doc_id),
+         |r AS (
+         |  SELECT source, count(*) AS n_docs,
+         |         CAST(sum(CASE WHEN pt >= 500000 THEN 1 ELSE 0 END) AS BIGINT) AS keep_trained,
+         |         CAST(sum(CASE WHEN pf >= 500000 THEN 1 ELSE 0 END) AS BIGINT) AS keep_fixed,
+         |         CAST(sum(CASE WHEN (pt >= 500000) = (pf >= 500000) THEN 1 ELSE 0 END) AS BIGINT) AS agree,
+         |         CAST(sum(pt) AS BIGINT) AS spt, CAST(sum(pf) AS BIGINT) AS spf
+         |  FROM sc GROUP BY 1)
+         |SELECT source, CAST(n_docs AS BIGINT) AS n_docs, keep_trained, keep_fixed,
+         |       floor(CAST(agree AS DOUBLE) * 1e6 / n_docs + 5e-1) / 1e6 AS agree_frac,
+         |       floor(CAST(spt AS DOUBLE) / n_docs + 5e-1) / 1e6 AS mean_prob_trained,
+         |       floor(CAST(spf AS DOUBLE) / n_docs + 5e-1) / 1e6 AS mean_prob_fixed
+         |FROM r ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q159_quality_train" -> (q159QualityTrain _),
     "q160_quality_train_auc" -> (q160QualityTrainAuc _),
+    "q164_quality_apply" -> (q164QualityApply _),
     "q158_data_budget_plan" -> (q158DataBudgetPlan _),
     "q154_span_mask_export" -> (q154SpanMaskExport _),
     "q153_constraint_audit" -> (q153ConstraintAudit _),
@@ -3269,6 +3337,7 @@ object Curation {
   val oracles: Map[String, String] = Map(
     "q159_quality_train" -> q159Oracle,
     "q160_quality_train_auc" -> q160Oracle,
+    "q164_quality_apply" -> q164Oracle,
     "q158_data_budget_plan" -> q158Oracle,
     "q154_span_mask_export" -> q154Oracle,
     "q153_constraint_audit" -> q153Oracle,

@@ -1470,4 +1470,47 @@ class CurationSpec extends SparkSpec {
     assert(fixedAuc === q126All.getAs[Double]("auc"), "fixed AUC must equal q126's all-row")
     info(s"sf0.001: trained $trainedAuc vs fixed $fixedAuc")
   }
+
+  test("q164 quality apply: fixed keeps equal q84's decisions per source; trained keeps replay from the trained weights") {
+    val rows = Curation
+      .q164QualityApply(spark, sfDir)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(rows.nonEmpty)
+    // fixed side: exactly q84's keep decisions, rolled up by source
+    val docsSrc = graft.core.Tables
+      .documents(spark, sfDir)
+      .select("doc_id", "source")
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    val q84Keep = Curation
+      .q84QualityModel(spark, sfDir)
+      .collect()
+      .map(r => (docsSrc(r.getLong(0)), r.getString(5)))
+    q84Keep.groupBy(_._1).foreach { case (src, ds) =>
+      assert(rows(src)._1 === ds.length.toLong, s"$src n_docs must be q84's domain")
+      assert(rows(src)._3 === ds.count(_._2 == "keep").toLong, s"$src keep_fixed must equal q84's decisions")
+    }
+    // trained side: replay pm >= 0.5 from the session-trained weights
+    val w = Curation.qualityTrained(spark, sfDir).last._2
+    val feat = Curation
+      .qtFrame(spark, sfDir)
+      .collect()
+      .map(r => (docsSrc(r.getLong(0)), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expKeep = feat
+      .groupBy(_._1)
+      .view
+      .mapValues(_.count { case (_, f1, f2, f3) =>
+        val zp = w(0) * 1000000L + w(1) * f1 + w(2) * f2 + w(3) * f3
+        math.floor(1.0 / (1.0 + math.exp(-(zp.toDouble / 1e12))) * 1e6 + 0.5) >= 500000.0
+      }.toLong)
+      .toMap
+    expKeep.foreach { case (src, k) => assert(rows(src)._2 === k, s"$src keep_trained") }
+    rows.values.foreach { case (n, kt, kf, agree) =>
+      assert(kt <= n && kf <= n && agree >= 0.0 && agree <= 1.0)
+    }
+    info(s"sf0.001: ${rows.size} sources, keeps trained=${rows.values.map(_._2).sum} fixed=${rows.values.map(_._3).sum}")
+  }
 }
