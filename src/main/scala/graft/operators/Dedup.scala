@@ -1585,9 +1585,16 @@ object Dedup {
     * q163 keeps the partner so the runs can be restricted to pairs that
     * CROSS the train/test split.
     */
-  private[graft] def verbatimRunPairs(docs: DataFrame): DataFrame = {
+  private[graft] def verbatimRunPairs(docs: DataFrame): DataFrame =
+    verbatimRunPairsFromFps(winnowFingerprintPositions(docs).localCheckpoint())
+
+  /** The islands walk over an ALREADY-BUILT position-carrying fingerprint
+    * frame — the batch path builds it fresh; the streaming maintainer
+    * serves it from its append-only slices (winnowing is per-doc local, so
+    * the union of delta slices IS this frame).
+    */
+  private[graft] def verbatimRunPairsFromFps(fpp: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val fpp = winnowFingerprintPositions(docs).localCheckpoint() // one winnow pass feeds df cap + both sides
     val rare = fpp
       .groupBy(col("fp"))
       .agg(countDistinct(col("doc_id")).as("df"))
@@ -1609,8 +1616,17 @@ object Dedup {
 
   def q162VerbatimRunProfile(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.balanced(Tables.documents(spark, dir))
-    verbatimRunsFrom(docs)
-      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+    verbatimRunProfileFrom(verbatimRunPairs(docs), docs.select(col("doc_id"), col("source")))
+  }
+
+  /** The per-source bucket rollup over a run frame — shared by the batch
+    * q162 and the maintained serve ([[graft.streaming.StreamingWinnow]]).
+    */
+  private[graft] def verbatimRunProfileFrom(runs: DataFrame, src: DataFrame): DataFrame =
+    runs
+      .groupBy(col("doc_id"))
+      .agg(max(col("run_len")).as("max_run"))
+      .join(src, "doc_id")
       .withColumn(
         "bucket",
         expr(
@@ -1621,7 +1637,6 @@ object Dedup {
       .groupBy(col("source"), col("bucket"))
       .agg(count(lit(1)).as("n_docs"), max(col("max_run")).as("longest_run"))
       .orderBy(col("source"), col("bucket"))
-  }
 
   /** q144's chain through the windowed-min CTE (already margin-stripped —
     * concatenate, don't re-stripMargin), then the position-decoding

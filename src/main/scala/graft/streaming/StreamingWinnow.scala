@@ -40,15 +40,30 @@ object StreamingWinnow {
       dataDir,
       stateDir,
       "fp",
-      delta => Dedup.winnowFingerprintsOf(delta.select(org.apache.spark.sql.functions.col("doc_id"), org.apache.spark.sql.functions.col("text")))
+      // r13: slices carry the selected gram's POSITION too (free — it
+      // decodes from the winnow enc suffix), so the verbatim-run profile
+      // (q162) serves from the same maintained state; the fp-set views
+      // project it away
+      delta =>
+        Dedup.winnowFingerprintPositions(
+          delta.select(org.apache.spark.sql.functions.col("doc_id"), org.apache.spark.sql.functions.col("text"))
+        )
     )
 
-  /** The maintained fingerprint table — equal to the batch
-    * [[Dedup.winnowFingerprints]] over every document the ticks have
-    * covered (per-doc locality makes the union exact; spec-pinned anyway).
+  /** The maintained POSITION-carrying fingerprint table — equal to the
+    * batch [[Dedup.winnowFingerprintPositions]] over every document the
+    * ticks have covered (per-doc locality makes the union exact).
+    */
+  def fpPositions(spark: SparkSession, stateDir: String): DataFrame =
+    SliceStore.read(spark, s"$stateDir/fp")
+
+  /** The fingerprint SET view — equal to the batch
+    * [[Dedup.winnowFingerprints]] (spec-pinned).
     */
   def fpTable(spark: SparkSession, stateDir: String): DataFrame =
-    SliceStore.read(spark, s"$stateDir/fp")
+    fpPositions(spark, stateDir)
+      .select(org.apache.spark.sql.functions.col("doc_id"), org.apache.spark.sql.functions.col("fp"))
+      .distinct()
 
   /** q144's pair report served from the maintained index. */
   def pairReport(spark: SparkSession, stateDir: String): DataFrame =
@@ -57,6 +72,18 @@ object StreamingWinnow {
   /** q152's contamination screen served from the maintained index. */
   def contamination(spark: SparkSession, stateDir: String): DataFrame =
     Dedup.winnowContaminationFrom(fpTable(spark, stateDir).localCheckpoint())
+
+  /** q162's verbatim-run profile served from the maintained index —
+    * positions ride the slices, so runs need no re-winnow; the per-source
+    * rollup reads sources from the covered landing dir.
+    */
+  def runProfile(spark: SparkSession, dataDir: String, stateDir: String): DataFrame =
+    Dedup.verbatimRunProfileFrom(
+      Dedup.verbatimRunPairsFromFps(fpPositions(spark, stateDir).localCheckpoint()),
+      graft.core.Tables
+        .documents(spark, dataDir)
+        .select(org.apache.spark.sql.functions.col("doc_id"), org.apache.spark.sql.functions.col("source"))
+    )
 
   /** Wire the tick to a file stream over the documents landing path. */
   def start(

@@ -14,8 +14,15 @@ class BenchLineSpec extends AnyFunSuite {
   private val SbtEpilogue = 100 // "\n[success] Total time: ...\n" and slack
 
   private def syntheticLine(nQueries: Int): String = {
-    // worst-case-leaning values: two-digit seconds per query, a long sf dir
-    val queries = (1 to nQueries).map(i => f"q$i%03d_some_operator_name" -> 12.345)
+    // REALISTIC values, not convenient ones: round 12's real line broke
+    // while the old synthetic test passed, because realistic sub-second
+    // medians ("0.42", 4 chars) render LONGER than the old worst-case
+    // 12.345 ("12", 2 chars) — so most entries here are sub-second, with a
+    // two-digit tail like a real run's expensive queries
+    val queries = (1 to nQueries).map { i =>
+      val v = if (i % 20 == 0) 12.345 else if (i % 5 == 0) 1.234 else 0.417
+      f"q$i%03d_some_operator_name" -> v
+    }
     Bench.renderLine(
       total = 1234.567,
       nRunnable = nQueries,
@@ -30,19 +37,38 @@ class BenchLineSpec extends AnyFunSuite {
     )
   }
 
-  test("line at 130 queries fits the driver tail window with epilogue slack") {
-    val line = syntheticLine(130)
+  test("line is registry-size-independent: 300 realistic queries fit the tail window with generous headroom") {
+    val line = syntheticLine(300)
     assert(
-      line.length <= TailWindow - SbtEpilogue,
-      s"bench line is ${line.length} chars — over the ${TailWindow - SbtEpilogue} budget; " +
-        "slim the line (move fields to bench_details.json), do not let the driver truncate its head"
+      line.length <= TailWindow - SbtEpilogue - 100,
+      s"bench line is ${line.length} chars — over the ${TailWindow - SbtEpilogue - 100} budget; " +
+        "the driver keeps only the LAST 2000 chars (r12's artifact parsed to null when the head was cut)"
     )
-    info(s"130-query line: ${line.length} chars (budget ${TailWindow - SbtEpilogue})")
+    // growing the registry must not grow the line: top-K is a constant
+    // (small variance allowed — WHICH values land in the top-K changes
+    // entry widths — but nothing anywhere near per-entry linear growth)
+    assert(math.abs(syntheticLine(300).length - syntheticLine(200).length) <= 60, "line must not scale with registry size")
+    info(s"300-query line: ${line.length} chars (budget ${TailWindow - SbtEpilogue - 100})")
   }
 
   test("line at the CURRENT registry size fits with generous headroom") {
     val line = syntheticLine(SparkEntry.queries.size)
     assert(line.length <= TailWindow - SbtEpilogue - 100, s"line is ${line.length} chars — headroom gone")
+  }
+
+  test("top-K selection: the most expensive queries ride the line; the omitted mass keeps the total auditable") {
+    val line = syntheticLine(300)
+    // the 15 i%20==0 queries at 12.345 and the 60-15 = next-most-expensive
+    // 1.234 entries are the line's population; every 0.417 entry is omitted
+    assert(line.contains("\"q020\":12"), "expensive queries must ride the line")
+    assert(!line.contains(":0.42"), "cheap queries must be omitted, not inlined")
+    assert(line.contains("\"q_omitted\":240"), s"omitted count must be exact: $line")
+    // omitted mass = 240 entries at 0.417 s = 100.080
+    assert(line.contains("\"q_omitted_s\":100.080"), line)
+    // and a small registry still carries EVERY query with no omission keys
+    val small = syntheticLine(40)
+    assert(!small.contains("q_omitted"))
+    assert(small.contains("\"q001\":"))
   }
 
   test("floor suspects: flags only committed-floor breaches, most expensive first, capped, new queries exempt") {

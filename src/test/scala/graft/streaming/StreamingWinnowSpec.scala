@@ -72,6 +72,11 @@ class StreamingWinnowSpec extends SparkSpec {
         canon(graft.operators.Dedup.q152WinnowContamination(spark, dataDir)),
       "served contamination screen must equal batch q152"
     )
+    assert(
+      canon(StreamingWinnow.runProfile(spark, dataDir, stateDir)) ===
+        canon(graft.operators.Dedup.q162VerbatimRunProfile(spark, dataDir)),
+      "served verbatim-run profile must equal batch q162 (positions ride the slices)"
+    )
 
     // redelivery: nothing new is a no-op
     assert(StreamingWinnow.tick(spark, dataDir, stateDir) === 0L)
