@@ -233,6 +233,9 @@ object Bench {
     phase("q123_centroids")(operators.Cartography.q123CorpusTopics(spark, sfDir))
     // q159's trained quality weights are session-cached (T+1 GD passes)
     phase("q159_train")(operators.Curation.qualityTrained(spark, sfDir))
+    // the winnow position index is session-cached (one winnow pass feeds
+    // q144/q152/q162/q163)
+    phase("q144_winnow")(operators.Dedup.winnowPositionsCached(spark, sfDir))
 
     // repeat each query and report the MEDIAN: single-shot timings on a
     // shared box fold scheduler noise into query cost (observed up to 10x

@@ -1419,9 +1419,24 @@ object Dedup {
   private val WIN_W = 4
   private val WIN_MAXDF = 100
 
-  /** Distinct (doc_id, fp) winnowing fingerprints per document. */
+  /** Session-cached position-carrying winnow table per (session, dir) —
+    * ONE winnow pass feeds q144's pairs, q152's screen, q162's runs and
+    * q163's depth leg (each used to re-winnow the corpus per call; the
+    * table is the index a real pipeline materializes once).
+    */
+  private val winnowPosCache = new SessionCache[DataFrame]
+
+  private[graft] def winnowPositionsCached(spark: SparkSession, dir: String): DataFrame =
+    winnowPosCache.getOrBuild(spark, dir) {
+      winnowFingerprintPositions(Tables.balanced(Tables.documents(spark, dir))).localCheckpoint()
+    }
+
+  /** Distinct (doc_id, fp) winnowing fingerprints per document — the set
+    * view of the cached position table (projecting the position away is
+    * exactly the fp set, by construction).
+    */
   private[graft] def winnowFingerprints(spark: SparkSession, dir: String): DataFrame =
-    winnowFingerprintsOf(Tables.balanced(Tables.documents(spark, dir)))
+    winnowPositionsCached(spark, dir).select(col("doc_id"), col("fp")).distinct()
 
   /** The selected (doc_id, wmin) winnow encodings over ANY (doc_id, text)
     * frame — the shared core of the fp-set view (q144/q152/streaming) and
@@ -1614,10 +1629,11 @@ object Dedup {
       .agg((max(col("pos")) - min(col("pos")) + lit(WIN_K)).as("run_len"))
   }
 
-  def q162VerbatimRunProfile(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.balanced(Tables.documents(spark, dir))
-    verbatimRunProfileFrom(verbatimRunPairs(docs), docs.select(col("doc_id"), col("source")))
-  }
+  def q162VerbatimRunProfile(spark: SparkSession, dir: String): DataFrame =
+    verbatimRunProfileFrom(
+      verbatimRunPairsFromFps(winnowPositionsCached(spark, dir)),
+      Tables.balanced(Tables.documents(spark, dir)).select(col("doc_id"), col("source"))
+    )
 
   /** The per-source bucket rollup over a run frame — shared by the batch
     * q162 and the maintained serve ([[graft.streaming.StreamingWinnow]]).
@@ -1730,8 +1746,7 @@ object Dedup {
     val legA = Curation
       .q67Contamination(spark, dir)
       .select(col("doc_id"), col("n_hits").as("ngram_hits"))
-    val pairs = tokenJaccardPairs(spark, dir)
-      .select(col("doc_a"), col("doc_b"))
+    val pairs = buildPairGraph(spark, dir) // the session-cached q32 edge set
       .join(coin.select(col("doc_id").as("doc_a"), col("b").as("ba")), "doc_a")
       .join(coin.select(col("doc_id").as("doc_b"), col("b").as("bb")), "doc_b")
     val legB = pairs
@@ -1742,7 +1757,7 @@ object Dedup {
       )
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("near_dup_test"))
-    val legC = verbatimRunPairs(docs)
+    val legC = verbatimRunPairsFromFps(winnowPositionsCached(spark, dir))
       .join(coin.select(col("doc_id"), col("b").as("bt")), "doc_id")
       .join(coin.select(col("doc_id").as("partner"), col("b").as("bp")), "partner")
       .filter(col("bt") < trainLt && col("bp") >= valLt)
