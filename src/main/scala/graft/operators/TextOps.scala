@@ -713,6 +713,24 @@ object TextOps {
       nMerges: Int,
       batchWidth: Int = BPE_BATCH
   ): (DataFrame, DataFrame) = {
+    val (m, w, _) = bpeTrainStateSnapshots(spark, dir, nMerges, batchWidth, Nil)
+    (m, w)
+  }
+
+  /** The training loop with RANK SNAPSHOTS: the word frame as it stood
+    * after exactly `s` merges, for each requested s (batch boundaries are
+    * forced at snapshot ranks, so a batch never straddles one). Snapshots
+    * past the pair-supply fixpoint return the final frame — exactly the
+    * oracle's fixpoint semantics. q165's vocab-budget curve reads these;
+    * plain training passes Nil and pays nothing.
+    */
+  private def bpeTrainStateSnapshots(
+      spark: SparkSession,
+      dir: String,
+      nMerges: Int,
+      batchWidth: Int,
+      snapshots: Seq[Int]
+  ): (DataFrame, DataFrame, Map[Int, DataFrame]) = {
     import spark.implicits._
     var words = Tables
       .balanced(Tables.documents(spark, dir))
@@ -730,11 +748,18 @@ object TextOps {
       .repartition(1)
       .localCheckpoint(true)
 
+    val snaps = scala.collection.mutable.Map.empty[Int, DataFrame]
+    if (snapshots.contains(0)) snaps(0) = words
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     var rank = 1
     var exhausted = false
     while (rank <= nMerges && !exhausted) {
-      val want = math.min(batchWidth, nMerges - rank + 1)
+      // cap the batch at the next snapshot rank so no batch straddles one
+      val nextSnap = snapshots.filter(_ >= rank).sorted.headOption
+      val want = math.min(
+        math.min(batchWidth, nMerges - rank + 1),
+        nextSnap.map(_ - rank + 1).getOrElse(Int.MaxValue)
+      )
       // collect a few rows past the batch so the stop/boundary count is
       // driver-known; TakeOrderedAndProject keeps this a top-k, not a sort
       val limit = 3 * want + 1
@@ -780,9 +805,18 @@ object TextOps {
         }
         words = applied.localCheckpoint(true)
         rank += kept.size
+        if (snapshots.contains(rank - 1)) snaps(rank - 1) = words
       }
     }
-    (merges.toSeq.toDF("rank", "left", "right", "merged", "pair_count").orderBy(col("rank")), words)
+    // snapshots past the fixpoint (exhausted supply, or never reached):
+    // the final frame IS the frame at those ranks, per the oracle's
+    // stage semantics (an empty top$k reproduces words unchanged)
+    snapshots.filterNot(snaps.contains).foreach(s => snaps(s) = words)
+    (
+      merges.toSeq.toDF("rank", "left", "right", "merged", "pair_count").orderBy(col("rank")),
+      words,
+      snaps.toMap
+    )
   }
 
   def q94BpeTrain(spark: SparkSession, dir: String): DataFrame = bpeTrain(spark, dir)
@@ -800,6 +834,70 @@ object TextOps {
   // Deterministic end to end → oracle-gated by extending q94's CTE chain
   // with the same join.
   // ---------------------------------------------------------------------------
+  // ---------------------------------------------------------------------------
+  // q165 — TOKENIZER BUDGET CURVE: per merge-count checkpoint, the pieces
+  // in use (vocab), total corpus pieces, fertility (pieces per word) and
+  // compression vs the character baseline — the "how many merges buy how
+  // much compression" decision table read BEFORE committing to a vocab
+  // budget (the marginal compression of each merge falls; this curve shows
+  // where). ONE training run feeds every checkpoint: the loop snapshots
+  // the word frame at grid ranks (batch boundaries forced there), and the
+  // stats are vocabulary-bounded aggregates — nothing corpus-sized is
+  // touched after the initial collapse.
+  //
+  // Oracle: q94's generated merge-replay chain already materializes
+  // words$k after EVERY rank, so each checkpoint's stats are scalar
+  // subqueries over the corresponding stage — the curve is hash-gated
+  // end to end, including the fixpoint semantics when the pair supply
+  // exhausts early.
+  // ---------------------------------------------------------------------------
+  private val BPE_GRID = Seq(0, 2, 5, BPE_MERGES)
+  private val budgetCurve = new SessionCache[Seq[(Int, Long, Long, Long)]]
+
+  def q165TokenizerBudget(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rows = budgetCurve.getOrBuild(spark, dir) {
+      val (_, _, snaps) = bpeTrainStateSnapshots(spark, dir, BPE_MERGES, BPE_BATCH, BPE_GRID)
+      BPE_GRID.map { k =>
+        val w = snaps(k)
+        val r = w
+          .agg(
+            expr("CAST(sum(occ * size(syms)) AS BIGINT)").as("pieces"),
+            expr("CAST(sum(occ) AS BIGINT)").as("mass")
+          )
+          .collect()(0) // vocabulary-bounded agg, ONE row per checkpoint
+        val vocab =
+          w.select(explode(col("syms")).as("s")).agg(countDistinct(col("s"))).collect()(0).getLong(0)
+        (k, vocab, r.getLong(0), r.getLong(1))
+      }
+    }
+    val totalChars = rows.find(_._1 == 0).get._3 // pieces at k=0 ARE the chars
+    rows
+      .map { case (k, vocab, pieces, mass) =>
+        (
+          k,
+          vocab,
+          pieces,
+          math.floor(pieces.toDouble * 1e6 / mass + 0.5) / 1e6,
+          math.floor(totalChars.toDouble * 1e6 / pieces + 0.5) / 1e6
+        )
+      }
+      .toDF("merges", "vocab_pieces", "corpus_pieces", "fertility", "compression")
+      .orderBy(col("merges"))
+  }
+
+  lazy val q165Oracle: String = {
+    val chain = q94Oracle.substring(0, q94Oracle.indexOf("\nSELECT 1 AS rank"))
+    val rows = BPE_GRID.map { k =>
+      s"""SELECT CAST($k AS INT) AS merges,
+         |  (SELECT CAST(count(DISTINCT s.x) AS BIGINT) FROM words$k w2, unnest(w2.syms) AS s(x)) AS vocab_pieces,
+         |  (SELECT CAST(sum(occ * len(syms)) AS BIGINT) FROM words$k) AS corpus_pieces,
+         |  floor((SELECT sum(occ * len(syms)) FROM words$k)::DOUBLE * 1e6 / (SELECT sum(occ) FROM words$k) + 0.5) / 1e6 AS fertility,
+         |  floor((SELECT sum(occ * len(syms)) FROM words0)::DOUBLE * 1e6 / (SELECT sum(occ * len(syms)) FROM words$k) + 0.5) / 1e6 AS compression""".stripMargin
+    }
+    chain + "\n" + rows.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY merges")
+  }
+
   /** The trained tokenizer is a session-scoped artifact (like the ANN
     * indexes and the dedup pair graph): q98 trains once per (session, dir)
     * and every later apply reuses the checkpointed word → pieces frame —
@@ -1269,6 +1367,7 @@ object TextOps {
     "q150_distinct_n" -> (q150DistinctN _),
     "q151_zipf_fit" -> (q151ZipfFit _),
     "q157_fertility_drift" -> (q157FertilityDrift _),
+    "q165_tokenizer_budget" -> (q165TokenizerBudget _),
     "q127_heavy_hitters" -> (q127HeavyHitters _),
     "q25_lang_id" -> (q25LangId _),
     "q26_quality_score" -> (q26QualityScore _),
@@ -1289,6 +1388,7 @@ object TextOps {
     "q150_distinct_n" -> q150Oracle,
     "q151_zipf_fit" -> q151Oracle,
     "q157_fertility_drift" -> q157Oracle,
+    "q165_tokenizer_budget" -> q165Oracle,
     "q127_heavy_hitters" -> q127Oracle,
     "q25_lang_id" -> q25Oracle,
     "q26_quality_score" -> q26Oracle,

@@ -324,6 +324,14 @@ object CorpusReport {
       )
     }
 
+    section("tokenizer budget curve (q165): fertility/compression per merge checkpoint")
+    TextOps.q165TokenizerBudget(spark, dir).collect().foreach { r =>
+      line(
+        f"merges=${r.getInt(0)}%2d vocab=${r.getLong(1)}%4d pieces=${r.getLong(2)}%8d " +
+          f"fertility=${r.getDouble(3)}%7.4f compression=${r.getDouble(4)}%7.4f"
+      )
+    }
+
     section("train shards (q83): manifest")
     TrainExport.q83ShardPlan(spark, dir).collect().foreach { r =>
       line(

@@ -476,4 +476,27 @@ class TextOpsSpec extends SparkSpec {
         s"${rows.count(_._8 == "rotting")} rotting buckets"
     )
   }
+
+  test("q165 tokenizer budget: curve monotone (merges only compress); full-merge row equals q98's corpus totals") {
+    val rows = TextOps
+      .q165TokenizerBudget(spark, sfDir)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.map(_._1).toSeq === Seq(0, 2, 5, 10), "the declared checkpoint grid")
+    // merges only ever concatenate adjacent pieces: corpus pieces (and so
+    // fertility) are non-increasing in merge count; compression mirrors it
+    rows.sliding(2).foreach { case Array((_, _, p1, f1, c1), (_, _, p2, f2, c2)) =>
+      assert(p2 <= p1, "corpus pieces must not grow with merges")
+      assert(f2 <= f1 && c2 >= c1, "fertility falls, compression rises")
+    }
+    val k0 = rows.head
+    assert(k0._5 === 1.0, "at zero merges the char baseline compresses nothing")
+    assert(rows.last._3 < k0._3, "ten merges must actually compress this corpus")
+    // cross-view: the full-merge checkpoint IS the tokenizer q98 applies
+    val q98 = TextOps.q98BpeApply(spark, sfDir).collect()
+    val (tw, tp) = (q98.map(_.getAs[Long]("total_words")).sum, q98.map(_.getAs[Long]("total_tokens")).sum)
+    assert(rows.last._3 === tp, "corpus pieces at k=10 must equal q98's total tokens")
+    assert(rows.last._4 === math.floor(tp.toDouble * 1e6 / tw + 0.5) / 1e6, "fertility must equal q98/q157's corpus constant")
+    info(s"sf0.001: curve ${rows.map(r => s"${r._1}->${r._4}").mkString(", ")}")
+  }
 }
