@@ -236,6 +236,10 @@ object Bench {
     // the winnow position index is session-cached (one winnow pass feeds
     // q144/q152/q162/q163)
     phase("q144_winnow")(operators.Dedup.winnowPositionsCached(spark, sfDir))
+    // q71's chunk table and q110's gram-instance table are session-cached
+    // (each feeds its own query, the mask export, and q117's dashboard)
+    phase("q71_chunks")(operators.Curation.q71PassageDedup(spark, sfDir))
+    phase("q110_grams")(operators.Curation.q110SpanDedup(spark, sfDir))
 
     // repeat each query and report the MEDIAN: single-shot timings on a
     // shared box fold scheduler noise into query cost (observed up to 10x

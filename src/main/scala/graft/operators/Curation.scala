@@ -591,9 +591,18 @@ object Curation {
   // ---------------------------------------------------------------------------
   private val SEG = 16
 
+  /** q71's per-(doc, chunk) frame, session-cached per (dir, key mode) —
+    * the chunk-hash table is the intermediate a real pipeline materializes
+    * once; q71 and q117's passage column both read it. The cache key
+    * carries the key mode so switching `graft.curation.keyhash` can never
+    * serve the other mode's frame (the dir-prefix invalidation still
+    * sweeps both on ingest ticks).
+    */
+  private val passageChunkCache = new SessionCache[DataFrame]
+
   def q71PassageDedup(spark: SparkSession, dir: String): DataFrame = {
     val hashFn = keyHashFn(spark)
-    val grouped = Tables
+    val grouped = passageChunkCache.getOrBuild(spark, s"$dir@$hashFn")(Tables
       .balanced(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
       .withColumn("toks", expr(toksExpr))
       // every doc tokenizes to >= 1 token, but guard anyway: sequence(0, -1)
@@ -613,7 +622,7 @@ object Curation {
       // within a (doc, chunk) group — max() just picks that constant
       .groupBy(col("doc_id"), col("seg_key"))
       .agg(count(lit(1)).as("n_inst"), max(col("seg_len")).as("seg_len"))
-      .localCheckpoint()
+      .localCheckpoint())
     val freq = grouped
       .groupBy(col("seg_key"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("owner"))
@@ -1759,8 +1768,19 @@ object Curation {
       )
   }
 
+  /** q110/q154's per-position gram-instance table, session-cached per
+    * (dir, key mode) — the heaviest span-dedup stage, shared by the rollup
+    * view, the mask export, and q117's span column.
+    */
+  private val spanInstCache = new SessionCache[DataFrame]
+
+  private def spanInstancesCached(spark: SparkSession, dir: String): DataFrame =
+    spanInstCache.getOrBuild(spark, s"$dir@${keyHashFn(spark)}") {
+      spanGramInstances(spark, Tables.documents(spark, dir)).localCheckpoint()
+    }
+
   def q110SpanDedup(spark: SparkSession, dir: String): DataFrame = {
-    val inst = spanGramInstances(spark, Tables.documents(spark, dir)).localCheckpoint()
+    val inst = spanInstancesCached(spark, dir)
     // >= 2 occurrences corpus-wide (instances, not distinct docs): a
     // verbatim self-repeat is exactly as much a duplicated substring as a
     // cross-doc one
@@ -1786,7 +1806,7 @@ object Curation {
   // 1-based token offsets into the q110-normalized token stream.
   // ---------------------------------------------------------------------------
   def q154SpanMaskExport(spark: SparkSession, dir: String): DataFrame = {
-    val inst = spanGramInstances(spark, Tables.documents(spark, dir)).localCheckpoint()
+    val inst = spanInstancesCached(spark, dir)
     val dupKeys = inst
       .groupBy(col("key"))
       .agg(count(lit(1)).as("n_occ"))
