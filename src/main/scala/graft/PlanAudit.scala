@@ -170,6 +170,14 @@ object PlanAudit {
     "q141_embedding_drift" -> Map(
       "BroadcastNestedLoopJoin" ->
         "two 1-row broadcast scalars (vec_id range onto per-vector rows to derive the ingest bucket; corpus-norm onto the <= 20-row bucket rollup) — the q69 broadcast-scalar pattern; the only corpus-scale stage is the (bucket, pos) keyed aggregate"
+    ),
+    "q168_source_health" -> Map(
+      "BroadcastNestedLoopJoin" ->
+        "inherits q128's plan stages (the dense |sources|x64 grid over two bounded frames + the 1-row corpus total) — all broadcast-sized by construction; the scorecard assembly joins are keyed on source"
+    ),
+    "q167_unimax_plan" -> Map(
+      "BroadcastNestedLoopJoin" ->
+        "three 1-row broadcast scalars (corpus totals, the cap/uniform boundary rank, the capped prefix mass) crossed onto the |langs|-row aggregate — the q70/q100 broadcast-scalar pattern; the only corpus-scale stage is the per-lang aggregate"
     )
   )
 

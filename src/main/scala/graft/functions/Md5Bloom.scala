@@ -1,0 +1,136 @@
+package graft.functions
+
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
+
+/** Bloom filter whose probe positions are SEMANTIC, not implementation
+  * detail: the k=4 bit positions of a key are the four 8-hex-digit slices
+  * of its md5 digest taken mod the bit count. Unlike `BloomSketch` (whose
+  * splitmix64 double-hashing is a private engine choice), every position
+  * here is plain integer arithmetic over a digest BOTH engines compute
+  * identically — so a query whose OUTPUT includes the filter's false
+  * positives (q166's decontamination screen audits exactly that) can
+  * still be hash-gated by the DuckDB oracle: the approximation itself is
+  * reproducible, the q134 discipline applied to membership.
+  *
+  * Sizing: BITS_PER_KEY=16 with k=4 gives a scale-invariant fpp of
+  * (1-e^(-1/4))^4 ~ 2.4e-3 — bits grow linearly with the keyed set, so
+  * the rate holds at any corpus size. The bitset is word-wise-OR
+  * mergeable (associative), so builds are one scan + one tiny exchange
+  * and ingest ticks can contribute independent slices.
+  */
+object Md5Bloom {
+
+  /** Probes per key: md5 yields 32 hex chars = exactly four disjoint
+    * 8-hex (32-bit) slices, each an independent uniform draw.
+    */
+  val K = 4
+
+  val BITS_PER_KEY = 16
+
+  /** Bits for an expected key count: 16 bits/key, floor 64 so an empty
+    * build still has a valid (all-miss) bitset. NOT rounded to a power of
+    * two — positions are `mod numBits` and plain modulo is what the SQL
+    * twin can reproduce.
+    */
+  def bitsFor(expectedKeys: Long): Long = math.max(BITS_PER_KEY * expectedKeys, 64L)
+
+  def wordsFor(numBits: Long): Int = (((numBits + 63L) >>> 6)).toInt
+
+  /** Position i (0..3) of a 32-hex md5 digest: slice chars [8i, 8i+8) as
+    * an unsigned 32-bit hex integer, mod numBits — one shared arithmetic
+    * with the oracle's ('0x' || substring(h, 1+8i, 8))::BIGINT % m.
+    */
+  def position(md5hex: String, i: Int, numBits: Long): Long =
+    java.lang.Long.parseLong(md5hex.substring(8 * i, 8 * i + 8), 16) % numBits
+
+  def put(bits: Array[Long], numBits: Long, md5hex: String): Unit = {
+    var i = 0
+    while (i < K) {
+      val pos = position(md5hex, i, numBits)
+      bits((pos >>> 6).toInt) |= 1L << (pos & 63)
+      i += 1
+    }
+  }
+
+  /** No false negatives ever (a keyed digest set all four of its own
+    * positions); false positives at the sized fpp, and — because the
+    * positions are md5 arithmetic — at exactly the rows the oracle's
+    * position join also flags. Static so generated code calls it
+    * directly.
+    */
+  def mightContain(bits: Array[Long], numBits: Long, md5hex: String): Boolean = {
+    var i = 0
+    while (i < K) {
+      val pos = position(md5hex, i, numBits)
+      if ((bits((pos >>> 6).toInt) & (1L << (pos & 63))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Typed aggregate building the bitset distributively over md5-hex keys
+    * (the BloomSketch.aggregator shape: in-place partition buffers,
+    * word-wise-OR merge).
+    */
+  def aggregator(numBits: Long): Aggregator[String, Array[Long], Array[Long]] = {
+    val numWords = wordsFor(numBits)
+    require(numWords > 0, s"md5 bloom needs numWords > 0, got $numWords")
+    new Aggregator[String, Array[Long], Array[Long]] {
+      override def zero: Array[Long] = new Array[Long](numWords)
+
+      override def reduce(b: Array[Long], key: String): Array[Long] = {
+        put(b, numBits, key); b
+      }
+
+      override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+        var i = 0
+        while (i < a.length) { a(i) |= b(i); i += 1 }
+        a
+      }
+
+      override def finish(r: Array[Long]): Array[Long] = r
+
+      override def bufferEncoder: Encoder[Array[Long]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+      override def outputEncoder: Encoder[Array[Long]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    }
+  }
+
+  /** `md5_bloom_contains(md5hex)` with the bitset bound at plan time as a
+    * referenced object (the BloomContains shape). The child is the
+    * 32-hex-char digest string the scan already carries.
+    */
+  case class Md5BloomContains(child: Expression, bits: Array[Long], numBits: Long)
+      extends UnaryExpression {
+    override def dataType: DataType = BooleanType
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (child.dataType == StringType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"md5_bloom_contains expects a STRING md5 digest, got ${child.dataType}"
+        )
+
+    override protected def nullSafeEval(key: Any): Any =
+      mightContain(bits, numBits, key.toString)
+
+    // fresh names — see VecDot.doGenCode for why fixed names break codegen
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("md5BloomBits", bits, "long[]")
+      defineCodeGen(
+        ctx,
+        ev,
+        key => s"graft.functions.Md5Bloom.mightContain($ref, ${numBits}L, $key.toString())"
+      )
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Md5BloomContains =
+      copy(child = newChild)
+  }
+}

@@ -66,6 +66,50 @@ object BloomPrune {
       s"bloom_contains_$i"
     }
 
+  /** Session bindings for md5-position blooms (functions/Md5Bloom — the
+    * oracle-reproducible variant q166 screens with), same shape as
+    * `bloomBindings` but keyed by (bits, numBits).
+    */
+  private val md5BloomBindings =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.ArrayBuffer[(Array[Long], Long)]]()
+
+  /** Register (or find) the session function bound to this md5 bloom and
+    * return its name.
+    */
+  def installMd5Bloom(spark: SparkSession, bits: Array[Long], numBits: Long): String =
+    md5BloomBindings.synchronized {
+      val list = {
+        val l = md5BloomBindings.get(spark)
+        if (l != null) l
+        else {
+          val fresh = scala.collection.mutable.ArrayBuffer.empty[(Array[Long], Long)]
+          md5BloomBindings.put(spark, fresh)
+          fresh
+        }
+      }
+      val existing = list.indexWhere { case (b, m) =>
+        m == numBits && ((b eq bits) || java.util.Arrays.equals(b, bits))
+      }
+      val i =
+        if (existing >= 0) existing
+        else {
+          val idx = list.size
+          val name = s"md5_bloom_contains_$idx"
+          spark.sessionState.functionRegistry.registerFunction(
+            org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+            new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+              classOf[graft.functions.Md5Bloom.Md5BloomContains].getName,
+              name
+            ),
+            (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+              graft.functions.Md5Bloom.Md5BloomContains(args.head, bits, numBits)
+          )
+          list += ((bits, numBits))
+          idx
+        }
+      s"md5_bloom_contains_$i"
+    }
+
   /** Build a bloom over `keys` (a 1-column BIGINT frame). Two actions: a
     * count to size the bitset (at 100 TB this is the dim-side scan — small
     * relative to the fact scan it saves) and the aggregate itself.

@@ -224,6 +224,151 @@ object Curation {
       |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // q166 — bloom-filter decontamination screen: q67's 8-gram test-split
+  // screen served at BLOOM economics (the Dolma/"bff" architecture: the
+  // held-out set lives as a bitset in executor memory and every train
+  // shingle is screened SCAN-SIDE — no gram join on the serving path),
+  // with the exact join kept alongside as the AUDIT: per offending train
+  // doc the bloom hit count next to q67's exact hit count and the
+  // false-positive surplus — the calibration table read before trusting
+  // the bloom-only screen at full scale.
+  //
+  // The approximation itself is oracle-gated (the q134 discipline applied
+  // to membership): probe positions are the four 8-hex slices of
+  // md5(shingle) mod m (functions/Md5Bloom), m = 16 bits per distinct
+  // test gram floored at 64 (fpp ~ 2.4e-3, scale-invariant because m
+  // grows with the keyed set) — plain integer arithmetic DuckDB
+  // reproduces with a position join, so the false positives are THE SAME
+  // ROWS in both engines and the gate hash-checks them. Bloom keys are
+  // always md5 regardless of graft.curation.keyhash: positions decide
+  // output rows, so they are semantics, not shuffle plumbing.
+  //
+  // Scale shape: one corpus scan into the staged distinct shingle table
+  // (q67's localCheckpoint plan; the digest column doubles as the staged
+  // key); the test side folds into a 2-bytes-per-gram bitset via the
+  // mergeable word-wise-OR aggregate (one tiny exchange — the bounded
+  // driver artifact is the point: the held-out set is benchmark-sized by
+  // construction, and ingest-tick slices OR together); the screen is a
+  // codegen'd projection against the plan-time-bound bits. No false
+  // negatives ever (a keyed digest set all four of its own positions), so
+  // bloom_hits >= exact_hits per doc and the offender set is a superset
+  // of q67's — spec-pinned alongside a first-principles membership
+  // replay.
+  // ---------------------------------------------------------------------------
+  /** q166's staged distinct shingle-digest table over a documents frame:
+    * (doc_id, split bucket, md5 digest of each 8-gram), validation-bucket
+    * docs dropped before the explode. Per-doc LOCAL (a doc's digests
+    * depend on nothing outside the doc), so union-of-slices over an
+    * id-partitioned ingest EQUALS the batch table — the property
+    * [[graft.streaming.StreamingBloomScreen]]'s O(delta) tick rides on,
+    * exactly the winnow maintainer's argument.
+    */
+  private[graft] def bloomShingles(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("bucket", conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10).cast("int"))
+      .withColumn("toks", expr(toksExpr))
+      .filter(size(col("toks")) >= 8)
+      .filter(col("bucket") < Sampling.SPLIT_TRAIN_LT || col("bucket") >= Sampling.SPLIT_VALIDATION_LT)
+      .select(
+        col("doc_id"),
+        col("bucket"),
+        explode(expr("transform(sequence(1, size(toks) - 7), i -> array_join(slice(toks, i, 8), ' '))"))
+          .as("shingle")
+      )
+      .select(col("doc_id"), col("bucket"), md5(col("shingle")).as("h"))
+      .distinct()
+
+  /** The screen over a STAGED (caller-checkpointed) shingle table — shared
+    * verbatim by the batch query and the streaming maintainer's serve path
+    * so the two views cannot drift.
+    */
+  private[graft] def bloomScreenFrom(spark: SparkSession, sh: DataFrame): DataFrame = {
+    import graft.functions.Md5Bloom
+    val testSh =
+      sh.filter(col("bucket") >= Sampling.SPLIT_VALIDATION_LT).select(col("h")).distinct().localCheckpoint()
+    val numBits = Md5Bloom.bitsFor(testSh.count())
+    val bits = {
+      import spark.implicits._
+      testSh.as[String].select(Md5Bloom.aggregator(numBits).toColumn).head()
+    }
+    val screenFn = BloomPrune.installMd5Bloom(spark, bits, numBits)
+    val train = sh.filter(col("bucket") < Sampling.SPLIT_TRAIN_LT).select(col("doc_id"), col("h"))
+    val perDoc = train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val bloomHits = train
+      .filter(expr(s"$screenFn(h)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("bloom_hits"))
+    val exactHits =
+      train.join(testSh, "h").groupBy(col("doc_id")).agg(count(lit(1)).as("exact_hits"))
+    bloomHits
+      .join(perDoc, "doc_id")
+      .join(exactHits, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_shingles"),
+        col("bloom_hits"),
+        coalesce(col("exact_hits"), lit(0L)).as("exact_hits")
+      )
+      .withColumn("false_pos", col("bloom_hits") - col("exact_hits"))
+      .withColumn(
+        "bloom_contamination",
+        expr("floor(cast(bloom_hits AS double) * 1e6 / cast(n_shingles AS double) + 5e-1) / 1e6")
+      )
+      .orderBy(col("doc_id"))
+  }
+
+  def q166BloomScreen(spark: SparkSession, dir: String): DataFrame =
+    bloomScreenFrom(
+      spark,
+      bloomShingles(Tables.balanced(Tables.documents(spark, dir))).localCheckpoint()
+    )
+
+  /** The oracle replays membership as a position join: a train gram is a
+    * bloom hit iff every one of its (distinct) positions was set by some
+    * test gram — exactly Md5Bloom.mightContain, false positives included.
+    */
+  lazy val q166Oracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         CAST(('0x' || substring(md5(doc_id::VARCHAR), 1, 2))::INT AS INT) AS bucket,
+       |         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, bucket,
+       |         md5(unnest(list_transform(range(1, len(toks) - 6),
+       |                                   i -> array_to_string(toks[i:i+7], ' ')))) AS h
+       |  FROM t WHERE bucket < ${Sampling.SPLIT_TRAIN_LT} OR bucket >= ${Sampling.SPLIT_VALIDATION_LT}),
+       |test AS (SELECT DISTINCT h FROM sh WHERE bucket >= ${Sampling.SPLIT_VALIDATION_LT}),
+       |mm AS (SELECT greatest(16 * count(*), 64) AS m FROM test),
+       |grid AS (SELECT unnest([0, 1, 2, 3]) AS i),
+       |tpos AS (
+       |  SELECT DISTINCT ('0x' || substring(h, 1 + 8 * i, 8))::BIGINT % m AS p
+       |  FROM test, grid, mm),
+       |train AS (SELECT DISTINCT doc_id, h FROM sh WHERE bucket < ${Sampling.SPLIT_TRAIN_LT}),
+       |trpos AS (
+       |  SELECT DISTINCT doc_id, h, ('0x' || substring(h, 1 + 8 * i, 8))::BIGINT % m AS p
+       |  FROM train, grid, mm),
+       |own AS (SELECT doc_id, h, count(*) AS k_own FROM trpos GROUP BY 1, 2),
+       |hitk AS (
+       |  SELECT trpos.doc_id, trpos.h, count(*) AS k_hit
+       |  FROM trpos JOIN tpos USING (p) GROUP BY 1, 2),
+       |bh AS (
+       |  SELECT own.doc_id, count(*) AS bloom_hits
+       |  FROM own JOIN hitk ON own.doc_id = hitk.doc_id AND own.h = hitk.h
+       |                    AND hitk.k_hit = own.k_own
+       |  GROUP BY 1),
+       |n AS (SELECT doc_id, count(*) AS n_shingles FROM train GROUP BY 1),
+       |ex AS (SELECT doc_id, count(*) AS exact_hits FROM train JOIN test USING (h) GROUP BY 1)
+       |SELECT bh.doc_id AS doc_id,
+       |       CAST(n.n_shingles AS BIGINT) AS n_shingles,
+       |       CAST(bh.bloom_hits AS BIGINT) AS bloom_hits,
+       |       CAST(coalesce(ex.exact_hits, 0) AS BIGINT) AS exact_hits,
+       |       CAST(bh.bloom_hits - coalesce(ex.exact_hits, 0) AS BIGINT) AS false_pos,
+       |       floor(bh.bloom_hits * 1e6 / n.n_shingles + 5e-1) / 1e6 AS bloom_contamination
+       |FROM bh JOIN n USING (doc_id) LEFT JOIN ex USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------------
   // q68 — intra-document repetition score: the fraction of word bigrams that
   // are repeats (1 - distinct/total), the Gopher-family "repetitious
   // content" quality signal that length/punctuation ratios (q26) cannot
@@ -544,6 +689,128 @@ object Curation {
        |       CAST(floor($MIX_DOC_BUDGET * (w_micro::DOUBLE / temp_mass::DOUBLE) + 0.5) AS BIGINT) AS plan_docs
        |FROM w, tot
        |ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q167 — UniMax language-sampling plan (Chung et al. 2023): allocate a
+  // token budget across LANGUAGES as uniformly as possible subject to a
+  // per-language epoch cap — the published alternative to q109's
+  // temperature mixing that stops over-sampling low-resource languages
+  // past the repetition point q149 quantifies. Waterfilling: languages in
+  // ascending token-mass order either hit the cap (cap·n_l, when even a
+  // full cap stays under their fair share of what remains) or split the
+  // remaining budget uniformly — and once one language goes uniform,
+  // every later (larger) one does too, since the remaining-per-language
+  // level is invariant under uniform allocation. So the plan is
+  // closed-form over the per-language aggregate: one prefix sum finds the
+  // cap/uniform boundary, no iteration.
+  //
+  // Determinism: everything before the final 6dp epochs column is INTEGER
+  // arithmetic — the boundary predicate is cross-multiplied
+  // (cap·n_l·(L-rank+1) <= budget - prefix) so no division decides it,
+  // budget and the uniform level are single integer floor-divisions both
+  // engines share. Constants: cap = 1 epoch, budget = 3/4 of corpus
+  // tokens — on this corpus both branches fire (small languages cap at
+  // one epoch, the en tail splits the remainder; the SURVEY notes the
+  // cap·n form so any cap generalizes).
+  //
+  // Scale shape: one corpus scan into a |langs|-row aggregate; the
+  // windows/joins after it run over dozens of rows (the q109/q100
+  // pattern) — per-lang rows + 1-row broadcast boundary scalars.
+  // ---------------------------------------------------------------------------
+  private[operators] val UNIMAX_EPOCH_CAP = 1L
+  private[operators] val UNIMAX_BUDGET_NUM = 3L
+  private[operators] val UNIMAX_BUDGET_DEN = 4L
+
+  def q167UnimaxPlan(spark: SparkSession, dir: String): DataFrame = {
+    val langs = Tables
+      .balanced(Tables.documents(spark, dir))
+      .select(
+        col("lang"),
+        size(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")).as("n_toks")
+      )
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+      .localCheckpoint()
+    val totals =
+      langs.agg(sum(col("n_tokens")).as("corpus_tokens"), count(lit(1)).as("n_langs"))
+    val asc = Window.orderBy(col("n_tokens"), col("lang"))
+    val base = langs
+      .crossJoin(broadcast(totals))
+      .withColumn("rank", row_number().over(asc))
+      .withColumn("budget", expr(s"($UNIMAX_BUDGET_NUM * corpus_tokens) div $UNIMAX_BUDGET_DEN"))
+      .withColumn("cap_mass", expr(s"$UNIMAX_EPOCH_CAP * n_tokens"))
+      .withColumn(
+        "cum_before",
+        coalesce(
+          sum(col("cap_mass")).over(asc.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)
+        )
+      )
+      .withColumn("capped_raw", expr("cap_mass * (n_langs - rank + 1) <= budget - cum_before"))
+      .localCheckpoint() // dozens of rows; three consumers below
+    val boundary = base.agg(
+      min(when(col("capped_raw") === false, col("rank"))).as("t_rank")
+    )
+    val withT = base.crossJoin(broadcast(boundary))
+    val sCapped = withT.agg(
+      coalesce(
+        sum(when(col("t_rank").isNull || col("rank") < col("t_rank"), col("cap_mass"))),
+        lit(0L)
+      ).as("s_capped")
+    )
+    withT
+      .crossJoin(broadcast(sCapped))
+      .withColumn("capped", col("t_rank").isNull || col("rank") < col("t_rank"))
+      .withColumn(
+        "uniform_alloc",
+        expr(
+          "CASE WHEN t_rank IS NULL THEN CAST(0 AS BIGINT) ELSE (budget - s_capped) div (n_langs - t_rank + 1) END"
+        )
+      )
+      .select(
+        col("lang"),
+        col("n_docs"),
+        col("n_tokens"),
+        col("rank"),
+        when(col("capped"), lit("capped")).otherwise(lit("uniform")).as("branch"),
+        when(col("capped"), col("cap_mass")).otherwise(col("uniform_alloc")).cast("long").as("alloc_tokens"),
+        expr(
+          "floor(cast(CASE WHEN capped THEN cap_mass ELSE uniform_alloc END AS double) * 1e6 / cast(n_tokens AS double) + 5e-1) / 1e6"
+        ).as("epochs")
+      )
+      .orderBy(col("lang"))
+  }
+
+  lazy val q167Oracle: String =
+    s"""WITH l AS (
+       |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS corpus_tokens, count(*) AS n_langs FROM l),
+       |r AS (
+       |  SELECT l.*, tot.n_langs,
+       |         row_number() OVER (ORDER BY n_tokens, lang) AS rank,
+       |         ($UNIMAX_BUDGET_NUM * tot.corpus_tokens) // $UNIMAX_BUDGET_DEN AS budget,
+       |         $UNIMAX_EPOCH_CAP * n_tokens AS cap_mass,
+       |         coalesce(sum($UNIMAX_EPOCH_CAP * n_tokens) OVER (ORDER BY n_tokens, lang
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |  FROM l, tot),
+       |rr AS (SELECT *, cap_mass * (n_langs - rank + 1) <= budget - cum_before AS capped_raw FROM r),
+       |tr AS (SELECT min(CASE WHEN NOT capped_raw THEN rank END) AS t_rank FROM rr),
+       |sm AS (
+       |  SELECT coalesce(sum(CASE WHEN tr.t_rank IS NULL OR rank < tr.t_rank THEN cap_mass END), 0) AS s_capped
+       |  FROM rr, tr),
+       |f AS (
+       |  SELECT rr.*, tr.t_rank,
+       |         (tr.t_rank IS NULL OR rank < tr.t_rank) AS capped,
+       |         CASE WHEN tr.t_rank IS NULL THEN 0
+       |              ELSE (budget - sm.s_capped) // (n_langs - tr.t_rank + 1) END AS uniform_alloc
+       |  FROM rr, tr, sm)
+       |SELECT lang, n_docs, n_tokens, CAST(rank AS INT) AS rank,
+       |       CASE WHEN capped THEN 'capped' ELSE 'uniform' END AS branch,
+       |       CAST(CASE WHEN capped THEN cap_mass ELSE uniform_alloc END AS BIGINT) AS alloc_tokens,
+       |       floor(CAST(CASE WHEN capped THEN cap_mass ELSE uniform_alloc END AS DOUBLE) * 1e6 / CAST(n_tokens AS DOUBLE) + 5e-1) / 1e6 AS epochs
+       |FROM f ORDER BY lang""".stripMargin
 
   val q70Oracle: String =
     """WITH s AS (
@@ -3334,6 +3601,7 @@ object Curation {
     "q131_signal_agreement" -> (q131SignalAgreement _),
     "q66_context_pack" -> (q66ContextPack _),
     "q67_contamination" -> (q67Contamination _),
+    "q166_bloom_screen" -> (q166BloomScreen _),
     "q68_repetition" -> (q68Repetition _),
     "q69_unigram_logprob" -> (q69UnigramLogprob _),
     "q70_mixture_plan" -> (q70MixturePlan _),
@@ -3349,6 +3617,7 @@ object Curation {
     "q86_curriculum" -> (q86Curriculum _),
     "q100_epoch_plan" -> (q100EpochPlan _),
     "q109_temperature_mix" -> (q109TemperatureMix _),
+    "q167_unimax_plan" -> (q167UnimaxPlan _),
     "q110_span_dedup" -> (q110SpanDedup _),
     "q111_kn_trigram" -> (q111KnTrigram _),
     "q112_perplexity_buckets" -> (q112PerplexityBuckets _)
@@ -3369,6 +3638,7 @@ object Curation {
     "q131_signal_agreement" -> q131Oracle,
     "q66_context_pack" -> q66Oracle,
     "q67_contamination" -> q67Oracle,
+    "q166_bloom_screen" -> q166Oracle,
     "q68_repetition" -> q68Oracle,
     "q69_unigram_logprob" -> q69Oracle,
     "q70_mixture_plan" -> q70Oracle,
@@ -3384,6 +3654,7 @@ object Curation {
     "q86_curriculum" -> q86Oracle,
     "q100_epoch_plan" -> q100Oracle,
     "q109_temperature_mix" -> q109Oracle,
+    "q167_unimax_plan" -> q167Oracle,
     "q110_span_dedup" -> q110Oracle,
     "q111_kn_trigram" -> q111Oracle,
     "q112_perplexity_buckets" -> q112Oracle

@@ -1267,6 +1267,134 @@ object TextOps {
        |FROM ag ORDER BY source""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // q168 — per-source HEALTH SCORECARD: the corpus-audit battery rolled up
+  // to the table an ingest owner actually reads — per source the four
+  // orthogonal health signals side by side (within-doc character entropy
+  // q135, distinct-2 diversity q150, Zipf rank-frequency fit q151,
+  // token-distribution drift vs the corpus mix q128) with a flag count
+  // and a healthy/attention verdict. The q117/q158/q163 composition
+  // pattern applied to corpus QUALITY: each signal catches a failure mode
+  // the others are blind to (key-mash, mode collapse, templated feeds,
+  // topical drift), and today a curator reads them from four reports.
+  //
+  // Exactness: the legs ARE the leg queries (shared code, so the views
+  // cannot drift); q135's per-doc micro integer is recovered from its 6dp
+  // output via the same floor(x*1e6+5e-1) both engines apply (exact —
+  // the double is within 0.5 of the integer by construction), then the
+  // per-source mean/flag-fraction are floored micros, the q105 rule.
+  //
+  // Scale shape: each leg is its own already-audited plan (one scan +
+  // bounded aggregates); the scorecard assembly is four keyed joins over
+  // |sources|-row frames. Verdict thresholds: entropy-flagged fraction
+  // above 10%, or any leg's own detector firing, costs a flag.
+  // ---------------------------------------------------------------------------
+  private[operators] val HEALTH_ENT_BAD_MICRO = 100000L // >10% of docs entropy-flagged
+
+  def q168SourceHealth(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.balanced(Tables.documents(spark, dir))
+    val base = docs
+      .select(
+        col("source"),
+        size(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")).as("n_toks")
+      )
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+    val ent = q135CharEntropy(spark, dir)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .withColumn("ent_micro", expr("CAST(floor(entropy_nats * 1e6 + 5e-1) AS BIGINT)"))
+      .groupBy(col("source"))
+      .agg(
+        sum(col("ent_micro")).as("ent_sum"),
+        count(lit(1)).as("n_ent"),
+        sum(when(col("verdict") =!= "ok", 1L).otherwise(0L)).as("n_flagged")
+      )
+      .withColumn("mean_ent_micro", expr("CAST(floor(CAST(ent_sum AS double) / n_ent + 5e-1) AS BIGINT)"))
+      .withColumn(
+        "flag_micro",
+        expr("CAST(floor(CAST(n_flagged AS double) * 1e6 / n_ent + 5e-1) AS BIGINT)")
+      )
+    val d2 = q150DistinctN(spark, dir)
+      .filter(col("n") === 2)
+      .select(col("source"), col("distinct_ratio").as("distinct2_ratio"), col("verdict").as("d2_verdict"))
+    val zf = q151ZipfFit(spark, dir)
+      .select(col("source"), col("zipf_slope"), col("verdict").as("zipf_verdict"))
+    val dr = Importance
+      .q128SourceDrift(spark, dir)
+      .select(col("source"), col("js").as("js_drift"), col("drifted"))
+    base
+      .join(ent, "source")
+      .join(d2, "source")
+      .join(zf, "source")
+      .join(dr, "source")
+      .withColumn(
+        "n_flags",
+        expr(
+          s"CAST((CASE WHEN flag_micro > $HEALTH_ENT_BAD_MICRO THEN 1 ELSE 0 END)" +
+            " + (CASE WHEN d2_verdict = 'collapsed' THEN 1 ELSE 0 END)" +
+            " + (CASE WHEN zipf_verdict = 'anomalous' THEN 1 ELSE 0 END) + drifted AS INT)"
+        )
+      )
+      .select(
+        col("source"),
+        col("n_docs"),
+        col("n_tokens"),
+        (col("mean_ent_micro") / lit(1e6)).as("mean_entropy"),
+        (col("flag_micro") / lit(1e6)).as("ent_flagged_frac"),
+        col("distinct2_ratio"),
+        col("zipf_slope"),
+        col("js_drift"),
+        col("n_flags"),
+        when(col("n_flags") === 0, lit("healthy")).otherwise(lit("attention")).as("health")
+      )
+      .orderBy(col("source"))
+  }
+
+  /** Each leg's oracle nested as a derived table (the q163 splice rule:
+    * concatenate already-stripped leg SQL between freshly stripped bridge
+    * pieces, never re-stripMargin spliced text).
+    */
+  lazy val q168Oracle: String = {
+    val head =
+      """WITH base AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |e0 AS (SELECT * FROM (""".stripMargin
+    val afterEnt =
+      s""")),
+         |ent AS (
+         |  SELECT d.source,
+         |         CAST(floor(CAST(sum(CAST(floor(e0.entropy_nats * 1e6 + 5e-1) AS BIGINT)) AS DOUBLE) / count(*) + 5e-1) AS BIGINT) AS mean_ent_micro,
+         |         CAST(floor(CAST(sum(CASE WHEN e0.verdict <> 'ok' THEN 1 ELSE 0 END) AS DOUBLE) * 1e6 / count(*) + 5e-1) AS BIGINT) AS flag_micro
+         |  FROM e0 JOIN documents d USING (doc_id) GROUP BY 1),
+         |d2 AS (SELECT source, distinct_ratio AS distinct2_ratio, verdict AS d2_verdict FROM (""".stripMargin
+    val afterD2 =
+      """) WHERE n = 2),
+        |zf AS (SELECT source, zipf_slope, verdict AS zipf_verdict FROM (""".stripMargin
+    val afterZf =
+      """)),
+        |dr AS (SELECT source, js AS js_drift, drifted FROM (""".stripMargin
+    val tail =
+      s""")),
+         |f AS (
+         |  SELECT base.source, n_docs, n_tokens, mean_ent_micro, flag_micro,
+         |         distinct2_ratio, zipf_slope, js_drift,
+         |         CAST((CASE WHEN flag_micro > $HEALTH_ENT_BAD_MICRO THEN 1 ELSE 0 END)
+         |            + (CASE WHEN d2_verdict = 'collapsed' THEN 1 ELSE 0 END)
+         |            + (CASE WHEN zipf_verdict = 'anomalous' THEN 1 ELSE 0 END) + drifted AS INT) AS n_flags
+         |  FROM base JOIN ent USING (source) JOIN d2 USING (source)
+         |       JOIN zf USING (source) JOIN dr USING (source))
+         |SELECT source, n_docs, n_tokens,
+         |       mean_ent_micro / 1e6 AS mean_entropy,
+         |       flag_micro / 1e6 AS ent_flagged_frac,
+         |       distinct2_ratio, zipf_slope, js_drift, n_flags,
+         |       CASE WHEN n_flags = 0 THEN 'healthy' ELSE 'attention' END AS health
+         |FROM f ORDER BY source""".stripMargin
+    head + "\n" + q135Oracle + "\n" + afterEnt + "\n" + q150Oracle + "\n" + afterD2 + "\n" +
+      q151Oracle + "\n" + afterZf + "\n" + Importance.q128Oracle + "\n" + tail
+  }
+
+  // ---------------------------------------------------------------------------
   // q157 — tokenizer FERTILITY DRIFT across ingest segments: per q137
   // id-range bucket, pieces-per-word under the q94-trained BPE vocabulary
   // next to the corpus average — the "tokenizer rot" monitor. A vocabulary
@@ -1366,6 +1494,7 @@ object TextOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q150_distinct_n" -> (q150DistinctN _),
     "q151_zipf_fit" -> (q151ZipfFit _),
+    "q168_source_health" -> (q168SourceHealth _),
     "q157_fertility_drift" -> (q157FertilityDrift _),
     "q165_tokenizer_budget" -> (q165TokenizerBudget _),
     "q127_heavy_hitters" -> (q127HeavyHitters _),
@@ -1387,6 +1516,7 @@ object TextOps {
   val oracles: Map[String, String] = Map(
     "q150_distinct_n" -> q150Oracle,
     "q151_zipf_fit" -> q151Oracle,
+    "q168_source_health" -> q168Oracle,
     "q157_fertility_drift" -> q157Oracle,
     "q165_tokenizer_budget" -> q165Oracle,
     "q127_heavy_hitters" -> q127Oracle,

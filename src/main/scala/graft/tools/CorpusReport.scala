@@ -21,7 +21,9 @@ import graft.operators.{Cartography, Curation, Dedup, Importance, TextOps, Train
   * the constraint audit (q153), class cohesion (q155), image dup
   * clusters (q156), the trained quality model trace + trained-vs-fixed
   * AUC (q159/q160), the image-text alignment screen (q161), the
-  * verbatim-run length profile (q162), and the shard manifest (q83),
+  * verbatim-run length profile (q162), the per-source health scorecard
+  * (q168), the bloom decontamination economics (q166) next to the
+  * UniMax sampling plan (q167), and the shard manifest (q83),
   * rendered as one text
   * page. Every number comes from the same oracle-gated queries the driver
   * checks — the report is a VIEW over the inventory, not a second
@@ -321,6 +323,29 @@ object CorpusReport {
     graft.operators.Dedup.q162VerbatimRunProfile(spark, dir).collect().foreach { r =>
       line(
         f"${r.getString(0)}%12s ${r.getString(1)}%-9s docs=${r.getLong(2)}%5d longest=${r.getInt(3)}%5d tokens"
+      )
+    }
+
+    section("source health scorecard (q168): four audit signals per source")
+    TextOps.q168SourceHealth(spark, dir).collect().foreach { r =>
+      line(
+        f"${r.getString(0)}%12s docs=${r.getLong(1)}%5d ent=${r.getDouble(3)}%6.4f " +
+          f"(flag ${r.getDouble(4)}%5.3f) d2=${r.getDouble(5)}%6.4f zipf=${r.getDouble(6)}%+7.4f " +
+          f"js=${r.getDouble(7)}%6.4f flags=${r.getInt(8)} ${r.getString(9)}"
+      )
+    }
+
+    section("decontamination economics (q166) / unimax plan (q167)")
+    val bloom = Curation.q166BloomScreen(spark, dir).collect()
+    line(
+      s"q166: ${bloom.length} train docs bloom-flagged, " +
+        s"${bloom.map(_.getLong(2)).sum} bloom hits vs ${bloom.map(_.getLong(3)).sum} exact " +
+        s"(${bloom.map(_.getLong(4)).sum} false positives)"
+    )
+    Curation.q167UnimaxPlan(spark, dir).collect().foreach { r =>
+      line(
+        f"q167: ${r.getString(0)}%4s tokens=${r.getLong(2)}%8d ${r.getString(4)}%-7s " +
+          f"alloc=${r.getLong(5)}%8d epochs=${r.getDouble(6)}%6.4f"
       )
     }
 

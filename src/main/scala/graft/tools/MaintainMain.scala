@@ -1,6 +1,6 @@
 package graft.tools
 
-import graft.streaming.{StreamingCorpus, StreamingDriftWatch, StreamingDupClusters, StreamingSample, StreamingScd2, StreamingSourceSketch, StreamingSpanDedup, StreamingWinnow}
+import graft.streaming.{StreamingBloomScreen, StreamingCorpus, StreamingDriftWatch, StreamingDupClusters, StreamingSample, StreamingScd2, StreamingSourceSketch, StreamingSpanDedup, StreamingWinnow}
 
 /** CLI entry points for the incremental maintainers — one tick per
   * invocation (the cron / entrypoint shape; the file-stream variants run
@@ -104,6 +104,7 @@ object IngestTick {
       sketchDelta: Long,
       winnowDelta: Long,
       sampleDelta: Long,
+      bloomDelta: Long,
       ann: Seq[(String, graft.operators.Similarity.PersistOutcome)],
       bm25: graft.operators.Similarity.PersistOutcome
   )
@@ -121,6 +122,7 @@ object IngestTick {
     val sketchDelta = StreamingSourceSketch.tick(spark, dataDir, s"$stateDir/sketch")
     val winnowDelta = StreamingWinnow.tick(spark, dataDir, s"$stateDir/winnow")
     val sampleDelta = StreamingSample.tick(spark, dataDir, s"$stateDir/sample")
+    val bloomDelta = StreamingBloomScreen.tick(spark, dataDir, s"$stateDir/bloom")
     val ann =
       if (java.nio.file.Files.exists(java.nio.file.Paths.get(dataDir, "embeddings.parquet"))) {
         // StreamingIndexer's discipline: refresh conf on a DEDICATED session
@@ -136,7 +138,7 @@ object IngestTick {
       m.conf.set(graft.operators.Retrieval.Bm25RefreshConf, "append")
       graft.operators.Retrieval.persistBm25Index(m, dataDir, s"$stateDir/bm25")
     }
-    Outcome(corpus, clusterDelta, spanDelta, spanRetro, driftDelta, sketchDelta, winnowDelta, sampleDelta, ann, bm25)
+    Outcome(corpus, clusterDelta, spanDelta, spanRetro, driftDelta, sketchDelta, winnowDelta, sampleDelta, bloomDelta, ann, bm25)
   }
 }
 
@@ -159,6 +161,7 @@ object IngestTickMain {
       println(s"[ingest-tick] sketch delta=${o.sketchDelta}")
       println(s"[ingest-tick] winnow delta=${o.winnowDelta}")
       println(s"[ingest-tick] sample delta=${o.sampleDelta}")
+      println(s"[ingest-tick] bloom delta=${o.bloomDelta}")
       if (o.ann.isEmpty) println("[ingest-tick] ann skipped (no embeddings.parquet)")
       else o.ann.foreach { case (fam, out) => println(s"[ingest-tick] ann $fam -> $out") }
       println(s"[ingest-tick] bm25 -> ${o.bm25}")

@@ -1513,4 +1513,108 @@ class CurationSpec extends SparkSpec {
     }
     info(s"sf0.001: ${rows.size} sources, keeps trained=${rows.values.map(_._2).sum} fixed=${rows.values.map(_._3).sum}")
   }
+
+  test("q166 bloom screen: superset of q67's exact offenders; membership replays from first principles") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val out = Curation
+      .q166BloomScreen(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(out.nonEmpty)
+    // no false negatives: every q67 exact offender appears, with the same
+    // shingle totals, the same exact count, and bloom_hits >= exact_hits
+    val q67 = Curation
+      .q67Contamination(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(q67.nonEmpty)
+    q67.foreach { case (doc, (nsh, nhits)) =>
+      val row = out.get(doc)
+      assert(row.isDefined, s"doc $doc exact-contaminated but missing from the bloom screen")
+      assert(row.get._1 === nsh && row.get._3 === nhits && row.get._2 >= nhits)
+    }
+    out.values.foreach { case (nsh, bh, eh, fp) =>
+      assert(fp === bh - eh && fp >= 0L && bh <= nsh)
+    }
+    // first-principles replay: tokenize, shingle, split and screen in plain
+    // Scala through the same Md5Bloom bitset the query bound at plan time
+    val docs = graft.core.Tables
+      .documents(spark, sfDir)
+      .select("doc_id", "text")
+      .collect()
+      .map { r =>
+        val toks = r.getString(1).trim.toLowerCase.split("\\s+")
+        val grams =
+          if (toks.length < 8) Set.empty[String]
+          else toks.sliding(8).map(g => md5hex(g.mkString(" "))).toSet
+        (r.getLong(0), Integer.parseInt(md5hex(r.getLong(0).toString).substring(0, 2), 16), grams)
+      }
+    val testSet = docs.filter(_._2 >= Sampling.SPLIT_VALIDATION_LT).flatMap(_._3).toSet
+    val numBits = graft.functions.Md5Bloom.bitsFor(testSet.size.toLong)
+    val bits = new Array[Long](graft.functions.Md5Bloom.wordsFor(numBits))
+    testSet.foreach(h => graft.functions.Md5Bloom.put(bits, numBits, h))
+    val expected = docs
+      .filter(d => d._2 < Sampling.SPLIT_TRAIN_LT && d._3.nonEmpty)
+      .map { case (id, _, grams) =>
+        val bh = grams.count(graft.functions.Md5Bloom.mightContain(bits, numBits, _)).toLong
+        val eh = grams.count(testSet.contains).toLong
+        id -> ((grams.size.toLong, bh, eh, bh - eh))
+      }
+      .filter(_._2._2 > 0L)
+      .toMap
+    assert(out === expected, "bloom screen must equal the single-node membership replay")
+    val fps = out.values.map(_._4).sum
+    info(s"sf0.001: ${out.size} flagged docs, ${q67.size} exact, $fps false positives over ${out.values.map(_._2).sum} bloom hits")
+  }
+
+  test("q167 unimax plan: equals the iterative waterfilling replay; both branches fire") {
+    val rows = Curation
+      .q167UnimaxPlan(spark, sfDir)
+      .collect()
+      .map(r =>
+        r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3), r.getString(4), r.getLong(5), r.getDouble(6)))
+      )
+      .toMap
+    assert(rows.nonEmpty)
+    // replay the PAPER's iterative waterfilling (ascending mass; cap when a
+    // full cap fits under the fair share of what remains, else freeze the
+    // uniform level) and require the closed form to match it exactly
+    val masses = graft.core.Tables
+      .documents(spark, sfDir)
+      .select("lang", "text")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1).trim.toLowerCase.split("\\s+").length.toLong))
+      .groupBy(_._1)
+      .view
+      .mapValues(ds => (ds.length.toLong, ds.map(_._2).sum))
+      .toMap
+    val total = masses.values.map(_._2).sum
+    val budget = Curation.UNIMAX_BUDGET_NUM * total / Curation.UNIMAX_BUDGET_DEN
+    var rem = budget
+    var k = masses.size.toLong
+    var uniform = -1L
+    val expected = masses.toSeq
+      .sortBy { case (lang, (_, n)) => (n, lang) }
+      .zipWithIndex
+      .map { case ((lang, (nd, n)), i) =>
+        val cap = Curation.UNIMAX_EPOCH_CAP * n
+        val (alloc, branch) =
+          if (uniform < 0 && cap * k <= rem) { rem -= cap; (cap, "capped") }
+          else {
+            if (uniform < 0) uniform = rem / k
+            (uniform, "uniform")
+          }
+        k -= 1
+        lang -> ((nd, n, i + 1, branch, alloc, math.floor(alloc.toDouble * 1e6 / n + 0.5) / 1e6))
+      }
+      .toMap
+    assert(rows === expected, "unimax plan must equal the iterative waterfilling replay")
+    val branches = rows.values.map(_._4).toSet
+    assert(branches === Set("capped", "uniform"), "both waterfilling branches must fire on this corpus")
+    assert(rows.values.map(_._5).sum <= budget, "allocations never exceed the budget")
+    info(s"sf0.001: budget=$budget, ${rows.values.count(_._4 == "capped")} capped / ${rows.values.count(_._4 == "uniform")} uniform")
+  }
 }

@@ -499,4 +499,64 @@ class TextOpsSpec extends SparkSpec {
     assert(rows.last._4 === math.floor(tp.toDouble * 1e6 / tw + 0.5) / 1e6, "fertility must equal q98/q157's corpus constant")
     info(s"sf0.001: curve ${rows.map(r => s"${r._1}->${r._4}").mkString(", ")}")
   }
+
+  test("q168 source health: every column recomposes exactly from its four leg queries") {
+    val out = TextOps
+      .q168SourceHealth(spark, sfDir)
+      .collect()
+      .map(r =>
+        r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6), r.getDouble(7), r.getInt(8), r.getString(9)))
+      )
+      .toMap
+    assert(out.nonEmpty)
+    val docs = graft.core.Tables
+      .documents(spark, sfDir)
+      .select("doc_id", "source", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val srcOf = docs.map(d => d._1 -> d._2).toMap
+    assert(out.keySet === docs.map(_._2).toSet, "one scorecard row per source")
+    // leg 1: q135's per-doc entropy rolled up (micro recovery is exact)
+    val entBySrc = TextOps
+      .q135CharEntropy(spark, sfDir)
+      .collect()
+      .map(r => (srcOf(r.getLong(0)), math.floor(r.getDouble(3) * 1e6 + 0.5).toLong, r.getString(4)))
+      .groupBy(_._1)
+    // legs 2-4: the leg queries verbatim
+    val d2 = TextOps
+      .q150DistinctN(spark, sfDir)
+      .collect()
+      .filter(_.getInt(1) == 2)
+      .map(r => r.getString(0) -> ((r.getDouble(4), r.getString(5))))
+      .toMap
+    val zf = TextOps
+      .q151ZipfFit(spark, sfDir)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getDouble(2), r.getString(3))))
+      .toMap
+    val dr = Importance
+      .q128SourceDrift(spark, sfDir)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getDouble(2), r.getInt(3))))
+      .toMap
+    out.foreach { case (src, (nDocs, nToks, meanEnt, flagFrac, d2r, slope, js, nFlags, health)) =>
+      val srcDocs = docs.filter(_._2 == src)
+      assert(nDocs === srcDocs.length.toLong)
+      assert(nToks === srcDocs.map(_._3.trim.toLowerCase.split("\\s+").length.toLong).sum)
+      val ent = entBySrc(src)
+      val meanMicro = math.floor(ent.map(_._2).sum.toDouble / ent.length + 0.5).toLong
+      val flagMicro =
+        math.floor(ent.count(_._3 != "ok").toDouble * 1e6 / ent.length + 0.5).toLong
+      assert(meanEnt === meanMicro / 1e6 && flagFrac === flagMicro / 1e6, s"$src entropy rollup")
+      assert(d2r === d2(src)._1 && slope === zf(src)._1 && js === dr(src)._1, s"$src leg values")
+      val expFlags = (if (flagMicro > TextOps.HEALTH_ENT_BAD_MICRO) 1 else 0) +
+        (if (d2(src)._2 == "collapsed") 1 else 0) +
+        (if (zf(src)._2 == "anomalous") 1 else 0) + dr(src)._2
+      assert(nFlags === expFlags, s"$src flag count")
+      assert(health === (if (expFlags == 0) "healthy" else "attention"), s"$src verdict")
+    }
+    info(s"sf0.001: ${out.size} sources, ${out.values.count(_._9 == "attention")} attention, flag histogram ${out.values
+        .groupBy(_._8).view.mapValues(_.size).toMap}")
+  }
 }
