@@ -218,6 +218,86 @@ object Sampling {
        |FROM r ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // q169 — quality-PRUNING sweep (Sorscher et al. 2022, "Beyond neural
+  // scaling laws": with abundant data, aggressive pruning to the
+  // highest-quality fraction beats training on everything): per source and
+  // keep-fraction f ∈ {20..100}%, what keeping only the top-f% by the q26
+  // quality score costs (token mass) and buys (mean kept score, the score
+  // at the cutoff) — the prune-depth decision curve a curator reads before
+  // fixing q130's CAP or q77's rule floor. Complements the threshold
+  // sweeps already shipped (q133 sweeps the DEDUP tau, q80 floors by
+  // percentile): this sweeps the quality axis itself.
+  //
+  // Determinism: ranks order by (score DESC, doc_id) — q26's oracle-shared
+  // arithmetic with a total tiebreak (the q130 contract); the kept
+  // predicate is CROSS-MULTIPLIED (rk·100 <= f·n_src, no division decides
+  // a boundary), so kept@f has exactly floor(f·n/100) docs in both
+  // engines; the 6dp score's micro integer is recovered exactly via the
+  // shared floor(x*1e6+5e-1) before any sum (the q168 recovery rule).
+  //
+  // Scale shape: one scan + ONE source-keyed window pass (row_number and
+  // the per-source count share the same partitioning — one exchange), a
+  // 5-element literal explode (a Generate, never a join), one keyed
+  // aggregate onto |sources|×5 rows. The q130 pre-prune note applies
+  // verbatim at 100 TB.
+  // ---------------------------------------------------------------------------
+  private[operators] val PRUNE_GRID = Seq(20, 40, 60, 80, 100)
+
+  def q169PruningSweep(spark: SparkSession, dir: String): DataFrame = {
+    val bySrc = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+    Tables
+      .balanced(Tables.documents(spark, dir))
+      .select(
+        col("doc_id"),
+        col("source"),
+        size(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")).cast("long").as("n_toks"),
+        TextOps.q26ScoreCol.as("score")
+      )
+      .withColumn("rk", row_number().over(bySrc.orderBy(col("score").desc, col("doc_id"))))
+      .withColumn("n_src", count(lit(1)).over(bySrc))
+      .withColumn("f", explode(expr(s"array(${PRUNE_GRID.mkString(", ")})")))
+      .filter(col("rk") * lit(100) <= col("f") * col("n_src"))
+      .withColumn("score_micro", expr("CAST(floor(score * 1e6 + 5e-1) AS BIGINT)"))
+      .groupBy(col("source"), col("f"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        sum(col("n_toks")).as("kept_tokens"),
+        sum(col("score_micro")).as("sum_micro"),
+        min(col("score_micro")).as("cut_micro")
+      )
+      .select(
+        col("source"),
+        col("f").as("keep_pct"),
+        col("n_kept"),
+        col("kept_tokens"),
+        expr("floor(CAST(sum_micro AS double) / n_kept + 5e-1) / 1e6").as("mean_score"),
+        (col("cut_micro") / lit(1e6)).as("cutoff_score")
+      )
+      .orderBy(col("source"), col("keep_pct"))
+  }
+
+  val q169Oracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |         CAST(len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS BIGINT) AS n_toks,
+       |         ${TextOps.q26ScoreSql} AS score
+       |  FROM documents),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS rk,
+       |         count(*) OVER (PARTITION BY source) AS n_src
+       |  FROM t),
+       |g AS (SELECT unnest([${PRUNE_GRID.mkString(", ")}]) AS f),
+       |k AS (
+       |  SELECT r.source, g.f, r.n_toks, CAST(floor(r.score * 1e6 + 5e-1) AS BIGINT) AS score_micro
+       |  FROM r CROSS JOIN g
+       |  WHERE r.rk * 100 <= g.f * r.n_src)
+       |SELECT source, CAST(f AS INT) AS keep_pct, CAST(count(*) AS BIGINT) AS n_kept,
+       |       CAST(sum(n_toks) AS BIGINT) AS kept_tokens,
+       |       floor(CAST(sum(score_micro) AS DOUBLE) / count(*) + 5e-1) / 1e6 AS mean_score,
+       |       min(score_micro) / 1e6 AS cutoff_score
+       |FROM k GROUP BY 1, 2 ORDER BY source, keep_pct""".stripMargin
+
+  // ---------------------------------------------------------------------------
   // q145 — quality-WEIGHTED sampling without replacement (Efraimidis &
   // Spirakis 2006, A-Res): per language keep the SAMPLE_K docs with the
   // largest key u^(1/w) — equivalently ln(u)/w, rank-identical and
@@ -414,7 +494,8 @@ object Sampling {
     "q48_stratified_sample" -> (q48StratifiedSample _),
     "q49_hash_split" -> (q49HashSplit _),
     "q51_bottomk_sample" -> (q51BottomKSample _),
-    "q130_source_cap" -> (q130SourceCap _)
+    "q130_source_cap" -> (q130SourceCap _),
+    "q169_pruning_sweep" -> (q169PruningSweep _)
   )
 
   /** q49/q51/q130 are deterministic → exact oracle; q48's RNG is checked
@@ -426,6 +507,7 @@ object Sampling {
     "q48_stratified_sample" -> q48Oracle,
     "q49_hash_split" -> q49Oracle,
     "q51_bottomk_sample" -> q51Oracle,
-    "q130_source_cap" -> q130Oracle
+    "q130_source_cap" -> q130Oracle,
+    "q169_pruning_sweep" -> q169Oracle
   )
 }

@@ -349,6 +349,14 @@ object CorpusReport {
       )
     }
 
+    section("quality-pruning sweep (q169): kept mass and mean score per keep fraction")
+    graft.operators.Sampling.q169PruningSweep(spark, dir).collect().foreach { r =>
+      line(
+        f"${r.getString(0)}%12s keep=${r.getInt(1)}%3d%% docs=${r.getLong(2)}%5d " +
+          f"tokens=${r.getLong(3)}%8d mean=${r.getDouble(4)}%6.4f cutoff=${r.getDouble(5)}%6.4f"
+      )
+    }
+
     section("tokenizer budget curve (q165): fertility/compression per merge checkpoint")
     TextOps.q165TokenizerBudget(spark, dir).collect().foreach { r =>
       line(

@@ -190,4 +190,59 @@ class SamplingSpec extends SparkSpec {
     assert(hrwRow._5 === 1.0, "every HRW move lands on the new shard")
     info(s"sf0.001: hrw moved ${hrwRow._4}, mod moved ${modRow._4}")
   }
+
+  test("q169 pruning sweep: equals a single-node replay over q130's ranks; the curve is shaped right") {
+    val rows = Sampling
+      .q169PruningSweep(spark, sfDir)
+      .collect()
+      .map(r =>
+        (r.getString(0), r.getInt(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))
+      )
+      .toMap
+    assert(rows.nonEmpty)
+    // replay from q130's already-spec-pinned rank frame plus raw token counts
+    val toks = graft.core.Tables
+      .documents(spark, sfDir)
+      .select("doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.toLowerCase.split("\\s+").length.toLong)
+      .toMap
+    val ranked = Sampling
+      .q130SourceCap(spark, sfDir)
+      .collect()
+      .map(r =>
+        (r.getAs[String]("source"), r.getAs[Int]("rk"), r.getAs[Long]("doc_id"),
+          math.floor(r.getAs[Double]("quality_score") * 1e6 + 0.5).toLong)
+      )
+      .groupBy(_._1)
+    val expected = ranked.flatMap { case (src, grp) =>
+      val n = grp.size.toLong
+      Sampling.PRUNE_GRID.flatMap { f =>
+        val kept = grp.filter(_._2 * 100L <= f * n)
+        if (kept.isEmpty) None
+        else
+          Some(
+            (src, f) -> ((kept.size.toLong, kept.map(g => toks(g._3)).sum,
+              math.floor(kept.map(_._4).sum.toDouble / kept.size + 0.5) / 1e6,
+              kept.map(_._4).min / 1e6))
+          )
+      }
+    }.toMap
+    assert(rows === expected, "sweep must equal the single-node replay")
+    // curve shape per source: kept mass grows with f, mean quality of the
+    // kept set and the cutoff score both fall (top-f means shrink as f grows)
+    rows.keys.map(_._1).toSet[String].foreach { src =>
+      val curve = Sampling.PRUNE_GRID.flatMap(f => rows.get((src, f)))
+      curve.sliding(2).foreach {
+        case Seq((n1, t1, m1, c1), (n2, t2, m2, c2)) =>
+          assert(n2 >= n1 && t2 >= t1, s"$src kept mass must grow with f")
+          assert(m2 <= m1 && c2 <= c1, s"$src mean/cutoff must not rise with f")
+        case _ => ()
+      }
+      val full = rows((src, 100))
+      assert(full._1 === ranked(src).size.toLong, s"$src f=100 must keep everything")
+    }
+    info(s"sf0.001: ${rows.size} (source, f) rows over ${ranked.size} sources")
+  }
 }
