@@ -67,34 +67,47 @@ object BloomPrune {
     }
 
   /** Session bindings for md5-position blooms (functions/Md5Bloom — the
-    * oracle-reproducible variant q166 screens with), same shape as
-    * `bloomBindings` but keyed by (bits, numBits).
+    * oracle-reproducible variant q166 screens with). Unlike
+    * `bloomBindings` this list is BOUNDED: the streaming maintainer
+    * serves q166 after every ingest tick, and each tick's grown test set
+    * yields a fresh bitset — an unbounded list (plus the function
+    * registry's strong reference) would retain every historical
+    * generation's multi-MB bits for the session's lifetime. Oldest
+    * entries are deregistered past MaxMd5Blooms; a dropped NAME only
+    * matters to a plan that has not been analyzed yet, and callers
+    * analyze the expression in the same call that installed it.
     */
+  private val MaxMd5Blooms = 8
+
   private val md5BloomBindings =
-    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.ArrayBuffer[(Array[Long], Long)]]()
+    new java.util.WeakHashMap[
+      SparkSession,
+      (java.util.concurrent.atomic.AtomicInteger, scala.collection.mutable.ArrayBuffer[(String, Array[Long], Long)])
+    ]()
 
   /** Register (or find) the session function bound to this md5 bloom and
     * return its name.
     */
   def installMd5Bloom(spark: SparkSession, bits: Array[Long], numBits: Long): String =
     md5BloomBindings.synchronized {
-      val list = {
+      val (counter, list) = {
         val l = md5BloomBindings.get(spark)
         if (l != null) l
         else {
-          val fresh = scala.collection.mutable.ArrayBuffer.empty[(Array[Long], Long)]
+          val fresh = (
+            new java.util.concurrent.atomic.AtomicInteger(0),
+            scala.collection.mutable.ArrayBuffer.empty[(String, Array[Long], Long)]
+          )
           md5BloomBindings.put(spark, fresh)
           fresh
         }
       }
-      val existing = list.indexWhere { case (b, m) =>
+      list.find { case (_, b, m) =>
         m == numBits && ((b eq bits) || java.util.Arrays.equals(b, bits))
-      }
-      val i =
-        if (existing >= 0) existing
-        else {
-          val idx = list.size
-          val name = s"md5_bloom_contains_$idx"
+      } match {
+        case Some((name, _, _)) => name
+        case None =>
+          val name = s"md5_bloom_contains_${counter.getAndIncrement()}"
           spark.sessionState.functionRegistry.registerFunction(
             org.apache.spark.sql.catalyst.FunctionIdentifier(name),
             new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
@@ -104,10 +117,15 @@ object BloomPrune {
             (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
               graft.functions.Md5Bloom.Md5BloomContains(args.head, bits, numBits)
           )
-          list += ((bits, numBits))
-          idx
-        }
-      s"md5_bloom_contains_$i"
+          list += ((name, bits, numBits))
+          while (list.size > MaxMd5Blooms) {
+            val (old, _, _) = list.remove(0)
+            spark.sessionState.functionRegistry
+              .dropFunction(org.apache.spark.sql.catalyst.FunctionIdentifier(old))
+            ()
+          }
+          name
+      }
     }
 
   /** Build a bloom over `keys` (a 1-column BIGINT frame). Two actions: a

@@ -158,20 +158,25 @@ object Curation {
   // its measured shuffle size; the train side is never re-shuffled after
   // its distinct.
   // ---------------------------------------------------------------------------
-  def q67Contamination(spark: SparkSession, dir: String): DataFrame = {
-    val hashFn = keyHashFn(spark)
-    val t = Tables
-      .balanced(Tables.documents(spark, dir))
+  /** ONE staged distinct shingle-digest table for both decontamination
+    * screens: (doc_id, split bucket, hashed 8-gram), validation-bucket
+    * docs dropped before the explode (no consumer reads them). The hash
+    * is a parameter because q67 keys SHUFFLES (keyHashFn — md5 default,
+    * xxhash64 at 100 TB) while q166 keys SEMANTICS (bloom positions come
+    * from the digest, so always md5); everything else — tokenizer
+    * convention, bucket arithmetic, shingle width, the size >= 8 guard
+    * (sequence(1, n) needs n >= 1; the oracle's range(1, len-6) is empty
+    * there for the same reason) — must stay in lockstep or q166's
+    * superset-of-q67 guarantee silently breaks. bucket is functional on
+    * doc_id, so distinct over (doc_id, bucket, sh_key) equals the per-doc
+    * distinct shingle set.
+    */
+  private[graft] def stagedShingles(docs: DataFrame, hashFn: String): DataFrame =
+    docs
       .withColumn("bucket", conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10).cast("int"))
       .withColumn("toks", expr(toksExpr))
-      // sequence(1, n) needs n >= 1: shorter docs have no 8-grams (the
-      // oracle's range(1, len-6) is empty there for the same reason)
       .filter(size(col("toks")) >= 8)
-    // bucket is functional on doc_id, so distinct over (doc_id, bucket,
-    // sh_key) equals the per-doc distinct shingle set (md5 is injective
-    // on both engines' identical inputs for gate purposes)
-    val sh = t
-      .filter(col("bucket") < 205 || col("bucket") >= 230)
+      .filter(col("bucket") < Sampling.SPLIT_TRAIN_LT || col("bucket") >= Sampling.SPLIT_VALIDATION_LT)
       .select(
         col("doc_id"),
         col("bucket"),
@@ -180,6 +185,9 @@ object Curation {
       )
       .select(col("doc_id"), col("bucket"), expr(s"$hashFn(shingle)").as("sh_key"))
       .distinct()
+
+  def q67Contamination(spark: SparkSession, dir: String): DataFrame = {
+    val sh = stagedShingles(Tables.balanced(Tables.documents(spark, dir)), keyHashFn(spark))
       .localCheckpoint()
     val testSh = sh.filter(col("bucket") >= 230).select(col("sh_key")).distinct()
     val train = sh.filter(col("bucket") < 205).select(col("doc_id"), col("sh_key"))
@@ -264,19 +272,7 @@ object Curation {
     * exactly the winnow maintainer's argument.
     */
   private[graft] def bloomShingles(docs: DataFrame): DataFrame =
-    docs
-      .withColumn("bucket", conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10).cast("int"))
-      .withColumn("toks", expr(toksExpr))
-      .filter(size(col("toks")) >= 8)
-      .filter(col("bucket") < Sampling.SPLIT_TRAIN_LT || col("bucket") >= Sampling.SPLIT_VALIDATION_LT)
-      .select(
-        col("doc_id"),
-        col("bucket"),
-        explode(expr("transform(sequence(1, size(toks) - 7), i -> array_join(slice(toks, i, 8), ' '))"))
-          .as("shingle")
-      )
-      .select(col("doc_id"), col("bucket"), md5(col("shingle")).as("h"))
-      .distinct()
+    stagedShingles(docs, "md5")
 
   /** The screen over a STAGED (caller-checkpointed) shingle table — shared
     * verbatim by the batch query and the streaming maintainer's serve path
@@ -285,21 +281,21 @@ object Curation {
   private[graft] def bloomScreenFrom(spark: SparkSession, sh: DataFrame): DataFrame = {
     import graft.functions.Md5Bloom
     val testSh =
-      sh.filter(col("bucket") >= Sampling.SPLIT_VALIDATION_LT).select(col("h")).distinct().localCheckpoint()
+      sh.filter(col("bucket") >= Sampling.SPLIT_VALIDATION_LT).select(col("sh_key")).distinct().localCheckpoint()
     val numBits = Md5Bloom.bitsFor(testSh.count())
     val bits = {
       import spark.implicits._
       testSh.as[String].select(Md5Bloom.aggregator(numBits).toColumn).head()
     }
     val screenFn = BloomPrune.installMd5Bloom(spark, bits, numBits)
-    val train = sh.filter(col("bucket") < Sampling.SPLIT_TRAIN_LT).select(col("doc_id"), col("h"))
+    val train = sh.filter(col("bucket") < Sampling.SPLIT_TRAIN_LT).select(col("doc_id"), col("sh_key"))
     val perDoc = train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
     val bloomHits = train
-      .filter(expr(s"$screenFn(h)"))
+      .filter(expr(s"$screenFn(sh_key)"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("bloom_hits"))
     val exactHits =
-      train.join(testSh, "h").groupBy(col("doc_id")).agg(count(lit(1)).as("exact_hits"))
+      train.join(testSh, "sh_key").groupBy(col("doc_id")).agg(count(lit(1)).as("exact_hits"))
     bloomHits
       .join(perDoc, "doc_id")
       .join(exactHits, Seq("doc_id"), "left")

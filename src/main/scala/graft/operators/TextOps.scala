@@ -1321,17 +1321,24 @@ object TextOps {
     val dr = Importance
       .q128SourceDrift(spark, dir)
       .select(col("source"), col("js").as("js_drift"), col("drifted"))
+    // legs 2-4 join LEFT: a source so degenerate a leg cannot score it
+    // (all docs under 2 tokens -> no distinct-2 row; all-punctuation docs
+    // -> no drift histogram) is exactly a source the scorecard must flag,
+    // not silently drop — a missing leg costs the flag its detector would
+    // (the entropy leg covers every doc unconditionally, so base |><| ent
+    // stays inner)
     base
       .join(ent, "source")
-      .join(d2, "source")
-      .join(zf, "source")
-      .join(dr, "source")
+      .join(d2, Seq("source"), "left")
+      .join(zf, Seq("source"), "left")
+      .join(dr, Seq("source"), "left")
       .withColumn(
         "n_flags",
         expr(
           s"CAST((CASE WHEN flag_micro > $HEALTH_ENT_BAD_MICRO THEN 1 ELSE 0 END)" +
-            " + (CASE WHEN d2_verdict = 'collapsed' THEN 1 ELSE 0 END)" +
-            " + (CASE WHEN zipf_verdict = 'anomalous' THEN 1 ELSE 0 END) + drifted AS INT)"
+            " + (CASE WHEN d2_verdict IS NULL OR d2_verdict = 'collapsed' THEN 1 ELSE 0 END)" +
+            " + (CASE WHEN zipf_verdict IS NULL OR zipf_verdict = 'anomalous' THEN 1 ELSE 0 END)" +
+            " + coalesce(drifted, 1) AS INT)"
         )
       )
       .select(
@@ -1380,10 +1387,11 @@ object TextOps {
          |  SELECT base.source, n_docs, n_tokens, mean_ent_micro, flag_micro,
          |         distinct2_ratio, zipf_slope, js_drift,
          |         CAST((CASE WHEN flag_micro > $HEALTH_ENT_BAD_MICRO THEN 1 ELSE 0 END)
-         |            + (CASE WHEN d2_verdict = 'collapsed' THEN 1 ELSE 0 END)
-         |            + (CASE WHEN zipf_verdict = 'anomalous' THEN 1 ELSE 0 END) + drifted AS INT) AS n_flags
-         |  FROM base JOIN ent USING (source) JOIN d2 USING (source)
-         |       JOIN zf USING (source) JOIN dr USING (source))
+         |            + (CASE WHEN d2_verdict IS NULL OR d2_verdict = 'collapsed' THEN 1 ELSE 0 END)
+         |            + (CASE WHEN zipf_verdict IS NULL OR zipf_verdict = 'anomalous' THEN 1 ELSE 0 END)
+         |            + coalesce(drifted, 1) AS INT) AS n_flags
+         |  FROM base JOIN ent USING (source) LEFT JOIN d2 USING (source)
+         |       LEFT JOIN zf USING (source) LEFT JOIN dr USING (source))
          |SELECT source, n_docs, n_tokens,
          |       mean_ent_micro / 1e6 AS mean_entropy,
          |       flag_micro / 1e6 AS ent_flagged_frac,

@@ -328,10 +328,14 @@ object CorpusReport {
 
     section("source health scorecard (q168): four audit signals per source")
     TextOps.q168SourceHealth(spark, dir).collect().foreach { r =>
+      // leg columns are null for sources a leg cannot score (that absence
+      // is itself a flag) — render them as "-" instead of crashing the report
+      def d(i: Int, fmt: String): String = if (r.isNullAt(i)) "-" else fmt.format(r.getDouble(i))
       line(
         f"${r.getString(0)}%12s docs=${r.getLong(1)}%5d ent=${r.getDouble(3)}%6.4f " +
-          f"(flag ${r.getDouble(4)}%5.3f) d2=${r.getDouble(5)}%6.4f zipf=${r.getDouble(6)}%+7.4f " +
-          f"js=${r.getDouble(7)}%6.4f flags=${r.getInt(8)} ${r.getString(9)}"
+          f"(flag ${r.getDouble(4)}%5.3f) " +
+          s"d2=${d(5, "%6.4f")} zipf=${d(6, "%+7.4f")} js=${d(7, "%6.4f")} " +
+          f"flags=${r.getInt(8)} ${r.getString(9)}"
       )
     }
 

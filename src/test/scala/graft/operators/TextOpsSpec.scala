@@ -550,9 +550,13 @@ class TextOpsSpec extends SparkSpec {
         math.floor(ent.count(_._3 != "ok").toDouble * 1e6 / ent.length + 0.5).toLong
       assert(meanEnt === meanMicro / 1e6 && flagFrac === flagMicro / 1e6, s"$src entropy rollup")
       assert(d2r === d2(src)._1 && slope === zf(src)._1 && js === dr(src)._1, s"$src leg values")
+      // missing-leg semantics: a leg that cannot score a source costs the
+      // flag its detector would (all legs present on this corpus, so the
+      // Option defaults only document the contract)
       val expFlags = (if (flagMicro > TextOps.HEALTH_ENT_BAD_MICRO) 1 else 0) +
-        (if (d2(src)._2 == "collapsed") 1 else 0) +
-        (if (zf(src)._2 == "anomalous") 1 else 0) + dr(src)._2
+        (if (d2.get(src).forall(_._2 == "collapsed")) 1 else 0) +
+        (if (zf.get(src).forall(_._2 == "anomalous")) 1 else 0) +
+        dr.get(src).map(_._2).getOrElse(1)
       assert(nFlags === expFlags, s"$src flag count")
       assert(health === (if (expFlags == 0) "healthy" else "attention"), s"$src verdict")
     }

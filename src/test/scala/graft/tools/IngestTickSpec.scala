@@ -83,6 +83,13 @@ class IngestTickSpec extends SparkSpec {
           graft.operators.Sampling.q145WeightedSample(spark, dataDir).collect().toSeq.map(_.toSeq),
         s"drop first=$first: maintained reservoir != batch q145"
       )
+      assert(o.bloomDelta > 0, s"drop first=$first: bloom tick must see the delta")
+      assert(
+        graft.streaming.StreamingBloomScreen
+          .screenTable(spark, s"$stateDir/bloom").collect().toSeq.map(_.toSeq) ===
+          Curation.q166BloomScreen(spark, dataDir).collect().toSeq.map(_.toSeq),
+        s"drop first=$first: maintained bloom screen != batch q166"
+      )
       assert(o.winnowDelta > 0, s"drop first=$first: winnow tick must see the delta")
       assert(
         graft.streaming.StreamingWinnow
@@ -119,7 +126,8 @@ class IngestTickSpec extends SparkSpec {
     val o3 = IngestTick.run(spark, dataDir, stateDir)
     assert(
       o3.corpus.mode === "noop" && o3.clusterDelta === 0L && o3.spanDelta === 0L &&
-        o3.driftDelta === 0L && o3.sketchDelta === 0L && o3.winnowDelta === 0L && o3.sampleDelta === 0L
+        o3.driftDelta === 0L && o3.sketchDelta === 0L && o3.winnowDelta === 0L &&
+        o3.sampleDelta === 0L && o3.bloomDelta === 0L
     )
     info(s"two drops + noop tick verified against batch twins")
   }
