@@ -132,6 +132,83 @@ object Curation {
   val q66Oracle: String = q66OracleFor(SHARDS, CTX)
 
   // ---------------------------------------------------------------------------
+  // q170 — pack MANIFEST export: q66's packing as the per-document artifact
+  // the training loader actually consumes — for every doc its stream
+  // placement (start offset in the (lang, shard) token stream, offset
+  // within its bin, start/end bin) and whether it straddles a context
+  // boundary (the doc the loader must split across examples, or mask at
+  // the seam). q66's rollup says how full the bins are; this says WHERE
+  // EACH DOCUMENT LANDS — the q110→q154 relationship applied to packing
+  // (the analysis ends in an actionable per-item export, not a report).
+  //
+  // Scale shape: exactly q66's plan minus the final aggregate — one
+  // (lang, shard)-hash exchange for the cumulative window, then pure
+  // projections; output is one row per doc (an export, written not
+  // collected). Shares q66's knobs and their oracle-pinning warning.
+  // ---------------------------------------------------------------------------
+  def q170PackManifest(spark: SparkSession, dir: String): DataFrame = {
+    val shards = spark.conf.getOption(ShardsConf).map(_.toInt).getOrElse(SHARDS)
+    val ctx = spark.conf.getOption(CtxConf).map(_.toInt).getOrElse(CTX)
+    if (shards != SHARDS || ctx != CTX)
+      org.slf4j.LoggerFactory
+        .getLogger(getClass)
+        .warn(
+          s"q170_pack_manifest running with non-default knobs (shards=$shards, ctx=$ctx): " +
+            s"the registered oracle assumes shards=$SHARDS, ctx=$CTX — compare against " +
+            s"Curation.q170OracleFor($shards, $ctx) instead"
+        )
+    val w = Window
+      .partitionBy(col("lang"), col("shard"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables
+      .documents(spark, dir)
+      .select(col("lang"), col("doc_id"), size(split(trim(col("text")), "\\s+")).as("n_tokens"))
+      .withColumn("shard", pmod(col("doc_id"), lit(shards)).cast("int"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(
+        col("lang"),
+        col("shard"),
+        col("doc_id"),
+        col("cum_before").as("start_offset"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        floor(col("cum_before") / lit(ctx.toDouble)).cast("int").as("bin"),
+        (col("cum_before") % lit(ctx.toLong)).as("offset_in_bin"),
+        // n_tokens >= 1 always (an empty split still yields one element),
+        // so the last occupied token is cum_before + n_tokens - 1
+        floor((col("cum_before") + col("n_tokens") - lit(1)) / lit(ctx.toDouble)).cast("int").as("end_bin")
+      )
+      .withColumn("crosses", when(col("end_bin") > col("bin"), 1).otherwise(0))
+      .orderBy(col("lang"), col("shard"), col("doc_id"))
+  }
+
+  /** The manifest oracle at arbitrary knobs — q66OracleFor's stream CTE
+    * with the projection instead of the rollup.
+    */
+  def q170OracleFor(shards: Int, ctx: Int): String =
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+       |         CAST(doc_id % $shards AS INT) AS shard
+       |  FROM documents),
+       |c AS (
+       |  SELECT lang, shard, doc_id, n_tokens,
+       |         COALESCE(sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |  FROM d)
+       |SELECT lang, shard, doc_id,
+       |       CAST(cum_before AS BIGINT) AS start_offset,
+       |       CAST(n_tokens AS BIGINT) AS n_tokens,
+       |       CAST(floor(cum_before / $ctx.0) AS INT) AS bin,
+       |       CAST(cum_before % $ctx AS BIGINT) AS offset_in_bin,
+       |       CAST(floor((cum_before + n_tokens - 1) / $ctx.0) AS INT) AS end_bin,
+       |       CAST(CASE WHEN floor((cum_before + n_tokens - 1) / $ctx.0) > floor(cum_before / $ctx.0)
+       |                 THEN 1 ELSE 0 END AS INT) AS crosses
+       |FROM c
+       |ORDER BY lang, shard, doc_id""".stripMargin
+
+  val q170Oracle: String = q170OracleFor(SHARDS, CTX)
+
+  // ---------------------------------------------------------------------------
   // q67 — train/test contamination screen: which TRAIN-split documents share
   // verbatim 8-gram shingles with any TEST-split document, and how much of
   // each train doc is covered. Benchmark decontamination is a mandatory
@@ -3596,6 +3673,7 @@ object Curation {
     "q126_quality_auc" -> (q126QualityAuc _),
     "q131_signal_agreement" -> (q131SignalAgreement _),
     "q66_context_pack" -> (q66ContextPack _),
+    "q170_pack_manifest" -> (q170PackManifest _),
     "q67_contamination" -> (q67Contamination _),
     "q166_bloom_screen" -> (q166BloomScreen _),
     "q68_repetition" -> (q68Repetition _),
@@ -3633,6 +3711,7 @@ object Curation {
     "q126_quality_auc" -> q126Oracle,
     "q131_signal_agreement" -> q131Oracle,
     "q66_context_pack" -> q66Oracle,
+    "q170_pack_manifest" -> q170Oracle,
     "q67_contamination" -> q67Oracle,
     "q166_bloom_screen" -> q166Oracle,
     "q68_repetition" -> q68Oracle,

@@ -1617,4 +1617,45 @@ class CurationSpec extends SparkSpec {
     assert(rows.values.map(_._5).sum <= budget, "allocations never exceed the budget")
     info(s"sf0.001: budget=$budget, ${rows.values.count(_._4 == "capped")} capped / ${rows.values.count(_._4 == "uniform")} uniform")
   }
+
+  test("q170 pack manifest: aggregates exactly to q66's bins; streams contiguous; straddlers flagged") {
+    val man = Curation
+      .q170PackManifest(spark, sfDir)
+      .collect()
+      .map(r =>
+        (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getInt(5),
+          r.getLong(6), r.getInt(7), r.getInt(8))
+      )
+      .toSeq
+    assert(man.nonEmpty)
+    // cross-view: manifest rolled up by (lang, shard, bin) IS q66's output
+    val q66 = Curation
+      .q66ContextPack(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2)) -> ((r.getLong(3), r.getLong(4))))
+      .toMap
+    val rolled = man
+      .groupBy(m => (m._1, m._2, m._6))
+      .view
+      .mapValues(g => (g.size.toLong, g.map(_._5).sum))
+      .toMap
+    assert(rolled === q66, "manifest must aggregate exactly to q66's bin rollup")
+    // per-stream contiguity: offsets are the running token sum in doc_id order
+    man.groupBy(m => (m._1, m._2)).foreach { case (stream, docs) =>
+      var cum = 0L
+      docs.sortBy(_._3).foreach { d =>
+        assert(d._4 === cum, s"$stream doc ${d._3} start_offset must be the running sum")
+        assert(d._7 === cum % 512, s"$stream doc ${d._3} offset_in_bin")
+        cum += d._5
+      }
+    }
+    // flag semantics: crosses == (end_bin > bin), and end_bin is derived
+    // from the last occupied token; boundary straddlers exist on this corpus
+    man.foreach { d =>
+      assert(d._8 === ((d._4 + d._5 - 1) / 512).toInt, s"doc ${d._3} end_bin")
+      assert((d._9 == 1) === (d._8 > d._6), s"doc ${d._3} crosses flag")
+    }
+    assert(man.exists(_._9 == 1), "a ~55-token-doc corpus must straddle 512-token boundaries")
+    info(s"sf0.001: ${man.size} docs, ${man.count(_._9 == 1)} straddle a context boundary")
+  }
 }
