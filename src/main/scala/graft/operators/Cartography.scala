@@ -523,17 +523,104 @@ object Cartography {
        |FROM intra i JOIN w ON w.label = i.label AND w.rk = 1
        |ORDER BY i.label""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q171 — coreset selection by FARTHEST-POINT traversal (Gonzalez 1985's
+  // 2-approximate k-center; Sener & Savarese 2018 run exactly this greedy
+  // to pick training/eval coresets): K times, pick the vector farthest
+  // from everything picked so far. The output is the maximally-covering
+  // inspection/eval set plus the RADIUS CURVE — each pick's distance to
+  // the previous set — which is the coverage audit (after k picks every
+  // corpus vector sits within r_k of a center, and r_k is within 2× of
+  // the best possible k-center radius, Gonzalez's theorem). The diversity
+  // complement to q145's quality-weighted sample and q123's density map:
+  // sampling follows mass, traversal follows SPREAD.
+  //
+  // Determinism: q123's integer-micro machinery — components floored to
+  // micros once, every distance an exact 64-bit integer sum; seed = the
+  // smallest vec_id; argmax by (min_dist DESC, vec_id). A previously
+  // picked vector has min_dist 0, so it can never win again on a corpus
+  // with ≥ 2 distinct embeddings — no exclusion clause needed in either
+  // engine.
+  //
+  // Scale shape: K linear passes — each updates min_d = least(min_d,
+  // dist² to ONE new literal centroid) (a pure codegen'd projection, the
+  // q123 assignment shape) and takes a 1-row argmax collect (q94's
+  // bounded-driver contract); the staged frame is localCheckpointed per
+  // pass so lineage stays flat. The DuckDB oracle replays all K picks as
+  // a generated CTE chain.
+  // ---------------------------------------------------------------------------
+  private val CORESET_K = 8
+
+  def q171CoresetSelect(spark: SparkSession, dir: String): DataFrame = {
+    val pts = points(spark, dir).localCheckpoint()
+    val seed = pts.orderBy(col("vec_id")).limit(1).collect()(0)
+    var picks = Vector[(Int, Long, Option[Long])]((1, seed.getLong(0), None))
+    var st = pts
+      .withColumn("min_d", distTo(seed.getSeq[Long](1).toArray))
+      .localCheckpoint()
+    for (i <- 2 to CORESET_K) {
+      val next = st.orderBy(col("min_d").desc, col("vec_id")).limit(1).collect()(0)
+      picks = picks :+ ((i, next.getLong(0), Some(next.getLong(2))))
+      st = st
+        .withColumn("min_d", least(col("min_d"), distTo(next.getSeq[Long](1).toArray)))
+        .localCheckpoint()
+    }
+    import spark.implicits._
+    picks
+      .toDF("rank", "vec_id", "radius2")
+      .join(Tables.embeddings(spark, dir).select(col("vec_id"), col("label")), "vec_id")
+      .select(col("rank"), col("vec_id"), col("label"), col("radius2"))
+      .orderBy(col("rank"))
+  }
+
+  /** The generated pick chain (q123's generated-oracle pattern): p1 = min
+    * vec_id, then K-1 × (distance-update CTE + argmax CTE).
+    */
+  val q171Oracle: String = {
+    val zipDist =
+      "list_sum(list_transform(list_zip(a.xm, b.xm), z -> (z[1] - z[2]) * (z[1] - z[2])))"
+    val steps = (2 to CORESET_K)
+      .map { i =>
+        val prev = if (i == 2) "m" else s"d${i - 1}"
+        val dcol =
+          if (i == 2) s"$zipDist"
+          else s"least(a.min_d, $zipDist)"
+        s"""d$i AS (
+           |  SELECT a.vec_id, a.xm, $dcol AS min_d FROM $prev a, p${i - 1} b),
+           |p$i AS (SELECT vec_id, xm, min_d FROM d$i ORDER BY min_d DESC, vec_id LIMIT 1)""".stripMargin
+      }
+      .mkString(",\n")
+    val sel = (2 to CORESET_K)
+      .map(i => s"SELECT $i AS rank, vec_id, min_d AS radius2 FROM p$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH m AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS xm
+       |  FROM embeddings),
+       |p1 AS (SELECT vec_id, xm FROM m WHERE vec_id = (SELECT min(vec_id) FROM m)),
+       |$steps,
+       |sel AS (
+       |  SELECT 1 AS rank, vec_id, CAST(NULL AS BIGINT) AS radius2 FROM p1
+       |  UNION ALL $sel)
+       |SELECT sel.rank AS rank, sel.vec_id AS vec_id, e.label AS label,
+       |       CAST(sel.radius2 AS BIGINT) AS radius2
+       |FROM sel JOIN embeddings e ON e.vec_id = sel.vec_id
+       |ORDER BY rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q123_corpus_topics" -> (q123CorpusTopics _),
     "q129_embedding_outliers" -> (q129EmbeddingOutliers _),
     "q141_embedding_drift" -> (q141EmbeddingDrift _),
-    "q155_class_cohesion" -> (q155ClassCohesion _)
+    "q155_class_cohesion" -> (q155ClassCohesion _),
+    "q171_coreset_select" -> (q171CoresetSelect _)
   )
 
   val oracles: Map[String, String] = Map(
     "q123_corpus_topics" -> q123Oracle,
     "q129_embedding_outliers" -> q129Oracle,
     "q141_embedding_drift" -> q141Oracle,
-    "q155_class_cohesion" -> q155Oracle
+    "q155_class_cohesion" -> q155Oracle,
+    "q171_coreset_select" -> q171Oracle
   )
 }

@@ -353,6 +353,12 @@ object CorpusReport {
       )
     }
 
+    section("embedding coreset (q171): farthest-point picks and the coverage radius curve")
+    Cartography.q171CoresetSelect(spark, dir).collect().foreach { r =>
+      val rad = if (r.isNullAt(3)) "seed" else s"r2=${r.getLong(3)}"
+      line(f"pick ${r.getInt(0)}%2d: vec=${r.getLong(1)}%6d label=${r.getInt(2)}%2d $rad")
+    }
+
     section("quality-pruning sweep (q169): kept mass and mean score per keep fraction")
     graft.operators.Sampling.q169PruningSweep(spark, dir).collect().foreach { r =>
       line(

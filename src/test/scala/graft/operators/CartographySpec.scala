@@ -239,4 +239,46 @@ class CartographySpec extends SparkSpec {
     assert(got.count(_._7 == "confusable") >= got.size / 2, "random labels must read mostly confusable")
     info(s"sf0.001: ${got.size} labels, ${got.count(_._7 == "confusable")} confusable")
   }
+
+  test("q171 coreset: equals the single-node farthest-point replay; radius curve non-increasing, picks distinct") {
+    val got = Cartography
+      .q171CoresetSelect(spark, sfDir)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .toSeq
+    assert(got.map(_._1) === (1 to 8), "exactly K ranked picks")
+    val pts: Seq[(Long, Array[Long])] = graft.core.Tables
+      .embeddings(spark, sfDir)
+      .collect()
+      .map { r =>
+        r.getAs[Long]("vec_id") ->
+          r.getAs[Seq[Float]]("embedding").map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong).toArray
+      }
+      .toSeq
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val byId = pts.toMap
+    var minD = collection.mutable.Map[Long, Long]()
+    val seedId = pts.map(_._1).min
+    pts.foreach { case (id, xm) => minD(id) = d2(xm, byId(seedId)) }
+    var expected = Vector[(Int, Long, Option[Long])]((1, seedId, None))
+    for (i <- 2 to 8) {
+      val (nid, nd) = minD.toSeq.map { case (id, d) => (id, d) }.maxBy { case (id, d) => (d, -id) }
+      expected = expected :+ ((i, nid, Some(nd)))
+      pts.foreach { case (id, xm) => minD(id) = math.min(minD(id), d2(xm, byId(nid))) }
+    }
+    assert(got === expected, "coreset must equal the greedy farthest-point replay")
+    // curve shape: each later pick is at most as far from the set as the
+    // previous (the set only grows), and picks never repeat
+    got.flatMap(_._3).sliding(2).foreach {
+      case Seq(a, b) => assert(b <= a, "radius curve must be non-increasing")
+      case _         => ()
+    }
+    assert(got.map(_._2).distinct.size === got.size, "picks must be distinct")
+    // coverage: after all K picks, every vector is within r_K... of the set?
+    // r_k only bounds coverage AFTER pick k-1; assert the final state: the
+    // max remaining min-distance is <= the last radius (Gonzalez invariant)
+    assert(minD.values.max <= got.last._3.get, "no vector may sit farther than the last pick did")
+    info(s"sf0.001: picks ${got.map(_._2).mkString(",")}, radius curve ${got.flatMap(_._3).mkString(" >= ")}")
+  }
 }
