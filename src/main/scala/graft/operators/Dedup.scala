@@ -1836,6 +1836,82 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------------------
+  // q172 — decontamination COST ledger: what executing q163's decision
+  // table actually costs, per source — every TRAIN-split document gets its
+  // dictated action (drop / mask_spans / review_ngrams from q163, 'keep'
+  // for the unflagged rest) and the ledger rolls up docs, token mass, and
+  // the share of the source's train mass per (source, action). q163 says
+  // what to do about each offender; this says what the decision costs
+  // WHERE budgets live (the source level, where q109/q158/q167 plan) —
+  // the number a curator needs before signing off on a decontamination
+  // pass that might gut a source.
+  //
+  // Scale shape: one corpus scan for the train split + token counts, the
+  // q163 composition (its legs are the audited plans), one left join on
+  // doc_id, one keyed rollup onto <= |sources|×4 rows; the share is a
+  // floored micro against the per-source train total carried by a count
+  // window over the bounded rollup (never a corpus window).
+  // ---------------------------------------------------------------------------
+  def q172DecontamLedger(spark: SparkSession, dir: String): DataFrame = {
+    val train = graft.core.Tables
+      .balanced(graft.core.Tables.documents(spark, dir))
+      .withColumn("b", conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10).cast("int"))
+      .filter(col("b") < Sampling.SPLIT_TRAIN_LT)
+      .select(
+        col("doc_id"),
+        col("source"),
+        size(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")).cast("long").as("n_toks")
+      )
+    val actions = q163ContaminationDepth(spark, dir).select(col("doc_id"), col("action"))
+    val perAction = train
+      .join(actions, Seq("doc_id"), "left")
+      .withColumn("action", coalesce(col("action"), lit("keep")))
+      .groupBy(col("source"), col("action"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("tokens"))
+    perAction
+      .withColumn(
+        "src_tokens",
+        sum(col("tokens")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+        )
+      )
+      .select(
+        col("source"),
+        col("action"),
+        col("n_docs"),
+        col("tokens"),
+        expr("floor(CAST(tokens AS double) * 1e6 / CAST(src_tokens AS double) + 5e-1) / 1e6")
+          .as("mass_share")
+      )
+      .orderBy(col("source"), col("action"))
+  }
+
+  /** q163's oracle nested as a derived table (its own WITH scope), crossed
+    * with the train coin and token counts.
+    */
+  lazy val q172Oracle: String = {
+    val head =
+      s"""WITH tr AS (
+         |  SELECT doc_id, source,
+         |         CAST(len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS BIGINT) AS n_toks
+         |  FROM documents
+         |  WHERE ('0x' || substring(md5(doc_id::VARCHAR), 1, 2))::INT < ${Sampling.SPLIT_TRAIN_LT}),
+         |act AS (SELECT doc_id, action FROM (""".stripMargin
+    val tail =
+      """)),
+        |led AS (
+        |  SELECT tr.source, coalesce(act.action, 'keep') AS action,
+        |         count(*) AS n_docs, CAST(sum(tr.n_toks) AS BIGINT) AS tokens
+        |  FROM tr LEFT JOIN act USING (doc_id) GROUP BY 1, 2),
+        |tot AS (SELECT source, sum(tokens) AS src_tokens FROM led GROUP BY 1)
+        |SELECT led.source, led.action, CAST(led.n_docs AS BIGINT) AS n_docs, led.tokens,
+        |       floor(CAST(led.tokens AS DOUBLE) * 1e6 / CAST(tot.src_tokens AS DOUBLE) + 5e-1) / 1e6 AS mass_share
+        |FROM led JOIN tot USING (source)
+        |ORDER BY led.source, led.action""".stripMargin
+    head + "\n" + q163Oracle + "\n" + tail
+  }
+
+  // ---------------------------------------------------------------------------
   // q146 — LSH band-shape planner: the S-curve tuning table read BEFORE
   // committing K=16 minhash components to a band shape. For every
   // factorization K = r·b (rows-per-band × bands), a pair with true
@@ -2002,6 +2078,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q162_verbatim_run_profile" -> (q162VerbatimRunProfile _),
     "q163_contamination_depth" -> (q163ContaminationDepth _),
+    "q172_decontam_ledger" -> (q172DecontamLedger _),
     "q152_winnow_contamination" -> (q152WinnowContamination _),
     "q146_lsh_plan" -> (q146LshPlan _),
     "q144_winnow_pairs" -> (q144WinnowPairs _),
@@ -2046,6 +2123,7 @@ object Dedup {
     "q144_winnow_pairs" -> q144Oracle,
     "q162_verbatim_run_profile" -> q162Oracle,
     "q163_contamination_depth" -> q163Oracle,
+    "q172_decontam_ledger" -> q172Oracle,
     "q29_exact_dedup" -> q29Oracle,
     "q32_token_jaccard" -> q32Oracle,
     "q33_embedding_neardup" -> q33Oracle,

@@ -359,6 +359,14 @@ object CorpusReport {
       line(f"pick ${r.getInt(0)}%2d: vec=${r.getLong(1)}%6d label=${r.getInt(2)}%2d $rad")
     }
 
+    section("decontamination ledger (q172): action cost per source over the train split")
+    Dedup.q172DecontamLedger(spark, dir).collect().foreach { r =>
+      line(
+        f"${r.getString(0)}%12s ${r.getString(1)}%-13s docs=${r.getLong(2)}%5d " +
+          f"tokens=${r.getLong(3)}%8d share=${r.getDouble(4)}%6.4f"
+      )
+    }
+
     section("quality-pruning sweep (q169): kept mass and mean score per keep fraction")
     graft.operators.Sampling.q169PruningSweep(spark, dir).collect().foreach { r =>
       line(

@@ -854,4 +854,41 @@ class DedupSpec extends SparkSpec {
         s"${rows.count(_._2._4 == "review_ngrams")} review"
     )
   }
+
+  test("q172 ledger: recomposes from q163's actions over the train split; shares sum to 1 per source") {
+    val led = Dedup
+      .q172DecontamLedger(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(led.nonEmpty)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val train = graft.core.Tables
+      .documents(spark, sfDir)
+      .select("doc_id", "source", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).trim.toLowerCase.split("\\s+").length.toLong))
+      .filter(d => Integer.parseInt(md5hex(d._1.toString).substring(0, 2), 16) < Sampling.SPLIT_TRAIN_LT)
+    val actOf = Dedup
+      .q163ContaminationDepth(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(4))
+      .toMap
+    val expected = train
+      .map(d => (d._2, actOf.getOrElse(d._1, "keep"), d._3))
+      .groupBy(t => (t._1, t._2))
+      .map { case (k, g) =>
+        val toks = g.map(_._3).sum
+        val srcToks = train.filter(_._2 == k._1).map(_._3).sum
+        k -> ((g.size.toLong, toks, math.floor(toks.toDouble * 1e6 / srcToks + 0.5) / 1e6))
+      }
+    assert(led === expected, "ledger must recompose from q163 actions + train token counts")
+    // per source: every train doc accounted once; keep + flagged == all
+    led.keys.map(_._1).toSet[String].foreach { src =>
+      val docs = led.filter(_._1._1 == src).values.map(_._1).sum
+      assert(docs === train.count(_._2 == src).toLong, s"$src ledger must cover the whole train split")
+    }
+    info(s"sf0.001: ${led.size} (source, action) rows; actions ${led.keys.map(_._2).toSet.mkString(",")}")
+  }
 }
