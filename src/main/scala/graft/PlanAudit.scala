@@ -175,6 +175,10 @@ object PlanAudit {
       "BroadcastNestedLoopJoin" ->
         "inherits q128's plan stages (the dense |sources|x64 grid over two bounded frames + the 1-row corpus total) — all broadcast-sized by construction; the scorecard assembly joins are keyed on source"
     ),
+    "q173_mixture_concentration" -> Map(
+      "BroadcastNestedLoopJoin" ->
+        "1-row broadcast totals (corpus tokens + source count) crossed onto the |sources|-row aggregate — the q70/q100 broadcast-scalar pattern"
+    ),
     "q167_unimax_plan" -> Map(
       "BroadcastNestedLoopJoin" ->
         "three 1-row broadcast scalars (corpus totals, the cap/uniform boundary rank, the capped prefix mass) crossed onto the |langs|-row aggregate — the q70/q100 broadcast-scalar pattern; the only corpus-scale stage is the per-lang aggregate"

@@ -885,6 +885,96 @@ object Curation {
        |       floor(CAST(CASE WHEN capped THEN cap_mass ELSE uniform_alloc END AS DOUBLE) * 1e6 / CAST(n_tokens AS DOUBLE) + 5e-1) / 1e6 AS epochs
        |FROM f ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q173 — mixture CONCENTRATION audit: how concentrated the corpus is
+  // across sources, as one row of the standard concentration statistics —
+  // Herfindahl–Hirschman index (Σ share²), its reciprocal (the "effective
+  // number of sources", Hill number of order 2), the Gini coefficient of
+  // the source-mass distribution, and Shannon entropy with its exponential
+  // (Hill order 1). The one-pager behind every mixing plan: q109/q147/
+  // q167 all exist because raw corpora concentrate (one crawl dominates),
+  // and this is the number that says HOW MUCH — read before and after
+  // applying a plan to verify it actually flattened the mixture.
+  //
+  // Determinism: per-source masses are exact integer token sums; squared
+  // and rank-weighted sums run in DECIMAL(19,0) products (the q129 rule —
+  // at 100 TB t_i² needs 128 bits); the Gini closed form
+  // (2·Σ i·t_(i) − (n+1)·T) / (n·T) over ascending (t, source) ranks is
+  // integer-exact before one shared floored-micro division (ties don't
+  // move Σ i·t_i, so the tiebreak only fixes determinism of i itself);
+  // entropy terms are per-source floored micros summed 64-bit (the q135
+  // rule); ln/exp agreement is already load-bearing (q84/q111).
+  //
+  // Scale shape: one corpus scan into the |sources|-row aggregate;
+  // everything after is windows/joins over that bounded frame + the 1-row
+  // broadcast totals (the q70/q100 broadcast-scalar pattern).
+  // ---------------------------------------------------------------------------
+  def q173MixtureConcentration(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables
+      .balanced(Tables.documents(spark, dir))
+      .select(
+        col("source"),
+        size(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")).as("n_toks")
+      )
+      .groupBy(col("source"))
+      .agg(sum(col("n_toks")).as("t"))
+      .localCheckpoint()
+    val tot = src.agg(sum(col("t")).as("tt"), count(lit(1)).as("n"))
+    val ranked = src.withColumn(
+      "i",
+      row_number().over(Window.orderBy(col("t"), col("source")))
+    )
+    ranked
+      .crossJoin(broadcast(tot))
+      .select(
+        col("n"),
+        col("tt"),
+        expr("CAST(t AS DECIMAL(19,0)) * CAST(t AS DECIMAL(19,0))").as("sq"),
+        expr("CAST(i AS DECIMAL(19,0)) * CAST(t AS DECIMAL(19,0))").as("iw"),
+        expr(
+          "CAST(floor(-(CAST(t AS DOUBLE) / CAST(tt AS DOUBLE)) * ln(CAST(t AS DOUBLE) / CAST(tt AS DOUBLE)) * 1e6 + 5e-1) AS BIGINT)"
+        ).as("em")
+      )
+      .groupBy(col("n"), col("tt"))
+      .agg(sum(col("sq")).as("s2"), sum(col("iw")).as("sw"), sum(col("em")).as("emm"))
+      .select(
+        col("n").cast("long").as("n_sources"),
+        col("tt").as("corpus_tokens"),
+        expr(
+          "floor(CAST(s2 AS DOUBLE) * 1e6 / (CAST(tt AS DOUBLE) * CAST(tt AS DOUBLE)) + 5e-1) / 1e6"
+        ).as("hhi"),
+        expr(
+          "floor(CAST(tt AS DOUBLE) * CAST(tt AS DOUBLE) * 1e6 / CAST(s2 AS DOUBLE) + 5e-1) / 1e6"
+        ).as("eff_sources_hhi"),
+        expr(
+          "floor((2e0 * CAST(sw AS DOUBLE) - (n + 1) * CAST(tt AS DOUBLE)) * 1e6 / (n * CAST(tt AS DOUBLE)) + 5e-1) / 1e6"
+        ).as("gini"),
+        (col("emm") / lit(1e6)).as("entropy_nats"),
+        expr("floor(exp(CAST(emm AS DOUBLE) / 1e6) * 1e6 + 5e-1) / 1e6").as("eff_sources_hill")
+      )
+  }
+
+  val q173Oracle: String =
+    """WITH s AS (
+      |  SELECT source,
+      |         CAST(sum(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))) AS BIGINT) AS t
+      |  FROM documents GROUP BY 1),
+      |tot AS (SELECT CAST(sum(t) AS BIGINT) AS tt, count(*) AS n FROM s),
+      |r AS (SELECT s.*, row_number() OVER (ORDER BY t, source) AS i FROM s),
+      |a AS (
+      |  SELECT max(tot.n) AS n, max(tot.tt) AS tt,
+      |         sum(CAST(t AS HUGEINT) * t) AS s2,
+      |         sum(CAST(i AS HUGEINT) * t) AS sw,
+      |         CAST(sum(CAST(floor(-(t::DOUBLE / tt) * ln(t::DOUBLE / tt) * 1e6 + 5e-1) AS BIGINT)) AS BIGINT) AS emm
+      |  FROM r, tot)
+      |SELECT CAST(n AS BIGINT) AS n_sources, tt AS corpus_tokens,
+      |       floor(CAST(s2 AS DOUBLE) * 1e6 / (tt::DOUBLE * tt::DOUBLE) + 5e-1) / 1e6 AS hhi,
+      |       floor(tt::DOUBLE * tt::DOUBLE * 1e6 / CAST(s2 AS DOUBLE) + 5e-1) / 1e6 AS eff_sources_hhi,
+      |       floor((2e0 * CAST(sw AS DOUBLE) - (n + 1) * tt::DOUBLE) * 1e6 / (n * tt::DOUBLE) + 5e-1) / 1e6 AS gini,
+      |       emm / 1e6 AS entropy_nats,
+      |       floor(exp(CAST(emm AS DOUBLE) / 1e6) * 1e6 + 5e-1) / 1e6 AS eff_sources_hill
+      |FROM a""".stripMargin
+
   val q70Oracle: String =
     """WITH s AS (
       |  SELECT source, count(*) AS n_docs,
@@ -3692,6 +3782,7 @@ object Curation {
     "q100_epoch_plan" -> (q100EpochPlan _),
     "q109_temperature_mix" -> (q109TemperatureMix _),
     "q167_unimax_plan" -> (q167UnimaxPlan _),
+    "q173_mixture_concentration" -> (q173MixtureConcentration _),
     "q110_span_dedup" -> (q110SpanDedup _),
     "q111_kn_trigram" -> (q111KnTrigram _),
     "q112_perplexity_buckets" -> (q112PerplexityBuckets _)
@@ -3730,6 +3821,7 @@ object Curation {
     "q100_epoch_plan" -> q100Oracle,
     "q109_temperature_mix" -> q109Oracle,
     "q167_unimax_plan" -> q167Oracle,
+    "q173_mixture_concentration" -> q173Oracle,
     "q110_span_dedup" -> q110Oracle,
     "q111_kn_trigram" -> q111Oracle,
     "q112_perplexity_buckets" -> q112Oracle

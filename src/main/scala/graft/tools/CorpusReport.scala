@@ -359,6 +359,14 @@ object CorpusReport {
       line(f"pick ${r.getInt(0)}%2d: vec=${r.getLong(1)}%6d label=${r.getInt(2)}%2d $rad")
     }
 
+    section("mixture concentration (q173): how concentrated is the corpus across sources")
+    Curation.q173MixtureConcentration(spark, dir).collect().foreach { r =>
+      line(
+        f"n=${r.getLong(0)} hhi=${r.getDouble(2)}%6.4f effHHI=${r.getDouble(3)}%6.2f " +
+          f"gini=${r.getDouble(4)}%6.4f H=${r.getDouble(5)}%6.4f effHill=${r.getDouble(6)}%6.2f"
+      )
+    }
+
     section("decontamination ledger (q172): action cost per source over the train split")
     Dedup.q172DecontamLedger(spark, dir).collect().foreach { r =>
       line(

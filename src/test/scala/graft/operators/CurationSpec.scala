@@ -1618,6 +1618,44 @@ class CurationSpec extends SparkSpec {
     info(s"sf0.001: budget=$budget, ${rows.values.count(_._4 == "capped")} capped / ${rows.values.count(_._4 == "uniform")} uniform")
   }
 
+  test("q173 concentration: equals a single-node replay; Hill/HHI/Gini read a near-uniform corpus correctly") {
+    val row = Curation.q173MixtureConcentration(spark, sfDir).collect().head
+    val masses = graft.core.Tables
+      .documents(spark, sfDir)
+      .select("source", "text")
+      .collect()
+      .map(r => r.getString(0) -> r.getString(1).trim.toLowerCase.split("\\s+").length.toLong)
+      .groupBy(_._1)
+      .view
+      .mapValues(_.map(_._2).sum)
+      .toMap
+    val n = masses.size.toLong
+    val tt = masses.values.sum
+    val s2 = masses.values.map(t => BigInt(t) * BigInt(t)).sum
+    val sw = masses.toSeq.sortBy(m => (m._2, m._1)).zipWithIndex.map { case ((_, t), i) =>
+      BigInt(i + 1) * BigInt(t)
+    }.sum
+    val emm = masses.values
+      .map(t => math.floor(-(t.toDouble / tt) * math.log(t.toDouble / tt) * 1e6 + 0.5).toLong)
+      .sum
+    assert(row.getLong(0) === n && row.getLong(1) === tt)
+    assert(row.getDouble(2) === math.floor(s2.toDouble * 1e6 / (tt.toDouble * tt.toDouble) + 0.5) / 1e6, "hhi")
+    assert(row.getDouble(3) === math.floor(tt.toDouble * tt.toDouble * 1e6 / s2.toDouble + 0.5) / 1e6, "eff hhi")
+    assert(
+      row.getDouble(4) === math.floor((2.0 * sw.toDouble - (n + 1) * tt.toDouble) * 1e6 / (n * tt.toDouble) + 0.5) / 1e6,
+      "gini"
+    )
+    assert(row.getDouble(5) === emm / 1e6, "entropy")
+    assert(row.getDouble(6) === math.floor(math.exp(emm / 1e6) * 1e6 + 0.5) / 1e6, "eff hill")
+    // this synthetic corpus spreads sources near-uniformly: the effective
+    // counts must sit close to n and Gini must read low
+    assert(row.getDouble(3) > n * 0.8 && row.getDouble(6) > n * 0.8, "near-uniform corpus: high effective counts")
+    assert(row.getDouble(4) < 0.3, "near-uniform corpus: low Gini")
+    info(
+      f"sf0.001: n=$n hhi=${row.getDouble(2)}%.4f effHHI=${row.getDouble(3)}%.2f gini=${row.getDouble(4)}%.4f effHill=${row.getDouble(6)}%.2f"
+    )
+  }
+
   test("q170 pack manifest: aggregates exactly to q66's bins; streams contiguous; straddlers flagged") {
     val man = Curation
       .q170PackManifest(spark, sfDir)
