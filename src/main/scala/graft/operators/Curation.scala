@@ -66,8 +66,8 @@ object Curation {
   // ---------------------------------------------------------------------------
   val ShardsConf = "graft.curation.shards"
   val CtxConf = "graft.curation.ctx"
-  private val CTX = 512
-  private val SHARDS = 8
+  private[graft] val CTX = 512
+  private[graft] val SHARDS = 8
 
   def q66ContextPack(spark: SparkSession, dir: String): DataFrame = {
     // defaults match the registered DuckDB oracle; the confs are the
@@ -157,15 +157,40 @@ object Curation {
             s"the registered oracle assumes shards=$SHARDS, ctx=$CTX — compare against " +
             s"Curation.q170OracleFor($shards, $ctx) instead"
         )
+    val base = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(
+        Seq(
+          org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("shard", org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("base", org.apache.spark.sql.types.LongType)
+        )
+      )
+    )
+    manifestFrom(Tables.documents(spark, dir), base, shards, ctx)
+  }
+
+  /** The manifest over a documents frame given per-(lang, shard) BASE
+    * offsets — token mass already packed ahead of these docs. The batch
+    * q170 passes an empty base; [[graft.streaming.StreamingPack]] passes
+    * the covered streams' totals, which is EXACTLY equivalent because ids
+    * are monotone (a delta is a per-stream suffix, so its cumulative sums
+    * are the batch sums shifted by the covered mass — prefix sums are
+    * append-only state).
+    */
+  private[graft] def manifestFrom(docs: DataFrame, base: DataFrame, shards: Int, ctx: Int): DataFrame = {
     val w = Window
       .partitionBy(col("lang"), col("shard"))
       .orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    Tables
-      .documents(spark, dir)
+    docs
       .select(col("lang"), col("doc_id"), size(split(trim(col("text")), "\\s+")).as("n_tokens"))
       .withColumn("shard", pmod(col("doc_id"), lit(shards)).cast("int"))
-      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .join(base, Seq("lang", "shard"), "left")
+      .withColumn(
+        "cum_before",
+        coalesce(col("base"), lit(0L)) + coalesce(sum(col("n_tokens")).over(w), lit(0L))
+      )
       .select(
         col("lang"),
         col("shard"),

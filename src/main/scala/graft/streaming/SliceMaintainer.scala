@@ -80,7 +80,7 @@ private[streaming] object SliceMaintainer {
     }
   }
 
-  private def writeWatermark(stateDir: String, hi: Long): Unit = {
+  private[streaming] def writeWatermark(stateDir: String, hi: Long): Unit = {
     val tmp = Paths.get(stateDir, "state.json.tmp")
     Files.writeString(tmp, s"""{"max_doc_id": $hi}""")
     Files.move(tmp, Paths.get(stateDir, "state.json"), StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)

@@ -1,0 +1,104 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.operators.Curation
+
+/** Live pack manifest: keeps q170's per-document placement table current
+  * as document files land, at O(delta) per tick — so the training loader's
+  * placement artifact extends in place instead of re-packing the corpus.
+  *
+  * Why the tick is exact: packing offsets are PREFIX SUMS in doc_id order,
+  * and ingest ids are monotone — a delta is a per-(lang, shard) stream
+  * SUFFIX, so its placements are the batch placements shifted by the
+  * covered streams' token totals. The tick therefore packs only the delta
+  * against the per-stream BASE offsets derived from the already-committed
+  * slices (via `readBelow`, so a crashed tick's replay never reads its own
+  * stale slice), through the SAME [[Curation.manifestFrom]] the batch
+  * query runs — union-of-slices equals batch q170 row for row. Earlier
+  * documents' placements never change (append-only state, no retroactive
+  * repair by construction).
+  *
+  * The maintainer packs at the DEFAULT knobs (shards/ctx): state written
+  * across ticks must not depend on a session conf that could differ
+  * between ticks. The tick/watermark/crash protocol mirrors
+  * [[SliceMaintainer]] (re-spelled here only because the slice needs the
+  * prior-state base, which the shared template's slice closure cannot
+  * see at the right crash-replay boundary).
+  */
+object StreamingPack {
+
+  private val manifestSchema = StructType(
+    Seq(
+      StructField("lang", StringType),
+      StructField("shard", IntegerType),
+      StructField("doc_id", LongType),
+      StructField("start_offset", LongType),
+      StructField("n_tokens", LongType),
+      StructField("bin", IntegerType),
+      StructField("offset_in_bin", LongType),
+      StructField("end_bin", IntegerType),
+      StructField("crosses", IntegerType)
+    )
+  )
+
+  /** One maintenance tick; returns the number of delta docs packed
+    * (0 = no-op tick).
+    */
+  def tick(spark: SparkSession, dataDir: String, stateDir: String): Long = {
+    val wm = SliceMaintainer.readWatermark(stateDir)
+    val docs = graft.core.Tables.documents(spark, dataDir)
+    val delta = docs.filter(col("doc_id") > wm)
+    val mm = delta
+      .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"), count(lit(1)).as("n"))
+      .head()
+    val n = mm.getAs[Long]("n")
+    if (n == 0L) return 0L
+    val (lo, hi) = (mm.getAs[Long]("lo"), mm.getAs[Long]("hi"))
+
+    val family = s"$stateDir/manifest"
+    val base = SliceStore
+      .readBelow(spark, family, lo, manifestSchema)
+      .groupBy(col("lang"), col("shard"))
+      .agg(sum(col("n_tokens")).as("base"))
+    Curation
+      .manifestFrom(delta, base, Curation.SHARDS, Curation.CTX)
+      .write
+      .mode("overwrite")
+      .parquet(s"$family/delta_$lo")
+
+    SliceMaintainer.writeWatermark(stateDir, hi)
+    graft.operators.SessionCache.invalidateAllFor(spark, dataDir)
+    SliceStore.maybeCompact(spark, family, hi)
+    n
+  }
+
+  /** The maintained manifest — q170's exact output over every document
+    * the ticks have covered.
+    */
+  def manifestTable(spark: SparkSession, stateDir: String): DataFrame =
+    SliceStore
+      .read(spark, s"$stateDir/manifest")
+      .orderBy(col("lang"), col("shard"), col("doc_id"))
+
+  /** Wire the tick to a file stream over the documents landing path. */
+  def start(
+      spark: SparkSession,
+      dataDir: String,
+      stateDir: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      onTick: Long => Unit = _ => ()
+  ): StreamingQuery =
+    SliceMaintainer.start(
+      spark,
+      dataDir,
+      stateDir,
+      "_pack_checkpoint",
+      trigger,
+      onTick,
+      () => tick(spark, dataDir, stateDir)
+    )
+}

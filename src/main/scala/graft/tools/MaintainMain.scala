@@ -1,6 +1,6 @@
 package graft.tools
 
-import graft.streaming.{StreamingBloomScreen, StreamingCorpus, StreamingDriftWatch, StreamingDupClusters, StreamingSample, StreamingScd2, StreamingSourceSketch, StreamingSpanDedup, StreamingWinnow}
+import graft.streaming.{StreamingBloomScreen, StreamingCorpus, StreamingDriftWatch, StreamingPack, StreamingDupClusters, StreamingSample, StreamingScd2, StreamingSourceSketch, StreamingSpanDedup, StreamingWinnow}
 
 /** CLI entry points for the incremental maintainers — one tick per
   * invocation (the cron / entrypoint shape; the file-stream variants run
@@ -91,7 +91,7 @@ object SpanMaintainMain {
   *
   * Expects the standard layout under dataDir (`documents.parquet`, and
   * optionally `embeddings.parquet` — the ANN append-refresh is skipped when
-  * absent). State lands under stateDir/{corpus,clusters,spans,drift,sketch,ann}.
+  * absent). State lands under stateDir/{corpus,clusters,spans,drift,sketch,winnow,sample,bloom,pack,ann,bm25}.
   */
 object IngestTick {
 
@@ -105,6 +105,7 @@ object IngestTick {
       winnowDelta: Long,
       sampleDelta: Long,
       bloomDelta: Long,
+      packDelta: Long,
       ann: Seq[(String, graft.operators.Similarity.PersistOutcome)],
       bm25: graft.operators.Similarity.PersistOutcome
   )
@@ -123,6 +124,7 @@ object IngestTick {
     val winnowDelta = StreamingWinnow.tick(spark, dataDir, s"$stateDir/winnow")
     val sampleDelta = StreamingSample.tick(spark, dataDir, s"$stateDir/sample")
     val bloomDelta = StreamingBloomScreen.tick(spark, dataDir, s"$stateDir/bloom")
+    val packDelta = StreamingPack.tick(spark, dataDir, s"$stateDir/pack")
     val ann =
       if (java.nio.file.Files.exists(java.nio.file.Paths.get(dataDir, "embeddings.parquet"))) {
         // StreamingIndexer's discipline: refresh conf on a DEDICATED session
@@ -138,7 +140,7 @@ object IngestTick {
       m.conf.set(graft.operators.Retrieval.Bm25RefreshConf, "append")
       graft.operators.Retrieval.persistBm25Index(m, dataDir, s"$stateDir/bm25")
     }
-    Outcome(corpus, clusterDelta, spanDelta, spanRetro, driftDelta, sketchDelta, winnowDelta, sampleDelta, bloomDelta, ann, bm25)
+    Outcome(corpus, clusterDelta, spanDelta, spanRetro, driftDelta, sketchDelta, winnowDelta, sampleDelta, bloomDelta, packDelta, ann, bm25)
   }
 }
 
@@ -162,6 +164,7 @@ object IngestTickMain {
       println(s"[ingest-tick] winnow delta=${o.winnowDelta}")
       println(s"[ingest-tick] sample delta=${o.sampleDelta}")
       println(s"[ingest-tick] bloom delta=${o.bloomDelta}")
+      println(s"[ingest-tick] pack delta=${o.packDelta}")
       if (o.ann.isEmpty) println("[ingest-tick] ann skipped (no embeddings.parquet)")
       else o.ann.foreach { case (fam, out) => println(s"[ingest-tick] ann $fam -> $out") }
       println(s"[ingest-tick] bm25 -> ${o.bm25}")

@@ -90,6 +90,13 @@ class IngestTickSpec extends SparkSpec {
           Curation.q166BloomScreen(spark, dataDir).collect().toSeq.map(_.toSeq),
         s"drop first=$first: maintained bloom screen != batch q166"
       )
+      assert(o.packDelta > 0, s"drop first=$first: pack tick must see the delta")
+      assert(
+        graft.streaming.StreamingPack
+          .manifestTable(spark, s"$stateDir/pack").collect().toSeq.map(_.toSeq) ===
+          Curation.q170PackManifest(spark, dataDir).collect().toSeq.map(_.toSeq),
+        s"drop first=$first: maintained pack manifest != batch q170"
+      )
       assert(o.winnowDelta > 0, s"drop first=$first: winnow tick must see the delta")
       assert(
         graft.streaming.StreamingWinnow
@@ -127,7 +134,7 @@ class IngestTickSpec extends SparkSpec {
     assert(
       o3.corpus.mode === "noop" && o3.clusterDelta === 0L && o3.spanDelta === 0L &&
         o3.driftDelta === 0L && o3.sketchDelta === 0L && o3.winnowDelta === 0L &&
-        o3.sampleDelta === 0L && o3.bloomDelta === 0L
+        o3.sampleDelta === 0L && o3.bloomDelta === 0L && o3.packDelta === 0L
     )
     info(s"two drops + noop tick verified against batch twins")
   }
