@@ -2606,7 +2606,11 @@ object Curation {
       .orderBy(col("lang"))
   }
 
-  val q126Oracle: String = {
+  /** The shared eval prefix (features `f` + rule-battery labels `lab`) for
+    * q126 and q174 — one text, so the two evals can never score or label
+    * differently.
+    */
+  private lazy val qmEvalPrefixSql: String = {
     val langList = TargetLangs.map(l => s"'$l'").mkString(", ")
     s"""WITH d AS (
        |  SELECT doc_id, lang, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
@@ -2641,8 +2645,12 @@ object Curation {
        |    floor(len(regexp_extract_all(array_to_string(toks, ' '), '\\b(the|a|of|and|to|in|is|it|that|for)\\b'))::DOUBLE
        |          / len(toks) * 1e6 + 5e-1) / 1e6 AS f_stop,
        |    floor((1.0 - len(list_distinct(grams))::DOUBLE / len(grams)) * 1e6 + 5e-1) / 1e6 AS f_rep
-       |  FROM g),
-       |p AS (
+       |  FROM g)""".stripMargin
+  }
+
+  val q126Oracle: String =
+    qmEvalPrefixSql + ",\n" +
+    s"""p AS (
        |  SELECT doc_id, lang,
        |         floor(1e0 / (1e0 + exp(-($QM_BIAS + $QM_W_LEN * f_len + $QM_W_STOP * f_stop + $QM_W_REP * f_rep))) * 1e6 + 5e-1) / 1e6 AS prob
        |  FROM f),
@@ -2663,6 +2671,105 @@ object Curation {
        |            THEN floor(CAST(sum(u2) AS DOUBLE) / (2 * sum(np) * sum(nn)) * 1e6 + 0.5) / 1e6
        |       END AS auc
        |FROM u GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q174 — quality-model FEATURE ABLATION: q126's exact AUC re-scored with
+  // each feature's weight zeroed, one variant per row next to the full
+  // model and its AUC deficit — the "which feature earns its keep" table a
+  // curator reads before spending compute improving (or dropping) a
+  // signal. The ablation convention is the standard one (retrain-free
+  // weight zeroing; with a linear model over pre-floored features the
+  // ablated score is itself a valid model, so the comparison is exact,
+  // not an approximation).
+  //
+  // Exactness: per-variant probs are the SAME floor-6dp sigmoid over the
+  // same pre-floored features (one expression template instantiated per
+  // weight set, shared with the oracle); each variant's AUC runs q126's
+  // finite-grid rank-sum (no pair join); the deficit is a floored-micro
+  // difference of two already-floored 6dp values. Labels and features
+  // come from the SAME oracle prefix as q126 ([[qmEvalPrefixSql]]), so
+  // the two evals can never disagree on scoring or labeling.
+  //
+  // Scale shape: one corpus scan for features + one for labels (q126's
+  // plan), a 4-way stack (a Generate), a (variant, prob) aggregate, then
+  // windows over the bounded per-score grid; the full-model reference
+  // rides a 4-row window, never a corpus pass.
+  // ---------------------------------------------------------------------------
+  private val QM_ABLATIONS: Seq[(String, (Double, Double, Double))] = Seq(
+    "full" -> ((QM_W_LEN, QM_W_STOP, QM_W_REP)),
+    "no_len" -> ((0.0, QM_W_STOP, QM_W_REP)),
+    "no_rep" -> ((QM_W_LEN, QM_W_STOP, 0.0)),
+    "no_stop" -> ((QM_W_LEN, 0.0, QM_W_REP))
+  )
+
+  private def ablatedProbSql(wl: Double, ws: Double, wr: Double): String =
+    s"floor(1e0 / (1e0 + exp(-($QM_BIAS + $wl * f_len + $ws * f_stop + $wr * f_rep))) * 1e6 + 5e-1) / 1e6"
+
+  def q174FeatureAblation(spark: SparkSession, dir: String): DataFrame = {
+    val scored = qualityScored(spark, dir).select(col("doc_id"), col("f_len"), col("f_stop"), col("f_rep"))
+    val labels = funnelSignals(Tables.balanced(Tables.documents(spark, dir)))
+      .select(col("doc_id"), when(col("reason") === "pass", 1L).otherwise(0L).as("y"))
+    val stackArgs = QM_ABLATIONS
+      .map { case (v, (wl, ws, wr)) => s"'$v', ${ablatedProbSql(wl, ws, wr)}" }
+      .mkString(", ")
+    val stacked = scored
+      .join(labels, Seq("doc_id"))
+      .selectExpr("y", s"stack(${QM_ABLATIONS.size}, $stackArgs) AS (variant, prob)")
+    val perScore = stacked
+      .groupBy(col("variant"), col("prob"))
+      .agg(sum(col("y")).as("np"), sum(lit(1L) - col("y")).as("nn"))
+    val w = Window
+      .partitionBy(col("variant"))
+      .orderBy(col("prob"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perScore
+      .withColumn("cum_nn", coalesce(sum(col("nn")).over(w), lit(0L)))
+      .withColumn("u2", col("np") * (lit(2L) * col("cum_nn") + col("nn")))
+      .groupBy(col("variant"))
+      .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"), sum(col("u2")).as("u2"))
+      .withColumn(
+        "auc",
+        when(
+          col("n_pos") > 0 && col("n_neg") > 0,
+          floor(col("u2").cast("double") / (lit(2d) * col("n_pos") * col("n_neg")) * lit(1e6) + lit(0.5)) / lit(1e6)
+        )
+      )
+      .withColumn(
+        "full_auc",
+        max(when(col("variant") === "full", col("auc"))).over(Window.partitionBy())
+      )
+      .withColumn("delta_auc", expr("floor((full_auc - auc) * 1e6 + 5e-1) / 1e6"))
+      .select(col("variant"), col("n_pos"), col("n_neg"), col("auc"), col("delta_auc"))
+      .orderBy(col("variant"))
+  }
+
+  val q174Oracle: String = {
+    val variants = QM_ABLATIONS
+      .map { case (v, (wl, ws, wr)) =>
+        s"SELECT '$v' AS variant, doc_id, ${ablatedProbSql(wl, ws, wr)} AS prob FROM f"
+      }
+      .mkString("\n  UNION ALL ")
+    qmEvalPrefixSql + ",\n" +
+      s"""pv AS (
+         |  $variants),
+         |ps AS (
+         |  SELECT pv.variant, pv.prob, CAST(sum(y) AS BIGINT) AS np, CAST(sum(1 - y) AS BIGINT) AS nn
+         |  FROM pv JOIN lab USING (doc_id) GROUP BY 1, 2),
+         |u AS (
+         |  SELECT variant, np, nn,
+         |         np * (2 * coalesce(sum(nn) OVER (PARTITION BY variant ORDER BY prob
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + nn) AS u2
+         |  FROM ps),
+         |a AS (
+         |  SELECT variant, CAST(sum(np) AS BIGINT) AS n_pos, CAST(sum(nn) AS BIGINT) AS n_neg,
+         |         CASE WHEN sum(np) > 0 AND sum(nn) > 0
+         |              THEN floor(CAST(sum(u2) AS DOUBLE) / (2 * sum(np) * sum(nn)) * 1e6 + 0.5) / 1e6
+         |         END AS auc
+         |  FROM u GROUP BY 1),
+         |fa AS (SELECT auc AS full_auc FROM a WHERE variant = 'full')
+         |SELECT a.variant, a.n_pos, a.n_neg, a.auc,
+         |       floor((fa.full_auc - a.auc) * 1e6 + 5e-1) / 1e6 AS delta_auc
+         |FROM a, fa ORDER BY a.variant""".stripMargin
   }
 
   // ---------------------------------------------------------------------------
@@ -3786,6 +3893,7 @@ object Curation {
     "q140_blocklist_screen" -> (q140BlocklistScreen _),
     "q143_quality_calibration" -> (q143QualityCalibration _),
     "q126_quality_auc" -> (q126QualityAuc _),
+    "q174_feature_ablation" -> (q174FeatureAblation _),
     "q131_signal_agreement" -> (q131SignalAgreement _),
     "q66_context_pack" -> (q66ContextPack _),
     "q170_pack_manifest" -> (q170PackManifest _),
@@ -3825,6 +3933,7 @@ object Curation {
     "q140_blocklist_screen" -> q140Oracle,
     "q143_quality_calibration" -> q143Oracle,
     "q126_quality_auc" -> q126Oracle,
+    "q174_feature_ablation" -> q174Oracle,
     "q131_signal_agreement" -> q131Oracle,
     "q66_context_pack" -> q66Oracle,
     "q170_pack_manifest" -> q170Oracle,

@@ -359,6 +359,14 @@ object CorpusReport {
       line(f"pick ${r.getInt(0)}%2d: vec=${r.getLong(1)}%6d label=${r.getInt(2)}%2d $rad")
     }
 
+    section("feature ablation (q174): AUC deficit per zeroed quality-model feature")
+    Curation.q174FeatureAblation(spark, dir).collect().foreach { r =>
+      line(
+        f"${r.getString(0)}%8s auc=${r.getDouble(3)}%6.4f deficit=${r.getDouble(4)}%+8.4f " +
+          f"(pos=${r.getLong(1)} neg=${r.getLong(2)})"
+      )
+    }
+
     section("mixture concentration (q173): how concentrated is the corpus across sources")
     Curation.q173MixtureConcentration(spark, dir).collect().foreach { r =>
       line(

@@ -1618,6 +1618,47 @@ class CurationSpec extends SparkSpec {
     info(s"sf0.001: budget=$budget, ${rows.values.count(_._4 == "capped")} capped / ${rows.values.count(_._4 == "uniform")} uniform")
   }
 
+  test("q174 ablation: full row == q126's 'all'; each variant equals the naive pairwise AUC from re-scored features") {
+    val got = Curation
+      .q174FeatureAblation(spark, sfDir)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(got.keySet === Set("full", "no_len", "no_stop", "no_rep"))
+    // cross-view: the full variant IS q126's 'all' row
+    val q126All = Curation.q126QualityAuc(spark, sfDir).collect().find(_.getString(0) == "all").get
+    assert(got("full")._1 === q126All.getLong(1) && got("full")._2 === q126All.getLong(2))
+    assert(got("full")._3 === q126All.getDouble(3), "full-model AUC must equal q126's all-row")
+    assert(got("full")._4 === 0.0, "the full model has no deficit against itself")
+    // per-variant naive pairwise replay from the per-doc features + labels
+    val feats = Curation
+      .q84QualityModel(spark, sfDir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    val pass = Curation
+      .funnelSignals(graft.core.Tables.documents(spark, sfDir))
+      .select("doc_id", "reason")
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[String]("reason") == "pass"))
+      .toMap
+    def sig(z: Double) = math.floor(1.0 / (1.0 + math.exp(-z)) * 1e6 + 0.5) / 1e6
+    val weights =
+      Map("full" -> ((3.0, 4.0, -5.0)), "no_len" -> ((0.0, 4.0, -5.0)), "no_stop" -> ((3.0, 0.0, -5.0)), "no_rep" -> ((3.0, 4.0, 0.0)))
+    weights.foreach { case (v, (wl, ws, wr)) =>
+      val scored = feats.toSeq.map { case (id, (fl, fs, fr)) =>
+        (sig(-2.0 + wl * fl + ws * fs + wr * fr), pass(id))
+      }
+      val pos = scored.filter(_._2).map(_._1)
+      val neg = scored.filterNot(_._2).map(_._1)
+      val u2 = (for (p <- pos; n <- neg) yield if (p > n) 2L else if (p == n) 1L else 0L).sum
+      val auc = math.floor(u2.toDouble / (2d * pos.size * neg.size) * 1e6 + 0.5) / 1e6
+      assert(got(v)._3 === auc, s"$v AUC must equal the naive pairwise definition over re-scored features")
+      assert(got(v)._4 === math.floor((got("full")._3 - auc) * 1e6 + 0.5) / 1e6, s"$v deficit")
+    }
+    info(s"sf0.001 ablation: ${got.toSeq.sortBy(_._1).map { case (v, t) => s"$v=${t._3} (d=${t._4})" }.mkString(", ")}")
+  }
+
   test("q173 concentration: equals a single-node replay; Hill/HHI/Gini read a near-uniform corpus correctly") {
     val row = Curation.q173MixtureConcentration(spark, sfDir).collect().head
     val masses = graft.core.Tables
