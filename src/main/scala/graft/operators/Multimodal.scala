@@ -629,6 +629,97 @@ object Multimodal {
       |ORDER BY media_a, media_b""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // q175 — audio near-duplicate mining by energy-shingle fingerprints: the
+  // chromaprint-style recipe scaled down to the codec seam — per audio the
+  // energy envelope (q116's windows; a real pipeline substitutes chroma
+  // features, plan unchanged), every 4 consecutive energies hashed into a
+  // fingerprint, pairs from the exact fingerprint EQUI-JOIN kept at >= 50%
+  // containment of the smaller side's distinct fingerprints (q115's
+  // containment tail verbatim). Completes the multimodal dedup matrix:
+  // q114/q156 image, q115 video, q175 audio. Shingling (not per-window
+  // hashing) is what makes the fingerprint discriminative — single window
+  // energies are small integers that collide everywhere; a 4-gram ties
+  // them to their local sequence.
+  //
+  // Fully oracle-gated: energies replay as ascii-sum windows (q116's
+  // contract) and the shingle is string concatenation of exact integers,
+  // so DuckDB derives the identical md5 keys. Scale: shuffle keys are
+  // 32-byte hashes; the pair stage is a keyed equi-join, never all-pairs
+  // (the q71/q115 shape).
+  // ---------------------------------------------------------------------------
+  def q175AudioNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    val win = mediaTable(spark, dir)
+      .filter(col("kind") === lit("audio") && length(col("payload")) > 0)
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.grouped(DecodeBatchSize).flatMap(_.flatMap { m =>
+          Codec.energyWindows(m.payload).zipWithIndex.map { case (e, i) => (m.media_id, i, e) }
+        })
+      }
+      .toDF("media_id", "idx", "energy")
+    val wSeq = Window.partitionBy(col("media_id")).orderBy(col("idx"))
+    val inst = win
+      .withColumn("e1", lead(col("energy"), 1).over(wSeq))
+      .withColumn("e2", lead(col("energy"), 2).over(wSeq))
+      .withColumn("e3", lead(col("energy"), 3).over(wSeq))
+      .filter(col("e3").isNotNull)
+      .select(col("media_id"), md5(concat_ws("_", col("energy"), col("e1"), col("e2"), col("e3"))).as("fp"))
+      .distinct() // containment is over DISTINCT fingerprints per audio
+      .localCheckpoint()
+    val nf = inst.groupBy(col("media_id")).agg(count(lit(1)).as("nf"))
+    val sh = inst
+      .as("l")
+      .join(inst.as("r"), col("l.fp") === col("r.fp") && col("l.media_id") < col("r.media_id"))
+      .groupBy(col("l.media_id").as("media_a"), col("r.media_id").as("media_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+    sh.join(nf.select(col("media_id").as("media_a"), col("nf").as("nf_a")), "media_a")
+      .join(nf.select(col("media_id").as("media_b"), col("nf").as("nf_b")), "media_b")
+      .filter(col("shared_fps").cast("double") / least(col("nf_a"), col("nf_b")) >= 0.5)
+      .select(
+        col("media_a"),
+        col("media_b"),
+        col("shared_fps"),
+        expr("floor(CAST(shared_fps AS DOUBLE) * 1e6 / least(nf_a, nf_b) + 5e-1) / 1e6").as("containment")
+      )
+      .orderBy(col("media_a"), col("media_b"))
+  }
+
+  val q175Oracle: String =
+    """WITH a AS (
+      |  SELECT doc_id AS media_id, text, octet_length(encode(text)) AS n
+      |  FROM documents
+      |  WHERE ['image','audio','video'][(doc_id % 3 + 1)::INT] = 'audio'
+      |    AND octet_length(encode(text)) > 0),
+      |win AS (
+      |  SELECT media_id,
+      |         unnest(list_transform(range(0, CAST(ceil(n / 50.0) AS INT)), c -> c)) AS idx,
+      |         unnest(list_transform(range(0, CAST(ceil(n / 50.0) AS INT)), c ->
+      |           coalesce(list_sum(list_transform(list_filter(range(c*50 + 1, (c+1)*50 + 1), i -> i <= n),
+      |                    i -> ascii(substring(text, i, 1)))), 0))) AS energy
+      |  FROM a),
+      |es AS (SELECT media_id, list(energy ORDER BY idx) AS e FROM win GROUP BY 1),
+      |fp0 AS (
+      |  SELECT media_id,
+      |         unnest(list_transform(range(1, len(e) - 2), i ->
+      |           md5(CAST(e[i] AS VARCHAR) || '_' || CAST(e[i+1] AS VARCHAR) || '_' ||
+      |               CAST(e[i+2] AS VARCHAR) || '_' || CAST(e[i+3] AS VARCHAR)))) AS fp
+      |  FROM es WHERE len(e) >= 4),
+      |inst AS (SELECT DISTINCT media_id, fp FROM fp0),
+      |nf AS (SELECT media_id, count(*) AS nf FROM inst GROUP BY 1),
+      |sh AS (
+      |  SELECT l.media_id AS media_a, r.media_id AS media_b, count(*) AS shared_fps
+      |  FROM inst l JOIN inst r ON l.fp = r.fp AND l.media_id < r.media_id
+      |  GROUP BY 1, 2)
+      |SELECT media_a, media_b,
+      |       CAST(shared_fps AS BIGINT) AS shared_fps,
+      |       floor(CAST(shared_fps AS DOUBLE) * 1e6 / least(a.nf, b.nf) + 5e-1) / 1e6 AS containment
+      |FROM sh JOIN nf a ON sh.media_a = a.media_id JOIN nf b ON sh.media_b = b.media_id
+      |WHERE CAST(shared_fps AS DOUBLE) / least(a.nf, b.nf) >= 0.5
+      |ORDER BY media_a, media_b""".stripMargin
+
+  // ---------------------------------------------------------------------------
   // q116 — audio activity segmentation: the VAD-shaped preprocessing a
   // speech-data pipeline runs before transcription/filtering — an energy
   // envelope per audio (50-byte windows from the batched codec seam; a real
@@ -917,6 +1008,7 @@ object Multimodal {
     "q114_image_neardup" -> (q114ImageNeardup _),
     "q115_video_neardup" -> (q115VideoNeardup _),
     "q116_audio_activity" -> (q116AudioActivity _),
+    "q175_audio_neardup" -> (q175AudioNeardup _),
     "q156_image_dup_clusters" -> (q156ImageDupClusters _)
   )
 
@@ -1007,6 +1099,7 @@ object Multimodal {
     "q114_image_neardup" -> q114Oracle,
     "q115_video_neardup" -> q115Oracle,
     "q116_audio_activity" -> q116Oracle,
+    "q175_audio_neardup" -> q175Oracle,
     "q156_image_dup_clusters" -> q156Oracle
   )
 }

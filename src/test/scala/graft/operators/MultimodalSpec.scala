@@ -188,6 +188,39 @@ class MultimodalSpec extends SparkSpec {
     info(s"sf0.001: ${rows.length} video near-dup pairs")
   }
 
+  test("q175 audio near-dup: planted copies pair by energy-shingle containment; invariants at sf0.001") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q175").toString
+    // 400 chars = 8 exact 50-byte energy windows -> 5 4-gram fingerprints
+    val base = (1 to 400).map(i => ('a' + (i * 7 + 3) % 26).toChar).mkString
+    // first WINDOW swapped: only the gram touching window 0 differs -> 4/5 shared
+    val firstSwap = (1 to 50).map(i => ('A' + i % 26).toChar).mkString + base.drop(50)
+    val unrelated = (1 to 400).map(i => ('a' + (i * 11 + 5) % 26).toChar).mkString
+    // ids 1, 4, 7, 10: all land in mediaTable's audio kind (doc_id % 3 == 1)
+    Seq((1L, base), (4L, base), (7L, firstSwap), (10L, unrelated))
+      .map { case (id, text) => (id, text, "en", "srcX", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write
+      .parquet(s"$dir/documents.parquet")
+    val got = Multimodal
+      .q175AudioNeardup(spark, dir)
+      .collect()
+      .map(r => (r.getAs[Long]("media_a"), r.getAs[Long]("media_b")) -> ((r.getAs[Long]("shared_fps"), r.getAs[Double]("containment"))))
+      .toMap
+    assert(got((1L, 4L)) === ((5L, 1.0)), s"verbatim copy must share all 5 fingerprints: $got")
+    assert(got((1L, 7L)) === ((4L, 0.8)) && got((4L, 7L)) === ((4L, 0.8)), s"one swapped window: $got")
+    assert(!got.keySet.exists(p => p._1 == 10L || p._2 == 10L), s"unrelated audio must not pair: $got")
+
+    // corpus invariants: both sides audio-kind, containment in [0.5, 1]
+    val rows = Multimodal.q175AudioNeardup(spark, sfDir).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("media_a") % 3 === 1L && r.getAs[Long]("media_b") % 3 === 1L)
+      val c = r.getAs[Double]("containment")
+      assert(c >= 0.5 && c <= 1.0, s"containment out of range: $r")
+    }
+    info(s"sf0.001: ${rows.length} audio near-dup pairs")
+  }
+
   test("q116 audio activity: planted loud/quiet envelope segments exactly; invariants at sf0.001") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("q116").toString
