@@ -240,6 +240,9 @@ object Bench {
     // (each feeds its own query, the mask export, and q117's dashboard)
     phase("q71_chunks")(operators.Curation.q71PassageDedup(spark, sfDir))
     phase("q110_grams")(operators.Curation.q110SpanDedup(spark, sfDir))
+    // the staged 8-gram shingle table is session-cached (one gram
+    // explode+distinct feeds q67, q163's breadth leg, q172, and q166)
+    phase("q67_shingles")(operators.Curation.buildShingleStage(spark, sfDir))
 
     // repeat each query and report the MEDIAN: single-shot timings on a
     // shared box fold scheduler noise into query cost (observed up to 10x

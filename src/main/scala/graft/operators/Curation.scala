@@ -288,9 +288,30 @@ object Curation {
       .select(col("doc_id"), col("bucket"), expr(s"$hashFn(shingle)").as("sh_key"))
       .distinct()
 
+  /** Session-scoped staged shingle table per (dir, hash mode) — the gram
+    * explode + distinct is the expensive pass and FOUR consumers read it
+    * (q67 directly, q163's breadth leg, q172 through q163, q166 under the
+    * md5 semantics), so it builds once per session like the winnow/chunk
+    * stages. Bench names the build phase (`q67_shingles`).
+    */
+  private val shingleCache = new SessionCache[DataFrame]
+
+  private[graft] def stagedShinglesCached(spark: SparkSession, dir: String, hashFn: String): DataFrame =
+    shingleCache.getOrBuild(spark, s"$dir@sh_$hashFn")(
+      stagedShingles(Tables.balanced(Tables.documents(spark, dir)), hashFn).localCheckpoint()
+    )
+
+  /** Warm the staged shingle cache for this session's shuffle-key mode and
+    * for q166's fixed md5 semantics (the same entry under default knobs).
+    */
+  private[graft] def buildShingleStage(spark: SparkSession, dir: String): Unit = {
+    stagedShinglesCached(spark, dir, keyHashFn(spark))
+    stagedShinglesCached(spark, dir, "md5")
+    ()
+  }
+
   def q67Contamination(spark: SparkSession, dir: String): DataFrame = {
-    val sh = stagedShingles(Tables.balanced(Tables.documents(spark, dir)), keyHashFn(spark))
-      .localCheckpoint()
+    val sh = stagedShinglesCached(spark, dir, keyHashFn(spark))
     val testSh = sh.filter(col("bucket") >= 230).select(col("sh_key")).distinct()
     val train = sh.filter(col("bucket") < 205).select(col("doc_id"), col("sh_key"))
     val perDoc = train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
@@ -416,10 +437,7 @@ object Curation {
   }
 
   def q166BloomScreen(spark: SparkSession, dir: String): DataFrame =
-    bloomScreenFrom(
-      spark,
-      bloomShingles(Tables.balanced(Tables.documents(spark, dir))).localCheckpoint()
-    )
+    bloomScreenFrom(spark, stagedShinglesCached(spark, dir, "md5"))
 
   /** The oracle replays membership as a position join: a train gram is a
     * bloom hit iff every one of its (distinct) positions was set by some
