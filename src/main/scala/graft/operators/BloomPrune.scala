@@ -79,52 +79,61 @@ object BloomPrune {
     */
   private val MaxMd5Blooms = 8
 
-  private val md5BloomBindings =
-    new java.util.WeakHashMap[
-      SparkSession,
-      (java.util.concurrent.atomic.AtomicInteger, scala.collection.mutable.ArrayBuffer[(String, Array[Long], Long)])
-    ]()
+  /** Per-session md5-bloom bindings, LRU-ordered (last = most recent): all
+    * access holds the md5BloomBindings monitor, so plain fields suffice.
+    */
+  private final class Md5Blooms {
+    var nextId = 0
+    val entries = scala.collection.mutable.ArrayBuffer.empty[(String, Array[Long], Long)]
+  }
+
+  private val md5BloomBindings = new java.util.WeakHashMap[SparkSession, Md5Blooms]()
 
   /** Register (or find) the session function bound to this md5 bloom and
-    * return its name.
+    * return its name. A dedup hit refreshes the entry's recency, so an
+    * actively-served bloom is never the eviction victim — the residual
+    * exposure is > MaxMd5Blooms DISTINCT blooms in flight between one
+    * caller's install and its analysis, which fails loudly (undefined
+    * function), never wrongly.
     */
   def installMd5Bloom(spark: SparkSession, bits: Array[Long], numBits: Long): String =
     md5BloomBindings.synchronized {
-      val (counter, list) = {
+      val st = {
         val l = md5BloomBindings.get(spark)
         if (l != null) l
         else {
-          val fresh = (
-            new java.util.concurrent.atomic.AtomicInteger(0),
-            scala.collection.mutable.ArrayBuffer.empty[(String, Array[Long], Long)]
-          )
+          val fresh = new Md5Blooms
           md5BloomBindings.put(spark, fresh)
           fresh
         }
       }
-      list.find { case (_, b, m) =>
+      val hit = st.entries.indexWhere { case (_, b, m) =>
         m == numBits && ((b eq bits) || java.util.Arrays.equals(b, bits))
-      } match {
-        case Some((name, _, _)) => name
-        case None =>
-          val name = s"md5_bloom_contains_${counter.getAndIncrement()}"
-          spark.sessionState.functionRegistry.registerFunction(
-            org.apache.spark.sql.catalyst.FunctionIdentifier(name),
-            new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-              classOf[graft.functions.Md5Bloom.Md5BloomContains].getName,
-              name
-            ),
-            (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-              graft.functions.Md5Bloom.Md5BloomContains(args.head, bits, numBits)
-          )
-          list += ((name, bits, numBits))
-          while (list.size > MaxMd5Blooms) {
-            val (old, _, _) = list.remove(0)
-            spark.sessionState.functionRegistry
-              .dropFunction(org.apache.spark.sql.catalyst.FunctionIdentifier(old))
-            ()
-          }
-          name
+      }
+      if (hit >= 0) {
+        val e = st.entries.remove(hit) // move to back: most-recently used
+        st.entries += e
+        e._1
+      } else {
+        val name = s"md5_bloom_contains_${st.nextId}"
+        st.nextId += 1
+        spark.sessionState.functionRegistry.registerFunction(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+          new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+            classOf[graft.functions.Md5Bloom.Md5BloomContains].getName,
+            name
+          ),
+          (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+            graft.functions.Md5Bloom.Md5BloomContains(args.head, bits, numBits)
+        )
+        st.entries += ((name, bits, numBits))
+        while (st.entries.size > MaxMd5Blooms) {
+          val (old, _, _) = st.entries.remove(0)
+          spark.sessionState.functionRegistry
+            .dropFunction(org.apache.spark.sql.catalyst.FunctionIdentifier(old))
+          ()
+        }
+        name
       }
     }
 

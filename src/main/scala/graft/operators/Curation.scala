@@ -312,8 +312,10 @@ object Curation {
 
   def q67Contamination(spark: SparkSession, dir: String): DataFrame = {
     val sh = stagedShinglesCached(spark, dir, keyHashFn(spark))
-    val testSh = sh.filter(col("bucket") >= 230).select(col("sh_key")).distinct()
-    val train = sh.filter(col("bucket") < 205).select(col("doc_id"), col("sh_key"))
+    val testSh =
+      sh.filter(col("bucket") >= Sampling.SPLIT_VALIDATION_LT).select(col("sh_key")).distinct()
+    val train =
+      sh.filter(col("bucket") < Sampling.SPLIT_TRAIN_LT).select(col("doc_id"), col("sh_key"))
     val perDoc = train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
     val hits = train
       .join(testSh, "sh_key")

@@ -1230,10 +1230,19 @@ object TextOps {
       .select(
         col("source"),
         col("k"),
-        expr("floor(CAST(k * sxy - sx * sy AS double) * 1e6 / CAST(k * sxx - sx * sx AS double) + 5e-1) / 1e6")
-          .as("zipf_slope"),
+        // a source with a single distinct term has OLS variance 0: the
+        // slope is undefined — emit NULL explicitly (under ANSI mode the
+        // raw division would THROW, and DuckDB's NaN would CAST-error:
+        // the q155 singleton lesson, guarded identically in both engines)
         expr(
-          "CASE WHEN floor(CAST(k * sxy - sx * sy AS double) * 1e6 / CAST(k * sxx - sx * sx AS double) + 5e-1)" +
+          "CASE WHEN k * sxx - sx * sx = 0 THEN NULL" +
+            " ELSE floor(CAST(k * sxy - sx * sy AS double) * 1e6 / CAST(k * sxx - sx * sx AS double) + 5e-1) / 1e6 END"
+        ).as("zipf_slope"),
+        // CASE (not AND) so the division is never evaluated on the zero
+        // branch — Spark's conjunctions do not short-circuit in codegen
+        expr(
+          "CASE WHEN k * sxx - sx * sx = 0 THEN 'anomalous'" +
+            " WHEN floor(CAST(k * sxy - sx * sy AS double) * 1e6 / CAST(k * sxx - sx * sx AS double) + 5e-1)" +
             " BETWEEN -1500000 AND -700000 THEN 'zipfian' ELSE 'anomalous' END"
         ).as("verdict")
       )
@@ -1260,9 +1269,11 @@ object TextOps {
        |         CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
        |  FROM xy GROUP BY 1)
        |SELECT source, CAST(k AS BIGINT) AS k,
-       |       floor(CAST(k * sxy - sx * sy AS DOUBLE) * 1e6 / CAST(k * sxx - sx * sx AS DOUBLE) + 5e-1) / 1e6
-       |         AS zipf_slope,
-       |       CASE WHEN floor(CAST(k * sxy - sx * sy AS DOUBLE) * 1e6 / CAST(k * sxx - sx * sx AS DOUBLE) + 5e-1)
+       |       CASE WHEN k * sxx - sx * sx = 0 THEN NULL
+       |            ELSE floor(CAST(k * sxy - sx * sy AS DOUBLE) * 1e6 / CAST(k * sxx - sx * sx AS DOUBLE) + 5e-1) / 1e6
+       |       END AS zipf_slope,
+       |       CASE WHEN k * sxx - sx * sx = 0 THEN 'anomalous'
+       |            WHEN floor(CAST(k * sxy - sx * sy AS DOUBLE) * 1e6 / CAST(k * sxx - sx * sx AS DOUBLE) + 5e-1)
        |                 BETWEEN -1500000 AND -700000 THEN 'zipfian' ELSE 'anomalous' END AS verdict
        |FROM ag ORDER BY source""".stripMargin
 

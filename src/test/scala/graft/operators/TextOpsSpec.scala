@@ -563,4 +563,34 @@ class TextOpsSpec extends SparkSpec {
     info(s"sf0.001: ${out.size} sources, ${out.values.count(_._9 == "attention")} attention, flag histogram ${out.values
         .groupBy(_._8).view.mapValues(_.size).toMap}")
   }
+
+  test("q168 degenerate source: missing legs flag instead of dropping the row; null leg values survive") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q168deg").toString
+    // src_bad: ONE doc of pure punctuation — a single token (so q150 has no
+    // distinct-2 row), no [a-z0-9] terms (so q128's histogram never sees the
+    // source), one distinct term (so q151's OLS denominator is 0 and the
+    // slope is NULL), zero char entropy (the q135 'low' verdict)
+    val docs = Seq(
+      (1L, "!!!", "en", "src_bad"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta", "en", "src_ok"),
+      (3L, "one two three four five six seven eight nine ten", "en", "src_ok")
+    )
+    docs
+      .map { case (id, text, lang, src) => (id, text, lang, src, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write
+      .parquet(s"$dir/documents.parquet")
+    val rows = TextOps.q168SourceHealth(spark, dir).collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet === Set("src_bad", "src_ok"), "the degenerate source must NOT vanish from the scorecard")
+    val bad = rows("src_bad")
+    assert(bad.isNullAt(5), "no distinct-2 row -> null ratio")
+    assert(bad.isNullAt(6), "single-distinct-term OLS -> null slope")
+    assert(bad.isNullAt(7), "no alnum terms -> no drift row -> null js")
+    // flags: entropy 'low' (zero-entropy doc) + missing d2 + anomalous-null
+    // zipf + missing drift = all four fire
+    assert(bad.getInt(8) === 4 && bad.getString(9) === "attention")
+    assert(rows("src_ok").getInt(8) <= 4)
+    info(s"degenerate: flags=${bad.getInt(8)} health=${bad.getString(9)}")
+  }
 }
