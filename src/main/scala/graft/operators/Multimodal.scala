@@ -720,6 +720,76 @@ object Multimodal {
       |ORDER BY media_a, media_b""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // q176 — media DEDUP PROFILE: the q117 dashboard pattern applied to the
+  // multimodal pillar — per media kind the near-dup exposure in one frame
+  // (how many items, how many sit in at least one verified near-dup pair,
+  // how many pairs), composing the three per-kind miners (image q114,
+  // audio q175, video q115) the way a curator reads them before deciding
+  // which modality needs a dedup pass. Legs ARE the leg queries (shared
+  // code); each leg's pair frame collapses in ONE aggregate — pair
+  // members exploded, count/2 = pairs, distinct = paired items — so the
+  // profile adds two bounded rollups on top of the miners' own plans.
+  // ---------------------------------------------------------------------------
+  def q176MediaDedupProfile(spark: SparkSession, dir: String): DataFrame = {
+    val totals = mediaTable(spark, dir).groupBy(col("kind")).agg(count(lit(1)).as("n_media"))
+    def leg(kind: String, pairs: DataFrame): DataFrame =
+      pairs
+        .select(explode(array(col("media_a"), col("media_b"))).as("m"))
+        .agg(
+          expr("count(1) div 2").as("n_pairs"),
+          countDistinct(col("m")).as("n_paired")
+        )
+        .withColumn("kind", lit(kind))
+    val legs = leg("image", q114ImageNeardup(spark, dir))
+      .unionByName(leg("audio", q175AudioNeardup(spark, dir)))
+      .unionByName(leg("video", q115VideoNeardup(spark, dir)))
+    totals
+      .join(legs, Seq("kind"), "left")
+      .select(
+        col("kind"),
+        col("n_media"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_paired"), lit(0L)).as("n_paired"),
+        expr("floor(CAST(coalesce(n_paired, 0) AS DOUBLE) * 1e6 / n_media + 5e-1) / 1e6").as("paired_frac")
+      )
+      .orderBy(col("kind"))
+  }
+
+  /** Each miner's oracle nested as a derived table (the q163 splice rule). */
+  lazy val q176Oracle: String = {
+    val head =
+      """WITH tot AS (
+        |  SELECT ['image','audio','video'][(doc_id % 3 + 1)::INT] AS kind, count(*) AS n_media
+        |  FROM documents GROUP BY 1),
+        |ip AS (SELECT media_a, media_b FROM (""".stripMargin
+    val afterImage =
+      """)),
+        |ap AS (SELECT media_a, media_b FROM (""".stripMargin
+    val afterAudio =
+      """)),
+        |vp AS (SELECT media_a, media_b FROM (""".stripMargin
+    val tail =
+      """)),
+        |legs AS (
+        |  SELECT 'image' AS kind, count(*) // 2 AS n_pairs, count(DISTINCT m) AS n_paired
+        |  FROM (SELECT media_a AS m FROM ip UNION ALL SELECT media_b FROM ip)
+        |  UNION ALL
+        |  SELECT 'audio', count(*) // 2, count(DISTINCT m)
+        |  FROM (SELECT media_a AS m FROM ap UNION ALL SELECT media_b FROM ap)
+        |  UNION ALL
+        |  SELECT 'video', count(*) // 2, count(DISTINCT m)
+        |  FROM (SELECT media_a AS m FROM vp UNION ALL SELECT media_b FROM vp))
+        |SELECT tot.kind, CAST(n_media AS BIGINT) AS n_media,
+        |       CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs,
+        |       CAST(coalesce(n_paired, 0) AS BIGINT) AS n_paired,
+        |       floor(CAST(coalesce(n_paired, 0) AS DOUBLE) * 1e6 / n_media + 5e-1) / 1e6 AS paired_frac
+        |FROM tot LEFT JOIN legs USING (kind)
+        |ORDER BY tot.kind""".stripMargin
+    head + "\n" + q114Oracle + "\n" + afterImage + "\n" + q175Oracle + "\n" + afterAudio + "\n" +
+      q115Oracle + "\n" + tail
+  }
+
+  // ---------------------------------------------------------------------------
   // q116 — audio activity segmentation: the VAD-shaped preprocessing a
   // speech-data pipeline runs before transcription/filtering — an energy
   // envelope per audio (50-byte windows from the batched codec seam; a real
@@ -1009,6 +1079,7 @@ object Multimodal {
     "q115_video_neardup" -> (q115VideoNeardup _),
     "q116_audio_activity" -> (q116AudioActivity _),
     "q175_audio_neardup" -> (q175AudioNeardup _),
+    "q176_media_dedup_profile" -> (q176MediaDedupProfile _),
     "q156_image_dup_clusters" -> (q156ImageDupClusters _)
   )
 
@@ -1100,6 +1171,7 @@ object Multimodal {
     "q115_video_neardup" -> q115Oracle,
     "q116_audio_activity" -> q116Oracle,
     "q175_audio_neardup" -> q175Oracle,
+    "q176_media_dedup_profile" -> q176Oracle,
     "q156_image_dup_clusters" -> q156Oracle
   )
 }

@@ -287,6 +287,14 @@ object CorpusReport {
       )
     }
 
+    section("media dedup profile (q176): near-dup exposure per kind")
+    graft.operators.Multimodal.q176MediaDedupProfile(spark, dir).collect().foreach { r =>
+      line(
+        f"${r.getString(0)}%6s n=${r.getLong(1)}%5d pairs=${r.getLong(2)}%6d " +
+          f"paired=${r.getLong(3)}%5d (${r.getDouble(4)}%6.4f)"
+      )
+    }
+
     section("winnow contamination (q152) / image dup clusters (q156): screen summaries")
     val contam = Dedup.q152WinnowContamination(spark, dir).collect()
     line(s"q152: ${contam.length} train docs share a rare winnow fingerprint with the test split")

@@ -221,6 +221,36 @@ class MultimodalSpec extends SparkSpec {
     info(s"sf0.001: ${rows.length} audio near-dup pairs")
   }
 
+  test("q176 media dedup profile: recomposes exactly from the three per-kind miners") {
+    val got = Multimodal
+      .q176MediaDedupProfile(spark, sfDir)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(got.keySet === Set("image", "audio", "video"))
+    val kinds = Map(
+      "image" -> Multimodal.q114ImageNeardup(spark, sfDir),
+      "audio" -> Multimodal.q175AudioNeardup(spark, sfDir),
+      "video" -> Multimodal.q115VideoNeardup(spark, sfDir)
+    )
+    val nMedia = graft.core.Tables
+      .documents(spark, sfDir)
+      .collect()
+      .map(r => Seq("image", "audio", "video")((r.getLong(0) % 3).toInt))
+      .groupBy(identity)
+      .view
+      .mapValues(_.size.toLong)
+      .toMap
+    kinds.foreach { case (kind, q) =>
+      val pairs = q.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val paired = pairs.flatMap(p => Seq(p._1, p._2)).distinct.length.toLong
+      val exp = (nMedia(kind), pairs.length.toLong, paired,
+        math.floor(paired.toDouble * 1e6 / nMedia(kind) + 0.5) / 1e6)
+      assert(got(kind) === exp, s"$kind profile must recompose from its miner")
+    }
+    info(s"sf0.001: ${got.map { case (k, t) => s"$k ${t._3}/${t._1} paired" }.mkString(", ")}")
+  }
+
   test("q116 audio activity: planted loud/quiet envelope segments exactly; invariants at sf0.001") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("q116").toString
