@@ -538,9 +538,13 @@ object Cartography {
   // Determinism: q123's integer-micro machinery — components floored to
   // micros once, every distance an exact 64-bit integer sum; seed = the
   // smallest vec_id; argmax by (min_dist DESC, vec_id). A previously
-  // picked vector has min_dist 0, so it can never win again on a corpus
-  // with ≥ 2 distinct embeddings — no exclusion clause needed in either
-  // engine.
+  // picked vector has min_dist 0, so it can never win again while any
+  // unpicked distinct vector remains — no exclusion clause needed in
+  // either engine. Declared contract on degenerate corpora: with fewer
+  // than K distinct embedding vectors the traversal re-picks the seed at
+  // radius2 = 0 for the surplus ranks (IDENTICALLY in both engines — the
+  // oracle replays the same argmax), and a reader takes radius2 = 0 as
+  // "coreset saturated".
   //
   // Scale shape: K linear passes — each updates min_d = least(min_d,
   // dist² to ONE new literal centroid) (a pure codegen'd projection, the

@@ -45,6 +45,22 @@ private[streaming] object SliceMaintainer {
       stateDir: String,
       family: String,
       slice: DataFrame => DataFrame
+  ): Long = tickWithLo(spark, dataDir, stateDir, family, (delta, _) => slice(delta))
+
+  /** The tick with the delta's FIRST id exposed to the slice closure — for
+    * families whose slice depends on PRIOR state (StreamingPack's base
+    * offsets): the closure reads `readBelow(lo)` itself, so a crashed
+    * tick's replay never sees its own stale slice. Keeping this variant
+    * here (rather than re-spelling the protocol in the maintainer) keeps
+    * the crash-safety ordering — slice write, THEN atomic watermark, THEN
+    * invalidation and compaction — in ONE place.
+    */
+  def tickWithLo(
+      spark: SparkSession,
+      dataDir: String,
+      stateDir: String,
+      family: String,
+      slice: (DataFrame, Long) => DataFrame
   ): Long = {
     val wm = readWatermark(stateDir)
     val docs = graft.core.Tables.documents(spark, dataDir)
@@ -54,7 +70,7 @@ private[streaming] object SliceMaintainer {
     if (n == 0L) return 0L
     val (lo, hi) = (mm.getAs[Long]("lo"), mm.getAs[Long]("hi"))
 
-    slice(delta).write.mode("overwrite").parquet(s"$stateDir/$family/delta_$lo")
+    slice(delta, lo).write.mode("overwrite").parquet(s"$stateDir/$family/delta_$lo")
 
     writeWatermark(stateDir, hi)
     // the corpus under dataDir grew: batch artifacts cached this session

@@ -24,10 +24,10 @@ import graft.operators.Curation
   *
   * The maintainer packs at the DEFAULT knobs (shards/ctx): state written
   * across ticks must not depend on a session conf that could differ
-  * between ticks. The tick/watermark/crash protocol mirrors
-  * [[SliceMaintainer]] (re-spelled here only because the slice needs the
-  * prior-state base, which the shared template's slice closure cannot
-  * see at the right crash-replay boundary).
+  * between ticks. The tick/watermark/crash protocol is
+  * [[SliceMaintainer.tickWithLo]]'s — the variant that exposes the
+  * delta's first id so this slice can read its prior-state base at the
+  * correct crash-replay boundary.
   */
 object StreamingPack {
 
@@ -46,35 +46,25 @@ object StreamingPack {
   )
 
   /** One maintenance tick; returns the number of delta docs packed
-    * (0 = no-op tick).
+    * (0 = no-op tick). Rides [[SliceMaintainer.tickWithLo]] — the slice
+    * closure derives the per-stream base offsets from the committed slices
+    * BELOW its own delta key, so a crashed tick's replay never reads its
+    * own stale slice.
     */
-  def tick(spark: SparkSession, dataDir: String, stateDir: String): Long = {
-    val wm = SliceMaintainer.readWatermark(stateDir)
-    val docs = graft.core.Tables.documents(spark, dataDir)
-    val delta = docs.filter(col("doc_id") > wm)
-    val mm = delta
-      .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"), count(lit(1)).as("n"))
-      .head()
-    val n = mm.getAs[Long]("n")
-    if (n == 0L) return 0L
-    val (lo, hi) = (mm.getAs[Long]("lo"), mm.getAs[Long]("hi"))
-
-    val family = s"$stateDir/manifest"
-    val base = SliceStore
-      .readBelow(spark, family, lo, manifestSchema)
-      .groupBy(col("lang"), col("shard"))
-      .agg(sum(col("n_tokens")).as("base"))
-    Curation
-      .manifestFrom(delta, base, Curation.SHARDS, Curation.CTX)
-      .write
-      .mode("overwrite")
-      .parquet(s"$family/delta_$lo")
-
-    SliceMaintainer.writeWatermark(stateDir, hi)
-    graft.operators.SessionCache.invalidateAllFor(spark, dataDir)
-    SliceStore.maybeCompact(spark, family, hi)
-    n
-  }
+  def tick(spark: SparkSession, dataDir: String, stateDir: String): Long =
+    SliceMaintainer.tickWithLo(
+      spark,
+      dataDir,
+      stateDir,
+      "manifest",
+      (delta, lo) => {
+        val base = SliceStore
+          .readBelow(spark, s"$stateDir/manifest", lo, manifestSchema)
+          .groupBy(col("lang"), col("shard"))
+          .agg(sum(col("n_tokens")).as("base"))
+        Curation.manifestFrom(delta, base, Curation.SHARDS, Curation.CTX)
+      }
+    )
 
   /** The maintained manifest — q170's exact output over every document
     * the ticks have covered.
