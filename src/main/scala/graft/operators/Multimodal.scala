@@ -487,21 +487,47 @@ object Multimodal {
   // (e.g. 256-bit pHash -> 16-bit bands = 65536 buckets, pigeonhole intact
   // for tau < 16); the 64-bit fake keeps the oracle and gate cheap while
   // exercising the identical plan shape.
+  //
+  // Band-bucket df honesty (the q115/q175 hot-fingerprint question asked
+  // of this miner): band buckets here are deliberately NOT df-capped —
+  // dropping a bucket breaks the pigeonhole completeness that IS this
+  // query's contract (its oracle is the exact all-pairs join). The safety
+  // valve is different in kind from the containment miners': a hot band
+  // bucket (many all-black images sharing a band byte) inflates only the
+  // CANDIDATE set, and every candidate is then cut by the exact hamming
+  // verify — the output stays the true near-dup set, while q115/q175's
+  // uncapped fp joins would have let boilerplate keys straight into the
+  // OUTPUT's containment counts. At 100 TB the candidate blowup is still
+  // real work, and the fix is the one already noted above: widen the hash
+  // so buckets are 16-bit (65536-way) — a capacity knob on the codec side,
+  // not a semantics change in this plan.
   // ---------------------------------------------------------------------------
   private val AHASH_TAU = 6
 
+  /** q114's staged per-image band table, built once per (session, dir):
+    * three readers per call (the candidate explode + both verify joins),
+    * and q176/bench re-enter the miner repeatedly — the stagedShinglesCached
+    * pattern applied to the media decode stage.
+    */
+  private val mediaStageCache = new SessionCache[DataFrame]
+
+  private[graft] def imageBandsCached(spark: SparkSession, dir: String): DataFrame =
+    mediaStageCache.getOrBuild(spark, s"$dir@media_bands") {
+      val spark0 = spark
+      import spark0.implicits._
+      mediaTable(spark, dir)
+        .filter(col("kind") === lit("image") && length(col("payload")) >= 64)
+        .as[MediaRow]
+        .mapPartitions { rows =>
+          // per-partition batched, the decode-stage shape: codec opens once
+          rows.grouped(DecodeBatchSize).flatMap(_.map(m => (m.media_id, Codec.aHash(m.payload))))
+        }
+        .toDF("media_id", "bands")
+        .localCheckpoint()
+    }
+
   def q114ImageNeardup(spark: SparkSession, dir: String): DataFrame = {
-    val spark0 = spark
-    import spark0.implicits._
-    val hashed = mediaTable(spark, dir)
-      .filter(col("kind") === lit("image") && length(col("payload")) >= 64)
-      .as[MediaRow]
-      .mapPartitions { rows =>
-        // per-partition batched, the decode-stage shape: codec opens once
-        rows.grouped(DecodeBatchSize).flatMap(_.map(m => (m.media_id, Codec.aHash(m.payload))))
-      }
-      .toDF("media_id", "bands")
-      .localCheckpoint()
+    val hashed = imageBandsCached(spark, dir)
     val inst = hashed.select(col("media_id"), posexplode(col("bands")).as(Seq("band", "bv")))
     val cand = inst
       .as("l")
@@ -559,27 +585,66 @@ object Multimodal {
   // fingerprints from the batched codec seam (swap for per-keyframe pHash,
   // plan unchanged), pairs from the fingerprint EQUI-JOIN (exact — no
   // banding needed: a shared frame is a shared hash), kept when the shared
-  // count covers >= 50% of the smaller video's distinct fingerprints.
+  // count covers >= 50% of the smaller video's distinct DISCRIMINATIVE
+  // fingerprints (see the df cap below).
   // Fully oracle-gated: the fingerprint is md5 over a payload slice, which
   // DuckDB replays as md5(substring(text, ...)) under the verified-ASCII
-  // contract. Scale: shuffle keys are 32-byte hashes; a boilerplate frame
-  // shared by many videos fans out the join exactly like q71's shared
-  // chunks — the containment groupBy is map-side combined.
+  // contract. Scale: shuffle keys are 32-byte hashes, and the pair join is
+  // DF-CAPPED (q144's MOSS rule applied to media): a fingerprint carried
+  // by more than MEDIA_FP_MAXDF items — digital silence, blank/black
+  // frames, boilerplate intro cards — is dropped BEFORE pairing, so each
+  // surviving key fans out <= MEDIA_FP_MAXDF^2/2 pairs and a hot key can
+  // never go quadratic. The exclusion is the CONTRACT, not an
+  // approximation: a frame shared by >100 videos identifies boilerplate,
+  // not provenance — pairs whose every shared fingerprint is that common
+  // are non-dup by construction, and containment is declared over the
+  // discriminative (rare) fingerprint set on both sides (an item whose
+  // every fingerprint is hot has no discriminative content and exits the
+  // miner). The oracle applies the identical cap, and the planted hot-fp
+  // spec pins both directions (hot excluded / rare still mined).
   // ---------------------------------------------------------------------------
+  /** q144's WIN_MAXDF for the media miners — one shared constant so the
+    * video/audio contracts can't drift apart.
+    */
+  private[graft] val MEDIA_FP_MAXDF = 100
+
+  /** The rare-fingerprint table over any (media_id, fp) frame — the MOSS
+    * df cap shared by q115/q175 (Dedup.winnowRare's exact shape).
+    */
+  private def rareMediaFps(inst: DataFrame): DataFrame =
+    inst.join(
+      inst
+        .groupBy(col("fp"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") <= MEDIA_FP_MAXDF)
+        .select(col("fp")),
+      "fp"
+    )
+
+  /** q115's staged df-capped distinct fingerprint table, built once per
+    * (session, dir): the decode pass runs once, and nf + both pair sides
+    * (plus q176/bench re-entries) read the staged result.
+    */
+  private[graft] def videoFpsCached(spark: SparkSession, dir: String): DataFrame =
+    mediaStageCache.getOrBuild(spark, s"$dir@media_vfp") {
+      val spark0 = spark
+      import spark0.implicits._
+      val raw = mediaTable(spark, dir)
+        .filter(col("kind") === lit("video") && col("meta.duration_ms") > 0)
+        .as[MediaRow]
+        .mapPartitions { rows =>
+          rows.grouped(DecodeBatchSize).flatMap(_.flatMap { m =>
+            FakeCodec.frameFingerprints(m.payload, m.meta.duration_ms).map(fp => (m.media_id, fp))
+          })
+        }
+        .toDF("media_id", "fp")
+        .distinct() // containment is over DISTINCT fingerprints per video
+        .localCheckpoint()
+      rareMediaFps(raw).localCheckpoint()
+    }
+
   def q115VideoNeardup(spark: SparkSession, dir: String): DataFrame = {
-    val spark0 = spark
-    import spark0.implicits._
-    val inst = mediaTable(spark, dir)
-      .filter(col("kind") === lit("video") && col("meta.duration_ms") > 0)
-      .as[MediaRow]
-      .mapPartitions { rows =>
-        rows.grouped(DecodeBatchSize).flatMap(_.flatMap { m =>
-          FakeCodec.frameFingerprints(m.payload, m.meta.duration_ms).map(fp => (m.media_id, fp))
-        })
-      }
-      .toDF("media_id", "fp")
-      .distinct() // containment is over DISTINCT fingerprints per video
-      .localCheckpoint()
+    val inst = videoFpsCached(spark, dir)
     val nf = inst.groupBy(col("media_id")).agg(count(lit(1)).as("nf"))
     val sh = inst
       .as("l")
@@ -599,7 +664,7 @@ object Multimodal {
   }
 
   val q115Oracle: String =
-    """WITH v AS (
+    s"""WITH v AS (
       |  SELECT doc_id AS media_id, text,
       |         octet_length(encode(text)) AS n,
       |         CAST(ceil((n_chars * 40) / 1000.0) AS INT) AS f
@@ -615,7 +680,9 @@ object Multimodal {
       |         unnest(list_transform(list_filter(range(0, f), i -> i * w < n),
       |                i -> md5(substring(text, i*w + 1, w)))) AS fp
       |  FROM wv),
-      |inst AS (SELECT DISTINCT media_id, fp FROM raw),
+      |inst0 AS (SELECT DISTINCT media_id, fp FROM raw),
+      |rare AS (SELECT fp FROM inst0 GROUP BY fp HAVING count(*) <= $MEDIA_FP_MAXDF),
+      |inst AS (SELECT media_id, inst0.fp FROM inst0 JOIN rare USING (fp)),
       |nf AS (SELECT media_id, count(*) AS nf FROM inst GROUP BY 1),
       |sh AS (
       |  SELECT l.media_id AS media_a, r.media_id AS media_b, count(*) AS shared_frames
@@ -645,29 +712,42 @@ object Multimodal {
   // contract) and the shingle is string concatenation of exact integers,
   // so DuckDB derives the identical md5 keys. Scale: shuffle keys are
   // 32-byte hashes; the pair stage is a keyed equi-join, never all-pairs
-  // (the q71/q115 shape).
+  // (the q71/q115 shape), and — like q115 — DF-CAPPED at MEDIA_FP_MAXDF
+  // (q144's MOSS rule): a shingle carried by >100 audios is boilerplate
+  // (digital silence, shared jingles) and is excluded from both the pair
+  // join and the containment denominators by contract, so a hot key can
+  // never go quadratic. Pinned by the planted hot-fp spec.
   // ---------------------------------------------------------------------------
+  /** q175's staged df-capped distinct fingerprint table — q115's staging
+    * pattern over the audio energy shingles.
+    */
+  private[graft] def audioFpsCached(spark: SparkSession, dir: String): DataFrame =
+    mediaStageCache.getOrBuild(spark, s"$dir@media_afp") {
+      val spark0 = spark
+      import spark0.implicits._
+      val win = mediaTable(spark, dir)
+        .filter(col("kind") === lit("audio") && length(col("payload")) > 0)
+        .as[MediaRow]
+        .mapPartitions { rows =>
+          rows.grouped(DecodeBatchSize).flatMap(_.flatMap { m =>
+            Codec.energyWindows(m.payload).zipWithIndex.map { case (e, i) => (m.media_id, i, e) }
+          })
+        }
+        .toDF("media_id", "idx", "energy")
+      val wSeq = Window.partitionBy(col("media_id")).orderBy(col("idx"))
+      val raw = win
+        .withColumn("e1", lead(col("energy"), 1).over(wSeq))
+        .withColumn("e2", lead(col("energy"), 2).over(wSeq))
+        .withColumn("e3", lead(col("energy"), 3).over(wSeq))
+        .filter(col("e3").isNotNull)
+        .select(col("media_id"), md5(concat_ws("_", col("energy"), col("e1"), col("e2"), col("e3"))).as("fp"))
+        .distinct() // containment is over DISTINCT fingerprints per audio
+        .localCheckpoint()
+      rareMediaFps(raw).localCheckpoint()
+    }
+
   def q175AudioNeardup(spark: SparkSession, dir: String): DataFrame = {
-    val spark0 = spark
-    import spark0.implicits._
-    val win = mediaTable(spark, dir)
-      .filter(col("kind") === lit("audio") && length(col("payload")) > 0)
-      .as[MediaRow]
-      .mapPartitions { rows =>
-        rows.grouped(DecodeBatchSize).flatMap(_.flatMap { m =>
-          Codec.energyWindows(m.payload).zipWithIndex.map { case (e, i) => (m.media_id, i, e) }
-        })
-      }
-      .toDF("media_id", "idx", "energy")
-    val wSeq = Window.partitionBy(col("media_id")).orderBy(col("idx"))
-    val inst = win
-      .withColumn("e1", lead(col("energy"), 1).over(wSeq))
-      .withColumn("e2", lead(col("energy"), 2).over(wSeq))
-      .withColumn("e3", lead(col("energy"), 3).over(wSeq))
-      .filter(col("e3").isNotNull)
-      .select(col("media_id"), md5(concat_ws("_", col("energy"), col("e1"), col("e2"), col("e3"))).as("fp"))
-      .distinct() // containment is over DISTINCT fingerprints per audio
-      .localCheckpoint()
+    val inst = audioFpsCached(spark, dir)
     val nf = inst.groupBy(col("media_id")).agg(count(lit(1)).as("nf"))
     val sh = inst
       .as("l")
@@ -687,7 +767,7 @@ object Multimodal {
   }
 
   val q175Oracle: String =
-    """WITH a AS (
+    s"""WITH a AS (
       |  SELECT doc_id AS media_id, text, octet_length(encode(text)) AS n
       |  FROM documents
       |  WHERE ['image','audio','video'][(doc_id % 3 + 1)::INT] = 'audio'
@@ -706,7 +786,9 @@ object Multimodal {
       |           md5(CAST(e[i] AS VARCHAR) || '_' || CAST(e[i+1] AS VARCHAR) || '_' ||
       |               CAST(e[i+2] AS VARCHAR) || '_' || CAST(e[i+3] AS VARCHAR)))) AS fp
       |  FROM es WHERE len(e) >= 4),
-      |inst AS (SELECT DISTINCT media_id, fp FROM fp0),
+      |inst0 AS (SELECT DISTINCT media_id, fp FROM fp0),
+      |rare AS (SELECT fp FROM inst0 GROUP BY fp HAVING count(*) <= $MEDIA_FP_MAXDF),
+      |inst AS (SELECT media_id, inst0.fp FROM inst0 JOIN rare USING (fp)),
       |nf AS (SELECT media_id, count(*) AS nf FROM inst GROUP BY 1),
       |sh AS (
       |  SELECT l.media_id AS media_a, r.media_id AS media_b, count(*) AS shared_fps
@@ -730,6 +812,17 @@ object Multimodal {
   // members exploded, count/2 = pairs, distinct = paired items — so the
   // profile adds two bounded rollups on top of the miners' own plans.
   // ---------------------------------------------------------------------------
+  /** Warm the three media fingerprint stages for this session — named as a
+    * build phase by Bench (the buildShingleStage shape), since q114/q115/
+    * q175/q176 all re-enter the staged tables per repetition.
+    */
+  private[graft] def buildMediaStage(spark: SparkSession, dir: String): Unit = {
+    imageBandsCached(spark, dir)
+    videoFpsCached(spark, dir)
+    audioFpsCached(spark, dir)
+    ()
+  }
+
   def q176MediaDedupProfile(spark: SparkSession, dir: String): DataFrame = {
     val totals = mediaTable(spark, dir).groupBy(col("kind")).agg(count(lit(1)).as("n_media"))
     def leg(kind: String, pairs: DataFrame): DataFrame =

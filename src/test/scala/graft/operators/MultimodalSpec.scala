@@ -221,6 +221,72 @@ class MultimodalSpec extends SparkSpec {
     info(s"sf0.001: ${rows.length} audio near-dup pairs")
   }
 
+  test("q115 hot-fp contract: a fingerprint in > MEDIA_FP_MAXDF videos is boilerplate — excluded from pairing AND denominators; rare fps still mine") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q115hot").toString
+    // video ids are doc_id % 3 == 2. 102 hot videos share ONE frame fp
+    // ('c'*50 -> 2 identical 'c'*25 frames -> 1 distinct fp, df = 104 with
+    // the two mixed docs > cap 100); two "mixed" docs carry the hot fp plus
+    // one rare fp; two "rare" docs share a df=2 fp.
+    val hot = "c" * 50
+    val mixed = "c" * 50 + "d" * 25 // frames c25, c25, d25 -> {hotFp, rareFp}
+    val rare = "e" * 50
+    val rows = (0 until 102).map(k => (2L + 3 * k, hot)) ++
+      Seq((2L + 3 * 102, mixed), (2L + 3 * 103, mixed), (2L + 3 * 104, rare), (2L + 3 * 105, rare))
+    rows
+      .map { case (id, text) => (id, text, "en", "srcX", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write
+      .parquet(s"$dir/documents.parquet")
+    val got = Multimodal
+      .q115VideoNeardup(spark, dir)
+      .collect()
+      .map(r => (r.getAs[Long]("media_a"), r.getAs[Long]("media_b")) -> ((r.getAs[Long]("shared_frames"), r.getAs[Double]("containment"))))
+      .toMap
+    val hotIds = (0 until 102).map(k => 2L + 3 * k).toSet
+    assert(
+      !got.keySet.exists(p => hotIds(p._1) || hotIds(p._2)),
+      s"hot-fp (boilerplate) videos must never pair — a df-capped key cannot go quadratic: ${got.keySet.size} pairs"
+    )
+    // the mixed pair survives THROUGH its rare fp alone: shared = 1 (the
+    // hot fp is out of both the join and the nf denominators)
+    assert(got((2L + 3 * 102, 2L + 3 * 103)) === ((1L, 1.0)), s"mixed pair must mine on its rare fp: $got")
+    assert(got((2L + 3 * 104, 2L + 3 * 105)) === ((1L, 1.0)), s"rare pair must still mine: $got")
+    assert(got.size === 2, s"exactly the two rare-keyed pairs: $got")
+  }
+
+  test("q175 hot-fp contract: a shingle in > MEDIA_FP_MAXDF audios is boilerplate — excluded; rare shingles still mine") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q175hot").toString
+    // audio ids are doc_id % 3 == 1. 'a'*200 -> 4 equal 50-byte windows ->
+    // one distinct 4-gram fp shared by 102 hot + 2 mixed docs (df 104 >
+    // cap); mixed adds a 'z'*50 window -> one rare gram (df 2); two rare
+    // docs share a df=2 fp of their own.
+    val hot = "a" * 200
+    val mixed = "a" * 200 + "z" * 50
+    val rare = "b" * 200
+    val rows = (0 until 102).map(k => (1L + 3 * k, hot)) ++
+      Seq((1L + 3 * 102, mixed), (1L + 3 * 103, mixed), (1L + 3 * 104, rare), (1L + 3 * 105, rare))
+    rows
+      .map { case (id, text) => (id, text, "en", "srcX", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write
+      .parquet(s"$dir/documents.parquet")
+    val got = Multimodal
+      .q175AudioNeardup(spark, dir)
+      .collect()
+      .map(r => (r.getAs[Long]("media_a"), r.getAs[Long]("media_b")) -> ((r.getAs[Long]("shared_fps"), r.getAs[Double]("containment"))))
+      .toMap
+    val hotIds = (0 until 102).map(k => 1L + 3 * k).toSet
+    assert(
+      !got.keySet.exists(p => hotIds(p._1) || hotIds(p._2)),
+      s"hot-fp (boilerplate) audios must never pair: ${got.keySet.size} pairs"
+    )
+    assert(got((1L + 3 * 102, 1L + 3 * 103)) === ((1L, 1.0)), s"mixed pair must mine on its rare shingle: $got")
+    assert(got((1L + 3 * 104, 1L + 3 * 105)) === ((1L, 1.0)), s"rare pair must still mine: $got")
+    assert(got.size === 2, s"exactly the two rare-keyed pairs: $got")
+  }
+
   test("q176 media dedup profile: recomposes exactly from the three per-kind miners") {
     val got = Multimodal
       .q176MediaDedupProfile(spark, sfDir)
