@@ -7,14 +7,26 @@ import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
 
 /** Bloom filter whose probe positions are SEMANTIC, not implementation
-  * detail: the k=4 bit positions of a key are the four 8-hex-digit slices
-  * of its md5 digest taken mod the bit count. Unlike `BloomSketch` (whose
-  * splitmix64 double-hashing is a private engine choice), every position
-  * here is plain integer arithmetic over a digest BOTH engines compute
-  * identically — so a query whose OUTPUT includes the filter's false
-  * positives (q166's decontamination screen audits exactly that) can
-  * still be hash-gated by the DuckDB oracle: the approximation itself is
-  * reproducible, the q134 discipline applied to membership.
+  * detail: the k=4 bit positions of a key are Kirsch–Mitzenmacher
+  * combinations p_i = (h1 + i*h2) mod numBits of the TWO 64-bit halves of
+  * its md5 digest. Unlike `BloomSketch` (whose splitmix64 double-hashing
+  * is a private engine choice), every position here is plain integer
+  * arithmetic over a digest BOTH engines compute identically — so a query
+  * whose OUTPUT includes the filter's false positives (q166's
+  * decontamination screen audits exactly that) can still be hash-gated by
+  * the DuckDB oracle: the approximation itself is reproducible, the q134
+  * discipline applied to membership.
+  *
+  * Why halves, not the four 8-hex slices (the r13 design): a 32-bit slice
+  * can never address a bit >= 2^32, so once the keyed set passes ~268M
+  * distinct grams (numBits > 2^32 at 16 bits/key) the top of the bitset
+  * went silently unreachable and the fpp degraded far past spec (~0.13 at
+  * 1B keys) — exactly the 100 TB serving regime this filter exists for.
+  * 64-bit halves address any practical bitset; Kirsch–Mitzenmacher
+  * (k hashes from two) preserves the standard Bloom fpp analysis. The
+  * overflow-safe form (h1 % m + i*(h2 % m)) % m keeps every intermediate
+  * below 4m < 2^63, so signed 64-bit Scala and DuckDB's UBIGINT/HUGEINT
+  * promotion agree bit-for-bit.
   *
   * Sizing: BITS_PER_KEY=16 with k=4 gives a scale-invariant fpp of
   * (1-e^(-1/4))^4 ~ 2.4e-3 — bits grow linearly with the keyed set, so
@@ -24,8 +36,8 @@ import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
   */
 object Md5Bloom {
 
-  /** Probes per key: md5 yields 32 hex chars = exactly four disjoint
-    * 8-hex (32-bit) slices, each an independent uniform draw.
+  /** Probes per key: K Kirsch–Mitzenmacher combinations of the digest's
+    * two independent 64-bit halves.
     */
   val K = 4
 
@@ -34,18 +46,30 @@ object Md5Bloom {
   /** Bits for an expected key count: 16 bits/key, floor 64 so an empty
     * build still has a valid (all-miss) bitset. NOT rounded to a power of
     * two — positions are `mod numBits` and plain modulo is what the SQL
-    * twin can reproduce.
+    * twin can reproduce. The 2^61 ceiling keeps the position arithmetic's
+    * intermediates (< 4*numBits) inside signed 64 bits; it is not a real
+    * limit (2^61 bits is a 256 PiB bitset).
     */
-  def bitsFor(expectedKeys: Long): Long = math.max(BITS_PER_KEY * expectedKeys, 64L)
+  def bitsFor(expectedKeys: Long): Long = {
+    val bits = math.max(BITS_PER_KEY * expectedKeys, 64L)
+    require(bits < (1L << 61), s"md5 bloom bitset too large: $bits bits")
+    bits
+  }
 
   def wordsFor(numBits: Long): Int = (((numBits + 63L) >>> 6)).toInt
 
-  /** Position i (0..3) of a 32-hex md5 digest: slice chars [8i, 8i+8) as
-    * an unsigned 32-bit hex integer, mod numBits — one shared arithmetic
-    * with the oracle's ('0x' || substring(h, 1+8i, 8))::BIGINT % m.
+  /** Position i (0..3) of a 32-hex md5 digest: the Kirsch–Mitzenmacher
+    * combination (h1 + i*h2) mod numBits of the digest's unsigned 64-bit
+    * halves, in the overflow-safe early-mod form — one shared arithmetic
+    * with the oracle's
+    * (('0x'||substring(h,1,16))::UBIGINT % m + i * (('0x'||substring(h,17,16))::UBIGINT % m)) % m.
     */
-  def position(md5hex: String, i: Int, numBits: Long): Long =
-    java.lang.Long.parseLong(md5hex.substring(8 * i, 8 * i + 8), 16) % numBits
+  def position(md5hex: String, i: Int, numBits: Long): Long = {
+    val h1 = java.lang.Long.parseUnsignedLong(md5hex.substring(0, 16), 16)
+    val h2 = java.lang.Long.parseUnsignedLong(md5hex.substring(16, 32), 16)
+    (java.lang.Long.remainderUnsigned(h1, numBits) +
+      i * java.lang.Long.remainderUnsigned(h2, numBits)) % numBits
+  }
 
   def put(bits: Array[Long], numBits: Long, md5hex: String): Unit = {
     var i = 0

@@ -146,6 +146,12 @@ object Analytic {
       .select(col("l_returnflag"), col("l_linestatus"), col("gid"), col("n_rows"), col("sum_qty"))
       .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
 
+  /** HAVING count(*) > 0 pins the EMPTY-corpus contract: SQL's ROLLUP
+    * emits a grand-total row even over zero input rows, while Spark's
+    * rollup (Expand + grouped aggregate) emits none — on any non-empty
+    * table every rollup group aggregates >= 1 row, so the clause only
+    * suppresses the empty-input phantom and both engines agree on 0 rows.
+    */
   val q16Oracle: String =
     """SELECT l_returnflag, l_linestatus,
       |       CAST(grouping(l_returnflag, l_linestatus) AS INT) AS gid,
@@ -153,6 +159,7 @@ object Analytic {
       |       round(sum(l_quantity), 2) AS sum_qty
       |FROM lineitem
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |HAVING count(*) > 0
       |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin
 
   // ---------------------------------------------------------------------------
@@ -170,6 +177,9 @@ object Analytic {
       .select(col("o_orderstatus"), col("o_orderpriority"), col("gid"), col("n_orders"), col("total_price"))
       .orderBy(col("gid"), col("o_orderstatus"), col("o_orderpriority"))
 
+  /** HAVING count(*) > 0 — q16's empty-corpus contract (CUBE's grand
+    * total also materializes over zero input rows in SQL, not in Spark).
+    */
   val q17Oracle: String =
     """SELECT o_orderstatus, o_orderpriority,
       |       CAST(grouping(o_orderstatus, o_orderpriority) AS INT) AS gid,
@@ -177,6 +187,7 @@ object Analytic {
       |       round(sum(o_totalprice), 2) AS total_price
       |FROM orders
       |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |HAVING count(*) > 0
       |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin
 
   // ---------------------------------------------------------------------------

@@ -88,6 +88,9 @@ object Cartography {
       .collect()
       .map(_.getSeq[Long](1).toArray)
       .toSeq
+    // no points -> no seeds: skip Lloyd entirely (nearest() of zero
+    // centroids would not analyze); callers substitute centsOrDummy
+    if (cents.isEmpty) return Seq.empty
     for (_ <- 1 to ITERS) {
       val sums = pts
         .withColumn("n", nearest(cents))
@@ -110,9 +113,18 @@ object Cartography {
 
   private val centroidCache = new SessionCache[Seq[Array[Long]]]()
 
+  /** Empty-corpus contract: no embeddings means no seeds and `nearest` of
+    * zero centroids would not even analyze (array() of structs types VOID).
+    * A single origin dummy keeps the plan well-typed; the assignment frame
+    * is empty anyway, so the query emits 0 rows — exactly what the Lloyd
+    * oracle chain yields over an empty table.
+    */
+  private def centsOrDummy(cents: Seq[Array[Long]]): Seq[Array[Long]] =
+    if (cents.isEmpty) Seq(Array.fill(DIM)(0L)) else cents
+
   def q123CorpusTopics(spark: SparkSession, dir: String): DataFrame = {
     val pts = points(spark, dir).localCheckpoint() // staged once for T+1 passes
-    val cents = centroidCache.getOrBuild(spark, dir)(finalCentroids(pts))
+    val cents = centsOrDummy(centroidCache.getOrBuild(spark, dir)(finalCentroids(pts)))
     val assigned = pts
       .withColumn("n", nearest(cents))
       .select(col("vec_id"), col("n.cluster").as("cluster"), col("n.d2").as("d2"))
@@ -258,7 +270,7 @@ object Cartography {
 
   def q129EmbeddingOutliers(spark: SparkSession, dir: String): DataFrame = {
     val pts = points(spark, dir).localCheckpoint() // staged once for T+1 passes
-    val cents = centroidCache.getOrBuild(spark, dir)(finalCentroids(pts))
+    val cents = centsOrDummy(centroidCache.getOrBuild(spark, dir)(finalCentroids(pts)))
     val assigned = pts
       .withColumn("n", nearest(cents))
       .select(col("vec_id"), col("n.cluster").as("cluster"), col("n.d2").as("d2"))
@@ -557,17 +569,24 @@ object Cartography {
 
   def q171CoresetSelect(spark: SparkSession, dir: String): DataFrame = {
     val pts = points(spark, dir).localCheckpoint()
-    val seed = pts.orderBy(col("vec_id")).limit(1).collect()(0)
-    var picks = Vector[(Int, Long, Option[Long])]((1, seed.getLong(0), None))
-    var st = pts
-      .withColumn("min_d", distTo(seed.getSeq[Long](1).toArray))
-      .localCheckpoint()
-    for (i <- 2 to CORESET_K) {
-      val next = st.orderBy(col("min_d").desc, col("vec_id")).limit(1).collect()(0)
-      picks = picks :+ ((i, next.getLong(0), Some(next.getLong(2))))
-      st = st
-        .withColumn("min_d", least(col("min_d"), distTo(next.getSeq[Long](1).toArray)))
+    // empty-corpus contract: no points, no seed, 0 picks — the oracle's
+    // pick chain likewise selects nothing from an empty embeddings table
+    val seedRows = pts.orderBy(col("vec_id")).limit(1).collect()
+    var picks =
+      if (seedRows.isEmpty) Vector.empty[(Int, Long, Option[Long])]
+      else Vector[(Int, Long, Option[Long])]((1, seedRows(0).getLong(0), None))
+    if (seedRows.nonEmpty) {
+      val seed = seedRows(0)
+      var st = pts
+        .withColumn("min_d", distTo(seed.getSeq[Long](1).toArray))
         .localCheckpoint()
+      for (i <- 2 to CORESET_K) {
+        val next = st.orderBy(col("min_d").desc, col("vec_id")).limit(1).collect()(0)
+        picks = picks :+ ((i, next.getLong(0), Some(next.getLong(2))))
+        st = st
+          .withColumn("min_d", least(col("min_d"), distTo(next.getSeq[Long](1).toArray)))
+          .localCheckpoint()
+      }
     }
     import spark.implicits._
     picks

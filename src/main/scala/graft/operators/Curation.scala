@@ -367,8 +367,11 @@ object Curation {
   // the bloom-only screen at full scale.
   //
   // The approximation itself is oracle-gated (the q134 discipline applied
-  // to membership): probe positions are the four 8-hex slices of
-  // md5(shingle) mod m (functions/Md5Bloom), m = 16 bits per distinct
+  // to membership): probe positions are Kirsch–Mitzenmacher combinations
+  // (h1 + i*h2) mod m of the two 64-bit halves of
+  // md5(shingle) (functions/Md5Bloom — 64-bit halves so positions can
+  // address a bitset past 2^32 bits, the >268M-key regime where the old
+  // 32-bit slices silently saturated), m = 16 bits per distinct
   // test gram floored at 64 (fpp ~ 2.4e-3, scale-invariant because m
   // grows with the keyed set) — plain integer arithmetic DuckDB
   // reproduces with a position join, so the false positives are THE SAME
@@ -460,11 +463,13 @@ object Curation {
        |mm AS (SELECT greatest(16 * count(*), 64) AS m FROM test),
        |grid AS (SELECT unnest([0, 1, 2, 3]) AS i),
        |tpos AS (
-       |  SELECT DISTINCT ('0x' || substring(h, 1 + 8 * i, 8))::BIGINT % m AS p
+       |  SELECT DISTINCT (('0x' || substring(h, 1, 16))::UBIGINT % m
+       |                   + i * (('0x' || substring(h, 17, 16))::UBIGINT % m)) % m AS p
        |  FROM test, grid, mm),
        |train AS (SELECT DISTINCT doc_id, h FROM sh WHERE bucket < ${Sampling.SPLIT_TRAIN_LT}),
        |trpos AS (
-       |  SELECT DISTINCT doc_id, h, ('0x' || substring(h, 1 + 8 * i, 8))::BIGINT % m AS p
+       |  SELECT DISTINCT doc_id, h, (('0x' || substring(h, 1, 16))::UBIGINT % m
+       |                              + i * (('0x' || substring(h, 17, 16))::UBIGINT % m)) % m AS p
        |  FROM train, grid, mm),
        |own AS (SELECT doc_id, h, count(*) AS k_own FROM trpos GROUP BY 1, 2),
        |hitk AS (
@@ -1007,11 +1012,15 @@ object Curation {
       |tot AS (SELECT CAST(sum(t) AS BIGINT) AS tt, count(*) AS n FROM s),
       |r AS (SELECT s.*, row_number() OVER (ORDER BY t, source) AS i FROM s),
       |a AS (
-      |  SELECT max(tot.n) AS n, max(tot.tt) AS tt,
+      |  -- GROUP BY (not a global aggregate) pins the EMPTY-corpus
+      |  -- contract: the engine's groupBy(n, tt) emits 0 rows over an
+      |  -- empty source table, and so does this — a bare aggregate would
+      |  -- emit one phantom NULL row only the oracle side ever produced
+      |  SELECT tot.n AS n, tot.tt AS tt,
       |         sum(CAST(t AS HUGEINT) * t) AS s2,
       |         sum(CAST(i AS HUGEINT) * t) AS sw,
       |         CAST(sum(CAST(floor(-(t::DOUBLE / tt) * ln(t::DOUBLE / tt) * 1e6 + 5e-1) AS BIGINT)) AS BIGINT) AS emm
-      |  FROM r, tot)
+      |  FROM r, tot GROUP BY 1, 2)
       |SELECT CAST(n AS BIGINT) AS n_sources, tt AS corpus_tokens,
       |       floor(CAST(s2 AS DOUBLE) * 1e6 / (tt::DOUBLE * tt::DOUBLE) + 5e-1) / 1e6 AS hhi,
       |       floor(tt::DOUBLE * tt::DOUBLE * 1e6 / CAST(s2 AS DOUBLE) + 5e-1) / 1e6 AS eff_sources_hhi,
@@ -3399,9 +3408,13 @@ object Curation {
       .select(
         col("c.constraint").as("constraint"),
         col("n").as("n_checked"),
-        col("c.v").as("n_violations"),
-        expr("floor(cast(c.v AS double) * 1e6 / n + 5e-1) / 1e6").as("violation_frac"),
-        expr("CASE WHEN c.v = 0 THEN 'pass' ELSE 'fail' END").as("verdict")
+        // empty-corpus contract: 0 rows checked = 0 violations (sums over
+        // zero rows are NULL), frac NULL (CASE, not a raw /0 — ANSI throws),
+        // verdict 'pass' — written identically in the oracle
+        coalesce(col("c.v"), lit(0L)).as("n_violations"),
+        expr("CASE WHEN n = 0 THEN NULL ELSE floor(cast(coalesce(c.v, 0) AS double) * 1e6 / n + 5e-1) / 1e6 END")
+          .as("violation_frac"),
+        expr("CASE WHEN coalesce(c.v, 0) = 0 THEN 'pass' ELSE 'fail' END").as("verdict")
       )
       .orderBy(col("constraint"))
   }
@@ -3429,9 +3442,9 @@ object Curation {
        |    {'constraint': 'text_whitespace_normalized', 'v': v_ws}
        |  ], recursive := true)
        |  FROM a)
-       |SELECT "constraint", CAST(n AS BIGINT) AS n_checked, CAST(v AS BIGINT) AS n_violations,
-       |       floor(CAST(v AS DOUBLE) * 1e6 / n + 5e-1) / 1e6 AS violation_frac,
-       |       CASE WHEN v = 0 THEN 'pass' ELSE 'fail' END AS verdict
+       |SELECT "constraint", CAST(n AS BIGINT) AS n_checked, CAST(coalesce(v, 0) AS BIGINT) AS n_violations,
+       |       CASE WHEN n = 0 THEN NULL ELSE floor(CAST(coalesce(v, 0) AS DOUBLE) * 1e6 / n + 5e-1) / 1e6 END AS violation_frac,
+       |       CASE WHEN coalesce(v, 0) = 0 THEN 'pass' ELSE 'fail' END AS verdict
        |FROM u ORDER BY "constraint"""".stripMargin
   }
 
@@ -3639,6 +3652,15 @@ object Curation {
   private[graft] def qualityTrained(spark: SparkSession, dir: String): Seq[(Int, Array[Long], Double)] =
     qtTrace.getOrBuild(spark, dir) {
       val feat = qtFrame(spark, dir).localCheckpoint() // staged once for T+1 passes
+      // empty-corpus contract: zero examples is not a training run — no
+      // trace (q159 emits 0 rows, its oracle filters the same way), and the
+      // consumers fall back to the init weights (under which they score an
+      // empty frame anyway)
+      if (feat.isEmpty) Seq.empty
+      else qualityTrainLoop(feat)
+    }
+
+  private def qualityTrainLoop(feat: DataFrame): Seq[(Int, Array[Long], Double)] = {
       var w = Array(0L, 0L, 0L, 0L)
       val trace = scala.collection.mutable.ArrayBuffer[(Int, Array[Long], Double)]()
       for (t <- 1 to QT_ITERS + 1) {
@@ -3759,7 +3781,13 @@ object Curation {
          |       floor(ncorr * 1e6 / n + 0.5) / 1e6 AS train_acc
          |FROM w$t CROSS JOIN g${t + 1}""".stripMargin
     }
-    qtOracleChain + "\n" + rows.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY iter")
+    // the trailing WHERE pins the empty-corpus contract: no examples, no
+    // training run, 0 rows — matching the engine's empty-trace guard
+    qtOracleChain + "\n" + rows.mkString(
+      "SELECT * FROM (\n",
+      "\nUNION ALL\n",
+      "\n) WHERE (SELECT count(*) FROM documents) > 0 ORDER BY iter"
+    )
   }
 
   // ---------------------------------------------------------------------------
@@ -3776,7 +3804,9 @@ object Curation {
   // over a few hundred rows (q126's shape, doubled).
   // ---------------------------------------------------------------------------
   def q160QualityTrainAuc(spark: SparkSession, dir: String): DataFrame = {
-    val wT = qualityTrained(spark, dir).last._2
+    // empty corpus -> empty trace -> init weights (the scored frame is
+    // empty anyway, so the query emits 0 rows like its oracle)
+    val wT = qualityTrained(spark, dir).lastOption.map(_._2).getOrElse(Array(0L, 0L, 0L, 0L))
     val pmTrained = qtPmExpr(j => s"${wT(j)}L")
     // the fixed model on the same micro features: fj/1e6 recovers q84's
     // 6dp double exactly, and the left-assoc z chain matches q84's
@@ -3848,7 +3878,8 @@ object Curation {
   // trained weights through the full q159 gradient replay.
   // ---------------------------------------------------------------------------
   def q164QualityApply(spark: SparkSession, dir: String): DataFrame = {
-    val wT = qualityTrained(spark, dir).last._2
+    // q160's empty-corpus fallback
+    val wT = qualityTrained(spark, dir).lastOption.map(_._2).getOrElse(Array(0L, 0L, 0L, 0L))
     val pmTrained = qtPmExpr(j => s"${wT(j)}L")
     val zFixed = s"($QM_BIAS + $QM_W_LEN * (f1 / 1e6) + $QM_W_STOP * (f2 / 1e6) + $QM_W_REP * (f3 / 1e6))"
     val pmFixed = s"CAST(floor(1e0 / (1e0 + exp(-$zFixed)) * 1e6 + 5e-1) AS BIGINT)"

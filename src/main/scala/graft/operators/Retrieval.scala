@@ -644,7 +644,14 @@ object Retrieval {
   private def bm25ConstsFrom(statsSlices: DataFrame): DataFrame =
     statsSlices
       .agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"), coalesce(sum(col("dl_sum")), lit(0L)).as("dl_sum"))
-      .select(col("n_docs"), (col("dl_sum").cast("double") / col("n_docs").cast("double")).as("avgdl"))
+      // CASE, not a raw divide: an empty corpus has n_docs = 0 and ANSI
+      // division would THROW where q103's avg(dl) quietly yields NULL —
+      // the NULL branch keeps the two paths' empty contracts identical
+      // (no postings exist either way, so avgdl is never read)
+      .select(
+        col("n_docs"),
+        expr("CASE WHEN n_docs = 0 THEN NULL ELSE CAST(dl_sum AS DOUBLE) / CAST(n_docs AS DOUBLE) END").as("avgdl")
+      )
 
   private val bm25Cache = new SessionCache[(DataFrame, DataFrame)]()
 

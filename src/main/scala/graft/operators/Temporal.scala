@@ -560,8 +560,15 @@ object Temporal {
         col("n_view"),
         col("n_view_click"),
         col("n_full_funnel"),
-        expr("floor(cast(n_view_click AS double) / n_view * 1e6 + 5e-1) / 1e6").as("rate_click"),
-        expr("floor(cast(n_full_funnel AS double) / n_view_click * 1e6 + 5e-1) / 1e6").as("rate_purchase")
+        // CASE (not AND): an empty step count is a legal funnel state (empty
+        // corpus / nobody clicked) and ANSI division would THROW — the rate
+        // out of a zero-population step is NULL in both engines by contract
+        expr(
+          "CASE WHEN n_view = 0 THEN NULL ELSE floor(cast(n_view_click AS double) / n_view * 1e6 + 5e-1) / 1e6 END"
+        ).as("rate_click"),
+        expr(
+          "CASE WHEN n_view_click = 0 THEN NULL ELSE floor(cast(n_full_funnel AS double) / n_view_click * 1e6 + 5e-1) / 1e6 END"
+        ).as("rate_purchase")
       )
   }
 
@@ -579,8 +586,10 @@ object Temporal {
       |       (SELECT count(*) FROM s1) AS n_view,
       |       (SELECT count(*) FROM s2) AS n_view_click,
       |       (SELECT count(*) FROM s3) AS n_full_funnel,
-      |       floor((SELECT count(*) FROM s2)::DOUBLE / (SELECT count(*) FROM s1) * 1e6 + 5e-1) / 1e6 AS rate_click,
-      |       floor((SELECT count(*) FROM s3)::DOUBLE / (SELECT count(*) FROM s2) * 1e6 + 5e-1) / 1e6 AS rate_purchase""".stripMargin
+      |       CASE WHEN (SELECT count(*) FROM s1) = 0 THEN NULL ELSE
+      |         floor((SELECT count(*) FROM s2)::DOUBLE / (SELECT count(*) FROM s1) * 1e6 + 5e-1) / 1e6 END AS rate_click,
+      |       CASE WHEN (SELECT count(*) FROM s2) = 0 THEN NULL ELSE
+      |         floor((SELECT count(*) FROM s3)::DOUBLE / (SELECT count(*) FROM s2) * 1e6 + 5e-1) / 1e6 END AS rate_purchase""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_hourly_dense" -> (q20HourlyDense _),

@@ -856,6 +856,13 @@ object TextOps {
 
   def q165TokenizerBudget(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // empty-corpus contract: no text, no training run, 0 checkpoint rows —
+    // the oracle carries the same WHERE count(*) guard (without it, both
+    // sides would otherwise fabricate NULL-laden phantom checkpoints)
+    if (Tables.documents(spark, dir).isEmpty)
+      return Seq
+        .empty[(Int, Long, Long, Double, Double)]
+        .toDF("merges", "vocab_pieces", "corpus_pieces", "fertility", "compression")
     val rows = budgetCurve.getOrBuild(spark, dir) {
       val (_, _, snaps) = bpeTrainStateSnapshots(spark, dir, BPE_MERGES, BPE_BATCH, BPE_GRID)
       BPE_GRID.map { k =>
@@ -895,7 +902,11 @@ object TextOps {
          |  floor((SELECT sum(occ * len(syms)) FROM words$k)::DOUBLE * 1e6 / (SELECT sum(occ) FROM words$k) + 0.5) / 1e6 AS fertility,
          |  floor((SELECT sum(occ * len(syms)) FROM words0)::DOUBLE * 1e6 / (SELECT sum(occ * len(syms)) FROM words$k) + 0.5) / 1e6 AS compression""".stripMargin
     }
-    chain + "\n" + rows.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY merges")
+    chain + "\n" + rows.mkString(
+      "SELECT * FROM (\n",
+      "\nUNION ALL\n",
+      "\n) WHERE (SELECT count(*) FROM documents) > 0 ORDER BY merges"
+    )
   }
 
   /** The trained tokenizer is a session-scoped artifact (like the ANN
