@@ -85,6 +85,12 @@ object PlanAudit {
       "BroadcastNestedLoopJoin" ->
         "1-row broadcast totals (corpus token mass + source count) joined onto per-source rows — the q70 broadcast-scalar pattern"
     ),
+    "q177_media_boilerplate" -> Map(
+      "BroadcastNestedLoopJoin" ->
+        "per kind three 1-row aggregates (fp stats, item count, affected count) cross-joined into one audit row — the q70 broadcast-scalar pattern; the hot-fp probe join is keyed on fp",
+      "CartesianProduct" ->
+        "same 1-row x 1-row combine when the planner picks the cartesian form"
+    ),
     "q97_conversion_funnel" -> Map(
       "BroadcastNestedLoopJoin" ->
         "three 1-row step-count aggregates cross-joined into the single summary row — the q70 broadcast-scalar pattern",

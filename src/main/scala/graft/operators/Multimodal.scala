@@ -295,10 +295,17 @@ object Multimodal {
     * payload = utf-8 text bytes, kind by doc_id mod 3, declared metadata from
     * simple arithmetic. (The plumbing target; payloads are opaque from here.)
     */
-  def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+  def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] =
+    mediaTableOf(Tables.balanced(Tables.documents(spark, dir)))
+
+  /** The media view over ANY documents-shaped frame — the derivation is
+    * per-row, so the streaming maintainer feeds it deltas and the union
+    * of per-delta media rows IS the batch table.
+    */
+  def mediaTableOf(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    Tables
-      .balanced(Tables.documents(spark, dir))
+    docs
       .select(
         col("doc_id").as("media_id"),
         element_at(array(lit("image"), lit("audio"), lit("video")), (col("doc_id") % 3 + 1).cast("int"))
@@ -511,23 +518,34 @@ object Multimodal {
     */
   private val mediaStageCache = new SessionCache[DataFrame]
 
+  /** The per-image band table over ANY documents-shaped frame — per-item
+    * LOCAL like the fingerprint stages, so the streaming maintainer hashes
+    * each delta with this same code and the union of slices equals the
+    * batch table.
+    */
+  private[graft] def imageBandsOf(docs: DataFrame): DataFrame = {
+    val media = mediaTableOf(docs)
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .filter(col("kind") === lit("image") && length(col("payload")) >= 64)
+      .mapPartitions { rows =>
+        // per-partition batched, the decode-stage shape: codec opens once
+        rows.grouped(DecodeBatchSize).flatMap(_.map(m => (m.media_id, Codec.aHash(m.payload))))
+      }
+      .toDF("media_id", "bands")
+  }
+
   private[graft] def imageBandsCached(spark: SparkSession, dir: String): DataFrame =
     mediaStageCache.getOrBuild(spark, s"$dir@media_bands") {
-      val spark0 = spark
-      import spark0.implicits._
-      mediaTable(spark, dir)
-        .filter(col("kind") === lit("image") && length(col("payload")) >= 64)
-        .as[MediaRow]
-        .mapPartitions { rows =>
-          // per-partition batched, the decode-stage shape: codec opens once
-          rows.grouped(DecodeBatchSize).flatMap(_.map(m => (m.media_id, Codec.aHash(m.payload))))
-        }
-        .toDF("media_id", "bands")
-        .localCheckpoint()
+      imageBandsOf(Tables.balanced(Tables.documents(spark, dir))).localCheckpoint()
     }
 
-  def q114ImageNeardup(spark: SparkSession, dir: String): DataFrame = {
-    val hashed = imageBandsCached(spark, dir)
+  /** q114's banded mine + exact verify over a staged band table — shared
+    * verbatim by the batch query and the streaming maintainer's served
+    * report.
+    */
+  private[graft] def imageNeardupFrom(hashed: DataFrame): DataFrame = {
     val inst = hashed.select(col("media_id"), posexplode(col("bands")).as(Seq("band", "bv")))
     val cand = inst
       .as("l")
@@ -546,6 +564,9 @@ object Multimodal {
       .select(col("media_a"), col("media_b"), col("hamming"))
       .orderBy(col("media_a"), col("media_b"))
   }
+
+  def q114ImageNeardup(spark: SparkSession, dir: String): DataFrame =
+    imageNeardupFrom(imageBandsCached(spark, dir))
 
   /** The aHash arithmetic replayed over the verified-ASCII corpus (bytes =
     * codepoints, the q37/q39 contract), then the exact all-pairs hamming
@@ -609,9 +630,10 @@ object Multimodal {
   private[graft] val MEDIA_FP_MAXDF = 100
 
   /** The rare-fingerprint table over any (media_id, fp) frame — the MOSS
-    * df cap shared by q115/q175 (Dedup.winnowRare's exact shape).
+    * df cap shared by q115/q175 (Dedup.winnowRare's exact shape) and the
+    * streaming maintainer's serve path.
     */
-  private def rareMediaFps(inst: DataFrame): DataFrame =
+  private[graft] def rareMediaFps(inst: DataFrame): DataFrame =
     inst.join(
       inst
         .groupBy(col("fp"))
@@ -621,50 +643,79 @@ object Multimodal {
       "fp"
     )
 
-  /** q115's staged df-capped distinct fingerprint table, built once per
-    * (session, dir): the decode pass runs once, and nf + both pair sides
-    * (plus q176/bench re-entries) read the staged result.
+  /** q115's raw distinct fingerprint table over ANY documents-shaped frame
+    * — per-item LOCAL (an item's fingerprints depend on nothing outside
+    * it), so the streaming maintainer fingerprints each delta with this
+    * same code and the union of slices equals the batch table (the
+    * winnow maintainer's argument).
+    */
+  private[graft] def videoFpsRawOf(docs: DataFrame): DataFrame = {
+    val media = mediaTableOf(docs)
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .filter(col("kind") === lit("video") && col("meta.duration_ms") > 0)
+      .mapPartitions { rows =>
+        rows.grouped(DecodeBatchSize).flatMap(_.flatMap { m =>
+          FakeCodec.frameFingerprints(m.payload, m.meta.duration_ms).map(fp => (m.media_id, fp))
+        })
+      }
+      .toDF("media_id", "fp")
+      .distinct() // containment is over DISTINCT fingerprints per video
+  }
+
+  /** q115's staged RAW distinct fingerprint table (pre-cap), built once per
+    * (session, dir): the decode pass runs once; the capped miner table and
+    * the q177 boilerplate audit both derive from it.
+    */
+  private[graft] def videoFpsRawCached(spark: SparkSession, dir: String): DataFrame =
+    mediaStageCache.getOrBuild(spark, s"$dir@media_vfp_raw") {
+      videoFpsRawOf(Tables.balanced(Tables.documents(spark, dir))).localCheckpoint()
+    }
+
+  /** q115's staged df-capped fingerprint table — what nf + both pair sides
+    * (plus q176/bench re-entries) read.
     */
   private[graft] def videoFpsCached(spark: SparkSession, dir: String): DataFrame =
     mediaStageCache.getOrBuild(spark, s"$dir@media_vfp") {
-      val spark0 = spark
-      import spark0.implicits._
-      val raw = mediaTable(spark, dir)
-        .filter(col("kind") === lit("video") && col("meta.duration_ms") > 0)
-        .as[MediaRow]
-        .mapPartitions { rows =>
-          rows.grouped(DecodeBatchSize).flatMap(_.flatMap { m =>
-            FakeCodec.frameFingerprints(m.payload, m.meta.duration_ms).map(fp => (m.media_id, fp))
-          })
-        }
-        .toDF("media_id", "fp")
-        .distinct() // containment is over DISTINCT fingerprints per video
-        .localCheckpoint()
-      rareMediaFps(raw).localCheckpoint()
+      rareMediaFps(videoFpsRawCached(spark, dir)).localCheckpoint()
     }
 
-  def q115VideoNeardup(spark: SparkSession, dir: String): DataFrame = {
-    val inst = videoFpsCached(spark, dir)
+  /** The shared containment pair tail over a (df-capped) fingerprint
+    * table: exact fp equi-join, >= 50% containment of the smaller side's
+    * distinct rare fingerprints. Shared verbatim by batch q115/q175 and
+    * the streaming maintainer's served reports, so the two views cannot
+    * drift (the StreamingWinnow discipline).
+    */
+  private[graft] def mediaNeardupFrom(inst: DataFrame, sharedName: String): DataFrame = {
     val nf = inst.groupBy(col("media_id")).agg(count(lit(1)).as("nf"))
     val sh = inst
       .as("l")
       .join(inst.as("r"), col("l.fp") === col("r.fp") && col("l.media_id") < col("r.media_id"))
       .groupBy(col("l.media_id").as("media_a"), col("r.media_id").as("media_b"))
-      .agg(count(lit(1)).as("shared_frames"))
+      .agg(count(lit(1)).as(sharedName))
     sh.join(nf.select(col("media_id").as("media_a"), col("nf").as("nf_a")), "media_a")
       .join(nf.select(col("media_id").as("media_b"), col("nf").as("nf_b")), "media_b")
-      .filter(col("shared_frames").cast("double") / least(col("nf_a"), col("nf_b")) >= 0.5)
+      .filter(col(sharedName).cast("double") / least(col("nf_a"), col("nf_b")) >= 0.5)
       .select(
         col("media_a"),
         col("media_b"),
-        col("shared_frames"),
-        expr("floor(CAST(shared_frames AS DOUBLE) * 1e6 / least(nf_a, nf_b) + 5e-1) / 1e6").as("containment")
+        col(sharedName),
+        expr(s"floor(CAST($sharedName AS DOUBLE) * 1e6 / least(nf_a, nf_b) + 5e-1) / 1e6").as("containment")
       )
       .orderBy(col("media_a"), col("media_b"))
   }
 
-  val q115Oracle: String =
-    s"""WITH v AS (
+  def q115VideoNeardup(spark: SparkSession, dir: String): DataFrame =
+    mediaNeardupFrom(videoFpsCached(spark, dir), "shared_frames")
+
+  /** The raw distinct (media_id, fp) video frame-fingerprint derivation —
+    * ONE statement nested by both q115's pair oracle and q177's
+    * boilerplate audit (the q163 splice rule: already margin-stripped,
+    * concatenate only).
+    */
+  private val q115InstSql: String =
+    """WITH v AS (
       |  SELECT doc_id AS media_id, text,
       |         octet_length(encode(text)) AS n,
       |         CAST(ceil((n_chars * 40) / 1000.0) AS INT) AS f
@@ -679,21 +730,27 @@ object Multimodal {
       |  SELECT media_id,
       |         unnest(list_transform(list_filter(range(0, f), i -> i * w < n),
       |                i -> md5(substring(text, i*w + 1, w)))) AS fp
-      |  FROM wv),
-      |inst0 AS (SELECT DISTINCT media_id, fp FROM raw),
-      |rare AS (SELECT fp FROM inst0 GROUP BY fp HAVING count(*) <= $MEDIA_FP_MAXDF),
-      |inst AS (SELECT media_id, inst0.fp FROM inst0 JOIN rare USING (fp)),
-      |nf AS (SELECT media_id, count(*) AS nf FROM inst GROUP BY 1),
-      |sh AS (
-      |  SELECT l.media_id AS media_a, r.media_id AS media_b, count(*) AS shared_frames
-      |  FROM inst l JOIN inst r ON l.fp = r.fp AND l.media_id < r.media_id
-      |  GROUP BY 1, 2)
-      |SELECT media_a, media_b,
-      |       CAST(shared_frames AS BIGINT) AS shared_frames,
-      |       floor(CAST(shared_frames AS DOUBLE) * 1e6 / least(a.nf, b.nf) + 5e-1) / 1e6 AS containment
-      |FROM sh JOIN nf a ON sh.media_a = a.media_id JOIN nf b ON sh.media_b = b.media_id
-      |WHERE CAST(shared_frames AS DOUBLE) / least(a.nf, b.nf) >= 0.5
-      |ORDER BY media_a, media_b""".stripMargin
+      |  FROM wv)
+      |SELECT DISTINCT media_id, fp FROM raw""".stripMargin
+
+  val q115Oracle: String = {
+    val tail =
+      s"""),
+        |rare AS (SELECT fp FROM inst0 GROUP BY fp HAVING count(*) <= $MEDIA_FP_MAXDF),
+        |inst AS (SELECT media_id, inst0.fp FROM inst0 JOIN rare USING (fp)),
+        |nf AS (SELECT media_id, count(*) AS nf FROM inst GROUP BY 1),
+        |sh AS (
+        |  SELECT l.media_id AS media_a, r.media_id AS media_b, count(*) AS shared_frames
+        |  FROM inst l JOIN inst r ON l.fp = r.fp AND l.media_id < r.media_id
+        |  GROUP BY 1, 2)
+        |SELECT media_a, media_b,
+        |       CAST(shared_frames AS BIGINT) AS shared_frames,
+        |       floor(CAST(shared_frames AS DOUBLE) * 1e6 / least(a.nf, b.nf) + 5e-1) / 1e6 AS containment
+        |FROM sh JOIN nf a ON sh.media_a = a.media_id JOIN nf b ON sh.media_b = b.media_id
+        |WHERE CAST(shared_frames AS DOUBLE) / least(a.nf, b.nf) >= 0.5
+        |ORDER BY media_a, media_b""".stripMargin
+    "WITH inst0 AS (\n" + q115InstSql + "\n" + tail
+  }
 
   // ---------------------------------------------------------------------------
   // q175 — audio near-duplicate mining by energy-shingle fingerprints: the
@@ -718,56 +775,56 @@ object Multimodal {
   // join and the containment denominators by contract, so a hot key can
   // never go quadratic. Pinned by the planted hot-fp spec.
   // ---------------------------------------------------------------------------
-  /** q175's staged df-capped distinct fingerprint table — q115's staging
-    * pattern over the audio energy shingles.
+  /** q175's raw distinct fingerprint table over ANY documents-shaped frame
+    * — per-item LOCAL like [[videoFpsRawOf]] (the energy-shingle window
+    * partitions by media_id, so a delta's shingles never see another
+    * item).
     */
-  private[graft] def audioFpsCached(spark: SparkSession, dir: String): DataFrame =
-    mediaStageCache.getOrBuild(spark, s"$dir@media_afp") {
-      val spark0 = spark
-      import spark0.implicits._
-      val win = mediaTable(spark, dir)
-        .filter(col("kind") === lit("audio") && length(col("payload")) > 0)
-        .as[MediaRow]
-        .mapPartitions { rows =>
-          rows.grouped(DecodeBatchSize).flatMap(_.flatMap { m =>
-            Codec.energyWindows(m.payload).zipWithIndex.map { case (e, i) => (m.media_id, i, e) }
-          })
-        }
-        .toDF("media_id", "idx", "energy")
-      val wSeq = Window.partitionBy(col("media_id")).orderBy(col("idx"))
-      val raw = win
-        .withColumn("e1", lead(col("energy"), 1).over(wSeq))
-        .withColumn("e2", lead(col("energy"), 2).over(wSeq))
-        .withColumn("e3", lead(col("energy"), 3).over(wSeq))
-        .filter(col("e3").isNotNull)
-        .select(col("media_id"), md5(concat_ws("_", col("energy"), col("e1"), col("e2"), col("e3"))).as("fp"))
-        .distinct() // containment is over DISTINCT fingerprints per audio
-        .localCheckpoint()
-      rareMediaFps(raw).localCheckpoint()
-    }
-
-  def q175AudioNeardup(spark: SparkSession, dir: String): DataFrame = {
-    val inst = audioFpsCached(spark, dir)
-    val nf = inst.groupBy(col("media_id")).agg(count(lit(1)).as("nf"))
-    val sh = inst
-      .as("l")
-      .join(inst.as("r"), col("l.fp") === col("r.fp") && col("l.media_id") < col("r.media_id"))
-      .groupBy(col("l.media_id").as("media_a"), col("r.media_id").as("media_b"))
-      .agg(count(lit(1)).as("shared_fps"))
-    sh.join(nf.select(col("media_id").as("media_a"), col("nf").as("nf_a")), "media_a")
-      .join(nf.select(col("media_id").as("media_b"), col("nf").as("nf_b")), "media_b")
-      .filter(col("shared_fps").cast("double") / least(col("nf_a"), col("nf_b")) >= 0.5)
-      .select(
-        col("media_a"),
-        col("media_b"),
-        col("shared_fps"),
-        expr("floor(CAST(shared_fps AS DOUBLE) * 1e6 / least(nf_a, nf_b) + 5e-1) / 1e6").as("containment")
-      )
-      .orderBy(col("media_a"), col("media_b"))
+  private[graft] def audioFpsRawOf(docs: DataFrame): DataFrame = {
+    val media = mediaTableOf(docs)
+    val spark = media.sparkSession
+    import spark.implicits._
+    val win = media
+      .filter(col("kind") === lit("audio") && length(col("payload")) > 0)
+      .mapPartitions { rows =>
+        rows.grouped(DecodeBatchSize).flatMap(_.flatMap { m =>
+          Codec.energyWindows(m.payload).zipWithIndex.map { case (e, i) => (m.media_id, i, e) }
+        })
+      }
+      .toDF("media_id", "idx", "energy")
+    val wSeq = Window.partitionBy(col("media_id")).orderBy(col("idx"))
+    win
+      .withColumn("e1", lead(col("energy"), 1).over(wSeq))
+      .withColumn("e2", lead(col("energy"), 2).over(wSeq))
+      .withColumn("e3", lead(col("energy"), 3).over(wSeq))
+      .filter(col("e3").isNotNull)
+      .select(col("media_id"), md5(concat_ws("_", col("energy"), col("e1"), col("e2"), col("e3"))).as("fp"))
+      .distinct() // containment is over DISTINCT fingerprints per audio
   }
 
-  val q175Oracle: String =
-    s"""WITH a AS (
+  /** q175's staged RAW distinct fingerprint table (pre-cap) — q115's
+    * staging pattern over the audio energy shingles; feeds the capped
+    * miner table and the q177 boilerplate audit.
+    */
+  private[graft] def audioFpsRawCached(spark: SparkSession, dir: String): DataFrame =
+    mediaStageCache.getOrBuild(spark, s"$dir@media_afp_raw") {
+      audioFpsRawOf(Tables.balanced(Tables.documents(spark, dir))).localCheckpoint()
+    }
+
+  /** q175's staged df-capped fingerprint table (the q115 shape). */
+  private[graft] def audioFpsCached(spark: SparkSession, dir: String): DataFrame =
+    mediaStageCache.getOrBuild(spark, s"$dir@media_afp") {
+      rareMediaFps(audioFpsRawCached(spark, dir)).localCheckpoint()
+    }
+
+  def q175AudioNeardup(spark: SparkSession, dir: String): DataFrame =
+    mediaNeardupFrom(audioFpsCached(spark, dir), "shared_fps")
+
+  /** The raw distinct (media_id, fp) audio energy-shingle derivation —
+    * nested by q175's pair oracle and q177's audit (q115's pattern).
+    */
+  private val q175InstSql: String =
+    """WITH a AS (
       |  SELECT doc_id AS media_id, text, octet_length(encode(text)) AS n
       |  FROM documents
       |  WHERE ['image','audio','video'][(doc_id % 3 + 1)::INT] = 'audio'
@@ -785,21 +842,27 @@ object Multimodal {
       |         unnest(list_transform(range(1, len(e) - 2), i ->
       |           md5(CAST(e[i] AS VARCHAR) || '_' || CAST(e[i+1] AS VARCHAR) || '_' ||
       |               CAST(e[i+2] AS VARCHAR) || '_' || CAST(e[i+3] AS VARCHAR)))) AS fp
-      |  FROM es WHERE len(e) >= 4),
-      |inst0 AS (SELECT DISTINCT media_id, fp FROM fp0),
-      |rare AS (SELECT fp FROM inst0 GROUP BY fp HAVING count(*) <= $MEDIA_FP_MAXDF),
-      |inst AS (SELECT media_id, inst0.fp FROM inst0 JOIN rare USING (fp)),
-      |nf AS (SELECT media_id, count(*) AS nf FROM inst GROUP BY 1),
-      |sh AS (
-      |  SELECT l.media_id AS media_a, r.media_id AS media_b, count(*) AS shared_fps
-      |  FROM inst l JOIN inst r ON l.fp = r.fp AND l.media_id < r.media_id
-      |  GROUP BY 1, 2)
-      |SELECT media_a, media_b,
-      |       CAST(shared_fps AS BIGINT) AS shared_fps,
-      |       floor(CAST(shared_fps AS DOUBLE) * 1e6 / least(a.nf, b.nf) + 5e-1) / 1e6 AS containment
-      |FROM sh JOIN nf a ON sh.media_a = a.media_id JOIN nf b ON sh.media_b = b.media_id
-      |WHERE CAST(shared_fps AS DOUBLE) / least(a.nf, b.nf) >= 0.5
-      |ORDER BY media_a, media_b""".stripMargin
+      |  FROM es WHERE len(e) >= 4)
+      |SELECT DISTINCT media_id, fp FROM fp0""".stripMargin
+
+  val q175Oracle: String = {
+    val tail =
+      s"""),
+        |rare AS (SELECT fp FROM inst0 GROUP BY fp HAVING count(*) <= $MEDIA_FP_MAXDF),
+        |inst AS (SELECT media_id, inst0.fp FROM inst0 JOIN rare USING (fp)),
+        |nf AS (SELECT media_id, count(*) AS nf FROM inst GROUP BY 1),
+        |sh AS (
+        |  SELECT l.media_id AS media_a, r.media_id AS media_b, count(*) AS shared_fps
+        |  FROM inst l JOIN inst r ON l.fp = r.fp AND l.media_id < r.media_id
+        |  GROUP BY 1, 2)
+        |SELECT media_a, media_b,
+        |       CAST(shared_fps AS BIGINT) AS shared_fps,
+        |       floor(CAST(shared_fps AS DOUBLE) * 1e6 / least(a.nf, b.nf) + 5e-1) / 1e6 AS containment
+        |FROM sh JOIN nf a ON sh.media_a = a.media_id JOIN nf b ON sh.media_b = b.media_id
+        |WHERE CAST(shared_fps AS DOUBLE) / least(a.nf, b.nf) >= 0.5
+        |ORDER BY media_a, media_b""".stripMargin
+    "WITH inst0 AS (\n" + q175InstSql + "\n" + tail
+  }
 
   // ---------------------------------------------------------------------------
   // q176 — media DEDUP PROFILE: the q117 dashboard pattern applied to the
@@ -812,6 +875,93 @@ object Multimodal {
   // members exploded, count/2 = pairs, distinct = paired items — so the
   // profile adds two bounded rollups on top of the miners' own plans.
   // ---------------------------------------------------------------------------
+  // ---------------------------------------------------------------------------
+  // q177 — media BOILERPLATE FINGERPRINT audit: what the q115/q175 df cap
+  // actually excluded — per kind, how many distinct fingerprints exist,
+  // how many are hot (df > MEDIA_FP_MAXDF: silence, blank frames, shared
+  // jingles/intros), the share, how many items carry at least one hot
+  // fingerprint, and the hottest key's df. This is the observability half
+  // of the cap's contract: the miners DROP boilerplate keys by
+  // construction, and this table is where a curator sees how much
+  // boilerplate a corpus has before trusting the miners' containment
+  // numbers (the q163-style "decision needs its audit" pattern). Image is
+  // deliberately absent: q114's band buckets are uncapped by contract
+  // (pigeonhole completeness — see its header).
+  //
+  // Scale shape: per kind one df rollup over the staged raw fingerprint
+  // table plus three 1-row aggregates (broadcast crossJoins — whitelisted);
+  // the hot join probes only df>cap keys. Empty-corpus contract: legs are
+  // global aggregates, so each kind emits one all-zero row (shares NULL —
+  // CASE-guarded, the ANSI rule) in both engines.
+  // ---------------------------------------------------------------------------
+  def q177MediaBoilerplate(spark: SparkSession, dir: String): DataFrame = {
+    def leg(kind: String, raw: DataFrame): DataFrame = {
+      val df = raw.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      val stats = df.agg(
+        count(lit(1)).as("n_fps"),
+        coalesce(sum(when(col("df") > MEDIA_FP_MAXDF, 1L).otherwise(0L)), lit(0L)).as("n_hot_fps"),
+        max(col("df")).as("max_df")
+      )
+      val items = raw.agg(countDistinct(col("media_id")).as("n_items"))
+      val aff = raw
+        .join(df.filter(col("df") > MEDIA_FP_MAXDF).select(col("fp")), Seq("fp"))
+        .agg(countDistinct(col("media_id")).as("n_items_affected"))
+      items.crossJoin(broadcast(stats)).crossJoin(broadcast(aff)).withColumn("kind", lit(kind))
+    }
+    leg("audio", audioFpsRawCached(spark, dir))
+      .unionByName(leg("video", videoFpsRawCached(spark, dir)))
+      .select(
+        col("kind"),
+        col("n_items"),
+        col("n_fps"),
+        col("n_hot_fps"),
+        expr("CASE WHEN n_fps = 0 THEN NULL ELSE floor(CAST(n_hot_fps AS DOUBLE) * 1e6 / n_fps + 5e-1) / 1e6 END")
+          .as("hot_fp_share"),
+        col("n_items_affected"),
+        expr(
+          "CASE WHEN n_items = 0 THEN NULL ELSE floor(CAST(n_items_affected AS DOUBLE) * 1e6 / n_items + 5e-1) / 1e6 END"
+        ).as("affected_share"),
+        col("max_df")
+      )
+      .orderBy(col("kind"))
+  }
+
+  /** Both kinds' raw-instance SQL nested as derived tables (the q163
+    * splice rule), then scalar-subquery legs over their df rollups.
+    */
+  lazy val q177Oracle: String = {
+    val head = "WITH ai AS (SELECT media_id, fp FROM ("
+    val mid =
+      """)),
+        |vi AS (SELECT media_id, fp FROM (""".stripMargin
+    val tail =
+      s""")),
+        |adf AS (SELECT fp, count(*) AS df FROM ai GROUP BY 1),
+        |vdf AS (SELECT fp, count(*) AS df FROM vi GROUP BY 1),
+        |legs AS (
+        |  SELECT 'audio' AS kind,
+        |         (SELECT count(DISTINCT media_id) FROM ai) AS n_items,
+        |         (SELECT count(*) FROM adf) AS n_fps,
+        |         (SELECT coalesce(sum(CASE WHEN df > $MEDIA_FP_MAXDF THEN 1 ELSE 0 END), 0) FROM adf) AS n_hot_fps,
+        |         (SELECT count(DISTINCT media_id) FROM ai JOIN adf USING (fp) WHERE df > $MEDIA_FP_MAXDF) AS n_items_affected,
+        |         (SELECT max(df) FROM adf) AS max_df
+        |  UNION ALL
+        |  SELECT 'video',
+        |         (SELECT count(DISTINCT media_id) FROM vi),
+        |         (SELECT count(*) FROM vdf),
+        |         (SELECT coalesce(sum(CASE WHEN df > $MEDIA_FP_MAXDF THEN 1 ELSE 0 END), 0) FROM vdf),
+        |         (SELECT count(DISTINCT media_id) FROM vi JOIN vdf USING (fp) WHERE df > $MEDIA_FP_MAXDF),
+        |         (SELECT max(df) FROM vdf))
+        |SELECT kind, CAST(n_items AS BIGINT) AS n_items, CAST(n_fps AS BIGINT) AS n_fps,
+        |       CAST(n_hot_fps AS BIGINT) AS n_hot_fps,
+        |       CASE WHEN n_fps = 0 THEN NULL ELSE floor(CAST(n_hot_fps AS DOUBLE) * 1e6 / n_fps + 5e-1) / 1e6 END AS hot_fp_share,
+        |       CAST(n_items_affected AS BIGINT) AS n_items_affected,
+        |       CASE WHEN n_items = 0 THEN NULL ELSE floor(CAST(n_items_affected AS DOUBLE) * 1e6 / n_items + 5e-1) / 1e6 END AS affected_share,
+        |       CAST(max_df AS BIGINT) AS max_df
+        |FROM legs ORDER BY kind""".stripMargin
+    head + "\n" + q175InstSql + "\n" + mid + "\n" + q115InstSql + "\n" + tail
+  }
+
   /** Warm the three media fingerprint stages for this session — named as a
     * build phase by Bench (the buildShingleStage shape), since q114/q115/
     * q175/q176 all re-enter the staged tables per repetition.
@@ -1029,6 +1179,87 @@ object Multimodal {
   }
 
   // ---------------------------------------------------------------------------
+  // q178 — image DECONTAMINATION screen: which TRAIN-split images are
+  // near-duplicates of HELD-OUT (test-bucket) images — the multimodal leg
+  // of the decontamination family (q67/q166 text n-grams, q113 near-dup
+  // text, q152 verbatim spans; this is the same question for a vision
+  // benchmark: an eval image that leaked into training, possibly
+  // re-encoded, inflates eval exactly like a leaked test document).
+  // Splits are the corpus's own md5 buckets (q106/q166's arithmetic:
+  // train < 205, test >= 230); matching is q114's banded aHash at the
+  // same tau=6 — so the banding stays pigeonhole-complete and the whole
+  // screen is oracle-gated by the exact cross-split hamming join. Output
+  // is the per-train-image drop ledger: how many eval images it collides
+  // with and the closest one (deterministic argmin via the winnow-style
+  // fixed-width string encode, identical in both engines).
+  //
+  // Scale shape: the staged band table built once (imageBandsCached),
+  // split by a projection; candidates from the (band, bv) equi-join
+  // between the two sides — the eval side is benchmark-sized, so AQE
+  // broadcasts it; the exact verify touches candidate pairs only. No
+  // cross join anywhere in the engine plan.
+  // ---------------------------------------------------------------------------
+  def q178ImageDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val hashed = imageBandsCached(spark, dir)
+      .withColumn("bucket", conv(substring(md5(col("media_id").cast("string")), 1, 2), 16, 10).cast("int"))
+    val evalSide = hashed
+      .filter(col("bucket") >= Sampling.SPLIT_VALIDATION_LT)
+      .select(col("media_id").as("eval_id"), col("bands").as("bands_e"))
+    val trainSide = hashed
+      .filter(col("bucket") < Sampling.SPLIT_TRAIN_LT)
+      .select(col("media_id").as("train_id"), col("bands").as("bands_t"))
+    val ei = evalSide.select(col("eval_id"), posexplode(col("bands_e")).as(Seq("band", "bv")))
+    val ti = trainSide.select(col("train_id"), posexplode(col("bands_t")).as(Seq("band", "bv")))
+    val cand = ti.join(ei, Seq("band", "bv")).select(col("train_id"), col("eval_id")).distinct()
+    cand
+      .join(trainSide, "train_id")
+      .join(evalSide, "eval_id")
+      .withColumn(
+        "hamming",
+        expr("CAST(aggregate(zip_with(bands_t, bands_e, (x, y) -> bit_count(x ^ y)), 0, (acc, v) -> acc + v) AS BIGINT)")
+      )
+      .filter(col("hamming") <= AHASH_TAU)
+      .groupBy(col("train_id"))
+      .agg(
+        count(lit(1)).as("n_eval_matches"),
+        min(
+          concat(lpad(col("hamming").cast("string"), 2, "0"), lpad(col("eval_id").cast("string"), 19, "0"))
+        ).as("enc")
+      )
+      .select(
+        col("train_id"),
+        col("n_eval_matches"),
+        expr("CAST(substring(enc, 1, 2) AS BIGINT)").as("best_hamming"),
+        expr("CAST(substring(enc, 3, 19) AS BIGINT)").as("best_eval_id")
+      )
+      .orderBy(col("train_id"))
+  }
+
+  /** q114's chain through hb (the q156 splice), buckets projected on, then
+    * the exact cross-split hamming join the banding provably equals.
+    */
+  lazy val q178Oracle: String = {
+    val chain = q114Oracle.substring(0, q114Oracle.indexOf("\nSELECT l.media_id"))
+    chain + ",\n" +
+      s"""hbb AS (
+        |  SELECT media_id, bands,
+        |         CAST(('0x' || substring(md5(CAST(media_id AS VARCHAR)), 1, 2))::INT AS INT) AS bucket
+        |  FROM hb),
+        |tr AS (SELECT media_id, bands FROM hbb WHERE bucket < ${Sampling.SPLIT_TRAIN_LT}),
+        |ev AS (SELECT media_id, bands FROM hbb WHERE bucket >= ${Sampling.SPLIT_VALIDATION_LT}),
+        |m AS (
+        |  SELECT t.media_id AS train_id, e.media_id AS eval_id,
+        |         CAST(list_sum(list_transform(range(1, 9), k -> bit_count(xor(t.bands[k], e.bands[k])))) AS BIGINT) AS hamming
+        |  FROM tr t, ev e
+        |  WHERE list_sum(list_transform(range(1, 9), k -> bit_count(xor(t.bands[k], e.bands[k])))) <= 6)
+        |SELECT train_id,
+        |       CAST(count(*) AS BIGINT) AS n_eval_matches,
+        |       CAST(substring(min(lpad(CAST(hamming AS VARCHAR), 2, '0') || lpad(CAST(eval_id AS VARCHAR), 19, '0')), 1, 2) AS BIGINT) AS best_hamming,
+        |       CAST(substring(min(lpad(CAST(hamming AS VARCHAR), 2, '0') || lpad(CAST(eval_id AS VARCHAR), 19, '0')), 3, 19) AS BIGINT) AS best_eval_id
+        |FROM m GROUP BY 1 ORDER BY train_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------------
   // q161 — IMAGE–TEXT ALIGNMENT screen: the CLIP-style mismatched-pair
   // filter every VLM data pipeline runs before training (LAION/DataComp's
   // core curation step — drop pairs whose image and caption don't agree).
@@ -1172,6 +1403,8 @@ object Multimodal {
     "q115_video_neardup" -> (q115VideoNeardup _),
     "q116_audio_activity" -> (q116AudioActivity _),
     "q175_audio_neardup" -> (q175AudioNeardup _),
+    "q177_media_boilerplate" -> (q177MediaBoilerplate _),
+    "q178_image_decontam" -> (q178ImageDecontam _),
     "q176_media_dedup_profile" -> (q176MediaDedupProfile _),
     "q156_image_dup_clusters" -> (q156ImageDupClusters _)
   )
@@ -1264,6 +1497,8 @@ object Multimodal {
     "q115_video_neardup" -> q115Oracle,
     "q116_audio_activity" -> q116Oracle,
     "q175_audio_neardup" -> q175Oracle,
+    "q177_media_boilerplate" -> q177Oracle,
+    "q178_image_decontam" -> q178Oracle,
     "q176_media_dedup_profile" -> q176Oracle,
     "q156_image_dup_clusters" -> q156Oracle
   )

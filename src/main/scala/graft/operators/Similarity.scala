@@ -174,7 +174,8 @@ object Similarity {
       lshPlanes: Int,
       lshProbes: Int,
       ivfC: Int,
-      ivfNprobe: Int
+      ivfNprobe: Int,
+      lshMinHits: Int = 1
   ) {
     /** Session plane-function names are profile-qualified (the binding per
       * name is immutable — same no-rebind rule as `centroid_ranks_i`).
@@ -184,13 +185,22 @@ object Similarity {
 
   val Fast: AnnProfile = AnnProfile("fast", lshTables = 6, lshPlanes = 6, lshProbes = 1, ivfC = 16, ivfNprobe = 4)
 
-  /** Sweep-chosen (tools.AnnTune, sf0.001/0.01/0.1 uniform corpus; r13
-    * re-sweep over a wider structural grid). The r12 preset bought uniform
-    * recall 0.94 with an ~0.80 scanned fraction — barely better than brute
-    * force; the re-sweep found strictly better operating points on both
-    * families:
-    *   - LSH T=16 x P=6 with 3 margin-ranked probes: uniform recall 0.94
-    *     at ~0.63-0.65 scanned at every SF (was 0.94 at ~0.80).
+  /** Sweep-chosen (tools.AnnTune, sf0.001/0.01/0.1 uniform corpus; r14
+    * counting-LSH re-sweep). The r13 LSH point (T=16 x P=6, 3 probes,
+    * plain bucket union) bought uniform recall 0.94 at ~0.63-0.65 scanned
+    * — above the <= 0.5 target the round carried. The r14 preset adds the
+    * COLLISION-COUNT filter (lshMinHits — the C2LSH counting argument:
+    * a candidate reaches the exact-distance pass only with >= tau
+    * distinct-table collisions, and collision count is monotone in
+    * cosine, so the threshold sheds random colliders much faster than
+    * true neighbors):
+    *   - LSH T=24 x P=6, 5 margin-ranked probes, minHits=3: uniform
+    *     recall 0.94/0.92/0.98 at 0.42/0.41/0.42 scanned across
+    *     sf0.001/0.01/0.1 — under the 0.5 target at every SF, where no
+    *     plain bucket-union point on the swept grid reached 0.9 recall
+    *     below ~0.6 scanned. Scan fraction counts exact-distance
+    *     evaluations; the count itself is per-row integer arithmetic on
+    *     the already-joined bucket arrays (no extra shuffle).
     *   - IVF C=64 (finer quantizer — cell ranking by centroid distance
     *     concentrates true neighbors far better than C=16), nprobe=28:
     *     uniform recall 0.94 at 0.445 scanned at sf0.1 — and the trend
@@ -203,7 +213,7 @@ object Similarity {
     * recall/fraction grid re-taken every round.
     */
   val Quality: AnnProfile =
-    AnnProfile("quality", lshTables = 16, lshPlanes = 6, lshProbes = 3, ivfC = 64, ivfNprobe = 28)
+    AnnProfile("quality", lshTables = 24, lshPlanes = 6, lshProbes = 5, ivfC = 64, ivfNprobe = 28, lshMinHits = 3)
 
   /** Below this corpus size the quality IVF preset widens its probes:
     * measured at n=500, nprobe=28 reads recall 0.86-0.88 (over-quantized
@@ -243,6 +253,21 @@ object Similarity {
       .getOrElse(prof.lshProbes)
       .max(0)
       .min(prof.lshPlanes)
+
+  /** Query-time knob: minimum DISTINCT-table collisions before a candidate
+    * reaches the exact-distance pass (counting LSH), overriding the
+    * profile default. 1 = plain bucket union (fast's default and the
+    * planted operating point); `quality` runs 2 — see the preset comment.
+    */
+  val LshMinHitsConf = "graft.ann.lsh.minhits"
+
+  private def lshMinHits(spark: SparkSession, prof: AnnProfile): Int =
+    spark.conf
+      .getOption(LshMinHitsConf)
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .getOrElse(prof.lshMinHits)
+      .max(1)
+      .min(prof.lshTables)
 
   /** Deterministic hyperplane weights in [-1,1] (splitmix64-derived),
     * indexed [t * planes + p][dim]. Seeded by (t, p) alone, so a profile's
@@ -508,7 +533,13 @@ object Similarity {
     * probe position, where "hit" compares the query's flat probe array
     * against the corpus row's exact per-table buckets.
     */
-  private def lshCandidates(queries: DataFrame, idx: DataFrame, extra: Int, fnSuffix: String = ""): DataFrame = {
+  private def lshCandidates(
+      queries: DataFrame,
+      idx: DataFrame,
+      extra: Int,
+      fnSuffix: String = "",
+      minHits: Int = 1
+  ): DataFrame = {
     val stride = extra + 1
     val qp = queries
       .select(col("query_id"), col("va"))
@@ -516,7 +547,7 @@ object Similarity {
     val exploded = qp
       .select(qp.columns.map(col).toSeq :+ posexplode_outer(col("ps")).as(Seq("pp", "b")): _*)
       .withColumn("t", expr(s"cast(pp div $stride AS int)"))
-    broadcast(exploded)
+    val joined = broadcast(exploded)
       .join(idx, Seq("t", "b"))
       .filter(col("query_id") =!= col("vec_id"))
       // first-hit dedup: drop the pair unless no earlier probe position
@@ -526,7 +557,23 @@ object Similarity {
         s"pp = 0 OR NOT exists(sequence(0, pp - 1), " +
           s"i -> element_at(ps, i + 1) = element_at(cbs, cast(i div $stride AS int) + 1))"
       ))
-      .select(col("query_id"), col("va"), col("vec_id"), col("vb"))
+    // collision-count filter (the C2LSH counting argument): a pair reaches
+    // the exact-distance pass only when it collides in >= minHits DISTINCT
+    // tables. Collision probability is monotone in cosine, so the count
+    // concentrates on true neighbors and the filter breaks uniform LSH's
+    // recall ~ scanned-fraction wall: scan fraction here counts EXACT
+    // DISTANCE EVALUATIONS (the dot products that dominate at real DIM);
+    // the count itself is per-row integer arithmetic over the two bucket
+    // arrays already on the joined row — no extra shuffle, the postings
+    // arithmetic a counting-LSH serving path does before fetching vectors.
+    val filtered =
+      if (minHits <= 1) joined
+      else
+        joined.filter(expr(
+          s"size(filter(sequence(0, size(cbs) - 1), " +
+            s"t -> exists(slice(ps, t * $stride + 1, $stride), pb -> pb = element_at(cbs, t + 1)))) >= $minHits"
+        ))
+    filtered.select(col("query_id"), col("va"), col("vec_id"), col("vb"))
   }
 
   def q35LshTopK(spark: SparkSession, dir: String): DataFrame = {
@@ -538,7 +585,8 @@ object Similarity {
         queriesDf(spark, dir),
         buildLshIndexWith(spark, dir, prof),
         lshExtraProbes(spark, prof),
-        prof.fnSuffix
+        prof.fnSuffix,
+        lshMinHits(spark, prof)
       )
     )
   }
@@ -1353,20 +1401,26 @@ object Similarity {
   def sweepProfile(tables: Int, planes: Int, c: Int = C): AnnProfile =
     AnnProfile(s"sweep_t${tables}p${planes}c$c", tables, planes, lshProbes = 0, ivfC = c, ivfNprobe = 1)
 
-  /** Uniform-corpus LSH top-k under an arbitrary geometry + probe width. */
-  def lshTopKWith(spark: SparkSession, dir: String, prof: AnnProfile, extra: Int): DataFrame = {
+  /** Uniform-corpus LSH top-k under an arbitrary geometry + probe width +
+    * collision-count threshold.
+    */
+  def lshTopKWith(spark: SparkSession, dir: String, prof: AnnProfile, extra: Int, minHits: Int = 1): DataFrame = {
     graft.functions.VecFunctions.install(spark)
     installPlaneBuckets(spark, prof)
     val m = math.min(math.max(extra, 0), prof.lshPlanes)
-    topKRanked(lshCandidates(queriesDf(spark, dir), buildLshIndexWith(spark, dir, prof), m, prof.fnSuffix))
+    topKRanked(
+      lshCandidates(queriesDf(spark, dir), buildLshIndexWith(spark, dir, prof), m, prof.fnSuffix, minHits)
+    )
   }
 
-  /** Uniform-corpus LSH candidate count (scan-fraction numerator). */
-  def lshCandidateCountWith(spark: SparkSession, dir: String, prof: AnnProfile, extra: Int): Long = {
+  /** Uniform-corpus LSH candidate count (scan-fraction numerator: pairs
+    * that reach the exact-distance pass).
+    */
+  def lshCandidateCountWith(spark: SparkSession, dir: String, prof: AnnProfile, extra: Int, minHits: Int = 1): Long = {
     graft.functions.VecFunctions.install(spark)
     installPlaneBuckets(spark, prof)
     val m = math.min(math.max(extra, 0), prof.lshPlanes)
-    lshCandidates(queriesDf(spark, dir), buildLshIndexWith(spark, dir, prof), m, prof.fnSuffix).count()
+    lshCandidates(queriesDf(spark, dir), buildLshIndexWith(spark, dir, prof), m, prof.fnSuffix, minHits).count()
   }
 
   /** Uniform-corpus IVF top-k under an arbitrary centroid count + nprobe. */

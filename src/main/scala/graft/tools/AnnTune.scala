@@ -17,7 +17,11 @@ object AnnTune {
     val sfDir = args.headOption
       .orElse(sys.env.get("SPARK_GRAFT_SF_DIR"))
       .getOrElse("/root/testdata/sf0.01")
+    // optional section filter (second arg): run only the named sweep —
+    // "clsh" for the counting-LSH grid, "all" (default) for everything
+    val only = args.drop(1).headOption.getOrElse("all")
     val spark = graft.core.Sessions.local("graft-ann-tune")
+    if (only == "clsh") { clshSweep(spark, sfDir); spark.stop(); return }
 
     def topkSet(df: DataFrame): Set[(Long, Long)] =
       df.select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -97,6 +101,7 @@ object AnnTune {
       val frac = Similarity.lshCandidateCountWith(spark, sfDir, prof, m).toDouble / (5.0 * n)
       println(f"lsh t=$t p=$p m=$m uniform=$r%.3f cand_frac=$frac%.3f")
     }
+    clshSweep(spark, sfDir)
     println("-- structural sweep (uniform corpus): ivf c/nprobe --")
     for {
       c <- Seq(8, 16, 32, 64)
@@ -119,5 +124,31 @@ object AnnTune {
     spark.conf.unset(Similarity.ProfileConf)
 
     spark.stop()
+  }
+
+  /** Counting-LSH sweep: collision-count threshold tau over the quality
+    * geometry family — the knob that breaks the uniform recall ~ scan
+    * wall (collision count is monotone in cosine, so requiring >= tau
+    * distinct-table hits drops random colliders much faster than true
+    * neighbors). scan fraction = exact-distance evaluations.
+    */
+  private def clshSweep(spark: org.apache.spark.sql.SparkSession, sfDir: String): Unit = {
+    def topkSet(df: DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(got: Set[(Long, Long)], want: Set[(Long, Long)]): Double =
+      if (want.isEmpty) Double.NaN else got.intersect(want).size.toDouble / want.size
+    val n = graft.core.Tables.embeddings(spark, sfDir).count()
+    val exactU = topkSet(Similarity.q34BruteForceTopK(spark, sfDir))
+    println("-- counting-lsh sweep (uniform corpus): tables x probes x minhits --")
+    for {
+      (t, p) <- Seq((16, 6), (24, 6), (16, 5))
+      m <- Seq(2, 3, 4, 5).filter(_ <= p)
+      tau <- Seq(2, 3, 4)
+    } {
+      val prof = Similarity.sweepProfile(t, p)
+      val r = recall(topkSet(Similarity.lshTopKWith(spark, sfDir, prof, m, tau)), exactU)
+      val frac = Similarity.lshCandidateCountWith(spark, sfDir, prof, m, tau).toDouble / (5.0 * n)
+      println(f"clsh t=$t p=$p m=$m tau=$tau uniform=$r%.3f cand_frac=$frac%.3f")
+    }
   }
 }

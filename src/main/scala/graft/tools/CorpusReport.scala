@@ -23,7 +23,9 @@ import graft.operators.{Cartography, Curation, Dedup, Importance, TextOps, Train
   * AUC (q159/q160), the image-text alignment screen (q161), the
   * verbatim-run length profile (q162), the per-source health scorecard
   * (q168), the bloom decontamination economics (q166) next to the
-  * UniMax sampling plan (q167), and the shard manifest (q83),
+  * UniMax sampling plan (q167), the media dedup profile (q176) with its
+  * boilerplate-fingerprint audit (q177) and the image decontamination
+  * screen (q178), and the shard manifest (q83),
   * rendered as one text
   * page. Every number comes from the same oracle-gated queries the driver
   * checks — the report is a VIEW over the inventory, not a second
@@ -37,6 +39,16 @@ object CorpusReport {
   /** The rendered report. Collect sizes are all per-source / per-lang /
     * per-shard aggregates (dozens of rows) — never corpus rows.
     */
+  /** q151's report row. slope is NULL for a degenerate single-distinct-term
+    * source (OLS variance 0 — exactly the corpora the q151 null contract
+    * exists for): render "-" like q168's d() instead of throwing on
+    * getDouble(null).
+    */
+  private[tools] def zipfRow(r: org.apache.spark.sql.Row): String = {
+    val slope = if (r.isNullAt(2)) "       -" else f"${r.getDouble(2)}%+8.4f"
+    f"${r.getString(0)}%-8s k=${r.getLong(1)}%3d slope=$slope ${r.getString(3)}"
+  }
+
   def report(spark: SparkSession, dir: String): String = {
     val sb = new StringBuilder
     def section(title: String): Unit = sb.append(s"\n== $title ==\n")
@@ -268,9 +280,7 @@ object CorpusReport {
     }
 
     section("Zipf fit (q151): rank-frequency slope per source")
-    TextOps.q151ZipfFit(spark, dir).collect().foreach { r =>
-      line(f"${r.getString(0)}%-8s k=${r.getLong(1)}%3d slope=${r.getDouble(2)}%+8.4f ${r.getString(3)}")
-    }
+    TextOps.q151ZipfFit(spark, dir).collect().foreach(r => line(zipfRow(r)))
 
     section("constraint audit (q153): table-contract battery")
     Curation.q153ConstraintAudit(spark, dir).collect().foreach { r =>
@@ -292,6 +302,26 @@ object CorpusReport {
       line(
         f"${r.getString(0)}%6s n=${r.getLong(1)}%5d pairs=${r.getLong(2)}%6d " +
           f"paired=${r.getLong(3)}%5d (${r.getDouble(4)}%6.4f)"
+      )
+    }
+
+    section("media boilerplate fingerprints (q177): what the df cap excluded")
+    graft.operators.Multimodal.q177MediaBoilerplate(spark, dir).collect().foreach { r =>
+      val maxDf = if (r.isNullAt(7)) "-" else r.getLong(7).toString
+      val hotShare = if (r.isNullAt(4)) "-" else f"${r.getDouble(4)}%6.4f"
+      line(
+        f"${r.getString(0)}%6s items=${r.getLong(1)}%5d fps=${r.getLong(2)}%7d " +
+          f"hot=${r.getLong(3)}%4d ($hotShare) affected=${r.getLong(5)}%5d max_df=$maxDf"
+      )
+    }
+
+    section("image decontamination (q178): train images near-duplicating held-out eval images")
+    val decon = graft.operators.Multimodal.q178ImageDecontam(spark, dir).collect()
+    line(s"flagged train images: ${decon.length}")
+    decon.take(8).foreach { r =>
+      line(
+        f"train=${r.getLong(0)}%7d matches=${r.getLong(1)}%3d " +
+          f"closest eval=${r.getLong(3)}%7d at hamming ${r.getLong(2)}%d"
       )
     }
 

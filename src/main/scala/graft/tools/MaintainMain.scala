@@ -1,6 +1,6 @@
 package graft.tools
 
-import graft.streaming.{StreamingBloomScreen, StreamingCorpus, StreamingDriftWatch, StreamingPack, StreamingDupClusters, StreamingSample, StreamingScd2, StreamingSourceSketch, StreamingSpanDedup, StreamingWinnow}
+import graft.streaming.{StreamingBloomScreen, StreamingCorpus, StreamingDriftWatch, StreamingMediaFps, StreamingPack, StreamingDupClusters, StreamingSample, StreamingScd2, StreamingSourceSketch, StreamingSpanDedup, StreamingWinnow}
 
 /** CLI entry points for the incremental maintainers — one tick per
   * invocation (the cron / entrypoint shape; the file-stream variants run
@@ -106,6 +106,7 @@ object IngestTick {
       sampleDelta: Long,
       bloomDelta: Long,
       packDelta: Long,
+      mediaDelta: Long,
       ann: Seq[(String, graft.operators.Similarity.PersistOutcome)],
       bm25: graft.operators.Similarity.PersistOutcome
   )
@@ -125,6 +126,7 @@ object IngestTick {
     val sampleDelta = StreamingSample.tick(spark, dataDir, s"$stateDir/sample")
     val bloomDelta = StreamingBloomScreen.tick(spark, dataDir, s"$stateDir/bloom")
     val packDelta = StreamingPack.tick(spark, dataDir, s"$stateDir/pack")
+    val mediaDelta = StreamingMediaFps.tick(spark, dataDir, s"$stateDir/media")
     val ann =
       if (java.nio.file.Files.exists(java.nio.file.Paths.get(dataDir, "embeddings.parquet"))) {
         // StreamingIndexer's discipline: refresh conf on a DEDICATED session
@@ -140,7 +142,7 @@ object IngestTick {
       m.conf.set(graft.operators.Retrieval.Bm25RefreshConf, "append")
       graft.operators.Retrieval.persistBm25Index(m, dataDir, s"$stateDir/bm25")
     }
-    Outcome(corpus, clusterDelta, spanDelta, spanRetro, driftDelta, sketchDelta, winnowDelta, sampleDelta, bloomDelta, packDelta, ann, bm25)
+    Outcome(corpus, clusterDelta, spanDelta, spanRetro, driftDelta, sketchDelta, winnowDelta, sampleDelta, bloomDelta, packDelta, mediaDelta, ann, bm25)
   }
 }
 
@@ -165,6 +167,7 @@ object IngestTickMain {
       println(s"[ingest-tick] sample delta=${o.sampleDelta}")
       println(s"[ingest-tick] bloom delta=${o.bloomDelta}")
       println(s"[ingest-tick] pack delta=${o.packDelta}")
+      println(s"[ingest-tick] media delta=${o.mediaDelta}")
       if (o.ann.isEmpty) println("[ingest-tick] ann skipped (no embeddings.parquet)")
       else o.ann.foreach { case (fam, out) => println(s"[ingest-tick] ann $fam -> $out") }
       println(s"[ingest-tick] bm25 -> ${o.bm25}")

@@ -285,6 +285,79 @@ class MultimodalSpec extends SparkSpec {
     assert(got((1L + 3 * 102, 1L + 3 * 103)) === ((1L, 1.0)), s"mixed pair must mine on its rare shingle: $got")
     assert(got((1L + 3 * 104, 1L + 3 * 105)) === ((1L, 1.0)), s"rare pair must still mine: $got")
     assert(got.size === 2, s"exactly the two rare-keyed pairs: $got")
+
+    // q177's audit sees exactly what the cap excluded on this corpus: ONE
+    // hot audio shingle (df 104 = 102 hot + 2 mixed docs) among 3 distinct
+    // fps (hot gram, mixed's rare gram, rare pair's gram), 104 items
+    // carrying it
+    val audit = Multimodal
+      .q177MediaBoilerplate(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> r)
+      .toMap
+    val a = audit("audio")
+    assert(a.getAs[Long]("n_items") === 106L)
+    assert(a.getAs[Long]("n_fps") === 3L)
+    assert(a.getAs[Long]("n_hot_fps") === 1L, s"the planted hot shingle must be audited: $a")
+    assert(a.getAs[Long]("n_items_affected") === 104L)
+    assert(a.getAs[Long]("max_df") === 104L)
+    val v = audit("video")
+    assert(v.getAs[Long]("n_hot_fps") === 0L && v.getAs[Long]("n_items") === 0L, s"no videos planted here: $v")
+  }
+
+  test("q177 audit on the real corpus: every fingerprint rare, nothing excluded, shares consistent") {
+    val rows = Multimodal.q177MediaBoilerplate(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("audio", "video"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_hot_fps") === 0L, s"sf0.001 has no boilerplate keys: $r")
+      assert(r.getAs[Long]("n_items_affected") === 0L)
+      assert(r.getAs[Long]("max_df") <= Multimodal.MEDIA_FP_MAXDF)
+      assert(r.getAs[Double]("hot_fp_share") === 0.0 && r.getAs[Double]("affected_share") === 0.0)
+      assert(r.getAs[Long]("n_items") > 0L && r.getAs[Long]("n_fps") > 0L)
+    }
+  }
+
+  test("q178 image decontamination: a re-encoded eval image flags its train twin; clean train images pass") {
+    import spark.implicits._
+    def bucketOf(id: Long): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(id.toString.getBytes("UTF-8"))
+      Integer.parseInt(d.take(1).map("%02x".format(_)).mkString, 16)
+    }
+    // image kind = doc_id % 3 == 0; pick ids landing in the train (<205)
+    // and test (>=230) md5 buckets
+    val trainIds = Iterator.from(0).map(_ * 3L).filter(id => bucketOf(id) < graft.operators.Sampling.SPLIT_TRAIN_LT)
+    val testIds = Iterator.from(0).map(_ * 3L).filter(id => bucketOf(id) >= graft.operators.Sampling.SPLIT_VALIDATION_LT)
+    val Seq(trainDup, trainClean) = trainIds.take(2).toSeq
+    val evalLeak = testIds.next()
+    val dir = java.nio.file.Files.createTempDirectory("q178").toString
+    val base = (1 to 100).map(i => ('a' + i % 26).toChar).mkString
+    val edited = base.updated(10, 'z').updated(11, 'z') // light re-encode: within tau=6
+    // the fake aHash thresholds CELL sums against the mean, so any
+    // uniform-letter text hashes like any other — "far" must alternate
+    // high/low cells ("zz  " blocks) to land ~25 bits away, not 0
+    val far = "zz  " * 25
+    Seq((trainDup, base), (trainClean, far), (evalLeak, edited))
+      .map { case (id, text) => (id, text, "en", "srcX", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write
+      .parquet(s"$dir/documents.parquet")
+    val got = Multimodal
+      .q178ImageDecontam(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got.keySet === Set(trainDup), s"exactly the leaked twin must flag: $got")
+    val (n, bestHam, bestEval) = got(trainDup)
+    assert(n === 1L && bestEval === evalLeak && bestHam <= 6L, s"$got")
+
+    // corpus invariants at sf0.001: every flagged row is train-bucket,
+    // its best match test-bucket, hamming within the radius
+    def bucket(id: Long): Int = bucketOf(id)
+    Multimodal.q178ImageDecontam(spark, sfDir).collect().foreach { r =>
+      assert(bucket(r.getLong(0)) < graft.operators.Sampling.SPLIT_TRAIN_LT)
+      assert(bucket(r.getLong(3)) >= graft.operators.Sampling.SPLIT_VALIDATION_LT)
+      assert(r.getLong(2) <= 6L && r.getLong(1) >= 1L)
+    }
   }
 
   test("q176 media dedup profile: recomposes exactly from the three per-kind miners") {

@@ -44,4 +44,22 @@ class CorpusReportSpec extends SparkSpec {
     val n = graft.core.Tables.documents(spark, sfDir).count()
     assert(r.contains(s"docs=$n"), "corpus overview doc count")
   }
+
+  test("q151 report row survives a degenerate source (NULL slope renders '-', does not throw)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("zipfdeg").toString
+    // one source whose every token is the same term: single distinct term,
+    // OLS variance 0 -> q151 emits a NULL slope by contract — exactly the
+    // corpus the report's standalone q151 section used to throw on
+    Seq((0L, "same same same same", "en", "degsrc", 19L), (1L, "a b c d e f g a a b", "en", "okgsrc", 20L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write
+      .parquet(s"$dir/documents.parquet")
+    val rows = graft.operators.TextOps.q151ZipfFit(spark, dir).collect()
+    val deg = rows.find(_.getString(0) == "degsrc").get
+    assert(deg.isNullAt(2), "single-distinct-term source must carry a NULL slope")
+    val rendered = rows.map(CorpusReport.zipfRow)
+    assert(rendered.exists(l => l.startsWith("degsrc") && l.contains("slope=       -")), rendered.mkString("\n"))
+    assert(rendered.exists(l => l.startsWith("okgsrc") && !l.contains("slope=       -")), rendered.mkString("\n"))
+  }
 }

@@ -97,6 +97,13 @@ class IngestTickSpec extends SparkSpec {
           Curation.q170PackManifest(spark, dataDir).collect().toSeq.map(_.toSeq),
         s"drop first=$first: maintained pack manifest != batch q170"
       )
+      assert(o.mediaDelta > 0, s"drop first=$first: media tick must see the delta")
+      assert(
+        graft.streaming.StreamingMediaFps
+          .videoNeardup(spark, s"$stateDir/media").collect().toSeq.map(_.toSeq) ===
+          graft.operators.Multimodal.q115VideoNeardup(spark, dataDir).collect().toSeq.map(_.toSeq),
+        s"drop first=$first: maintained media index (video serve) != batch q115"
+      )
       assert(o.winnowDelta > 0, s"drop first=$first: winnow tick must see the delta")
       assert(
         graft.streaming.StreamingWinnow
@@ -134,7 +141,8 @@ class IngestTickSpec extends SparkSpec {
     assert(
       o3.corpus.mode === "noop" && o3.clusterDelta === 0L && o3.spanDelta === 0L &&
         o3.driftDelta === 0L && o3.sketchDelta === 0L && o3.winnowDelta === 0L &&
-        o3.sampleDelta === 0L && o3.bloomDelta === 0L && o3.packDelta === 0L
+        o3.sampleDelta === 0L && o3.bloomDelta === 0L && o3.packDelta === 0L &&
+        o3.mediaDelta === 0L
     )
     info(s"two drops + noop tick verified against batch twins")
   }
