@@ -1912,6 +1912,129 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------------------
+  // q179 — cross-modal DECONTAMINATION SURFACE: one table answering "how
+  // much of the train split does each decontamination method flag?" across
+  // every modality the engine screens — exact 8-gram overlap (q67), the
+  // bloom serving-path screen (q166, a declared superset of q67's
+  // offenders), rare verbatim winnow spans (q152), and image near-dups of
+  // held-out images (q178). This is the dashboard read BEFORE picking a
+  // decontamination depth (q163 then dictates per-doc actions; q172 costs
+  // them per source): method coverage side by side, on a comparable
+  // denominator. Denominators are the whole train split (md5 bucket <
+  // SPLIT_TRAIN_LT) — the image leg's is the train split's image-kind
+  // docs — and mass is n_chars (the only mass defined across modalities).
+  //
+  // Scale shape: every leg IS its query (shared code — the heavy stages
+  // are session-cached), collapsed to one row by a global aggregate; the
+  // scope rows are 1-row broadcasts (whitelisted). Empty-corpus contract:
+  // four all-zero rows with NULL fractions (CASE-guarded, the ANSI rule)
+  // in both engines.
+  // ---------------------------------------------------------------------------
+  private val q179FracSql =
+    "CASE WHEN n_scope = 0 THEN NULL ELSE floor(CAST(n_flagged AS DOUBLE) * 1e6 / n_scope + 5e-1) / 1e6 END"
+  private val q179CharsFracSql =
+    "CASE WHEN scope_chars = 0 THEN NULL ELSE floor(CAST(flagged_chars AS DOUBLE) * 1e6 / scope_chars + 5e-1) / 1e6 END"
+
+  def q179DecontamSurface(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables
+      .balanced(Tables.documents(spark, dir))
+      .withColumn("bucket", conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10).cast("int"))
+      .filter(col("bucket") < Sampling.SPLIT_TRAIN_LT)
+      .select(
+        col("doc_id"),
+        col("n_chars"),
+        element_at(array(lit("image"), lit("audio"), lit("video")), (col("doc_id") % 3 + 1).cast("int"))
+          .as("kind")
+      )
+      .localCheckpoint() // one train-split scan feeds both scopes and all four mass joins
+    def scopeOf(frame: DataFrame): DataFrame =
+      frame.agg(count(lit(1)).as("n_scope"), coalesce(sum(col("n_chars")), lit(0L)).as("scope_chars"))
+    val scopeAll = scopeOf(docs)
+    val scopeImg = scopeOf(docs.filter(col("kind") === lit("image")))
+    def leg(method: String, flagged: DataFrame, scope: DataFrame): DataFrame =
+      flagged
+        .select(col("doc_id"))
+        .distinct()
+        .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+        .agg(count(lit(1)).as("n_flagged"), coalesce(sum(col("n_chars")), lit(0L)).as("flagged_chars"))
+        .crossJoin(broadcast(scope))
+        .withColumn("method", lit(method))
+    leg("8gram_exact", Curation.q67Contamination(spark, dir), scopeAll)
+      .unionByName(leg("bloom_screen", Curation.q166BloomScreen(spark, dir), scopeAll))
+      .unionByName(leg("verbatim_spans", q152WinnowContamination(spark, dir), scopeAll))
+      .unionByName(
+        leg(
+          "image_neardup",
+          Multimodal.q178ImageDecontam(spark, dir).select(col("train_id").as("doc_id")),
+          scopeImg
+        )
+      )
+      .select(
+        col("method"),
+        col("n_scope"),
+        col("scope_chars"),
+        col("n_flagged"),
+        col("flagged_chars"),
+        expr(q179FracSql).as("flagged_frac"),
+        expr(q179CharsFracSql).as("chars_frac")
+      )
+      .orderBy(col("method"))
+  }
+
+  /** All four leg oracles nested as derived tables (the q163 splice rule —
+    * each already margin-stripped, concatenated between freshly stripped
+    * bridges), flagged sets reduced to distinct train doc ids, then one
+    * scalar-subquery leg per method.
+    */
+  lazy val q179Oracle: String = {
+    val head =
+      s"""WITH doc0 AS (
+         |  SELECT doc_id, n_chars,
+         |         ('0x' || substring(md5(doc_id::VARCHAR), 1, 2))::INT AS bucket,
+         |         ['image','audio','video'][(doc_id % 3 + 1)::INT] AS kind
+         |  FROM documents),
+         |trs AS (SELECT doc_id, n_chars, kind FROM doc0 WHERE bucket < ${Sampling.SPLIT_TRAIN_LT}),
+         |sa AS (SELECT count(*) AS n_scope, coalesce(sum(n_chars), 0) AS scope_chars FROM trs),
+         |si AS (SELECT count(*) AS n_scope, coalesce(sum(n_chars), 0) AS scope_chars FROM trs WHERE kind = 'image'),
+         |g1 AS (SELECT DISTINCT doc_id FROM (""".stripMargin
+    val b12 = """)),
+                |g2 AS (SELECT DISTINCT doc_id FROM (""".stripMargin
+    val b23 = """)),
+                |g3 AS (SELECT DISTINCT doc_id FROM (""".stripMargin
+    val b34 = """)),
+                |g4 AS (SELECT DISTINCT train_id AS doc_id FROM (""".stripMargin
+    val tail =
+      s""")),
+         |legs AS (
+         |  SELECT '8gram_exact' AS method, sa.n_scope, sa.scope_chars,
+         |         (SELECT count(*) FROM g1) AS n_flagged,
+         |         (SELECT coalesce(sum(n_chars), 0) FROM g1 JOIN trs USING (doc_id)) AS flagged_chars
+         |  FROM sa
+         |  UNION ALL
+         |  SELECT 'bloom_screen', sa.n_scope, sa.scope_chars,
+         |         (SELECT count(*) FROM g2),
+         |         (SELECT coalesce(sum(n_chars), 0) FROM g2 JOIN trs USING (doc_id))
+         |  FROM sa
+         |  UNION ALL
+         |  SELECT 'verbatim_spans', sa.n_scope, sa.scope_chars,
+         |         (SELECT count(*) FROM g3),
+         |         (SELECT coalesce(sum(n_chars), 0) FROM g3 JOIN trs USING (doc_id))
+         |  FROM sa
+         |  UNION ALL
+         |  SELECT 'image_neardup', si.n_scope, si.scope_chars,
+         |         (SELECT count(*) FROM g4),
+         |         (SELECT coalesce(sum(n_chars), 0) FROM g4 JOIN trs USING (doc_id))
+         |  FROM si)
+         |SELECT method, CAST(n_scope AS BIGINT) AS n_scope, CAST(scope_chars AS BIGINT) AS scope_chars,
+         |       CAST(n_flagged AS BIGINT) AS n_flagged, CAST(flagged_chars AS BIGINT) AS flagged_chars,
+         |       $q179FracSql AS flagged_frac,
+         |       $q179CharsFracSql AS chars_frac
+         |FROM legs ORDER BY method""".stripMargin
+    head + "\n" + Curation.q67Oracle + "\n" + b12 + "\n" + Curation.q166Oracle + "\n" + b23 + "\n" +
+      q152Oracle + "\n" + b34 + "\n" + Multimodal.q178Oracle + "\n" + tail
+  }
+
+  // ---------------------------------------------------------------------------
   // q146 — LSH band-shape planner: the S-curve tuning table read BEFORE
   // committing K=16 minhash components to a band shape. For every
   // factorization K = r·b (rows-per-band × bands), a pair with true
@@ -2080,6 +2203,7 @@ object Dedup {
     "q163_contamination_depth" -> (q163ContaminationDepth _),
     "q172_decontam_ledger" -> (q172DecontamLedger _),
     "q152_winnow_contamination" -> (q152WinnowContamination _),
+    "q179_decontam_surface" -> (q179DecontamSurface _),
     "q146_lsh_plan" -> (q146LshPlan _),
     "q144_winnow_pairs" -> (q144WinnowPairs _),
     "q29_exact_dedup" -> (q29ExactDedup _),
@@ -2119,6 +2243,7 @@ object Dedup {
     */
   val oracles: Map[String, String] = Map(
     "q152_winnow_contamination" -> q152Oracle,
+    "q179_decontam_surface" -> q179Oracle,
     "q146_lsh_plan" -> q146Oracle,
     "q144_winnow_pairs" -> q144Oracle,
     "q162_verbatim_run_profile" -> q162Oracle,

@@ -24,8 +24,9 @@ import graft.operators.{Cartography, Curation, Dedup, Importance, TextOps, Train
   * verbatim-run length profile (q162), the per-source health scorecard
   * (q168), the bloom decontamination economics (q166) next to the
   * UniMax sampling plan (q167), the media dedup profile (q176) with its
-  * boilerplate-fingerprint audit (q177) and the image decontamination
-  * screen (q178), and the shard manifest (q83),
+  * boilerplate-fingerprint audit (q177), the image decontamination
+  * screen (q178) with the cross-modal decontamination surface (q179),
+  * and the shard manifest (q83),
   * rendered as one text
   * page. Every number comes from the same oracle-gated queries the driver
   * checks — the report is a VIEW over the inventory, not a second
@@ -322,6 +323,16 @@ object CorpusReport {
       line(
         f"train=${r.getLong(0)}%7d matches=${r.getLong(1)}%3d " +
           f"closest eval=${r.getLong(3)}%7d at hamming ${r.getLong(2)}%d"
+      )
+    }
+
+    section("decontamination surface (q179): method coverage across modalities")
+    Dedup.q179DecontamSurface(spark, dir).collect().foreach { r =>
+      val frac = if (r.isNullAt(5)) "-" else f"${r.getDouble(5)}%6.4f"
+      val cfrac = if (r.isNullAt(6)) "-" else f"${r.getDouble(6)}%6.4f"
+      line(
+        f"${r.getString(0)}%-14s flagged=${r.getLong(3)}%5d/${r.getLong(1)}%5d ($frac) " +
+          f"chars=${r.getLong(4)}%9d/${r.getLong(2)}%9d ($cfrac)"
       )
     }
 

@@ -891,4 +891,46 @@ class DedupSpec extends SparkSpec {
     }
     info(s"sf0.001: ${led.size} (source, action) rows; actions ${led.keys.map(_._2).toSet.mkString(",")}")
   }
+
+  test("q179 decontamination surface: every method row recomposes from its leg query over the train scope") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def bucket(id: Long): Int = Integer.parseInt(md5hex(id.toString).substring(0, 2), 16)
+    val train = graft.core.Tables
+      .documents(spark, sfDir)
+      .select("doc_id", "n_chars")
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .filter(d => bucket(d._1) < Sampling.SPLIT_TRAIN_LT)
+      .toMap
+    val trainImg = train.filter(_._1 % 3 == 0)
+    val got = Dedup
+      .q179DecontamSurface(spark, sfDir)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got.keySet === Set("8gram_exact", "bloom_screen", "verbatim_spans", "image_neardup"))
+    def flaggedOf(df: org.apache.spark.sql.DataFrame, idCol: String): Set[Long] =
+      df.select(idCol).collect().map(_.getLong(0)).toSet
+    val legs = Map(
+      "8gram_exact" -> ((flaggedOf(graft.operators.Curation.q67Contamination(spark, sfDir), "doc_id"), train)),
+      "bloom_screen" -> ((flaggedOf(graft.operators.Curation.q166BloomScreen(spark, sfDir), "doc_id"), train)),
+      "verbatim_spans" -> ((flaggedOf(Dedup.q152WinnowContamination(spark, sfDir), "doc_id"), train)),
+      "image_neardup" -> ((flaggedOf(graft.operators.Multimodal.q178ImageDecontam(spark, sfDir), "train_id"), trainImg))
+    )
+    legs.foreach { case (method, (flagged, scope)) =>
+      val (nScope, scopeChars, nFlagged, flaggedChars) = got(method)
+      assert(nScope === scope.size.toLong, s"$method scope")
+      assert(scopeChars === scope.values.sum, s"$method scope mass")
+      assert(nFlagged === flagged.size.toLong, s"$method flagged count must equal its leg query's")
+      assert(flaggedChars === flagged.toSeq.map(train).sum, s"$method flagged mass")
+      assert(flagged.forall(id => bucket(id) < Sampling.SPLIT_TRAIN_LT), s"$method flags only train docs")
+    }
+    // the declared superset: the bloom screen can never flag fewer docs
+    // than the exact 8-gram leg (no false negatives)
+    assert(got("bloom_screen")._3 >= got("8gram_exact")._3)
+    info(
+      s"sf0.001: " + got.map { case (m, (s2, _, f, _)) => s"$m $f/$s2" }.mkString(", ")
+    )
+  }
 }
