@@ -441,8 +441,19 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Session-scoped q166 screen table per dir: the bitset build + position
+    * screen runs once and THREE consumers read it (q166 itself, q179's
+    * bloom leg, the corpus report) — plus bench repetitions. The streaming
+    * maintainer's serve path calls [[bloomScreenFrom]] over its own
+    * maintained table and is unaffected; ingest ticks invalidate this
+    * entry with every other per-dir cache.
+    */
+  private val bloomScreenCache = new SessionCache[DataFrame]
+
   def q166BloomScreen(spark: SparkSession, dir: String): DataFrame =
-    bloomScreenFrom(spark, stagedShinglesCached(spark, dir, "md5"))
+    bloomScreenCache.getOrBuild(spark, s"$dir@bloom_screen") {
+      bloomScreenFrom(spark, stagedShinglesCached(spark, dir, "md5")).localCheckpoint()
+    }
 
   /** The oracle replays membership as a position join: a train gram is a
     * bloom hit iff every one of its (distinct) positions was set by some
