@@ -97,7 +97,7 @@ object Curation {
   /** q66's sharded greedy packing over ANY (lang, doc_id, n_tokens) frame —
     * q66 feeds it the raw corpus, [[corpusBuildPacked]] the q77 survivors.
     */
-  private def packOver(docs: DataFrame, shards: Int, ctx: Int): DataFrame = {
+  private[graft] def packOver(docs: DataFrame, shards: Int, ctx: Int): DataFrame = {
     val w = Window
       .partitionBy(col("lang"), col("shard"))
       .orderBy(col("doc_id"))

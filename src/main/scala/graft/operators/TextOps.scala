@@ -968,6 +968,77 @@ object TextOps {
        |ORDER BY d.source""".stripMargin
   }
 
+  // ---------------------------------------------------------------------------
+  // q180 — TOKEN-EXACT pack manifest: q66's greedy context packing with
+  // the mass the loader actually fills contexts by — TRAINED-BPE token
+  // counts (q98's apply), not whitespace words. A whitespace-packed plan
+  // over- or under-fills real contexts by each doc's fertility (q165's
+  // curve is exactly how much); this is the q66 rollup a loader can trust
+  // at the tokenizer it will really use. Population contract: the q98
+  // apply population (docs with >= 1 whitespace word; training covers
+  // every corpus word, so the tokenize join is total on it). Pinned to
+  // the DEFAULT shards/ctx knobs (the registered q66/q170 oracle setting).
+  //
+  // Scale shape: the per-doc token sum is q98's broadcast tokenize join +
+  // one doc-keyed aggregate; packing is q66's single (lang, shard)-hash
+  // window exchange. The trained tokenizer is the session-cached artifact
+  // q98 already builds — one training run feeds both.
+  // ---------------------------------------------------------------------------
+  /** Per-doc trained-BPE token totals — the q180 staging frame, exposed
+    * for the spec's single-node replay.
+    */
+  private[graft] def bpeDocTokens(spark: SparkSession, dir: String): DataFrame = {
+    val trained = trainedTokenizer.getOrBuild(spark, dir)(bpeTrainState(spark, dir, BPE_MERGES)._2)
+    val wordTokens = trained.select(
+      array_join(col("syms"), "").as("w"),
+      size(col("syms")).as("n_tokens")
+    )
+    Tables
+      .balanced(Tables.documents(spark, dir))
+      .select(
+        col("doc_id"),
+        col("lang"),
+        explode(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")).as("w")
+      )
+      .filter(length(col("w")) >= 1)
+      .join(broadcast(wordTokens), Seq("w"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("n_tokens")).as("n_tokens"))
+      .select(col("lang"), col("doc_id"), col("n_tokens"))
+  }
+
+  def q180BpePack(spark: SparkSession, dir: String): DataFrame =
+    Curation.packOver(bpeDocTokens(spark, dir), Curation.SHARDS, Curation.CTX)
+
+  /** q94's chain + q98's tokenize join reduced to per-doc totals, then
+    * q66's prefix-sum packing arithmetic verbatim.
+    */
+  lazy val q180Oracle: String = {
+    val chain = q94Oracle.substring(0, q94Oracle.indexOf("\nSELECT 1 AS rank"))
+    s"""$chain,
+       |wordtok AS MATERIALIZED (
+       |  SELECT array_to_string(syms, '') AS w, len(syms) AS n_tokens FROM words$BPE_MERGES),
+       |docw AS (
+       |  SELECT doc_id, lang,
+       |         unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS w
+       |  FROM documents),
+       |dt AS (
+       |  SELECT d.doc_id, d.lang, CAST(sum(t.n_tokens) AS BIGINT) AS n_tokens,
+       |         CAST(d.doc_id % ${graft.operators.Curation.SHARDS} AS INT) AS shard
+       |  FROM docw d JOIN wordtok t USING (w)
+       |  WHERE len(d.w) >= 1
+       |  GROUP BY 1, 2),
+       |c AS (
+       |  SELECT lang, shard, doc_id, n_tokens,
+       |         COALESCE(sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |  FROM dt)
+       |SELECT lang, shard, CAST(floor(cum_before / ${graft.operators.Curation.CTX}.0) AS INT) AS bin,
+       |       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+       |FROM c GROUP BY 1, 2, 3
+       |ORDER BY lang, shard, bin""".stripMargin
+  }
+
   /** Full DuckDB replay of the BPE training loop: one generated chain of
     * per-iteration CTE stages (pair count → lexicographic-tiebreak argmax →
     * greedy-leftmost merge application), so even the iterative model-build
@@ -1540,7 +1611,8 @@ object TextOps {
     "q91_chunking" -> (q91Chunking _),
     "q92_bpe_pairs" -> (q92BpePairs _),
     "q94_bpe_train" -> (q94BpeTrain _),
-    "q98_bpe_apply" -> (q98BpeApply _)
+    "q98_bpe_apply" -> (q98BpeApply _),
+    "q180_bpe_pack" -> (q180BpePack _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1562,6 +1634,7 @@ object TextOps {
     "q91_chunking" -> q91Oracle,
     "q92_bpe_pairs" -> q92Oracle,
     "q94_bpe_train" -> q94Oracle,
-    "q98_bpe_apply" -> q98Oracle
+    "q98_bpe_apply" -> q98Oracle,
+    "q180_bpe_pack" -> q180Oracle
   )
 }

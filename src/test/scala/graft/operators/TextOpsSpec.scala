@@ -593,4 +593,43 @@ class TextOpsSpec extends SparkSpec {
     assert(rows("src_ok").getInt(8) <= 4)
     info(s"degenerate: flags=${bad.getInt(8)} health=${bad.getString(9)}")
   }
+
+  test("q180 BPE-token pack: equals a single-node greedy replay over the trained tokenizer's per-doc totals; mass conserves vs q98") {
+    val dt = TextOps
+      .bpeDocTokens(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = dt
+      .map { case (lang, id, n) => ((lang, (id % graft.operators.Curation.SHARDS).toInt), id, n) }
+      .groupBy(_._1)
+      .toSeq
+      .flatMap { case ((lang, shard), g) =>
+        var cum = 0L
+        g.sortBy(_._2).map { case (_, _, n) =>
+          val bin = (cum / graft.operators.Curation.CTX).toInt
+          cum += n
+          ((lang, shard, bin), n)
+        }
+      }
+      .groupBy(_._1)
+      .map { case (k, g) => k -> ((g.size.toLong, g.map(_._2).sum)) }
+    val got = TextOps
+      .q180BpePack(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2)) -> ((r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got === expected, "manifest must equal the greedy prefix-sum replay over BPE doc totals")
+    // conservation: packed token mass is exactly q98's applied token mass
+    val q98Total = TextOps.q98BpeApply(spark, sfDir).collect().map(_.getAs[Long]("total_tokens")).sum
+    assert(got.values.map(_._2).sum === q98Total, "packed mass must equal the q98 apply mass")
+    // token-exactness is not whitespace-exactness: the BPE manifest must
+    // differ from q66's whitespace packing somewhere on this corpus
+    val q66 = graft.operators.Curation
+      .q66ContextPack(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2)) -> ((r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got !== q66, "BPE packing must diverge from whitespace packing (fertility > 1 somewhere)")
+    info(s"sf0.001: ${got.size} bins, ${got.values.map(_._2).sum} BPE tokens packed (q66 bins: ${q66.size})")
+  }
 }
