@@ -442,20 +442,31 @@ object Bench {
       spark.conf.unset(operators.Similarity.IvfNprobeConf)
 
       // the `quality` profile's uniform-corpus operating point (the preset
-      // AnnTune's structural sweep chose): recall >= 0.9 bought with ~0.8
-      // scanned fraction — reported so every round re-measures the preset's
-      // contract at the bench SF alongside fast's curves above
+      // AnnTune's counting-LSH re-sweep chose: T=24 x P=6, 5 probes,
+      // minHits=3): recall >= 0.9 bought with <= 0.5 exact-scored fraction.
+      // Measured AS SERVED, both costs reported per round: collision_frac =
+      // rows entering the per-pair collision count (minHits=1 — the honest
+      // probe/postings cost the counting pass pays before any vec_dot), and
+      // scored_frac = post-minHits candidates that reach the exact-distance
+      // pass (the preset's contract; cand_frac aliases it for curve-reader
+      // continuity). SimilaritySpec pins scored_frac <= 0.5 at recall >= 0.9.
       spark.conf.set(operators.Similarity.ProfileConf, "quality")
       val qProf = operators.Similarity.Quality
       quality("q35_recall_uniform_quality") =
         recall(topkSet(operators.Similarity.q35LshTopK(spark, sfDir)), exactU)
       quality("q36_recall_uniform_quality") =
         recall(topkSet(operators.Similarity.q36IvfTopK(spark, sfDir)), exactU)
-      val qFracL = operators.Similarity.lshCandidateCountWith(spark, sfDir, qProf, qProf.lshProbes) / (5.0 * n)
+      val qCollL =
+        operators.Similarity.lshCandidateCountWith(spark, sfDir, qProf, qProf.lshProbes) / (5.0 * n)
+      val qFracL = operators.Similarity
+        .lshCandidateCountWith(spark, sfDir, qProf, qProf.lshProbes, qProf.lshMinHits) / (5.0 * n)
       val qFracI = operators.Similarity.ivfCandidateCountWith(spark, sfDir, qProf, qProf.ivfNprobe) / (5.0 * n)
+      quality("q35_scored_frac_quality") = qFracL
+      quality("q35_collision_frac_quality") = qCollL
+      quality("q36_scored_frac_quality") = qFracI
       curves += f"""{"knob":"lsh_profile_quality","value":${qProf.lshProbes},"planted":-1.0,"uniform":${quality(
           "q35_recall_uniform_quality"
-        )}%.3f,"cand_frac":$qFracL%.3f}"""
+        )}%.3f,"cand_frac":$qFracL%.3f,"collision_frac":$qCollL%.3f,"scored_frac":$qFracL%.3f}"""
       curves += f"""{"knob":"ivf_profile_quality","value":${qProf.ivfNprobe},"planted":-1.0,"uniform":${quality(
           "q36_recall_uniform_quality"
         )}%.3f,"cand_frac":$qFracI%.3f}"""

@@ -46,17 +46,34 @@ object Md5Bloom {
   /** Bits for an expected key count: 16 bits/key, floor 64 so an empty
     * build still has a valid (all-miss) bitset. NOT rounded to a power of
     * two — positions are `mod numBits` and plain modulo is what the SQL
-    * twin can reproduce. The 2^61 ceiling keeps the position arithmetic's
-    * intermediates (< 4*numBits) inside signed 64 bits; it is not a real
-    * limit (2^61 bits is a 256 PiB bitset).
+    * twin can reproduce. The position ARITHMETIC is safe to 2^61 bits
+    * (intermediates < 4*numBits stay in signed 64 bits), but the BITSET is
+    * one JVM `Array[Long]`, so the enforced ceiling is what that array can
+    * hold: `Int.MaxValue` 64-bit words ≈ 2^37 bits ≈ 8.6 B keys at 16
+    * bits/key — far past any single-filter need (a 100-TB screen shards
+    * the key space across filters before one filter sees 8 B keys). Both
+    * `bitsFor` and [[wordsFor]] require it so an oversized build fails
+    * with this message, not a negative-size array exception.
     */
+  val MaxBits: Long = Int.MaxValue.toLong * 64L
+
   def bitsFor(expectedKeys: Long): Long = {
     val bits = math.max(BITS_PER_KEY * expectedKeys, 64L)
-    require(bits < (1L << 61), s"md5 bloom bitset too large: $bits bits")
+    require(
+      bits <= MaxBits,
+      s"md5 bloom bitset too large: $bits bits > $MaxBits (one JVM Array[Long]); shard the key space across filters"
+    )
     bits
   }
 
-  def wordsFor(numBits: Long): Int = (((numBits + 63L) >>> 6)).toInt
+  def wordsFor(numBits: Long): Int = {
+    val words = (numBits + 63L) >>> 6
+    require(
+      words <= Int.MaxValue.toLong,
+      s"md5 bloom bitset too large: $numBits bits needs $words words > Int.MaxValue (one JVM Array[Long])"
+    )
+    words.toInt
+  }
 
   /** Position i (0..3) of a 32-hex md5 digest: the Kirsch–Mitzenmacher
     * combination (h1 + i*h2) mod numBits of the digest's unsigned 64-bit

@@ -257,7 +257,8 @@ object Similarity {
   /** Query-time knob: minimum DISTINCT-table collisions before a candidate
     * reaches the exact-distance pass (counting LSH), overriding the
     * profile default. 1 = plain bucket union (fast's default and the
-    * planted operating point); `quality` runs 2 — see the preset comment.
+    * planted operating point); `quality` runs [[Quality]].lshMinHits (3)
+    * — see the preset comment.
     */
   val LshMinHitsConf = "graft.ann.lsh.minhits"
 
