@@ -805,7 +805,7 @@ class DedupSpec extends SparkSpec {
     val rows = Dedup
       .q163ContaminationDepth(spark, sfDir)
       .collect()
-      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3), r.getString(4))))
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3), r.getLong(4), r.getString(5))))
       .toMap
     assert(rows.nonEmpty, "the dup-dense corpus must contaminate across the split or the table tests nothing")
     // leg 1: ngram_hits is exactly q67's n_hits per doc
@@ -843,16 +843,75 @@ class DedupSpec extends SparkSpec {
       .mapValues(_.map(_._3).max)
       .toMap
     expC.foreach { case (d, m) => assert(rows(d)._3 === m, s"doc $d max_run != runs x coin") }
+    // leg 4: img_leaks is exactly q178's n_eval_matches per train doc
+    val q178 = graft.operators.Multimodal
+      .q178ImageDecontam(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    q178.foreach { case (d, n) => assert(rows(d)._4 === n, s"doc $d img_leaks != q178") }
+    assert(rows.count(_._2._4 > 0) === q178.size, "exactly q178's offenders carry image leaks")
     // actions follow the evidence, first-match
-    rows.foreach { case (d, (_, nd, mr, action)) =>
-      val want = if (nd > 0) "drop" else if (mr >= 50) "mask_spans" else "review_ngrams"
+    rows.foreach { case (d, (_, nd, mr, img, action)) =>
+      val want =
+        if (nd > 0) "drop"
+        else if (img > 0) "drop_image"
+        else if (mr >= 50) "mask_spans"
+        else "review_ngrams"
       assert(action === want, s"doc $d action")
     }
     info(
       s"sf0.001: ${rows.size} offenders — " +
-        s"${rows.count(_._2._4 == "drop")} drop, ${rows.count(_._2._4 == "mask_spans")} mask, " +
-        s"${rows.count(_._2._4 == "review_ngrams")} review"
+        s"${rows.count(_._2._5 == "drop")} drop, ${rows.count(_._2._5 == "drop_image")} drop_image, " +
+        s"${rows.count(_._2._5 == "mask_spans")} mask, ${rows.count(_._2._5 == "review_ngrams")} review"
     )
+  }
+
+  test("q163/q172 image leg: a planted image-only leak reads drop_image and is costed in the ledger") {
+    val spark0 = spark
+    import spark0.implicits._
+    def bucketOf(id: Long): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(id.toString.getBytes("UTF-8"))
+      Integer.parseInt(d.take(1).map("%02x".format(_)).mkString, 16)
+    }
+    // image kind = doc_id % 3 == 0; a train image-doc whose image
+    // near-dups a held-out image but whose TEXT shares nothing with any
+    // test doc (unique vocab, < 8 shared grams) — only leg 4 can fire
+    val trainIds = Iterator.from(0).map(_ * 3L).filter(id => bucketOf(id) < Sampling.SPLIT_TRAIN_LT)
+    val testIds = Iterator.from(0).map(_ * 3L).filter(id => bucketOf(id) >= Sampling.SPLIT_VALIDATION_LT)
+    val Seq(trainLeak, trainClean) = trainIds.take(2).toSeq
+    val evalImg = testIds.next()
+    val dir = java.nio.file.Files.createTempDirectory("q163img").toString
+    val base = (1 to 100).map(i => ('a' + i % 26).toChar).mkString
+    val edited = base.updated(10, 'z').updated(11, 'z') // within tau=6 of base
+    val far = "zz  " * 25 // alternating cell energy: ~25 bits from base
+    Seq((trainLeak, base), (trainClean, far), (evalImg, edited))
+      .map { case (id, text) => (id, text, "en", "srcI", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write
+      .parquet(s"$dir/documents.parquet")
+    val rows = Dedup
+      .q163ContaminationDepth(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3), r.getLong(4), r.getString(5))))
+      .toMap
+    assert(rows.contains(trainLeak), s"the image-leaking train doc must be an offender: $rows")
+    val (ng, nd, mr, img, action) = rows(trainLeak)
+    assert(img === 1L, s"img_leaks must count the planted eval twin: $rows")
+    assert(nd === 0L && mr < 50, s"the plant must not trip the text legs: $rows")
+    assert(action === "drop_image", s"an image-only leak dictates drop_image: $rows")
+    assert(!rows.contains(trainClean) || rows(trainClean)._4 === 0L, s"clean image must not flag: $rows")
+    // the ledger covers the new action: the leaked doc's mass lands under
+    // (srcI, drop_image) and every train doc is accounted exactly once
+    val led = Dedup
+      .q172DecontamLedger(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(led.contains(("srcI", "drop_image")), s"ledger must cost the image action: $led")
+    assert(led(("srcI", "drop_image"))._1 === 1L, s"exactly the planted doc: $led")
+    val trainDocs = Seq(trainLeak, trainClean, evalImg).count(id => bucketOf(id) < Sampling.SPLIT_TRAIN_LT)
+    assert(led.filter(_._1._1 == "srcI").values.map(_._1).sum === trainDocs.toLong, s"ledger covers the train split: $led")
   }
 
   test("q172 ledger: recomposes from q163's actions over the train split; shares sum to 1 per source") {
@@ -873,7 +932,7 @@ class DedupSpec extends SparkSpec {
     val actOf = Dedup
       .q163ContaminationDepth(spark, sfDir)
       .collect()
-      .map(r => r.getLong(0) -> r.getString(4))
+      .map(r => r.getLong(0) -> r.getAs[String]("action"))
       .toMap
     val expected = train
       .map(d => (d._2, actOf.getOrElse(d._1, "keep"), d._3))
