@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   * data), instead of trusting that the test suite ran elsewhere.
   *
   * Check shapes:
-  *   - precision checks (q30/q31/q60/q90/q101/q113): every emitted row is
+  *   - precision checks (q31/q60/q90/q101/q113): every emitted row is
   *     re-validated against an exact recomputation from the raw inputs —
   *     `violations` counts rows that fail; pass = 0 violations. These are
   *     O(result) or cluster-bounded joins, never corpus-quadratic.
@@ -37,28 +37,8 @@ object SelfCheck {
           Result(s"ERRORED: ${String.valueOf(e.getMessage).linesIterator.find(_.trim.nonEmpty).getOrElse("")}", -1.0, -1L, pass = false)
       })
 
-    // -- q30: every emitted pair's exact 3-shingle Jaccard >= 0.5 ------------
-    check("q30_minhash_pairs") {
-      val docs = core.Tables
-        .documents(spark, sfDir)
-        .withColumn("norm_text", regexp_replace(lower(trim(col("text"))), "\\s+", " "))
-        .withColumn("th", expr("transform(split(norm_text, ' '), t -> xxhash64(t))"))
-        .withColumn("sh", expr("shingle_hashes(th)"))
-        .select(col("doc_id"), col("sh"))
-      val pairs = operators.Dedup.q30MinhashPairs(spark, sfDir)
-      val n = pairs.count()
-      val inter = expr("sorted_intersect_count(sh_a, sh_b)").cast("double")
-      val bad = pairs
-        .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-        .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-        .withColumn("j", inter / (size(col("sh_a")) + size(col("sh_b")) - inter))
-        // same ROUNDED predicate as q30 itself (Dedup emits round(j,6) >=
-        // 0.5): comparing the unrounded value would flag a legitimately
-        // emitted boundary pair (exact j in [0.4999995, 0.5)) as a violation
-        .filter(round(col("j"), 6) < 0.5)
-        .count()
-      Result("exact shingle-jaccard >= 0.5 for every emitted pair", n.toDouble, bad, bad == 0L)
-    }
+    // q30 left this manifest in r15: its md5-affine default path is fully
+    // oracle-gated (Dedup.q30Oracle replays the banded computation).
 
     // -- q31: every emitted pair's recomputed simhash hamming <= 6 -----------
     check("q31_simhash_pairs") {

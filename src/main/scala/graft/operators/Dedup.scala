@@ -64,15 +64,92 @@ object Dedup {
       |ORDER BY survivor_doc_id""".stripMargin
 
   // ---------------------------------------------------------------------------
-  // q30 — MinHash + LSH near-duplicate pairs. k=16 permutations (one-pass
-  // native minhash_sigs16), 8 bands × 2 rows → candidates → exact shingle
-  // Jaccard verify >= 0.5 (sorted two-pointer merge). Not SQL-expressible →
-  // rows-only driver check; DedupSpec cross-checks against brute-force
-  // pairs at sf0.001.
+  // q30 — MinHash + LSH near-duplicate pairs. k=16 permutations, 8 bands ×
+  // 2 rows → candidates → exact shingle Jaccard verify >= 0.5 (sorted
+  // two-pointer merge). ORACLE-GATED since r15 via q134's md5-affine
+  // discipline: the default signature path hashes each 3-word shingle ONCE
+  // with md5 (base integer x = first 15 hex digits, reduced mod the
+  // Mersenne prime p = 2^31-1) and derives the 16 permutations as
+  // (a_h·x + b_h) mod p with q134's published literal multipliers — every
+  // step (signature mins, band-tuple candidate join, exact-Jaccard verify
+  // over the 60-bit shingle keys) replays verbatim in DuckDB, so the
+  // banded computation itself is the oracle (candidates INCLUDED: both
+  // engines derive the identical candidate set, so the gate needs no
+  // recall argument). The pre-r15 xxhash64 + native-minhash_sigs16 path
+  // survives as the SERVING twin under `graft.dedup.minhash=native`
+  // (the q121→q125 discipline inverted: the registered query is the
+  // replayable one) — same plan shape, one hash call per shingle either
+  // way; the native expression saves only the md5-vs-xxhash constant.
   // ---------------------------------------------------------------------------
   private val K = 16
   private val BANDS = 8
   private val ROWS_PER_BAND = K / BANDS
+
+  /** Signature-path knob: `md5` (default — the oracle-replayable affine
+    * construction) or `native` (xxhash64 shingles + the codegen'd
+    * minhash_sigs16 expression, the pre-r15 serving path).
+    */
+  val MinhashConf = "graft.dedup.minhash"
+
+  private def minhashPath(spark: SparkSession): String =
+    spark.conf.getOption(MinhashConf).map(_.trim.toLowerCase).filter(_.nonEmpty) match {
+      case None | Some("md5")  => "md5"
+      case Some("native")      => "native"
+      case Some(other) =>
+        throw new IllegalArgumentException(s"$MinhashConf must be md5 or native, got '$other'")
+    }
+
+  /** md5-affine signatures: doc_id, sh (sorted distinct 60-bit md5 shingle
+    * keys — the verify universe), sig (K affine-permutation mins). One md5
+    * per distinct (doc, shingle); the K mins are K integer expressions in
+    * one aggregate pass (the q134 shape at doc grain).
+    */
+  private def md5Signatures(spark: SparkSession, dir: String): DataFrame = {
+    val p = Curation.SKETCH_P
+    val sh = Tables
+      .balanced(Tables.documents(spark, dir))
+      .withColumn("norm_text", normText)
+      .withColumn("toks", split(col("norm_text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .select(
+        col("doc_id"),
+        explode(expr("transform(sequence(1, size(toks) - 2), i -> array_join(slice(toks, i, 3), ' '))"))
+          .as("shingle")
+      )
+      .distinct()
+      .withColumn("xs", expr("cast(conv(substring(md5(shingle), 1, 15), 16, 10) AS bigint)"))
+      .select(col("doc_id"), col("xs"))
+      .distinct() // md5-prefix collisions collapse identically in both engines
+      .withColumn("x", col("xs") % p)
+    val mins = (0 until K).map(h =>
+      min(expr(s"(${Curation.sketchA(h)}L * x + ${Curation.sketchB(h)}L) % $p")).as(s"m$h")
+    )
+    sh.groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("xs"))).as("sh"), mins: _*)
+      .select(col("doc_id"), col("sh"), array((0 until K).map(h => col(s"m$h")): _*).as("sig"))
+  }
+
+  /** Band-tuple candidates for the md5 path: band b's key is the VALUE
+    * PAIR (sig[2b], sig[2b+1]) — an equi-join on (band, v0, v1) with no
+    * engine-private hash in the key, so the oracle joins on the same
+    * tuples.
+    */
+  private def md5BandCandidates(sigs: DataFrame): DataFrame = {
+    val bands = sigs
+      .select(
+        col("doc_id"),
+        explode(expr(
+          s"transform(sequence(0, ${BANDS - 1}), b -> struct(b AS band, sig[b * $ROWS_PER_BAND] AS v0, sig[b * $ROWS_PER_BAND + 1] AS v1))"
+        )).as("bk")
+      )
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.v0").as("v0"), col("bk.v1").as("v1"))
+    bands
+      .as("l")
+      .join(bands.as("r"), Seq("band", "v0", "v1"))
+      .filter(col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+  }
 
   /** doc_id, shingles (sorted distinct array<long>), sig (K minhashes). */
   private def signatures(spark: SparkSession, dir: String): DataFrame = {
@@ -118,25 +195,88 @@ object Dedup {
   }
 
   def q30MinhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VecFunctions.install(spark) // sorted_intersect_count on both paths
     // localCheckpoint: the signature pipeline feeds THREE consumers below
     // (buckets, sh_a, sh_b) — round 1 recomputed the full shingle/minhash
     // pass for each. Eager checkpoint runs it ONCE into executor storage
     // (MEMORY_AND_DISK) with lineage truncated; the blocks are reclaimed by
     // the ContextCleaner when the DF becomes unreachable, so nothing pins
     // storage for the session the way a .cache() we can't unpersist would.
-    val sigs = signatures(spark, dir).localCheckpoint()
-    val candidates = minhashCandidates(sigs)
-    val sa = sigs.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
-    val sb = sigs.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
-    // shingle arrays are sorted-distinct → zero-allocation merge intersect
-    val inter = expr("sorted_intersect_count(sh_a, sh_b)").cast("double")
-    candidates
-      .join(sa, "doc_a")
-      .join(sb, "doc_b")
-      .withColumn("jaccard", round(inter / (size(col("sh_a")) + size(col("sh_b")) - inter), 6))
-      .filter(col("jaccard") >= 0.5)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
+    if (minhashPath(spark) == "native") {
+      val sigs = signatures(spark, dir).localCheckpoint()
+      val candidates = minhashCandidates(sigs)
+      val sa = sigs.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
+      val sb = sigs.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+      // shingle arrays are sorted-distinct → zero-allocation merge intersect
+      val inter = expr("sorted_intersect_count(sh_a, sh_b)").cast("double")
+      candidates
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", round(inter / (size(col("sh_a")) + size(col("sh_b")) - inter), 6))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    } else {
+      val sigs = md5Signatures(spark, dir).localCheckpoint()
+      val candidates = md5BandCandidates(sigs)
+      val sa = sigs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+      val sb = sigs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+      candidates
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("i", expr("sorted_intersect_count(sh_a, sh_b)"))
+        .withColumn(
+          "jaccard",
+          expr("floor(CAST(i AS DOUBLE) * 1e6 / (size(sh_a) + size(sh_b) - i) + 5e-1) / 1e6")
+        )
+        .filter(col("jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }
+  }
+
+  /** The banded computation replayed outright: one md5 per distinct
+    * (doc, shingle), q134's literal multipliers, band-tuple equality for
+    * candidates, exact Jaccard over the 60-bit keys — identical candidate
+    * set and identical floored micros in both engines.
+    */
+  lazy val q30Oracle: String = {
+    val p = Curation.SKETCH_P
+    val aLits = (0 until K).map(Curation.sketchA).mkString(", ")
+    val bLits = (0 until K).map(Curation.sketchB).mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+       |  FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |         unnest(list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+       |  FROM t WHERE len(toks) >= 3),
+       |shd AS (
+       |  SELECT DISTINCT doc_id, ('0x' || substring(md5(shingle), 1, 15))::BIGINT AS xs FROM sh),
+       |sig AS (
+       |  SELECT doc_id, h.range AS h,
+       |         min((list_extract([$aLits], h.range::INT + 1) * (xs % $p)
+       |              + list_extract([$bLits], h.range::INT + 1)) % $p) AS comp
+       |  FROM shd CROSS JOIN range($K) h GROUP BY 1, 2),
+       |bnd AS (
+       |  SELECT s0.doc_id, CAST(s0.h // 2 AS INT) AS band, s0.comp AS v0, s1.comp AS v1
+       |  FROM sig s0 JOIN sig s1 ON s1.doc_id = s0.doc_id AND s1.h = s0.h + 1
+       |  WHERE s0.h % 2 = 0),
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+       |  FROM bnd l JOIN bnd r ON l.band = r.band AND l.v0 = r.v0 AND l.v1 = r.v1 AND l.doc_id < r.doc_id),
+       |sz AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY 1),
+       |ix AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS i
+       |  FROM cand c JOIN shd a ON a.doc_id = c.doc_a JOIN shd b ON b.doc_id = c.doc_b AND b.xs = a.xs
+       |  GROUP BY 1, 2),
+       |j AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |         floor(CAST(coalesce(ix.i, 0) AS DOUBLE) * 1e6 / (sa.n + sb.n - coalesce(ix.i, 0)) + 5e-1) / 1e6 AS jaccard
+       |  FROM cand c
+       |  LEFT JOIN ix ON ix.doc_a = c.doc_a AND ix.doc_b = c.doc_b
+       |  JOIN sz sa ON sa.doc_id = c.doc_a JOIN sz sb ON sb.doc_id = c.doc_b)
+       |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
   }
 
   // ---------------------------------------------------------------------------
@@ -2266,9 +2406,19 @@ object Dedup {
     "q137_ingest_saturation" -> (q137IngestSaturation _)
   )
 
-  /** q30/q31/q60/q113 are hash-based LSH with sub-1 recall or hash-valued
+  /** q31/q60/q113 are hash-based LSH with sub-1 recall or hash-valued
     * outputs — not reproducible in plain SQL → rows-only plus Verify's
-    * data-derived self-check manifest.
+    * data-derived self-check manifest. q30 was PROMOTED to oracle-gated in
+    * r15: its default signature path is q134's md5-affine arithmetic, so
+    * the banded computation (candidates included) replays verbatim in
+    * DuckDB; the xxhash64/native path survives as the serving twin under
+    * [[MinhashConf]]. q31 stays selfcheck-gated: its signature is
+    * simhash64 over xxhash64 TOKEN hashes, and the per-bit majority-vote
+    * aggregate over a 60-bit md5 replacement would need a 64-expression
+    * per-bit sum in SQL per doc — replayable in principle, but the
+    * candidate chunks (16-bit signature slices) then differ from the
+    * serving path's, which is the same twin split q30 just got; left for a
+    * later round (documented in SURVEY §8).
     *
     * The banded CLUSTER composites (q101/q102/q107/q108) ARE gated, each
     * against its exact twin's SQL (q61 / q99 / q106): banding itself is
@@ -2289,6 +2439,7 @@ object Dedup {
     "q163_contamination_depth" -> q163Oracle,
     "q172_decontam_ledger" -> q172Oracle,
     "q29_exact_dedup" -> q29Oracle,
+    "q30_minhash_pairs" -> q30Oracle,
     "q32_token_jaccard" -> q32Oracle,
     "q33_embedding_neardup" -> q33Oracle,
     "q61_dup_clusters" -> q61Oracle,

@@ -17,21 +17,29 @@ class DedupSpec extends SparkSpec {
     assert(fps.distinct.length === fps.length)
   }
 
-  test("q30 minhash-LSH recovers exactly the brute-force Jaccard>=0.5 pairs") {
+  test("q30 minhash-LSH (md5-affine default) recovers exactly the brute-force Jaccard>=0.5 pairs") {
     val lsh = Dedup
       .q30MinhashPairs(spark, sfDir)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1)))
       .toSet
 
-    // brute force: all-pairs 3-shingle Jaccard with the same construction
-    graft.functions.VecFunctions.install(spark)
+    // brute force: all-pairs 3-shingle Jaccard over the SAME 60-bit md5
+    // shingle keys the default path verifies with
     val docs = graft.core.Tables
       .documents(spark, sfDir)
       .withColumn("norm_text", regexp_replace(lower(trim(col("text"))), "\\s+", " "))
-      .withColumn("th", expr("transform(split(norm_text, ' '), t -> xxhash64(t))"))
-      .withColumn("sh", expr("shingle_hashes(th)"))
+      .withColumn("toks", split(col("norm_text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .withColumn(
+        "sh",
+        expr(
+          "array_sort(array_distinct(transform(sequence(1, size(toks) - 2), " +
+            "i -> cast(conv(substring(md5(array_join(slice(toks, i, 3), ' ')), 1, 15), 16, 10) AS bigint))))"
+        )
+      )
       .select(col("doc_id"), col("sh"))
+    graft.functions.VecFunctions.install(spark)
     val inter = expr("sorted_intersect_count(l.sh, r.sh)").cast("double")
     val brute = docs
       .as("l")
@@ -45,6 +53,23 @@ class DedupSpec extends SparkSpec {
 
     assert(brute.nonEmpty, "test corpus should contain planted near-dups")
     assert(lsh === brute)
+  }
+
+  test("q30 native serving twin: same banded recipe under graft.dedup.minhash=native; unknown value rejected") {
+    // the pre-r15 xxhash64 + minhash_sigs16 path, kept for serving (one
+    // xxhash per shingle instead of one md5) — its pair set must recover
+    // the brute-force set over ITS hash universe, and at this SF equal the
+    // md5 path's pairs (both verify exactly at the same threshold; only
+    // hash-collision corner cases could split them)
+    val md5Pairs = Dedup.q30MinhashPairs(spark, sfDir).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.conf.set(Dedup.MinhashConf, "native")
+    try {
+      val nat = Dedup.q30MinhashPairs(spark, sfDir).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(nat === md5Pairs, "serving twin drifted from the oracle-gated default")
+    } finally spark.conf.unset(Dedup.MinhashConf)
+    spark.conf.set(Dedup.MinhashConf, "fnv")
+    try intercept[IllegalArgumentException](Dedup.q30MinhashPairs(spark, sfDir).collect())
+    finally spark.conf.unset(Dedup.MinhashConf)
   }
 
   test("q31 simhash finds most minhash near-dup pairs (recall >= 0.8)") {
