@@ -505,9 +505,11 @@ object Multimodal {
   // verify — the output stays the true near-dup set, while q115/q175's
   // uncapped fp joins would have let boilerplate keys straight into the
   // OUTPUT's containment counts. At 100 TB the candidate blowup is still
-  // real work, and the fix is the one already noted above: widen the hash
-  // so buckets are 16-bit (65536-way) — a capacity knob on the codec side,
-  // not a semantics change in this plan.
+  // real work, and there are two fixes: widen the hash so buckets are
+  // 16-bit (65536-way — a capacity knob on the codec side, not a semantics
+  // change in this plan), or serve q181 — the DF-CAPPED variant that
+  // declares the hot-bucket exclusion as its contract (oracle included)
+  // and keeps this query as the exact ground truth.
   // ---------------------------------------------------------------------------
   private val AHASH_TAU = 6
 
@@ -543,13 +545,28 @@ object Multimodal {
 
   /** q114's banded mine + exact verify over a staged band table — shared
     * verbatim by the batch query and the streaming maintainer's served
-    * report.
+    * report. `capDf = Some(n)` is q181's mode: band BUCKETS carried by
+    * more than n images are excluded from candidate generation (the
+    * q115/q175 MOSS rule applied to the bucket join) — the pigeonhole
+    * completeness guarantee is deliberately traded for bounded fan-out,
+    * and the exclusion is replayed in the oracle, so the capped mode is
+    * oracle-gated on its own declared semantics.
     */
-  private[graft] def imageNeardupFrom(hashed: DataFrame): DataFrame = {
+  private[graft] def imageNeardupFrom(hashed: DataFrame, capDf: Option[Int] = None): DataFrame = {
     val inst = hashed.select(col("media_id"), posexplode(col("bands")).as(Seq("band", "bv")))
-    val cand = inst
+    val minable = capDf match {
+      case None => inst
+      case Some(cap) =>
+        val hot = inst
+          .groupBy(col("band"), col("bv"))
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap)
+          .select(col("band"), col("bv"))
+        inst.join(hot, Seq("band", "bv"), "left_anti")
+    }
+    val cand = minable
       .as("l")
-      .join(inst.as("r"), Seq("band", "bv"))
+      .join(minable.as("r"), Seq("band", "bv"))
       .filter(col("l.media_id") < col("r.media_id"))
       .select(col("l.media_id").as("media_a"), col("r.media_id").as("media_b"))
       .distinct()
@@ -598,6 +615,61 @@ object Multimodal {
       |FROM hb l JOIN hb r ON l.media_id < r.media_id
       |WHERE list_sum(list_transform(range(1, 9), k -> bit_count(xor(l.bands[k], r.bands[k])))) <= 6
       |ORDER BY media_a, media_b""".stripMargin
+
+  /** q114's hash chain as a self-contained (media_id, bands) statement —
+    * the splice q178/q181/q177's image legs nest as a derived table.
+    */
+  private[operators] lazy val q114BandsSql: String = {
+    val chain = q114Oracle.substring(0, q114Oracle.indexOf("\nSELECT l.media_id"))
+    chain + "\nSELECT media_id, bands FROM hb"
+  }
+
+  // ---------------------------------------------------------------------------
+  // q181 — DF-CAPPED image near-dup mining: q114's banded aHash miner with
+  // the q115/q175 MOSS rule applied to the BAND BUCKETS — a (band, value)
+  // bucket carried by more than MEDIA_FP_MAXDF images (blank frames, logo
+  // cards, single-color fills: the image boilerplate) is excluded from
+  // candidate generation before the pair join, so a hot bucket can never
+  // fan out quadratically. This is the 100-TB serving mode of q114: the
+  // default q114 stays uncapped by contract (pigeonhole completeness IS
+  // its exactness guarantee — see its header), and this variant DECLARES
+  // the trade instead of hiding it — a pair that collides only in hot
+  // buckets is dropped even if its true hamming is within tau, and the
+  // oracle replays the identical exclusion, so the capped semantics are
+  // themselves oracle-gated (the q30 candidate-replay discipline). The
+  // q177 image_bands audit row is the observability half: how many
+  // buckets are hot and how many images carry one.
+  //
+  // Scale shape: one df rollup over the staged band instances (8 rows per
+  // image), one left-anti prune, then q114's bucket equi-join and exact
+  // verify restricted to rare buckets — every surviving bucket fans out
+  // <= MEDIA_FP_MAXDF^2/2 candidate pairs.
+  // ---------------------------------------------------------------------------
+  def q181ImageNeardupCapped(spark: SparkSession, dir: String): DataFrame =
+    imageNeardupFrom(imageBandsCached(spark, dir), Some(MEDIA_FP_MAXDF))
+
+  /** q114's chain, the df rollup, the rare-bucket prune, then the same
+    * candidate join + exact hamming verify over rare instances only.
+    */
+  lazy val q181Oracle: String =
+    s"""WITH ib AS (SELECT media_id, bands FROM (
+       |$q114BandsSql
+       |)),
+       |inst AS (
+       |  SELECT media_id, CAST(b.range AS INT) AS band, bands[b.range + 1] AS bv
+       |  FROM ib CROSS JOIN range(8) b),
+       |bdf AS (SELECT band, bv, count(*) AS df FROM inst GROUP BY 1, 2),
+       |ri AS (
+       |  SELECT i.media_id, i.band, i.bv
+       |  FROM inst i JOIN bdf USING (band, bv) WHERE bdf.df <= $MEDIA_FP_MAXDF),
+       |cand AS (
+       |  SELECT DISTINCT l.media_id AS media_a, r.media_id AS media_b
+       |  FROM ri l JOIN ri r ON l.band = r.band AND l.bv = r.bv AND l.media_id < r.media_id)
+       |SELECT c.media_a, c.media_b,
+       |       CAST(list_sum(list_transform(range(1, 9), k -> bit_count(xor(a.bands[k], b.bands[k])))) AS BIGINT) AS hamming
+       |FROM cand c JOIN ib a ON a.media_id = c.media_a JOIN ib b ON b.media_id = c.media_b
+       |WHERE list_sum(list_transform(range(1, 9), k -> bit_count(xor(a.bands[k], b.bands[k])))) <= 6
+       |ORDER BY media_a, media_b""".stripMargin
 
   // ---------------------------------------------------------------------------
   // q115 — video near-duplicate mining by frame-fingerprint containment: the
@@ -884,9 +956,11 @@ object Multimodal {
   // of the cap's contract: the miners DROP boilerplate keys by
   // construction, and this table is where a curator sees how much
   // boilerplate a corpus has before trusting the miners' containment
-  // numbers (the q163-style "decision needs its audit" pattern). Image is
-  // deliberately absent: q114's band buckets are uncapped by contract
-  // (pigeonhole completeness — see its header).
+  // numbers (the q163-style "decision needs its audit" pattern). Since
+  // r15 the image BAND BUCKETS are audited too (kind 'image_bands', key =
+  // band:value): the default q114 stays uncapped by contract (pigeonhole
+  // completeness — see its header), but q181's capped mode excludes hot
+  // buckets, and this row is where its dropped band mass is visible.
   //
   // Scale shape: per kind one df rollup over the staged raw fingerprint
   // table plus three 1-row aggregates (broadcast crossJoins — whitelisted);
@@ -908,7 +982,11 @@ object Multimodal {
         .agg(countDistinct(col("media_id")).as("n_items_affected"))
       items.crossJoin(broadcast(stats)).crossJoin(broadcast(aff)).withColumn("kind", lit(kind))
     }
+    val imageBandInst = imageBandsCached(spark, dir)
+      .select(col("media_id"), posexplode(col("bands")).as(Seq("band", "bv")))
+      .select(col("media_id"), concat(col("band").cast("string"), lit(":"), col("bv").cast("string")).as("fp"))
     leg("audio", audioFpsRawCached(spark, dir))
+      .unionByName(leg("image_bands", imageBandInst))
       .unionByName(leg("video", videoFpsRawCached(spark, dir)))
       .select(
         col("kind"),
@@ -926,18 +1004,27 @@ object Multimodal {
       .orderBy(col("kind"))
   }
 
-  /** Both kinds' raw-instance SQL nested as derived tables (the q163
-    * splice rule), then scalar-subquery legs over their df rollups.
+  /** All three kinds' raw-instance SQL nested as derived tables (the q163
+    * splice rule — audio/video fingerprint instances, image band
+    * instances off the q114 chain), then scalar-subquery legs over their
+    * df rollups.
     */
   lazy val q177Oracle: String = {
     val head = "WITH ai AS (SELECT media_id, fp FROM ("
     val mid =
       """)),
         |vi AS (SELECT media_id, fp FROM (""".stripMargin
+    val midImg =
+      """)),
+        |ib AS (SELECT media_id, bands FROM (""".stripMargin
     val tail =
       s""")),
+        |ii AS (
+        |  SELECT media_id, CAST(b.range AS VARCHAR) || ':' || CAST(bands[b.range + 1] AS VARCHAR) AS fp
+        |  FROM ib CROSS JOIN range(8) b),
         |adf AS (SELECT fp, count(*) AS df FROM ai GROUP BY 1),
         |vdf AS (SELECT fp, count(*) AS df FROM vi GROUP BY 1),
+        |idf AS (SELECT fp, count(*) AS df FROM ii GROUP BY 1),
         |legs AS (
         |  SELECT 'audio' AS kind,
         |         (SELECT count(DISTINCT media_id) FROM ai) AS n_items,
@@ -945,6 +1032,13 @@ object Multimodal {
         |         (SELECT coalesce(sum(CASE WHEN df > $MEDIA_FP_MAXDF THEN 1 ELSE 0 END), 0) FROM adf) AS n_hot_fps,
         |         (SELECT count(DISTINCT media_id) FROM ai JOIN adf USING (fp) WHERE df > $MEDIA_FP_MAXDF) AS n_items_affected,
         |         (SELECT max(df) FROM adf) AS max_df
+        |  UNION ALL
+        |  SELECT 'image_bands',
+        |         (SELECT count(DISTINCT media_id) FROM ii),
+        |         (SELECT count(*) FROM idf),
+        |         (SELECT coalesce(sum(CASE WHEN df > $MEDIA_FP_MAXDF THEN 1 ELSE 0 END), 0) FROM idf),
+        |         (SELECT count(DISTINCT media_id) FROM ii JOIN idf USING (fp) WHERE df > $MEDIA_FP_MAXDF),
+        |         (SELECT max(df) FROM idf)
         |  UNION ALL
         |  SELECT 'video',
         |         (SELECT count(DISTINCT media_id) FROM vi),
@@ -959,7 +1053,7 @@ object Multimodal {
         |       CASE WHEN n_items = 0 THEN NULL ELSE floor(CAST(n_items_affected AS DOUBLE) * 1e6 / n_items + 5e-1) / 1e6 END AS affected_share,
         |       CAST(max_df AS BIGINT) AS max_df
         |FROM legs ORDER BY kind""".stripMargin
-    head + "\n" + q175InstSql + "\n" + mid + "\n" + q115InstSql + "\n" + tail
+    head + "\n" + q175InstSql + "\n" + mid + "\n" + q115InstSql + "\n" + midImg + "\n" + q114BandsSql + "\n" + tail
   }
 
   /** Warm the three media fingerprint stages for this session — named as a
@@ -1400,6 +1494,7 @@ object Multimodal {
     "q39_media_features" -> (q39MediaFeatures _),
     "q65_media_resize" -> (q65MediaResize _),
     "q114_image_neardup" -> (q114ImageNeardup _),
+    "q181_image_neardup_capped" -> (q181ImageNeardupCapped _),
     "q115_video_neardup" -> (q115VideoNeardup _),
     "q116_audio_activity" -> (q116AudioActivity _),
     "q175_audio_neardup" -> (q175AudioNeardup _),
@@ -1494,6 +1589,7 @@ object Multimodal {
     "q39_media_features" -> q39Oracle,
     "q65_media_resize" -> q65Oracle,
     "q114_image_neardup" -> q114Oracle,
+    "q181_image_neardup_capped" -> q181Oracle,
     "q115_video_neardup" -> q115Oracle,
     "q116_audio_activity" -> q116Oracle,
     "q175_audio_neardup" -> q175Oracle,

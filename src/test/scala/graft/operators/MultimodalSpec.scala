@@ -307,14 +307,83 @@ class MultimodalSpec extends SparkSpec {
 
   test("q177 audit on the real corpus: every fingerprint rare, nothing excluded, shares consistent") {
     val rows = Multimodal.q177MediaBoilerplate(spark, sfDir).collect()
-    assert(rows.map(_.getString(0)).toSeq === Seq("audio", "video"))
-    rows.foreach { r =>
+    assert(rows.map(_.getString(0)).toSeq === Seq("audio", "image_bands", "video"))
+    rows.filter(_.getString(0) != "image_bands").foreach { r =>
       assert(r.getAs[Long]("n_hot_fps") === 0L, s"sf0.001 has no boilerplate keys: $r")
       assert(r.getAs[Long]("n_items_affected") === 0L)
       assert(r.getAs[Long]("max_df") <= Multimodal.MEDIA_FP_MAXDF)
       assert(r.getAs[Double]("hot_fp_share") === 0.0 && r.getAs[Double]("affected_share") === 0.0)
       assert(r.getAs[Long]("n_items") > 0L && r.getAs[Long]("n_fps") > 0L)
     }
+    // image band buckets are only 8-bit keys, so their dfs concentrate
+    // far more than md5 fingerprints — pin well-formedness, not rarity
+    val ib = rows.find(_.getString(0) == "image_bands").get
+    assert(ib.getAs[Long]("n_items") > 0L && ib.getAs[Long]("n_fps") > 0L)
+    assert(ib.getAs[Long]("n_hot_fps") <= ib.getAs[Long]("n_fps"))
+    assert(ib.getAs[Long]("n_items_affected") <= ib.getAs[Long]("n_items"))
+    info(
+      s"sf0.001 image_bands: ${ib.getAs[Long]("n_fps")} buckets, ${ib.getAs[Long]("n_hot_fps")} hot, " +
+        s"max_df ${ib.getAs[Long]("max_df")} (cap ${Multimodal.MEDIA_FP_MAXDF})"
+    )
+  }
+
+  test("q181 capped image mine: hot band buckets excluded; rare-bucket pairs still mined; subset of q114") {
+    import spark.implicits._
+    // 102 IDENTICAL images (every band bucket df >= 102 > cap: the
+    // blank-frame/logo-card shape) + a near-identical pair sharing rare
+    // buckets. q114 must pair all of them (pigeonhole completeness is its
+    // contract); q181 must mine ONLY the rare pair.
+    val imgIds = Iterator.from(1).map(_ * 3L)
+    val hotIds = imgIds.take(102).toSeq
+    val rest = Iterator.from(103).map(_ * 3L)
+    val Seq(baseId, editId) = rest.take(2).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("q181hot").toString
+    val hot = "zz  " * 25 // alternating cell energy (see the q178 note)
+    val base = (1 to 100).map(i => ('a' + i % 26).toChar).mkString
+    val edited = base.updated(10, 'z').updated(11, 'z') // within tau=6
+    (hotIds.map((_, hot)) ++ Seq((baseId, base), (editId, edited)))
+      .map { case (id, text) => (id, text, "en", "srcH", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write
+      .parquet(s"$dir/documents.parquet")
+    val capped = Multimodal
+      .q181ImageNeardupCapped(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val hotSet = hotIds.toSet
+    assert(!capped.keySet.exists(p => hotSet(p._1) || hotSet(p._2)), s"hot-bucket images must never pair: ${capped.size}")
+    assert(capped.keySet === Set((baseId, editId)), s"exactly the rare pair: $capped")
+    assert(capped((baseId, editId)) <= 6L)
+    val full = Multimodal.q114ImageNeardup(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full.size === 102 * 101 / 2 + 1, s"uncapped q114 pairs all identicals + the rare pair: ${full.size}")
+    assert(capped.keySet.subsetOf(full), "capped output must be a subset of the exact mine")
+    // the q177 image_bands audit sees what the cap excluded: the 8 hot
+    // buckets (the identical images' bands), >= 102 items affected
+    val ib = Multimodal
+      .q177MediaBoilerplate(spark, dir)
+      .collect()
+      .find(_.getString(0) == "image_bands")
+      .get
+    assert(ib.getAs[Long]("n_hot_fps") === 8L, s"the 8 identical-image buckets are the hot set: $ib")
+    assert(ib.getAs[Long]("n_items_affected") >= 102L)
+    assert(ib.getAs[Long]("max_df") >= 102L)
+
+    // corpus invariants at sf0.001: capped is a subset of exact with the
+    // same hammings on shared pairs
+    val cap0 = Multimodal
+      .q181ImageNeardupCapped(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val full0 = Multimodal
+      .q114ImageNeardup(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(cap0.keySet.subsetOf(full0.keySet))
+    cap0.foreach { case (p, h) => assert(full0(p) === h, s"hamming drifted on $p") }
+    info(s"sf0.001: capped ${cap0.size} of ${full0.size} exact pairs")
   }
 
   test("q178 image decontamination: a re-encoded eval image flags its train twin; clean train images pass") {
