@@ -255,6 +255,10 @@ object Bench {
     // call and the serve path re-reads it) — the composition builds once
     // here, then q163/q172 repetitions time the cached-read path
     phase("q163_actions")(operators.Dedup.contaminationDepthCached(spark, sfDir))
+    // the staged token table is session-cached (one normalize+split pass
+    // feeds q150's three gram explodes, q151's term frequencies, and
+    // q168's legs)
+    phase("q150_tokens")(operators.TextOps.tokenStage(spark, sfDir))
 
     // repeat each query and report the MEDIAN: single-shot timings on a
     // shared box fold scheduler noise into query cost (observed up to 10x

@@ -1220,11 +1220,29 @@ object TextOps {
   private val DIVERSITY_NS = Seq(1, 2, 3)
   private val DIVERSITY_FLOOR_MICRO = 300000L // distinct-2 below 0.3: collapsed
 
+  /** Session-cached (doc_id, source, toks) token table per (session, dir)
+    * — the q67_shingles pattern one stage earlier: tokenization
+    * (normalize + split) is the shared first stage of q150's THREE gram
+    * explodes and q151's term frequencies, and q168 runs both as legs, so
+    * one corpus pass feeds five consumers per bench repetition. A real
+    * pipeline materializes the tokenized corpus once per snapshot.
+    */
+  private val tokenStageCache = new SessionCache[DataFrame]
+
+  private[graft] def tokenStage(spark: SparkSession, dir: String): DataFrame =
+    tokenStageCache.getOrBuild(spark, dir) {
+      Tables
+        .balanced(Tables.documents(spark, dir))
+        .select(
+          col("doc_id"),
+          col("source"),
+          split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ").as("toks")
+        )
+        .localCheckpoint()
+    }
+
   def q150DistinctN(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables
-      .balanced(Tables.documents(spark, dir))
-      .withColumn("toks", split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " "))
-      .select(col("source"), col("toks"))
+    val base = tokenStage(spark, dir).select(col("source"), col("toks"))
     val grams = DIVERSITY_NS
       .map { n =>
         base
@@ -1298,9 +1316,8 @@ object TextOps {
   private val ZIPF_K = 100
 
   def q151ZipfFit(spark: SparkSession, dir: String): DataFrame = {
-    val tf = Tables
-      .balanced(Tables.documents(spark, dir))
-      .select(col("source"), explode(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")).as("term"))
+    val tf = tokenStage(spark, dir)
+      .select(col("source"), explode(col("toks")).as("term"))
       .groupBy(col("source"), col("term"))
       .agg(count(lit(1)).as("freq"))
     val ranked = tf
