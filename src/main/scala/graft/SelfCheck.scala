@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   * data), instead of trusting that the test suite ran elsewhere.
   *
   * Check shapes:
-  *   - precision checks (q31/q60/q90/q101/q113): every emitted row is
+  *   - precision checks (q60/q90/q101/q113): every emitted row is
   *     re-validated against an exact recomputation from the raw inputs —
   *     `violations` counts rows that fail; pass = 0 violations. These are
   *     O(result) or cluster-bounded joins, never corpus-quadratic.
@@ -37,27 +37,9 @@ object SelfCheck {
           Result(s"ERRORED: ${String.valueOf(e.getMessage).linesIterator.find(_.trim.nonEmpty).getOrElse("")}", -1.0, -1L, pass = false)
       })
 
-    // q30 left this manifest in r15: its md5-affine default path is fully
-    // oracle-gated (Dedup.q30Oracle replays the banded computation).
-
-    // -- q31: every emitted pair's recomputed simhash hamming <= 6 -----------
-    check("q31_simhash_pairs") {
-      val sh = core.Tables
-        .documents(spark, sfDir)
-        .withColumn("norm_text", regexp_replace(lower(trim(col("text"))), "\\s+", " "))
-        .withColumn("th", expr("transform(split(norm_text, ' '), t -> xxhash64(t))"))
-        .filter(size(col("th")) > 0)
-        .withColumn("simhash", expr("simhash64(th)"))
-        .select(col("doc_id"), col("simhash"))
-      val pairs = operators.Dedup.q31SimhashPairs(spark, sfDir)
-      val n = pairs.count()
-      val bad = pairs
-        .join(sh.select(col("doc_id").as("doc_a"), col("simhash").as("ha")), "doc_a")
-        .join(sh.select(col("doc_id").as("doc_b"), col("simhash").as("hb")), "doc_b")
-        .filter(expr("bit_count(ha ^ hb)") > 6 || expr("bit_count(ha ^ hb)") =!= col("hamming"))
-        .count()
-      Result("recomputed simhash hamming <= 6 and matches emitted value", n.toDouble, bad, bad == 0L)
-    }
+    // q30/q31 left this manifest in r15: their md5-derived default paths
+    // are fully oracle-gated (Dedup.q30Oracle/q31Oracle replay the banded
+    // and chunked computations, candidates included).
 
     // -- q60: emitted pairs are a subset of exact q33 (precision 1) ----------
     check("q60_lsh_neardup") {

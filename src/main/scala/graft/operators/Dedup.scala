@@ -280,16 +280,42 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------------------
-  // q31 — SimHash near-duplicates: 64-bit signature from token-multiset
-  // hashes (frequency-weighted by construction), candidates from any shared
+  // q31 — SimHash near-duplicates: signature from token-multiset hashes
+  // (frequency-weighted by construction), candidates from any shared
   // 16-bit chunk (4 tables), verified with bit_count hamming <= 6.
+  // ORACLE-GATED since r15, the q30 discipline: the default path hashes
+  // each TOKEN with md5 (60-bit prefix), and the per-bit majority vote,
+  // the chunk-equality candidate join, and the hamming verify all replay
+  // in DuckDB (the signature is a 60-column sum aggregate there; here one
+  // codegen'd simhash64 pass over the md5 longs — bits 60-63 vote
+  // unanimously 0 in both engines, so the 64-bit container is exact).
+  // Candidate REPLAY makes the gate sound without any recall argument —
+  // the 4x16 chunk scheme is honest sub-1-recall LSH (6 bits can spread
+  // 2+2+1+1 over 4 chunks), and both engines derive the identical
+  // candidate set. The xxhash64 signature path stays the serving twin
+  // under `graft.dedup.simhash=native` (saves the md5-vs-xxhash constant;
+  // signatures differ per hash, so the twin is floor-pinned, not
+  // equality-pinned — hamming is hash-dependent, unlike q30's Jaccard).
   // ---------------------------------------------------------------------------
+  val SimhashConf = "graft.dedup.simhash"
+
+  private def simhashPath(spark: SparkSession): String =
+    spark.conf.getOption(SimhashConf).map(_.trim.toLowerCase).filter(_.nonEmpty) match {
+      case None | Some("md5") => "md5"
+      case Some("native")     => "native"
+      case Some(other) =>
+        throw new IllegalArgumentException(s"$SimhashConf must be md5 or native, got '$other'")
+    }
+
   private def simhashed(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VecFunctions.install(spark)
+    val th =
+      if (simhashPath(spark) == "native") tokenHashes
+      else expr("transform(split(norm_text, ' '), t -> cast(conv(substring(md5(t), 1, 15), 16, 10) AS bigint))")
     Tables
       .balanced(Tables.documents(spark, dir))
       .withColumn("norm_text", normText)
-      .withColumn("th", tokenHashes)
+      .withColumn("th", th)
       .filter(size(col("th")) > 0)
       // bit b of the signature = sign of sum over tokens of (+1/-1 at bit b);
       // one codegen'd pass (graft.functions.SimHash64) instead of a 64-way
@@ -300,6 +326,36 @@ object Dedup {
         expr("transform(sequence(0, 3), c -> named_struct('c', c, 'v', (simhash >> (c * 16)) & 65535))")
       )
       .select(col("doc_id"), col("simhash"), col("chunks"))
+  }
+
+  /** The md5 path replayed outright: 60 per-bit majority sums (the
+    * SimHash64 convention — bit set iff the vote is STRICTLY positive),
+    * chunk-tuple candidates, xor/bit_count verify.
+    */
+  lazy val q31Oracle: String = {
+    val sums = (0 until 60)
+      .map(b => s"sum(CASE WHEN (x >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
+      .mkString(",\n  ")
+    val bits = (0 until 60).map(b => s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+       |  FROM documents),
+       |tx AS (
+       |  SELECT doc_id, ('0x' || substring(md5(unnest(toks)), 1, 15))::BIGINT AS x FROM t),
+       |s AS (
+       |  SELECT doc_id,
+       |  $sums
+       |  FROM tx GROUP BY doc_id),
+       |sig AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM s),
+       |ck AS (
+       |  SELECT doc_id, simhash, CAST(c.range AS INT) AS c, (simhash >> (c.range * 16)) & 65535 AS v
+       |  FROM sig CROSS JOIN range(4) c),
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b, l.simhash AS ha, r.simhash AS hb
+       |  FROM ck l JOIN ck r ON l.c = r.c AND l.v = r.v AND l.doc_id < r.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+       |FROM cand WHERE bit_count(xor(ha, hb)) <= 6
+       |ORDER BY doc_a, doc_b""".stripMargin
   }
 
   def q31SimhashPairs(spark: SparkSession, dir: String): DataFrame = {
@@ -2406,19 +2462,15 @@ object Dedup {
     "q137_ingest_saturation" -> (q137IngestSaturation _)
   )
 
-  /** q31/q60/q113 are hash-based LSH with sub-1 recall or hash-valued
-    * outputs — not reproducible in plain SQL → rows-only plus Verify's
-    * data-derived self-check manifest. q30 was PROMOTED to oracle-gated in
-    * r15: its default signature path is q134's md5-affine arithmetic, so
-    * the banded computation (candidates included) replays verbatim in
-    * DuckDB; the xxhash64/native path survives as the serving twin under
-    * [[MinhashConf]]. q31 stays selfcheck-gated: its signature is
-    * simhash64 over xxhash64 TOKEN hashes, and the per-bit majority-vote
-    * aggregate over a 60-bit md5 replacement would need a 64-expression
-    * per-bit sum in SQL per doc — replayable in principle, but the
-    * candidate chunks (16-bit signature slices) then differ from the
-    * serving path's, which is the same twin split q30 just got; left for a
-    * later round (documented in SURVEY §8).
+  /** q60/q113 are hash-based LSH with sub-1 recall over xxhash64-seeded
+    * inputs — not reproducible in plain SQL → rows-only plus Verify's
+    * data-derived self-check manifest. q30 AND q31 were PROMOTED to
+    * oracle-gated in r15: their default signature paths are md5-derived
+    * (q30: q134's md5-affine permutations; q31: simhash64 over md5 token
+    * hashes, replayed as a 60-column majority-vote aggregate), so the
+    * banded/chunked computations — CANDIDATES INCLUDED — replay verbatim
+    * in DuckDB; the xxhash64/native paths survive as serving twins under
+    * [[MinhashConf]] / [[SimhashConf]].
     *
     * The banded CLUSTER composites (q101/q102/q107/q108) ARE gated, each
     * against its exact twin's SQL (q61 / q99 / q106): banding itself is
@@ -2440,6 +2492,7 @@ object Dedup {
     "q172_decontam_ledger" -> q172Oracle,
     "q29_exact_dedup" -> q29Oracle,
     "q30_minhash_pairs" -> q30Oracle,
+    "q31_simhash_pairs" -> q31Oracle,
     "q32_token_jaccard" -> q32Oracle,
     "q33_embedding_neardup" -> q33Oracle,
     "q61_dup_clusters" -> q61Oracle,

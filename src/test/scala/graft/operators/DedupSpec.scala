@@ -80,6 +80,22 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.8, s"simhash recall of planted pairs was $recall")
   }
 
+  test("q31 native serving twin: same recall floor under graft.dedup.simhash=native; unknown value rejected") {
+    // signatures are hash-dependent (hamming over xxhash64 bits != hamming
+    // over md5 bits), so the twin is floor-pinned, not equality-pinned:
+    // both paths must recover most of q30's verified near-dup pairs
+    val mh = Dedup.q30MinhashPairs(spark, sfDir).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.conf.set(Dedup.SimhashConf, "native")
+    try {
+      val nat = Dedup.q31SimhashPairs(spark, sfDir).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = mh.count(nat.contains).toDouble / mh.size
+      assert(recall >= 0.8, s"native simhash twin recall was $recall")
+    } finally spark.conf.unset(Dedup.SimhashConf)
+    spark.conf.set(Dedup.SimhashConf, "crc")
+    try intercept[IllegalArgumentException](Dedup.q31SimhashPairs(spark, sfDir).collect())
+    finally spark.conf.unset(Dedup.SimhashConf)
+  }
+
   test("q33 cosine pairs: ordered ids, cosine within [threshold, 1]") {
     val rows = Dedup.q33EmbeddingNearDup(spark, sfDir).collect()
     rows.foreach { r =>
