@@ -310,8 +310,15 @@ object Curation {
     ()
   }
 
-  def q67Contamination(spark: SparkSession, dir: String): DataFrame = {
-    val sh = stagedShinglesCached(spark, dir, keyHashFn(spark))
+  def q67Contamination(spark: SparkSession, dir: String): DataFrame =
+    contaminationFromShingles(stagedShinglesCached(spark, dir, keyHashFn(spark)))
+
+  /** q67 over ANY staged (doc_id, bucket, sh_key) shingle table — shared
+    * by the batch query and [[graft.streaming.StreamingDecontam]]'s serve
+    * path (which reads the bloom maintainer's md5 slices), so the two
+    * views cannot drift.
+    */
+  private[graft] def contaminationFromShingles(sh: DataFrame): DataFrame = {
     val testSh =
       sh.filter(col("bucket") >= Sampling.SPLIT_VALIDATION_LT).select(col("sh_key")).distinct()
     val train =

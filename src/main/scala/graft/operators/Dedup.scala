@@ -419,8 +419,15 @@ object Dedup {
   /** The exact pair miner at an arbitrary jaccard floor — q32 at 0.8, the
     * q133 threshold sweep at its grid minimum.
     */
-  private[operators] def tokenJaccardPairsAt(spark: SparkSession, dir: String, minJac: Double): DataFrame = {
-    val docs = tokenSets(spark, dir)
+  private[operators] def tokenJaccardPairsAt(spark: SparkSession, dir: String, minJac: Double): DataFrame =
+    tokenJaccardPairsFrom(tokenSets(spark, dir), minJac)
+
+  /** The miner over ANY (lang, doc_id, toks, sz) token-set frame — shared
+    * by the batch path and [[graft.streaming.StreamingDecontam]]'s serve
+    * path (which reads the cluster maintainer's toks slices).
+    */
+  private[graft] def tokenJaccardPairsFrom(docs: DataFrame, minJac: Double): DataFrame = {
+    graft.functions.VecFunctions.install(docs.sparkSession)
     // ALL predicates live in the join condition, cheap-first: generated code
     // evaluates conjuncts left-to-right, so the integer size-ratio prune
     // (jaccard <= min(sz)/max(sz), hence jaccard >= minJac ⇒ sizes within
@@ -1955,50 +1962,59 @@ object Dedup {
   def q163ContaminationDepth(spark: SparkSession, dir: String): DataFrame =
     contaminationDepthCached(spark, dir).orderBy(col("doc_id"))
 
-  private def contaminationDepthFrame(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.balanced(Tables.documents(spark, dir))
-    val coin = docs
-      .select(
-        col("doc_id"),
-        conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10).cast("int").as("b")
-      )
-      .localCheckpoint() // tiny (doc_id, bucket) frame feeds all three legs
+  private def contaminationDepthFrame(spark: SparkSession, dir: String): DataFrame =
+    contaminationDepthOver(
+      Curation.q67Contamination(spark, dir).select(col("doc_id"), col("n_hits").as("ngram_hits")),
+      buildPairGraph(spark, dir), // the session-cached q32 edge set
+      verbatimRunPairsFromFps(winnowPositionsCached(spark, dir)),
+      Multimodal
+        .q178ImageDecontam(spark, dir)
+        .select(col("train_id").as("doc_id"), col("n_eval_matches").as("img_leaks"))
+    )
+
+  /** The four-leg composition over ANY leg frames — shared by the batch
+    * path (session-cached stages) and
+    * [[graft.streaming.StreamingDecontam]]'s maintained-state serve, so
+    * the two views cannot drift. Split buckets are the q49 coin computed
+    * INLINE from the id columns (md5 arithmetic is functional on doc_id —
+    * no corpus scan needed, which is what lets the serve path run without
+    * a documents directory at all).
+    */
+  private[graft] def contaminationDepthOver(
+      ngramLeg: DataFrame, // (doc_id, ngram_hits) — q67's breadth leg
+      pairs: DataFrame, // (doc_a, doc_b) — the exact near-dup edge set
+      runPairs: DataFrame, // (doc_id, partner, run_len) — q162's run pairs
+      imgLeg: DataFrame // (doc_id, img_leaks) — q178's image screen
+  ): DataFrame = {
+    def bucketOf(c: Column): Column =
+      conv(substring(md5(c.cast("string")), 1, 2), 16, 10).cast("int")
     val trainLt = Sampling.SPLIT_TRAIN_LT
     val valLt = Sampling.SPLIT_VALIDATION_LT
-    val legA = Curation
-      .q67Contamination(spark, dir)
-      .select(col("doc_id"), col("n_hits").as("ngram_hits"))
-    val pairs = buildPairGraph(spark, dir) // the session-cached q32 edge set
-      .join(coin.select(col("doc_id").as("doc_a"), col("b").as("ba")), "doc_a")
-      .join(coin.select(col("doc_id").as("doc_b"), col("b").as("bb")), "doc_b")
-    val legB = pairs
+    val edges = pairs
+      .select(col("doc_a"), col("doc_b"), bucketOf(col("doc_a")).as("ba"), bucketOf(col("doc_b")).as("bb"))
+    val legB = edges
       .filter(col("ba") < trainLt && col("bb") >= valLt)
       .select(col("doc_a").as("doc_id"))
       .unionByName(
-        pairs.filter(col("bb") < trainLt && col("ba") >= valLt).select(col("doc_b").as("doc_id"))
+        edges.filter(col("bb") < trainLt && col("ba") >= valLt).select(col("doc_b").as("doc_id"))
       )
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("near_dup_test"))
-    val legC = verbatimRunPairsFromFps(winnowPositionsCached(spark, dir))
-      .join(coin.select(col("doc_id"), col("b").as("bt")), "doc_id")
-      .join(coin.select(col("doc_id").as("partner"), col("b").as("bp")), "partner")
-      .filter(col("bt") < trainLt && col("bp") >= valLt)
+    val legC = runPairs
+      .filter(bucketOf(col("doc_id")) < trainLt && bucketOf(col("partner")) >= valLt)
       .groupBy(col("doc_id"))
       .agg(max(col("run_len")).as("max_run"))
-    val legD = Multimodal
-      .q178ImageDecontam(spark, dir)
-      .select(col("train_id").as("doc_id"), col("n_eval_matches").as("img_leaks"))
-    val offenders = legA
+    val offenders = ngramLeg
       .select("doc_id")
       .unionByName(legB.select("doc_id"))
       .unionByName(legC.select("doc_id"))
-      .unionByName(legD.select("doc_id"))
+      .unionByName(imgLeg.select("doc_id"))
       .distinct()
     offenders
-      .join(legA, Seq("doc_id"), "left")
+      .join(ngramLeg, Seq("doc_id"), "left")
       .join(legB, Seq("doc_id"), "left")
       .join(legC, Seq("doc_id"), "left")
-      .join(legD, Seq("doc_id"), "left")
+      .join(imgLeg, Seq("doc_id"), "left")
       .select(
         col("doc_id"),
         coalesce(col("ngram_hits"), lit(0L)).as("ngram_hits"),

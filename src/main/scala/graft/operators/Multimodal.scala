@@ -1293,8 +1293,15 @@ object Multimodal {
   // broadcasts it; the exact verify touches candidate pairs only. No
   // cross join anywhere in the engine plan.
   // ---------------------------------------------------------------------------
-  def q178ImageDecontam(spark: SparkSession, dir: String): DataFrame = {
-    val hashed = imageBandsCached(spark, dir)
+  def q178ImageDecontam(spark: SparkSession, dir: String): DataFrame =
+    imageDecontamFrom(imageBandsCached(spark, dir))
+
+  /** The screen over ANY (media_id, bands) band table — shared by the
+    * batch query and [[graft.streaming.StreamingDecontam]]'s serve path
+    * (which reads the media maintainer's band slices).
+    */
+  private[graft] def imageDecontamFrom(bandsTable: DataFrame): DataFrame = {
+    val hashed = bandsTable
       .withColumn("bucket", conv(substring(md5(col("media_id").cast("string")), 1, 2), 16, 10).cast("int"))
     val evalSide = hashed
       .filter(col("bucket") >= Sampling.SPLIT_VALIDATION_LT)

@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Curation, Dedup, Multimodal}
+
+/** q163's cross-modal decontamination DECISION table served entirely from
+  * maintained state — the 18th family, and the first that is pure
+  * COMPOSITION: it has no tick and no slices of its own, because every
+  * per-document-local input the four evidence legs need is already kept
+  * current by an existing maintainer under the ingest-tick layout:
+  *
+  *   - breadth (q67 8-gram hits): the bloom screen's md5 shingle slices
+  *     (`bloom/shingles` — [[StreamingBloomScreen]]),
+  *   - identity (exact near-dups of test docs): the cluster maintainer's
+  *     token-set slices (`clusters/toks` — [[StreamingDupClusters]]),
+  *   - depth (longest split-crossing verbatim run): the winnow
+  *     maintainer's position slices (`winnow/fp` — [[StreamingWinnow]]),
+  *   - modality (q178 image leaks): the media maintainer's band slices
+  *     (`media/media_fp` — [[StreamingMediaFps]]).
+  *
+  * The cross-document parts — the exact jaccard pair join, the run
+  * restriction to split-crossing pairs, the band-bucket join, and the
+  * action CASE — are recomputed AT SERVE TIME through the same shared
+  * batch code ([[Dedup.contaminationDepthOver]] and the per-leg `From`
+  * functions), the [[StreamingMediaFps]] df-cap argument one level up: a
+  * document that becomes contaminated RETROACTIVELY (a later tick lands
+  * the test doc it duplicates) flips its action at the next read with no
+  * repair machinery, because nothing derived is ever materialized as
+  * state. Exactness is therefore inherited from the four families'
+  * union-of-slices == batch-stage claims (each spec-pinned) plus shared
+  * serve code — pinned end-to-end by StreamingDecontamSpec.
+  *
+  * Serve cost is the batch q163 composition over the maintained tables —
+  * the same keyed joins, no corpus re-scan, no re-tokenize/re-winnow/
+  * re-decode. Note the breadth leg serves q67's DEFAULT md5 semantics
+  * (the bloom slices are pinned md5 because positions are semantics);
+  * a session running `graft.curation.keyhash=xxhash64` changes only
+  * shuffle keys, not output, so the served table still equals batch.
+  */
+object StreamingDecontam {
+
+  /** The decision table over the four maintained states under one ingest
+    * state root (the `bin/graft.sh ingest-tick` layout:
+    * `stateRoot/{bloom,clusters,winnow,media}`). Equal to batch
+    * [[Dedup.q163ContaminationDepth]] over every document the families'
+    * ticks have covered.
+    */
+  def decisionTable(spark: SparkSession, stateRoot: String): DataFrame = {
+    val shingles = SliceStore.read(spark, s"$stateRoot/bloom/shingles").localCheckpoint()
+    val ngramLeg = Curation
+      .contaminationFromShingles(shingles)
+      .select(col("doc_id"), col("n_hits").as("ngram_hits"))
+    val toks = SliceStore
+      .read(spark, s"$stateRoot/clusters/toks")
+      .select(col("lang"), col("doc_id"), col("toks"), col("sz"))
+      .localCheckpoint()
+    val pairs = Dedup.tokenJaccardPairsFrom(toks, 0.8).select(col("doc_a"), col("doc_b"))
+    val runPairs = Dedup.verbatimRunPairsFromFps(
+      StreamingWinnow.fpPositions(spark, s"$stateRoot/winnow").localCheckpoint()
+    )
+    val imgLeg = Multimodal
+      .imageDecontamFrom(StreamingMediaFps.bandTable(spark, s"$stateRoot/media").localCheckpoint())
+      .select(col("train_id").as("doc_id"), col("n_eval_matches").as("img_leaks"))
+    Dedup
+      .contaminationDepthOver(ngramLeg, pairs, runPairs, imgLeg)
+      .orderBy(col("doc_id"))
+  }
+}

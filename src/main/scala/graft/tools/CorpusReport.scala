@@ -24,7 +24,8 @@ import graft.operators.{Cartography, Curation, Dedup, Importance, TextOps, Train
   * verbatim-run length profile (q162), the per-source health scorecard
   * (q168), the bloom decontamination economics (q166) next to the
   * UniMax sampling plan (q167), the media dedup profile (q176) with its
-  * boilerplate-fingerprint audit (q177), the image decontamination
+  * boilerplate-fingerprint audit (q177) and the df-capped image mine
+  * (q181), the image decontamination
   * screen (q178) with the cross-modal decontamination surface (q179),
   * and the shard manifest (q83),
   * rendered as one text
@@ -305,6 +306,11 @@ object CorpusReport {
           f"paired=${r.getLong(3)}%5d (${r.getDouble(4)}%6.4f)"
       )
     }
+
+    section("df-capped image mine (q181): pairs minable without hot band buckets")
+    val q181Pairs = graft.operators.Multimodal.q181ImageNeardupCapped(spark, dir).count()
+    val q114Pairs = graft.operators.Multimodal.q114ImageNeardup(spark, dir).count()
+    line(s"capped pairs: $q181Pairs of $q114Pairs exact (difference collides only in >cap band buckets)")
 
     section("media boilerplate fingerprints (q177): what the df cap excluded")
     graft.operators.Multimodal.q177MediaBoilerplate(spark, dir).collect().foreach { r =>
