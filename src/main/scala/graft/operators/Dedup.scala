@@ -1829,7 +1829,13 @@ object Dedup {
       .withColumn("brk", when(col("pos") - col("prev") > WIN_W, 1L).otherwise(0L))
       .withColumn("island", sum(col("brk")).over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy(col("doc_id"), col("partner"), col("island"))
-      .agg((max(col("pos")) - min(col("pos")) + lit(WIN_K)).as("run_len"))
+      .agg(
+        (max(col("pos")) - min(col("pos")) + lit(WIN_K)).as("run_len"),
+        // the run's token INTERVAL (1-based, end covers the last gram's K
+        // tokens) — q162 maxes run_len per doc; q182 exports the intervals
+        min(col("pos")).as("run_start"),
+        (max(col("pos")) + lit(WIN_K - 1)).as("run_end")
+      )
   }
 
   def q162VerbatimRunProfile(spark: SparkSession, dir: String): DataFrame =
@@ -1887,7 +1893,8 @@ object Dedup {
          |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
          |  FROM lg),
          |runs AS (
-         |  SELECT doc_id, partner, island, CAST(max(pos) - min(pos) + $WIN_K AS INT) AS run_len
+         |  SELECT doc_id, partner, island, CAST(max(pos) - min(pos) + $WIN_K AS INT) AS run_len,
+         |         CAST(min(pos) AS INT) AS run_start, CAST(max(pos) + ${WIN_K - 1} AS INT) AS run_end
          |  FROM isl GROUP BY 1, 2, 3)""".stripMargin
   }
 
@@ -1896,6 +1903,10 @@ object Dedup {
     */
   private lazy val q162RunsSql: String =
     q162RunChain + "\nSELECT doc_id, partner, run_len FROM runs"
+
+  /** The run INTERVALS as a standalone query — q182 nests it. */
+  private lazy val q162RunSpansSql: String =
+    q162RunChain + "\nSELECT doc_id, partner, run_start, run_end FROM runs"
 
   lazy val q162Oracle: String = {
     q162RunChain + ",\n" +
@@ -2160,6 +2171,108 @@ object Dedup {
         |FROM led JOIN tot USING (source)
         |ORDER BY led.source, led.action""".stripMargin
     head + "\n" + q163Oracle + "\n" + tail
+  }
+
+  // ---------------------------------------------------------------------------
+  // q182 — decontamination MASK export: q163's `mask_spans` action EXECUTED
+  // as the loader artifact — for each train doc the decision table dictates
+  // span-masking, the merged (start, end) token intervals of ALL its
+  // split-crossing verbatim runs, in q154's export shape (one row per
+  // merged interval with a per-doc span index). q163 decides, q172 costs,
+  // this executes: the q110→q154 relationship applied to decontamination
+  // (don't just flag the leaked spans — stop training on them). Masked
+  // intervals are the WINNOW-MEASURED spans (within [L-2(W-1), L] of the
+  // true shared span, the SIGMOD'03 bound q162 documents) merged across
+  // partners — every split-crossing run on a masked doc is masked, not
+  // just the >= RUN_BLOCK one that dictated the action (they are all
+  // leaked eval text; the long one only justified span-level treatment
+  // over review).
+  //
+  // Scale shape: the session-cached decision frame filtered to one
+  // action, the winnow run table restricted to split-crossing pairs
+  // (both already-built artifacts), then q154's gaps-and-islands interval
+  // merge — windows partition by doc_id over per-doc interval lists
+  // (bounded by the token cap), never the corpus.
+  // ---------------------------------------------------------------------------
+  def q182DecontamMaskExport(spark: SparkSession, dir: String): DataFrame =
+    decontamMaskOver(
+      contaminationDepthCached(spark, dir),
+      verbatimRunPairsFromFps(winnowPositionsCached(spark, dir))
+    )
+
+  /** The mask export over ANY (decision frame, run-pair frame) — shared by
+    * the batch query and [[graft.streaming.StreamingDecontam]]'s serve.
+    */
+  private[graft] def decontamMaskOver(decisions: DataFrame, runPairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val masked = decisions.filter(col("action") === lit("mask_spans")).select(col("doc_id"))
+    val iv = runPairs
+      .filter(
+        conv(substring(md5(col("partner").cast("string")), 1, 2), 16, 10).cast("int") >=
+          Sampling.SPLIT_VALIDATION_LT
+      )
+      .join(masked, "doc_id")
+      .select(col("doc_id"), col("run_start").as("pos"), col("run_end").as("endpos"))
+      .distinct()
+    // q154's gaps-and-islands merge, tie-ordered (pos, endpos) — intervals
+    // from different partners can share a start
+    val ord = Seq(col("pos"), col("endpos"))
+    val wSeen = Window.partitionBy(col("doc_id")).orderBy(ord: _*).rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(col("doc_id")).orderBy(ord: _*).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    iv
+      .withColumn("brk", when(col("pos") > coalesce(max(col("endpos")).over(wSeen), lit(-1)) + 1, 1).otherwise(0))
+      .withColumn("island", sum(col("brk")).over(wRun))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("start_pos"), max(col("endpos")).as("end_pos"))
+      .withColumn(
+        "span_idx",
+        row_number().over(Window.partitionBy(col("doc_id")).orderBy(col("start_pos"))).cast("long")
+      )
+      .select(
+        col("doc_id"),
+        col("span_idx"),
+        col("start_pos").cast("long").as("start_pos"),
+        col("end_pos").cast("long").as("end_pos"),
+        (col("end_pos") - col("start_pos") + 1).cast("long").as("span_len")
+      )
+      .orderBy(col("doc_id"), col("span_idx"))
+  }
+
+  /** q163's oracle (the action filter) and the run-interval chain nested
+    * as derived tables (the splice rule), then q154's interval-merge SQL.
+    */
+  lazy val q182Oracle: String = {
+    val head = "WITH act AS (SELECT doc_id FROM ("
+    val mid =
+      """) WHERE action = 'mask_spans'),
+        |rr AS (SELECT doc_id, partner, run_start, run_end FROM (""".stripMargin
+    val tail =
+      s""")),
+         |iv AS (
+         |  SELECT DISTINCT rr.doc_id, rr.run_start AS pos, rr.run_end AS endpos
+         |  FROM rr JOIN act USING (doc_id)
+         |  WHERE ('0x' || substring(md5(rr.partner::VARCHAR), 1, 2))::INT >= ${Sampling.SPLIT_VALIDATION_LT}),
+         |brk AS (
+         |  SELECT doc_id, pos, endpos,
+         |         CASE WHEN pos > coalesce(max(endpos) OVER (PARTITION BY doc_id ORDER BY pos, endpos
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1 THEN 1 ELSE 0 END AS b
+         |  FROM iv),
+         |isl AS (
+         |  SELECT doc_id, pos, endpos,
+         |         sum(b) OVER (PARTITION BY doc_id ORDER BY pos, endpos
+         |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         |  FROM brk),
+         |ms AS (
+         |  SELECT doc_id, island, min(pos) AS start_pos, max(endpos) AS end_pos
+         |  FROM isl GROUP BY 1, 2),
+         |f AS (
+         |  SELECT doc_id, start_pos, end_pos,
+         |         row_number() OVER (PARTITION BY doc_id ORDER BY start_pos) AS span_idx
+         |  FROM ms)
+         |SELECT doc_id, CAST(span_idx AS BIGINT) AS span_idx, CAST(start_pos AS BIGINT) AS start_pos,
+         |       CAST(end_pos AS BIGINT) AS end_pos, CAST(end_pos - start_pos + 1 AS BIGINT) AS span_len
+         |FROM f ORDER BY doc_id, span_idx""".stripMargin
+    head + "\n" + q163Oracle + "\n" + mid + "\n" + q162RunSpansSql + "\n" + tail
   }
 
   // ---------------------------------------------------------------------------
@@ -2453,6 +2566,7 @@ object Dedup {
     "q162_verbatim_run_profile" -> (q162VerbatimRunProfile _),
     "q163_contamination_depth" -> (q163ContaminationDepth _),
     "q172_decontam_ledger" -> (q172DecontamLedger _),
+    "q182_decontam_mask_export" -> (q182DecontamMaskExport _),
     "q152_winnow_contamination" -> (q152WinnowContamination _),
     "q179_decontam_surface" -> (q179DecontamSurface _),
     "q146_lsh_plan" -> (q146LshPlan _),
@@ -2506,6 +2620,7 @@ object Dedup {
     "q162_verbatim_run_profile" -> q162Oracle,
     "q163_contamination_depth" -> q163Oracle,
     "q172_decontam_ledger" -> q172Oracle,
+    "q182_decontam_mask_export" -> q182Oracle,
     "q29_exact_dedup" -> q29Oracle,
     "q30_minhash_pairs" -> q30Oracle,
     "q31_simhash_pairs" -> q31Oracle,

@@ -47,6 +47,19 @@ object StreamingDecontam {
     * [[Dedup.q163ContaminationDepth]] over every document the families'
     * ticks have covered.
     */
+  /** q182's mask export from the same maintained states — the decision
+    * table's `mask_spans` action executed as loader artifacts, the run
+    * intervals coming straight off the winnow maintainer's position
+    * slices.
+    */
+  def maskExport(spark: SparkSession, stateRoot: String): DataFrame =
+    Dedup.decontamMaskOver(
+      decisionTable(spark, stateRoot),
+      Dedup.verbatimRunPairsFromFps(
+        StreamingWinnow.fpPositions(spark, s"$stateRoot/winnow").localCheckpoint()
+      )
+    )
+
   def decisionTable(spark: SparkSession, stateRoot: String): DataFrame = {
     val shingles = SliceStore.read(spark, s"$stateRoot/bloom/shingles").localCheckpoint()
     val ngramLeg = Curation

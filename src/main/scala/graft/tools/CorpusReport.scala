@@ -26,7 +26,8 @@ import graft.operators.{Cartography, Curation, Dedup, Importance, TextOps, Train
   * UniMax sampling plan (q167), the media dedup profile (q176) with its
   * boilerplate-fingerprint audit (q177) and the df-capped image mine
   * (q181), the image decontamination
-  * screen (q178) with the cross-modal decontamination surface (q179),
+  * screen (q178) with the cross-modal decontamination surface (q179)
+  * and the decontamination mask export (q182),
   * and the shard manifest (q83),
   * rendered as one text
   * page. Every number comes from the same oracle-gated queries the driver
@@ -340,6 +341,13 @@ object CorpusReport {
         f"${r.getString(0)}%-14s flagged=${r.getLong(3)}%5d/${r.getLong(1)}%5d ($frac) " +
           f"chars=${r.getLong(4)}%9d/${r.getLong(2)}%9d ($cfrac)"
       )
+    }
+
+    section("decontamination mask export (q182): leaked spans the loader masks")
+    val masks = Dedup.q182DecontamMaskExport(spark, dir).collect()
+    line(s"q182: ${masks.length} mask intervals over ${masks.map(_.getLong(0)).distinct.length} mask_spans docs")
+    masks.take(5).foreach { r =>
+      line(f"  doc=${r.getLong(0)}%6d span ${r.getLong(1)}: tokens ${r.getLong(2)}-${r.getLong(3)} (${r.getLong(4)} tokens)")
     }
 
     section("winnow contamination (q152) / image dup clusters (q156): screen summaries")

@@ -955,6 +955,66 @@ class DedupSpec extends SparkSpec {
     assert(led.filter(_._1._1 == "srcI").values.map(_._1).sum === trainDocs.toLong, s"ledger covers the train split: $led")
   }
 
+  test("q182 mask export: a planted masked doc exports its leaked span within the winnow bounds; intervals well-formed") {
+    val spark0 = spark
+    import spark0.implicits._
+    def bucketOf(id: Long): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(id.toString.getBytes("UTF-8"))
+      Integer.parseInt(d.take(1).map("%02x".format(_)).mkString, 16)
+    }
+    // a train doc sharing a 60-token verbatim run with a test doc (unique
+    // flank vocab, jaccard < 0.8 so the action is mask_spans, not drop)
+    val trainTextIds = Iterator.from(1).map(_.toLong).filter(id => id % 3 != 0 && bucketOf(id) < Sampling.SPLIT_TRAIN_LT)
+    val testTextIds = Iterator.from(1).map(_.toLong).filter(id => id % 3 != 0 && bucketOf(id) >= Sampling.SPLIT_VALIDATION_LT)
+    val tRun = trainTextIds.next()
+    val sRun = testTextIds.next()
+    val run = (1 to 60).map(i => s"run$i")
+    val dir = java.nio.file.Files.createTempDirectory("q182").toString
+    Seq(
+      (tRun, ((1 to 50).map(i => s"rf$i") ++ run ++ (1 to 50).map(i => s"rg$i")).mkString(" ")),
+      (sRun, ((1 to 50).map(i => s"sf$i") ++ run ++ (1 to 50).map(i => s"sg$i")).mkString(" "))
+    ).map { case (id, text) => (id, text, "en", "srcR", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write
+      .parquet(s"$dir/documents.parquet")
+    assert(
+      Dedup.q163ContaminationDepth(spark, dir).collect().map(r => r.getLong(0) -> r.getString(5)).toMap
+        .get(tRun) === Some("mask_spans"),
+      "the planted run must dictate mask_spans"
+    )
+    val spans = Dedup
+      .q182DecontamMaskExport(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(spans.map(_._1).toSet === Set(tRun), s"only the masked train doc exports spans: ${spans.toSeq}")
+    assert(spans.length === 1, s"one merged interval for one shared run: ${spans.toSeq}")
+    val (_, idx, s, e, len) = spans.head
+    // the run occupies token positions 51..110; winnowing measures within
+    // [L - 2(W-1), L] of the true span and never outside it
+    assert(idx === 1L && len === e - s + 1)
+    assert(s >= 51L && e <= 110L && len >= 60L - 6L && len <= 60L, s"span $s..$e ($len) outside winnow bounds")
+
+    // corpus invariants at sf0.001: every exported doc is a mask_spans doc
+    // and carries sorted, disjoint, well-formed intervals
+    val actions = Dedup
+      .q163ContaminationDepth(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(5))
+      .toMap
+    val corpus = Dedup.q182DecontamMaskExport(spark, sfDir).collect()
+    corpus.groupBy(_.getLong(0)).foreach { case (d, rs) =>
+      assert(actions.get(d) === Some("mask_spans"), s"doc $d exported without a mask_spans action")
+      val sorted = rs.sortBy(_.getLong(1))
+      sorted.zipWithIndex.foreach { case (r, i) => assert(r.getLong(1) === i + 1L, "span_idx dense") }
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b.getLong(2) > a.getLong(3) + 1, s"doc $d intervals must be disjoint, non-adjacent")
+        case _           =>
+      }
+      sorted.foreach(r => assert(r.getLong(4) === r.getLong(3) - r.getLong(2) + 1))
+    }
+    info(s"sf0.001: ${corpus.length} mask intervals over ${corpus.map(_.getLong(0)).distinct.length} docs")
+  }
+
   test("q172 ledger: recomposes from q163's actions over the train split; shares sum to 1 per source") {
     val led = Dedup
       .q172DecontamLedger(spark, sfDir)

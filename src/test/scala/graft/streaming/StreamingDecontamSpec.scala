@@ -106,6 +106,15 @@ class StreamingDecontamSpec extends SparkSpec {
     assert(s2(tImg)._5 === "drop_image" && s2(tImg)._4 === 1L, s"retroactive image-leak flip: $s2")
     assert(s2(tRun)._5 === "mask_spans" && s2(tGram)._5 === "review_ngrams", s"unrelated actions stable: $s2")
 
+    // the mask export serves from the same states and equals batch q182
+    assert(
+      canon(StreamingDecontam.maskExport(spark, stateRoot)) ===
+        canon(Dedup.q182DecontamMaskExport(spark, dataDir)),
+      "served mask export must equal batch q182"
+    )
+    val masks = StreamingDecontam.maskExport(spark, stateRoot).collect()
+    assert(masks.map(_.getLong(0)).toSet === Set(tRun), s"exactly the masked doc exports: ${masks.toSeq}")
+
     // redelivery: a no-new-data tick changes nothing
     tickAll()
     assert(served() === s2, "no-op ticks must not move the decision table")
