@@ -225,17 +225,26 @@ object SelfCheck {
     }
 
     // -- q113: cross-split pairs subset-of-exact + recall vs exact ----------
+    // RETAINED after the r15 oracle promotion as the RECALL observability:
+    // the oracle replays the banded screen exactly (candidates included),
+    // but only this check measures how much of the EXACT cross-split pair
+    // set the banding surfaces per run.
     check("q113_neardup_contamination") {
       val rep = operators.Dedup.q113NeardupContamination(spark, sfDir).localCheckpoint()
       val n = rep.count()
       // exact cross-split near-dup pairs, re-derived from raw text and the
       // q49 md5 coin independently of the query's code path (including an
-      // inline re-spelling of the coin — the q107 tautology rule)
+      // inline re-spelling of the coin — the q107 tautology rule); token
+      // keys are the default path's md5-60-bit construction so the jaccard
+      // values compare exactly
       val t = core.Tables
         .documents(spark, sfDir)
         .withColumn(
           "toks",
-          expr("array_sort(array_distinct(transform(split(regexp_replace(lower(trim(text)), '\\\\s+', ' '), ' '), t -> xxhash64(t))))")
+          expr(
+            "array_sort(array_distinct(transform(split(regexp_replace(lower(trim(text)), '\\\\s+', ' '), ' '), " +
+              "t -> cast(conv(substring(md5(t), 1, 15), 16, 10) AS bigint))))"
+          )
         )
         .withColumn("sz", size(col("toks")))
         .withColumn("b", conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10).cast("int"))
@@ -250,7 +259,12 @@ object SelfCheck {
           col("l.lang") === col("r.lang") && !col("l.is_test") && col("r.is_test") &&
             col("l.sz") * 0.8 <= col("r.sz") && col("r.sz") * 0.8 <= col("l.sz") && jac >= 0.8
         )
-        .select(col("l.doc_id").as("pa"), col("r.doc_id").as("pb"), round(jac, 6).as("j"))
+        .select(
+          col("l.doc_id").as("pa"),
+          col("r.doc_id").as("pb"),
+          expr("floor(CAST(sorted_intersect_count(l.toks, r.toks) AS DOUBLE) * 1e6 " +
+            "/ (l.sz + r.sz - sorted_intersect_count(l.toks, r.toks)) + 5e-1) / 1e6").as("j")
+        )
         .localCheckpoint()
       val repPairs = rep.select(col("doc_a").as("pa"), col("doc_b").as("pb"), col("jaccard"))
       val phantom = repPairs.join(exact, Seq("pa", "pb"), "left_anti").count()

@@ -460,6 +460,31 @@ class DedupSpec extends SparkSpec {
     } else info("sf0.001: no cross-split near-dup pairs in this corpus")
   }
 
+  test("q113 native serving twin: floor-pinned under graft.dedup.minhash=native at sf0.001") {
+    // signatures differ per hash family, so the twins' banded candidate
+    // sets split on borderline pairs (measured: ONE pair each way at this
+    // SF — md5 misses (405,98), native misses (292,437), recall 0.999
+    // both); the twin contract is floor-pinned, not equality-pinned: each
+    // path's verified output overlaps the other's almost completely
+    val md5Pairs = Dedup
+      .q113NeardupContamination(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+      .toSet
+    spark.conf.set(Dedup.MinhashConf, "native")
+    try {
+      val nat = Dedup
+        .q113NeardupContamination(spark, sfDir)
+        .collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+        .toSet
+      val overlap = (nat intersect md5Pairs).size.toDouble
+      assert(md5Pairs.nonEmpty && nat.nonEmpty)
+      assert(overlap / md5Pairs.size >= 0.99, s"twin overlap ${overlap / md5Pairs.size} vs md5")
+      assert(overlap / nat.size >= 0.99, s"twin overlap ${overlap / nat.size} vs native")
+    } finally spark.conf.unset(Dedup.MinhashConf)
+  }
+
   test("q117 dedup profile: every aggregate recomputes from the standalone components") {
     val docs = graft.core.Tables
       .documents(spark, sfDir)
