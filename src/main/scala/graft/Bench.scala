@@ -259,6 +259,9 @@ object Bench {
     // feeds q150's three gram explodes, q151's term frequencies, and
     // q168's legs)
     phase("q150_tokens")(operators.TextOps.tokenStage(spark, sfDir))
+    // q113's md5-affine token-signature frame is session-cached (the
+    // oracle-replayable default path re-enters it per repetition)
+    phase("q113_sigs")(operators.Dedup.buildMd5TokenSigStage(spark, sfDir))
 
     // repeat each query and report the MEDIAN: single-shot timings on a
     // shared box fold scheduler noise into query cost (observed up to 10x
