@@ -1233,16 +1233,25 @@ object Dedup {
         .join(bands.filter(split === "test").as("r"), Seq("band", "v0", "v1"))
         .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
         .distinct()
-      val a = t.select(col("lang").as("lang_a"), col("doc_id").as("doc_a"), col("toks").as("toks_a"))
-      val b = t.select(col("lang").as("lang_b"), col("doc_id").as("doc_b"), col("toks").as("toks_b"))
+      val a = t.select(col("lang").as("lang_a"), col("doc_id").as("doc_a"), col("toks").as("toks_a"), col("sz").as("sz_a"))
+      val b = t.select(col("lang").as("lang_b"), col("doc_id").as("doc_b"), col("toks").as("toks_b"), col("sz").as("sz_b"))
+      // cheap conjuncts first inside the filter (the q32 lesson): lang
+      // equality and the integer size-ratio prune reject most candidates
+      // before the merge intersect runs. The prune factor is 0.799, NOT
+      // 0.8: floored jaccard >= 0.8 only requires raw j >= 0.7999995, and
+      // j <= min(sz)/max(sz), so 0.799 is semantics-free with margin —
+      // the oracle applies no prune and returns the identical set.
       cand
         .join(a, "doc_a")
         .join(b, "doc_b")
-        .filter(col("lang_a") === col("lang_b"))
+        .filter(
+          col("lang_a") === col("lang_b") &&
+            col("sz_a") * 0.799 <= col("sz_b") && col("sz_b") * 0.799 <= col("sz_a")
+        )
         .withColumn("i", expr("sorted_intersect_count(toks_a, toks_b)"))
         .withColumn(
           "jaccard",
-          expr("floor(CAST(i AS DOUBLE) * 1e6 / (size(toks_a) + size(toks_b) - i) + 5e-1) / 1e6")
+          expr("floor(CAST(i AS DOUBLE) * 1e6 / (sz_a + sz_b - i) + 5e-1) / 1e6")
         )
         .filter(col("jaccard") >= 0.8)
         .select(col("lang_a").as("lang"), col("doc_a"), col("doc_b"), col("jaccard"))
@@ -1287,6 +1296,7 @@ object Dedup {
           col("lang"),
           col("doc_id"),
           col("toks"),
+          size(col("toks")).as("sz"),
           array((0 until K).map(h => col(s"m$h")): _*).as("sig")
         )
         .localCheckpoint()
