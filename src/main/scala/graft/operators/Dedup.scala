@@ -1222,41 +1222,56 @@ object Dedup {
       // the shared precision-1 verify — (doc_a, doc_b) here is (train, test)
       // oriented, not id-canonicalized, and verifyEdges preserves that
       verifyEdges(t, cand).orderBy(col("lang"), col("doc_a"), col("doc_b"))
-    } else {
-      graft.functions.VecFunctions.install(spark)
-      val t = md5TokenSignatures(spark, dir)
-      val split = Sampling.hashSplitCoin(col("doc_id"))
-      val bands = md5BandTuples(t.select(col("doc_id"), col("sig")))
-      val cand = bands
-        .filter(split =!= "test")
-        .as("l")
-        .join(bands.filter(split === "test").as("r"), Seq("band", "v0", "v1"))
-        .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
-        .distinct()
-      val a = t.select(col("lang").as("lang_a"), col("doc_id").as("doc_a"), col("toks").as("toks_a"), col("sz").as("sz_a"))
-      val b = t.select(col("lang").as("lang_b"), col("doc_id").as("doc_b"), col("toks").as("toks_b"), col("sz").as("sz_b"))
-      // cheap conjuncts first inside the filter (the q32 lesson): lang
-      // equality and the integer size-ratio prune reject most candidates
-      // before the merge intersect runs. The prune factor is 0.799, NOT
-      // 0.8: floored jaccard >= 0.8 only requires raw j >= 0.7999995, and
-      // j <= min(sz)/max(sz), so 0.799 is semantics-free with margin —
-      // the oracle applies no prune and returns the identical set.
-      cand
-        .join(a, "doc_a")
-        .join(b, "doc_b")
-        .filter(
-          col("lang_a") === col("lang_b") &&
-            col("sz_a") * 0.799 <= col("sz_b") && col("sz_b") * 0.799 <= col("sz_a")
-        )
-        .withColumn("i", expr("sorted_intersect_count(toks_a, toks_b)"))
-        .withColumn(
-          "jaccard",
-          expr("floor(CAST(i AS DOUBLE) * 1e6 / (sz_a + sz_b - i) + 5e-1) / 1e6")
-        )
-        .filter(col("jaccard") >= 0.8)
-        .select(col("lang_a").as("lang"), col("doc_a"), col("doc_b"), col("jaccard"))
-        .orderBy(col("lang"), col("doc_a"), col("doc_b"))
-    }
+    } else q113Md5Verified(spark, dir).orderBy(col("lang"), col("doc_a"), col("doc_b"))
+  }
+
+  /** The md5 path's candidate frame — staged separately so
+    * [[graft.tools.ProfileQ113]] can time the band-tuple join apart from
+    * the verify (the r15 watch item on the ~1 s residual over the native
+    * twin).
+    */
+  private[graft] def q113Md5Candidates(spark: SparkSession, dir: String): DataFrame = {
+    val t = md5TokenSignatures(spark, dir)
+    val split = Sampling.hashSplitCoin(col("doc_id"))
+    val bands = md5BandTuples(t.select(col("doc_id"), col("sig")))
+    bands
+      .filter(split =!= "test")
+      .as("l")
+      .join(bands.filter(split === "test").as("r"), Seq("band", "v0", "v1"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** The md5 path's verified (UNORDERED) output — q113's else branch minus
+    * the final orderBy, so the profiler can separate verify cost from the
+    * output sort.
+    */
+  private[graft] def q113Md5Verified(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VecFunctions.install(spark)
+    val t = md5TokenSignatures(spark, dir)
+    val cand = q113Md5Candidates(spark, dir)
+    val a = t.select(col("lang").as("lang_a"), col("doc_id").as("doc_a"), col("toks").as("toks_a"), col("sz").as("sz_a"))
+    val b = t.select(col("lang").as("lang_b"), col("doc_id").as("doc_b"), col("toks").as("toks_b"), col("sz").as("sz_b"))
+    // cheap conjuncts first inside the filter (the q32 lesson): lang
+    // equality and the integer size-ratio prune reject most candidates
+    // before the merge intersect runs. The prune factor is 0.799, NOT
+    // 0.8: floored jaccard >= 0.8 only requires raw j >= 0.7999995, and
+    // j <= min(sz)/max(sz), so 0.799 is semantics-free with margin —
+    // the oracle applies no prune and returns the identical set.
+    cand
+      .join(a, "doc_a")
+      .join(b, "doc_b")
+      .filter(
+        col("lang_a") === col("lang_b") &&
+          col("sz_a") * 0.799 <= col("sz_b") && col("sz_b") * 0.799 <= col("sz_a")
+      )
+      .withColumn("i", expr("sorted_intersect_count(toks_a, toks_b)"))
+      .withColumn(
+        "jaccard",
+        expr("floor(CAST(i AS DOUBLE) * 1e6 / (sz_a + sz_b - i) + 5e-1) / 1e6")
+      )
+      .filter(col("jaccard") >= 0.8)
+      .select(col("lang_a").as("lang"), col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
   /** md5-affine signatures at TOKEN grain — q30's construction over the
@@ -2086,7 +2101,9 @@ object Dedup {
   // are q113's banded MinHash — this leg exists because exactness is what
   // makes the row a decision, not a candidate); leg 3 reuses q162's
   // df-capped bounded pair join; leg 4 is q178's band-bucket equi-join
-  // over the session-cached image band table. Rollups are per-doc keyed
+  // over the session-cached image band table — itself df-capped since
+  // r16 (the q181 bucket rule), so no leg goes quadratic on a
+  // mass-duplicated frame. Rollups are per-doc keyed
   // aggregates; the final assembly is four left joins on the union of
   // offenders. The whole decision frame is SESSION-CACHED per (session,
   // dir) — q172 costs it and q179-era dashboards read it repeatedly, and
@@ -2259,7 +2276,17 @@ object Dedup {
         col("source"),
         size(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")).cast("long").as("n_toks")
       )
-    val actions = contaminationDepthCached(spark, dir).select(col("doc_id"), col("action"))
+    decontamLedgerOver(train, contaminationDepthCached(spark, dir))
+  }
+
+  /** The ledger rollup over ANY (train-split (doc_id, source, n_toks)
+    * frame, decision frame) — shared by the batch query and
+    * [[graft.streaming.StreamingDecontam]]'s maintained-state serve
+    * (whose token counts come off the corpus maintainer's stage table;
+    * same [[Curation.funnelSignals]] whitespace arithmetic).
+    */
+  private[graft] def decontamLedgerOver(train: DataFrame, decisions: DataFrame): DataFrame = {
+    val actions = decisions.select(col("doc_id"), col("action"))
     val perAction = train
       .join(actions, Seq("doc_id"), "left")
       .withColumn("action", coalesce(col("action"), lit("keep")))
@@ -2423,11 +2450,28 @@ object Dedup {
   // SPLIT_TRAIN_LT) — the image leg's is the train split's image-kind
   // docs — and mass is n_chars (the only mass defined across modalities).
   //
-  // Scale shape: every leg IS its query (shared code — the heavy stages
-  // are session-cached), collapsed to one row by a global aggregate; the
-  // scope rows are 1-row broadcasts (whitelisted). Empty-corpus contract:
-  // four all-zero rows with NULL fractions (CASE-guarded, the ANSI rule)
-  // in both engines.
+  // Scale shape: three of the four flagged sets are SERVED off the
+  // session-cached q163 decision frame (one build, the q172 pattern) —
+  // each a proven identity, not an approximation:
+  //   8gram_exact    = frame rows with ngram_hits > 0 (the frame's breadth
+  //                    leg IS q67's output, coalesced to 0 only for docs
+  //                    flagged by other legs; every q67 row has n_hits>=1),
+  //   verbatim_spans = frame rows with max_run > 0 (q152 flags train docs
+  //                    sharing >= 1 rare winnow fp with a test doc; the
+  //                    frame's depth leg builds runs from the SAME
+  //                    position table under the SAME WIN_MAXDF df cap and
+  //                    the SAME train/test coin, and every shared rare fp
+  //                    yields a run island of length >= WIN_K, so the two
+  //                    sets are equal — the oracle still replays q152's own
+  //                    chain, so the identity is hash-gated at the gate),
+  //   image_neardup  = frame rows with img_leaks > 0 (the frame's modality
+  //                    leg IS q178's output; every q178 row has
+  //                    n_eval_matches >= 1).
+  // The bloom leg is NOT in the frame (q166 is a declared superset of q67
+  // — different screen) and serves from its own session cache. Each leg
+  // collapses in one global aggregate; the scope rows are 1-row broadcasts
+  // (whitelisted). Empty-corpus contract: four all-zero rows with NULL
+  // fractions (CASE-guarded, the ANSI rule) in both engines.
   // ---------------------------------------------------------------------------
   private val q179FracSql =
     "CASE WHEN n_scope = 0 THEN NULL ELSE floor(CAST(n_flagged AS DOUBLE) * 1e6 / n_scope + 5e-1) / 1e6 END"
@@ -2458,16 +2502,11 @@ object Dedup {
         .agg(count(lit(1)).as("n_flagged"), coalesce(sum(col("n_chars")), lit(0L)).as("flagged_chars"))
         .crossJoin(broadcast(scope))
         .withColumn("method", lit(method))
-    leg("8gram_exact", Curation.q67Contamination(spark, dir), scopeAll)
+    val frame = contaminationDepthCached(spark, dir)
+    leg("8gram_exact", frame.filter(col("ngram_hits") > 0), scopeAll)
       .unionByName(leg("bloom_screen", Curation.q166BloomScreen(spark, dir), scopeAll))
-      .unionByName(leg("verbatim_spans", q152WinnowContamination(spark, dir), scopeAll))
-      .unionByName(
-        leg(
-          "image_neardup",
-          Multimodal.q178ImageDecontam(spark, dir).select(col("train_id").as("doc_id")),
-          scopeImg
-        )
-      )
+      .unionByName(leg("verbatim_spans", frame.filter(col("max_run") > 0), scopeAll))
+      .unionByName(leg("image_neardup", frame.filter(col("img_leaks") > 0), scopeImg))
       .select(
         col("method"),
         col("n_scope"),

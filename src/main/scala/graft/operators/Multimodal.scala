@@ -552,17 +552,24 @@ object Multimodal {
     * and the exclusion is replayed in the oracle, so the capped mode is
     * oracle-gated on its own declared semantics.
     */
+  /** The hot (band, value) bucket set over a band-instance frame — the
+    * MOSS df rule on image band BUCKETS, shared by q181's capped mine,
+    * q156's cluster supply and q178's decontamination screen (hence the
+    * q163/q172/q179/q182/StreamingDecontam image leg) so the exclusion
+    * the oracles replay is one definition.
+    */
+  private[graft] def hotBandBuckets(inst: DataFrame, cap: Int): DataFrame =
+    inst
+      .groupBy(col("band"), col("bv"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > cap)
+      .select(col("band"), col("bv"))
+
   private[graft] def imageNeardupFrom(hashed: DataFrame, capDf: Option[Int] = None): DataFrame = {
     val inst = hashed.select(col("media_id"), posexplode(col("bands")).as(Seq("band", "bv")))
     val minable = capDf match {
       case None => inst
-      case Some(cap) =>
-        val hot = inst
-          .groupBy(col("band"), col("bv"))
-          .agg(count(lit(1)).as("df"))
-          .filter(col("df") > cap)
-          .select(col("band"), col("bv"))
-        inst.join(hot, Seq("band", "bv"), "left_anti")
+      case Some(cap) => inst.join(hotBandBuckets(inst, cap), Seq("band", "bv"), "left_anti")
     }
     val cand = minable
       .as("l")
@@ -638,7 +645,12 @@ object Multimodal {
   // oracle replays the identical exclusion, so the capped semantics are
   // themselves oracle-gated (the q30 candidate-replay discipline). The
   // q177 image_bands audit row is the observability half: how many
-  // buckets are hot and how many images carry one.
+  // buckets are hot and how many images carry one. Since r16 this capped
+  // supply is what every DERIVED consumer serves from — q156's clusters,
+  // q176's profile leg, q178's decontamination screen and its
+  // q163/q172/q179/q182/StreamingDecontam downstream — so no product a
+  // pipeline actually runs at scale inherits the uncapped fan-out; q114
+  // alone remains the declared-exact mine.
   //
   // Scale shape: one df rollup over the staged band instances (8 rows per
   // image), one left-anti prune, then q114's bucket equi-join and exact
@@ -940,12 +952,14 @@ object Multimodal {
   // q176 — media DEDUP PROFILE: the q117 dashboard pattern applied to the
   // multimodal pillar — per media kind the near-dup exposure in one frame
   // (how many items, how many sit in at least one verified near-dup pair,
-  // how many pairs), composing the three per-kind miners (image q114,
-  // audio q175, video q115) the way a curator reads them before deciding
-  // which modality needs a dedup pass. Legs ARE the leg queries (shared
-  // code); each leg's pair frame collapses in ONE aggregate — pair
-  // members exploded, count/2 = pairs, distinct = paired items — so the
-  // profile adds two bounded rollups on top of the miners' own plans.
+  // how many pairs), composing the three per-kind SERVING miners (image
+  // q181, audio q175, video q115 — all three df-capped since r16, so the
+  // dashboard itself can never go quadratic on a boilerplate frame) the
+  // way a curator reads them before deciding which modality needs a dedup
+  // pass. Legs ARE the leg queries (shared code); each leg's pair frame
+  // collapses in ONE aggregate — pair members exploded, count/2 = pairs,
+  // distinct = paired items — so the profile adds two bounded rollups on
+  // top of the miners' own plans.
   // ---------------------------------------------------------------------------
   // ---------------------------------------------------------------------------
   // q177 — media BOILERPLATE FINGERPRINT audit: what the q115/q175 df cap
@@ -959,8 +973,10 @@ object Multimodal {
   // numbers (the q163-style "decision needs its audit" pattern). Since
   // r15 the image BAND BUCKETS are audited too (kind 'image_bands', key =
   // band:value): the default q114 stays uncapped by contract (pigeonhole
-  // completeness — see its header), but q181's capped mode excludes hot
-  // buckets, and this row is where its dropped band mass is visible.
+  // completeness — see its header), but q181's capped mode — and, since
+  // r16, every derived consumer of the band buckets (q156/q176/q178 and
+  // the decontamination image leg) — excludes hot buckets, and this row
+  // is where the dropped band mass is visible.
   //
   // Scale shape: per kind one df rollup over the staged raw fingerprint
   // table plus three 1-row aggregates (broadcast crossJoins — whitelisted);
@@ -1077,7 +1093,7 @@ object Multimodal {
           countDistinct(col("m")).as("n_paired")
         )
         .withColumn("kind", lit(kind))
-    val legs = leg("image", q114ImageNeardup(spark, dir))
+    val legs = leg("image", q181ImageNeardupCapped(spark, dir))
       .unionByName(leg("audio", q175AudioNeardup(spark, dir)))
       .unionByName(leg("video", q115VideoNeardup(spark, dir)))
     totals
@@ -1122,7 +1138,7 @@ object Multimodal {
         |       floor(CAST(coalesce(n_paired, 0) AS DOUBLE) * 1e6 / n_media + 5e-1) / 1e6 AS paired_frac
         |FROM tot LEFT JOIN legs USING (kind)
         |ORDER BY tot.kind""".stripMargin
-    head + "\n" + q114Oracle + "\n" + afterImage + "\n" + q175Oracle + "\n" + afterAudio + "\n" +
+    head + "\n" + q181Oracle + "\n" + afterImage + "\n" + q175Oracle + "\n" + afterAudio + "\n" +
       q115Oracle + "\n" + tail
   }
 
@@ -1227,37 +1243,43 @@ object Multimodal {
       |ORDER BY tot.media_id""".stripMargin
 
   // ---------------------------------------------------------------------------
-  // q156 — image duplicate CLUSTERS: connected components over q114's
-  // verified near-dup pair graph, through the SAME parametrized propagation
-  // loop the text dedup stack uses (Dedup.clustersFrom — q61/q101/q108's
-  // machinery, one more edge supply). The LAION-class image-dedup pipeline
-  // ends here: mine pairs (q114), close them transitively, keep one
-  // representative per component — a re-encoded image chain (A~B~C where
-  // A,C differ by >6 bits) lands in ONE cluster, which the pair list alone
-  // cannot say. Cluster label = min media_id, the q61 convention.
+  // q156 — image duplicate CLUSTERS: connected components over the
+  // DF-CAPPED image near-dup pair graph (q181's supply), through the SAME
+  // parametrized propagation loop the text dedup stack uses
+  // (Dedup.clustersFrom — q61/q101/q108's machinery, one more edge
+  // supply). The LAION-class image-dedup pipeline ends here: mine pairs,
+  // close them transitively, keep one representative per component — a
+  // re-encoded image chain (A~B~C where A,C differ by >6 bits) lands in
+  // ONE cluster, which the pair list alone cannot say. Cluster label =
+  // min media_id, the q61 convention.
   //
-  // Oracle: q114's banding is pigeonhole-complete (its plan EQUALS exact
-  // all-pairs), so the cluster oracle is q114's pair CTEs + the q61
-  // recursive walk — fully hash-gated, no selfcheck needed.
+  // Since r16 the pair supply is q181's capped mine, NOT uncapped q114:
+  // a real pipeline's cluster pass is exactly where a mass-duplicated
+  // blank frame or logo card (a hot band bucket) would fan the bucket
+  // join out quadratically at 100 TB, so the serving path takes q181's
+  // declared trade — pairs colliding only in hot buckets are dropped
+  // before clustering (they identify boilerplate, not provenance; a
+  // 10^6-copy blank frame does not need a 10^12-edge cluster to be
+  // dropped — the q177 image_bands audit row is where that mass shows).
+  // The exclusion is replayed in the oracle (the q30 candidate-replay
+  // discipline), so the capped clusters are hash-gated on their own
+  // declared semantics; q114 itself stays uncapped by contract.
   // ---------------------------------------------------------------------------
   def q156ImageDupClusters(spark: SparkSession, dir: String): DataFrame =
     Dedup
       .clustersFrom(
-        q114ImageNeardup(spark, dir)
+        q181ImageNeardupCapped(spark, dir)
           .select(col("media_a").as("doc_a"), col("media_b").as("doc_b"))
       )
       .select(col("doc_id").as("media_id"), col("cluster"), col("cluster_size"))
       .orderBy(col("cluster"), col("media_id"))
 
   lazy val q156Oracle: String = {
-    // q114's chain through the hb CTE (already margin-stripped — concatenate)
-    val chain = q114Oracle.substring(0, q114Oracle.indexOf("\nSELECT l.media_id")).stripPrefix("WITH ")
-    "WITH RECURSIVE " + chain + ",\n" +
-      """pairs AS (
-        |  SELECT l.media_id AS doc_a, r.media_id AS doc_b
-        |  FROM hb l JOIN hb r ON l.media_id < r.media_id
-        |  WHERE list_sum(list_transform(range(1, 9), k -> bit_count(xor(l.bands[k], r.bands[k])))) <= 6),
-        |edges AS (
+    // q181's capped pair statement nested whole as the edge supply (its
+    // own WITH scope — the q163 splice rule), then the q61 recursive walk
+    "WITH RECURSIVE pairs AS (\n  SELECT media_a AS doc_a, media_b AS doc_b FROM (\n" +
+      q181Oracle + "\n)),\n" +
+      """edges AS (
         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
         |  UNION ALL
         |  SELECT doc_b, doc_a FROM pairs),
@@ -1281,26 +1303,42 @@ object Multimodal {
   // re-encoded, inflates eval exactly like a leaked test document).
   // Splits are the corpus's own md5 buckets (q106/q166's arithmetic:
   // train < 205, test >= 230); matching is q114's banded aHash at the
-  // same tau=6 — so the banding stays pigeonhole-complete and the whole
-  // screen is oracle-gated by the exact cross-split hamming join. Output
+  // same tau=6, DF-CAPPED since r16: band buckets carried by more than
+  // MEDIA_FP_MAXDF images corpus-wide (blank frames, logo cards — the
+  // image boilerplate) are excluded from candidate generation on BOTH
+  // sides, the q181 rule, because the cross-split bucket join is exactly
+  // where a mass-duplicated frame fans out quadratically at 100 TB. The
+  // trade is declared, not hidden: a train image whose only collisions
+  // with eval ride hot buckets is not flagged (a 10^6-copy blank frame
+  // identifies boilerplate, not leakage — and its mass is visible in
+  // q177's image_bands audit row), and the oracle replays the identical
+  // exclusion with the candidate set itself (the q30 discipline), so the
+  // capped screen is hash-gated on its own declared semantics. Output
   // is the per-train-image drop ledger: how many eval images it collides
   // with and the closest one (deterministic argmin via the winnow-style
   // fixed-width string encode, identical in both engines).
   //
   // Scale shape: the staged band table built once (imageBandsCached),
-  // split by a projection; candidates from the (band, bv) equi-join
-  // between the two sides — the eval side is benchmark-sized, so AQE
-  // broadcasts it; the exact verify touches candidate pairs only. No
-  // cross join anywhere in the engine plan.
+  // one df rollup over its instances (8 rows per image), one left-anti
+  // prune per side, then the (band, bv) equi-join between the two sides
+  // — every surviving bucket fans out <= MEDIA_FP_MAXDF^2 cross-split
+  // candidates, and the eval side is benchmark-sized, so AQE broadcasts
+  // it; the exact verify touches candidate pairs only. No cross join
+  // anywhere in the engine plan.
   // ---------------------------------------------------------------------------
   def q178ImageDecontam(spark: SparkSession, dir: String): DataFrame =
     imageDecontamFrom(imageBandsCached(spark, dir))
 
   /** The screen over ANY (media_id, bands) band table — shared by the
     * batch query and [[graft.streaming.StreamingDecontam]]'s serve path
-    * (which reads the media maintainer's band slices).
+    * (which reads the media maintainer's band slices). `capDf` defaults
+    * to the q181 bucket cap (the serving semantics); `None` is the
+    * pre-r16 uncapped screen, kept for the subset-of-exact spec.
     */
-  private[graft] def imageDecontamFrom(bandsTable: DataFrame): DataFrame = {
+  private[graft] def imageDecontamFrom(
+      bandsTable: DataFrame,
+      capDf: Option[Int] = Some(MEDIA_FP_MAXDF)
+  ): DataFrame = {
     val hashed = bandsTable
       .withColumn("bucket", conv(substring(md5(col("media_id").cast("string")), 1, 2), 16, 10).cast("int"))
     val evalSide = hashed
@@ -1309,8 +1347,15 @@ object Multimodal {
     val trainSide = hashed
       .filter(col("bucket") < Sampling.SPLIT_TRAIN_LT)
       .select(col("media_id").as("train_id"), col("bands").as("bands_t"))
-    val ei = evalSide.select(col("eval_id"), posexplode(col("bands_e")).as(Seq("band", "bv")))
-    val ti = trainSide.select(col("train_id"), posexplode(col("bands_t")).as(Seq("band", "bv")))
+    // the hot set is corpus-wide (ALL images' instances, not per split) —
+    // the same set q181 excludes and q177's image_bands row audits
+    val hot = capDf.map { cap =>
+      hotBandBuckets(bandsTable.select(col("media_id"), posexplode(col("bands")).as(Seq("band", "bv"))), cap)
+    }
+    val ei0 = evalSide.select(col("eval_id"), posexplode(col("bands_e")).as(Seq("band", "bv")))
+    val ti0 = trainSide.select(col("train_id"), posexplode(col("bands_t")).as(Seq("band", "bv")))
+    val ei = hot.fold(ei0)(h => ei0.join(h, Seq("band", "bv"), "left_anti"))
+    val ti = hot.fold(ti0)(h => ti0.join(h, Seq("band", "bv"), "left_anti"))
     val cand = ti.join(ei, Seq("band", "bv")).select(col("train_id"), col("eval_id")).distinct()
     cand
       .join(trainSide, "train_id")
@@ -1336,22 +1381,36 @@ object Multimodal {
       .orderBy(col("train_id"))
   }
 
-  /** q114's chain through hb (the q156 splice), buckets projected on, then
-    * the exact cross-split hamming join the banding provably equals.
+  /** q114's chain through hb (the q156 splice), the corpus-wide df rollup
+    * and rare-instance prune (q181's CTEs verbatim), buckets projected
+    * on, then the capped cross-split candidate join and the exact hamming
+    * verify over those candidates only — the exclusion replayed whole.
     */
   lazy val q178Oracle: String = {
     val chain = q114Oracle.substring(0, q114Oracle.indexOf("\nSELECT l.media_id"))
     chain + ",\n" +
-      s"""hbb AS (
+      s"""inst AS (
+        |  SELECT media_id, CAST(b.range AS INT) AS band, bands[b.range + 1] AS bv
+        |  FROM hb CROSS JOIN range(8) b),
+        |bdf AS (SELECT band, bv, count(*) AS df FROM inst GROUP BY 1, 2),
+        |ri AS (
+        |  SELECT i.media_id, i.band, i.bv
+        |  FROM inst i JOIN bdf USING (band, bv) WHERE bdf.df <= $MEDIA_FP_MAXDF),
+        |hbb AS (
         |  SELECT media_id, bands,
         |         CAST(('0x' || substring(md5(CAST(media_id AS VARCHAR)), 1, 2))::INT AS INT) AS bucket
         |  FROM hb),
         |tr AS (SELECT media_id, bands FROM hbb WHERE bucket < ${Sampling.SPLIT_TRAIN_LT}),
         |ev AS (SELECT media_id, bands FROM hbb WHERE bucket >= ${Sampling.SPLIT_VALIDATION_LT}),
+        |cand AS (
+        |  SELECT DISTINCT t.media_id AS train_id, e.media_id AS eval_id
+        |  FROM ri t JOIN ri e ON t.band = e.band AND t.bv = e.bv
+        |  JOIN tr ON tr.media_id = t.media_id
+        |  JOIN ev ON ev.media_id = e.media_id),
         |m AS (
-        |  SELECT t.media_id AS train_id, e.media_id AS eval_id,
+        |  SELECT c.train_id, c.eval_id,
         |         CAST(list_sum(list_transform(range(1, 9), k -> bit_count(xor(t.bands[k], e.bands[k])))) AS BIGINT) AS hamming
-        |  FROM tr t, ev e
+        |  FROM cand c JOIN tr t ON t.media_id = c.train_id JOIN ev e ON e.media_id = c.eval_id
         |  WHERE list_sum(list_transform(range(1, 9), k -> bit_count(xor(t.bands[k], e.bands[k])))) <= 6)
         |SELECT train_id,
         |       CAST(count(*) AS BIGINT) AS n_eval_matches,

@@ -106,6 +106,16 @@ object StreamingMediaFps {
   def imageNeardup(spark: SparkSession, stateDir: String): DataFrame =
     Multimodal.imageNeardupFrom(bandTable(spark, stateDir).localCheckpoint())
 
+  /** q181's DF-CAPPED mine served from the same maintained index — the
+    * serving-mode report (what q156/q176/q178's downstream consume), hot
+    * band buckets excluded through the shared batch code.
+    */
+  def imageNeardupCapped(spark: SparkSession, stateDir: String): DataFrame =
+    Multimodal.imageNeardupFrom(
+      bandTable(spark, stateDir).localCheckpoint(),
+      Some(Multimodal.MEDIA_FP_MAXDF)
+    )
+
   /** Wire the tick to a file stream over the documents landing path. */
   def start(
       spark: SparkSession,

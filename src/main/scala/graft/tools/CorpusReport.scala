@@ -310,10 +310,12 @@ object CorpusReport {
 
     section("df-capped image mine (q181): pairs minable without hot band buckets")
     val q181Pairs = graft.operators.Multimodal.q181ImageNeardupCapped(spark, dir).count()
-    val q114Pairs = graft.operators.Multimodal.q114ImageNeardup(spark, dir).count()
-    line(s"capped pairs: $q181Pairs of $q114Pairs exact (difference collides only in >cap band buckets)")
+    line(s"capped pairs: $q181Pairs (any pair colliding only in >cap band buckets is excluded)")
 
     section("media boilerplate fingerprints (q177): what the df cap excluded")
+    // the excluded-pair CONTEXT comes from the audit row, never from
+    // running the uncapped q114 — on a boilerplate-heavy corpus that
+    // comparison would itself be the quadratic blowup the cap avoids
     graft.operators.Multimodal.q177MediaBoilerplate(spark, dir).collect().foreach { r =>
       val maxDf = if (r.isNullAt(7)) "-" else r.getLong(7).toString
       val hotShare = if (r.isNullAt(4)) "-" else f"${r.getDouble(4)}%6.4f"

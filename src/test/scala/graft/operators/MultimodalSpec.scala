@@ -437,7 +437,7 @@ class MultimodalSpec extends SparkSpec {
       .toMap
     assert(got.keySet === Set("image", "audio", "video"))
     val kinds = Map(
-      "image" -> Multimodal.q114ImageNeardup(spark, sfDir),
+      "image" -> Multimodal.q181ImageNeardupCapped(spark, sfDir), // the capped serving miner (r16)
       "audio" -> Multimodal.q175AudioNeardup(spark, sfDir),
       "video" -> Multimodal.q115VideoNeardup(spark, sfDir)
     )
@@ -499,12 +499,16 @@ class MultimodalSpec extends SparkSpec {
     info(s"sf0.001: ${rows.length} audio tracks segmented")
   }
 
-  test("q156 image clusters: equal a union-find closure of q114's pair graph") {
+  test("q156 image clusters: equal a union-find closure of the capped (q181) pair graph") {
     val pairs = Multimodal
-      .q114ImageNeardup(spark, sfDir)
+      .q181ImageNeardupCapped(spark, sfDir)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.nonEmpty, "the dup-dense corpus must mine image pairs or the clusters test nothing")
+    // sf0.001 has no hot band buckets (the q177 test pins max_df <= cap
+    // via the audit row), so the capped supply equals uncapped q114 here
+    val uncapped = Multimodal.q114ImageNeardup(spark, sfDir).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet === uncapped.toSet, "no hot buckets at sf0.001: capped supply must equal q114")
     // single-node union-find over the same edges
     val parent = scala.collection.mutable.Map[Long, Long]()
     def find(x: Long): Long = { val p = parent.getOrElseUpdate(x, x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
@@ -523,6 +527,90 @@ class MultimodalSpec extends SparkSpec {
     // transitivity actually fires: some component must be larger than a pair
     // OR every pair is isolated — report which
     info(s"sf0.001: ${comps.size} clusters, max size ${comps.values.map(_.size).max}")
+  }
+
+  test("q156 capped clusters: a 102-identical hot-band group never forms the quadratic clique; rare pairs still cluster") {
+    import spark.implicits._
+    // the q181 planted shape: 102 identical images (every band bucket
+    // df >= 102 > cap) + a near-identical rare pair. Uncapped closure
+    // would build the 102-clique; the capped supply must yield EXACTLY
+    // the rare pair's 2-cluster.
+    val imgIds = Iterator.from(1).map(_ * 3L)
+    val hotIds = imgIds.take(102).toSeq
+    val rest = Iterator.from(103).map(_ * 3L)
+    val Seq(baseId, editId) = rest.take(2).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("q156hot").toString
+    val hot = "zz  " * 25
+    val base = (1 to 100).map(i => ('a' + i % 26).toChar).mkString
+    val edited = base.updated(10, 'z').updated(11, 'z')
+    (hotIds.map((_, hot)) ++ Seq((baseId, base), (editId, edited)))
+      .map { case (id, text) => (id, text, "en", "srcH", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write
+      .parquet(s"$dir/documents.parquet")
+    val got = Multimodal
+      .q156ImageDupClusters(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(
+      got === Set((baseId, baseId, 2L), (editId, baseId, 2L)),
+      s"capped clusters must be exactly the rare pair's component: $got"
+    )
+  }
+
+  test("q178 capped screen: hot-band cross-split identicals do not flag; a rare leak still does; capped subset of uncapped") {
+    import spark.implicits._
+    def bucketOf(id: Long): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(id.toString.getBytes("UTF-8"))
+      Integer.parseInt(d.take(1).map("%02x".format(_)).mkString, 16)
+    }
+    val trainImg = Iterator.from(1).map(_ * 3L).filter(id => bucketOf(id) < graft.operators.Sampling.SPLIT_TRAIN_LT)
+    val testImg = Iterator.from(1).map(_ * 3L).filter(id => bucketOf(id) >= graft.operators.Sampling.SPLIT_VALIDATION_LT)
+    // 102 identical "blank frames" spread across the splits (60 train,
+    // 42 eval): every band bucket they carry has df >= 102 > cap, so the
+    // capped screen must NOT flag the train copies — boilerplate, not
+    // leakage (the uncapped screen flags all 60). Plus one genuine leak:
+    // a train image whose lightly-re-encoded twin sits in eval.
+    val hotTrain = trainImg.take(60).toSeq
+    val hotEval = testImg.take(42).toSeq
+    val leakTrain = trainImg.next()
+    val leakEval = testImg.next()
+    val dir = java.nio.file.Files.createTempDirectory("q178hot").toString
+    val hot = "zz  " * 25
+    val base = (1 to 100).map(i => ('a' + i % 26).toChar).mkString
+    val edited = base.updated(10, 'z').updated(11, 'z')
+    ((hotTrain ++ hotEval).map((_, hot)) ++ Seq((leakTrain, base), (leakEval, edited)))
+      .map { case (id, text) => (id, text, "en", "srcH", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write
+      .parquet(s"$dir/documents.parquet")
+    val capped = Multimodal
+      .q178ImageDecontam(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(capped.keySet === Set(leakTrain), s"only the genuine leak must flag under the cap: $capped")
+    assert(capped(leakTrain) === ((1L, capped(leakTrain)._2, leakEval)) && capped(leakTrain)._2 <= 6L)
+    // the uncapped screen flags the boilerplate too — and the capped
+    // flagged set is a subset of it with identical ledger rows
+    val bands = Multimodal.imageBandsCached(spark, dir)
+    val uncapped = Multimodal
+      .imageDecontamFrom(bands, None)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(uncapped.keySet === hotTrain.toSet + leakTrain, s"uncapped must flag all hot train copies: ${uncapped.size}")
+    assert(capped.keySet.subsetOf(uncapped.keySet))
+
+    // sf0.001 has no hot buckets: capped == uncapped on the real corpus
+    val c0 = Multimodal.q178ImageDecontam(spark, sfDir).collect().map(_.toSeq).toSet
+    val u0 = Multimodal
+      .imageDecontamFrom(Multimodal.imageBandsCached(spark, sfDir), None)
+      .collect()
+      .map(_.toSeq)
+      .toSet
+    assert(c0 === u0, "no hot buckets at sf0.001: the capped screen must equal the uncapped one")
   }
 
   test("real codec: actual PNG/JPEG bytes decode for real — true dims, luminance histogram, JPEG near-dup within the q114 radius") {

@@ -67,6 +67,7 @@ class StreamingDecontamSpec extends SparkSpec {
       StreamingDupClusters.tick(spark, dataDir, s"$stateRoot/clusters")
       StreamingWinnow.tick(spark, dataDir, s"$stateRoot/winnow")
       StreamingMediaFps.tick(spark, dataDir, s"$stateRoot/media")
+      StreamingCorpus.tick(spark, s"$dataDir/documents.parquet", s"$stateRoot/corpus")
       ()
     }
     tickAll()
@@ -115,8 +116,30 @@ class StreamingDecontamSpec extends SparkSpec {
     val masks = StreamingDecontam.maskExport(spark, stateRoot).collect()
     assert(masks.map(_.getLong(0)).toSet === Set(tRun), s"exactly the masked doc exports: ${masks.toSeq}")
 
+    // the cost ledger serves from the corpus maintainer's token counts
+    // plus the same decision composition and equals batch q172 — no
+    // document re-read to cost the pass
+    assert(
+      canon(StreamingDecontam.ledger(spark, stateRoot)) ===
+        canon(Dedup.q172DecontamLedger(spark, dataDir)),
+      "served decontamination ledger must equal batch q172"
+    )
+    val led = StreamingDecontam
+      .ledger(spark, stateRoot)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    // every planted train doc is an offender here, so there is no 'keep'
+    // row — one ledger row per (source, action), each a single doc
+    assert(led.keys.exists(_._2 == "drop") && led.values.forall(_ === 1L), s"ledger actions present: $led")
+
     // redelivery: a no-new-data tick changes nothing
     tickAll()
     assert(served() === s2, "no-op ticks must not move the decision table")
+    assert(
+      canon(StreamingDecontam.ledger(spark, stateRoot)) ===
+        canon(Dedup.q172DecontamLedger(spark, dataDir)),
+      "no-op ticks must not move the ledger either"
+    )
   }
 }

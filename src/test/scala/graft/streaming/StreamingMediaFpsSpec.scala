@@ -75,6 +75,11 @@ class StreamingMediaFpsSpec extends SparkSpec {
           canon(Multimodal.q114ImageNeardup(spark, dataDir)),
         s"$stage: served image near-dup must equal batch q114"
       )
+      assert(
+        canon(StreamingMediaFps.imageNeardupCapped(spark, stateDir)) ===
+          canon(Multimodal.q181ImageNeardupCapped(spark, dataDir)),
+        s"$stage: served capped image near-dup must equal batch q181"
+      )
     }
     assertServedEqualsBatch("tick 1")
     assert(
