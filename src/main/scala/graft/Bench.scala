@@ -97,20 +97,26 @@ object Bench {
     * loaded-threshold cannot see: a plateau that covers ALL repeats of a
     * query but sits under the probe threshold (q78 shipped at 8.7 s vs a
     * 1.51 s idle floor with a tight spread and a clean block probe). The
-    * factor is 2.5x — far above idle round-to-round drift (observed
-    * < 1.3x on unchanged queries), far below the 4-6x a plateau causes.
-    * Unknown names (new queries with no committed floor yet) never flag;
-    * most-expensive-first under the cap, since large medians move the
-    * total most.
+    * factor is TIERED on the floor itself (r16): sub-second floors keep
+    * 2.5x (their idle round-to-round drift is proportionally larger —
+    * observed < 1.3x on unchanged queries, but a 0.2 s floor can
+    * legitimately read 0.45 s under scheduler jitter), while floors above
+    * 1 s re-measure at 1.5x — at that tier 2.5x hides multi-second noise
+    * (r15's q155 shipped 4.5 s against a 1.88 s floor, 2.42x, and escaped
+    * the old uniform trigger). Unknown names (new queries with no
+    * committed floor yet) never flag; most-expensive-first under the cap,
+    * since large medians move the total most.
     */
+  private[graft] def floorFactor(floor: Double): Double = if (floor > 1.0) 1.5 else 2.5
+
   private[graft] def floorSuspects(
       kept: Seq[(String, Double)],
       floors: Map[String, Double],
-      factor: Double,
+      factor: Double => Double,
       cap: Int
   ): Seq[String] =
     kept
-      .collect { case (n, m) if m > 0 && floors.get(n).exists(f => f > 0 && m > factor * f) => (n, m) }
+      .collect { case (n, m) if m > 0 && floors.get(n).exists(f => f > 0 && m > factor(f) * f) => (n, m) }
       .sortBy(-_._2)
       .take(cap)
       .map(_._1)
@@ -360,15 +366,15 @@ object Bench {
     // speed). Guard probe first: if the box is STILL loaded when this pass
     // would start, re-measuring now cannot repair anything — skip, and let
     // floor_exceeded + calibration make the artifact self-describing. Same
-    // 30-suspect cap as the block pass, largest medians first.
-    val FloorFactor = 2.5
+    // 30-suspect cap as the block pass, largest medians first. The factor
+    // is tiered (floorFactor): 1.5x above 1 s floors, 2.5x below.
     val FloorTries = 2
     val floorsPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FLOORS", "bench_floors.json")
     val floors = loadFloors(floorsPath)
     val finalByName = scala.collection.mutable.LinkedHashMap(merged: _*)
     val floorRemeasured = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val fSuspects =
-      floorSuspects(merged.map { case (n, (m, _, _)) => n -> m }, floors, FloorFactor, 30)
+      floorSuspects(merged.map { case (n, (m, _, _)) => n -> m }, floors, floorFactor, 30)
     val floorCal = if (fSuspects.isEmpty) -1.0 else sec(calibrationProbe(spark))
     val floorSkippedLoaded = fSuspects.nonEmpty && floorCal > loadedThreshold
     if (!floorSkippedLoaded) fSuspects.foreach { name =>
@@ -382,7 +388,7 @@ object Bench {
         if (r2._1 >= 0) {
           attempts = attempts :+ r2._1
           if (r2._1 < finalByName(name)._1) finalByName(name) = r2
-          if (finalByName(name)._1 <= FloorFactor * floor) stop = true
+          if (finalByName(name)._1 <= floorFactor(floor) * floor) stop = true
         } else stop = true
       }
       floorRemeasured(name) = attempts
@@ -391,7 +397,7 @@ object Bench {
     // still above floor after the pass (or the pass was skipped): listed so
     // a reader knows exactly which numbers to distrust before comparing
     val floorExceeded = results.collect {
-      case (n, (m, _, _)) if m > 0 && floors.get(n).exists(f => f > 0 && m > FloorFactor * f) => n
+      case (n, (m, _, _)) if m > 0 && floors.get(n).exists(f => f > 0 && m > floorFactor(f) * f) => n
     }
     val failed = results.collect { case (name, (v, _, _)) if v < 0 => name }
 
@@ -459,8 +465,12 @@ object Bench {
       // rows entering the per-pair collision count (minHits=1 — the honest
       // probe/postings cost the counting pass pays before any vec_dot), and
       // scored_frac = post-minHits candidates that reach the exact-distance
-      // pass (the preset's contract; cand_frac aliases it for curve-reader
-      // continuity). SimilaritySpec pins scored_frac <= 0.5 at recall >= 0.9.
+      // pass (the preset's contract). In the curve row, cand_frac keeps its
+      // HISTORICAL definition — the minHits=1 collision mass every prior
+      // round reported — so cross-round curve readers never see a metric
+      // redefinition masquerading as a perf delta; the minHits-filtered
+      // number lives only in the scored_frac field (new in r15).
+      // SimilaritySpec pins scored_frac <= 0.5 at recall >= 0.9.
       spark.conf.set(operators.Similarity.ProfileConf, "quality")
       val qProf = operators.Similarity.Quality
       quality("q35_recall_uniform_quality") =
@@ -477,7 +487,7 @@ object Bench {
       quality("q36_scored_frac_quality") = qFracI
       curves += f"""{"knob":"lsh_profile_quality","value":${qProf.lshProbes},"planted":-1.0,"uniform":${quality(
           "q35_recall_uniform_quality"
-        )}%.3f,"cand_frac":$qFracL%.3f,"collision_frac":$qCollL%.3f,"scored_frac":$qFracL%.3f}"""
+        )}%.3f,"cand_frac":$qCollL%.3f,"collision_frac":$qCollL%.3f,"scored_frac":$qFracL%.3f}"""
       curves += f"""{"knob":"ivf_profile_quality","value":${qProf.ivfNprobe},"planted":-1.0,"uniform":${quality(
           "q36_recall_uniform_quality"
         )}%.3f,"cand_frac":$qFracI%.3f}"""

@@ -256,8 +256,12 @@ object SelfCheck {
         .as("l")
         .join(
           t.as("r"),
+          // membership under the QUERY's floored-micro semantics:
+          // floor(j*1e6+0.5)/1e6 >= 0.8 <=> raw j >= 0.7999995, so a
+          // legitimately-emitted borderline pair is never a phantom; the
+          // size prune relaxes to 0.799 to match (ratio >= j >= 0.7999995)
           col("l.lang") === col("r.lang") && !col("l.is_test") && col("r.is_test") &&
-            col("l.sz") * 0.8 <= col("r.sz") && col("r.sz") * 0.8 <= col("l.sz") && jac >= 0.8
+            col("l.sz") * 0.799 <= col("r.sz") && col("r.sz") * 0.799 <= col("l.sz") && jac >= 0.7999995
         )
         .select(
           col("l.doc_id").as("pa"),

@@ -71,20 +71,22 @@ class BenchLineSpec extends AnyFunSuite {
     assert(small.contains("\"q001\":"))
   }
 
-  test("floor suspects: flags only committed-floor breaches, most expensive first, capped, new queries exempt") {
-    val floors = Map("q1_a" -> 1.0, "q2_b" -> 0.5, "q3_c" -> 2.0, "q5_zero" -> 0.0)
+  test("floor suspects: flags only committed-floor breaches, tiered factor, most expensive first, capped, new queries exempt") {
+    val floors = Map("q1_a" -> 1.0, "q2_b" -> 0.5, "q3_c" -> 2.0, "q5_zero" -> 0.0, "q7_big" -> 1.88)
     val kept = Seq(
-      "q1_a" -> 2.4, // 2.4x floor — under the 2.5x factor, must NOT flag
-      "q2_b" -> 1.3, // 2.6x floor — flags
+      "q1_a" -> 2.4, // floor 1.0 (not > 1 s): 2.5x tier, 2.4x — must NOT flag
+      "q2_b" -> 1.3, // 2.6x a sub-second floor — flags
       "q3_c" -> 8.0, // 4x floor — flags, and is the most expensive
       "q4_new" -> 99.0, // no committed floor (new this round) — exempt
       "q5_zero" -> 9.0, // floor 0 (degenerate) — exempt, no divide-by-zero flagging
-      "q6_fail" -> -1.0 // failed query — exempt
+      "q6_fail" -> -1.0, // failed query — exempt
+      "q7_big" -> 4.5 // the r15 q155 case: 2.42x a 1.88 s floor — the 1.5x tier MUST flag it
     )
-    val got = Bench.floorSuspects(kept, floors, 2.5, 30)
-    assert(got === Seq("q3_c", "q2_b"), "exactly the two breaches, largest median first")
-    assert(Bench.floorSuspects(kept, floors, 2.5, 1) === Seq("q3_c"), "cap keeps the most expensive")
-    assert(Bench.floorSuspects(kept, Map.empty, 2.5, 30).isEmpty, "no floors file -> layer disarms")
+    val got = Bench.floorSuspects(kept, floors, Bench.floorFactor, 30)
+    assert(got === Seq("q3_c", "q7_big", "q2_b"), "exactly the three breaches, largest median first")
+    assert(Bench.floorSuspects(kept, floors, Bench.floorFactor, 1) === Seq("q3_c"), "cap keeps the most expensive")
+    assert(Bench.floorSuspects(kept, Map.empty, Bench.floorFactor, 30).isEmpty, "no floors file -> layer disarms")
+    assert(Bench.floorFactor(0.9) === 2.5 && Bench.floorFactor(1.01) === 1.5, "the tier boundary is 1 s")
   }
 
   test("committed bench_floors.json parses and covers the prior-round registry") {
