@@ -1228,16 +1228,28 @@ object Dedup {
   /** The md5 path's candidate frame — staged separately so
     * [[graft.tools.ProfileQ113]] can time the band-tuple join apart from
     * the verify (the r15 watch item on the ~1 s residual over the native
-    * twin).
+    * twin). The profiler showed the cost IS this stage: 2-row band tuples
+    * at j>=0.8 collide per band with p~0.64, so the dup-dense corpus fans
+    * ~1.9M distinct candidates at sf0.1. The verify's cheap conjuncts
+    * (lang equality, the 0.799 size-ratio prune) are therefore applied
+    * BEFORE the distinct — they reject nothing the verify would keep, so
+    * the final rows (what the oracle gates) are identical, but the
+    * distinct's shuffle input shrinks by every cross-lang / size-skewed
+    * collision.
     */
   private[graft] def q113Md5Candidates(spark: SparkSession, dir: String): DataFrame = {
     val t = md5TokenSignatures(spark, dir)
     val split = Sampling.hashSplitCoin(col("doc_id"))
     val bands = md5BandTuples(t.select(col("doc_id"), col("sig")))
+      .join(t.select(col("doc_id"), col("lang"), col("sz")), "doc_id")
     bands
       .filter(split =!= "test")
       .as("l")
       .join(bands.filter(split === "test").as("r"), Seq("band", "v0", "v1"))
+      .filter(
+        col("l.lang") === col("r.lang") &&
+          col("l.sz") * 0.799 <= col("r.sz") && col("r.sz") * 0.799 <= col("l.sz")
+      )
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .distinct()
   }
