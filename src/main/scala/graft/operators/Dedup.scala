@@ -144,12 +144,24 @@ object Dedup {
       )
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.v0").as("v0"), col("bk.v1").as("v1"))
 
-  private def md5BandCandidates(sigs: DataFrame): DataFrame = {
-    val bands = md5BandTuples(sigs)
+  /** q30's candidate join with the verify's size-ratio conjunct applied
+    * BEFORE the distinct (the q113 lesson, r16): floored/rounded
+    * jaccard >= 0.5 requires raw j >= 0.4999995, and j <= min(sz)/max(sz),
+    * so a 0.499 ratio prune rejects nothing the verify would keep — the
+    * final rows (what the oracle gates) are identical, but size-skewed
+    * band collisions never reach the distinct's shuffle. `szCol` is the
+    * per-doc shingle-set size of whichever signature path is running.
+    */
+  private def q30BandCandidates(sigs: DataFrame, bandRows: DataFrame => DataFrame, szCol: Column): DataFrame = {
+    val bands = bandRows(sigs).join(sigs.select(col("doc_id"), szCol.as("sz")), "doc_id")
+    val keys = bands.columns.filter(c => c != "doc_id" && c != "sz").toSeq
     bands
       .as("l")
-      .join(bands.as("r"), Seq("band", "v0", "v1"))
-      .filter(col("l.doc_id") < col("r.doc_id"))
+      .join(bands.as("r"), keys)
+      .filter(
+        col("l.doc_id") < col("r.doc_id") &&
+          col("l.sz") * 0.499 <= col("r.sz") && col("r.sz") * 0.499 <= col("l.sz")
+      )
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .distinct()
   }
@@ -207,7 +219,8 @@ object Dedup {
     // storage for the session the way a .cache() we can't unpersist would.
     if (minhashPath(spark) == "native") {
       val sigs = signatures(spark, dir).localCheckpoint()
-      val candidates = minhashCandidates(sigs)
+      val candidates =
+        q30BandCandidates(sigs, s => bandBuckets(s.select(col("doc_id"), col("sig"))), size(col("shingles")))
       val sa = sigs.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
       val sb = sigs.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
       // shingle arrays are sorted-distinct → zero-allocation merge intersect
@@ -221,7 +234,8 @@ object Dedup {
         .orderBy(col("doc_a"), col("doc_b"))
     } else {
       val sigs = md5Signatures(spark, dir).localCheckpoint()
-      val candidates = md5BandCandidates(sigs)
+      val candidates =
+        q30BandCandidates(sigs, s => md5BandTuples(s.select(col("doc_id"), col("sig"))), size(col("sh")))
       val sa = sigs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
       val sb = sigs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
       candidates
