@@ -1020,6 +1020,108 @@ object Multimodal {
       .orderBy(col("kind"))
   }
 
+  // ---------------------------------------------------------------------------
+  // q183 — media boilerplate LEDGER: the per-KEY drill-down of q177's
+  // per-kind aggregate — for each kind the LEDGER_TOP_N hottest
+  // fingerprint keys (df desc, key asc) with their carrier count, how many
+  // distinct sources carry them, the dominant source (the "whose logo
+  // card / intro jingle is this" attribution — boilerplate is almost
+  // always source-concentrated), and the candidate-pair mass the df cap
+  // drops for keys over it (df·(df−1)/2 — the exact quantity whose
+  // exclusion makes q115/q175/q181 scale, here made legible per key).
+  // q177 says HOW MUCH boilerplate a corpus has; this says WHICH keys and
+  // WHOSE, the read before tuning MEDIA_FP_MAXDF or filing a bug against
+  // a source's ingestion.
+  //
+  // Scale shape: per kind one (fp, source) rollup over the staged raw
+  // instance table, one fp rollup (dominant source via the fixed-width
+  // max-encode, deterministic in both engines), then a DISTRIBUTED top-N
+  // per leg (orderBy+limit → TakeOrderedAndProject — never a corpus-wide
+  // row_number window: at 100 TB distinct fingerprints are billions and a
+  // per-kind window would single-thread them). The rank column is
+  // assigned by a window over the <= 3·N surviving rows — bounded.
+  // Empty-corpus contract: no keys, no rows, both engines.
+  // ---------------------------------------------------------------------------
+  private[graft] val LEDGER_TOP_N = 20
+
+  def q183MediaHotLedger(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val src = Tables
+      .balanced(Tables.documents(spark, dir))
+      .select(col("doc_id").as("media_id"), col("source"))
+    val imageBandInst = imageBandsCached(spark, dir)
+      .select(col("media_id"), posexplode(col("bands")).as(Seq("band", "bv")))
+      .select(col("media_id"), concat(col("band").cast("string"), lit(":"), col("bv").cast("string")).as("fp"))
+    def leg(kind: String, raw: DataFrame): DataFrame = {
+      val perSrc = raw.join(src, "media_id").groupBy(col("fp"), col("source")).agg(count(lit(1)).as("cnt"))
+      perSrc
+        .groupBy(col("fp"))
+        .agg(
+          sum(col("cnt")).cast("long").as("df"),
+          count(lit(1)).cast("long").as("n_sources"),
+          max(concat(lpad(col("cnt").cast("string"), 19, "0"), col("source"))).as("enc")
+        )
+        .select(lit(kind).as("kind"), col("fp"), col("df"), col("n_sources"), expr("substring(enc, 20)").as("top_source"))
+        .orderBy(col("df").desc, col("fp"))
+        .limit(LEDGER_TOP_N)
+    }
+    val all = leg("audio", audioFpsRawCached(spark, dir))
+      .unionByName(leg("image_bands", imageBandInst))
+      .unionByName(leg("video", videoFpsRawCached(spark, dir)))
+    // rank over the <= 3*N kept rows only — bounded window by construction
+    val w = Window.partitionBy(col("kind")).orderBy(col("df").desc, col("fp"))
+    all
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .withColumn(
+        "dropped_pairs",
+        when(col("df") > MEDIA_FP_MAXDF, expr("df * (df - 1) div 2")).otherwise(lit(0L)).cast("long")
+      )
+      .select(col("kind"), col("rank"), col("fp"), col("df"), col("n_sources"), col("top_source"), col("dropped_pairs"))
+      .orderBy(col("kind"), col("rank"))
+  }
+
+  /** The three instance SQLs nested (the q177 splices), a (fp, source)
+    * rollup per kind, the fixed-width dominant-source encode, then the
+    * identical top-N per kind via QUALIFY.
+    */
+  lazy val q183Oracle: String = {
+    val head = "WITH ai AS (SELECT media_id, fp FROM ("
+    val mid =
+      """)),
+        |vi AS (SELECT media_id, fp FROM (""".stripMargin
+    val midImg =
+      """)),
+        |ib AS (SELECT media_id, bands FROM (""".stripMargin
+    val tail =
+      s""")),
+        |ii AS (
+        |  SELECT media_id, CAST(b.range AS VARCHAR) || ':' || CAST(bands[b.range + 1] AS VARCHAR) AS fp
+        |  FROM ib CROSS JOIN range(8) b),
+        |src AS (SELECT doc_id AS media_id, source FROM documents),
+        |u AS (
+        |  SELECT 'audio' AS kind, fp, media_id FROM ai
+        |  UNION ALL SELECT 'image_bands', fp, media_id FROM ii
+        |  UNION ALL SELECT 'video', fp, media_id FROM vi),
+        |ps AS (
+        |  SELECT kind, fp, source, count(*) AS cnt
+        |  FROM u JOIN src USING (media_id) GROUP BY 1, 2, 3),
+        |agg AS (
+        |  SELECT kind, fp, sum(cnt) AS df, count(*) AS n_sources,
+        |         max(lpad(CAST(cnt AS VARCHAR), 19, '0') || source) AS enc
+        |  FROM ps GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT kind, fp, df, n_sources, enc,
+        |         row_number() OVER (PARTITION BY kind ORDER BY df DESC, fp) AS rank
+        |  FROM agg)
+        |SELECT kind, CAST(rank AS INT) AS rank, fp, CAST(df AS BIGINT) AS df,
+        |       CAST(n_sources AS BIGINT) AS n_sources,
+        |       substring(enc, 20) AS top_source,
+        |       CAST(CASE WHEN df > $MEDIA_FP_MAXDF THEN (df * (df - 1)) // 2 ELSE 0 END AS BIGINT) AS dropped_pairs
+        |FROM rk WHERE rank <= $LEDGER_TOP_N
+        |ORDER BY kind, rank""".stripMargin
+    head + "\n" + q175InstSql + "\n" + mid + "\n" + q115InstSql + "\n" + midImg + "\n" + q114BandsSql + "\n" + tail
+  }
+
   /** All three kinds' raw-instance SQL nested as derived tables (the q163
     * splice rule — audio/video fingerprint instances, image band
     * instances off the q114 chain), then scalar-subquery legs over their
@@ -1565,6 +1667,7 @@ object Multimodal {
     "q116_audio_activity" -> (q116AudioActivity _),
     "q175_audio_neardup" -> (q175AudioNeardup _),
     "q177_media_boilerplate" -> (q177MediaBoilerplate _),
+    "q183_media_hot_ledger" -> (q183MediaHotLedger _),
     "q178_image_decontam" -> (q178ImageDecontam _),
     "q176_media_dedup_profile" -> (q176MediaDedupProfile _),
     "q156_image_dup_clusters" -> (q156ImageDupClusters _)
@@ -1660,6 +1763,7 @@ object Multimodal {
     "q116_audio_activity" -> q116Oracle,
     "q175_audio_neardup" -> q175Oracle,
     "q177_media_boilerplate" -> q177Oracle,
+    "q183_media_hot_ledger" -> q183Oracle,
     "q178_image_decontam" -> q178Oracle,
     "q176_media_dedup_profile" -> q176Oracle,
     "q156_image_dup_clusters" -> q156Oracle

@@ -24,7 +24,8 @@ import graft.operators.{Cartography, Curation, Dedup, Importance, TextOps, Train
   * verbatim-run length profile (q162), the per-source health scorecard
   * (q168), the bloom decontamination economics (q166) next to the
   * UniMax sampling plan (q167), the media dedup profile (q176) with its
-  * boilerplate-fingerprint audit (q177) and the df-capped image mine
+  * boilerplate-fingerprint audit (q177), its per-key hot ledger (q183)
+  * and the df-capped image mine
   * (q181), the image decontamination
   * screen (q178) with the cross-modal decontamination surface (q179)
   * and the decontamination mask export (q182),
@@ -322,6 +323,14 @@ object CorpusReport {
       line(
         f"${r.getString(0)}%6s items=${r.getLong(1)}%5d fps=${r.getLong(2)}%7d " +
           f"hot=${r.getLong(3)}%4d ($hotShare) affected=${r.getLong(5)}%5d max_df=$maxDf"
+      )
+    }
+
+    section("media hot-key ledger (q183): hottest fingerprint keys, source attribution, dropped pair mass")
+    graft.operators.Multimodal.q183MediaHotLedger(spark, dir).collect().take(12).foreach { r =>
+      line(
+        f"${r.getString(0)}%11s #${r.getInt(1)}%2d ${r.getString(2).take(16)}%-16s df=${r.getLong(3)}%5d " +
+          f"sources=${r.getLong(4)}%3d top=${r.getString(5)}%-8s dropped_pairs=${r.getLong(6)}%d"
       )
     }
 

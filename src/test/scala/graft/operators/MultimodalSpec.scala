@@ -559,6 +559,66 @@ class MultimodalSpec extends SparkSpec {
     )
   }
 
+  test("q183 hot ledger: planted boilerplate keys rank first with source attribution and dropped-pair mass; audit-consistent at sf0.001") {
+    import spark.implicits._
+    // 60 identical "logo card" images from srcA + 42 from srcB (every
+    // band key df = 102 > cap) + a rare near-identical pair from srcC:
+    // the ledger must rank the 8 hot keys first, attribute them to srcA
+    // (60 > 42), and price each at 102*101/2 dropped candidate pairs
+    val imgIds = Iterator.from(1).map(_ * 3L)
+    val hotIds = imgIds.take(102).toSeq
+    val rest = Iterator.from(103).map(_ * 3L)
+    val Seq(baseId, editId) = rest.take(2).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("q183hot").toString
+    val hot = "zz  " * 25
+    val base = (1 to 100).map(i => ('a' + i % 26).toChar).mkString
+    val edited = base.updated(10, 'z').updated(11, 'z')
+    (hotIds.take(60).map(id => (id, hot, "srcA")) ++ hotIds.drop(60).map(id => (id, hot, "srcB")) ++
+      Seq((baseId, base, "srcC"), (editId, edited, "srcC")))
+      .map { case (id, text, s) => (id, text, "en", s, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write
+      .parquet(s"$dir/documents.parquet")
+    val rows = Multimodal
+      .q183MediaHotLedger(spark, dir)
+      .collect()
+      .filter(_.getString(0) == "image_bands")
+      .map(r => (r.getInt(1), r.getString(2), r.getLong(3), r.getLong(4), r.getString(5), r.getLong(6)))
+    val hotRows = rows.filter(_._3 >= 102L)
+    // the rare pair's short texts zero out their trailing bands, so they
+    // can share a zero-valued band key with the identicals (df 104, 3
+    // sources) — the 8 hot keys still lead
+    assert(hotRows.length === 8, s"the 8 identical-image band keys must lead the ledger: ${rows.toSeq}")
+    assert(hotRows.map(_._1).sorted.toSeq === (1 to 8), "hot keys occupy ranks 1-8")
+    hotRows.foreach { case (_, fp, df, nSrc, top, dropped) =>
+      assert(df >= 102L && nSrc >= 2L, s"every planted copy is counted: $fp df=$df n_sources=$nSrc")
+      assert(top === "srcA", s"dominant source is the 60-copy one: $fp -> $top")
+      assert(dropped === df * (df - 1L) / 2L, s"dropped candidate mass priced exactly: $fp -> $dropped")
+    }
+    assert(hotRows.exists(r => r._3 === 102L && r._4 === 2L), "some band key is carried by the identicals alone")
+    // rare keys below the cap carry no dropped mass
+    rows.filter(_._3 <= Multimodal.MEDIA_FP_MAXDF).foreach(r => assert(r._6 === 0L, s"rare key priced nonzero: $r"))
+
+    // sf0.001 invariants: per kind contiguous ranks, non-increasing df,
+    // nothing hot (q177 pins max_df <= cap there), and the rank-1 df must
+    // equal q177's audited max_df — the ledger IS the audit's drill-down
+    val led = Multimodal.q183MediaHotLedger(spark, sfDir).collect()
+    val audit = Multimodal
+      .q177MediaBoilerplate(spark, sfDir)
+      .collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("max_df"))
+      .toMap
+    led.groupBy(_.getString(0)).foreach { case (kind, rs) =>
+      val byRank = rs.sortBy(_.getInt(1))
+      assert(byRank.map(_.getInt(1)).toSeq === (1 to rs.length), s"$kind ranks contiguous")
+      val dfs = byRank.map(_.getLong(3)).toSeq
+      assert(dfs === dfs.sorted.reverse, s"$kind df non-increasing: $dfs")
+      assert(rs.forall(_.getLong(6) === 0L), s"$kind has no hot keys at sf0.001")
+      assert(dfs.head === audit(kind), s"$kind rank-1 df must equal q177's max_df")
+    }
+    info(s"sf0.001 ledger: ${led.length} rows across ${led.map(_.getString(0)).distinct.length} kinds")
+  }
+
   test("q178 capped screen: hot-band cross-split identicals do not flag; a rare leak still does; capped subset of uncapped") {
     import spark.implicits._
     def bucketOf(id: Long): Int = {
