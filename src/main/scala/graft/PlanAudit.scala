@@ -87,7 +87,7 @@ object PlanAudit {
     ),
     "q179_decontam_surface" -> Map(
       "BroadcastNestedLoopJoin" ->
-        "per method one 1-row flagged aggregate crossed with the 1-row scope aggregate — the q70 broadcast-scalar pattern; every flagged set reaches its mass join keyed on doc_id",
+        "ONE 1-row conditional aggregate (scopes + three frame legs) crossed with the 1-row bloom aggregate before the stack unpivot — the q70 broadcast-scalar pattern; every flagged set reaches its mass join keyed on doc_id",
       "CartesianProduct" ->
         "same 1-row x 1-row combine when the planner picks the cartesian form"
     ),

@@ -2494,10 +2494,13 @@ object Dedup {
   //                    leg IS q178's output; every q178 row has
   //                    n_eval_matches >= 1).
   // The bloom leg is NOT in the frame (q166 is a declared superset of q67
-  // — different screen) and serves from its own session cache. Each leg
-  // collapses in one global aggregate; the scope rows are 1-row broadcasts
-  // (whitelisted). Empty-corpus contract: four all-zero rows with NULL
-  // fractions (CASE-guarded, the ANSI rule) in both engines.
+  // — different screen) and serves from its own session cache. The three
+  // frame legs AND both scopes collapse in ONE conditional aggregate over
+  // the (train docs ⋈ frame) left join, crossed with the 1-row bloom
+  // aggregate and unpivoted to the four method rows (stack) — two Spark
+  // jobs total instead of four leg compositions. Empty-corpus contract:
+  // four all-zero rows with NULL fractions (CASE-guarded, the ANSI rule)
+  // in both engines (a global aggregate always emits its row).
   // ---------------------------------------------------------------------------
   private val q179ScopeCache = new SessionCache[DataFrame]
 
@@ -2524,23 +2527,46 @@ object Dedup {
         )
         .localCheckpoint()
     }
-    def scopeOf(frame: DataFrame): DataFrame =
-      frame.agg(count(lit(1)).as("n_scope"), coalesce(sum(col("n_chars")), lit(0L)).as("scope_chars"))
-    val scopeAll = scopeOf(docs)
-    val scopeImg = scopeOf(docs.filter(col("kind") === lit("image")))
-    def leg(method: String, flagged: DataFrame, scope: DataFrame): DataFrame =
-      flagged
-        .select(col("doc_id"))
-        .distinct()
-        .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
-        .agg(count(lit(1)).as("n_flagged"), coalesce(sum(col("n_chars")), lit(0L)).as("flagged_chars"))
-        .crossJoin(broadcast(scope))
-        .withColumn("method", lit(method))
     val frame = contaminationDepthCached(spark, dir)
-    leg("8gram_exact", frame.filter(col("ngram_hits") > 0), scopeAll)
-      .unionByName(leg("bloom_screen", Curation.q166BloomScreen(spark, dir), scopeAll))
-      .unionByName(leg("verbatim_spans", frame.filter(col("max_run") > 0), scopeAll))
-      .unionByName(leg("image_neardup", frame.filter(col("img_leaks") > 0), scopeImg))
+    def flaggedAgg(pred: Column, f: String, c: String): Seq[Column] = Seq(
+      coalesce(sum(when(pred, 1L).otherwise(0L)), lit(0L)).as(f),
+      coalesce(sum(when(pred, col("n_chars")).otherwise(0L)), lit(0L)).as(c)
+    )
+    val one = docs
+      .join(
+        frame.select(col("doc_id"), col("ngram_hits"), col("max_run"), col("img_leaks")),
+        Seq("doc_id"),
+        "left"
+      )
+      .agg(
+        count(lit(1)).as("n_scope_all"),
+        (Seq(
+          coalesce(sum(col("n_chars")), lit(0L)).as("scope_chars_all"),
+          coalesce(sum(when(col("kind") === lit("image"), 1L).otherwise(0L)), lit(0L)).as("n_scope_img"),
+          coalesce(sum(when(col("kind") === lit("image"), col("n_chars")).otherwise(0L)), lit(0L))
+            .as("scope_chars_img")
+        ) ++ flaggedAgg(col("ngram_hits") > 0, "f1", "c1")
+          ++ flaggedAgg(col("max_run") > 0, "f3", "c3")
+          ++ flaggedAgg(col("img_leaks") > 0, "f4", "c4")): _*
+      )
+    // the bloom flagged set is train-only by construction (q166 screens
+    // the train split), so the docs join changes nothing but carries mass
+    val bloom = Curation
+      .q166BloomScreen(spark, dir)
+      .select(col("doc_id"))
+      .distinct()
+      .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+      .agg(count(lit(1)).as("f2"), coalesce(sum(col("n_chars")), lit(0L)).as("c2"))
+    one
+      .crossJoin(broadcast(bloom))
+      .select(expr(
+        """stack(4,
+          |  '8gram_exact',    n_scope_all, scope_chars_all, f1, c1,
+          |  'bloom_screen',   n_scope_all, scope_chars_all, f2, c2,
+          |  'image_neardup',  n_scope_img, scope_chars_img, f4, c4,
+          |  'verbatim_spans', n_scope_all, scope_chars_all, f3, c3
+          |) AS (method, n_scope, scope_chars, n_flagged, flagged_chars)""".stripMargin
+      ))
       .select(
         col("method"),
         col("n_scope"),
