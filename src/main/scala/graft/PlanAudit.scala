@@ -85,12 +85,6 @@ object PlanAudit {
       "BroadcastNestedLoopJoin" ->
         "1-row broadcast totals (corpus token mass + source count) joined onto per-source rows — the q70 broadcast-scalar pattern"
     ),
-    "q179_decontam_surface" -> Map(
-      "BroadcastNestedLoopJoin" ->
-        "ONE 1-row conditional aggregate (scopes + three frame legs) crossed with the 1-row bloom aggregate before the stack unpivot — the q70 broadcast-scalar pattern; every flagged set reaches its mass join keyed on doc_id",
-      "CartesianProduct" ->
-        "same 1-row x 1-row combine when the planner picks the cartesian form"
-    ),
     "q177_media_boilerplate" -> Map(
       "BroadcastNestedLoopJoin" ->
         "per kind three 1-row aggregates (fp stats, item count, affected count) cross-joined into one audit row — the q70 broadcast-scalar pattern; the hot-fp probe join is keyed on fp",

@@ -2494,13 +2494,15 @@ object Dedup {
   //                    leg IS q178's output; every q178 row has
   //                    n_eval_matches >= 1).
   // The bloom leg is NOT in the frame (q166 is a declared superset of q67
-  // — different screen) and serves from its own session cache. The three
-  // frame legs AND both scopes collapse in ONE conditional aggregate over
-  // the (train docs ⋈ frame) left join, crossed with the 1-row bloom
-  // aggregate and unpivoted to the four method rows (stack) — two Spark
-  // jobs total instead of four leg compositions. Empty-corpus contract:
-  // four all-zero rows with NULL fractions (CASE-guarded, the ANSI rule)
-  // in both engines (a global aggregate always emits its row).
+  // — different screen) but its flagged set is train-only and keyed on
+  // doc_id, so it left-joins the same spine as the frame: ALL four legs
+  // and both scopes collapse in ONE conditional aggregate over the
+  // (train docs ⋈ frame ⋈ bloom-flag) join, unpivoted to the four method
+  // rows (stack) — one aggregate job instead of four leg compositions,
+  // and no broadcast-scalar cross join left anywhere in the plan.
+  // Empty-corpus contract: four all-zero rows with NULL fractions
+  // (CASE-guarded, the ANSI rule) in both engines (a global aggregate
+  // always emits its row).
   // ---------------------------------------------------------------------------
   private val q179ScopeCache = new SessionCache[DataFrame]
 
@@ -2528,6 +2530,14 @@ object Dedup {
         .localCheckpoint()
     }
     val frame = contaminationDepthCached(spark, dir)
+    // the bloom flagged set is train-only by construction (q166 screens
+    // the train split), so left-joining it onto the train spine loses
+    // nothing — it becomes one more conditional column
+    val bloomFlagged = Curation
+      .q166BloomScreen(spark, dir)
+      .select(col("doc_id"))
+      .distinct()
+      .withColumn("bl", lit(1))
     def flaggedAgg(pred: Column, f: String, c: String): Seq[Column] = Seq(
       coalesce(sum(when(pred, 1L).otherwise(0L)), lit(0L)).as(f),
       coalesce(sum(when(pred, col("n_chars")).otherwise(0L)), lit(0L)).as(c)
@@ -2538,6 +2548,7 @@ object Dedup {
         Seq("doc_id"),
         "left"
       )
+      .join(bloomFlagged, Seq("doc_id"), "left")
       .agg(
         count(lit(1)).as("n_scope_all"),
         (Seq(
@@ -2546,19 +2557,11 @@ object Dedup {
           coalesce(sum(when(col("kind") === lit("image"), col("n_chars")).otherwise(0L)), lit(0L))
             .as("scope_chars_img")
         ) ++ flaggedAgg(col("ngram_hits") > 0, "f1", "c1")
+          ++ flaggedAgg(col("bl") === 1, "f2", "c2")
           ++ flaggedAgg(col("max_run") > 0, "f3", "c3")
           ++ flaggedAgg(col("img_leaks") > 0, "f4", "c4")): _*
       )
-    // the bloom flagged set is train-only by construction (q166 screens
-    // the train split), so the docs join changes nothing but carries mass
-    val bloom = Curation
-      .q166BloomScreen(spark, dir)
-      .select(col("doc_id"))
-      .distinct()
-      .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
-      .agg(count(lit(1)).as("f2"), coalesce(sum(col("n_chars")), lit(0L)).as("c2"))
     one
-      .crossJoin(broadcast(bloom))
       .select(expr(
         """stack(4,
           |  '8gram_exact',    n_scope_all, scope_chars_all, f1, c1,
