@@ -1521,6 +1521,7 @@ object Curation {
         col("source"),
         col("norm"),
         col("n_tokens"),
+        col("n_chars"),
         col("reason"),
         col("bucket"),
         col("fp"),

@@ -2516,25 +2516,42 @@ object Dedup {
     // session-cached (r16): the surface is a dashboard read repeatedly
     // against the same corpus snapshot, and with every leg served from
     // cached state this scan was the only remaining per-call corpus touch
-    val docs = q179ScopeCache.getOrBuild(spark, dir) {
+    q179SurfaceOver(
+      trainScopeCached(spark, dir),
+      contaminationDepthCached(spark, dir),
+      Curation.q166BloomScreen(spark, dir)
+    )
+  }
+
+  /** The session-cached train-split scope frame (doc_id, n_chars) — one
+    * corpus scan shared by q179's surface and q184's overlap matrix.
+    */
+  private def trainScopeCached(spark: SparkSession, dir: String): DataFrame =
+    q179ScopeCache.getOrBuild(spark, dir) {
       Tables
         .balanced(Tables.documents(spark, dir))
         .withColumn("bucket", conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10).cast("int"))
         .filter(col("bucket") < Sampling.SPLIT_TRAIN_LT)
-        .select(
-          col("doc_id"),
-          col("n_chars"),
-          element_at(array(lit("image"), lit("audio"), lit("video")), (col("doc_id") % 3 + 1).cast("int"))
-            .as("kind")
-        )
+        .select(col("doc_id"), col("n_chars"))
         .localCheckpoint()
     }
-    val frame = contaminationDepthCached(spark, dir)
+
+  /** The surface rollup over ANY (train-split (doc_id, n_chars) scope,
+    * decision frame, q166-flagged frame) — shared by the batch query and
+    * [[graft.streaming.StreamingDecontam]]'s maintained-state serve (whose
+    * scope comes off the corpus maintainer's stage table, r16's `n_chars`
+    * state column). The modality kind is derived here from doc_id — one
+    * definition for both callers.
+    */
+  private[graft] def q179SurfaceOver(train: DataFrame, frame: DataFrame, bloomScreen: DataFrame): DataFrame = {
+    val docs = train.withColumn(
+      "kind",
+      element_at(array(lit("image"), lit("audio"), lit("video")), (col("doc_id") % 3 + 1).cast("int"))
+    )
     // the bloom flagged set is train-only by construction (q166 screens
     // the train split), so left-joining it onto the train spine loses
     // nothing — it becomes one more conditional column
-    val bloomFlagged = Curation
-      .q166BloomScreen(spark, dir)
+    val bloomFlagged = bloomScreen
       .select(col("doc_id"))
       .distinct()
       .withColumn("bl", lit(1))
@@ -2631,6 +2648,155 @@ object Dedup {
          |       $q179FracSql AS flagged_frac,
          |       $q179CharsFracSql AS chars_frac
          |FROM legs ORDER BY method""".stripMargin
+    head + "\n" + Curation.q67Oracle + "\n" + b12 + "\n" + Curation.q166Oracle + "\n" + b23 + "\n" +
+      q152Oracle + "\n" + b34 + "\n" + Multimodal.q178Oracle + "\n" + tail
+  }
+
+  // ---------------------------------------------------------------------------
+  // q184 — decontamination method OVERLAP matrix: the dashboard read AFTER
+  // q179. q179 says how much each method flags; this says how much the
+  // methods flag the SAME documents — the redundancy/complementarity
+  // question a curator answers before deciding which screens to keep
+  // running at 100 TB (a method whose flagged set is contained in a
+  // cheaper method's set buys nothing; a disjoint one is load-bearing).
+  // One row per unordered method pair (6 rows over the 4 methods of
+  // q179): flagged counts for both sides, the intersection, the union,
+  // the overlap Jaccard, and the containment (intersection over the
+  // smaller set — 1.0 reads "the smaller screen is subsumed").
+  //
+  // Scale shape: the same cached spine as q179 — train scope (session
+  // cache) left-joined to the cached q163 decision frame and the served
+  // q166 screen, reduced by ONE conditional aggregate to a single row of
+  // 10 counts and stack-unpivoted onto the 6 pair rows. No pair join,
+  // no window, nothing corpus-sized after the keyed joins; the pairwise
+  // intersections are products of per-doc 0/1 flags inside the same
+  // aggregate. Fractions are floored micros over exact 64-bit counts,
+  // CASE-guarded (the ANSI zero-denominator rule) in both engines.
+  //
+  // Method keys and their flag identities are EXACTLY q179's (8gram_exact
+  // = frame.ngram_hits > 0, bloom_screen = q166 membership, image_neardup
+  // = frame.img_leaks > 0, verbatim_spans = frame.max_run > 0); the
+  // oracle replays the four leg chains wholesale (q163 splice rule), so
+  // the identities stay hash-gated here too.
+  // ---------------------------------------------------------------------------
+  private val q184JaccardSql =
+    "CASE WHEN n_union = 0 THEN NULL ELSE floor(CAST(n_both AS DOUBLE) * 1e6 / n_union + 5e-1) / 1e6 END"
+  private val q184ContainSql =
+    "CASE WHEN least(n_a, n_b) = 0 THEN NULL ELSE floor(CAST(n_both AS DOUBLE) * 1e6 / least(n_a, n_b) + 5e-1) / 1e6 END"
+
+  def q184DecontamOverlap(spark: SparkSession, dir: String): DataFrame =
+    q184OverlapOver(
+      trainScopeCached(spark, dir).select(col("doc_id")),
+      contaminationDepthCached(spark, dir),
+      Curation.q166BloomScreen(spark, dir)
+    )
+
+  /** The overlap rollup over ANY (train-split (doc_id) scope, decision
+    * frame, q166-flagged frame) — shared by the batch query and
+    * [[graft.streaming.StreamingDecontam]]'s maintained-state serve.
+    * Flag columns m1..m4 are in lexicographic METHOD order (8gram_exact,
+    * bloom_screen, image_neardup, verbatim_spans) so the stack rows land
+    * pre-sorted on (method_a, method_b).
+    */
+  private[graft] def q184OverlapOver(train: DataFrame, frame: DataFrame, bloomScreen: DataFrame): DataFrame = {
+    val bloomFlagged = bloomScreen.select(col("doc_id")).distinct().withColumn("bl", lit(1))
+    val flags = train
+      .join(
+        frame.select(col("doc_id"), col("ngram_hits"), col("max_run"), col("img_leaks")),
+        Seq("doc_id"),
+        "left"
+      )
+      .join(bloomFlagged, Seq("doc_id"), "left")
+      .select(
+        when(col("ngram_hits") > 0, 1L).otherwise(0L).as("m1"),
+        when(col("bl") === 1, 1L).otherwise(0L).as("m2"),
+        when(col("img_leaks") > 0, 1L).otherwise(0L).as("m3"),
+        when(col("max_run") > 0, 1L).otherwise(0L).as("m4")
+      )
+    val one = flags.agg(
+      coalesce(sum(col("m1")), lit(0L)).as("n1"),
+      (Seq("m2" -> "n2", "m3" -> "n3", "m4" -> "n4")
+        .map { case (m, n) => coalesce(sum(col(m)), lit(0L)).as(n) } ++
+        Seq(("m1", "m2", "b12"), ("m1", "m3", "b13"), ("m1", "m4", "b14"),
+          ("m2", "m3", "b23"), ("m2", "m4", "b24"), ("m3", "m4", "b34"))
+          .map { case (a, b, n) => coalesce(sum(col(a) * col(b)), lit(0L)).as(n) }): _*
+    )
+    one
+      .select(expr(
+        """stack(6,
+          |  '8gram_exact',   'bloom_screen',   n1, n2, b12,
+          |  '8gram_exact',   'image_neardup',  n1, n3, b13,
+          |  '8gram_exact',   'verbatim_spans', n1, n4, b14,
+          |  'bloom_screen',  'image_neardup',  n2, n3, b23,
+          |  'bloom_screen',  'verbatim_spans', n2, n4, b24,
+          |  'image_neardup', 'verbatim_spans', n3, n4, b34
+          |) AS (method_a, method_b, n_a, n_b, n_both)""".stripMargin
+      ))
+      .withColumn("n_union", col("n_a") + col("n_b") - col("n_both"))
+      .select(
+        col("method_a"),
+        col("method_b"),
+        col("n_a"),
+        col("n_b"),
+        col("n_both"),
+        col("n_union"),
+        expr(q184JaccardSql).as("overlap_jaccard"),
+        expr(q184ContainSql).as("containment")
+      )
+      .orderBy(col("method_a"), col("method_b"))
+  }
+
+  /** The same four leg oracles as [[q179Oracle]] nested as derived tables
+    * (q163 splice rule), reduced to per-doc 0/1 flags on the train spine,
+    * one aggregate row of the 10 counts, then the 6 pair rows. Note the
+    * splice ORDER is q179's (g3 = verbatim runs, g4 = image) while the
+    * flag order is lexicographic by method name — m3 reads g4, m4 reads
+    * g3.
+    */
+  lazy val q184Oracle: String = {
+    val head =
+      s"""WITH trs AS (
+         |  SELECT doc_id FROM documents
+         |  WHERE ('0x' || substring(md5(doc_id::VARCHAR), 1, 2))::INT < ${Sampling.SPLIT_TRAIN_LT}),
+         |g1 AS (SELECT DISTINCT doc_id FROM (""".stripMargin
+    val b12 = """)),
+                |g2 AS (SELECT DISTINCT doc_id FROM (""".stripMargin
+    val b23 = """)),
+                |g3 AS (SELECT DISTINCT doc_id FROM (""".stripMargin
+    val b34 = """)),
+                |g4 AS (SELECT DISTINCT train_id AS doc_id FROM (""".stripMargin
+    val tail =
+      s""")),
+         |fl AS (
+         |  SELECT CASE WHEN g1.doc_id IS NOT NULL THEN 1 ELSE 0 END AS m1,
+         |         CASE WHEN g2.doc_id IS NOT NULL THEN 1 ELSE 0 END AS m2,
+         |         CASE WHEN g4.doc_id IS NOT NULL THEN 1 ELSE 0 END AS m3,
+         |         CASE WHEN g3.doc_id IS NOT NULL THEN 1 ELSE 0 END AS m4
+         |  FROM trs t
+         |  LEFT JOIN g1 ON t.doc_id = g1.doc_id
+         |  LEFT JOIN g2 ON t.doc_id = g2.doc_id
+         |  LEFT JOIN g3 ON t.doc_id = g3.doc_id
+         |  LEFT JOIN g4 ON t.doc_id = g4.doc_id),
+         |agg AS (
+         |  SELECT coalesce(sum(m1), 0) AS n1, coalesce(sum(m2), 0) AS n2,
+         |         coalesce(sum(m3), 0) AS n3, coalesce(sum(m4), 0) AS n4,
+         |         coalesce(sum(m1 * m2), 0) AS b12, coalesce(sum(m1 * m3), 0) AS b13,
+         |         coalesce(sum(m1 * m4), 0) AS b14, coalesce(sum(m2 * m3), 0) AS b23,
+         |         coalesce(sum(m2 * m4), 0) AS b24, coalesce(sum(m3 * m4), 0) AS b34
+         |  FROM fl),
+         |pairs AS (
+         |  SELECT '8gram_exact' AS method_a, 'bloom_screen' AS method_b, n1 AS n_a, n2 AS n_b, b12 AS n_both FROM agg
+         |  UNION ALL SELECT '8gram_exact', 'image_neardup', n1, n3, b13 FROM agg
+         |  UNION ALL SELECT '8gram_exact', 'verbatim_spans', n1, n4, b14 FROM agg
+         |  UNION ALL SELECT 'bloom_screen', 'image_neardup', n2, n3, b23 FROM agg
+         |  UNION ALL SELECT 'bloom_screen', 'verbatim_spans', n2, n4, b24 FROM agg
+         |  UNION ALL SELECT 'image_neardup', 'verbatim_spans', n3, n4, b34 FROM agg),
+         |pu AS (SELECT method_a, method_b, n_a, n_b, n_both, n_a + n_b - n_both AS n_union FROM pairs)
+         |SELECT method_a, method_b, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+         |       CAST(n_both AS BIGINT) AS n_both, CAST(n_union AS BIGINT) AS n_union,
+         |       $q184JaccardSql AS overlap_jaccard,
+         |       $q184ContainSql AS containment
+         |FROM pu ORDER BY method_a, method_b""".stripMargin
     head + "\n" + Curation.q67Oracle + "\n" + b12 + "\n" + Curation.q166Oracle + "\n" + b23 + "\n" +
       q152Oracle + "\n" + b34 + "\n" + Multimodal.q178Oracle + "\n" + tail
   }
@@ -2806,6 +2972,7 @@ object Dedup {
     "q182_decontam_mask_export" -> (q182DecontamMaskExport _),
     "q152_winnow_contamination" -> (q152WinnowContamination _),
     "q179_decontam_surface" -> (q179DecontamSurface _),
+    "q184_decontam_overlap" -> (q184DecontamOverlap _),
     "q146_lsh_plan" -> (q146LshPlan _),
     "q144_winnow_pairs" -> (q144WinnowPairs _),
     "q29_exact_dedup" -> (q29ExactDedup _),
@@ -2853,6 +3020,7 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "q152_winnow_contamination" -> q152Oracle,
     "q179_decontam_surface" -> q179Oracle,
+    "q184_decontam_overlap" -> q184Oracle,
     "q146_lsh_plan" -> q146Oracle,
     "q144_winnow_pairs" -> q144Oracle,
     "q162_verbatim_run_profile" -> q162Oracle,

@@ -52,6 +52,7 @@ object StreamingCorpus {
       StructField("doc_id", LongType),
       StructField("source", StringType),
       StructField("n_tokens", LongType),
+      StructField("n_chars", LongType),
       StructField("u", DoubleType),
       StructField("stage", StringType)
     )
@@ -81,6 +82,22 @@ object StreamingCorpus {
     val (stagesDir, fpDir, testShDir, eligShDir) = dirs(stateDir)
     val watermark = readWatermark(stateDir)
     val all = spark.read.parquet(docsDir)
+    // state-schema migration (r16: the stage table grew `n_chars` so the
+    // q179 surface can serve char mass without re-reading documents): a
+    // stage table written under the old schema self-heals on the FIRST
+    // post-upgrade tick — backfilled by a keyed join against the landing
+    // directory the state was built from, committed before the delta
+    // check so one tick suffices even when no new documents arrived.
+    // Docs since removed from the landing dir backfill as NULL (their
+    // char mass is genuinely unknown); everything else is exact.
+    val preStages = StateStore.readTable(spark, stagesDir, stageSchema)
+    if (!preStages.columns.contains("n_chars"))
+      StateStore.commit(
+        preStages
+          .join(all.select(col("doc_id"), col("n_chars")), Seq("doc_id"), "left")
+          .select(stageSchema.fieldNames.map(col): _*),
+        stagesDir
+      )
     val newWatermark =
       Option(all.agg(max(col("doc_id"))).head().get(0)).map(_.asInstanceOf[Long]).getOrElse(-1L)
     val delta = all.filter(col("doc_id") > watermark)
@@ -155,7 +172,7 @@ object StreamingCorpus {
         "stage",
         expr("CASE WHEN stage0 = 'eligible' AND coalesce(contam, false) THEN 'contaminated' ELSE stage0 END")
       )
-      .select(col("doc_id"), col("source"), col("n_tokens"), col("u"), col("stage"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("n_chars"), col("u"), col("stage"))
       .localCheckpoint(true)
 
     // --- RETROACTIVE contamination: old eligibles hit by NEW test shingles ---

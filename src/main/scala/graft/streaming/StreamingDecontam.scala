@@ -21,8 +21,9 @@ import graft.operators.{Curation, Dedup, Multimodal, Sampling}
   *     (`media/media_fp` — [[StreamingMediaFps]]), df-capped inside the
   *     shared screen (the q181 bucket rule), so the served join can never
   *     go quadratic on a mass-duplicated frame,
-  *   - and, for the cost ledger, per-doc token counts: the corpus
-  *     maintainer's stage table (`corpus/stages` — [[StreamingCorpus]]).
+  *   - and, for the cost ledger and the q179 surface's scope, per-doc
+  *     token and char counts: the corpus maintainer's stage table
+  *     (`corpus/stages` — [[StreamingCorpus]]).
   *
   * The cross-document parts — the exact jaccard pair join, the run
   * restriction to split-crossing pairs, the capped band-bucket join, and
@@ -75,15 +76,62 @@ object StreamingDecontam {
     */
   def ledger(spark: SparkSession, stateRoot: String): DataFrame =
     Dedup.decontamLedgerOver(
-      StreamingCorpus
-        .readStages(spark, s"$stateRoot/corpus")
-        .filter(
-          conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10).cast("int") <
-            Sampling.SPLIT_TRAIN_LT
-        )
+      trainStages(spark, stateRoot)
         .select(col("doc_id"), col("source"), col("n_tokens").as("n_toks")),
       decisionsOver(spark, stateRoot, runPairsOf(spark, stateRoot))
     )
+
+  /** q179's cross-modal decontamination SURFACE from maintained state —
+    * the method-coverage dashboard over the same train scope: the corpus
+    * maintainer's stage table carries the scope's `n_chars` mass (the r16
+    * state column; a pre-migration stage table self-heals on its next
+    * [[StreamingCorpus.tick]]), the three frame legs ride the shared
+    * decision composition, and the bloom leg is the SAME
+    * [[graft.operators.Curation.bloomScreenFrom]] screen the q166
+    * maintainer serves — so the whole surface costs keyed joins over
+    * maintained tables, never a corpus re-read. Equal to batch
+    * [[Dedup.q179DecontamSurface]] over every document the ticks have
+    * covered.
+    */
+  def surface(spark: SparkSession, stateRoot: String): DataFrame = {
+    val stages = trainStages(spark, stateRoot)
+    require(
+      stages.columns.contains("n_chars"),
+      "pre-migration corpus state (no n_chars column): run one StreamingCorpus.tick to backfill it"
+    )
+    Dedup.q179SurfaceOver(
+      stages.select(col("doc_id"), col("n_chars")),
+      decisionsOver(spark, stateRoot, runPairsOf(spark, stateRoot)),
+      StreamingBloomScreen.screenTable(spark, s"$stateRoot/bloom")
+    )
+  }
+
+  /** q184's method-overlap matrix from maintained state — the redundancy
+    * read after the surface, over the same served inputs (scope ids off
+    * the corpus maintainer, frame legs off the shared composition, bloom
+    * leg off the screen maintainer). Needs no char mass, so it serves
+    * even from a pre-migration stage table. Equal to batch
+    * [[Dedup.q184DecontamOverlap]] over every document the ticks have
+    * covered.
+    */
+  def overlap(spark: SparkSession, stateRoot: String): DataFrame =
+    Dedup.q184OverlapOver(
+      trainStages(spark, stateRoot).select(col("doc_id")),
+      decisionsOver(spark, stateRoot, runPairsOf(spark, stateRoot)),
+      StreamingBloomScreen.screenTable(spark, s"$stateRoot/bloom")
+    )
+
+  /** The corpus maintainer's stage table restricted to the train split —
+    * the scope frame q172's ledger, q179's surface, and q184's overlap
+    * matrix share (the same md5 coin as every batch split).
+    */
+  private def trainStages(spark: SparkSession, stateRoot: String): DataFrame =
+    StreamingCorpus
+      .readStages(spark, s"$stateRoot/corpus")
+      .filter(
+        conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10).cast("int") <
+          Sampling.SPLIT_TRAIN_LT
+      )
 
   /** The winnow run-pair frame off the maintained position slices — built
     * once per serve entry and shared by every consumer (the decision

@@ -27,7 +27,8 @@ import graft.operators.{Cartography, Curation, Dedup, Importance, TextOps, Train
   * boilerplate-fingerprint audit (q177), its per-key hot ledger (q183)
   * and the df-capped image mine
   * (q181), the image decontamination
-  * screen (q178) with the cross-modal decontamination surface (q179)
+  * screen (q178) with the cross-modal decontamination surface (q179),
+  * its method-overlap matrix (q184),
   * and the decontamination mask export (q182),
   * and the shard manifest (q83),
   * rendered as one text
@@ -351,6 +352,16 @@ object CorpusReport {
       line(
         f"${r.getString(0)}%-14s flagged=${r.getLong(3)}%5d/${r.getLong(1)}%5d ($frac) " +
           f"chars=${r.getLong(4)}%9d/${r.getLong(2)}%9d ($cfrac)"
+      )
+    }
+
+    section("decontamination method overlap (q184): redundancy across screens")
+    Dedup.q184DecontamOverlap(spark, dir).collect().foreach { r =>
+      val jac = if (r.isNullAt(6)) "-" else f"${r.getDouble(6)}%6.4f"
+      val cont = if (r.isNullAt(7)) "-" else f"${r.getDouble(7)}%6.4f"
+      line(
+        f"${r.getString(0)}%-14s ∩ ${r.getString(1)}%-14s both=${r.getLong(4)}%5d " +
+          f"of ${r.getLong(2)}%5d/${r.getLong(3)}%5d jac=$jac contain=$cont"
       )
     }
 

@@ -1118,4 +1118,39 @@ class DedupSpec extends SparkSpec {
       s"sf0.001: " + got.map { case (m, (s2, _, f, _)) => s"$m $f/$s2" }.mkString(", ")
     )
   }
+
+  test("q184 overlap matrix: every pair cell recomposes from the leg queries' flagged sets") {
+    def flaggedOf(df: org.apache.spark.sql.DataFrame, idCol: String): Set[Long] =
+      df.select(idCol).collect().map(_.getLong(0)).toSet
+    val sets = Map(
+      "8gram_exact" -> flaggedOf(graft.operators.Curation.q67Contamination(spark, sfDir), "doc_id"),
+      "bloom_screen" -> flaggedOf(graft.operators.Curation.q166BloomScreen(spark, sfDir), "doc_id"),
+      "verbatim_spans" -> flaggedOf(Dedup.q152WinnowContamination(spark, sfDir), "doc_id"),
+      "image_neardup" -> flaggedOf(graft.operators.Multimodal.q178ImageDecontam(spark, sfDir), "train_id")
+    )
+    val rows = Dedup.q184DecontamOverlap(spark, sfDir).collect()
+    assert(rows.length === 6, "one row per unordered method pair")
+    rows.foreach { r =>
+      val (ma, mb) = (r.getString(0), r.getString(1))
+      assert(ma < mb, s"pairs are lexicographic, got ($ma, $mb)")
+      val (sa, sb) = (sets(ma), sets(mb))
+      assert(r.getLong(2) === sa.size.toLong, s"($ma,$mb) n_a")
+      assert(r.getLong(3) === sb.size.toLong, s"($ma,$mb) n_b")
+      assert(r.getLong(4) === (sa & sb).size.toLong, s"($ma,$mb) n_both must be the set intersection")
+      assert(r.getLong(5) === (sa | sb).size.toLong, s"($ma,$mb) n_union must be the set union")
+      val union = r.getLong(5)
+      if (union > 0) {
+        val wantJac = math.floor(r.getLong(4).toDouble * 1e6 / union + 0.5) / 1e6
+        assert(r.getDouble(6) === wantJac, s"($ma,$mb) floored-micro jaccard")
+      } else assert(r.isNullAt(6), s"($ma,$mb) empty union yields NULL jaccard")
+    }
+    // the declared superset collapses to containment 1: every exact
+    // 8-gram offender is bloom-flagged, so the pair's intersection IS the
+    // 8-gram set
+    val supRow = rows.find(r => r.getString(0) == "8gram_exact" && r.getString(1) == "bloom_screen").get
+    assert(supRow.getLong(4) === supRow.getLong(2), "bloom contains the exact set")
+    if (supRow.getLong(2) > 0)
+      assert(supRow.getDouble(7) === 1.0, "containment of the subsumed screen reads 1.0")
+    info(rows.map(r => s"${r.getString(0)}∩${r.getString(1)}=${r.getLong(4)}").mkString(", "))
+  }
 }

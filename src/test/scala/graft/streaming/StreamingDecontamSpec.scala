@@ -133,6 +133,41 @@ class StreamingDecontamSpec extends SparkSpec {
     // row — one ledger row per (source, action), each a single doc
     assert(led.keys.exists(_._2 == "drop") && led.values.forall(_ === 1L), s"ledger actions present: $led")
 
+    // the cross-modal surface serves from the same states (scope chars off
+    // the corpus maintainer, bloom leg off the screen maintainer) and
+    // equals batch q179 — the dashboard read with no corpus re-scan
+    assert(
+      canon(StreamingDecontam.surface(spark, stateRoot)) ===
+        canon(Dedup.q179DecontamSurface(spark, dataDir)),
+      "served decontamination surface must equal batch q179"
+    )
+    val surf = StreamingDecontam
+      .surface(spark, stateRoot)
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(3))
+      .toMap
+    // after drop 2 every planted text offender shares 8-grams with a test
+    // doc (the gram doc by construction, the run doc through its 60-token
+    // run, the near-dup through its 39 shared tokens), the run and
+    // near-dup docs carry winnow runs, and q166 is a superset of q67
+    assert(surf("8gram_exact") === 3L && surf("verbatim_spans") === 2L, s"text legs flag the planted docs: $surf")
+    assert(surf("bloom_screen") >= surf("8gram_exact"), s"bloom screens at least the exact set: $surf")
+    assert(surf("image_neardup") === 1L, s"the leaked image is the one flagged image doc: $surf")
+
+    // the overlap matrix serves from the same states and equals batch
+    // q184; the bloom⊇8gram containment survives the composition
+    assert(
+      canon(StreamingDecontam.overlap(spark, stateRoot)) ===
+        canon(Dedup.q184DecontamOverlap(spark, dataDir)),
+      "served overlap matrix must equal batch q184"
+    )
+    val ov = StreamingDecontam
+      .overlap(spark, stateRoot)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(4))
+      .toMap
+    assert(ov.size === 6 && ov(("8gram_exact", "bloom_screen")) >= 1L, s"overlap pairs served: $ov")
+
     // redelivery: a no-new-data tick changes nothing
     tickAll()
     assert(served() === s2, "no-op ticks must not move the decision table")
@@ -140,6 +175,32 @@ class StreamingDecontamSpec extends SparkSpec {
       canon(StreamingDecontam.ledger(spark, stateRoot)) ===
         canon(Dedup.q172DecontamLedger(spark, dataDir)),
       "no-op ticks must not move the ledger either"
+    )
+
+    // state-schema MIGRATION (r16: the stage table grew n_chars): simulate
+    // a stage table written under the old schema by rewriting it without
+    // the column — the surface serve must refuse loudly, the ledger (which
+    // never reads chars) must keep serving, and ONE maintenance tick (even
+    // with no new documents) must backfill the column from the landing
+    // directory and restore the surface, bit-equal to batch
+    val stagesDir = s"$stateRoot/corpus/stages"
+    val legacy = spark.read
+      .parquet(stagesDir)
+      .drop("n_chars")
+      .localCheckpoint()
+    legacy.write.mode("overwrite").parquet(stagesDir)
+    val refused = intercept[IllegalArgumentException](StreamingDecontam.surface(spark, stateRoot))
+    assert(refused.getMessage.contains("n_chars"), s"migration refusal names the missing column: $refused")
+    assert(
+      canon(StreamingDecontam.ledger(spark, stateRoot)) ===
+        canon(Dedup.q172DecontamLedger(spark, dataDir)),
+      "pre-migration state must still serve the ledger (it reads no chars)"
+    )
+    StreamingCorpus.tick(spark, s"$dataDir/documents.parquet", s"$stateRoot/corpus")
+    assert(
+      canon(StreamingDecontam.surface(spark, stateRoot)) ===
+        canon(Dedup.q179DecontamSurface(spark, dataDir)),
+      "one no-delta tick must backfill n_chars and restore the surface serve"
     )
   }
 }
