@@ -28,6 +28,7 @@
 #   cluster-maintain one dup-cluster maintenance tick (graft.tools.ClusterMaintainMain)
 #   span-maintain   one span-dedup maintenance tick   (graft.tools.SpanMaintainMain)
 #   ingest-tick     ALL maintainers, one drop, one command (graft.tools.IngestTickMain)
+#   decontam-serve  decontamination dashboard from maintained state (graft.tools.DecontamServeMain)
 set -euo pipefail
 
 cd "$(dirname "$0")/.."
@@ -79,6 +80,7 @@ case "$cmd" in
   cluster-maintain) main=graft.tools.ClusterMaintainMain ;;
   span-maintain)   main=graft.tools.SpanMaintainMain ;;
   ingest-tick)     main=graft.tools.IngestTickMain ;;
+  decontam-serve)  main=graft.tools.DecontamServeMain ;;
   help|--help|-h)
     # print the header comment block (everything between the shebang and
     # the first non-comment line), stripping the leading '# '

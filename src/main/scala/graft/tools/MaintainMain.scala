@@ -174,3 +174,60 @@ object IngestTickMain {
     } finally spark.stop()
   }
 }
+
+/** The decontamination family's SERVE side as one command — the read
+  * half of [[IngestTick]]: after a tick, render the decision table
+  * summary (q163), the per-source cost ledger (q172), the cross-modal
+  * surface (q179), the method-overlap matrix (q184), and the mask-export
+  * summary (q182) entirely from maintained state under the ingest-tick
+  * layout, touching no corpus file. The cron shape a real pipeline runs:
+  * `ingest-tick && decontam-serve`.
+  *
+  *   bin/graft.sh decontam-serve <stateDir>
+  *
+  * `render` is the testable core (the main only adds the session
+  * lifecycle); every number comes from the same StreamingDecontam serve
+  * entries the specs pin ==batch.
+  */
+object DecontamServe {
+  def render(spark: org.apache.spark.sql.SparkSession, stateRoot: String): Seq[String] = {
+    import graft.streaming.StreamingDecontam
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val decisions = StreamingDecontam.decisionTable(spark, stateRoot)
+    val byAction = decisions
+      .groupBy("action")
+      .count()
+      .orderBy("action")
+      .collect()
+      .map(r => s"${r.getString(0)}=${r.getLong(1)}")
+    out += s"[decontam-serve] decisions (q163): ${byAction.mkString(" ")}"
+    StreamingDecontam.ledger(spark, stateRoot).collect().foreach { r =>
+      out += f"[decontam-serve] ledger (q172): ${r.getString(0)}%-8s ${r.getString(1)}%-13s " +
+        f"docs=${r.getLong(2)}%6d tokens=${r.getLong(3)}%9d share=${if (r.isNullAt(4)) "-" else f"${r.getDouble(4)}%6.4f"}"
+    }
+    StreamingDecontam.surface(spark, stateRoot).collect().foreach { r =>
+      out += f"[decontam-serve] surface (q179): ${r.getString(0)}%-14s flagged=${r.getLong(3)}%6d/${r.getLong(1)}%6d " +
+        f"chars=${r.getLong(4)}%9d/${r.getLong(2)}%9d"
+    }
+    StreamingDecontam.overlap(spark, stateRoot).collect().foreach { r =>
+      out += f"[decontam-serve] overlap (q184): ${r.getString(0)}%-14s ∩ ${r.getString(1)}%-14s " +
+        f"both=${r.getLong(4)}%5d of ${r.getLong(2)}%5d/${r.getLong(3)}%5d"
+    }
+    val masks = StreamingDecontam.maskExport(spark, stateRoot).collect()
+    out += s"[decontam-serve] mask export (q182): ${masks.length} intervals over " +
+      s"${masks.map(_.getLong(0)).distinct.length} mask_spans docs"
+    out.toSeq
+  }
+}
+
+object DecontamServeMain {
+  def main(args: Array[String]): Unit = {
+    if (args.length != 1) {
+      System.err.println("usage: DecontamServeMain <stateDir>")
+      sys.exit(2)
+    }
+    val spark = graft.core.Sessions.local("graft-decontam-serve")
+    try DecontamServe.render(spark, args(0)).foreach(println)
+    finally spark.stop()
+  }
+}

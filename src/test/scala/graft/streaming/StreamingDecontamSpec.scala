@@ -177,6 +177,18 @@ class StreamingDecontamSpec extends SparkSpec {
       "no-op ticks must not move the ledger either"
     )
 
+    // the one-command serve renders every family surface from the same
+    // states (the `decontam-serve` CLI's testable core): all five
+    // sections present, the decision counts echoing s2's actions
+    val rendered = graft.tools.DecontamServe.render(spark, stateRoot)
+    Seq("decisions (q163)", "ledger (q172)", "surface (q179)", "overlap (q184)", "mask export (q182)").foreach { sec =>
+      assert(rendered.exists(_.contains(sec)), s"rendered serve must carry $sec:\n${rendered.mkString("\n")}")
+    }
+    assert(
+      rendered.head.contains("drop=1") && rendered.head.contains("drop_image=1"),
+      s"decision counts echo the served table: ${rendered.head}"
+    )
+
     // state-schema MIGRATION (r16: the stage table grew n_chars): simulate
     // a stage table written under the old schema by rewriting it without
     // the column — the surface serve must refuse loudly, the ledger (which
