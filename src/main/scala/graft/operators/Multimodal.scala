@@ -984,7 +984,27 @@ object Multimodal {
   // global aggregates, so each kind emits one all-zero row (shares NULL —
   // CASE-guarded, the ANSI rule) in both engines.
   // ---------------------------------------------------------------------------
-  def q177MediaBoilerplate(spark: SparkSession, dir: String): DataFrame = {
+  def q177MediaBoilerplate(spark: SparkSession, dir: String): DataFrame =
+    mediaAuditOver(
+      audioFpsRawCached(spark, dir),
+      imageBandInstancesOf(imageBandsCached(spark, dir)),
+      videoFpsRawCached(spark, dir)
+    )
+
+  /** q114's (media_id, bands) table exploded to per-bucket instances with
+    * the audit's `band:value` key encoding — one definition for q177,
+    * q183, and the maintained-state serves.
+    */
+  private[graft] def imageBandInstancesOf(bands: DataFrame): DataFrame =
+    bands
+      .select(col("media_id"), posexplode(col("bands")).as(Seq("band", "bv")))
+      .select(col("media_id"), concat(col("band").cast("string"), lit(":"), col("bv").cast("string")).as("fp"))
+
+  /** The audit rollup over ANY three (media_id, fp) instance frames —
+    * shared by batch q177 and [[graft.streaming.StreamingMediaFps]]'s
+    * maintained-state serve.
+    */
+  private[graft] def mediaAuditOver(audio: DataFrame, imageBandInst: DataFrame, video: DataFrame): DataFrame = {
     def leg(kind: String, raw: DataFrame): DataFrame = {
       val df = raw.groupBy(col("fp")).agg(count(lit(1)).as("df"))
       val stats = df.agg(
@@ -998,12 +1018,9 @@ object Multimodal {
         .agg(countDistinct(col("media_id")).as("n_items_affected"))
       items.crossJoin(broadcast(stats)).crossJoin(broadcast(aff)).withColumn("kind", lit(kind))
     }
-    val imageBandInst = imageBandsCached(spark, dir)
-      .select(col("media_id"), posexplode(col("bands")).as(Seq("band", "bv")))
-      .select(col("media_id"), concat(col("band").cast("string"), lit(":"), col("bv").cast("string")).as("fp"))
-    leg("audio", audioFpsRawCached(spark, dir))
+    leg("audio", audio)
       .unionByName(leg("image_bands", imageBandInst))
-      .unionByName(leg("video", videoFpsRawCached(spark, dir)))
+      .unionByName(leg("video", video))
       .select(
         col("kind"),
         col("n_items"),
@@ -1044,14 +1061,28 @@ object Multimodal {
   // ---------------------------------------------------------------------------
   private[graft] val LEDGER_TOP_N = 20
 
-  def q183MediaHotLedger(spark: SparkSession, dir: String): DataFrame = {
+  def q183MediaHotLedger(spark: SparkSession, dir: String): DataFrame =
+    hotLedgerOver(
+      audioFpsRawCached(spark, dir),
+      imageBandInstancesOf(imageBandsCached(spark, dir)),
+      videoFpsRawCached(spark, dir),
+      Tables
+        .balanced(Tables.documents(spark, dir))
+        .select(col("doc_id").as("media_id"), col("source"))
+    )
+
+  /** The ledger rollup over ANY three (media_id, fp) instance frames plus
+    * a (media_id, source) attribution frame — shared by batch q183 and
+    * [[graft.streaming.StreamingMediaFps]]'s maintained-state serve
+    * (whose attribution comes off the corpus maintainer's stage table).
+    */
+  private[graft] def hotLedgerOver(
+      audio: DataFrame,
+      imageBandInst: DataFrame,
+      video: DataFrame,
+      src: DataFrame
+  ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val src = Tables
-      .balanced(Tables.documents(spark, dir))
-      .select(col("doc_id").as("media_id"), col("source"))
-    val imageBandInst = imageBandsCached(spark, dir)
-      .select(col("media_id"), posexplode(col("bands")).as(Seq("band", "bv")))
-      .select(col("media_id"), concat(col("band").cast("string"), lit(":"), col("bv").cast("string")).as("fp"))
     def leg(kind: String, raw: DataFrame): DataFrame = {
       val perSrc = raw.join(src, "media_id").groupBy(col("fp"), col("source")).agg(count(lit(1)).as("cnt"))
       perSrc
@@ -1065,9 +1096,9 @@ object Multimodal {
         .orderBy(col("df").desc, col("fp"))
         .limit(LEDGER_TOP_N)
     }
-    val all = leg("audio", audioFpsRawCached(spark, dir))
+    val all = leg("audio", audio)
       .unionByName(leg("image_bands", imageBandInst))
-      .unionByName(leg("video", videoFpsRawCached(spark, dir)))
+      .unionByName(leg("video", video))
     // rank over the <= 3*N kept rows only — bounded window by construction
     val w = Window.partitionBy(col("kind")).orderBy(col("df").desc, col("fp"))
     all

@@ -116,6 +116,37 @@ object StreamingMediaFps {
       Some(Multimodal.MEDIA_FP_MAXDF)
     )
 
+  /** q177's boilerplate audit served from the maintained index — the
+    * observability half of the df-cap contract, current after every tick
+    * with no corpus re-decode. Equal to batch
+    * [[Multimodal.q177MediaBoilerplate]] over every document the ticks
+    * have covered.
+    */
+  def audit(spark: SparkSession, stateDir: String): DataFrame =
+    Multimodal.mediaAuditOver(
+      fpTable(spark, stateDir, "audio").localCheckpoint(),
+      Multimodal.imageBandInstancesOf(bandTable(spark, stateDir)).localCheckpoint(),
+      fpTable(spark, stateDir, "video").localCheckpoint()
+    )
+
+  /** q183's hot-key ledger served from the maintained index — the per-key
+    * drill-down with source attribution, which lives in ANOTHER family's
+    * state: the corpus maintainer's stage table carries every landed
+    * doc's source, so the ledger composes the two states (the
+    * StreamingDecontam cross-family pattern) and touches no corpus file.
+    * Equal to batch [[Multimodal.q183MediaHotLedger]] over every document
+    * both families' ticks have covered.
+    */
+  def hotLedger(spark: SparkSession, stateDir: String, corpusStateDir: String): DataFrame =
+    Multimodal.hotLedgerOver(
+      fpTable(spark, stateDir, "audio").localCheckpoint(),
+      Multimodal.imageBandInstancesOf(bandTable(spark, stateDir)).localCheckpoint(),
+      fpTable(spark, stateDir, "video").localCheckpoint(),
+      StreamingCorpus
+        .readStages(spark, corpusStateDir)
+        .select(col("doc_id").as("media_id"), col("source"))
+    )
+
   /** Wire the tick to a file stream over the documents landing path. */
   def start(
       spark: SparkSession,

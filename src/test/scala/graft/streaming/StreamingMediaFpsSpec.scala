@@ -80,6 +80,11 @@ class StreamingMediaFpsSpec extends SparkSpec {
           canon(Multimodal.q181ImageNeardupCapped(spark, dataDir)),
         s"$stage: served capped image near-dup must equal batch q181"
       )
+      assert(
+        canon(StreamingMediaFps.audit(spark, stateDir)) ===
+          canon(Multimodal.q177MediaBoilerplate(spark, dataDir)),
+        s"$stage: served boilerplate audit must equal batch q177"
+      )
     }
     assertServedEqualsBatch("tick 1")
     assert(
@@ -96,6 +101,17 @@ class StreamingMediaFpsSpec extends SparkSpec {
     assertServedEqualsBatch("tick 2")
     val vids = StreamingMediaFps.videoNeardup(spark, stateDir).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(vids === Set((2L, 5L), (2L, 8L), (5L, 8L)), s"all three video copies must pair pairwise: $vids")
+
+    // the hot-key ledger's source attribution lives in the corpus
+    // maintainer's state (the cross-family pattern): tick it over the
+    // same landed corpus, then the composed serve must equal batch q183
+    val corpusState = java.nio.file.Files.createTempDirectory("mediafp_corpus").toString
+    StreamingCorpus.tick(spark, s"$dataDir/documents.parquet", corpusState)
+    assert(
+      canon(StreamingMediaFps.hotLedger(spark, stateDir, corpusState)) ===
+        canon(Multimodal.q183MediaHotLedger(spark, dataDir)),
+      "served hot-key ledger must equal batch q183"
+    )
 
     // redelivery: nothing new is a no-op
     assert(StreamingMediaFps.tick(spark, dataDir, stateDir) === 0L)
