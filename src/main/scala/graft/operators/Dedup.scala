@@ -1545,15 +1545,27 @@ object Dedup {
   // cluster prefix (valid because q101 == q61 is spec- and
   // selfcheck-pinned, the q117 argument).
   // ---------------------------------------------------------------------------
+  /** The (cluster, source, n_docs) rollup both syndication readers start
+    * from — <= |clusters|·|sources| rows, session-cached per dir so q142's
+    * matrix and q185's centrality share one labels ⋈ sources pass.
+    */
+  private val clusterSourceCache = new SessionCache[DataFrame]
+
+  private def clusterSourcesCached(spark: SparkSession, dir: String): DataFrame =
+    clusterSourceCache.getOrBuild(spark, dir) {
+      val labels = lshClusterCache
+        .getOrBuild(spark, dir)(q101LshDupClusters(spark, dir).localCheckpoint())
+        .select(col("doc_id"), col("cluster"))
+      val src = Tables.balanced(Tables.documents(spark, dir)).select(col("doc_id"), col("source"))
+      labels
+        .join(src, "doc_id")
+        .groupBy(col("cluster"), col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+        .localCheckpoint()
+    }
+
   def q142SyndicationMatrix(spark: SparkSession, dir: String): DataFrame = {
-    val labels = lshClusterCache
-      .getOrBuild(spark, dir)(q101LshDupClusters(spark, dir).localCheckpoint())
-      .select(col("doc_id"), col("cluster"))
-    val src = Tables.balanced(Tables.documents(spark, dir)).select(col("doc_id"), col("source"))
-    val cs = labels
-      .join(src, "doc_id")
-      .groupBy(col("cluster"), col("source"))
-      .agg(count(lit(1)).as("n_docs"))
+    val cs = clusterSourcesCached(spark, dir)
     val a = cs.select(col("cluster"), col("source").as("source_a"), col("n_docs").as("da"))
     val b = cs.select(col("cluster"), col("source").as("source_b"), col("n_docs").as("db"))
     a.join(b, Seq("cluster"))
@@ -1565,6 +1577,133 @@ object Dedup {
         sum(col("db")).as("docs_b")
       )
       .orderBy(col("source_a"), col("source_b"))
+  }
+
+  // ---------------------------------------------------------------------------
+  // q185 — syndication CENTRALITY: PageRank (Brin & Page, WWW'98) over the
+  // q142 flow graph — sources as nodes, shared near-dup clusters as edge
+  // weights. q142 shows the pairwise flows; this ranks WHICH source sits
+  // at the center of the syndication web — the read behind a canonical-
+  // source keep rule (when a cluster spans sources, keep the copy from
+  // the hub the content radiates from) and behind "dropping source X
+  // barely dents the dup graph" calls. Damping 0.85, T = 10 fixed
+  // iterations (the q159/q164 fixed-ladder discipline: a declared
+  // iteration count, not a convergence test, so both engines run the
+  // identical computation).
+  //
+  // Engine-exactness (the q105 merge-order rule): rank mass lives in
+  // INTEGER MICROS end to end — pr0 = 1e6 div N, each u→s contribution
+  // floors individually (pr·w div wout), the damped update is
+  // (150000 div N) + (850000·inflow) div 1e6 — Spark `div` == DuckDB `//`
+  // on positives, so all T iterations replay bit-exactly as an unrolled
+  // CTE chain (the q159 gradient-replay pattern). Floor leakage (and
+  // dangling mass on isolated sources) deterministically shrinks the
+  // total; Σ centrality <= 1e6 is a spec invariant, not renormalized.
+  //
+  // Scale shape: the per-(cluster, source) rollup and the cluster-keyed
+  // pair stage are the distributed work (each cluster caps at <=
+  // |sources| rows before pairing — q142's argument); the resulting edge
+  // list is |sources|²-BOUNDED BY CONSTRUCTION, so it collects to the
+  // driver (the repo's bounded-collect rule: codebook samples, centroid
+  // reads) and the T iterations run there as plain integer arithmetic —
+  // a distributed loop over a 20-row frame is ten job launches of pure
+  // overhead (measured 2.5 s vs ~0.1 s), and at 100 TB sources number
+  // thousands, still driver-sized, while the corpus-sized label frame
+  // stays exactly where it is: the shared session cache.
+  // ---------------------------------------------------------------------------
+  private val SYND_DAMP_MICRO = 850000L
+  private val SYND_ITERS = 10
+
+  /** The symmetric edge frame plus the node list, both |sources|-bounded
+    * and session-cached — the dashboard re-reads the ranking against the
+    * same corpus snapshot, so the warm path is two bounded collects.
+    */
+  private val syndGraphCache = new SessionCache[DataFrame]
+
+  def q185SyndicationRank(spark: SparkSession, dir: String): DataFrame = {
+    val graph = syndGraphCache.getOrBuild(spark, dir) {
+      val cs = clusterSourcesCached(spark, dir)
+      val edges = cs
+        .select(col("cluster"), col("source").as("u"))
+        .join(cs.select(col("cluster"), col("source").as("s")), Seq("cluster"))
+        .filter(col("u") =!= col("s"))
+        .groupBy(col("u"), col("s"))
+        .agg(count(lit(1)).cast("long").as("w"))
+      // the node list rides the same cached frame as w-NULL rows so one
+      // cache entry carries the whole bounded graph
+      Tables
+        .balanced(Tables.documents(spark, dir))
+        .select(col("source").as("u"), lit(null).cast("string").as("s"), lit(null).cast("long").as("w"))
+        .distinct()
+        .unionByName(edges)
+        .localCheckpoint()
+    }
+    val rows = graph.collect() // <= |sources|^2 + |sources| rows by construction
+    val edgeRows = rows.filter(!_.isNullAt(2)).map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val nodes = rows.filter(_.isNullAt(2)).map(_.getString(0)).sorted
+    // greatest(N,1) keeps the constants well-defined on an empty corpus
+    // (nodes is empty then, so no row ever uses them — the oracle spells
+    // the identical guard)
+    val n = math.max(nodes.length.toLong, 1L)
+    val wout = edgeRows.groupBy(_._1).map { case (u, es) => u -> es.map(_._3).sum }
+    var pr = nodes.map(_ -> 1000000L / n).toMap
+    for (_ <- 1 to SYND_ITERS) {
+      val inflow = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+      edgeRows.foreach { case (u, s, w) => inflow(s) += pr(u) * w / wout(u) }
+      pr = nodes.map(s => s -> (150000L / n + SYND_DAMP_MICRO * inflow(s) / 1000000L)).toMap
+    }
+    val nPartners = edgeRows.groupBy(_._1).map { case (u, es) => u -> es.length.toLong }
+    val ranked = nodes
+      .map(s => (s, nPartners.getOrElse(s, 0L), wout.getOrElse(s, 0L), pr(s)))
+      .sortBy { case (s, _, _, p) => (-p, s) }
+      .zipWithIndex
+      .map { case ((s, np, sc, p), i) => (i + 1L, s, np, sc, p) }
+    import spark.implicits._
+    ranked.toSeq
+      .toDF("rank", "source", "n_partners", "shared_clusters", "centrality_micro")
+      .orderBy(col("rank"))
+  }
+
+  /** Oracle: the q61 cluster prefix (valid by the pinned q101 == q61
+    * equality, q142's rule), the symmetric bounded edge rollup, then all
+    * T PageRank iterations UNROLLED as a CTE chain with the identical
+    * integer-micro arithmetic (the q159 replay pattern).
+    */
+  lazy val q185Oracle: String = {
+    val clusterCtes = q61Oracle.substring(0, q61Oracle.indexOf("\nSELECT l.node"))
+    val nGuard = "(SELECT greatest(count(DISTINCT source), 1) FROM documents)"
+    val iters = (1 to SYND_ITERS)
+      .map { k =>
+        s"""it$k AS (
+           |  SELECT nd.source,
+           |         (150000 // $nGuard) + ($SYND_DAMP_MICRO * coalesce(f.inflow, 0)) // 1000000 AS pr
+           |  FROM nodes nd LEFT JOIN (
+           |    SELECT e.s AS source, sum(p.pr * e.w // e.wout) AS inflow
+           |    FROM sedges e JOIN it${k - 1} p ON e.u = p.source
+           |    GROUP BY 1) f ON nd.source = f.source)""".stripMargin
+      }
+      .mkString(",\n")
+    s"""$clusterCtes,
+       |cs AS (
+       |  SELECT l.cluster, d.source
+       |  FROM labels l JOIN documents d ON l.node = d.doc_id
+       |  GROUP BY 1, 2),
+       |e0 AS (
+       |  SELECT a.source AS u, b.source AS s, count(*) AS w
+       |  FROM cs a JOIN cs b ON a.cluster = b.cluster AND a.source <> b.source
+       |  GROUP BY 1, 2),
+       |sedges AS (SELECT u, s, w, sum(w) OVER (PARTITION BY u) AS wout FROM e0),
+       |nodes AS (SELECT DISTINCT source FROM documents),
+       |it0 AS (SELECT source, 1000000 // $nGuard AS pr FROM nodes),
+       |$iters,
+       |deg AS (SELECT u AS source, count(*) AS n_partners, sum(w) AS shared_clusters FROM e0 GROUP BY 1)
+       |SELECT CAST(row_number() OVER (ORDER BY p.pr DESC, p.source) AS BIGINT) AS rank,
+       |       p.source,
+       |       CAST(coalesce(d.n_partners, 0) AS BIGINT) AS n_partners,
+       |       CAST(coalesce(d.shared_clusters, 0) AS BIGINT) AS shared_clusters,
+       |       CAST(p.pr AS BIGINT) AS centrality_micro
+       |FROM it$SYND_ITERS p LEFT JOIN deg d ON p.source = d.source
+       |ORDER BY rank""".stripMargin
   }
 
   /** Oracle: the q61 recursive-CTE cluster prefix (the q117 composition),
@@ -2973,6 +3112,7 @@ object Dedup {
     "q152_winnow_contamination" -> (q152WinnowContamination _),
     "q179_decontam_surface" -> (q179DecontamSurface _),
     "q184_decontam_overlap" -> (q184DecontamOverlap _),
+    "q185_syndication_rank" -> (q185SyndicationRank _),
     "q146_lsh_plan" -> (q146LshPlan _),
     "q144_winnow_pairs" -> (q144WinnowPairs _),
     "q29_exact_dedup" -> (q29ExactDedup _),
@@ -3021,6 +3161,7 @@ object Dedup {
     "q152_winnow_contamination" -> q152Oracle,
     "q179_decontam_surface" -> q179Oracle,
     "q184_decontam_overlap" -> q184Oracle,
+    "q185_syndication_rank" -> q185Oracle,
     "q146_lsh_plan" -> q146Oracle,
     "q144_winnow_pairs" -> q144Oracle,
     "q162_verbatim_run_profile" -> q162Oracle,

@@ -30,6 +30,7 @@ import graft.operators.{Cartography, Curation, Dedup, Importance, TextOps, Train
   * screen (q178) with the cross-modal decontamination surface (q179),
   * its method-overlap matrix (q184),
   * and the decontamination mask export (q182),
+  * the syndication centrality ranking (q185),
   * and the shard manifest (q83),
   * rendered as one text
   * page. Every number comes from the same oracle-gated queries the driver
@@ -155,6 +156,14 @@ object CorpusReport {
       line(
         f"${r.getString(0)}%-8s ~ ${r.getString(1)}%-8s clusters=${r.getLong(2)}%4d " +
           f"docs=${r.getLong(3)}%4d/${r.getLong(4)}%-4d"
+      )
+    }
+
+    section("syndication centrality (q185): sources ranked by dup-flow PageRank")
+    Dedup.q185SyndicationRank(spark, dir).collect().take(5).foreach { r =>
+      line(
+        f"#${r.getLong(0)}%2d ${r.getString(1)}%-8s centrality=${r.getLong(4)}%6d micro " +
+          f"partners=${r.getLong(2)}%3d shared_clusters=${r.getLong(3)}%4d"
       )
     }
 

@@ -1153,4 +1153,55 @@ class DedupSpec extends SparkSpec {
       assert(supRow.getDouble(7) === 1.0, "containment of the subsumed screen reads 1.0")
     info(rows.map(r => s"${r.getString(0)}∩${r.getString(1)}=${r.getLong(4)}").mkString(", "))
   }
+
+  test("q185 syndication rank: single-node integer-micro PageRank replay over the cluster-confirmed flow graph") {
+    val srcOf = graft.core.Tables
+      .documents(spark, sfDir)
+      .select("doc_id", "source")
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    val clusters = Dedup
+      .q101LshDupClusters(spark, sfDir)
+      .select("doc_id", "cluster")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // replay: symmetric shared-cluster edge weights over distinct
+    // (cluster, source), then 10 damped iterations with the same
+    // individually-floored integer arithmetic
+    val csSet = clusters.map { case (d, c) => (c, srcOf(d)) }.toSet
+    val byCluster = csSet.groupBy(_._1).values.map(_.map(_._2))
+    val w = scala.collection.mutable.Map[(String, String), Long]().withDefaultValue(0L)
+    byCluster.foreach { ss => for (u <- ss; s <- ss if u != s) w((u, s)) += 1L }
+    val nodes = srcOf.values.toSet.toSeq.sorted
+    val n = math.max(nodes.size.toLong, 1L)
+    val wout = w.toSeq.groupBy(_._1._1).map { case (u, es) => u -> es.map(_._2).sum }
+    var pr = nodes.map(_ -> 1000000L / n).toMap
+    for (_ <- 1 to 10) {
+      val inflow = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+      w.foreach { case ((u, s), wt) => inflow(s) += pr(u) * wt / wout(u) }
+      pr = nodes.map(s => s -> (150000L / n + 850000L * inflow(s) / 1000000L)).toMap
+    }
+    val got = Dedup.q185SyndicationRank(spark, sfDir).collect()
+    assert(got.map(_.getString(1)).toSet === nodes.toSet, "every source ranks")
+    got.foreach { r =>
+      val s = r.getString(1)
+      assert(r.getLong(4) === pr(s), s"$s centrality must equal the single-node replay")
+      assert(r.getLong(2) === w.keys.count(_._1 == s).toLong, s"$s partner count")
+      assert(r.getLong(3) === wout.getOrElse(s, 0L), s"$s shared-cluster degree")
+    }
+    // ranks are the 1..N permutation ordered by (centrality desc, source)
+    val ordered = got.sortBy(_.getLong(0))
+    assert(ordered.map(_.getLong(0)).toSeq === (1L to nodes.size.toLong), "rank is a permutation")
+    assert(
+      ordered.map(r => (-r.getLong(4), r.getString(1))).toSeq === ordered
+        .map(r => (-r.getLong(4), r.getString(1)))
+        .sortBy(identity)
+        .toSeq,
+      "rank order is (centrality desc, source)"
+    )
+    // floor leakage and dangling mass only ever SHRINK the total
+    assert(got.map(_.getLong(4)).sum <= 1000000L, "mass never exceeds one")
+    info(ordered.take(3).map(r => s"#${r.getLong(0)} ${r.getString(1)} ${r.getLong(4)}").mkString(", "))
+  }
 }
