@@ -1557,15 +1557,26 @@ object Dedup {
         .getOrBuild(spark, dir)(q101LshDupClusters(spark, dir).localCheckpoint())
         .select(col("doc_id"), col("cluster"))
       val src = Tables.balanced(Tables.documents(spark, dir)).select(col("doc_id"), col("source"))
-      labels
-        .join(src, "doc_id")
-        .groupBy(col("cluster"), col("source"))
-        .agg(count(lit(1)).as("n_docs"))
-        .localCheckpoint()
+      clusterSourcesOver(labels, src).localCheckpoint()
     }
 
-  def q142SyndicationMatrix(spark: SparkSession, dir: String): DataFrame = {
-    val cs = clusterSourcesCached(spark, dir)
+  /** The rollup over ANY (doc_id, cluster) label frame and (doc_id,
+    * source) attribution frame — shared by the batch cache above and
+    * [[graft.streaming.StreamingDupClusters]]'s maintained-state serves
+    * (labels off the cluster maintainer, attribution off the corpus
+    * maintainer's stage table).
+    */
+  private[graft] def clusterSourcesOver(labels: DataFrame, src: DataFrame): DataFrame =
+    labels
+      .join(src, "doc_id")
+      .groupBy(col("cluster"), col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+
+  def q142SyndicationMatrix(spark: SparkSession, dir: String): DataFrame =
+    q142MatrixOver(clusterSourcesCached(spark, dir))
+
+  /** q142's pair rollup over ANY (cluster, source, n_docs) frame. */
+  private[graft] def q142MatrixOver(cs: DataFrame): DataFrame = {
     val a = cs.select(col("cluster"), col("source").as("source_a"), col("n_docs").as("da"))
     val b = cs.select(col("cluster"), col("source").as("source_b"), col("n_docs").as("db"))
     a.join(b, Seq("cluster"))
@@ -1620,24 +1631,37 @@ object Dedup {
     */
   private val syndGraphCache = new SessionCache[DataFrame]
 
-  def q185SyndicationRank(spark: SparkSession, dir: String): DataFrame = {
-    val graph = syndGraphCache.getOrBuild(spark, dir) {
-      val cs = clusterSourcesCached(spark, dir)
-      val edges = cs
-        .select(col("cluster"), col("source").as("u"))
-        .join(cs.select(col("cluster"), col("source").as("s")), Seq("cluster"))
-        .filter(col("u") =!= col("s"))
-        .groupBy(col("u"), col("s"))
-        .agg(count(lit(1)).cast("long").as("w"))
-      // the node list rides the same cached frame as w-NULL rows so one
-      // cache entry carries the whole bounded graph
-      Tables
-        .balanced(Tables.documents(spark, dir))
-        .select(col("source").as("u"), lit(null).cast("string").as("s"), lit(null).cast("long").as("w"))
-        .distinct()
-        .unionByName(edges)
-        .localCheckpoint()
-    }
+  def q185SyndicationRank(spark: SparkSession, dir: String): DataFrame =
+    q185RankOfGraph(spark, syndGraphCache.getOrBuild(spark, dir) {
+      syndGraphOf(
+        clusterSourcesCached(spark, dir),
+        Tables.balanced(Tables.documents(spark, dir)).select(col("source"))
+      ).localCheckpoint()
+    })
+
+  /** The bounded syndication graph over ANY (cluster, source, n_docs)
+    * frame and (source) attribution frame: symmetric shared-cluster edge
+    * weights, with the node list riding the same frame as w-NULL rows so
+    * ONE frame carries the whole graph. Shared by the batch cache above
+    * and the maintained-state serve.
+    */
+  private[graft] def syndGraphOf(cs: DataFrame, sources: DataFrame): DataFrame = {
+    val edges = cs
+      .select(col("cluster"), col("source").as("u"))
+      .join(cs.select(col("cluster"), col("source").as("s")), Seq("cluster"))
+      .filter(col("u") =!= col("s"))
+      .groupBy(col("u"), col("s"))
+      .agg(count(lit(1)).cast("long").as("w"))
+    sources
+      .select(col("source").as("u"), lit(null).cast("string").as("s"), lit(null).cast("long").as("w"))
+      .distinct()
+      .unionByName(edges)
+  }
+
+  /** The T-iteration integer-micro PageRank over a bounded graph frame —
+    * the driver-side tail both the batch query and the serve share.
+    */
+  private[graft] def q185RankOfGraph(spark: SparkSession, graph: DataFrame): DataFrame = {
     val rows = graph.collect() // <= |sources|^2 + |sources| rows by construction
     val edgeRows = rows.filter(!_.isNullAt(2)).map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     val nodes = rows.filter(_.isNullAt(2)).map(_.getString(0)).sorted

@@ -159,6 +159,36 @@ object StreamingDupClusters {
     }
   }
 
+  /** q142's syndication matrix from maintained state — the cluster
+    * labels off this maintainer, the source attribution off the corpus
+    * maintainer's stage table (the cross-family serve pattern), so the
+    * duplication-flow view stays current per tick with no corpus
+    * re-scan. Equal to batch [[Dedup.q142SyndicationMatrix]] over every
+    * document both families' ticks have covered.
+    */
+  def syndicationMatrix(spark: SparkSession, stateDir: String, corpusStateDir: String): DataFrame =
+    Dedup.q142MatrixOver(servedClusterSources(spark, stateDir, corpusStateDir))
+
+  /** q185's centrality ranking from the same maintained states — the
+    * bounded graph built fresh per serve (the iterations are driver-side
+    * integer arithmetic either way). Equal to batch
+    * [[Dedup.q185SyndicationRank]].
+    */
+  def syndicationRank(spark: SparkSession, stateDir: String, corpusStateDir: String): DataFrame =
+    Dedup.q185RankOfGraph(
+      spark,
+      Dedup.syndGraphOf(
+        servedClusterSources(spark, stateDir, corpusStateDir),
+        StreamingCorpus.readStages(spark, corpusStateDir).select(col("source"))
+      )
+    )
+
+  private def servedClusterSources(spark: SparkSession, stateDir: String, corpusStateDir: String): DataFrame =
+    Dedup.clusterSourcesOver(
+      readLabels(spark, stateDir),
+      StreamingCorpus.readStages(spark, corpusStateDir).select(col("doc_id"), col("source"))
+    )
+
   private def readWatermark(stateDir: String): Long = {
     val p = Paths.get(stateDir, "state.json")
     if (!Files.exists(p)) Long.MinValue

@@ -65,6 +65,22 @@ class IngestTickSpec extends SparkSpec {
           stageMap(Curation.corpusBuildStages(spark, dataDir)),
         s"drop first=$first: maintained corpus stages != batch build"
       )
+      // the syndication readers compose this maintainer's labels with the
+      // corpus maintainer's source attribution — both serves == batch
+      assert(
+        StreamingDupClusters
+          .syndicationMatrix(spark, s"$stateDir/clusters", s"$stateDir/corpus")
+          .collect().toSeq.map(_.toSeq) ===
+          Dedup.q142SyndicationMatrix(spark, dataDir).collect().toSeq.map(_.toSeq),
+        s"drop first=$first: served syndication matrix != batch q142"
+      )
+      assert(
+        StreamingDupClusters
+          .syndicationRank(spark, s"$stateDir/clusters", s"$stateDir/corpus")
+          .collect().toSeq.map(_.toSeq) ===
+          Dedup.q185SyndicationRank(spark, dataDir).collect().toSeq.map(_.toSeq),
+        s"drop first=$first: served syndication rank != batch q185"
+      )
       assert(o.driftDelta > 0, s"drop first=$first: drift tick must see the delta")
       assert(
         graft.streaming.StreamingDriftWatch.driftTable(spark, s"$stateDir/drift").collect().toSeq.map(_.toSeq) ===
