@@ -1146,22 +1146,53 @@ object Dedup {
   def deltaBucketsAbove(spark: SparkSession, dir: String, pivot: Long): DataFrame =
     bucketFrame(spark, dir).filter(col("doc_id") > pivot)
 
-  def q108IncrementalClusters(spark: SparkSession, dir: String): DataFrame = {
-    val t = sigTokenFrame(spark, dir)
-    // pivot at the 90% id mark — a deterministic stand-in for the ingest
-    // watermark separating "already clustered" (the bulk state, mined once
-    // and session-cached) from "this tick's delta" (the last ~10% of ids),
-    // the realistic state-vs-delta proportion an ingest tick sees; the
-    // result is pivot-invariant (equality with the full rebuild is the
-    // spec'd and self-checked contract at EVERY split point)
-    val mm = t.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi")).head()
-    val pivot = mm.getAs[Long]("lo") + (mm.getAs[Long]("hi") - mm.getAs[Long]("lo")) * 9 / 10
-    val oldLabels = incrLabelCache.getOrBuild(spark, dir) {
-      val tOld = t.filter(col("doc_id") <= pivot)
-      clustersFrom(verifyEdges(tOld, minhashCandidates(tOld.select(col("doc_id"), col("sig")))))
+  /** q108's ingest pivot at the 90 % id mark — a deterministic stand-in
+    * for the ingest watermark separating "already clustered" (the bulk
+    * state, mined once and session-cached) from "this tick's delta" (the
+    * last ~10 % of ids), the realistic state-vs-delta proportion an ingest
+    * tick sees; the result is pivot-invariant (equality with the full
+    * rebuild is the spec'd and self-checked contract at EVERY split point).
+    */
+  private def incrPivot(spark: SparkSession, dir: String): Long = {
+    val mm = sigTokenFrame(spark, dir)
+      .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+      .head()
+    mm.getAs[Long]("lo") + (mm.getAs[Long]("hi") - mm.getAs[Long]("lo")) * 9 / 10
+  }
+
+  private def incrOldLabels(spark: SparkSession, dir: String, pivot: Long): DataFrame =
+    incrLabelCache.getOrBuild(spark, dir) {
+      // the old-half mine IS a restriction of the full q101 edge graph:
+      // banding and the jaccard verify are both per-pair deterministic, so
+      // a pair with both ids <= pivot collides (and verifies) over the old
+      // half iff it does over the full corpus. Reuse the session's mined
+      // graph — the q101_graph artifact the bench (and a real pipeline)
+      // already paid for — filtered to doc_b <= pivot (pairs are canonical
+      // doc_a < doc_b, so that one bound covers both endpoints), instead
+      // of re-mining 90% of the corpus a second time.
+      clustersFrom(minhashPairGraph(spark, dir).filter(col("doc_b") <= pivot))
         .select(col("doc_id"), col("cluster"))
         .localCheckpoint()
     }
+
+  /** Materialize exactly the session state an ingest tick carries between
+    * runs — the old-half label table and the corpus bucket index — without
+    * running a delta apply. The bench's q108_state phase times THIS, so the
+    * phase number is the state cost and the timed q108 repetitions are the
+    * only place the delta-apply cost appears (it used to be counted twice:
+    * once inside the phase's full-query run, once per timed repetition).
+    */
+  def buildIncrementalState(spark: SparkSession, dir: String): Unit = {
+    val pivot = incrPivot(spark, dir)
+    incrOldLabels(spark, dir, pivot)
+    bucketFrame(spark, dir)
+    ()
+  }
+
+  def q108IncrementalClusters(spark: SparkSession, dir: String): DataFrame = {
+    val t = sigTokenFrame(spark, dir)
+    val pivot = incrPivot(spark, dir)
+    val oldLabels = incrOldLabels(spark, dir, pivot)
     // same semantics as clustersApply (a per-doc delta's bandBuckets ==
     // a doc_id filter of the corpus bucket table), but probing the
     // session-persisted bucket index instead of re-exploding signatures —
