@@ -223,12 +223,13 @@ object Bench {
     phase("q76_build")(operators.Similarity.buildIvfPqIndex(spark, sfDir))
     phase("q61_graph")(operators.Dedup.buildPairGraph(spark, sfDir))
     phase("q101_graph")(operators.Dedup.minhashPairGraph(spark, sfDir))
-    // q108's persisted-label state (the old-half mine) is session state a
-    // real pipeline carries between ingest ticks; build it here so q108's
-    // repeats time the delta apply, with the state cost visible
-    phase("q108_state") {
-      operators.Dedup.q108IncrementalClusters(spark, sfDir).write.format("noop").mode("overwrite").save()
-    }
+    // q108's persisted-label state (old-half labels + bucket index) is
+    // session state a real pipeline carries between ingest ticks; build
+    // EXACTLY that here so q108's repeats time the delta apply and the
+    // phase number is the state cost alone (until r16 this phase ran the
+    // full query, so one delta apply was counted twice — once here, once
+    // per timed repetition)
+    phase("q108_state")(operators.Dedup.buildIncrementalState(spark, sfDir))
     // q111's per-doc KN table is session-cached (q112 terciles it)
     phase("q111_kn_build")(operators.Curation.q111KnTrigram(spark, sfDir))
     // q103/q118/q120's shared scoring frame is session-cached
@@ -253,6 +254,10 @@ object Bench {
     // frame fps, df-capped audio energy shingles) are session-cached —
     // q114/q115/q175 each re-enter per repetition and q176 reads all three
     phase("media_fps")(operators.Multimodal.buildMediaStage(spark, sfDir))
+    // q181's verified capped pair frame is session-cached (the q101
+    // lshEdgesCache precedent) — q156's clusters and q176's image leg read
+    // it; the mine cost stays visible here and in q181's own timed reps
+    phase("q181_pairs")(operators.Multimodal.cappedPairsCached(spark, sfDir))
     // the q166 screen table is session-cached (bitset build + position
     // screen feed q166, q179's bloom leg, and the report) — name the build
     // so its cost is reported, not hidden inside whichever query runs first

@@ -660,6 +660,19 @@ object Multimodal {
   def q181ImageNeardupCapped(spark: SparkSession, dir: String): DataFrame =
     imageNeardupFrom(imageBandsCached(spark, dir), Some(MEDIA_FP_MAXDF))
 
+  private val cappedPairCache = new SessionCache[DataFrame]
+
+  /** q181's verified capped pair frame as a session artifact — the edge
+    * supply q156's clusters and q176's image leg read (the q101
+    * lshEdgesCache precedent: the mined+verified pair set is the
+    * intermediate a pipeline persists between mining and clustering, so
+    * its derived consumers must not re-run the mine per read). q181 itself
+    * keeps paying the mine per repetition — it IS the declared mine query.
+    * The bench times this build as the named q181_pairs phase.
+    */
+  private[graft] def cappedPairsCached(spark: SparkSession, dir: String): DataFrame =
+    cappedPairCache.getOrBuild(spark, dir)(q181ImageNeardupCapped(spark, dir).localCheckpoint())
+
   /** q114's chain, the df rollup, the rare-bucket prune, then the same
     * candidate join + exact hamming verify over rare instances only.
     */
@@ -1226,7 +1239,7 @@ object Multimodal {
           countDistinct(col("m")).as("n_paired")
         )
         .withColumn("kind", lit(kind))
-    val legs = leg("image", q181ImageNeardupCapped(spark, dir))
+    val legs = leg("image", cappedPairsCached(spark, dir))
       .unionByName(leg("audio", q175AudioNeardup(spark, dir)))
       .unionByName(leg("video", q115VideoNeardup(spark, dir)))
     totals
@@ -1401,7 +1414,7 @@ object Multimodal {
   def q156ImageDupClusters(spark: SparkSession, dir: String): DataFrame =
     Dedup
       .clustersFrom(
-        q181ImageNeardupCapped(spark, dir)
+        cappedPairsCached(spark, dir)
           .select(col("media_a").as("doc_a"), col("media_b").as("doc_b"))
       )
       .select(col("doc_id").as("media_id"), col("cluster"), col("cluster_size"))
