@@ -666,30 +666,20 @@ object Dedup {
     clustersFromEdges(doubledEdges(pairs))
 
   private def clustersFromEdges(edges: DataFrame): DataFrame = {
-    var labels = edges
-      .select(col("src").as("node"))
-      .distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint()
-    var frontier = labels
-    // seed the loop with the node count: 0 → empty pair graph, nothing to
-    // propagate (the correctly-schemed empty labels frame is the fixpoint);
-    // otherwise it is round 1's frontier size, so the broadcast decision
-    // below applies to the first round too
-    var changed = labels.count()
+    // Round 1 runs against IDENTITY labels (label(node) == node), so its
+    // offer join collapses to a direct (dst, min src) aggregate, and the
+    // label table needs no separate init pass at all: edges are doubled,
+    // so every node occurs as dst and best0 already covers every node.
+    // An empty pair graph yields an empty round-1 frame and the loop exits
+    // after one cheap round with the correctly-schemed empty fixpoint.
+    var improved = edges
+      .select(col("dst").as("n"), col("src").as("cand"))
+      .groupBy(col("n"))
+      .agg(min(col("cand")).as("cand"))
+      .select(col("n").as("node"), col("n").as("old"), least(col("n"), col("cand")).as("lbl"))
+    var labels: DataFrame = null
+    var changed = -1L
     while (changed != 0L) {
-      // offers: frontier labels pushed one hop; broadcast the frontier only
-      // when last round's changed count proves it small (scale-safe: a
-      // corpus-sized frontier takes the shuffle path)
-      val fSide = if (changed <= 1000000L) broadcast(frontier) else frontier
-      val best = edges
-        .join(fSide, edges("src") === fSide("node"))
-        .select(col("dst").as("n"), col("label").as("cand"))
-        .groupBy(col("n"))
-        .agg(min(col("cand")).as("cand"))
-      val improved = labels
-        .join(best, labels("node") === best("n"), "left")
-        .select(col("node"), col("label").as("old"), least(col("label"), col("cand")).as("lbl"))
       // pointer jump: follow one label indirection — label(label(node)).
       // Every label IS a node id of the same component (labels start as own
       // ids and only ever move to a component-mate's min), so the self-join
@@ -704,8 +694,22 @@ object Dedup {
         .select(col("node"), col("old"), coalesce(col("jl"), col("lbl")).as("label"))
         .localCheckpoint()
       changed = merged.filter(col("label") < col("old")).count()
-      frontier = merged.filter(col("label") < col("old")).select(col("node"), col("label"))
       labels = merged.select(col("node"), col("label"))
+      if (changed != 0L) {
+        val frontier = merged.filter(col("label") < col("old")).select(col("node"), col("label"))
+        // offers: frontier labels pushed one hop; broadcast the frontier
+        // only when last round's changed count proves it small (scale-safe:
+        // a corpus-sized frontier takes the shuffle path)
+        val fSide = if (changed <= 1000000L) broadcast(frontier) else frontier
+        val best = edges
+          .join(fSide, edges("src") === fSide("node"))
+          .select(col("dst").as("n"), col("label").as("cand"))
+          .groupBy(col("n"))
+          .agg(min(col("cand")).as("cand"))
+        improved = labels
+          .join(best, labels("node") === best("n"), "left")
+          .select(col("node"), col("label").as("old"), least(col("label"), col("cand")).as("lbl"))
+      }
     }
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
     labels
