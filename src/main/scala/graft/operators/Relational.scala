@@ -333,30 +333,77 @@ object Relational {
 
   // ---------------------------------------------------------------------------
   // q12 — global statistics (SURVEY §2.4 A4 generalized): min/max/avg/stddev/
-  // exact median in one pass over lineitem.
+  // exact median over lineitem.
+  //
+  // The exact median is computed with codegen'd hash aggregates + one keyed
+  // cumulative window over the (flag, price) VALUE GRID instead of Spark's
+  // `percentile` (an ObjectHashAggregate that collects every value into a
+  // per-group buffer — the one non-codegen operator this query had, and at
+  // 100 TB a per-group array of every price). Rank decomposition: per
+  // distinct (flag, price) the first/last 1-indexed rank follow from a
+  // running count; quantile_cont(0.5) reads ranks (n+1) div 2 and
+  // (n+2) div 2 and interpolates lower + (higher - lower) * 0.5 — the same
+  // IEEE expression `percentile` evaluates (for odd n the two ranks
+  // coincide and the addend is exactly 0). The window partitions by flag
+  // over the price GRID (map-side-combined distinct counts), never over
+  // row instances.
   // ---------------------------------------------------------------------------
-  def q12Stats(spark: SparkSession, dir: String): DataFrame =
-    Tables
-      .lineitem(spark, dir)
+  def q12Stats(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(col("l_returnflag"), col("l_extendedprice"))
+    val base = li
       .groupBy(col("l_returnflag"))
       .agg(
         round(min(col("l_extendedprice")), 2).as("min_price"),
         round(max(col("l_extendedprice")), 2).as("max_price"),
         round(avg(col("l_extendedprice")), 2).as("avg_price"),
         round(stddev(col("l_extendedprice")), 2).as("std_price"),
-        // floor-form rounding, NOT round(): Spark rounds doubles through
-        // BigDecimal.valueOf (shortest decimal string, HALF_UP) while DuckDB
-        // rounds numerically — at an exact .xx5 boundary they disagree (seen
-        // at sf0.001: 52724.245 → .24 vs .25). floor(x*100+0.5)/100 written
-        // identically in both dialects is IEEE-exact and engine-agnostic.
-        // exponent literals (1e2, 5e-1): plain decimal-point literals parse
-        // as DECIMAL in Spark SQL text, silently turning the division into
-        // decimal arithmetic (decimal(27,6) output vs the oracle's DOUBLE —
-        // a driver-gate dtype mismatch); 1eN is DOUBLE in both engines.
-        expr("floor(percentile(l_extendedprice, 0.5) * 1e2 + 5e-1) / 1e2").as("median_price"),
         count(lit(1)).as("n")
       )
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice"))
+    val grid = li
+      .groupBy(col("l_returnflag"), col("l_extendedprice"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("hi_rank", sum(col("c")).over(w))
+      .withColumn("lo_rank", col("hi_rank") - col("c") + 1)
+    val med = grid
+      .join(base.select(col("l_returnflag"), col("n")), "l_returnflag")
+      .withColumn("p_lo", expr("(n + 1) div 2"))
+      .withColumn("p_hi", expr("(n + 2) div 2"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        max(when(col("lo_rank") <= col("p_lo") && col("p_lo") <= col("hi_rank"), col("l_extendedprice")))
+          .as("v_lo"),
+        max(when(col("lo_rank") <= col("p_hi") && col("p_hi") <= col("hi_rank"), col("l_extendedprice")))
+          .as("v_hi")
+      )
+      // floor-form rounding, NOT round(): Spark rounds doubles through
+      // BigDecimal.valueOf (shortest decimal string, HALF_UP) while DuckDB
+      // rounds numerically — at an exact .xx5 boundary they disagree (seen
+      // at sf0.001: 52724.245 → .24 vs .25). floor(x*100+0.5)/100 written
+      // identically in both dialects is IEEE-exact and engine-agnostic.
+      // exponent literals (1e2, 5e-1): plain decimal-point literals parse
+      // as DECIMAL in Spark SQL text, silently turning the division into
+      // decimal arithmetic (decimal(27,6) output vs the oracle's DOUBLE —
+      // a driver-gate dtype mismatch); 1eN is DOUBLE in both engines.
+      .select(
+        col("l_returnflag"),
+        expr("floor((v_lo + (v_hi - v_lo) * 5e-1) * 1e2 + 5e-1) / 1e2").as("median_price")
+      )
+    base
+      .join(med, "l_returnflag")
+      .select(
+        col("l_returnflag"),
+        col("min_price"),
+        col("max_price"),
+        col("avg_price"),
+        col("std_price"),
+        col("median_price"),
+        col("n")
+      )
       .orderBy(col("l_returnflag"))
+  }
 
   val q12Oracle: String =
     """SELECT l_returnflag,
