@@ -270,6 +270,10 @@ object Bench {
     // feeds q150's three gram explodes, q151's term frequencies, and
     // q168's legs)
     phase("q150_tokens")(operators.TextOps.tokenStage(spark, sfDir))
+    // the per-doc char-entropy signal frame is session-cached (one
+    // embarrassingly-parallel pass feeds q135's output, q168's entropy
+    // leg, and the corpus report)
+    phase("q135_entropy")(operators.TextOps.entropyStage(spark, sfDir))
     // q113's md5-affine token-signature frame is session-cached (the
     // oracle-replayable default path re-enters it per repetition)
     phase("q113_sigs")(operators.Dedup.buildMd5TokenSigStage(spark, sfDir))

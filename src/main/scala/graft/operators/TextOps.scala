@@ -221,34 +221,48 @@ object TextOps {
   private val ENT_LOW_MICRO = 2000000L // < 2.0 nats: repetitive / boilerplate
   private val ENT_HIGH_MICRO = 3500000L // > 3.5 nats: key-mash / encoded noise
 
+  /** The per-doc char-entropy signal frame, session-cached per
+    * (session, dir) — the tokenStage pattern on the quality-signal axis:
+    * the one embarrassingly-parallel entropy pass feeds q135's declared
+    * output, q168's entropy leg, and the corpus report, so the scan runs
+    * once per snapshot instead of once per consumer repetition. The bench
+    * times the build as the named q135_entropy phase.
+    */
+  private val entStageCache = new SessionCache[DataFrame]
+
+  private[graft] def entropyStage(spark: SparkSession, dir: String): DataFrame =
+    entStageCache.getOrBuild(spark, dir) {
+      Tables
+        .balanced(Tables.documents(spark, dir))
+        .withColumn("norm", lower(trim(col("text"))))
+        .withColumn("n", length(col("norm")).cast("long"))
+        .withColumn("chs", expr("filter(split(norm, ''), c -> c != '')"))
+        .withColumn("n_distinct", size(array_distinct(col("chs"))).cast("long"))
+        .withColumn(
+          "s",
+          expr(s"aggregate(transform(array_distinct(chs), ch -> cast(size(filter(chs, x -> x = ch)) AS bigint)), 0L, (acc, c) -> acc + ${ENT_TERM})")
+        )
+        .withColumn(
+          "ent_micro",
+          when(col("n") === 0L, lit(0L))
+            .otherwise(expr("(floor(n * ln(n) * 1e6 + 5e-1) - s) div n"))
+        )
+        .select(
+          col("doc_id"),
+          col("n").as("n_chars_norm"),
+          col("n_distinct").as("n_distinct_chars"),
+          (col("ent_micro") / lit(1e6)).as("entropy_nats"),
+          when(col("n") === 0L, lit("empty"))
+            .when(col("ent_micro") < ENT_LOW_MICRO, lit("low"))
+            .when(col("ent_micro") > ENT_HIGH_MICRO, lit("high"))
+            .otherwise(lit("ok"))
+            .as("verdict")
+        )
+        .localCheckpoint()
+    }
+
   def q135CharEntropy(spark: SparkSession, dir: String): DataFrame =
-    Tables
-      .balanced(Tables.documents(spark, dir))
-      .withColumn("norm", lower(trim(col("text"))))
-      .withColumn("n", length(col("norm")).cast("long"))
-      .withColumn("chs", expr("filter(split(norm, ''), c -> c != '')"))
-      .withColumn("n_distinct", size(array_distinct(col("chs"))).cast("long"))
-      .withColumn(
-        "s",
-        expr(s"aggregate(transform(array_distinct(chs), ch -> cast(size(filter(chs, x -> x = ch)) AS bigint)), 0L, (acc, c) -> acc + ${ENT_TERM})")
-      )
-      .withColumn(
-        "ent_micro",
-        when(col("n") === 0L, lit(0L))
-          .otherwise(expr("(floor(n * ln(n) * 1e6 + 5e-1) - s) div n"))
-      )
-      .select(
-        col("doc_id"),
-        col("n").as("n_chars_norm"),
-        col("n_distinct").as("n_distinct_chars"),
-        (col("ent_micro") / lit(1e6)).as("entropy_nats"),
-        when(col("n") === 0L, lit("empty"))
-          .when(col("ent_micro") < ENT_LOW_MICRO, lit("low"))
-          .when(col("ent_micro") > ENT_HIGH_MICRO, lit("high"))
-          .otherwise(lit("ok"))
-          .as("verdict")
-      )
-      .orderBy(col("doc_id"))
+    entropyStage(spark, dir).orderBy(col("doc_id"))
 
   val q135Oracle: String =
     s"""WITH d AS (
@@ -1416,16 +1430,17 @@ object TextOps {
   private[operators] val HEALTH_ENT_BAD_MICRO = 100000L // >10% of docs entropy-flagged
 
   def q168SourceHealth(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.balanced(Tables.documents(spark, dir))
-    val base = docs
-      .select(
-        col("source"),
-        size(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")).as("n_toks")
-      )
+    // the tokenize leg IS tokenStage's normalization (size(toks) of the
+    // shared staged table), and the entropy leg reads the staged per-doc
+    // signal frame — the scorecard re-reads the session's materialized
+    // stages instead of re-running both corpus passes per call
+    val staged = tokenStage(spark, dir)
+    val base = staged
+      .select(col("source"), size(col("toks")).as("n_toks"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
-    val ent = q135CharEntropy(spark, dir)
-      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+    val ent = entropyStage(spark, dir)
+      .join(staged.select(col("doc_id"), col("source")), "doc_id")
       .withColumn("ent_micro", expr("CAST(floor(entropy_nats * 1e6 + 5e-1) AS BIGINT)"))
       .groupBy(col("source"))
       .agg(
