@@ -186,7 +186,10 @@ object Dedup {
     */
   /** (doc_id, band, key) LSH bucket rows for a (doc_id, sig) frame — the
     * persistable index shape: a delta of new docs probes these buckets
-    * instead of re-mining the corpus.
+    * instead of re-mining the corpus. Any EXTRA input columns (sz, lang)
+    * ride along unchanged, so candidate miners can apply their cheap
+    * verify-implied conjuncts BEFORE the candidate distinct (the q30/q113
+    * prune discipline) without a second join back to the corpus.
     */
   private[graft] def bandBuckets(sigs: DataFrame): DataFrame = {
     // band key = hash of the band's signature slice; explode to (band, key, doc)
@@ -194,17 +197,35 @@ object Dedup {
       val slice = (0 until ROWS_PER_BAND).map(r => s"sig[${b * ROWS_PER_BAND + r}]").mkString(", ")
       expr(s"named_struct('band', $b, 'key', xxhash64($b, $slice))")
     }
+    val carry = sigs.columns.filter(_ != "sig").map(col)
     sigs
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .select(carry :+ explode(array(bandCols: _*)).as("bk"): _*)
+      .select(carry :+ col("bk.band").as("band") :+ col("bk.key").as("key"): _*)
   }
 
-  private def minhashCandidates(sigs: DataFrame): DataFrame = {
+  /** Candidate pairs for the token-MinHash miner, with the verify's two
+    * CHEAP implied conjuncts applied BEFORE the distinct (the q30/q113
+    * prune discipline, guide §2.3 "shuffle fewer bytes"): the verify
+    * requires lang_a == lang_b and token-jaccard >= 0.8, and j <=
+    * min(sz)/max(sz), so cross-language or size-ratio-< 0.8 collisions can
+    * never become edges — dropping them here shrinks the distinct's
+    * exchange (measured at sf0.1: 10.9M candidates, only 0.76M verified
+    * edges) and the verify join's probe side. lang rides as an extra
+    * equi-key, which also SPLITS any hot (band, key) bucket by language.
+    * Semantics-free on the edge set: every removed pair fails the verify.
+    */
+  private[graft] def minhashCandidates(sigs: DataFrame): DataFrame = {
     val buckets = bandBuckets(sigs)
     buckets
       .as("l")
-      .join(buckets.as("r"), Seq("band", "key"))
-      .filter(col("l.doc_id") < col("r.doc_id"))
+      .join(
+        buckets.as("r"),
+        col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+          col("l.lang") === col("r.lang") &&
+          col("l.doc_id") < col("r.doc_id") &&
+          col("l.sz") * 0.8 <= col("r.sz") &&
+          col("r.sz") * 0.8 <= col("l.sz")
+      )
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .distinct()
   }
@@ -769,7 +790,7 @@ object Dedup {
     * one tokenize+sign pass feeds the full miner (q101's graph), the
     * incremental path (q108), and both verify sides.
     */
-  private def sigTokenFrame(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def sigTokenFrame(spark: SparkSession, dir: String): DataFrame =
     sigFrameCache.getOrBuild(spark, dir) {
       tokenSets(spark, dir)
         .filter(size(col("toks")) > 0)
@@ -799,7 +820,7 @@ object Dedup {
 
   private def minhashPairGraphBuild(spark: SparkSession, dir: String): DataFrame = {
     val t = sigTokenFrame(spark, dir)
-    verifyEdges(t, minhashCandidates(t.select(col("doc_id"), col("sig"))))
+    verifyEdges(t, minhashCandidates(t.select(col("doc_id"), col("sig"), col("sz"), col("lang"))))
   }
 
   def q101LshDupClusters(spark: SparkSession, dir: String): DataFrame =
@@ -1043,11 +1064,26 @@ object Dedup {
     * delta and the streaming maintainer so the two spec-pinned-equal paths
     * cannot drift.
     */
+  /** Delta-probes-index candidate pairs, with the verify's implied
+    * SIZE-RATIO conjunct applied before the distinct (j <= min(sz)/max(sz),
+    * so a >= 0.8-jaccard edge needs sizes within 0.8x — the q30/q113 prune
+    * discipline; sz rides in the bucket rows). Deliberately NOT a lang
+    * equi-conjunct here: an equality between the two sides would join-key
+    * lang and break the persisted index's bucketed-on-(band, key) layout
+    * satisfying the join distribution (DedupSpec pins the probe plan to at
+    * most one Exchange). Semantics-free: every removed pair fails the
+    * verify.
+    */
   private[graft] def deltaCandidates(newBuckets: DataFrame, allBuckets: DataFrame): DataFrame =
     newBuckets
       .as("l")
-      .join(allBuckets.as("r"), Seq("band", "key"))
-      .filter(col("l.doc_id") =!= col("r.doc_id"))
+      .join(
+        allBuckets.as("r"),
+        col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+          col("l.doc_id") =!= col("r.doc_id") &&
+          col("l.sz") * 0.8 <= col("r.sz") &&
+          col("r.sz") * 0.8 <= col("l.sz")
+      )
       .select(
         least(col("l.doc_id"), col("r.doc_id")).as("doc_a"),
         greatest(col("l.doc_id"), col("r.doc_id")).as("doc_b")
@@ -1060,8 +1096,8 @@ object Dedup {
     * (doc_id, cluster, cluster_size) contract as clustersFrom.
     */
   private[operators] def clustersApply(t: DataFrame, isNew: Column, oldLabels: DataFrame): DataFrame = {
-    val allBuckets = bandBuckets(t.select(col("doc_id"), col("sig")))
-    val newBuckets = bandBuckets(t.filter(isNew).select(col("doc_id"), col("sig")))
+    val allBuckets = bandBuckets(t.select(col("doc_id"), col("sig"), col("sz")))
+    val newBuckets = bandBuckets(t.filter(isNew).select(col("doc_id"), col("sig"), col("sz")))
     applyEdgesToLabels(verifyEdges(t, deltaCandidates(newBuckets, allBuckets)), oldLabels)
   }
 
@@ -1106,18 +1142,19 @@ object Dedup {
     */
   private val incrLabelCache = new SessionCache[DataFrame]
 
-  /** The corpus's (doc_id, band, key) LSH bucket table as a session
+  /** The corpus's (doc_id, sz, band, key) LSH bucket table as a session
     * artifact — the persisted index a real pipeline keeps NEXT TO the label
     * table between ingest ticks (the streaming maintainer's buckets/ store
     * is the same shape, and at 100 TB it is stored bucketed on `key` per
-    * sources/Layouts). The incremental path probes it instead of
+    * sources/Layouts; sz rides so probes can size-ratio-prune before the
+    * candidate distinct). The incremental path probes it instead of
     * re-exploding every signature on every read.
     */
   private val bucketFrameCache = new SessionCache[DataFrame]
 
   private def bucketFrame(spark: SparkSession, dir: String): DataFrame =
     bucketFrameCache.getOrBuild(spark, dir) {
-      bandBuckets(sigTokenFrame(spark, dir).select(col("doc_id"), col("sig"))).localCheckpoint()
+      bandBuckets(sigTokenFrame(spark, dir).select(col("doc_id"), col("sig"), col("sz"))).localCheckpoint()
     }
 
   /** Persist the corpus LSH bucket table BUCKETED on the (band, key) probe

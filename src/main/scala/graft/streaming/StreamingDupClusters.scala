@@ -23,7 +23,8 @@ import graft.operators.Dedup
   *
   * Persisted state under `stateDir`:
   *   - `toks/delta_<lo>/`    token sets + minhash sigs per ingest slice
-  *   - `buckets/delta_<lo>/` (band, key, doc_id) LSH bucket rows
+  *   - `buckets/delta_<lo>/` (doc_id, sz, band, key) LSH bucket rows (sz
+  *     rides so the delta probe can size-ratio-prune before its distinct)
   *   - `labels/current/`     the label table (retire-promote rewrite, with
   *                           `labels/prev/` as the crash-window fallback)
   *   - `state.json`          watermark sidecar {max_doc_id}
@@ -75,7 +76,7 @@ object StreamingDupClusters {
     val sliceName = s"delta_$lo"
     tDelta.write.mode("overwrite").parquet(s"$stateDir/toks/$sliceName")
     Dedup
-      .bandBuckets(tDelta.select(col("doc_id"), col("sig")))
+      .bandBuckets(tDelta.select(col("doc_id"), col("sig"), col("sz")))
       .write
       .mode("overwrite")
       .parquet(s"$stateDir/buckets/$sliceName")
